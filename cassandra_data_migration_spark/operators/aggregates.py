@@ -1,0 +1,162 @@
+"""Aggregation operators (SURVEY.md §2.4 A1-A9).
+
+All built from ``pyspark.sql.functions`` so every aggregate is
+JVM-side, whole-stage-codegen'd, and partially aggregated map-side
+before the shuffle (hash-aggregate with a partial pass — the only
+shuffle is keyed on the group-by columns, sized by AQE at runtime).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def table_count(df: DataFrame) -> DataFrame:
+    """A1: COUNT(*) — the universal validation primitive
+    (lab/scripts/validate_migration.py:28-29)."""
+    return df.agg(F.count(F.lit(1)).alias("row_count"))
+
+
+def grouped_count(df: DataFrame, *keys: str) -> DataFrame:
+    """A3: grouped count, e.g. rows per status
+    (lab/exercises/05-zdm-migration.md:140-148)."""
+    return df.groupBy(*keys).agg(F.count(F.lit(1)).alias("cnt"))
+
+
+def count_diff(origin_count: int, target_count: int) -> dict:
+    """A2: count diff pass/fail (lab/scripts/validate_migration.py:34-39)."""
+    diff = abs(origin_count - target_count)
+    return {
+        "origin_count": origin_count,
+        "target_count": target_count,
+        "difference": diff,
+        "status": "PASS" if diff == 0 else "FAIL",
+    }
+
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-09-02") -> DataFrame:
+    """Flagship aggregation: the classic pricing-summary shape over
+    ``lineitem`` — the same scan→filter→grouped-agg dataflow as the
+    reference's per-table validation counts (A1/A3), widened to the
+    full aggregate family.  One scan, map-side partial aggregation,
+    one shuffle on (returnflag, linestatus): at 100 TB this plan is
+    shuffle-minimal because the grouped cardinality is tiny (~6 keys)
+    so the partial aggregates collapse almost everything before the
+    exchange.
+
+    Money aggregates are rounded to 2 decimals (fixed-point semantics,
+    like the reference's Decimal 2-digit scale —
+    lab/scripts/generate_data.py:84,117).
+    """
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice")
+                    * (1 - F.col("l_discount"))
+                    * (1 + F.col("l_tax"))
+                ),
+                2,
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def traffic_summary(events: DataFrame) -> DataFrame:
+    """A4: ops total / per-type split / error rate, the
+    ``simulate_app_traffic.py:156-206`` end-of-run report re-expressed
+    as one conditional-aggregation pass (no per-op Python loop)."""
+    is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    return events.agg(
+        F.count(F.lit(1)).alias("total_ops"),
+        F.sum(is_err).alias("error_count"),
+        F.round(100.0 * (1 - F.sum(is_err) / F.count(F.lit(1))), 4).alias(
+            "success_rate_pct"
+        ),
+        F.round(F.sum("value"), 4).alias("total_value"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+    )
+
+
+def latency_percentiles(
+    df: DataFrame, value_col: str = "value", by: list[str] | None = None
+) -> DataFrame:
+    """A6: p50/p95/p99 (docs/05-zdm-approach.md:592-598).
+
+    Uses the *exact* ``percentile`` aggregate (continuous
+    interpolation) so results are engine-reproducible; swap to
+    ``percentile_approx`` on a real 100 TB run where a t-digest-style
+    sketch is the right trade (single pass, bounded memory).
+    """
+    aggs = [
+        F.round(F.expr(f"percentile({value_col}, 0.5)"), 4).alias("p50"),
+        F.round(F.expr(f"percentile({value_col}, 0.95)"), 4).alias("p95"),
+        F.round(F.expr(f"percentile({value_col}, 0.99)"), 4).alias("p99"),
+        F.round(F.avg(value_col), 4).alias("avg_value"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if by:
+        return df.groupBy(*by).agg(*aggs)
+    return df.agg(*aggs)
+
+
+def rate_over_window(
+    events: DataFrame, ts_col: str = "ts", minutes: int = 5
+) -> DataFrame:
+    """A7: ``rate(requests_total[5m])``-style tumbling-window count
+    (docs/05-zdm-approach.md:578-599).  Batch form; the streaming form
+    with watermarking lives in ``streaming.metrics``."""
+    w = F.window(F.col(ts_col), f"{minutes} minutes")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.count(F.lit(1)) / (minutes * 60.0), 6).alias("ops_per_sec"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "cnt",
+            "ops_per_sec",
+        )
+    )
+
+
+def rowwise_max(df: DataFrame, cols: list[str], out: str) -> DataFrame:
+    """A8: row-level max across columns — CDM's collapse of cell-level
+    writetime/TTL to a row value (docs/04-cdm-approach.md:826-829)."""
+    return df.withColumn(out, F.greatest(*[F.col(c) for c in cols]))
+
+
+def observe_progress(df: DataFrame, name: str = "migration_progress"):
+    """A9: migration progress counters (docs/04-cdm-approach.md:536-544)
+    via the ``observe`` API — metrics ride the job, no second scan."""
+    return df.observe(name, F.count(F.lit(1)).alias("rows_processed"))
+
+
+def summary_stats(df: DataFrame, col: str) -> DataFrame:
+    """A5-style latency aggregates: total / avg / rate over span."""
+    return df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum(col), 4).alias("total"),
+        F.round(F.avg(col), 4).alias("avg"),
+        F.round(F.min(col), 4).alias("min"),
+        F.round(F.max(col), 4).alias("max"),
+    )
+
+
+def conditional_sum(df: DataFrame, cond: Column, alias: str) -> DataFrame:
+    """`sum(when(cond,1))` building block used by traffic summaries."""
+    return df.agg(F.sum(F.when(cond, 1).otherwise(0)).alias(alias))

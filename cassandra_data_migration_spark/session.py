@@ -1,0 +1,56 @@
+"""SparkSession factory with defaults tuned for the target scale.
+
+The reference sizes its scans at ~10 MB per split
+(``spark.cdm.perfops.numParts`` ideal = table-size / 10 MB,
+docs/04-cdm-approach.md:459,472) and boosts memory fractions for big
+jobs (docs/04-cdm-approach.md:506-516).  On a real cluster a 100 TB
+table at 128 MB/split is ~800k tasks — fine for Spark's scheduler —
+so we keep Spark's default ``maxPartitionBytes`` for scans and rely
+on AQE to coalesce/skew-split shuffles at runtime instead of
+hand-picking a shuffle partition count per stage.
+
+Everything here is plain public Spark configuration.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "cassandra-data-migration-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with scale-appropriate defaults.
+
+    - AQE on (coalesce partitions + skew-join handling): at 100 TB the
+      static shuffle-partition count is always wrong for some stage.
+    - Arrow enabled: every Pandas-UDF boundary is Arrow-batched.
+    - Session timezone UTC: deterministic timestamp semantics across
+      engines (the DuckDB oracle reads naive/UTC parquet timestamps).
+    - Broadcast threshold left at default (10 MB) but AQE will also
+      convert eligible joins at runtime from actual sizes.
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or int(cpus)),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

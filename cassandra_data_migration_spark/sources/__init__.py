@@ -1,0 +1,5 @@
+from cassandra_data_migration_spark.sources.tables import (  # noqa: F401
+    TABLES,
+    load_table,
+    load_tables,
+)
