@@ -106,6 +106,25 @@ def q_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.grouped_count(load_table(spark, sf_dir, "orders"), "o_orderstatus")
 
 
+def q_writetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P5: incremental migration — rows written after T µs.  Writetime is
+    # derived from the event-time column (functions.metadata).
+    from cassandra_data_migration_spark.functions.metadata import (
+        attach_derived_writetime,
+    )
+    from cassandra_data_migration_spark.operators.filters import writetime_filter
+
+    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
+    return writetime_filter(ev, 1705276800000000)  # 2024-01-15T00:00:00Z
+
+
+def q_guardrail_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # P7: guardrail size predicate — documents whose text exceeds the cap
+    docs = load_table(spark, sf_dir, "documents")
+    _, violations = flt.guardrail_split(docs, {"text": 0.35})
+    return violations
+
+
 def q_missing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J1
     return jn.missing_rows(_origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK)
@@ -139,6 +158,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "token_range_filter": q_token_range_filter,
     "point_lookup": q_point_lookup,
     "grouped_count": q_grouped_count,
+    "writetime_filter": q_writetime_filter,
+    "guardrail_violations": q_guardrail_violations,
     "missing_rows": q_missing_rows,
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
@@ -170,6 +191,14 @@ ORACLES: dict[str, str] = {
     "grouped_count": (
         "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"
     ),
+    "writetime_filter": """
+        SELECT *, epoch_us(ts) AS _writetime
+        FROM events WHERE epoch_us(ts) >= 1705276800000000
+    """,
+    "guardrail_violations": """
+        SELECT * FROM documents
+        WHERE octet_length(encode(text)) / 1024.0 > 0.35
+    """,
     "missing_rows": f"""
         SELECT o.* FROM orders o
         WHERE NOT EXISTS (

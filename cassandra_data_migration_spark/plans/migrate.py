@@ -1,0 +1,158 @@
+"""The Migrate pipeline (SURVEY.md §3.1) — CDM's flagship job as a
+declarative Spark plan.
+
+CDM is driven by cdm.properties + --conf overrides
+(lab/cdm-config/cdm.properties:1-38, lab/exercises/04-cdm-migration.md:116-124);
+:class:`MigrationConfig` is that property surface.  The run is
+``read(origin) → feature stages → write(target)``:
+
+- token-range splitting (numParts, docs/04-cdm-approach.md:459) is
+  Spark's scan splitting — at 100 TB the parquet/connector source
+  produces one task per ~maxPartitionBytes; nothing to hand-schedule;
+- each feature (column subset/exclude, token & writetime filters,
+  guardrails, custom transform, constant columns) is a DataFrame →
+  DataFrame stage that Catalyst fuses into the scan, so a migration
+  with five features is still ONE whole-stage-codegen'd pass with
+  zero shuffles;
+- the write is partitioned by the partition key so a CQL-like sink
+  batches per partition (dsbulk PARTITION_KEY mode,
+  docs/03-dse-tooling.md:185-189).
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators import filters as flt
+from cassandra_data_migration_spark.schema import WRITETIME_COL
+
+Transform = Callable[[DataFrame], DataFrame]
+
+
+@dataclass
+class MigrationConfig:
+    """The cdm.properties surface (lab/cdm-config/cdm.properties:1-38,
+    docs/04-cdm-approach.md §property reference)."""
+
+    origin_path: str
+    target_path: str
+    table: str = ""
+    # spark.cdm.schema.origin.column.names.to.target / .to.exclude
+    include_columns: list[str] | None = None
+    exclude_columns: list[str] = field(default_factory=list)
+    # spark.cdm.filter.cassandra.partition.min/max (+ our bucket count)
+    partition_min: int | None = None
+    partition_max: int | None = None
+    num_buckets: int = 32
+    token_key: str | None = None
+    # spark.cdm.feature.writetime.filter.min/max (µs)
+    writetime_min: int | None = None
+    writetime_max: int | None = None
+    # spark.cdm.filter.cassandra.whereCondition (SQL fragment)
+    where_condition: str | None = None
+    # spark.cdm.guardrail.colSizeInKB
+    guardrail_col_kb: float | None = None
+    guardrail_cols: list[str] = field(default_factory=list)
+    # spark.cdm.transform.custom.class analogue
+    custom_transforms: list[Transform] = field(default_factory=list)
+    # constant-column feature (docs/04-cdm-approach.md:465)
+    constant_columns: dict[str, object] = field(default_factory=dict)
+    # spark.cdm.transform.custom.writetime.incrementBy (µs)
+    writetime_increment: int = 0
+    # spark.cdm.perfops.*
+    num_parts: int | None = None  # repartition target for the write
+    rate_limit_rows_per_sec: int | None = None  # perfops.ratelimit.target
+    batch_partition_cols: list[str] = field(default_factory=list)
+    # dsbulk --dryRun (docs/03-dse-tooling.md:231-240)
+    dry_run: bool = False
+
+
+@dataclass
+class MigrationResult:
+    rows_read: int
+    rows_written: int
+    guardrail_violations: int
+    elapsed_sec: float
+    dry_run: bool
+
+    @property
+    def rows_per_sec(self) -> float:
+        return self.rows_written / self.elapsed_sec if self.elapsed_sec else 0.0
+
+
+def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> tuple[DataFrame, DataFrame | None]:
+    """Steps 3-4 of the lifecycle (SURVEY.md §3.1): compose the feature
+    stages.  Returns (migrating_rows, guardrail_violations_or_None).
+    Pure plan construction — nothing executes here."""
+    if cfg.include_columns:
+        df = flt.project(df, cfg.include_columns)
+    if cfg.exclude_columns:
+        df = flt.exclude(df, cfg.exclude_columns)
+    if cfg.token_key and cfg.partition_min is not None and cfg.partition_max is not None:
+        df = flt.token_range_filter(
+            df, cfg.token_key, cfg.partition_min, cfg.partition_max, cfg.num_buckets
+        )
+    if cfg.writetime_min is not None and WRITETIME_COL in df.columns:
+        df = df.filter(F.col(WRITETIME_COL) >= F.lit(cfg.writetime_min))
+    if cfg.writetime_max is not None and WRITETIME_COL in df.columns:
+        df = df.filter(F.col(WRITETIME_COL) <= F.lit(cfg.writetime_max))
+    if cfg.where_condition:
+        df = df.filter(cfg.where_condition)
+
+    violations = None
+    if cfg.guardrail_col_kb is not None and cfg.guardrail_cols:
+        df, violations = flt.guardrail_split(
+            df, {c: cfg.guardrail_col_kb for c in cfg.guardrail_cols}
+        )
+
+    for name, value in cfg.constant_columns.items():
+        df = df.withColumn(name, F.lit(value))
+    for t in cfg.custom_transforms:
+        df = t(df)
+    if cfg.writetime_increment and WRITETIME_COL in df.columns:
+        df = df.withColumn(
+            WRITETIME_COL, F.col(WRITETIME_COL) + F.lit(cfg.writetime_increment)
+        )
+    return df, violations
+
+
+def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
+    """Run the Migrate job (lab/exercises/04-cdm-migration.md:116-124).
+
+    Origin/target are parquet paths standing in for cluster tables
+    (same dataflow; a Cassandra connector swaps in at the
+    ``spark.read``/``write`` boundary without touching the plan).
+    """
+    t0 = time.perf_counter()
+    src = spark.read.parquet(cfg.origin_path)
+    rows_read_df = src.observe("migrate_read", F.count(F.lit(1)).alias("rows"))
+    out, violations = build_feature_pipeline(rows_read_df, cfg)
+
+    n_violations = violations.count() if violations is not None else 0
+
+    if cfg.dry_run:
+        # T4: plan + count, no write (docs/03-dse-tooling.md:231-240)
+        n = out.count()
+        return MigrationResult(n, 0, n_violations, time.perf_counter() - t0, True)
+
+    writer = out
+    if cfg.batch_partition_cols:
+        # co-locate rows of one partition key in one task → the sink
+        # sees partition-key batches (dsbulk PARTITION_KEY mode)
+        writer = out.repartition(
+            cfg.num_parts or out.sparkSession.sparkContext.defaultParallelism,
+            *cfg.batch_partition_cols,
+        ).sortWithinPartitions(*cfg.batch_partition_cols)
+    elif cfg.num_parts:
+        writer = out.repartition(cfg.num_parts)
+
+    writer.write.mode("overwrite").parquet(cfg.target_path)
+    n_written = spark.read.parquet(cfg.target_path).count()
+    return MigrationResult(
+        n_written, n_written, n_violations, time.perf_counter() - t0, False
+    )

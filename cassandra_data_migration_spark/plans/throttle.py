@@ -1,0 +1,123 @@
+"""Throughput / reliability operators (SURVEY.md §2.10 T1-T4).
+
+The reference caps throughput per worker (perfops.ratelimit.* default
+20k ops/s per side, docs/04-cdm-approach.md:463,492-493,637), batches
+writes (batchSize, cdm.properties:28), and aborts on an error budget
+(errorLimit, cdm.properties:38; dsbulk maxErrors
+docs/03-dse-tooling.md:217-228).
+
+Rate limiting is inherently imperative — Catalyst has no notion of
+wall-clock — so it's the one place we drop to ``mapPartitions``-style
+per-partition logic.  The per-partition budget is global_limit /
+num_partitions, mirroring the reference's per-worker division
+(docs/04-cdm-approach.md:637).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+
+
+@dataclass
+class ErrorBudgetExceeded(Exception):
+    errors: int
+    limit: int
+
+    def __str__(self) -> str:  # pragma: no cover
+        return f"error budget exceeded: {self.errors} > {self.limit}"
+
+
+def rate_limited_foreach_partition(
+    df: DataFrame,
+    process_row,
+    rows_per_sec_global: int,
+    chunk: int = 100,
+) -> None:
+    """T1: token-bucket rate limiter inside foreachPartition.
+
+    Each partition gets ``rows_per_sec_global / num_partitions``;
+    pacing is checked every ``chunk`` rows (per-row sleeps would melt
+    the GIL at 20k ops/s).
+    """
+    num_parts = max(df.rdd.getNumPartitions(), 1)
+    per_part = max(rows_per_sec_global / num_parts, 1.0)
+
+    def run(it):
+        start = time.monotonic()
+        n = 0
+        for row in it:
+            process_row(row)
+            n += 1
+            if n % chunk == 0:
+                expected = n / per_part
+                elapsed = time.monotonic() - start
+                if elapsed < expected:
+                    time.sleep(expected - elapsed)
+
+    df.foreachPartition(run)
+
+
+def with_error_budget(
+    df: DataFrame,
+    process_row,
+    error_limit: int = 100,
+    on_error=None,
+):
+    """T3: row-level try/except with a Spark-accumulator error counter;
+    the job aborts once the global count crosses ``error_limit``
+    (cdm.properties:38).  Returns the accumulator's final value."""
+    sc = df.sparkSession.sparkContext
+    errors = sc.accumulator(0)
+
+    def run(it):
+        local = 0
+        for row in it:
+            try:
+                process_row(row)
+            except Exception as e:  # noqa: BLE001 — budget semantics
+                errors.add(1)
+                local += 1
+                if on_error is not None:
+                    on_error(row, e)
+                if errors.value is not None and local > error_limit:
+                    # local short-circuit; global check happens after
+                    raise ErrorBudgetExceeded(local, error_limit)
+
+    df.foreachPartition(run)
+    if errors.value > error_limit:
+        raise ErrorBudgetExceeded(errors.value, error_limit)
+    return errors.value
+
+
+def batched_write(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """T2: write batching for file sinks — partition-key co-location
+    (dsbulk PARTITION_KEY mode, docs/03-dse-tooling.md:185-189) plus a
+    per-file record cap (the batchSize analogue for files)."""
+    w = df
+    if partition_cols:
+        w = df.repartition(*partition_cols).sortWithinPartitions(*partition_cols)
+    writer = w.write.mode(mode)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.parquet(path)
+
+
+def dry_run(df: DataFrame) -> dict:
+    """T4: plan + count without writing (dsbulk --dryRun,
+    docs/03-dse-tooling.md:231-240)."""
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return {"rows": df.count(), "plan": buf.getvalue()}

@@ -1,0 +1,73 @@
+"""T5: run tracking & resume (docs/04-cdm-approach.md:422-434, 843-846).
+
+CDM records per-token-range completion in ``cdm_run_info`` /
+``cdm_run_details`` tables on the target cluster so an interrupted
+migration resumes from incomplete ranges (``trackRun.autoRerun``,
+``previousRunId``).  Spark-native: a progress parquet keyed by
+(run_id, bucket, status); resume anti-joins completed buckets out of
+the work list.  Buckets are deterministic key-hash buckets (same
+function as operators.filters.token_bucket) so the split is stable
+across runs and partition counts.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class RunTracker:
+    def __init__(self, spark: SparkSession, track_dir: str, num_buckets: int = 32):
+        self.spark = spark
+        self.track_dir = track_dir.rstrip("/")
+        self.num_buckets = num_buckets
+
+    def _details_path(self, run_id: str) -> str:
+        return f"{self.track_dir}/run_details/run_id={run_id}"
+
+    def new_run(self) -> str:
+        return uuid.uuid4().hex[:16]
+
+    def record_bucket(self, run_id: str, bucket: int, status: str, rows: int = 0) -> None:
+        """Append one bucket's outcome (PASSED/FAILED — CDM's
+        cdm_run_details statuses)."""
+        df = self.spark.createDataFrame(
+            [(bucket, status, rows, int(time.time() * 1e6))],
+            "bucket int, status string, rows long, recorded_at long",
+        )
+        df.coalesce(1).write.mode("append").parquet(self._details_path(run_id))
+
+    def completed_buckets(self, run_id: str) -> list[int]:
+        path = self._details_path(run_id)
+        if not os.path.exists(path):
+            return []
+        det = self.spark.read.parquet(path)
+        # last status per bucket wins (a bucket may fail then pass on rerun)
+        last = (
+            det.groupBy("bucket")
+            .agg(F.max_by("status", "recorded_at").alias("status"))
+            .filter(F.col("status") == "PASSED")
+        )
+        return [r.bucket for r in last.collect()]
+
+    def pending_buckets(self, run_id: str | None) -> list[int]:
+        """autoRerun semantics: all buckets minus previously PASSED
+        ones (docs/04-cdm-approach.md:843-846)."""
+        done = set(self.completed_buckets(run_id)) if run_id else set()
+        return [b for b in range(self.num_buckets) if b not in done]
+
+    def filter_pending(
+        self, df: DataFrame, key_col: str, run_id: str | None
+    ) -> DataFrame:
+        """Clip a table scan to not-yet-migrated buckets.  With few
+        pending buckets this is an IN-list filter pushed to the scan —
+        on a bucket-partitioned layout it prunes whole files."""
+        pending = self.pending_buckets(run_id)
+        if len(pending) == self.num_buckets:
+            return df
+        bucket = F.pmod(F.col(key_col), F.lit(self.num_buckets))
+        return df.filter(bucket.isin(pending))

@@ -1,0 +1,123 @@
+"""Validation / reconciliation plans (SURVEY.md §3.2).
+
+The reference validates a migration in layers
+(lab/scripts/validate_migration.py, CDM DiffData
+docs/04-cdm-approach.md:353-377, exercise 6): count diff → sampled
+point-lookups → full row diff → schema diff → report.  The per-row
+point reads become two set-oriented joins (J1/J2) — same semantics,
+one shuffle instead of O(rows) round trips — and the whole diff
+shuffles only (pk, 8-byte hash) projections, so at 100 TB the
+validation pass moves ~1% of the table's bytes.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.joins import (
+    mismatched_rows,
+    missing_rows,
+    per_bucket_count_compare,
+    reconcile,
+)
+
+
+@dataclass
+class TableValidation:
+    """Per-table verdict, the validate_migration.py:69-81 report row."""
+
+    table: str
+    origin_count: int
+    target_count: int
+    missing: int
+    mismatched: int
+    extra_in_target: int
+
+    @property
+    def passed(self) -> bool:
+        return self.missing == 0 and self.mismatched == 0 and (
+            self.origin_count == self.target_count
+        )
+
+    @property
+    def status(self) -> str:
+        return "PASS" if self.passed else "FAIL"
+
+
+def validate_table(
+    origin: DataFrame,
+    target: DataFrame,
+    pk: list[str],
+    table: str = "",
+    compare_cols: list[str] | None = None,
+) -> TableValidation:
+    """Layers 1-3 of §5 in one pass: counts, missing (J1), mismatched
+    (J2), plus target-only rows (the reference never deletes them —
+    docs/04-cdm-approach.md:367 — but the report should know)."""
+    return TableValidation(
+        table=table,
+        origin_count=origin.count(),
+        target_count=target.count(),
+        missing=missing_rows(origin, target, pk).count(),
+        mismatched=mismatched_rows(origin, target, pk, compare_cols).count(),
+        extra_in_target=missing_rows(target, origin, pk).count(),
+    )
+
+
+def validation_report(results: list[TableValidation]) -> str:
+    """The validate_migration.py:69-81 PASS/FAIL transcript."""
+    lines = ["=" * 60, "MIGRATION VALIDATION REPORT", "=" * 60]
+    all_pass = True
+    for r in results:
+        all_pass &= r.passed
+        lines.append(
+            f"{r.table:<16} origin={r.origin_count:<8} target={r.target_count:<8} "
+            f"missing={r.missing:<6} mismatched={r.mismatched:<6} "
+            f"extra={r.extra_in_target:<6} [{r.status}]"
+        )
+    lines.append("=" * 60)
+    lines.append("OVERALL: " + ("PASS" if all_pass else "FAIL"))
+    return "\n".join(lines)
+
+
+def autocorrect(
+    origin: DataFrame,
+    target: DataFrame,
+    pk: list[str],
+    writetime_col: str | None = None,
+) -> DataFrame:
+    """Layer-4 repair (CDM AutoCorrect, docs/04-cdm-approach.md:356-369):
+    target := target-minus-stale ∪ repair-set.  Inserts missing rows,
+    overwrites mismatches where origin wins on writetime, never deletes
+    target-only rows.  Returns the repaired target DataFrame."""
+    repair = reconcile(origin, target, pk, writetime_col)
+    keep = target.join(repair.select(*pk), on=pk, how="left_anti")
+    return keep.unionByName(repair)
+
+
+def schema_diff(origin: DataFrame, target: DataFrame) -> DataFrame:
+    """U2: normalized schema diff (exercise 6:187-233) as a set
+    operation over (column, type) rows.  ``side`` says where the
+    discrepancy lives."""
+    spark = origin.sparkSession
+
+    def cols_df(df: DataFrame, side: str) -> DataFrame:
+        rows = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        return spark.createDataFrame(rows, "col_name string, col_type string")
+
+    o, t = cols_df(origin, "origin"), cols_df(target, "target")
+    only_o = o.exceptAll(t).withColumn("side", F.lit("origin_only"))
+    only_t = t.exceptAll(o).withColumn("side", F.lit("target_only"))
+    return only_o.unionByName(only_t)
+
+
+def bucket_drill_down(
+    origin: DataFrame, target: DataFrame, key_col: str, num_buckets: int = 32
+) -> DataFrame:
+    """J5 wrapper: which token buckets disagree — the 'narrow the diff
+    before re-scanning' tool for huge tables
+    (docs/07-challenges-risks.md:300-325)."""
+    return per_bucket_count_compare(origin, target, key_col, num_buckets)

@@ -1,0 +1,108 @@
+"""File-staged export/import (SURVEY.md §2.1 S4-S8).
+
+COPY TO/FROM (docs/02-native-tooling.md:295-414) and dsbulk
+unload/load (docs/03-dse-tooling.md:24-374) stage tables through
+CSV/JSON files with delimiter/quote/escape/null-repr/date-format/
+compression options.  Spark's DataFrameReader/Writer covers the whole
+option surface; these wrappers pin the reference's defaults and
+names.  Unloads are inherently parallel (one file per task — dsbulk's
+multi-file output); ``single_file=True`` gets COPY's one-CSV shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
+
+# COPY defaults: docs/02-native-tooling.md:303-358
+COPY_DEFAULTS = {
+    "header": "true",
+    "sep": ",",
+    "quote": '"',
+    "escape": "\\",
+    "nullValue": "",
+    "timestampFormat": "yyyy-MM-dd HH:mm:ss.SSSXXX",
+}
+
+
+def csv_export(
+    df: DataFrame,
+    path: str,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    null_value: str = "",
+    timestamp_format: str | None = None,
+    compression: str | None = None,
+    single_file: bool = False,
+    max_errors_ignored: None = None,
+) -> None:
+    """S4: COPY TO / dsbulk unload -c csv."""
+    w = df.coalesce(1) if single_file else df
+    writer = (
+        w.write.mode("overwrite")
+        .option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("nullValue", null_value)
+    )
+    if timestamp_format:
+        writer = writer.option("timestampFormat", timestamp_format)
+    if compression:  # S8: --connector.csv.compression gzip
+        writer = writer.option("compression", compression)
+    writer.csv(path)
+
+
+def csv_import(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    header: bool = True,
+    delimiter: str = ",",
+    quote: str = '"',
+    escape: str = "\\",
+    null_value: str = "",
+    timestamp_format: str | None = None,
+    max_errors: int | None = None,
+    bad_records_path: str | None = None,
+) -> DataFrame:
+    """S5: COPY FROM / dsbulk load.  ``bad_records_path`` +
+    PERMISSIVE/DROPMALFORMED is the maxErrors analogue
+    (docs/03-dse-tooling.md:217-228): malformed rows are quarantined
+    instead of failing the load."""
+    reader = (
+        spark.read.option("header", str(header).lower())
+        .option("sep", delimiter)
+        .option("quote", quote)
+        .option("escape", escape)
+        .option("nullValue", null_value)
+        .option("mode", "DROPMALFORMED" if max_errors is not None else "PERMISSIVE")
+    )
+    if timestamp_format:
+        reader = reader.option("timestampFormat", timestamp_format)
+    if bad_records_path:
+        reader = reader.option("badRecordsPath", bad_records_path)
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def json_export(df: DataFrame, path: str, compression: str | None = None) -> None:
+    """S6: dsbulk unload --connector.name json (one JSON doc per row)."""
+    writer = df.write.mode("overwrite")
+    if compression:
+        writer = writer.option("compression", compression)
+    writer.json(path)
+
+
+def json_import(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)

@@ -15,6 +15,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -32,10 +33,24 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+# tables whose parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+# reader rejects; read as long ns and truncate to µs (exactly what
+# DuckDB's ns→µs narrowing does, so both engines see identical values)
+NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative — Catalyst prunes columns and pushes
     filters applied downstream into this scan."""
-    return spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    nanos_cols = NANOS_TS_COLS.get(name, [])
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+    for c in nanos_cols:
+        # integer `div` — a double division of an 18-digit ns value
+        # rounds in the last µs digit
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
