@@ -125,6 +125,153 @@ def q_guardrail_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
     return violations
 
 
+def q_traffic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A4
+    return agg.traffic_summary(load_table(spark, sf_dir, "events"))
+
+
+def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A6 — exact percentiles per event type
+    return agg.latency_percentiles(
+        load_table(spark, sf_dir, "events"), "value", by=["event_type"]
+    )
+
+
+def q_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 — 5-minute tumbling window counts
+    return agg.rate_over_window(load_table(spark, sf_dir, "events"), "ts", 5)
+
+
+def q_rowwise_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A8 — row-level max (CDM's writetime/TTL collapse shape)
+    return agg.rowwise_max(
+        flt.project(
+            load_table(spark, sf_dir, "lineitem"),
+            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
+        ),
+        ["l_quantity", "l_discount", "l_tax"],
+        "row_max",
+    )
+
+
+def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §2.5 — clustering-order top-1 per partition key
+    from cassandra_data_migration_spark.operators.windows import latest_per_key
+
+    return latest_per_key(
+        load_table(spark, sf_dir, "events"), ["user_id"], "ts", tiebreak=["event_id"]
+    )
+
+
+def q_limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # L1 — deterministic LIMIT via clustering order
+    return (
+        load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(10)
+    )
+
+
+def q_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U1 — per-table counts rolled into one report
+    from cassandra_data_migration_spark.operators.setops import per_table_summary
+
+    return per_table_summary(
+        {t: load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")}
+    )
+
+
+def q_value_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U2 — EXCEPT ALL over projected sides (the schema-diff primitive)
+    from cassandra_data_migration_spark.operators.setops import value_set_diff
+
+    # nations with customers but no high-balance supplier (threshold
+    # chosen so the diff is non-empty at every test scale factor)
+    c = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
+    s = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") > 9500)
+        .select(F.col("s_nationkey").alias("c_nationkey"))
+        .distinct()
+    )
+    return value_set_diff(c, s)
+
+
+def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F4/F5 — concat/lower/prefix-match
+    from cassandra_data_migration_spark.functions.scalars import like_prefix
+
+    return (
+        load_table(spark, sf_dir, "customer")
+        .filter(like_prefix("c_name", "Customer#0000001"))
+        .select(
+            "c_custkey",
+            F.lower("c_name").alias("name_lower"),
+            F.concat(F.lower("c_mktsegment"), F.lit("@example.com")).alias("segment_email"),
+        )
+    )
+
+
+def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F3 — date derivation & arithmetic
+    # date outputs rendered as ISO strings: engine-portable (a raw DATE
+    # column round-trips as datetime64 vs date object across engines)
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias(
+            "due_date"
+        ),
+    )
+
+
+def q_round_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F7 — round + Decimal(18,2) cast
+    from cassandra_data_migration_spark.functions.scalars import money_round
+
+    # decimal math happens at DECIMAL(18,2); final cast to double is for
+    # engine-portable comparison only
+    return load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", money_round("o_totalprice").cast("double").alias("total_decimal")
+    )
+
+
+def q_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F8 — canonical md5 row hash (int/string columns: engine-portable)
+    n = load_table(spark, sf_dir, "nation")
+    return n.select(
+        "n_nationkey",
+        F.md5(
+            F.concat_ws(
+                "|", F.col("n_nationkey").cast("string"), "n_name",
+                F.col("n_regionkey").cast("string"),
+            )
+        ).alias("row_hash"),
+    )
+
+
+def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F11 — extractJson
+    from cassandra_data_migration_spark.functions.scalars import json_get
+
+    return load_table(spark, sf_dir, "events").select(
+        "event_id", json_get("props", "k").alias("k_value")
+    )
+
+
+def q_word_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F11 explode (UDTF shape) + grouped count over documents tokens
+    from cassandra_data_migration_spark.functions.scalars import explode_tokens
+
+    return (
+        explode_tokens(
+            load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+        )
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("occurrences"))
+    )
+
+
 def q_missing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
     # J1
     return jn.missing_rows(_origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK)
@@ -160,6 +307,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_count": q_grouped_count,
     "writetime_filter": q_writetime_filter,
     "guardrail_violations": q_guardrail_violations,
+    "traffic_summary": q_traffic_summary,
+    "latency_percentiles": q_latency_percentiles,
+    "windowed_rate": q_windowed_rate,
+    "rowwise_greatest": q_rowwise_greatest,
+    "latest_event_per_user": q_latest_event_per_user,
+    "limit_n": q_limit_n,
+    "union_summary": q_union_summary,
+    "value_set_diff": q_value_set_diff,
+    "string_funcs": q_string_funcs,
+    "date_funcs": q_date_funcs,
+    "round_cast": q_round_cast,
+    "row_hash": q_row_hash,
+    "json_extract": q_json_extract,
+    "word_explode_count": q_word_explode_count,
     "missing_rows": q_missing_rows,
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
@@ -198,6 +359,86 @@ ORACLES: dict[str, str] = {
     "guardrail_violations": """
         SELECT * FROM documents
         WHERE octet_length(encode(text)) / 1024.0 > 0.35
+    """,
+    "traffic_summary": """
+        SELECT COUNT(*) AS total_ops,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+               ROUND(100.0 * (1 - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)), 4) AS success_rate_pct,
+               ROUND(SUM(value), 4) AS total_value,
+               ROUND(AVG(value), 4) AS avg_value
+        FROM events
+    """,
+    "latency_percentiles": """
+        SELECT event_type,
+               ROUND(quantile_cont(value, 0.5), 4) AS p50,
+               ROUND(quantile_cont(value, 0.95), 4) AS p95,
+               ROUND(quantile_cont(value, 0.99), 4) AS p99,
+               ROUND(AVG(value), 4) AS avg_value,
+               COUNT(*) AS n
+        FROM events GROUP BY event_type
+    """,
+    "windowed_rate": """
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               COUNT(*) AS cnt,
+               ROUND(COUNT(*) / 300.0, 6) AS ops_per_sec
+        FROM events GROUP BY 1
+    """,
+    "rowwise_greatest": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
+               GREATEST(l_quantity, l_discount, l_tax) AS row_max
+        FROM lineitem
+    """,
+    "latest_event_per_user": """
+        SELECT event_id, ts, user_id, event_type, value, props FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+    """,
+    "limit_n": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
+    "union_summary": """
+        SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
+        UNION ALL SELECT 'orders', COUNT(*) FROM orders
+        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
+    """,
+    "value_set_diff": """
+        SELECT DISTINCT c_nationkey FROM customer
+        EXCEPT
+        SELECT DISTINCT s_nationkey AS c_nationkey FROM supplier
+        WHERE s_acctbal > 9500
+    """,
+    "string_funcs": """
+        SELECT c_custkey,
+               LOWER(c_name) AS name_lower,
+               CONCAT(LOWER(c_mktsegment), '@example.com') AS segment_email
+        FROM customer WHERE c_name LIKE 'Customer#0000001%'
+    """,
+    "date_funcs": """
+        SELECT o_orderkey,
+               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
+               EXTRACT(YEAR FROM o_orderdate) AS order_year,
+               EXTRACT(MONTH FROM o_orderdate) AS order_month,
+               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAYS, '%Y-%m-%d') AS due_date
+        FROM orders
+    """,
+    "round_cast": """
+        SELECT o_orderkey,
+               CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_decimal
+        FROM orders
+    """,
+    "row_hash": """
+        SELECT n_nationkey,
+               MD5(CONCAT_WS('|', CAST(n_nationkey AS VARCHAR), n_name,
+                             CAST(n_regionkey AS VARCHAR))) AS row_hash
+        FROM nation
+    """,
+    "json_extract": """
+        SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
+    """,
+    "word_explode_count": """
+        SELECT token, COUNT(*) AS occurrences FROM (
+            SELECT unnest(string_split(text, ' ')) AS token FROM documents
+        ) GROUP BY token
     """,
     "missing_rows": f"""
         SELECT o.* FROM orders o

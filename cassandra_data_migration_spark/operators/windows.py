@@ -1,0 +1,78 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference's only window-like constructs are the clustering order
+``activity_time DESC`` within a partition
+(lab/init-scripts/01-create-schema.cql:52-53) — whose natural read is
+"latest row per partition key" — and Prometheus-style time-bucket
+rates (A7, see aggregates.rate_over_window).
+
+At scale, top-1-per-key via ``row_number`` shuffles once on the
+partition key and sorts within partitions only — no global sort.  For
+plain "latest" (no full-row ties needed) ``max_by`` is cheaper still:
+a hash aggregate with map-side partials instead of a sort.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """Top-1 per partition key, newest-first — the `SELECT ... LIMIT 1`
+    read against a `CLUSTERING ORDER BY (activity_time DESC)` table.
+    Deterministic under ties via ``tiebreak`` columns."""
+    order_cols = [F.desc(order_by)] + [F.desc(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def top_k_per_key(
+    df: DataFrame,
+    partition_by: list[str],
+    order_by: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: list[str] | None = None,
+) -> DataFrame:
+    """First k rows per partition in clustering order — the
+    ``SELECT ... LIMIT k`` per-partition read."""
+    direction = F.desc if descending else F.asc
+    order_cols = [direction(order_by)] + [direction(c) for c in (tiebreak or [])]
+    w = Window.partitionBy(*partition_by).orderBy(*order_cols)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= k)
+        .drop("_rn")
+    )
+
+
+def clustering_sort(
+    df: DataFrame, partition_by: list[str], order_by: str, descending: bool = True
+) -> DataFrame:
+    """L2: rows co-located by partition key and sorted within
+    partitions by clustering column (01-create-schema.cql:52-53) —
+    ``repartition + sortWithinPartitions``, no global sort/exchange
+    beyond the one hash shuffle."""
+    col = F.desc(order_by) if descending else F.asc(order_by)
+    return df.repartition(*[F.col(c) for c in partition_by]).sortWithinPartitions(
+        *partition_by, col
+    )
+
+
+def running_delta(df: DataFrame, partition_by: list[str], order_by: str, value: str) -> DataFrame:
+    """Per-key lag delta (value - previous value in clustering order) —
+    the building block for rate-of-change monitoring queries."""
+    w = Window.partitionBy(*partition_by).orderBy(order_by)
+    return df.withColumn("_prev", F.lag(value).over(w)).withColumn(
+        "delta", F.col(value) - F.col("_prev")
+    ).drop("_prev")

@@ -1,0 +1,61 @@
+"""Windows / set-ops / scalar operators not covered by the oracle gate."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.functions.scalars import explode_map
+from cassandra_data_migration_spark.operators.windows import (
+    clustering_sort,
+    running_delta,
+    top_k_per_key,
+)
+
+
+def test_top_k_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, 10), (1, 20), (1, 30), (2, 5)], "k int, v int"
+    )
+    out = top_k_per_key(df, ["k"], "v", k=2)
+    got = {(r.k, r.v) for r in out.collect()}
+    assert got == {(1, 30), (1, 20), (2, 5)}
+
+
+def test_running_delta(spark):
+    df = spark.createDataFrame([(1, 1, 10), (1, 2, 25), (1, 3, 20)], "k int, t int, v int")
+    out = {r.t: r.delta for r in running_delta(df, ["k"], "t", "v").collect()}
+    assert out == {1: None, 2: 15, 3: -5}
+
+
+def test_clustering_sort_partition_local_order(spark):
+    df = spark.createDataFrame(
+        [(1, 3), (2, 1), (1, 9), (2, 7), (1, 5)], "k int, t int"
+    )
+    out = clustering_sort(df, ["k"], "t", descending=True)
+    # within each partition, rows for one key are contiguous and t-desc
+    rows = out.select("k", "t").rdd.glom().collect()
+    for part in rows:
+        by_key: dict[int, list[int]] = {}
+        for r in part:
+            by_key.setdefault(r.k, []).append(r.t)
+        for ts in by_key.values():
+            assert ts == sorted(ts, reverse=True)
+
+
+def test_explode_map(spark):
+    df = spark.createDataFrame(
+        [(1, {"a": "x", "b": "y"})], "id int, prefs map<string,string>"
+    )
+    out = explode_map(df, "prefs")
+    got = {(r.prefs_key, r.prefs_value) for r in out.collect()}
+    assert got == {("a", "x"), ("b", "y")}
+    assert set(out.columns) == {"id", "prefs_key", "prefs_value"}
+
+
+def test_generation_uuid_shape(spark):
+    from cassandra_data_migration_spark.generate import generate_users
+
+    row = generate_users(spark, 3, seed=1).select("user_id").first()
+    parts = row.user_id.split("-")
+    assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
+    assert all(c in "0123456789abcdef-" for c in row.user_id)
