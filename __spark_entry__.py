@@ -296,6 +296,106 @@ def q_bucket_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline operators: text analysis, dedup, similarity,
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+
+def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.text import token_count
+
+    return load_table(spark, sf_dir, "documents").select(
+        "doc_id", token_count("text").alias("n_tokens")
+    )
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.text import quality_features
+
+    return quality_features(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).drop("text")
+
+
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.text import lang_id
+
+    return lang_id(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "predicted_lang")
+
+
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.text import fingerprint
+
+    return fingerprint(
+        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
+    ).select("doc_id", "fingerprint")
+
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.dedup import dedup_exact
+
+    return dedup_exact(load_table(spark, sf_dir, "documents"))
+
+
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.dedup import ngram_jaccard_pairs
+
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.dedup import minhash_signatures
+
+    return minhash_signatures(
+        load_table(spark, sf_dir, "documents"), n=3, num_hashes=4
+    )
+
+
+def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_hashes=4)
+    return lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
+
+
+def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.dedup import simhash
+
+    return simhash(load_table(spark, sf_dir, "documents"))
+
+
+def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.similarity import cosine_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return cosine_topk(emb, qv, k=10, exclude_ids=[0])
+
+
+def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.similarity import all_pairs_cosine
+
+    return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
+
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.multimodal import (
+        attach_binary_payload,
+        extract_features,
+    )
+
+    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
+    return extract_features(docs).select("doc_id", "n_bytes", "content_md5")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -321,11 +421,110 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_hash": q_row_hash,
     "json_extract": q_json_extract,
     "word_explode_count": q_word_explode_count,
+    "token_count": q_token_count,
+    "text_quality": q_text_quality,
+    "lang_id": q_lang_id,
+    "doc_fingerprint": q_doc_fingerprint,
+    "dedup_exact": q_dedup_exact,
+    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+    "minhash_signatures": q_minhash_signatures,
+    "lsh_candidates": q_lsh_candidates,
+    "simhash": q_simhash,
+    "cosine_topk": q_cosine_topk,
+    "embedding_near_dup": q_embedding_near_dup,
+    "multimodal_features": q_multimodal_features,
     "missing_rows": q_missing_rows,
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
     "bucket_count_compare": q_bucket_count_compare,
 }
+
+# --- shared oracle SQL fragments (DuckDB dialect) ---
+
+_SHINGLES_CTE = """
+    sh AS (
+        SELECT doc_id,
+               unnest(list_distinct(list_transform(
+                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
+               ))) AS shingle
+        FROM documents
+    )
+"""
+
+_SIGS_CTE = (
+    _SHINGLES_CTE
+    + """,
+    sigs AS (
+        SELECT doc_id,
+               MIN(md5(concat('0:', shingle))) AS sig0,
+               MIN(md5(concat('1:', shingle))) AS sig1,
+               MIN(md5(concat('2:', shingle))) AS sig2,
+               MIN(md5(concat('3:', shingle))) AS sig3
+        FROM sh GROUP BY doc_id
+    )
+"""
+)
+
+
+def _stopword_list_sql(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _lang_id_oracle() -> str:
+    from cassandra_data_migration_spark.operators.text import LANG_STOPWORDS
+
+    langs = sorted(LANG_STOPWORDS)
+    scores = ",\n           ".join(
+        f"len(list_filter(string_split(text, ' '), "
+        f"t -> list_contains({_stopword_list_sql(LANG_STOPWORDS[lg])}, t))) AS s_{lg}"
+        for lg in langs
+    )
+    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
+    cases = "\n               ".join(
+        f"WHEN s_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
+    )
+    return f"""
+        WITH scored AS (
+            SELECT doc_id,
+           {scores}
+            FROM documents
+        )
+        SELECT doc_id,
+               CASE {cases}
+               ELSE 'unknown' END AS predicted_lang
+        FROM scored
+    """
+
+
+def _simhash_oracle(nibbles: int = 16) -> str:
+    sums = ",\n               ".join(
+        f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN "
+        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS b{i}"
+        for i in range(nibbles)
+    )
+    bits = " + ".join(
+        f"(CASE WHEN b{i} * 2 > n THEN 1 ELSE 0 END) * {2 ** i}" for i in range(nibbles)
+    )
+    return f"""
+        WITH {_SHINGLES_CTE},
+        tok AS (
+            SELECT doc_id, md5(shingle) AS h FROM sh
+        ),
+        g AS (
+            SELECT doc_id, COUNT(*) AS n,
+               {sums}
+            FROM tok GROUP BY doc_id
+        )
+        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM g
+    """
+
+
+_COS_SIM = (
+    "list_dot_product(a_v, b_v) / "
+    "(sqrt(list_dot_product(a_v, a_v)) * sqrt(list_dot_product(b_v, b_v)))"
+)
+
 
 ORACLES: dict[str, str] = {
     "pricing_summary": """
@@ -439,6 +638,91 @@ ORACLES: dict[str, str] = {
         SELECT token, COUNT(*) AS occurrences FROM (
             SELECT unnest(string_split(text, ' ')) AS token FROM documents
         ) GROUP BY token
+    """,
+    "token_count": """
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
+    """,
+    "text_quality": """
+        SELECT doc_id,
+               length(text) AS n_chars_computed,
+               len(string_split(text, ' ')) AS n_tokens,
+               ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS avg_token_len,
+               ROUND(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','to','and','in','is'], t)))::DOUBLE
+                     / len(string_split(text, ' ')), 4) AS stopword_ratio
+        FROM documents
+    """,
+    "lang_id": _lang_id_oracle(),
+    "doc_fingerprint": """
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
+        FROM documents
+    """,
+    "dedup_exact": """
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ),
+        groups AS (
+            SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
+            FROM keyed GROUP BY fp
+        )
+        SELECT k.doc_id, g.canonical_id, g.group_size
+        FROM keyed k JOIN groups g USING (fp)
+    """,
+    "dedup_ngram_jaccard": f"""
+        WITH {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+    """,
+    "minhash_signatures": f"""
+        WITH {_SIGS_CTE}
+        SELECT * FROM sigs
+    """,
+    "lsh_candidates": f"""
+        WITH {_SIGS_CTE}
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sigs a JOIN sigs b
+          ON a.doc_id < b.doc_id
+         AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+           OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+    """,
+    "simhash": _simhash_oracle(),
+    "cosine_topk": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT b.vec_id,
+                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4) AS cos_sim
+            FROM embeddings b, q
+            WHERE b.vec_id <> 0
+        )
+        SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "embedding_near_dup": f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) AS cos_sim
+        FROM v a, v b
+        WHERE a.vec_id < b.vec_id
+          AND ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
+    """,
+    "multimodal_features": """
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               md5(text) AS content_md5
+        FROM documents
     """,
     "missing_rows": f"""
         SELECT o.* FROM orders o

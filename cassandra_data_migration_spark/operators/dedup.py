@@ -1,0 +1,261 @@
+"""Deduplication operators for training-data pipelines.
+
+Five dedup families, each with a 100 TB-shaped plan:
+
+- **exact** — hash-groupBy on a canonical fingerprint: one shuffle on
+  a 16-byte key, map-side partial agg collapses dup groups early.
+- **n-gram Jaccard** — explode distinct shingles → self-join on
+  shingle → per-pair intersection counts.  Only pairs sharing ≥1
+  shingle materialize (never the n² cross product); hot shingles can
+  be frequency-capped before the join (``max_shingle_freq``), the
+  standard guard against the head-of-Zipf blowup at corpus scale.
+- **MinHash** — k independent min-hashes per doc computed in ONE
+  explode+groupBy pass (k agg columns, not k passes).
+- **LSH banding** — signatures → band keys → groupBy band → pairs
+  within buckets only: the sub-quadratic candidate generation.
+- **SimHash** — per-nibble majority vote over token hashes in one
+  explode+groupBy pass; near-dups differ in few nibbles.
+
+Hash primitive is md5 (hex) so every engine computes identical
+signatures (xxhash64 would be faster JVM-side; md5 keeps the oracle
+cross-engine — swap via ``algo`` at production scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.text import normalize_text, word_shingles
+
+
+def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Exact dedup: canonical_id = min(id) among identical normalized
+    texts.  Returns (id, canonical_id, group_size); keep rows where
+    id == canonical_id to materialize the deduped corpus."""
+    keyed = df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("_fp"))
+    groups = keyed.groupBy("_fp").agg(
+        F.min(id_col).alias("canonical_id"),
+        F.count(F.lit(1)).alias("group_size"),
+    )
+    return (
+        keyed.join(groups, "_fp")
+        .select(id_col, "canonical_id", "group_size")
+    )
+
+
+def shingle_table(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """(id, shingle) distinct pairs.  ``max_shingle_freq`` drops
+    shingles appearing in more than that many docs — stop-shingle
+    capping, essential at corpus scale."""
+    sh = df.select(
+        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+    )
+    if max_shingle_freq is not None:
+        freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+        sh = sh.join(freq.filter(F.col("_df") <= max_shingle_freq), "shingle").drop("_df")
+    return sh
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Pairs (a, b, jaccard) with shingle-set Jaccard ≥ threshold.
+    J = |A∩B| / (|A|+|B|-|A∩B|); intersections come from the shingle
+    self-join, set sizes from a per-doc count."""
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq).cache()
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, on="shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .groupBy(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def _minhash_col(seed: int) -> Column:
+    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))))
+
+
+def minhash_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 4,
+) -> DataFrame:
+    """k min-hashes per doc in one explode+groupBy pass.  Column
+    ``sig{i}`` = min over shingles of md5(i, shingle) — the classic
+    permutation-free MinHash approximation."""
+    sh = shingle_table(df, id_col, text_col, n)
+    return sh.groupBy(id_col).agg(
+        *[_minhash_col(i).alias(f"sig{i}") for i in range(num_hashes)]
+    )
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    id_col: str = "doc_id",
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """LSH banding: docs agreeing on ALL hashes of any band become a
+    candidate pair.  Implemented as per-band self-joins on the band
+    key — at scale each band groupBy is one shuffle of (band_key, id),
+    and only same-bucket pairs are generated."""
+    bands = [
+        [f"sig{i}" for i in range(b, min(b + band_size, num_hashes))]
+        for b in range(0, num_hashes, band_size)
+    ]
+    pair_frames = []
+    for band_cols in bands:
+        key = F.md5(F.concat_ws("|", *band_cols)).alias("_band")
+        side = signatures.select(F.col(id_col), key)
+        a, b = side.alias("a"), side.alias("b")
+        pair_frames.append(
+            a.join(b, on="_band")
+            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+            .select(
+                F.col(f"a.{id_col}").alias("id_a"),
+                F.col(f"b.{id_col}").alias("id_b"),
+            )
+        )
+    out = pair_frames[0]
+    for p in pair_frames[1:]:
+        out = out.unionByName(p)
+    return out.distinct()
+
+
+def minhash_lsh_dedup(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 8,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """The full near-dup pipeline: MinHash → LSH candidates → exact
+    Jaccard re-check on candidates only (the verify step that makes
+    LSH safe)."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sh = shingle_table(df, id_col, text_col, n)
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
+    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    inter = (
+        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
+        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    nibbles: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """SimHash via per-bit majority vote over *shingle* hashes: for
+    each of the first ``nibbles`` md5 hex digits of each word-n-gram
+    hash, bit_i = 1 iff the majority of shingles have that digit ≥ 8
+    (high bit of the nibble).  Near-identical docs flip few bits →
+    small Hamming distance.  Shingles (not single tokens) are the
+    features: with a small shared vocabulary token-level simhash
+    cannot discriminate, n-grams can.
+    One explode + one groupBy with ``nibbles`` conditional sums."""
+    tok = df.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_tok"),
+    ).withColumn("_h", F.md5(F.col("_tok")))
+    aggs = [F.count(F.lit(1)).alias("_n")] + [
+        F.sum(
+            F.when(
+                F.substring("_h", i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
+                1,
+            ).otherwise(0)
+        ).alias(f"_b{i}")
+        for i in range(nibbles)
+    ]
+    grouped = tok.groupBy(id_col).agg(*aggs)
+    bits = [
+        F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1)).otherwise(F.lit(0))
+        * (2 ** i)
+        for i in range(nibbles)
+    ]
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return grouped.select(F.col(id_col), code.cast("long").alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    max_hamming: int = 2,
+    nibbles: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance.  Candidate
+    generation blocks on the high byte (docs within distance d are
+    likely to share a block) then verifies exact bit distance —
+    the pigeonhole trick that keeps this sub-quadratic at scale."""
+    s = simhash(df, id_col, text_col, nibbles, shingle_n)
+    block = (F.col("simhash") / 256).cast("long").alias("_block")
+    side = s.select(F.col(id_col), "simhash", block)
+    a, b = side.alias("a"), side.alias("b")
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    )
+    return (
+        a.join(b, on="_block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .withColumn("hamming", hamming)
+        .filter(F.col("hamming") <= max_hamming)
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            "hamming",
+        )
+    )

@@ -1,0 +1,121 @@
+"""Multimodal (image/audio/video) column plumbing.
+
+Media is modeled the way a 100 TB training pipeline stores it:
+an opaque ``binary`` payload column plus a typed metadata struct
+(modality, mime, nominal dims).  The Spark-side machinery — schema,
+partitioning, Arrow-batched ``mapInPandas`` feature extraction,
+batch shapes — is real and tested; the actual codec step is STUBBED
+(this container has no image/audio libraries): ``decode_media``
+raises NotImplementedError unless ``fake=True``, in which case a
+deterministic hash-derived feature vector stands in for decoded
+content so downstream plumbing can be exercised end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+MEDIA_META_SCHEMA = (
+    "struct<modality:string,mime:string,width:int,height:int,duration_ms:int>"
+)
+
+
+def attach_binary_payload(
+    df: DataFrame, text_col: str = "text", modality: str = "image"
+) -> DataFrame:
+    """Build the (payload, media_meta) pair.  Here the payload is the
+    UTF-8 bytes of the text column (a deterministic stand-in for real
+    media bytes); the metadata struct is the real schema a decoder
+    needs."""
+    return df.withColumn("payload", F.encode(F.col(text_col), "UTF-8")).withColumn(
+        "media_meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit("application/octet-stream").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("int").alias("duration_ms"),
+        ),
+    )
+
+
+def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
+    """THE CODEC STUB.  Real deployments plug Pillow/torchaudio/pyav
+    here; this container has none of them."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio codecs not present in "
+            "this environment; pass fake=True for the deterministic stub"
+        )
+    # deterministic "decoded" bytes: payload echoed through a hash chain
+    return hashlib.sha256(payload).digest()
+
+
+def extract_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    feature_dim: int = 8,
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    The plumbing that matters at scale: ``mapInPandas`` receives
+    columnar batches (no per-row Python dispatch), emits a fixed
+    schema, and is stateless → Spark parallelizes it per Arrow batch
+    with zero shuffle.  Features here are byte stats + a hash-derived
+    pseudo-embedding (deterministic, so tests can assert values);
+    a real decoder swaps into ``decode_media`` without touching the
+    dataflow."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf[payload_col]
+            n_bytes = payloads.map(len)
+            content_md5 = payloads.map(lambda b: hashlib.md5(bytes(b)).hexdigest())
+            decoded = payloads.map(
+                lambda b: decode_media(bytes(b), {}, fake=fake_decode)
+            )
+            features = decoded.map(
+                lambda d: [
+                    round(int.from_bytes(d[4 * i : 4 * i + 4], "big") / 2**32, 6)
+                    for i in range(feature_dim)
+                ]
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "n_bytes": n_bytes,
+                    "content_md5": content_md5,
+                    "feature": features,
+                }
+            )
+
+    out_schema = f"{id_col} long, n_bytes long, content_md5 string, feature array<double>"
+    return df.select(id_col, payload_col).mapInPandas(run, out_schema)
+
+
+def frame_sample_plan(
+    df: DataFrame, id_col: str = "doc_id", every_ms: int = 1000, max_frames: int = 8
+) -> DataFrame:
+    """Video frame-sampling *plan*: expands each media row into the
+    (frame_index, offset_ms) grid a decoder would extract — pure
+    Spark (sequence + explode), no codec needed.  The decode of each
+    frame is the stubbed step."""
+    return df.withColumn(
+        "frame",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(max_frames - 1)),
+                lambda i: F.struct(
+                    i.alias("frame_index"), (i * every_ms).alias("offset_ms")
+                ),
+            )
+        ),
+    ).select(id_col, "frame.frame_index", "frame.offset_ms")

@@ -1,0 +1,193 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+Two tiers, per the large-corpus playbook:
+
+- **brute force** — exact cosine via JVM higher-order functions
+  (``zip_with`` + ``aggregate``): the correctness baseline.  Query
+  vectors are broadcast as literals; the scan side never shuffles.
+- **LSH-bucketed** — random-hyperplane signatures bucket the corpus;
+  only same-bucket pairs are scored.  Hyperplanes are seeded
+  (hash-derived), so buckets are reproducible.  This is the scale
+  path: at 100 TB the bucket groupBy is the only shuffle and each
+  bucket's pair generation is local.
+
+A numpy/Arrow variant (``mapInPandas``) is provided for wide
+embeddings where per-element JVM expression overhead dominates —
+vectorized BLAS beats codegen'd loops at dim ≳ 256.
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Pre-normalize once so downstream cosine = dot — the standard
+    trick to avoid recomputing norms per pair."""
+    n = norm(F.col(vec_col))
+    return df.withColumn(
+        vec_col, F.transform(F.col(vec_col), lambda x: x / n)
+    )
+
+
+def cosine_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Exact top-k by cosine to a literal query vector.  One scan, no
+    shuffle until the final top-k (orderBy+limit = TakeOrdered, which
+    keeps only k rows per partition)."""
+    q = F.array(*[F.lit(float(x)) for x in query_vec])
+    scored = df.select(
+        F.col(id_col),
+        F.round(cosine(F.col(vec_col).cast("array<double>"), q), 4).alias("cos_sim"),
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    return scored.orderBy(F.desc("cos_sim"), F.asc(id_col)).limit(k)
+
+
+def all_pairs_cosine(
+    df: DataFrame,
+    threshold: float = 0.9,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: all pairs above threshold.  Brute
+    force O(n²) — correct baseline; use lsh_bucketed_pairs at scale."""
+    side = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"))
+    a, b = side.alias("a"), side.alias("b")
+    return (
+        a.crossJoin(b)
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes (hash-derived, no
+    RNG state) — reproducible across runs and engines."""
+    planes = []
+    for p in range(num_planes):
+        comps = []
+        for d in range(dim):
+            # md5-free cheap LCG-ish draw in [-1, 1]
+            x = math.sin(seed * 1_000_003 + p * 10_007 + d * 101) * 43758.5453
+            comps.append((x - math.floor(x)) * 2.0 - 1.0)
+        planes.append(comps)
+    return planes
+
+
+def lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    num_planes: int = 8,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out: str = "bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign-bit string of the
+    vector's dot products with ``num_planes`` fixed hyperplanes.
+    Cosine-similar vectors collide with high probability."""
+    v = F.col(vec_col).cast("array<double>")
+    bits = []
+    for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
+        p = F.array(*[F.lit(c) for c in plane])
+        bits.append(F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    code = bits[0]
+    for b in bits[1:]:
+        code = code + b
+    return df.withColumn(out, code.cast("int"))
+
+
+def lsh_bucketed_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.9,
+    num_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-dup pairs, sub-quadratic: bucket → same-bucket pairs →
+    exact cosine verify.  Recall < 1 by design (tune num_planes /
+    multi-probe for the target recall)."""
+    bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "bucket"
+    )
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
+def cosine_topk_arrow(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Arrow/numpy variant of cosine_topk for wide embeddings: batch
+    matrix-vector products via mapInPandas, then global top-k.  Each
+    Arrow batch computes a local top-k so only k rows per batch reach
+    the final sort."""
+    import numpy as np
+    import pandas as pd
+
+    q = None  # built lazily inside workers
+
+    def score(batches):
+        nonlocal q
+        qv = np.asarray(query_vec, dtype=np.float64)
+        qn = np.linalg.norm(qv)
+        for pdf in batches:
+            m = np.stack(pdf[vec_col].map(lambda v: np.asarray(v, dtype=np.float64)))
+            sims = (m @ qv) / (np.linalg.norm(m, axis=1) * qn)
+            out = pd.DataFrame({id_col: pdf[id_col], "cos_sim": np.round(sims, 4)})
+            yield out.nlargest(min(k, len(out)), "cos_sim")
+
+    schema = f"{id_col} long, cos_sim double"
+    return (
+        df.select(id_col, vec_col)
+        .mapInPandas(score, schema)
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )

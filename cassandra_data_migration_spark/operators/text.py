@@ -1,0 +1,135 @@
+"""Text-analysis operators for training-data pipelines.
+
+Beyond the reference's surface (per the build brief): language-ID,
+quality scoring, token counting, document fingerprinting — the
+per-document scoring pass every large-scale corpus pipeline runs
+before dedup/filtering.
+
+All of it is built-in column expressions (split / transform / filter
+/ aggregate higher-order functions) — zero Python UDFs, so the whole
+scoring pass is one codegen'd projection over the scan: at 100 TB
+this pipeline is embarrassingly parallel with no shuffle at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword sets for the n-gram/stopword heuristic
+LANG_STOPWORDS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "to", "and", "in", "is"],
+    "de": ["der", "die", "das", "und", "ist", "ein"],
+    "es": ["el", "la", "de", "que", "y", "es"],
+    "fr": ["le", "la", "de", "et", "est", "un"],
+    "zh": ["的", "是", "在", "了", "和"],
+}
+
+DEFAULT_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def tokens(text_col: str) -> Column:
+    """Whitespace tokenization (the corpus is space-separated; a
+    BPE-ish regex split lives in token_count_bpe)."""
+    return F.split(F.col(text_col), " ")
+
+
+def token_count(text_col: str) -> Column:
+    return F.size(tokens(text_col))
+
+
+def token_count_bpe(text_col: str) -> Column:
+    """BPE-ish token estimate: split on word boundaries AND digits,
+    counting punctuation runs — the cheap `len(tokenizer(text))`
+    stand-in used for corpus budgeting."""
+    return F.size(
+        F.filter(
+            F.split(F.col(text_col), r"\s+|(?=[^\w\s])|(?<=[^\w\s])"),
+            lambda t: t != F.lit(""),
+        )
+    )
+
+
+def stopword_count(text_col: str, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(s) for s in (stopwords or DEFAULT_STOPWORDS)])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(sw, t)))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Quality scoring: length, token count, mean token length,
+    stopword ratio — the filter features of corpus QC (C4-style
+    heuristics on word counts / stopwords)."""
+    n_tok = token_count(text_col)
+    return df.select(
+        *df.columns,
+        F.length(F.col(text_col)).alias("n_chars_computed"),
+        n_tok.alias("n_tokens"),
+        F.round((F.length(F.col(text_col)) - n_tok + 1) / n_tok, 4).alias(
+            "avg_token_len"
+        ),
+        F.round(stopword_count(text_col) / n_tok, 4).alias("stopword_ratio"),
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Scalar quality score in [0,1]: rewards mid-length docs with a
+    natural stopword rate.  Deterministic arithmetic only."""
+    qf = quality_features(df, text_col)
+    length_term = F.least(F.col("n_tokens") / 64.0, F.lit(1.0))
+    stop_term = F.least(F.col("stopword_ratio") * 5.0, F.lit(1.0))
+    return qf.withColumn(
+        "quality_score", F.round(0.7 * length_term + 0.3 * stop_term, 4)
+    )
+
+
+def _hits(text_col: str, words: list[str]) -> Column:
+    arr = F.array(*[F.lit(s) for s in words])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(arr, t)))
+
+
+def lang_scores(text_col: str) -> list[tuple[str, Column]]:
+    return [
+        (lang, _hits(text_col, sw)) for lang, sw in sorted(LANG_STOPWORDS.items())
+    ]
+
+
+def lang_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-voting language ID: score = stopword hits per language,
+    argmax with alphabetical tie-break, 'unknown' when all zero."""
+    scored = df
+    score_cols = []
+    for lang, col in lang_scores(text_col):
+        name = f"_score_{lang}"
+        scored = scored.withColumn(name, col)
+        score_cols.append((lang, name))
+    best = F.greatest(*[F.col(n) for _, n in score_cols])
+    pred = F.lit("unknown")
+    # reversed: earlier (alphabetical) languages win ties
+    for lang, name in reversed(score_cols):
+        pred = F.when((F.col(name) == best) & (best > 0), F.lit(lang)).otherwise(pred)
+    return scored.withColumn("predicted_lang", pred).drop(
+        *[n for _, n in score_cols]
+    )
+
+
+def normalize_text(text_col: str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapse
+    whitespace, trim."""
+    return F.trim(F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "))
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint") -> DataFrame:
+    """Document fingerprint: md5 of the normalized text — the exact-dup
+    key.  (Winnowing-style rolling-hash fingerprints live in
+    dedup.shingles + minhash.)"""
+    return df.withColumn(out, F.md5(normalize_text(text_col)))
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles — the unit set for Jaccard/MinHash dedup.
+    transform over a sequence of start positions; all JVM-side."""
+    toks = tokens(text_col)
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )

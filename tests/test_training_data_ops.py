@@ -1,0 +1,122 @@
+"""Spark-only paths of the training-data operators: LSH recall vs
+brute force, Arrow variant equivalence, multimodal stubs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators import dedup, multimodal, similarity
+from cassandra_data_migration_spark.operators.text import quality_score, token_count_bpe
+from cassandra_data_migration_spark.sources.tables import load_table
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, SF_CORRECT, "documents").cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, SF_CORRECT, "embeddings").cache()
+
+
+def test_minhash_lsh_dedup_finds_planted_pairs(spark, docs):
+    """The full MinHash→LSH→verify pipeline must recover a decent share
+    of the true Jaccard pairs (25 planted near-dups at sf0.01)."""
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.5).collect()
+    }
+    found = {
+        (r.id_a, r.id_b)
+        for r in dedup.minhash_lsh_dedup(
+            docs, num_hashes=8, band_size=2, jaccard_threshold=0.5
+        ).collect()
+    }
+    assert truth, "expected planted near-dup pairs in fixture"
+    # every LSH-verified pair is a true pair (precision = 1 by construction)
+    assert found <= truth
+    # banding with 4 bands of 2 at J>=0.5 should catch most pairs
+    assert len(found) >= 0.6 * len(truth)
+
+
+def test_simhash_near_pairs_precision(spark, docs):
+    # 32-bit shingle simhash at hamming<=2 targets the very-near-dup
+    # band: every reported pair must be a true Jaccard near-dup
+    pairs = dedup.simhash_near_pairs(docs, max_hamming=2, nibbles=32).collect()
+    truth = {
+        (r.id_a, r.id_b)
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()
+    }
+    assert pairs, "expected at least a few simhash near-dup pairs"
+    hits = sum((p.id_a, p.id_b) in truth for p in pairs)
+    assert hits / len(pairs) >= 0.8
+
+
+def test_lsh_bucketed_pairs_subset_of_bruteforce(spark, emb):
+    brute = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.all_pairs_cosine(emb, threshold=0.4).collect()
+    }
+    lsh = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.lsh_bucketed_pairs(
+            emb, dim=64, threshold=0.4, num_planes=4
+        ).collect()
+    }
+    assert set(lsh) <= set(brute)
+    for k, v in lsh.items():
+        assert abs(v - brute[k]) < 1e-9
+
+
+def test_cosine_topk_arrow_matches_sql_variant(spark, emb):
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
+    a = similarity.cosine_topk(emb, qv, k=5).collect()
+    b = similarity.cosine_topk_arrow(emb, qv, k=5).collect()
+    assert [(r.vec_id, r.cos_sim) for r in a] == [(r.vec_id, r.cos_sim) for r in b]
+
+
+def test_multimodal_decode_stub_raises_without_fake():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_media(b"bytes", {}, fake=False)
+
+
+def test_multimodal_feature_shape(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    with_payload = multimodal.attach_binary_payload(docs)
+    feats = multimodal.extract_features(with_payload, feature_dim=8)
+    rows = feats.collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert len(r.feature) == 8
+        assert all(0.0 <= x <= 1.0 for x in r.feature)
+        assert len(r.content_md5) == 32
+    # deterministic across runs
+    again = multimodal.extract_features(with_payload, feature_dim=8).collect()
+    assert sorted(map(str, rows)) == sorted(map(str, again))
+
+
+def test_frame_sample_plan(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(3)
+    plan = multimodal.frame_sample_plan(docs, every_ms=500, max_frames=4)
+    rows = plan.collect()
+    assert len(rows) == 12
+    offsets = {r.offset_ms for r in rows}
+    assert offsets == {0, 500, 1000, 1500}
+
+
+def test_quality_score_bounds(spark, docs):
+    scored = quality_score(docs.select("doc_id", "text"))
+    mn, mx = scored.agg(
+        F.min("quality_score"), F.max("quality_score")
+    ).first()
+    assert 0.0 <= mn <= mx <= 1.0
+
+
+def test_token_count_bpe_counts_punctuation(spark):
+    df = spark.createDataFrame([("hello, world! 42",)], "t string")
+    n = df.select(token_count_bpe("t").alias("n")).first().n
+    # hello , world ! 42 → 5
+    assert n == 5
