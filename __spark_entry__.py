@@ -396,6 +396,64 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(docs).select("doc_id", "n_bytes", "content_md5")
 
 
+# ---------------------------------------------------------------------------
+# streaming operators (Z1-Z8), driven bounded via availableNow triggers
+# ---------------------------------------------------------------------------
+
+
+def _events_stream(spark: SparkSession, sf_dir: str):
+    """events as a file-backed mutation stream (ts arrives as ns-long,
+    truncated to µs timestamp exactly like the batch loader)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    # glob, not a bare file path: the file stream source requires its
+    # basePath to be a directory
+    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
+    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z1: mutation stream → foreachBatch dual sink; returns the origin
+    # sink contents (must equal the full mutation set)
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.dual_write import (
+        dual_write_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="dualwrite_")
+    stream = _events_stream(spark, sf_dir).select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    q = dual_write_stream(stream, f"{d}/origin", f"{d}/target", f"{d}/ckpt")
+    q.awaitTermination(300)
+    origin = spark.read.parquet(f"{d}/origin")
+    target = spark.read.parquet(f"{d}/target")
+    # both sinks must agree before we hand the result back
+    assert origin.count() == target.count()
+    return origin
+
+
+def q_stream_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z5/A7 streaming form: watermarked tumbling-window counts per type,
+    # complete-mode memory sink; bounded via availableNow
+    import uuid as _uuid
+
+    from cassandra_data_migration_spark.streaming.metrics import windowed_ops
+
+    name = f"winops_{_uuid.uuid4().hex[:8]}"
+    windowed = windowed_ops(_events_stream(spark, sf_dir), window="5 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -433,6 +491,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "multimodal_features": q_multimodal_features,
+    "stream_dual_write": q_stream_dual_write,
+    "stream_windowed_rate": q_stream_windowed_rate,
     "missing_rows": q_missing_rows,
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
@@ -723,6 +783,16 @@ ORACLES: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS content_md5
         FROM documents
+    """,
+    "stream_dual_write": """
+        SELECT event_id, user_id, event_type, value FROM events
+    """,
+    "stream_windowed_rate": """
+        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+               event_type,
+               COUNT(*) AS cnt,
+               ROUND(COUNT(*) / 300.0, 6) AS ops_per_sec
+        FROM events GROUP BY 1, 2
     """,
     "missing_rows": f"""
         SELECT o.* FROM orders o

@@ -1,0 +1,214 @@
+"""Z1-Z8: dual-write, routing, LWW, windowed metrics, traffic,
+continuous validation — driven with file/rate sources and availableNow
+triggers so every test is deterministic and bounded."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from cassandra_data_migration_spark.streaming import lww, metrics, routing, traffic
+from cassandra_data_migration_spark.streaming.dual_write import (
+    DualWriteMetrics,
+    dual_write_stream,
+    file_mutation_stream,
+    make_dual_writer,
+    parquet_appender,
+)
+
+
+@pytest.fixture()
+def mutation_source(spark, tmp_path):
+    """Two micro-batches of mutations as two files."""
+    src = str(tmp_path / "mutations")
+    spark.range(0, 50).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    spark.range(50, 80).withColumn("v", F.col("id") * 2).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    schema = spark.read.parquet(src).schema
+    return src, schema
+
+
+def test_dual_write_both_sinks_get_all_rows(spark, tmp_path, mutation_source):
+    src, schema = mutation_source
+    stream = file_mutation_stream(spark, src, schema, max_files_per_trigger=1)
+    m = DualWriteMetrics()
+    q = dual_write_stream(
+        stream,
+        str(tmp_path / "origin"),
+        str(tmp_path / "target"),
+        str(tmp_path / "ckpt"),
+        metrics=m,
+    )
+    q.awaitTermination(120)
+    o = spark.read.parquet(str(tmp_path / "origin"))
+    t = spark.read.parquet(str(tmp_path / "target"))
+    assert o.count() == 80 and t.count() == 80
+    assert sorted(map(str, o.collect())) == sorted(map(str, t.collect()))
+    assert m.rows_origin == 80 and m.rows_target == 80
+    assert m.failed_on == {"origin": 0, "target": 0, "both": 0}
+    assert m.batches >= 2  # maxFilesPerTrigger=1 → one batch per file
+
+
+def test_dual_write_target_failure_is_metered_not_fatal(spark, tmp_path):
+    df = spark.range(10).withColumn("v", F.col("id"))
+    m = DualWriteMetrics()
+    calls = {"n": 0}
+
+    def flaky_target(batch, batch_id):
+        calls["n"] += 1
+        raise IOError("target cluster down")
+
+    writer = make_dual_writer(
+        parquet_appender(str(tmp_path / "o")), flaky_target, m
+    )
+    writer(df, 0)  # must NOT raise — target failures are async/metered
+    assert m.failed_on == {"origin": 0, "target": 1, "both": 0}
+    assert spark.read.parquet(str(tmp_path / "o")).count() == 10
+
+
+def test_dual_write_origin_failure_raises_and_meters(spark, tmp_path):
+    df = spark.range(5)
+    m = DualWriteMetrics()
+
+    def dead_origin(batch, batch_id):
+        raise IOError("origin down")
+
+    writer = make_dual_writer(dead_origin, parquet_appender(str(tmp_path / "t")), m)
+    with pytest.raises(IOError):
+        writer(df, 0)
+    assert m.failed_on["origin"] == 1
+    # target still received the batch (fire-and-forget dispatch)
+    assert m.rows_target == 5
+
+
+def test_read_router_modes(spark):
+    origin = spark.range(10).withColumn("src", F.lit("o"))
+    target = spark.range(8).withColumn("src", F.lit("t"))
+    count_query = lambda df: df.select("id")  # noqa: E731
+
+    m = routing.RouterMetrics()
+    r = routing.ReadRouter(routing.ReadMode.PRIMARY_ONLY, routing.Cluster.ORIGIN, m)
+    assert r.route(origin, target, count_query).count() == 10
+    assert m.reads_origin == 1 and m.shadow_reads == 0
+
+    r = routing.ReadRouter(routing.ReadMode.TARGET_ONLY, routing.Cluster.ORIGIN, m)
+    assert r.route(origin, target, count_query).count() == 8
+
+    r = routing.ReadRouter(
+        routing.ReadMode.DUAL_ASYNC_ON_SECONDARY, routing.Cluster.ORIGIN, m
+    )
+    out = r.route(origin, target, count_query)
+    assert out.count() == 10  # shadow result never surfaces
+    assert m.shadow_reads == 1 and m.shadow_mismatches == 1  # 10 vs 8 rows differ
+
+
+def test_phase_machine_routing_and_rollback():
+    pm = routing.PhaseMachine()
+    assert pm.phase == routing.Phase.DUAL_WRITE and pm.dual_write_enabled
+    pm.advance()  # BACKFILL
+    pm.advance()  # SHADOW_READS
+    assert pm.router().read_mode == routing.ReadMode.DUAL_ASYNC_ON_SECONDARY
+    pm.advance()  # READS_TO_TARGET
+    assert pm.router().primary_cluster == routing.Cluster.TARGET
+    pm.rollback()
+    assert pm.phase == routing.Phase.SHADOW_READS
+    pm.advance(), pm.advance()  # → DIRECT
+    assert not pm.dual_write_enabled
+    with pytest.raises(ValueError):
+        pm.rollback()
+    with pytest.raises(ValueError):
+        pm.advance()
+
+
+def test_lww_dedupe_and_merge(spark):
+    batch = spark.createDataFrame(
+        [(1, "old", 100), (1, "new", 200), (2, "only", 50)],
+        "pk int, v string, _writetime long",
+    )
+    deduped = lww.lww_dedupe(batch, ["pk"])
+    assert {(r.pk, r.v) for r in deduped.collect()} == {(1, "new"), (2, "only")}
+
+    current = spark.createDataFrame(
+        [(1, "current", 300), (3, "keep", 10)], "pk int, v string, _writetime long"
+    )
+    merged = lww.lww_merge(current, deduped, ["pk"])
+    got = {(r.pk, r.v) for r in merged.collect()}
+    # pk1: current writetime 300 > incoming 200 → older incoming loses
+    assert got == {(1, "current"), (2, "only"), (3, "keep")}
+
+    # tie → incoming wins (idempotent redelivery)
+    tie = spark.createDataFrame([(3, "redelivered", 10)], "pk int, v string, _writetime long")
+    merged2 = lww.lww_merge(merged, tie, ["pk"])
+    assert {(r.pk, r.v) for r in merged2.collect() if r.pk == 3} == {(3, "redelivered")}
+
+
+def test_windowed_ops_stream_matches_batch(spark, tmp_path):
+    """Streaming tumbling-window counts (availableNow, complete mode)
+    must equal the batch groupBy over the same data."""
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    windowed = metrics.windowed_ops(stream, window="5 minutes")
+    q = (
+        windowed.writeStream.format("memory")
+        .queryName("winops")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (str(r.window_start), r.event_type): r.cnt
+        for r in spark.sql("SELECT * FROM winops").collect()
+    }
+    want = {
+        (str(r.window_start), r.event_type): r.cnt
+        for r in events.groupBy(
+            F.window("ts", "5 minutes").alias("w"), "event_type"
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt")
+        .collect()
+    }
+    assert got == want
+
+
+def test_alert_filter_thresholds(spark):
+    windowed = spark.createDataFrame(
+        [("w1", 5.0), ("w2", 15.0)], "window_start string, errors_per_sec double"
+    )
+    alerts = metrics.alert_filter(
+        windowed, "errors_per_sec", metrics.DEFAULT_THRESHOLDS["error_rate_per_sec"],
+        "HighErrorRate",
+    ).collect()
+    assert [(r.window_start, r.alert) for r in alerts] == [("w2", "HighErrorRate")]
+
+
+def test_traffic_mix(spark):
+    ops = traffic.assign_ops(spark.range(10_000), id_col="id")
+    rep = traffic.traffic_report(ops).first()
+    assert rep.total_ops == 10_000
+    assert 72.0 <= rep.read_pct <= 78.0  # 75% ± hash noise
+    kinds = {r.op_type for r in ops.select("op_type").distinct().collect()}
+    assert kinds == set(traffic.READ_OPS) | set(traffic.WRITE_OPS)
+
+
+def test_continuous_validation_detects_drift(spark, tmp_path):
+    from cassandra_data_migration_spark.streaming.continuous_validate import (
+        continuous_validation,
+    )
+
+    o, t = str(tmp_path / "o"), str(tmp_path / "t")
+    spark.range(100).write.parquet(o)
+    spark.range(90).write.parquet(t)  # drifted target
+    results = continuous_validation(spark, o, t, ["id"], interval_secs=0, max_ticks=2)
+    assert len(results) == 2
+    assert all(not r.passed and r.missing == 10 for r in results)
