@@ -397,6 +397,315 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# file staging (S4-S8), Migrate pipeline (S10/T4/T5), reconciliation
+# extras (J3+LWW, U2, Z3, Z8), scalar/metadata extras (F9, F13, counters)
+# ---------------------------------------------------------------------------
+
+
+def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4+S5: COPY TO / COPY FROM — export then re-import must be lossless
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
+
+    n = load_table(spark, sf_dir, "nation")
+    d = tempfile.mkdtemp(prefix="csv_rt_")
+    csv_export(n, f"{d}/nation_csv")
+    return csv_import(spark, f"{d}/nation_csv", schema=n.schema)
+
+
+def q_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S8: compressed staging (dsbulk --connector.csv.compression gzip)
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
+
+    r = load_table(spark, sf_dir, "region")
+    d = tempfile.mkdtemp(prefix="csv_gz_")
+    csv_export(r, f"{d}/region_csv", delimiter="|", compression="gzip")
+    return csv_import(spark, f"{d}/region_csv", schema=r.schema, delimiter="|")
+
+
+def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6: dsbulk unload/load --connector.name json
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import json_export, json_import
+
+    s = load_table(spark, sf_dir, "supplier")
+    d = tempfile.mkdtemp(prefix="json_rt_")
+    json_export(s, f"{d}/supplier_json")
+    return json_import(spark, f"{d}/supplier_json", schema=s.schema).select(*s.columns)
+
+
+def q_csv_import_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S5+T3: maxErrors semantics — malformed rows are dropped, the load
+    # survives (docs/03-dse-tooling.md:217-228).  Every 7th key's
+    # c_acctbal is corrupted before staging; import drops exactly those.
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
+
+    c = load_table(spark, sf_dir, "customer")
+    staged = c.withColumn(
+        "c_acctbal",
+        F.when(F.pmod("c_custkey", F.lit(7)) == 0, F.lit("NOT_A_NUMBER")).otherwise(
+            F.col("c_acctbal").cast("string")
+        ),
+    )
+    d = tempfile.mkdtemp(prefix="csv_bad_")
+    csv_export(staged, f"{d}/customer_csv")
+    return csv_import(spark, f"{d}/customer_csv", schema=c.schema, max_errors=10**9)
+
+
+def q_migrate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S10: the flagship Migrate job — read origin, feature pipeline
+    # (projection + predicate + constant column), write target, read it
+    # back (lab/exercises/04-cdm-migration.md:116-124)
+    import tempfile
+
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        migrate,
+    )
+
+    d = tempfile.mkdtemp(prefix="migrate_")
+    cfg = MigrationConfig(
+        origin_path=f"{sf_dir}/customer.parquet",
+        target_path=f"{d}/customer_target",
+        include_columns=["c_custkey", "c_name", "c_acctbal"],
+        where_condition="c_acctbal > 5000",
+        constant_columns={"source_cluster": "origin"},
+        batch_partition_cols=["c_custkey"],
+    )
+    migrate(spark, cfg)
+    return spark.read.parquet(cfg.target_path)
+
+
+def q_migrate_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T4: --dryRun — plan + count, no write
+    import tempfile
+
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        migrate,
+    )
+
+    cfg = MigrationConfig(
+        origin_path=f"{sf_dir}/orders.parquet",
+        target_path=tempfile.mkdtemp(prefix="dryrun_") + "/never_written",
+        where_condition="o_orderstatus = 'O'",
+        dry_run=True,
+    )
+    res = migrate(spark, cfg)
+    return spark.createDataFrame(
+        [(res.rows_read, res.rows_written)],
+        "rows_read long, rows_written long",
+    )
+
+
+def q_run_tracker_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5: trackRun/autoRerun — buckets 0-3 already PASSED (3 after a
+    # FAILED attempt), so the resumed scan covers only buckets 4-7
+    import tempfile
+
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    tracker = RunTracker(spark, tempfile.mkdtemp(prefix="track_"), num_buckets=8)
+    run_id = tracker.new_run()
+    for b in (0, 1, 2):
+        tracker.record_bucket(run_id, b, "PASSED", rows=100)
+    tracker.record_bucket(run_id, 3, "FAILED")
+    tracker.record_bucket(run_id, 3, "PASSED", rows=100)
+    return tracker.filter_pending(
+        load_table(spark, sf_dir, "orders"), "o_orderkey", run_id
+    )
+
+
+def q_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z3: last-write-wins upsert — incoming rows (every 3rd key) carry a
+    # newer writetime and overwrite; everything else keeps current
+    from cassandra_data_migration_spark.streaming.lww import lww_merge
+
+    o = load_table(spark, sf_dir, "orders")
+    current = o.select(
+        "o_orderkey",
+        "o_totalprice",
+        (F.col("o_orderkey") * 2).cast("long").alias("_writetime"),
+    )
+    incoming = (
+        o.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
+        .select(
+            "o_orderkey",
+            (F.col("o_totalprice") + 10).alias("o_totalprice"),
+            (F.col("o_orderkey") * 2 + 1).cast("long").alias("_writetime"),
+        )
+    )
+    return lww_merge(current, incoming, ["o_orderkey"])
+
+
+def q_autocorrect_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J3 full form: AutoCorrect repaired target — insert missing,
+    # overwrite mismatches where origin wins on writetime, never delete
+    from cassandra_data_migration_spark.plans.validate import autocorrect
+
+    origin = _origin(spark, sf_dir).withColumn(
+        "_writetime", F.lit(1000).cast("long")
+    )
+    target = _target(spark, sf_dir).withColumn(
+        "_writetime",
+        F.when(F.pmod("o_orderkey", F.lit(14)) == 0, F.lit(2000))
+        .otherwise(F.lit(500))
+        .cast("long"),
+    )
+    return autocorrect(origin, target, ORDERS_PK, writetime_col="_writetime")
+
+
+def q_writetime_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F13: transform.custom.writetime.incrementBy
+    from cassandra_data_migration_spark.functions.metadata import (
+        attach_derived_writetime,
+        shift_writetime,
+    )
+
+    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
+    return shift_writetime(ev, 1_000_000).select("event_id", "_writetime")
+
+
+def q_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §1.2 counters: counter-table migration = sum() merge of increments
+    # per key (docs/04-cdm-approach.md:401-411)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("counter_value"))
+    )
+
+
+def q_order_items_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F9: collection construction — per-order sorted item list (the
+    # orders.items list<text> shape, generate_data.py:116)
+    return (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("l_partkey")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("items")
+        )
+    )
+
+
+def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F11: CDM explodeMap — map column → one row per entry
+    from cassandra_data_migration_spark.functions.scalars import (
+        explode_map,
+        json_get,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.create_map(
+            F.lit("event_type"),
+            F.col("event_type"),
+            F.lit("k"),
+            json_get("props", "k"),
+        ).alias("props_map"),
+    )
+    return explode_map(ev, "props_map")
+
+
+def q_alert_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z8: threshold alerting — 1-hour windows whose error count breaches
+    # the limit become alert rows (exercise 6:455-497)
+    from cassandra_data_migration_spark.streaming.metrics import (
+        alert_filter,
+        windowed_error_rate,
+    )
+
+    windowed = windowed_error_rate(
+        load_table(spark, sf_dir, "events"), window="1 hour", watermark="2 hours"
+    )
+    return alert_filter(windowed, "errors", 5.0, "error_count_breach").select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
+        "errors",
+        "alert",
+    )
+
+
+def q_fk_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4: FK enrichment with an explicitly broadcast dimension
+    from cassandra_data_migration_spark.operators.joins import fk_generate_join
+
+    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    dim = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    return fk_generate_join(orders, dim, "c_custkey").select(
+        "o_orderkey", "c_custkey", "c_name", "c_mktsegment"
+    )
+
+
+def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # U2: normalized schema diff between origin and a target missing a
+    # column (exercise 6:187-233)
+    from cassandra_data_migration_spark.plans.validate import schema_diff
+
+    c = load_table(spark, sf_dir, "customer")
+    return schema_diff(c, c.drop("c_acctbal"))
+
+
+def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §3.2 layers 1-3 in one verdict row (validate_migration.py:69-81)
+    from cassandra_data_migration_spark.plans.validate import validate_table
+
+    res = validate_table(
+        _origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK, "orders"
+    )
+    return spark.createDataFrame(
+        [
+            (
+                res.table,
+                res.origin_count,
+                res.target_count,
+                res.missing,
+                res.mismatched,
+                res.extra_in_target,
+                res.status,
+            )
+        ],
+        "table_name string, origin_count long, target_count long, "
+        "missing long, mismatched long, extra_in_target long, status string",
+    )
+
+
+def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z6: deterministic op-mix assignment + end-of-run report (hash draw
+    # is xxhash64 — engine-specific, so this entry is rows-only checked)
+    from cassandra_data_migration_spark.streaming.traffic import (
+        assign_ops,
+        traffic_report,
+    )
+
+    ops = assign_ops(load_table(spark, sf_dir, "events"), id_col="event_id")
+    return traffic_report(ops)
+
+
+def q_synthetic_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S11: seeded synthetic generation (generate_data.py:29-66) —
+    # hash-derived draws, engine-specific → rows-only checked
+    from cassandra_data_migration_spark.generate import generate_users
+
+    return generate_users(spark, count=200, seed=42)
+
+
+# ---------------------------------------------------------------------------
 # streaming operators (Z1-Z8), driven bounded via availableNow triggers
 # ---------------------------------------------------------------------------
 
@@ -493,6 +802,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_features": q_multimodal_features,
     "stream_dual_write": q_stream_dual_write,
     "stream_windowed_rate": q_stream_windowed_rate,
+    "csv_roundtrip": q_csv_roundtrip,
+    "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "csv_import_quarantine": q_csv_import_quarantine,
+    "migrate_pipeline": q_migrate_pipeline,
+    "migrate_dry_run": q_migrate_dry_run,
+    "run_tracker_resume": q_run_tracker_resume,
+    "lww_merge": q_lww_merge,
+    "autocorrect_lww": q_autocorrect_lww,
+    "writetime_shift": q_writetime_shift,
+    "counter_merge": q_counter_merge,
+    "order_items_list": q_order_items_list,
+    "map_explode": q_map_explode,
+    "alert_error_windows": q_alert_error_windows,
+    "fk_join_enrich": q_fk_join_enrich,
+    "schema_diff": q_schema_diff,
+    "validation_summary": q_validation_summary,
+    "traffic_ops_mix": q_traffic_ops_mix,
+    "synthetic_users": q_synthetic_users,
     "missing_rows": q_missing_rows,
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
@@ -783,6 +1111,95 @@ ORACLES: dict[str, str] = {
                octet_length(encode(text)) AS n_bytes,
                md5(text) AS content_md5
         FROM documents
+    """,
+    "csv_roundtrip": "SELECT * FROM nation",
+    "csv_gzip_roundtrip": "SELECT * FROM region",
+    "json_roundtrip": "SELECT * FROM supplier",
+    "csv_import_quarantine": (
+        "SELECT * FROM customer WHERE c_custkey % 7 <> 0"
+    ),
+    "migrate_pipeline": """
+        SELECT c_custkey, c_name, c_acctbal, 'origin' AS source_cluster
+        FROM customer WHERE c_acctbal > 5000
+    """,
+    "migrate_dry_run": """
+        SELECT CAST(COUNT(*) AS BIGINT) AS rows_read,
+               CAST(0 AS BIGINT) AS rows_written
+        FROM orders WHERE o_orderstatus = 'O'
+    """,
+    "run_tracker_resume": "SELECT * FROM orders WHERE o_orderkey % 8 >= 4",
+    "lww_merge": """
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
+                    ELSE o_totalprice END AS o_totalprice,
+               CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 2 + 1
+                         ELSE o_orderkey * 2 END AS BIGINT) AS _writetime
+        FROM orders
+    """,
+    "autocorrect_lww": """
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+               o_orderdate, o_orderpriority, CAST(1000 AS BIGINT) AS _writetime
+        FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 14 <> 0
+        UNION ALL
+        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1,
+               o_orderdate, o_orderpriority, CAST(2000 AS BIGINT) AS _writetime
+        FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 14 = 0
+    """,
+    "writetime_shift": """
+        SELECT event_id, epoch_us(ts) + 1000000 AS _writetime FROM events
+    """,
+    "counter_merge": """
+        SELECT l_orderkey,
+               CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS counter_value
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "order_items_list": """
+        SELECT l_orderkey,
+               string_agg(l_partkey::VARCHAR, ',' ORDER BY l_partkey) AS items
+        FROM lineitem GROUP BY l_orderkey
+    """,
+    "map_explode": """
+        SELECT event_id, 'event_type' AS props_map_key,
+               event_type AS props_map_value
+        FROM events
+        UNION ALL
+        SELECT event_id, 'k', json_extract_string(props, '$.k') FROM events
+    """,
+    "alert_error_windows": """
+        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
+                        '%Y-%m-%d %H:%M:%S') AS window_start,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+               'error_count_breach' AS alert
+        FROM events
+        GROUP BY time_bucket(INTERVAL '1 hour', ts)
+        HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 5
+    """,
+    "fk_join_enrich": """
+        SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
+        FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "schema_diff": """
+        SELECT column_name AS col_name,
+               CASE lower(data_type)
+                    WHEN 'varchar' THEN 'string'
+                    WHEN 'integer' THEN 'int'
+                    ELSE lower(data_type) END AS col_type,
+               'origin_only' AS side
+        FROM information_schema.columns
+        WHERE table_name = 'customer' AND column_name = 'c_acctbal'
+    """,
+    "validation_summary": """
+        SELECT 'orders' AS table_name,
+               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS origin_count,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0)
+                    AS BIGINT) AS target_count,
+               CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
+                    AS BIGINT) AS missing,
+               CAST((SELECT COUNT(*) FROM orders
+                     WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+                    AS BIGINT) AS mismatched,
+               CAST(0 AS BIGINT) AS extra_in_target,
+               'FAIL' AS status
     """,
     "stream_dual_write": """
         SELECT event_id, user_id, event_type, value FROM events
