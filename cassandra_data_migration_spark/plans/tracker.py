@@ -34,12 +34,28 @@ class RunTracker:
 
     def record_bucket(self, run_id: str, bucket: int, status: str, rows: int = 0) -> None:
         """Append one bucket's outcome (PASSED/FAILED — CDM's
-        cdm_run_details statuses)."""
-        df = self.spark.createDataFrame(
-            [(bucket, status, rows, int(time.time() * 1e6))],
-            "bucket int, status string, rows long, recorded_at long",
+        cdm_run_details statuses).
+
+        Written directly from the driver (pyarrow, one tiny file per
+        record) — progress records are driver-side metadata, and CDM
+        likewise writes cdm_run_details through its driver connection,
+        not as a distributed job.  A Spark write job per bucket would
+        add seconds of scheduler latency per token range.
+        """
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        path = self._details_path(run_id)
+        os.makedirs(path, exist_ok=True)
+        table = pa.table(
+            {
+                "bucket": pa.array([bucket], pa.int32()),
+                "status": pa.array([status], pa.string()),
+                "rows": pa.array([rows], pa.int64()),
+                "recorded_at": pa.array([int(time.time() * 1e6)], pa.int64()),
+            }
         )
-        df.coalesce(1).write.mode("append").parquet(self._details_path(run_id))
+        pq.write_table(table, f"{path}/{uuid.uuid4().hex}.parquet")
 
     def completed_buckets(self, run_id: str) -> list[int]:
         path = self._details_path(run_id)
