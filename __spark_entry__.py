@@ -685,6 +685,80 @@ def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_latency_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A5: test_read_performance.sh:14-47 — total ms, avg ms/req, req/s
+    # per endpoint (event_type stands in for the endpoint label)
+    ev = load_table(spark, sf_dir, "events")
+    span = F.col("max_us") - F.col("min_us")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("total_ms"),
+            F.round(F.avg("value"), 4).alias("avg_ms"),
+            F.count(F.lit(1)).alias("n_requests"),
+            F.unix_micros(F.min("ts")).alias("min_us"),
+            F.unix_micros(F.max("ts")).alias("max_us"),
+        )
+        .select(
+            "event_type",
+            "total_ms",
+            "avg_ms",
+            "n_requests",
+            F.round(F.col("n_requests") / (span / 1e6), 6).alias("req_per_sec"),
+        )
+    )
+
+
+def q_continuous_validation_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z7: the 60s re-validation loop (exercise 6:410-449), two ticks
+    # against a materialized target; each tick re-runs the J1/J2 plan
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.continuous_validate import (
+        continuous_validation,
+    )
+
+    d = tempfile.mkdtemp(prefix="contval_")
+    _target(spark, sf_dir).write.mode("overwrite").parquet(f"{d}/target")
+    results = continuous_validation(
+        spark,
+        f"{sf_dir}/orders.parquet",
+        f"{d}/target",
+        ORDERS_PK,
+        interval_secs=0.0,
+        max_ticks=2,
+    )
+    return spark.createDataFrame(
+        [
+            (r.table, r.origin_count, r.target_count, r.missing, r.mismatched, r.status)
+            for r in results
+        ],
+        "tick string, origin_count long, target_count long, "
+        "missing long, mismatched long, status string",
+    )
+
+
+def q_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A9: migration progress counters via observe() — rows processed and
+    # error rows metered as the job runs (docs/04-cdm-approach.md:536-544)
+    from pyspark.sql import Observation
+
+    obs = Observation("progress")
+    ev = load_table(spark, sf_dir, "events").observe(
+        obs,
+        F.count(F.lit(1)).alias("rows_processed"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
+            "error_rows"
+        ),
+    )
+    ev.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    return spark.createDataFrame(
+        [(got["rows_processed"], got["error_rows"])],
+        "rows_processed long, error_rows long",
+    )
+
+
 def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Z6: deterministic op-mix assignment + end-of-run report (hash draw
     # is xxhash64 — engine-specific, so this entry is rows-only checked)
@@ -819,6 +893,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fk_join_enrich": q_fk_join_enrich,
     "schema_diff": q_schema_diff,
     "validation_summary": q_validation_summary,
+    "latency_harness": q_latency_harness,
+    "continuous_validation_ticks": q_continuous_validation_ticks,
+    "observe_progress": q_observe_progress,
     "traffic_ops_mix": q_traffic_ops_mix,
     "synthetic_users": q_synthetic_users,
     "missing_rows": q_missing_rows,
@@ -1200,6 +1277,36 @@ ORACLES: dict[str, str] = {
                     AS BIGINT) AS mismatched,
                CAST(0 AS BIGINT) AS extra_in_target,
                'FAIL' AS status
+    """,
+    "latency_harness": """
+        SELECT event_type,
+               ROUND(SUM(value), 4) AS total_ms,
+               ROUND(AVG(value), 4) AS avg_ms,
+               COUNT(*) AS n_requests,
+               ROUND(COUNT(*) / ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6),
+                     6) AS req_per_sec
+        FROM events GROUP BY event_type
+    """,
+    "continuous_validation_ticks": """
+        WITH verdict AS (
+            SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS origin_count,
+                   CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0)
+                        AS BIGINT) AS target_count,
+                   CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
+                        AS BIGINT) AS missing,
+                   CAST((SELECT COUNT(*) FROM orders
+                         WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
+                        AS BIGINT) AS mismatched,
+                   'FAIL' AS status
+        )
+        SELECT 'tick_0' AS tick, * FROM verdict
+        UNION ALL
+        SELECT 'tick_1', * FROM verdict
+    """,
+    "observe_progress": """
+        SELECT COUNT(*) AS rows_processed,
+               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_rows
+        FROM events
     """,
     "stream_dual_write": """
         SELECT event_id, user_id, event_type, value FROM events
