@@ -771,6 +771,16 @@ def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traffic_report(ops)
 
 
+def q_uuid_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F1: uuid() — the deterministic md5-derived canonical-36-char form
+    # used by the seeded generator (generate_data.py:41 analogue)
+    from cassandra_data_migration_spark.generate import _uuid_from
+
+    return load_table(spark, sf_dir, "customer").select(
+        "c_custkey", _uuid_from(42, "c_custkey").alias("user_uuid")
+    )
+
+
 def q_synthetic_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S11: seeded synthetic generation (generate_data.py:29-66) —
     # hash-derived draws, engine-specific → rows-only checked
@@ -896,6 +906,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_harness": q_latency_harness,
     "continuous_validation_ticks": q_continuous_validation_ticks,
     "observe_progress": q_observe_progress,
+    "uuid_derivation": q_uuid_derivation,
     "traffic_ops_mix": q_traffic_ops_mix,
     "synthetic_users": q_synthetic_users,
     "missing_rows": q_missing_rows,
@@ -1302,6 +1313,14 @@ ORACLES: dict[str, str] = {
         SELECT 'tick_0' AS tick, * FROM verdict
         UNION ALL
         SELECT 'tick_1', * FROM verdict
+    """,
+    "uuid_derivation": """
+        SELECT c_custkey,
+               concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
+                         substr(h, 17, 4), substr(h, 21, 12)) AS user_uuid
+        FROM (SELECT c_custkey,
+                     md5(concat_ws(':', '42', c_custkey::VARCHAR)) AS h
+              FROM customer)
     """,
     "observe_progress": """
         SELECT COUNT(*) AS rows_processed,

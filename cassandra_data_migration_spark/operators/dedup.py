@@ -32,15 +32,21 @@ from cassandra_data_migration_spark.operators.text import normalize_text, word_s
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Exact dedup: canonical_id = min(id) among identical normalized
     texts.  Returns (id, canonical_id, group_size); keep rows where
-    id == canonical_id to materialize the deduped corpus."""
+    id == canonical_id to materialize the deduped corpus.
+
+    One hash-partitioned shuffle on the 16-byte fingerprint (window
+    aggregates over the unordered partition) — not groupBy + join-back,
+    which would shuffle the corpus twice.  Group sizes are bounded by
+    duplicate multiplicity, so no skew concern beyond what the dedup
+    itself implies."""
+    from pyspark.sql import Window
+
     keyed = df.select(F.col(id_col), F.md5(normalize_text(text_col)).alias("_fp"))
-    groups = keyed.groupBy("_fp").agg(
-        F.min(id_col).alias("canonical_id"),
-        F.count(F.lit(1)).alias("group_size"),
-    )
-    return (
-        keyed.join(groups, "_fp")
-        .select(id_col, "canonical_id", "group_size")
+    w = Window.partitionBy("_fp")
+    return keyed.select(
+        id_col,
+        F.min(id_col).over(w).alias("canonical_id"),
+        F.count(F.lit(1)).over(w).alias("group_size"),
     )
 
 
@@ -74,7 +80,10 @@ def ngram_jaccard_pairs(
     """Pairs (a, b, jaccard) with shingle-set Jaccard ≥ threshold.
     J = |A∩B| / (|A|+|B|-|A∩B|); intersections come from the shingle
     self-join, set sizes from a per-doc count."""
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq).cache()
+    # no cache: shingle recompute is a pipelined codegen'd pass, far
+    # cheaper than materializing the exploded table (and at corpus
+    # scale the shingle table wouldn't fit cache anyway)
+    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
