@@ -771,6 +771,50 @@ def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traffic_report(ops)
 
 
+def q_custom_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F12: spark.cdm.transform.custom.class — an arbitrary DataFrame →
+    # DataFrame stage in the feature pipeline (here: PII anonymization)
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        build_feature_pipeline,
+    )
+
+    def anonymize(df: DataFrame) -> DataFrame:
+        return df.withColumn("c_name", F.md5("c_name"))
+
+    cfg = MigrationConfig(
+        origin_path="",
+        target_path="",
+        include_columns=["c_custkey", "c_name", "c_mktsegment"],
+        custom_transforms=[anonymize],
+    )
+    out, _ = build_feature_pipeline(load_table(spark, sf_dir, "customer"), cfg)
+    return out
+
+
+def q_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Z2/Z4: phase-driven read routing — SHADOW_READS phase answers from
+    # the primary (origin) and meters an async comparison against the
+    # secondary; the caller only ever sees primary rows
+    from cassandra_data_migration_spark.streaming.routing import (
+        PhaseMachine,
+        RouterMetrics,
+    )
+
+    machine = PhaseMachine()
+    machine.advance()  # backfill
+    machine.advance()  # shadow reads
+    metrics = RouterMetrics()
+    router = machine.router(metrics)
+    result = router.route(
+        _origin(spark, sf_dir),
+        _target(spark, sf_dir),
+        lambda df: df.filter(F.col("o_totalprice") > 450000),
+    )
+    assert metrics.shadow_reads == 1  # the secondary WAS consulted
+    return result
+
+
 def q_uuid_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F1: uuid() — the deterministic md5-derived canonical-36-char form
     # used by the seeded generator (generate_data.py:41 analogue)
@@ -906,6 +950,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_harness": q_latency_harness,
     "continuous_validation_ticks": q_continuous_validation_ticks,
     "observe_progress": q_observe_progress,
+    "custom_transform": q_custom_transform,
+    "read_routing": q_read_routing,
     "uuid_derivation": q_uuid_derivation,
     "traffic_ops_mix": q_traffic_ops_mix,
     "synthetic_users": q_synthetic_users,
@@ -1313,6 +1359,12 @@ ORACLES: dict[str, str] = {
         SELECT 'tick_0' AS tick, * FROM verdict
         UNION ALL
         SELECT 'tick_1', * FROM verdict
+    """,
+    "custom_transform": """
+        SELECT c_custkey, md5(c_name) AS c_name, c_mktsegment FROM customer
+    """,
+    "read_routing": """
+        SELECT * FROM orders WHERE o_totalprice > 450000
     """,
     "uuid_derivation": """
         SELECT c_custkey,

@@ -63,21 +63,35 @@ def reconcile(
     wins (docs/04-cdm-approach.md:356-369).  Origin wins unless the
     target's writetime is newer (last-write-wins,
     docs/04-cdm-approach.md:837-841); never deletes target-only rows
-    (:367).  Returns origin rows to (re-)write to target."""
-    missing = missing_rows(origin, target, pk)
-    mism_keys = mismatched_rows(origin, target, pk).select(*pk)
-    mismatched_full = origin.join(mism_keys, on=pk, how="left_semi")
-    if writetime_col is not None and writetime_col in target.columns:
-        t_wt = target.select(*pk, F.col(writetime_col).alias("_target_wt"))
-        mismatched_full = (
-            mismatched_full.join(t_wt, on=pk, how="left")
-            .filter(
-                F.col("_target_wt").isNull()
-                | (F.col(writetime_col) >= F.col("_target_wt"))
-            )
-            .drop("_target_wt")
+    (:367).  Returns origin rows to (re-)write to target.
+
+    Physical shape: ONE left join of narrow (pk, xxhash64[, writetime])
+    projections decides every row's verdict (missing / mismatched /
+    stale), then one semi-join re-fetches the wide columns for the
+    (small) repair set — the table is never scanned full-width more
+    than once per side."""
+    has_wt = writetime_col is not None and writetime_col in target.columns
+    # schemas must match between clusters (docs/05-zdm-approach.md:18):
+    # both sides hash origin's value columns
+    value_cols = [c for c in origin.columns if c not in pk]
+    o = with_row_hash(origin.select(*pk, *value_cols), value_cols, "_oh", algo="xxhash")
+    t = with_row_hash(target.select(*pk, *value_cols), value_cols, "_th", algo="xxhash")
+    if has_wt:
+        o = o.select(*pk, "_oh", F.col(writetime_col).alias("_o_wt"))
+        t = t.select(*pk, "_th", F.col(writetime_col).alias("_t_wt"))
+    else:
+        o = o.select(*pk, "_oh")
+        t = t.select(*pk, "_th")
+
+    j = o.join(t, on=pk, how="left")
+    missing = F.col("_th").isNull()
+    mismatch = F.col("_th").isNotNull() & (F.col("_oh") != F.col("_th"))
+    if has_wt:
+        mismatch = mismatch & (
+            F.col("_t_wt").isNull() | (F.col("_o_wt") >= F.col("_t_wt"))
         )
-    return missing.unionByName(mismatched_full)
+    repair_keys = j.filter(missing | mismatch).select(*pk)
+    return origin.join(repair_keys, on=pk, how="left_semi")
 
 
 def fk_generate_join(skeleton: DataFrame, dim: DataFrame, key: str) -> DataFrame:

@@ -190,6 +190,85 @@ def lsh_bucketed_pairs(
     )
 
 
+def ivf_centroids(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Deterministic IVF coarse quantizer: the ``n_centroids`` corpus
+    vectors with the smallest md5(id) — a seeded sample, reproducible
+    across runs and partitionings (one TakeOrdered scan).  A k-means
+    refinement can replace this without changing the search path."""
+    import numpy as np
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_centroids)
+        .collect()
+    )
+    return np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out: str = "list_id",
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid — one
+    broadcast + one Arrow-batched BLAS pass, no shuffle.  At corpus
+    scale, write the result partitioned by ``list_id`` so probes prune
+    whole files."""
+    import numpy as np
+    import pandas as pd
+
+    c = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    bc = df.sparkSession.sparkContext.broadcast(c)
+
+    def assign(batches):
+        cn = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            m = np.stack([np.asarray(v, dtype=np.float64) for v in p[vec_col]])
+            m = m / np.linalg.norm(m, axis=1, keepdims=True)
+            p = p.copy()
+            p[out] = np.argmax(m @ cn.T, axis=1).astype("int32")
+            yield p
+
+    fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
+    return df.mapInPandas(assign, f"{fields}, {out} int")
+
+
+def ivf_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    centroids=None,
+) -> DataFrame:
+    """IVF approximate top-k: score the query against the centroids
+    driver-side, probe only the ``n_probe`` nearest inverted lists,
+    brute-force within them.  Scanned fraction ≈ n_probe/n_centroids;
+    with ``n_probe == n_centroids`` this is exactly brute force.
+    Recall tunes with n_probe — the standard IVF trade."""
+    import numpy as np
+
+    c = centroids if centroids is not None else ivf_centroids(df, n_centroids, id_col, vec_col)
+    q = np.asarray(query_vec, dtype=np.float64)
+    scores = (c @ q) / (np.linalg.norm(c, axis=1) * np.linalg.norm(q))
+    probe = np.argsort(-scores)[:n_probe].tolist()
+    assigned = ivf_assign(df, c, id_col, vec_col)
+    shortlist = assigned.filter(F.col("list_id").isin([int(p) for p in probe]))
+    return cosine_topk(shortlist, query_vec, k, id_col, vec_col)
+
+
 def cosine_topk_arrow(
     df: DataFrame,
     query_vec: list[float],

@@ -25,6 +25,52 @@ def lww_dedupe(batch: DataFrame, pk: list[str], writetime_col: str = WRITETIME_C
     )
 
 
+def stateful_lww_stream(
+    stream: DataFrame,
+    pk: list[str],
+    writetime_col: str = WRITETIME_COL,
+    tiebreak: list[str] | None = None,
+):
+    """Z3 as a custom stateful streaming operator: a continuously
+    maintained last-write-wins store via ``applyInPandasWithState``.
+
+    Per-key GroupState holds the current winning row; each micro-batch
+    merges its mutations with the state and emits the (possibly new)
+    winner — so conflicting writes arriving in *different* batches
+    still resolve by max writetime, which plain per-batch dedupe
+    (:func:`lww_dedupe`) cannot do.  State is one row per key: bounded
+    by key cardinality, not stream length.
+
+    Requires a state-serializable schema (no timestamp columns; carry
+    the writetime as µs long — the engine's metadata convention).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    cols = stream.schema.fieldNames()
+    order = [writetime_col] + [t for t in (tiebreak or []) if t in cols]
+    schema = stream.schema
+
+    def update(key, pdfs, state: GroupState):
+        rows = [p for p in pdfs if len(p)]
+        if state.exists:
+            rows.append(pd.DataFrame([tuple(state.get)], columns=cols))
+        if not rows:
+            return
+        merged = pd.concat(rows, ignore_index=True)
+        best = merged.sort_values(by=order, ascending=False).iloc[0]
+        state.update(tuple(best[c] for c in cols))
+        yield pd.DataFrame([best[cols]])
+
+    return stream.groupBy(*pk).applyInPandasWithState(
+        update,
+        outputStructType=schema,
+        stateStructType=schema,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def lww_merge(
     current: DataFrame,
     incoming: DataFrame,

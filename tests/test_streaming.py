@@ -212,3 +212,47 @@ def test_continuous_validation_detects_drift(spark, tmp_path):
     results = continuous_validation(spark, o, t, ["id"], interval_secs=0, max_ticks=2)
     assert len(results) == 2
     assert all(not r.passed and r.missing == 10 for r in results)
+
+
+def test_stateful_lww_stream_merges_across_batches(spark, tmp_path):
+    """Conflicting writes to the same key arriving in DIFFERENT
+    micro-batches must still resolve to the max writetime — per-batch
+    dedupe can't do this; GroupState can."""
+    from cassandra_data_migration_spark.streaming.lww import stateful_lww_stream
+
+    src = str(tmp_path / "mutations")
+    # batch 1: writetimes 100+key, value 1.0; batch 2 re-writes even
+    # keys with OLDER writetime (must lose) and odd keys with NEWER
+    b1 = spark.createDataFrame(
+        [(k, 100 + k, 1.0) for k in range(20)], "k long, _writetime long, v double"
+    )
+    b2 = spark.createDataFrame(
+        [(k, (50 if k % 2 == 0 else 900) + k, 2.0) for k in range(20)],
+        "k long, _writetime long, v double",
+    )
+    b1.coalesce(1).write.parquet(f"{src}/f=1")
+    b2.coalesce(1).write.parquet(f"{src}/f=2")
+
+    stream = (
+        spark.readStream.schema("k long, _writetime long, v double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{src}/f=*")
+    )
+    merged = stateful_lww_stream(stream, ["k"], "_writetime")
+    q = (
+        merged.writeStream.format("memory")
+        .queryName("lww_state")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    out = spark.sql("SELECT * FROM lww_state").toPandas()
+    # winner per key = max writetime over ALL emitted rows (state only
+    # ever improves, so the per-key max is the final state)
+    final = out.loc[out.groupby("k")["_writetime"].idxmax()].set_index("k")
+    for k in range(20):
+        if k % 2 == 0:
+            assert final.loc[k, "v"] == 1.0 and final.loc[k, "_writetime"] == 100 + k
+        else:
+            assert final.loc[k, "v"] == 2.0 and final.loc[k, "_writetime"] == 900 + k

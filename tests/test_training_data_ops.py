@@ -120,3 +120,32 @@ def test_token_count_bpe_counts_punctuation(spark):
     n = df.select(token_count_bpe("t").alias("n")).first().n
     # hello , world ! 42 → 5
     assert n == 5
+
+
+def test_ivf_topk_full_probe_is_exact_and_recall_tunes(spark):
+    """IVF with n_probe == n_centroids must equal brute force; partial
+    probes trade recall for a proportionally smaller scan."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.similarity import (
+        cosine_topk,
+        ivf_topk,
+    )
+
+    emb = spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 1).first()["embedding"]]
+    corpus = emb.filter(F.col("vec_id") != 1)
+    exact = [r.vec_id for r in cosine_topk(emb, qv, k=10, exclude_ids=[1]).collect()]
+
+    full = [
+        r.vec_id
+        for r in ivf_topk(corpus, qv, k=10, n_centroids=16, n_probe=16).collect()
+    ]
+    assert full == exact  # probing every list IS brute force
+
+    approx = [
+        r.vec_id
+        for r in ivf_topk(corpus, qv, k=10, n_centroids=16, n_probe=4).collect()
+    ]
+    recall = len(set(approx) & set(exact)) / 10
+    assert recall >= 0.3  # observed 0.7 with these fixtures; floor w/ margin
