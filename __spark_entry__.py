@@ -771,6 +771,46 @@ def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traffic_report(ops)
 
 
+def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # F10/§1.1: TTL semantics — rows whose writetime+TTL elapsed are
+    # dropped; NULL TTL never expires.  TTLs derived deterministically.
+    from cassandra_data_migration_spark.functions.metadata import (
+        attach_derived_writetime,
+        expire_ttl,
+    )
+
+    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
+    ev = ev.withColumn(
+        "_ttl",
+        F.when(F.pmod("event_id", F.lit(10)) == 0, F.lit(None))
+        .otherwise(F.pmod("event_id", F.lit(100)) * 3600)
+        .cast("int"),
+    )
+    return expire_ttl(ev, now_us=1706000000000000).select(
+        "event_id", "_writetime", "_ttl"
+    )
+
+
+def q_null_unset_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §1.1 null→UNSET (docs/04-cdm-approach.md:833): mark which cells
+    # are set so the sink skips unset cells instead of writing
+    # tombstones.  Nulls injected deterministically.
+    from cassandra_data_migration_spark.functions.metadata import unset_nulls_mask
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.pmod("o_orderkey", F.lit(5)) == 0, F.lit(None))
+        .otherwise(F.col("o_orderstatus"))
+        .alias("o_orderstatus"),
+        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit(None))
+        .otherwise(F.col("o_orderpriority"))
+        .alias("o_orderpriority"),
+    )
+    return unset_nulls_mask(o, ["o_orderstatus", "o_orderpriority"]).select(
+        "o_orderkey", "_set_mask"
+    )
+
+
 def q_custom_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F12: spark.cdm.transform.custom.class — an arbitrary DataFrame →
     # DataFrame stage in the feature pipeline (here: PII anonymization)
@@ -950,6 +990,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_harness": q_latency_harness,
     "continuous_validation_ticks": q_continuous_validation_ticks,
     "observe_progress": q_observe_progress,
+    "ttl_expiry": q_ttl_expiry,
+    "null_unset_mask": q_null_unset_mask,
     "custom_transform": q_custom_transform,
     "read_routing": q_read_routing,
     "uuid_derivation": q_uuid_derivation,
@@ -1359,6 +1401,21 @@ ORACLES: dict[str, str] = {
         SELECT 'tick_0' AS tick, * FROM verdict
         UNION ALL
         SELECT 'tick_1', * FROM verdict
+    """,
+    "ttl_expiry": """
+        SELECT event_id, epoch_us(ts) AS _writetime,
+               CASE WHEN event_id % 10 = 0 THEN NULL
+                    ELSE (event_id % 100) * 3600 END AS _ttl
+        FROM events
+        WHERE event_id % 10 = 0
+           OR epoch_us(ts) + (event_id % 100) * 3600 * 1000000
+              >= 1706000000000000
+    """,
+    "null_unset_mask": """
+        SELECT o_orderkey,
+               (CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END
+                + CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 2 END) AS _set_mask
+        FROM orders
     """,
     "custom_transform": """
         SELECT c_custkey, md5(c_name) AS c_name, c_mktsegment FROM customer

