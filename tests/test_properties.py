@@ -1,0 +1,67 @@
+"""Property-based tests (hypothesis) for the semantics that must hold
+for ANY input, not just the fixtures: LWW merge invariants and
+canonical row-hash stability.  The reference establishes correctness
+only end-to-end against a live lab (SURVEY.md §5); these pin the
+algebraic properties the validation and streaming paths rely on."""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from cassandra_data_migration_spark.streaming.lww import lww_merge
+
+mutations = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=5),  # pk — few keys → collisions
+        st.integers(min_value=0, max_value=1000),  # writetime
+        st.integers(min_value=0, max_value=9),  # payload
+    ),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "k long, _writetime long, v long")
+
+
+@settings(max_examples=8, deadline=None)
+@given(cur=mutations, inc=mutations)
+def test_lww_merge_keeps_one_newest_row_per_key(spark, cur, inc):
+    merged = lww_merge(_df(spark, cur), _df(spark, inc), ["k"]).collect()
+    keys = [r.k for r in merged]
+    assert len(keys) == len(set(keys))  # exactly one row per pk
+    best = {}
+    for k, wt, _ in cur + inc:
+        best[k] = max(best.get(k, -1), wt)
+    assert {r.k: r._writetime for r in merged} == best  # winner = max wt
+
+
+@settings(max_examples=5, deadline=None)
+@given(cur=mutations, inc=mutations)
+def test_lww_merge_is_idempotent(spark, cur, inc):
+    once = lww_merge(_df(spark, cur), _df(spark, inc), ["k"])
+    twice = lww_merge(once, _df(spark, inc), ["k"])
+    a = sorted((r.k, r._writetime) for r in once.collect())
+    b = sorted((r.k, r._writetime) for r in twice.collect())
+    assert a == b  # re-delivering a batch never changes the store
+
+
+def test_canonical_hash_is_column_order_independent(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.functions.hashing import row_md5
+
+    df_ab = spark.createDataFrame([(1, "x")], "a int, b string")
+    df_ba = spark.createDataFrame([("x", 1)], "b string, a int")
+    h1 = df_ab.select(row_md5(df_ab).alias("h")).first().h
+    h2 = df_ba.select(row_md5(df_ba).alias("h")).first().h
+    assert h1 == h2  # sorted-name canonicalization
+
+    # NULL and empty string must hash differently (tombstone vs empty)
+    df_null = spark.createDataFrame([(1, None)], "a int, b string")
+    df_empty = spark.createDataFrame([(1, "")], "a int, b string")
+    hn = df_null.select(row_md5(df_null).alias("h")).first().h
+    he = df_empty.select(row_md5(df_empty).alias("h")).first().h
+    assert hn != he
