@@ -771,6 +771,28 @@ def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
     return traffic_report(ops)
 
 
+def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # J4+A-family over the part dimension: revenue per part type via a
+    # broadcast dimension join (TPC-H Q14 shape) — exercises every
+    # remaining fixture table and the fact-side shuffle-free join
+    from cassandra_data_migration_spark.operators.joins import fk_generate_join
+
+    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
+        "l_partkey", "p_partkey"
+    )
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    return (
+        fk_generate_join(li, part, "p_partkey")
+        .groupBy("p_type")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F10/§1.1: TTL semantics — rows whose writetime+TTL elapsed are
     # dropped; NULL TTL never expires.  TTLs derived deterministically.
@@ -990,6 +1012,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "latency_harness": q_latency_harness,
     "continuous_validation_ticks": q_continuous_validation_ticks,
     "observe_progress": q_observe_progress,
+    "part_type_revenue": q_part_type_revenue,
     "ttl_expiry": q_ttl_expiry,
     "null_unset_mask": q_null_unset_mask,
     "custom_transform": q_custom_transform,
@@ -1355,14 +1378,10 @@ ORACLES: dict[str, str] = {
         FROM orders JOIN customer ON o_custkey = c_custkey
     """,
     "schema_diff": """
-        SELECT column_name AS col_name,
-               CASE lower(data_type)
-                    WHEN 'varchar' THEN 'string'
-                    WHEN 'integer' THEN 'int'
-                    ELSE lower(data_type) END AS col_type,
+        SELECT 'c_acctbal' AS col_name,
+               lower(typeof(c_acctbal)) AS col_type,
                'origin_only' AS side
-        FROM information_schema.columns
-        WHERE table_name = 'customer' AND column_name = 'c_acctbal'
+        FROM customer LIMIT 1
     """,
     "validation_summary": """
         SELECT 'orders' AS table_name,
@@ -1401,6 +1420,13 @@ ORACLES: dict[str, str] = {
         SELECT 'tick_0' AS tick, * FROM verdict
         UNION ALL
         SELECT 'tick_1', * FROM verdict
+    """,
+    "part_type_revenue": """
+        SELECT p_type,
+               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_type
     """,
     "ttl_expiry": """
         SELECT event_id, epoch_us(ts) AS _writetime,

@@ -61,3 +61,47 @@ def test_point_lookup_pushes_both_predicates(spark):
 def test_topk_is_take_ordered_not_global_sort(spark):
     plan = _plan(entry_mod.queries()["limit_n"](spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """The SCALING.md co-location claim: two tables bucketed on the join
+    key join with NO Exchange — the 100 TB validation-join strategy.
+    (Managed tables in the default warehouse; dropped afterwards.)"""
+    src = spark.range(10_000).selectExpr("id AS k", "id * 2 AS v")
+    for name in ("bkt_a", "bkt_b"):
+        (
+            src.write.mode("overwrite")
+            .bucketBy(8, "k")
+            .sortBy("k")
+            .saveAsTable(name)
+        )
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force the big-table strategy (SMJ); at 100 TB neither side
+        # broadcasts, so THIS is the plan whose shuffle matters
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # co-located: no shuffle
+        assert joined.count() == 10_000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_pure_sql_interface_over_registered_views(spark):
+    """register_views exposes every table to spark.sql — the SQL face
+    of the same declarative plans (pushdown still applies)."""
+    from cassandra_data_migration_spark.sources.tables import register_views
+
+    register_views(spark, SF_CORRECT)
+    row = spark.sql(
+        """
+        SELECT o_orderstatus, COUNT(*) AS cnt
+        FROM orders WHERE o_orderkey % 2 = 0
+        GROUP BY o_orderstatus ORDER BY cnt DESC LIMIT 1
+        """
+    ).first()
+    assert row.cnt > 0
