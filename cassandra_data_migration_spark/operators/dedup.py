@@ -27,6 +27,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.text import normalize_text
+from cassandra_data_migration_spark.parallel import with_min_parallelism
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -62,7 +63,12 @@ def shingle_sets(
     The token array is projected into a column BEFORE the
     position-transform, so ``split()`` runs once per document; inlining
     it into the lambda re-evaluates the split per shingle position
-    (O(tokens²) per doc — measured 4× slower)."""
+    (O(tokens²) per doc — measured 4× slower).
+
+    Shingling amplifies each row ~tokens×, so the input is spread to
+    cluster parallelism first (no-op when the scan already has enough
+    splits — see ``parallel.with_min_parallelism``)."""
+    df = with_min_parallelism(df)
     toked = df.select(
         F.col(id_col), F.split(F.col(text_col), " ").alias("_toks")
     )

@@ -23,6 +23,8 @@ import math
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from cassandra_data_migration_spark.parallel import with_min_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -89,7 +91,9 @@ def all_pairs_cosine(
     (n·dim·8 bytes — ~3 GB at 5M×64); beyond that, switch to
     ``lsh_bucketed_pairs`` (sub-quadratic) or tile the broadcast side.
     """
-    src = df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    src = with_min_parallelism(
+        df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    )
     pdf = src.toPandas()
     import numpy as np
     import pandas as pd
@@ -240,7 +244,7 @@ def ivf_assign(
             yield p
 
     fields = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in df.schema)
-    return df.mapInPandas(assign, f"{fields}, {out} int")
+    return with_min_parallelism(df).mapInPandas(assign, f"{fields}, {out} int")
 
 
 def ivf_topk(
