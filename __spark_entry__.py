@@ -386,6 +386,56 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full near-dup pipeline: MinHash sigs → LSH banding → exact
+    # Jaccard verify on candidates only (sub-quadratic end to end)
+    from cassandra_data_migration_spark.operators.dedup import minhash_lsh_dedup
+
+    return minhash_lsh_dedup(
+        load_table(spark, sf_dir, "documents"),
+        n=3,
+        num_hashes=4,
+        band_size=2,
+        jaccard_threshold=0.5,
+    )
+
+
+def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # IVF ANN, full-probe mode: probing all 16 inverted lists is exactly
+    # brute force, so the whole assign→probe→score path oracle-checks
+    # against the exact top-k SQL.  The approximate path (n_probe < 16)
+    # is `ivf_topk_probe` below (rows-only) + recall tests.
+    from cassandra_data_migration_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16)
+
+
+def q_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the scale path: scan ~4/16 of the corpus; approximate by design,
+    # so no SQL oracle (tests assert a recall floor vs brute force)
+    from cassandra_data_migration_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
+
+
+def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # random-hyperplane LSH buckets → same-bucket exact-cosine verify;
+    # hyperplanes are hash-derived so the oracle regenerates them in SQL
+    from cassandra_data_migration_spark.operators.similarity import lsh_bucketed_pairs
+
+    return lsh_bucketed_pairs(
+        load_table(spark, sf_dir, "embeddings"),
+        dim=64,
+        threshold=0.3,
+        num_planes=4,
+        seed=42,
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.multimodal import (
         attach_binary_payload,
@@ -989,6 +1039,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "minhash_lsh_dedup": q_minhash_lsh_dedup,
+    "ivf_topk": q_ivf_topk,
+    "ivf_topk_probe": q_ivf_topk_probe,
+    "ann_lsh_pairs": q_ann_lsh_pairs,
     "multimodal_features": q_multimodal_features,
     "stream_dual_write": q_stream_dual_write,
     "stream_windowed_rate": q_stream_windowed_rate,
@@ -1296,6 +1350,62 @@ ORACLES: dict[str, str] = {
             WHERE b.vec_id <> 0
         )
         SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "minhash_lsh_dedup": f"""
+        WITH {_SIGS_CTE},
+        cands AS (
+            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+            FROM sigs a JOIN sigs b
+              ON a.doc_id < b.doc_id
+             AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
+               OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
+        ),
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT c.id_a, c.id_b, COUNT(*) AS i
+            FROM cands c
+            JOIN sh a ON a.doc_id = c.id_a
+            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
+            GROUP BY 1, 2
+        )
+        SELECT id_a, id_b,
+               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+    """,
+    "ivf_topk": f"""
+        WITH q AS (SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0),
+        scored AS (
+            SELECT b.vec_id,
+                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4) AS cos_sim
+            FROM embeddings b, q
+        )
+        SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "ann_lsh_pairs": f"""
+        WITH planes AS (
+            SELECT p, list((s - floor(s)) * 2 - 1 ORDER BY d) AS plane
+            FROM (
+                SELECT p, d,
+                       sin(42 * 1000003 + p * 10007 + d * 101) * 43758.5453 AS s
+                FROM range(0, 4) t1(p), range(0, 64) t2(d)
+            )
+            GROUP BY p
+        ),
+        coded AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev,
+                   SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], plane) >= 0
+                            THEN (1 << p) ELSE 0 END)::INT AS bucket
+            FROM embeddings, planes
+            GROUP BY vec_id, embedding
+        )
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) AS cos_sim
+        FROM coded a JOIN coded b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        WHERE ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.3
     """,
     "embedding_near_dup": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
