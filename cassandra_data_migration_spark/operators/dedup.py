@@ -16,9 +16,11 @@ Five dedup families, each with a 100 TB-shaped plan:
 - **SimHash** — per-nibble majority vote over token hashes in one
   explode+groupBy pass; near-dups differ in few nibbles.
 
-Hash primitive is md5 (hex) so every engine computes identical
-signatures (xxhash64 would be faster JVM-side; md5 keeps the oracle
-cross-engine — swap via ``algo`` at production scale).
+Hash primitive for *signatures* is md5 (hex) so every engine computes
+identical values (the DuckDB oracle recomputes them).  *Internal join
+keys* — the shingle self-join and the LSH band key — use xxhash64:
+equality is what matters there, and an 8-byte long shuffles in a
+fraction of the bytes of a 32-char hex string.
 """
 
 from __future__ import annotations
@@ -122,9 +124,13 @@ def ngram_jaccard_pairs(
     else:
         # capped shingles change the effective set size — count them
         sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a, b = sh.alias("a"), sh.alias("b")
+    # join on the 8-byte hash of the shingle, not the string: same
+    # equality semantics (collisions ~2^-64), a fraction of the shuffle
+    # bytes — the join key is the only thing the exchange carries
+    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_hs"))
+    a, b = hashed.alias("a"), hashed.alias("b")
     inter = (
-        a.join(b, on="shingle")
+        a.join(b, on="_hs")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .groupBy(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
@@ -181,24 +187,22 @@ def lsh_candidate_pairs(
         [f"sig{i}" for i in range(b, min(b + band_size, num_hashes))]
         for b in range(0, num_hashes, band_size)
     ]
-    # ONE (band_idx, band_key, id) table + ONE self-join, instead of a
-    # join per band + union: the band index rides inside the join key,
-    # so all bands bucket in the same single shuffle
+    # ONE (band_key, id) table + ONE self-join, instead of a join per
+    # band + union: the band index is hashed INTO the 8-byte key, so
+    # all bands bucket in the same single shuffle and the exchange
+    # carries a long, not a hex string
     keys = F.array(
         *[
-            F.struct(
-                F.lit(i).alias("band"),
-                F.md5(F.concat_ws("|", *cols)).alias("key"),
-            )
+            F.xxhash64(F.lit(i), *cols)
             for i, cols in enumerate(bands)
         ]
     )
     banded = signatures.select(
-        F.col(id_col), F.explode(keys).alias("bk")
-    ).select(id_col, F.col("bk.band").alias("_band"), F.col("bk.key").alias("_key"))
+        F.col(id_col), F.explode(keys).alias("_key")
+    )
     a, b = banded.alias("a"), banded.alias("b")
     return (
-        a.join(b, on=["_band", "_key"])
+        a.join(b, on="_key")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -222,12 +226,14 @@ def minhash_lsh_dedup(
     LSH safe)."""
     sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    sh = shingle_table(df, id_col, text_col, n)
+    sh = shingle_table(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_hs")
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "shingle")
-    b = sh.select(F.col(id_col).alias("id_b"), "shingle")
+    a = sh.select(F.col(id_col).alias("id_a"), "_hs")
+    b = sh.select(F.col(id_col).alias("id_b"), "_hs")
     inter = (
-        cands.join(a, "id_a").join(b, ["id_b", "shingle"])
+        cands.join(a, "id_a").join(b, ["id_b", "_hs"])
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("inter"))
     )
