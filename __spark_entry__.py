@@ -386,6 +386,27 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # skew-salted big-big equi-join: result identical to the plain
+    # join (the oracle), physically spread over (key, salt) partitions
+    from cassandra_data_migration_spark.operators.joins import salted_equi_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus"
+    )
+    return (
+        salted_equi_join(li, orders, "o_orderkey", num_salts=8)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the full near-dup pipeline: MinHash sigs → LSH banding → exact
     # Jaccard verify on candidates only (sub-quadratic end to end)
@@ -1039,6 +1060,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "salted_join": q_salted_join,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ivf_topk": q_ivf_topk,
     "ivf_topk_probe": q_ivf_topk_probe,
@@ -1350,6 +1372,13 @@ ORACLES: dict[str, str] = {
             WHERE b.vec_id <> 0
         )
         SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
+    """,
+    "salted_join": """
+        SELECT o_orderstatus,
+               ROUND(SUM(l_extendedprice), 2) AS sum_price,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
     """,
     "minhash_lsh_dedup": f"""
         WITH {_SIGS_CTE},

@@ -101,6 +101,32 @@ def fk_generate_join(skeleton: DataFrame, dim: DataFrame, key: str) -> DataFrame
     return skeleton.join(broadcast(dim), on=key, how="inner")
 
 
+def salted_equi_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    key: str,
+    num_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-mitigated equi-join for when BOTH sides are too big to
+    broadcast and the fact side has hot keys (the Zipf-head case AQE's
+    skew splitting can miss when one key dominates a whole stage).
+
+    Each fact row picks a pseudo-random salt; the dimension side is
+    replicated ``num_salts``× with every salt value; the join key
+    becomes (key, salt), spreading each hot key over ``num_salts``
+    shuffle partitions.  The result is EXACTLY the plain join — salt
+    only routes rows — at the cost of a ``num_salts``× dimension
+    replication, so size num_salts ≈ (hot-key rows / target partition
+    rows).  Reference context: the token ring spreads hot partitions
+    the same way (docs/07-challenges-risks.md:300-325)."""
+    salt = F.floor(F.rand(42) * num_salts).cast("int")
+    salted_facts = facts.withColumn("_salt", salt)
+    salts = F.array(*[F.lit(i) for i in range(num_salts)])
+    salted_dim = dim.withColumn("_salt", F.explode(salts))
+    return salted_facts.join(salted_dim, on=[key, "_salt"], how=how).drop("_salt")
+
+
 def per_bucket_count_compare(
     origin: DataFrame,
     target: DataFrame,

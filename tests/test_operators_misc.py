@@ -59,3 +59,19 @@ def test_generation_uuid_shape(spark):
     parts = row.user_id.split("-")
     assert [len(p) for p in parts] == [8, 4, 4, 4, 12]
     assert all(c in "0123456789abcdef-" for c in row.user_id)
+
+
+def test_salted_join_equals_plain_join_on_skewed_data(spark):
+    """Salting only re-routes rows; the result must be EXACTLY the
+    plain join, including under extreme skew (one key = 90% of facts)."""
+    from cassandra_data_migration_spark.operators.joins import salted_equi_join
+
+    facts = spark.range(1000).selectExpr(
+        "CASE WHEN id < 900 THEN 7 ELSE id END AS k", "id AS v"
+    )
+    dim = spark.range(1000).selectExpr("id AS k", "id * 10 AS attr")
+    salted = salted_equi_join(facts, dim, "k", num_salts=4)
+    plain = facts.join(dim, "k")
+    assert salted.count() == plain.count() == 1000
+    assert salted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(salted).count() == 0

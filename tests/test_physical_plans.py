@@ -105,3 +105,21 @@ def test_pure_sql_interface_over_registered_views(spark):
         """
     ).first()
     assert row.cnt > 0
+
+
+def test_salted_join_spreads_hot_key_over_salt_partitions(spark):
+    """The skew-salting claim: with broadcast disabled (the big-big
+    case), the shuffle keys are (key, salt) — a hot key hashes to
+    num_salts different partitions instead of one."""
+    from cassandra_data_migration_spark.operators.joins import salted_equi_join
+
+    facts = spark.range(1000).selectExpr("id % 3 AS k", "id AS v")
+    dim = spark.range(3).selectExpr("id AS k", "id * 10 AS attr")
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(salted_equi_join(facts, dim, "k", num_salts=4))
+        assert "SortMergeJoin" in plan
+        assert "_salt" in plan  # salt is part of the join/exchange key
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
