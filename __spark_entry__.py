@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 from cassandra_data_migration_spark.operators import aggregates as agg
 from cassandra_data_migration_spark.operators import filters as flt
 from cassandra_data_migration_spark.operators import joins as jn
+from cassandra_data_migration_spark.operators.sampling import bucket_sql
 from cassandra_data_migration_spark.sources.tables import load_table
 
 # ---------------------------------------------------------------------------
@@ -465,6 +466,79 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
     return extract_features(docs).select("doc_id", "n_bytes", "content_md5")
+
+
+def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup pairs → transitive closure: min-label propagation as a
+    # driver-side loop over distributed joins (operators/graph.py);
+    # the DuckDB oracle is the same fixpoint via a recursive CTE
+    from cassandra_data_migration_spark.operators.graph import dup_clusters
+
+    return dup_clusters(
+        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
+    )
+
+
+def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stable train/val/test assignment: membership is a pure function
+    # of the row id (survives repartitioning and corpus growth)
+    from cassandra_data_migration_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.sampling import hash_sample
+
+    return hash_sample(
+        load_table(spark, sf_dir, "documents"), "doc_id", 0.25, salt="sample"
+    ).select("doc_id")
+
+
+def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-mixture assembly: per-source rates, independent draws
+    from cassandra_data_migration_spark.operators.sampling import (
+        weighted_mixture,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    short = docs.filter(F.length("text") < 330)
+    long_ = docs.filter(F.length("text") >= 330)
+    return weighted_mixture(
+        [("short", short, 0.9), ("long", long_, 0.3)], "doc_id"
+    ).select("doc_id", "source")
+
+
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # end-to-end curation pipeline: quality gate → exact-dedup keep
+    # canonical → stable split → per-split stats, one composed plan
+    from cassandra_data_migration_spark.operators.dedup import dedup_exact
+    from cassandra_data_migration_spark.operators.sampling import hash_split
+    from cassandra_data_migration_spark.operators.text import quality_features
+
+    docs = load_table(spark, sf_dir, "documents")
+    qf = quality_features(docs).filter(
+        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.02)
+    )
+    canon = (
+        dedup_exact(docs)
+        .filter(F.col("doc_id") == F.col("canonical_id"))
+        .select("doc_id")
+    )
+    kept = qf.join(canon, "doc_id")
+    return (
+        hash_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1066,6 +1140,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_topk_probe": q_ivf_topk_probe,
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "multimodal_features": q_multimodal_features,
+    "dup_clusters": q_dup_clusters,
+    "hash_split_counts": q_hash_split_counts,
+    "corpus_sample": q_corpus_sample,
+    "mixture_sample": q_mixture_sample,
+    "corpus_curation": q_corpus_curation,
     "stream_dual_write": q_stream_dual_write,
     "stream_windowed_rate": q_stream_windowed_rate,
     "csv_roundtrip": q_csv_roundtrip,
@@ -1349,6 +1428,82 @@ ORACLES: dict[str, str] = {
         JOIN sizes sa ON sa.doc_id = id_a
         JOIN sizes sb ON sb.doc_id = id_b
         WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+    """,
+    "dup_clusters": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
+        SELECT doc_id, component,
+               COUNT(*) OVER (PARTITION BY component) AS cluster_size
+        FROM comp
+    """,
+    "hash_split_counts": f"""
+        WITH b AS (SELECT {bucket_sql('doc_id')} AS bucket FROM documents)
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs
+        FROM b GROUP BY 1
+    """,
+    "corpus_sample": f"""
+        SELECT doc_id FROM documents
+        WHERE {bucket_sql('doc_id', 'sample')} < 2500
+    """,
+    "mixture_sample": f"""
+        SELECT doc_id, 'short' AS source FROM documents
+        WHERE length(text) < 330 AND {bucket_sql('doc_id', 'short')} < 9000
+        UNION ALL
+        SELECT doc_id, 'long' AS source FROM documents
+        WHERE length(text) >= 330 AND {bucket_sql('doc_id', 'long')} < 3000
+    """,
+    "corpus_curation": f"""
+        WITH qf AS (
+            SELECT doc_id,
+                   len(string_split(text, ' ')) AS n_tokens,
+                   ROUND(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(['the','a','of','to','and','in','is'], t)))::DOUBLE
+                         / len(string_split(text, ' ')), 4) AS stopword_ratio
+            FROM documents
+        ),
+        canon AS (
+            SELECT MIN(doc_id) AS doc_id
+            FROM (SELECT doc_id,
+                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+                  FROM documents)
+            GROUP BY fp
+        ),
+        kept AS (
+            SELECT qf.doc_id, qf.n_tokens
+            FROM qf JOIN canon USING (doc_id)
+            WHERE n_tokens >= 20 AND stopword_ratio >= 0.02
+        )
+        SELECT CASE WHEN {bucket_sql('doc_id')} < 8000 THEN 'train'
+                    WHEN {bucket_sql('doc_id')} < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               ROUND(AVG(n_tokens), 4) AS avg_tokens
+        FROM kept GROUP BY 1
     """,
     "minhash_signatures": f"""
         WITH {_SIGS_CTE}

@@ -223,12 +223,20 @@ def minhash_lsh_dedup(
 ) -> DataFrame:
     """The full near-dup pipeline: MinHash → LSH candidates → exact
     Jaccard re-check on candidates only (the verify step that makes
-    LSH safe)."""
-    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
-    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
-    sh = shingle_table(df, id_col, text_col, n).select(
-        F.col(id_col), F.xxhash64("shingle").alias("_hs")
+    LSH safe).
+
+    The (id, shingle) table feeds three consumers — signatures, the
+    verify-join sides, and set sizes — so it is persisted once instead
+    of re-exploding the corpus per consumer.  At 100 TB this is the
+    standard "materialize the shingle/signature table" step (cache
+    here; a real run checkpoints it to parquet and proceeds from
+    there)."""
+    sh_raw = shingle_table(df, id_col, text_col, n).persist()
+    sigs = sh_raw.groupBy(id_col).agg(
+        *[_minhash_col(i).alias(f"sig{i}") for i in range(num_hashes)]
     )
+    cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size)
+    sh = sh_raw.select(F.col(id_col), F.xxhash64("shingle").alias("_hs"))
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
     a = sh.select(F.col(id_col).alias("id_a"), "_hs")
     b = sh.select(F.col(id_col).alias("id_b"), "_hs")

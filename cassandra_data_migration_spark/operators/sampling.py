@@ -1,0 +1,107 @@
+"""Deterministic sampling operators for training-data pipelines:
+stable train/val/test splits, rate-controlled corpus sampling, and
+weighted multi-source mixtures.
+
+Why not ``df.sample()``: Spark's sampler is seed-deterministic only
+for a FIXED partitioning — adding an executor or re-splitting the
+scan reassigns rows.  A 100 TB corpus re-partitions constantly, so
+membership must be a pure function of the ROW, not of the plan.
+These operators derive a bucket in [0, 10000) from md5 of the id —
+stable across engines (the DuckDB oracle recomputes it), partitions,
+and re-runs, and it's a narrow scan-side expression: sampling pushes
+no shuffle, and a split column costs one projected expression.
+
+The same row-hash trick is what makes incremental re-processing safe:
+a doc keeps its split forever, so retraining on a grown corpus never
+leaks val docs into train.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+NUM_BUCKETS = 10_000
+
+
+def hash_bucket(col: str, salt: str = "") -> Column:
+    """Deterministic bucket in [0, 10000): the first 8 hex digits of
+    md5(salt || value) as an integer, mod 10000.  32 input bits over
+    10^4 buckets keeps modulo bias < 0.003%."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (h % NUM_BUCKETS).cast("int")
+
+
+def bucket_sql(col: str, salt: str = "") -> str:
+    """The DuckDB-equivalent expression for :func:`hash_bucket` —
+    kept beside it so the two definitions can't drift."""
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || CAST({col} AS VARCHAR)), 1, 8)"
+        f" AS BIGINT) % {NUM_BUCKETS} AS INTEGER)"
+    )
+
+
+def hash_sample(
+    df: DataFrame, id_col: str, fraction: float, salt: str = ""
+) -> DataFrame:
+    """Keep ~``fraction`` of rows, membership a pure function of the
+    id: bucket(id) < fraction·10000.  Supersets nest — a 1% sample is
+    contained in the 10% sample with the same salt, which is what
+    makes staged scale-up experiments comparable."""
+    return df.filter(hash_bucket(id_col, salt) < int(round(fraction * NUM_BUCKETS)))
+
+
+def split_column(
+    id_col: str, weights: dict[str, float], salt: str = ""
+) -> Column:
+    """Label column assigning each row to one named split with the
+    given weights (must sum to ~1).  Thresholds are cumulative over
+    the bucket space, so changing one weight only migrates rows
+    across the one moved boundary."""
+    b = hash_bucket(id_col, salt)
+    names = list(weights)
+    cum = 0.0
+    expr = None
+    for name in names[:-1]:
+        cum += weights[name]
+        cond = b < int(round(cum * NUM_BUCKETS))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = F.lit(names[-1]) if expr is None else expr.otherwise(names[-1])
+    return last
+
+
+def hash_split(
+    df: DataFrame,
+    id_col: str,
+    weights: dict[str, float],
+    salt: str = "",
+    out: str = "split",
+) -> DataFrame:
+    """Add a stable train/val/test-style ``split`` column."""
+    return df.withColumn(out, split_column(id_col, weights, salt))
+
+
+def weighted_mixture(
+    sources: list[tuple[str, DataFrame, float]], id_col: str
+) -> DataFrame:
+    """Union of per-source hash samples with a ``source`` label —
+    the dataset-mixture step of corpus assembly (e.g. web 30%, books
+    90%).  Each source is salted with its own name so membership
+    draws are independent across sources; the union is narrow (no
+    shuffle), so the mixture costs exactly the underlying scans."""
+    parts = [
+        hash_sample(df, id_col, frac, salt=name).withColumn(
+            "source", F.lit(name)
+        )
+        for name, df, frac in sources
+    ]
+    outp = parts[0]
+    for p in parts[1:]:
+        outp = outp.unionByName(p)
+    return outp

@@ -1,0 +1,82 @@
+"""Connected components (operators/graph.py) and deterministic
+sampling (operators/sampling.py) unit/property tests."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.graph import connected_components
+from cassandra_data_migration_spark.operators.sampling import (
+    hash_bucket,
+    hash_sample,
+    hash_split,
+    weighted_mixture,
+)
+from tests.conftest import SF_CORRECT
+
+
+def _cc(spark, edges, nodes):
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    out = connected_components(e, n, "id")
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_cc_chain_converges_past_one_round(spark):
+    # a 6-node path: min label must propagate the full diameter,
+    # which exercises the fixpoint loop (one round is not enough)
+    got = _cc(spark, [(i, i + 1) for i in range(1, 6)], range(1, 7))
+    assert got == {i: 1 for i in range(1, 7)}
+
+
+def test_cc_singletons_and_two_components(spark):
+    got = _cc(spark, [(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 99])
+    assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10, 99: 99}
+
+
+def test_cc_ignores_self_loops_and_direction(spark):
+    got = _cc(spark, [(5, 5), (7, 4)], [4, 5, 7])
+    assert got == {4: 4, 5: 5, 7: 4}
+
+
+def test_hash_sample_nests_and_is_plan_independent(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
+    big = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.4).collect()}
+    assert small < big  # supersets nest for a fixed salt
+    # membership survives an arbitrary repartitioning (pure row function)
+    re = {
+        r["doc_id"]
+        for r in hash_sample(docs.repartition(7), "doc_id", 0.1).collect()
+    }
+    assert re == small
+
+
+def test_hash_split_is_total_and_disjoint(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    out = hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
+    counts = {r["split"]: r["n"] for r in out.groupBy("split").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(counts.values()) == docs.count()
+    assert set(counts) == {"train", "val", "test"}
+    assert counts["train"] > counts["val"]  # weights roughly respected
+
+
+def test_salt_decorrelates_buckets(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    b = docs.select(
+        hash_bucket("doc_id", "a").alias("ba"),
+        hash_bucket("doc_id", "b").alias("bb"),
+    )
+    frac_equal = b.filter(F.col("ba") == F.col("bb")).count() / b.count()
+    assert frac_equal < 0.01  # independent draws collide ~1/10000
+
+
+def test_weighted_mixture_sources_and_rates(spark):
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    mix = weighted_mixture([("all", docs, 1.0), ("none", docs, 0.0)], "doc_id")
+    counts = {
+        r["source"]: r["n"]
+        for r in mix.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert counts.get("all") == docs.count()
+    assert "none" not in counts
