@@ -541,6 +541,48 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-length chunking: corpus → fixed-token-budget sequences
+    from cassandra_data_migration_spark.operators.text import chunk_documents
+
+    return chunk_documents(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=32
+    )
+
+
+def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # pattern redaction (PII-scrub shape) + per-doc audit count
+    from cassandra_data_migration_spark.operators.text import redact
+
+    return redact(
+        load_table(spark, sf_dir, "documents"),
+        pattern=r"\bcustomer\b",
+        replacement="<ENTITY>",
+    )
+
+
+def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-k per group: the per-partition LIMIT k read as a window rank
+    from cassandra_data_migration_spark.operators.windows import top_k_per_key
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", "n_chars"
+    )
+    return top_k_per_key(
+        docs, ["lang"], "n_chars", k=3, descending=True, tiebreak=["doc_id"]
+    )
+
+
+def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-label embedding centroids via exact decimal sums (order-
+    # independent, so bit-identical across engines and partitionings)
+    from cassandra_data_migration_spark.operators.similarity import (
+        label_centroids,
+    )
+
+    return label_centroids(load_table(spark, sf_dir, "embeddings"))
+
+
 # ---------------------------------------------------------------------------
 # file staging (S4-S8), Migrate pipeline (S10/T4/T5), reconciliation
 # extras (J3+LWW, U2, Z3, Z8), scalar/metadata extras (F9, F13, counters)
@@ -1145,6 +1187,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_sample": q_corpus_sample,
     "mixture_sample": q_mixture_sample,
     "corpus_curation": q_corpus_curation,
+    "doc_chunks": q_doc_chunks,
+    "pii_redact": q_pii_redact,
+    "topk_per_group": q_topk_per_group,
+    "label_centroids": q_label_centroids,
     "stream_dual_write": q_stream_dual_write,
     "stream_windowed_rate": q_stream_windowed_rate,
     "csv_roundtrip": q_csv_roundtrip,
@@ -1476,6 +1522,40 @@ ORACLES: dict[str, str] = {
         UNION ALL
         SELECT doc_id, 'long' AS source FROM documents
         WHERE length(text) >= 330 AND {bucket_sql('doc_id', 'long')} < 3000
+    """,
+    "doc_chunks": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS chunk_id
+            FROM t
+        )
+        SELECT doc_id, chunk_id,
+               array_to_string(list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32), ' ') AS chunk_text,
+               len(list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32)) AS n_chunk_tokens
+        FROM c
+    """,
+    "pii_redact": """
+        SELECT doc_id,
+               regexp_replace(text, '\\bcustomer\\b', '<ENTITY>', 'g') AS redacted,
+               len(regexp_extract_all(text, '\\bcustomer\\b')) AS n_redacted
+        FROM documents
+    """,
+    "topk_per_group": """
+        SELECT doc_id, lang, n_chars FROM (
+            SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
+                PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
+            FROM documents
+        ) WHERE rn <= 3
+    """,
+    "label_centroids": """
+        SELECT label, i AS pos,
+               ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE)
+                     / COUNT(*), 4) AS centroid
+        FROM embeddings, range(1, 65) t(i)
+        GROUP BY 1, 2
     """,
     "corpus_curation": f"""
         WITH qf AS (

@@ -306,3 +306,36 @@ def cosine_topk_arrow(
         .orderBy(F.desc("cos_sim"), F.asc(id_col))
         .limit(k)
     )
+
+
+def label_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    label_col: str = "label",
+    dim: int = 64,
+) -> DataFrame:
+    """Per-label centroid in long form: (label, pos, centroid) with
+    1-based positions — the class-prototype computation behind
+    centroid classifiers and IVF coarse quantizers.
+
+    Elementwise means are accumulated as DECIMAL sums: decimal
+    addition is exact and therefore order-independent, so the result
+    is bit-identical regardless of partitioning or aggregation order
+    (float sums are not — each plan reorders them).  One explode + one
+    grouped aggregation; the shuffle carries (label, pos, partial sum)
+    = num_labels × dim rows after map-side combine, independent of
+    corpus size."""
+    flat = df.select(
+        F.col(label_col).alias("label"),
+        F.col(vec_col).alias("_v"),
+        F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("pos"),
+    ).select(
+        "label",
+        F.col("pos").cast("long").alias("pos"),
+        F.element_at(F.col("_v"), F.col("pos")).cast("decimal(20,10)").alias("_val"),
+    )
+    return flat.groupBy("label", "pos").agg(
+        F.round(
+            F.sum("_val").cast("double") / F.count(F.lit(1)), 4
+        ).alias("centroid")
+    )

@@ -133,3 +133,57 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Context-length chunking: split each document into consecutive
+    fixed-token-budget chunks — the training-prep step that turns a
+    corpus into model-ingestible sequences.
+
+    (doc_id, chunk_id, chunk_text, n_chunk_tokens); the final chunk
+    carries the remainder.  A narrow explode over scan-side
+    expressions: no shuffle, output rows ≈ total_tokens/chunk_tokens,
+    so it scales with corpus token count, not document count."""
+    toked = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    n_chunks = F.ceil(F.size("_toks") / F.lit(chunk_tokens)).cast("int")
+    exploded = toked.select(
+        F.col(id_col),
+        F.col("_toks"),
+        F.explode(F.sequence(F.lit(0), n_chunks - 1)).alias("chunk_id"),
+    )
+    piece = F.slice(
+        F.col("_toks"), F.col("chunk_id") * chunk_tokens + 1, chunk_tokens
+    )
+    return exploded.select(
+        F.col(id_col),
+        F.col("chunk_id").cast("long").alias("chunk_id"),
+        F.concat_ws(" ", piece).alias("chunk_text"),
+        F.size(piece).cast("long").alias("n_chunk_tokens"),
+    )
+
+
+def redact(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    pattern: str = r"[0-9]+(\.[0-9]+)?",
+    replacement: str = "<NUM>",
+) -> DataFrame:
+    """Pattern redaction (PII-scrub shape): replace every regex match
+    with a placeholder token and count replacements per document.
+    Pure scan-side regex — Spark's regexp_replace is global, and the
+    match count doubles as the audit metric a scrub pipeline reports.
+    Patterns must stay inside the RE2-compatible subset (no
+    lookarounds) so external engines (and the DuckDB oracle) agree."""
+    return df.select(
+        F.col(id_col),
+        F.regexp_replace(F.col(text_col), pattern, replacement).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pattern), 0)).cast(
+            "long"
+        ).alias("n_redacted"),
+    )
