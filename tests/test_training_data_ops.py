@@ -149,3 +149,48 @@ def test_ivf_topk_full_probe_is_exact_and_recall_tunes(spark):
     ]
     recall = len(set(approx) & set(exact)) / 10
     assert recall >= 0.3  # observed 0.7 with these fixtures; floor w/ margin
+
+
+def test_chunk_documents_reconstructs_corpus(spark):
+    """Chunks are a partition of the token stream: re-concatenating a
+    doc's chunks in chunk_id order reproduces the original text, every
+    chunk except the last is exactly the budget, none exceed it."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.text import chunk_documents
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    chunks = chunk_documents(docs, chunk_tokens=32)
+    rebuilt = (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.concat_ws(
+                " ", F.array_sort(F.collect_list(F.struct("chunk_id", "chunk_text"))).getField("chunk_text")
+            ).alias("rebuilt"),
+            F.max("n_chunk_tokens").alias("max_tokens"),
+        )
+        .join(docs.select("doc_id", "text"), "doc_id")
+    )
+    assert rebuilt.filter(F.col("rebuilt") != F.col("text")).count() == 0
+    assert rebuilt.filter(F.col("max_tokens") > 32).count() == 0
+    # every non-final chunk is full
+    non_final = chunks.alias("c").join(
+        chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last")).alias("m"),
+        "doc_id",
+    ).filter(F.col("chunk_id") < F.col("last"))
+    assert non_final.filter(F.col("n_chunk_tokens") != 32).count() == 0
+
+
+def test_redact_audit_count_matches_replacements(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.text import redact
+
+    docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+    red = redact(docs, pattern=r"\bcustomer\b", replacement="<ENTITY>")
+    assert red.agg(F.sum("n_redacted")).first()[0] > 0  # pattern fires
+    # placeholder occurrences in output == audited count
+    occ = F.size(F.split(F.col("redacted"), "<ENTITY>", -1)) - 1
+    assert red.filter(occ != F.col("n_redacted")).count() == 0
+    # redacted text no longer matches the pattern
+    assert red.filter(F.col("redacted").rlike(r"\bcustomer\b")).count() == 0
