@@ -947,8 +947,8 @@ def q_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z6: deterministic op-mix assignment + end-of-run report (hash draw
-    # is xxhash64 — engine-specific, so this entry is rows-only checked)
+    # Z6: deterministic op-mix assignment + end-of-run report — draws
+    # are md5-derived, so the oracle regenerates the whole mix in SQL
     from cassandra_data_migration_spark.streaming.traffic import (
         assign_ops,
         traffic_report,
@@ -1075,11 +1075,16 @@ def q_uuid_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_synthetic_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S11: seeded synthetic generation (generate_data.py:29-66) —
-    # hash-derived draws, engine-specific → rows-only checked
+    # S11: seeded synthetic generation (generate_data.py:29-66) — every
+    # draw is md5-derived, so the oracle regenerates the TABLE in SQL
+    # (value-checked generation, not just row counts)
     from cassandra_data_migration_spark.generate import generate_users
 
-    return generate_users(spark, count=200, seed=42)
+    return (
+        generate_users(spark, count=200, seed=42)
+        .withColumn("prefs_json", F.to_json("preferences"))
+        .drop("preferences")
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1314,7 +1319,63 @@ _COS_SIM = (
 )
 
 
+def _synthetic_users_oracle() -> str:
+    """Regenerates generate_users(count=200, seed=42) entirely in SQL:
+    every draw is functions/hashing.md5_draw, which DuckDB recomputes
+    bit-identically (seed layout mirrors generate.generate_users)."""
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    def d(seed: int) -> str:
+        return md5_draw_sql(seed, "id")
+
+    firsts = "['john','jane','alex','maria','wei','ana','omar','lena']"
+    lasts = "['smith','garcia','chen','mueller','silva','khan','ito','novak']"
+    statuses = "['active','inactive','suspended']"
+    return f"""
+        WITH base AS (
+            SELECT id,
+                   md5(concat_ws(':', '42', CAST(id AS VARCHAR))) AS uh,
+                   {firsts}[{d(43)} % 8 + 1] AS first,
+                   {lasts}[{d(44)} % 8 + 1] AS last
+            FROM range(200) t(id)
+        )
+        SELECT concat_ws('-', substr(uh,1,8), substr(uh,9,4), substr(uh,13,4),
+                         substr(uh,17,4), substr(uh,21,12)) AS user_id,
+               first || '.' || last || CAST(id AS VARCHAR) AS username,
+               first || '.' || last || CAST(id AS VARCHAR) || '@example.com' AS email,
+               upper(substr(first,1,1)) || substr(first,2) AS first_name,
+               upper(substr(last,1,1)) || substr(last,2) AS last_name,
+               TIMESTAMP '2024-01-01 00:00:00' + to_seconds({d(45)} % 31536000) AS created_at,
+               {statuses}[{d(46)} % 3 + 1] AS status,
+               printf('%d Main St, City %d', {d(47)} % 9999, {d(48)} % 100) AS address,
+               printf('+1-555-%07d', {d(49)} % 10000000) AS phone,
+               '{{"theme":"' || ['dark','light'][{d(50)} % 2 + 1] ||
+               '","notifications":"' || ['on','off'][{d(51)} % 2 + 1] ||
+               '","language":"' || ['en','es','fr'][{d(52)} % 3 + 1] || '"}}' AS prefs_json
+        FROM base
+    """
+
+
+def _traffic_ops_mix_oracle() -> str:
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    return f"""
+        WITH d AS (
+            SELECT {md5_draw_sql(42, "event_id")} AS draw FROM events
+        ),
+        f AS (SELECT (draw % 100) < 75 AS is_read FROM d)
+        SELECT COUNT(*) AS total_ops,
+               SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS reads,
+               SUM(CASE WHEN NOT is_read THEN 1 ELSE 0 END) AS writes,
+               ROUND(100.0 * SUM(CASE WHEN is_read THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 2) AS read_pct
+        FROM f
+    """
+
+
 ORACLES: dict[str, str] = {
+    "synthetic_users": _synthetic_users_oracle(),
+    "traffic_ops_mix": _traffic_ops_mix_oracle(),
     "pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                ROUND(SUM(l_quantity), 2) AS sum_qty,

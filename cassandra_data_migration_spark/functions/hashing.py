@@ -48,3 +48,26 @@ def with_row_hash(
 ) -> DataFrame:
     fn = row_md5 if algo == "md5" else row_xxhash
     return df.withColumn(out, fn(df, cols))
+
+
+def md5_draw(seed: int | str, *cols: Column | str) -> Column:
+    """Deterministic non-negative 60-bit draw from (seed, cols): the
+    integer value of the first 15 hex digits of md5("seed:v1:v2…") —
+    the portable analogue of a seeded RNG.  Any engine (including the
+    DuckDB correctness oracle) recomputes identical draws from the
+    same row; xxhash64 is ~3× cheaper but Spark-only, so it is kept
+    for internal join keys where only equality matters.  15 hex
+    digits = 60 bits, inside BIGINT range everywhere."""
+    parts = [F.lit(str(seed))] + [
+        (F.col(c) if isinstance(c, str) else c).cast("string") for c in cols
+    ]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws(":", *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def md5_draw_sql(seed: int | str, *exprs: str) -> str:
+    """DuckDB twin of :func:`md5_draw`, kept beside it so the two
+    definitions cannot drift."""
+    joined = ", ".join([f"'{seed}'"] + [f"CAST({e} AS VARCHAR)" for e in exprs])
+    return f"CAST('0x' || substr(md5(concat_ws(':', {joined})), 1, 15) AS BIGINT)"

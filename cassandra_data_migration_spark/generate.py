@@ -8,9 +8,11 @@ through a driver-side loop.  Re-expressed Spark-first:
   linear in cluster size (a 100 TB synthetic corpus is just a bigger
   ``n`` with more partitions; no driver loop, no collect).
 - Every "random" value is a pure function of (seed, row id) via
-  ``xxhash64`` — partition-count-independent and reproducible
-  (SURVEY.md §7.4.3), unlike ``rand()`` whose draw depends on the
-  physical partitioning.
+  ``functions.hashing.md5_draw`` — partition-count-independent,
+  reproducible (SURVEY.md §7.4.3) unlike ``rand()`` whose draw
+  depends on the physical partitioning, and portable: the DuckDB
+  oracle recomputes identical draws, so generated tables are
+  value-checked, not just row-counted.
 - UUIDs are md5-derived canonical 36-char strings, so FK sampling
   (orders → users, lab/scripts/generate_data.py:113) can recompute a
   referenced key arithmetically instead of collecting key arrays.
@@ -21,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_data_migration_spark.functions.hashing import md5_draw
 from cassandra_data_migration_spark.schema import ORDERS, PRODUCTS, USER_ACTIVITY, USERS
 
 FIRST_NAMES = ["john", "jane", "alex", "maria", "wei", "ana", "omar", "lena"]
@@ -33,8 +36,9 @@ EPOCH_2024_S = 1704067200  # 2024-01-01T00:00:00Z
 
 
 def _h(seed: int, *cols: Column | str) -> Column:
-    """Deterministic non-negative 64-bit draw from (seed, cols)."""
-    return F.abs(F.xxhash64(F.lit(seed), *[F.col(c) if isinstance(c, str) else c for c in cols]))
+    """Deterministic non-negative draw from (seed, cols) — md5-derived
+    so the DuckDB oracle recomputes it (functions/hashing.md5_draw)."""
+    return md5_draw(seed, *cols)
 
 
 def _pick(options: list[str], seed: int, id_col: str = "id") -> Column:

@@ -35,8 +35,12 @@ def assign_ops(
     seed: int = 42,
 ) -> DataFrame:
     """Deterministic op-mix assignment: is_read from a hash draw at
-    ``read_ratio`` (75/25 default), op type uniform within its class."""
-    draw = F.abs(F.xxhash64(F.lit(seed), F.col(id_col)))
+    ``read_ratio`` (75/25 default), op type uniform within its class.
+    The draw is md5-derived (functions/hashing.md5_draw) so a given
+    ops log is reproducible by ANY engine, including the oracle."""
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    draw = md5_draw(seed, id_col)
     is_read = (draw % 100) < int(read_ratio * 100)
     read_arr = F.array(*[F.lit(o) for o in READ_OPS])
     write_arr = F.array(*[F.lit(o) for o in WRITE_OPS])
