@@ -1145,6 +1145,48 @@ def q_stream_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gap-based sessionization of the events stream (8h idle gap —
+    # median inter-event gap in the synthetic table is ~7.3h, so
+    # sessions are non-trivial in both directions)
+    from cassandra_data_migration_spark.operators.windows import sessionize
+
+    return sessionize(
+        load_table(spark, sf_dir, "events"), gap_seconds=28800
+    )
+
+
+def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher-style repetition quality signals over documents
+    from cassandra_data_migration_spark.operators.text import repetition_signals
+
+    return repetition_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # train-test overlap scrub: benchmark = the md5-bucket<1000 (10%)
+    # slice of documents, corpus = the rest; flag corpus docs sharing
+    # any 3-gram with the benchmark
+    from cassandra_data_migration_spark.operators.sampling import hash_bucket
+    from cassandra_data_migration_spark.operators.text import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", "bench")
+    return decontaminate(
+        docs.filter(bucket >= 1000), docs.filter(bucket < 1000), n=3
+    )
+
+
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SemDeDup: coarse clusters (8 md5-seeded centroids), drop
+    # within-cluster cosine>=0.45 near-dups, keep min-id reps
+    from cassandra_data_migration_spark.operators.similarity import semantic_dedup
+
+    return semantic_dedup(
+        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
+    )
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -1230,6 +1272,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
     "bucket_count_compare": q_bucket_count_compare,
+    "event_sessions": q_event_sessions,
+    "repetition_signals": q_repetition_signals,
+    "decontaminate": q_decontaminate,
+    "semantic_dedup": q_semantic_dedup,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -1949,6 +1995,93 @@ ORACLES: dict[str, str] = {
                COALESCE(target_cnt, 0) AS target_cnt
         FROM o FULL OUTER JOIN t ON o.bucket = t.bucket
         WHERE COALESCE(origin_cnt, 0) <> COALESCE(target_cnt, 0)
+    """,
+    "event_sessions": """
+        WITH e AS (
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events
+        ),
+        f AS (
+            SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                             OR sec - lag(sec) OVER w > 28800
+                           THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM f
+        )
+        SELECT user_id, session_id, COUNT(*) AS n_events,
+               MIN(ts) AS session_start, MAX(ts) AS session_end,
+               MAX(sec) - MIN(sec) AS duration_s
+        FROM s GROUP BY user_id, session_id
+    """,
+    "repetition_signals": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        bg AS (
+            SELECT doc_id, unnest(list_transform(
+                range(1, greatest(len(toks) - 1, 1) + 1),
+                i -> array_to_string(list_slice(toks, i, i + 1), ' ')
+            )) AS bigram
+            FROM tk
+        ),
+        cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+        agg AS (
+            SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac
+            FROM cnt GROUP BY 1
+        )
+        SELECT t.doc_id,
+               ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4)
+                   AS distinct_token_ratio,
+               a.top_bigram_frac
+        FROM tk t JOIN agg a ON t.doc_id = a.doc_id
+    """,
+    "decontaminate": f"""
+        WITH {_SHINGLES_CTE},
+        bench AS (
+            SELECT DISTINCT shingle FROM sh
+            WHERE {bucket_sql('doc_id', 'bench')} < 1000
+        )
+        SELECT s.doc_id, COUNT(*) AS n_overlap
+        FROM sh s JOIN bench b ON s.shingle = b.shingle
+        WHERE {bucket_sql('s.doc_id', 'bench')} >= 1000
+        GROUP BY s.doc_id
+    """,
+    "semantic_dedup": f"""
+        WITH cents AS (
+            SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_v
+            FROM embeddings
+            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
+        scored AS (
+            SELECT v.vec_id, v.ev, c.c_id,
+                   ROUND({_COS_SIM.replace('a_v', 'v.ev').replace('b_v', 'c.c_v')}, 4)
+                       AS cos4
+            FROM v CROSS JOIN cents c
+        ),
+        assign AS (
+            SELECT vec_id, ev, c_id AS cluster FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY vec_id ORDER BY cos4 DESC, c_id ASC) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        dropped AS (
+            SELECT DISTINCT b.vec_id
+            FROM assign a JOIN assign b
+              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+            WHERE ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
+        )
+        SELECT a.vec_id, a.cluster,
+               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
     """,
 }
 

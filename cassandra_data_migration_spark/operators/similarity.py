@@ -308,6 +308,78 @@ def cosine_topk_arrow(
     )
 
 
+def semantic_dedup(
+    df: DataFrame,
+    n_clusters: int = 8,
+    threshold: float = 0.45,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., 2023):
+    cluster embeddings around coarse centroids, then inside each
+    cluster drop every vector that has a ≥``threshold``-cosine
+    neighbor with a smaller id — one representative per semantic
+    near-dup group survives.  Returns (id, cluster, kept 1/0).
+
+    Centroids are the ``n_clusters`` corpus vectors with the smallest
+    md5(id) (same deterministic seed-sample as ``ivf_centroids``; a
+    k-means refinement drops in without changing the dataflow).
+    Physical plan: assignment is a broadcast of k centroid literals
+    evaluated in the scan stage (no shuffle); the within-cluster pair
+    scoring shuffles once on the cluster id.  The quadratic pair step
+    is the point of the clustering — with k ∝ √N clusters, expected
+    cluster size is √N and total pair work ≈ N^1.5, vs N² for the
+    global all-pairs; skewed clusters fall back to the salted-join
+    pattern.  Ties in nearest-centroid assignment break to the
+    smallest centroid id on the ROUNDED (4-dp) cosine, which keeps
+    assignment reproducible across engines and partitionings.
+    """
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")))
+        .limit(n_clusters)
+        .collect()
+    )
+    cents = sorted(
+        (r[id_col], [float(x) for x in r[vec_col]]) for r in rows
+    )
+    v = F.col(vec_col).cast("array<double>")
+    scored = df.select(F.col(id_col), v.alias("_v"))
+    cos_names = []
+    for c_id, c_vec in cents:
+        name = f"_cos_{c_id}"
+        lit_c = F.array(*[F.lit(x) for x in c_vec])
+        scored = scored.withColumn(name, F.round(cosine(F.col("_v"), lit_c), 4))
+        cos_names.append((c_id, name))
+    best = F.greatest(*[F.col(n) for _, n in cos_names])
+    cluster = F.lit(None).cast("long")
+    # reversed: the smallest centroid id wins rounded-cosine ties
+    for c_id, name in reversed(cos_names):
+        cluster = F.when(F.col(name) == best, F.lit(c_id)).otherwise(cluster)
+    assigned = scored.select(
+        F.col(id_col), F.col("_v"), cluster.alias("cluster")
+    )
+    a, b = assigned.alias("a"), assigned.alias("b")
+    dropped = (
+        a.join(b, "cluster")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.round(cosine(F.col("a._v"), F.col("b._v")), 4) >= threshold)
+        .select(F.col(f"b.{id_col}").alias(id_col))
+        .distinct()
+        .withColumn("_dropped", F.lit(1))
+    )
+    return (
+        assigned.join(dropped, id_col, "left")
+        .select(
+            F.col(id_col),
+            "cluster",
+            F.when(F.col("_dropped").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .alias("kept"),
+        )
+    )
+
+
 def label_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

@@ -135,6 +135,81 @@ def word_shingles(text_col: str, n: int = 3) -> Column:
     )
 
 
+def repetition_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style repetition quality signals per document:
+
+    - ``distinct_token_ratio`` — |distinct tokens| / |tokens| (low ⇒
+      the doc loops over few words);
+    - ``top_bigram_frac`` — occurrences of the single most frequent
+      word bigram / total bigrams (high ⇒ boilerplate/template spam).
+
+    Cf. Rae et al., "Scaling Language Models: ... Gopher" (2021),
+    Appendix A quality filters.  Physical plan: the distinct ratio is
+    narrow (array ops in the scan stage); the bigram mode needs one
+    explode + two hash aggregates on (doc, bigram) — partial
+    (map-side) aggregation absorbs most of the n-gram volume before
+    the shuffle, so shuffled rows ≈ distinct (doc, bigram) pairs, not
+    total n-grams.  No joins: the ratio rides the groupBy key (it is
+    functionally dependent on the doc id).
+    """
+    toks = tokens(text_col)
+    base = df.select(
+        F.col(id_col),
+        F.round(
+            F.size(F.array_distinct(toks)) / F.size(toks), 4
+        ).alias("distinct_token_ratio"),
+        F.explode(word_shingles(text_col, 2)).alias("_bigram"),
+    )
+    per_bigram = base.groupBy(id_col, "distinct_token_ratio", "_bigram").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    return per_bigram.groupBy(id_col, "distinct_token_ratio").agg(
+        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac")
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus documents sharing any
+    word ``n``-gram with a held-out benchmark/eval set — the standard
+    train-test-overlap scrub (cf. GPT-3 §C / PaLM app. — n-gram
+    collision decontamination).  Returns (id, n_overlap) for
+    contaminated docs only; anti-join the result against the corpus
+    to materialize the clean training set.
+
+    Physical plan: the benchmark n-gram set is tiny relative to the
+    corpus (eval suites are ~10⁴ docs vs ~10⁹), so it is broadcast —
+    the corpus side streams through a broadcast-hash semi-join inside
+    its scan stage with NO corpus shuffle; the only exchange is the
+    final per-doc count aggregate of surviving (rare) hits.  At
+    100 TB, pre-hash shingles to 64-bit (xxhash64) to shrink both the
+    broadcast table and the probe keys; exact strings are kept here
+    so the DuckDB oracle can recompute them.
+    """
+    c_sh = corpus.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("_sh"),
+    )
+    b_sh = (
+        benchmark.select(
+            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("_sh")
+        )
+        .distinct()
+    )
+    return (
+        c_sh.join(F.broadcast(b_sh), "_sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+
+
 def chunk_documents(
     df: DataFrame,
     id_col: str = "doc_id",

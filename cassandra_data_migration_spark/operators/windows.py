@@ -69,6 +69,52 @@ def clustering_sort(
     )
 
 
+def sessionize(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap_seconds: int = 1800,
+    tiebreak: str = "event_id",
+) -> DataFrame:
+    """Gap-based sessionization of an event stream: a new session
+    starts whenever a user is idle longer than ``gap_seconds``.
+    Returns one row per session: (user, session_id, n_events,
+    session_start, session_end, duration_s).
+
+    The batch twin of Structured Streaming's ``F.session_window``
+    (streaming pipelines use that directly); here expressed as
+    lag → flag → running sum → aggregate.  Physical plan: ONE hash
+    shuffle on the user key; the lag/sum windows and the final
+    per-session aggregate all reuse that partitioning (Catalyst
+    collapses them into a single sort within partitions), so cost is
+    O(|events|) rows shuffled regardless of session count.  Skewed
+    power users are bounded by per-user event counts, not corpus
+    size; state never leaves the executor.
+    """
+    w = Window.partitionBy(user_col).orderBy(ts_col, tiebreak)
+    prev = F.lag(F.col(ts_col).cast("long")).over(w)
+    is_new = F.when(
+        prev.isNull() | ((F.col(ts_col).cast("long") - prev) > gap_seconds),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run = Window.partitionBy(user_col).orderBy(ts_col, tiebreak).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    with_sess = df.withColumn("session_id", F.sum(is_new).over(run))
+    return (
+        with_sess.groupBy(user_col, "session_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min(ts_col).alias("session_start"),
+            F.max(ts_col).alias("session_end"),
+            (
+                F.max(F.col(ts_col).cast("long"))
+                - F.min(F.col(ts_col).cast("long"))
+            ).alias("duration_s"),
+        )
+    )
+
+
 def running_delta(df: DataFrame, partition_by: list[str], order_by: str, value: str) -> DataFrame:
     """Per-key lag delta (value - previous value in clustering order) —
     the building block for rate-of-change monitoring queries."""

@@ -194,3 +194,103 @@ def test_redact_audit_count_matches_replacements(spark):
     assert red.filter(occ != F.col("n_redacted")).count() == 0
     # redacted text no longer matches the pattern
     assert red.filter(F.col("redacted").rlike(r"\bcustomer\b")).count() == 0
+
+
+def test_sessionize_splits_on_gap(spark):
+    from cassandra_data_migration_spark.operators.windows import sessionize
+
+    rows = [
+        # user 1: events at t=0, 100, 5000 with gap 1000 → sessions {0,100}, {5000}
+        (1, 1, "2024-01-01 00:00:00"),
+        (2, 1, "2024-01-01 00:01:40"),
+        (3, 1, "2024-01-01 01:23:20"),
+        # user 2: a single event → one singleton session
+        (4, 2, "2024-01-01 00:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, gap_seconds=1000).collect()
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r.user_id, []).append(r)
+    assert len(by_user[1]) == 2
+    first, second = sorted(by_user[1], key=lambda r: r.session_id)
+    assert first.n_events == 2 and first.duration_s == 100
+    assert second.n_events == 1 and second.duration_s == 0
+    assert len(by_user[2]) == 1 and by_user[2][0].n_events == 1
+
+
+def test_sessionize_conserves_events_and_bounds_gaps(spark):
+    from cassandra_data_migration_spark.operators.windows import sessionize
+
+    events = load_table(spark, SF_CORRECT, "events")
+    sess = sessionize(events, gap_seconds=28800)
+    # every event lands in exactly one session
+    assert sess.agg(F.sum("n_events")).first()[0] == events.count()
+    # sessions of one user never overlap: total session time <= user span
+    spans = sess.groupBy("user_id").agg(
+        F.sum("duration_s").alias("in_session"),
+        (
+            F.max(F.col("session_end").cast("long"))
+            - F.min(F.col("session_start").cast("long"))
+        ).alias("span"),
+    )
+    assert spans.filter(F.col("in_session") > F.col("span")).count() == 0
+
+
+def test_repetition_signals_crafted(spark):
+    from cassandra_data_migration_spark.operators.text import repetition_signals
+
+    df = spark.createDataFrame(
+        [
+            (1, "a a a a"),          # 1 distinct / 4 tokens; all bigrams "a a"
+            (2, "w x y z"),          # all distinct; 3 distinct bigrams
+        ],
+        "doc_id long, text string",
+    )
+    out = {r.doc_id: r for r in repetition_signals(df).collect()}
+    assert out[1].distinct_token_ratio == 0.25
+    assert out[1].top_bigram_frac == 1.0
+    assert out[2].distinct_token_ratio == 1.0
+    assert round(out[2].top_bigram_frac, 4) == round(1 / 3, 4)
+
+
+def test_decontaminate_flags_only_overlapping_docs(spark):
+    from cassandra_data_migration_spark.operators.text import decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps"),   # shares "quick brown fox"
+            (2, "totally different words here"),
+            (3, "quick brown fox quick brown fox again"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "a quick brown fox appears")], "doc_id long, text string"
+    )
+    out = {r.doc_id: r.n_overlap for r in decontaminate(corpus, bench, n=3).collect()}
+    assert 1 in out and 3 in out and 2 not in out
+    # doc 3's distinct 3-grams overlap only on "quick brown fox"
+    assert out[3] == 1
+
+
+def test_semantic_dedup_drops_exact_clones_keeps_min_id(spark):
+    from cassandra_data_migration_spark.operators.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    # plant a clone of vec 7 with a higher id: it must be dropped
+    clone = emb.filter(F.col("vec_id") == 7).withColumn("vec_id", F.lit(90007))
+    out = semantic_dedup(emb.unionByName(clone), n_clusters=8, threshold=0.45)
+    rows = {r.vec_id: r for r in out.collect()}
+    assert rows[90007].kept == 0
+    assert rows[7].kept == 1
+    assert rows[90007].cluster == rows[7].cluster
+    # partitioning must not change the verdict (determinism at scale)
+    out2 = semantic_dedup(
+        emb.unionByName(clone).repartition(13), n_clusters=8, threshold=0.45
+    )
+    assert {(r.vec_id, r.cluster, r.kept) for r in out2.collect()} == {
+        (r.vec_id, r.cluster, r.kept) for r in out.collect()
+    }
