@@ -178,9 +178,12 @@ def lsh_bucketed_pairs(
     """Near-dup pairs, sub-quadratic: bucket → same-bucket pairs →
     exact cosine verify.  Recall < 1 by design (tune num_planes /
     multi-probe for the target recall)."""
+    # norm once per row before the join — the per-pair expression is
+    # then a single dot-product fold instead of three (bit-identical
+    # doubles: sqrt(dot(v,v)) on the same input in either place)
     bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v"), "bucket"
-    )
+    ).withColumn("_n", norm(F.col("_v")))
     a, b = bucketed.alias("a"), bucketed.alias("b")
     return (
         a.join(b, on="bucket")
@@ -188,7 +191,11 @@ def lsh_bucketed_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cosine(F.col("a._v"), F.col("b._v")), 4).alias("cos_sim"),
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                4,
+            ).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -344,12 +351,21 @@ def semantic_dedup(
         (r[id_col], [float(x) for x in r[vec_col]]) for r in rows
     )
     v = F.col(vec_col).cast("array<double>")
-    scored = df.select(F.col(id_col), v.alias("_v"))
+    # row norm once (not once per centroid / per pair); same doubles
+    # as computing it inline, so oracle parity is unaffected
+    scored = df.select(F.col(id_col), v.alias("_v")).withColumn(
+        "_n", norm(F.col("_v"))
+    )
     cos_names = []
     for c_id, c_vec in cents:
         name = f"_cos_{c_id}"
         lit_c = F.array(*[F.lit(x) for x in c_vec])
-        scored = scored.withColumn(name, F.round(cosine(F.col("_v"), lit_c), 4))
+        scored = scored.withColumn(
+            name,
+            F.round(
+                dot(F.col("_v"), lit_c) / (F.col("_n") * norm(lit_c)), 4
+            ),
+        )
         cos_names.append((c_id, name))
     best = F.greatest(*[F.col(n) for _, n in cos_names])
     cluster = F.lit(None).cast("long")
@@ -357,13 +373,20 @@ def semantic_dedup(
     for c_id, name in reversed(cos_names):
         cluster = F.when(F.col(name) == best, F.lit(c_id)).otherwise(cluster)
     assigned = scored.select(
-        F.col(id_col), F.col("_v"), cluster.alias("cluster")
+        F.col(id_col), F.col("_v"), F.col("_n"), cluster.alias("cluster")
     )
     a, b = assigned.alias("a"), assigned.alias("b")
     dropped = (
         a.join(b, "cluster")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
-        .filter(F.round(cosine(F.col("a._v"), F.col("b._v")), 4) >= threshold)
+        .filter(
+            F.round(
+                dot(F.col("a._v"), F.col("b._v"))
+                / (F.col("a._n") * F.col("b._n")),
+                4,
+            )
+            >= threshold
+        )
         .select(F.col(f"b.{id_col}").alias(id_col))
         .distinct()
         .withColumn("_dropped", F.lit(1))

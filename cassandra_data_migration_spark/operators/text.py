@@ -146,27 +146,36 @@ def repetition_signals(
       word bigram / total bigrams (high ⇒ boilerplate/template spam).
 
     Cf. Rae et al., "Scaling Language Models: ... Gopher" (2021),
-    Appendix A quality filters.  Physical plan: the distinct ratio is
-    narrow (array ops in the scan stage); the bigram mode needs one
-    explode + two hash aggregates on (doc, bigram) — partial
-    (map-side) aggregation absorbs most of the n-gram volume before
-    the shuffle, so shuffled rows ≈ distinct (doc, bigram) pairs, not
-    total n-grams.  No joins: the ratio rides the groupBy key (it is
-    functionally dependent on the doc id).
+    Appendix A quality filters.  Physical plan: ZERO shuffle — both
+    signals are per-document array expressions evaluated in the scan
+    stage.  The bigram mode is the longest equal-run of the SORTED
+    bigram array (max multiplicity == max sorted run), computed by a
+    JVM higher-order fold instead of explode + two n-gram-volume
+    hash aggregates; at corpus scale this is embarrassingly parallel
+    and never materializes the n-gram stream.
     """
     toks = tokens(text_col)
-    base = df.select(
+    bigrams = word_shingles(text_col, 2)
+    sorted_bg = F.array_sort(bigrams)
+    state0 = F.struct(
+        F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+    )
+
+    def step(acc, x):
+        run = F.when(x == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))
+        return F.struct(
+            x.alias("prev"),
+            run.alias("run"),
+            F.greatest(acc["best"], run).alias("best"),
+        )
+
+    top_count = F.aggregate(sorted_bg, state0, step, lambda acc: acc["best"])
+    return df.select(
         F.col(id_col),
         F.round(
             F.size(F.array_distinct(toks)) / F.size(toks), 4
         ).alias("distinct_token_ratio"),
-        F.explode(word_shingles(text_col, 2)).alias("_bigram"),
-    )
-    per_bigram = base.groupBy(id_col, "distinct_token_ratio", "_bigram").agg(
-        F.count(F.lit(1)).alias("_c")
-    )
-    return per_bigram.groupBy(id_col, "distinct_token_ratio").agg(
-        F.round(F.max("_c") / F.sum("_c"), 4).alias("top_bigram_frac")
+        F.round(top_count / F.size(bigrams), 4).alias("top_bigram_frac"),
     )
 
 

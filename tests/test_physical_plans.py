@@ -123,3 +123,27 @@ def test_salted_join_spreads_hot_key_over_salt_partitions(spark):
         assert "_salt" in plan  # salt is part of the join/exchange key
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_repetition_signals_is_shuffle_free(spark):
+    # both Gopher signals are scan-stage array expressions: any
+    # Exchange here would mean the n-gram stream is being shuffled
+    plan = _plan(entry_mod.queries()["repetition_signals"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_decontaminate_broadcasts_benchmark_ngrams(spark):
+    # the corpus side must stream through a broadcast join — a
+    # SortMergeJoin would shuffle the full corpus n-gram volume
+    plan = _plan(entry_mod.queries()["decontaminate"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_sessionize_shuffles_once_on_user_key(spark):
+    # lag window, running sum, and the session aggregate must all
+    # reuse ONE hash partitioning on user_id
+    plan = _plan(entry_mod.queries()["event_sessions"](spark, SF_CORRECT))
+    assert plan.count("Exchange (") == 1  # exactly one shuffle node
+    assert "hashpartitioning(user_id" in plan
