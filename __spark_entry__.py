@@ -1187,6 +1187,31 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 TF-IDF keywords per document (smoothed sklearn idf);
+    # per-doc term histograms are folded scan-side, df + corpus size
+    # re-enter via broadcast, one doc-keyed top-k window
+    from cassandra_data_migration_spark.operators.text import tfidf_topk
+
+    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
+
+
+def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenizer-coverage signal: top-20 corpus vocabulary by frequency,
+    # then each document's out-of-vocabulary token fraction
+    from cassandra_data_migration_spark.operators.text import vocab_oov
+
+    return vocab_oov(load_table(spark, sf_dir, "documents"), vocab_size=20)
+
+
+def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # context-window packing: per-source token-budget bins from an
+    # exclusive running sum (integer DIV — engine-exact)
+    from cassandra_data_migration_spark.operators.text import pack_sequences
+
+    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -1276,6 +1301,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
     "semantic_dedup": q_semantic_dedup,
+    "tfidf_keywords": q_tfidf_keywords,
+    "vocab_oov": q_vocab_oov,
+    "pack_sequences": q_pack_sequences,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -2082,6 +2110,64 @@ ORACLES: dict[str, str] = {
         SELECT a.vec_id, a.cluster,
                CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
         FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
+    """,
+    "tfidf_keywords": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens
+            FROM tk
+        ),
+        tfc AS (
+            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
+                   COUNT(*) AS tf
+            FROM flat GROUP BY 1, 2
+        ),
+        dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        scored AS (
+            SELECT t.doc_id, t.term,
+                   ROUND(t.tf * 1.0 / t.n_tokens
+                         * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 4)
+                       AS tfidf
+            FROM tfc t JOIN dfreq d ON t.term = d.term CROSS JOIN n
+        )
+        SELECT doc_id, term, tfidf FROM (
+            SELECT *, ROW_NUMBER() OVER (
+                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
+            FROM scored
+        ) WHERE rn <= 3
+    """,
+    "vocab_oov": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        flat AS (
+            SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens
+            FROM tk
+        ),
+        cnt AS (SELECT term, COUNT(*) AS c FROM flat GROUP BY 1),
+        vocab AS (SELECT term FROM cnt ORDER BY c DESC, term ASC LIMIT 20)
+        SELECT f.doc_id, any_value(f.n_tokens) AS n_tokens,
+               SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / any_value(f.n_tokens), 4) AS oov_frac
+        FROM flat f LEFT JOIN vocab v ON f.term = v.term
+        GROUP BY f.doc_id
+    """,
+    "pack_sequences": """
+        WITH t AS (
+            SELECT doc_id, source,
+                   len(string_split(text, ' ')) AS n_tokens
+            FROM documents
+        )
+        SELECT doc_id, source, n_tokens,
+               COALESCE(SUM(n_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 512 AS bin_id
+        FROM t
     """,
 }
 

@@ -271,3 +271,177 @@ def redact(
             "long"
         ).alias("n_redacted"),
     )
+
+
+def term_counts(toks: Column) -> Column:
+    """Per-document (term, cnt) pairs as a run-length pass over the
+    SORTED token array — a scan-stage higher-order fold that never
+    explodes the raw token stream.  At corpus scale this compresses
+    each document to its distinct-term histogram before anything is
+    shuffled, so downstream term statistics move |vocab-per-doc| rows
+    instead of |tokens| rows."""
+    entry_t = "array<struct<term:string,cnt:bigint>>"
+    state0 = F.struct(
+        F.lit(None).cast("string").alias("prev"),
+        F.lit(0).cast("bigint").alias("run"),
+        F.array().cast(entry_t).alias("acc"),
+    )
+
+    def flush(acc):
+        return F.when(acc["prev"].isNull(), acc["acc"]).otherwise(
+            F.concat(
+                acc["acc"],
+                F.array(
+                    F.struct(
+                        acc["prev"].alias("term"), acc["run"].alias("cnt")
+                    )
+                ),
+            )
+        )
+
+    def step(acc, x):
+        same = x == acc["prev"]
+        return F.struct(
+            x.alias("prev"),
+            F.when(same, acc["run"] + 1)
+            .otherwise(F.lit(1).cast("bigint"))
+            .alias("run"),
+            F.when(acc["prev"].isNull() | same, acc["acc"])
+            .otherwise(flush(acc))
+            .alias("acc"),
+        )
+
+    return F.aggregate(F.array_sort(toks), state0, step, flush)
+
+
+def tfidf_topk(
+    df: DataFrame,
+    k: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Top-k TF-IDF keywords per document (smoothed idf:
+    ln((N+1)/(df+1)) + 1, sklearn's convention).  Scores are rounded
+    to 4 decimals BEFORE ranking so the (score desc, term asc) order
+    is reproducible across engines.
+
+    Physical plan: documents collapse to per-doc term histograms in
+    the scan stage (term_counts fold), so the only full-corpus
+    shuffle is the doc-keyed top-k window; document frequency is a
+    vocab-sized aggregate that re-enters via broadcast, and the
+    corpus size is a 1-row broadcast — nothing resembling the raw
+    token stream ever crosses the network."""
+    from pyspark.sql import Window
+
+    toks = tokens(text_col)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.explode(term_counts(toks)).alias("_e"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("_e.term").alias("term"),
+            F.col("_e.cnt").alias("tf"),
+        )
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n_docs"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                / F.col("n_tokens")
+                * (F.log((F.col("n_docs") + 1) / (F.col("df") + 1)) + 1),
+                4,
+            ),
+        )
+    )
+    w = Window.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(F.col(id_col), "term", "tfidf")
+    )
+
+
+def vocab_oov(
+    df: DataFrame,
+    vocab_size: int = 20,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus vocabulary coverage: build the top-`vocab_size` terms by
+    global frequency (ties broken by term asc), then score each
+    document's out-of-vocabulary token fraction — the classic
+    tokenizer-coverage / gibberish signal.
+
+    Physical plan: the wordcount shuffle moves per-doc histograms (not
+    raw tokens, same fold as tfidf); the vocabulary re-enters as a
+    1-row broadcast array, so the per-doc scoring pass is scan-stage
+    `filter`/`array_contains` arithmetic with no join shuffle."""
+    toks = tokens(text_col)
+    counts = (
+        df.select(F.explode(term_counts(toks)).alias("_e"))
+        .groupBy(F.col("_e.term").alias("term"))
+        .agg(F.sum("_e.cnt").alias("c"))
+    )
+    vocab = counts.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size)
+    vocab_arr = vocab.agg(F.array_sort(F.collect_list("term")).alias("_vocab"))
+    n_tok = F.size("_t").cast("bigint")
+    n_oov = F.size(
+        F.filter(F.col("_t"), lambda t: ~F.array_contains(F.col("_vocab"), t))
+    ).cast("bigint")
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .crossJoin(F.broadcast(vocab_arr))
+        .select(
+            F.col(id_col),
+            n_tok.alias("n_tokens"),
+            n_oov.alias("n_oov"),
+            F.round(n_oov / n_tok, 4).alias("oov_frac"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int = 512,
+    id_col: str = "doc_id",
+    group_col: str = "source",
+    text_col: str = "text",
+) -> DataFrame:
+    """Deterministic sequence packing: assign documents to fixed
+    token-budget bins per group via an exclusive running token sum
+    (bin = prev_cum DIV budget — integer arithmetic, so every engine
+    agrees bit-for-bit).  The batch twin of training-data context
+    packing; greedy first-fit is order-dependent, this is the
+    order-stable variant.
+
+    Physical plan: ONE hash exchange on the group key; the running
+    sum and bin assignment ride it.  Per-group state is a single
+    counter, so skewed groups cost sort time, not memory."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col),
+        token_count(text_col).cast("bigint").alias("n_tokens"),
+    )
+    return (
+        base.withColumn(
+            "_prev_cum", F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+        )
+        .withColumn("bin_id", F.expr(f"_prev_cum DIV {int(budget)}"))
+        .drop("_prev_cum")
+    )

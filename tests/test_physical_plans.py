@@ -16,6 +16,10 @@ from tests.conftest import SF_CORRECT
 
 
 def _plan(df) -> str:
+    # another module's cached table would swap the parquet scan for an
+    # InMemoryRelation and hide ReadSchema/pushdown lines — plan
+    # assertions must see the real scan regardless of test order
+    df.sparkSession.catalog.clearCache()
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
@@ -147,3 +151,20 @@ def test_sessionize_shuffles_once_on_user_key(spark):
     plan = _plan(entry_mod.queries()["event_sessions"](spark, SF_CORRECT))
     assert plan.count("Exchange (") == 1  # exactly one shuffle node
     assert "hashpartitioning(user_id" in plan
+
+
+def test_pack_sequences_shuffles_once_on_group_key(spark):
+    # the running sum and bin assignment must ride ONE source-keyed
+    # exchange; a second shuffle would mean the window repartitioned
+    plan = _plan(entry_mod.queries()["pack_sequences"](spark, SF_CORRECT))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(source" in plan
+
+
+def test_tfidf_never_shuffles_raw_tokens(spark):
+    # term histograms fold scan-side; df and corpus size re-enter via
+    # broadcast — the only corpus-shaped exchange is doc-keyed (top-k
+    # window), never token-shaped
+    plan = _plan(entry_mod.queries()["tfidf_keywords"](spark, SF_CORRECT))
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan

@@ -294,3 +294,41 @@ def test_semantic_dedup_drops_exact_clones_keeps_min_id(spark):
     assert {(r.vec_id, r.cluster, r.kept) for r in out2.collect()} == {
         (r.vec_id, r.cluster, r.kept) for r in out.collect()
     }
+
+
+def test_tfidf_topk_rows_and_rank_determinism(spark, docs):
+    from cassandra_data_migration_spark.operators.text import tfidf_topk
+
+    out = tfidf_topk(docs, k=3).toPandas()
+    per_doc = out.groupby("doc_id").size()
+    assert (per_doc <= 3).all() and per_doc.min() >= 1
+    assert (out["tfidf"] > 0).all()
+    # rank on rounded scores with term tie-break ⇒ rerun is identical
+    again = tfidf_topk(docs, k=3).toPandas()
+    a = out.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    b = again.sort_values(["doc_id", "term"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_vocab_oov_fraction_bounds(spark, docs):
+    from cassandra_data_migration_spark.operators.text import vocab_oov
+
+    out = vocab_oov(docs, vocab_size=20).toPandas()
+    assert len(out) == docs.count()
+    assert (out["n_oov"] <= out["n_tokens"]).all()
+    assert out["oov_frac"].between(0, 1).all()
+    # vocab of everything ⇒ zero OOV
+    full = vocab_oov(docs, vocab_size=100000).toPandas()
+    assert (full["n_oov"] == 0).all()
+
+
+def test_pack_sequences_matches_prefix_sum_rule(spark, docs):
+    from cassandra_data_migration_spark.operators.text import pack_sequences
+
+    out = pack_sequences(docs, budget=512).toPandas()
+    for _, grp in out.groupby("source"):
+        g = grp.sort_values("doc_id").reset_index(drop=True)
+        prev = g["n_tokens"].cumsum().shift(1, fill_value=0)
+        assert (g["bin_id"] == prev // 512).all()
+        assert g["bin_id"].is_monotonic_increasing
+        assert g["bin_id"].iloc[0] == 0
