@@ -1187,6 +1187,30 @@ def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-ingestion dedup: the md5-bucket<5000 half is the
+    # already-ingested corpus, the rest is the new batch — survivors
+    # are batch docs whose fingerprint is unseen, min-id per fp
+    from cassandra_data_migration_spark.operators.dedup import incremental_dedup
+    from cassandra_data_migration_spark.operators.sampling import hash_bucket
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = hash_bucket("doc_id", "seen")
+    return incremental_dedup(
+        docs.filter(bucket >= 5000), docs.filter(bucket < 5000)
+    )
+
+
+def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # int8 scalar-quantized ANN: rank by integer cosine over
+    # symmetric SQ8 vectors (4x less scan bandwidth than float32)
+    from cassandra_data_migration_spark.operators.similarity import quantized_topk
+
+    return quantized_topk(
+        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10
+    )
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-3 TF-IDF keywords per document (smoothed sklearn idf);
     # per-doc term histograms are folded scan-side, df + corpus size
@@ -1304,6 +1328,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "vocab_oov": q_vocab_oov,
     "pack_sequences": q_pack_sequences,
+    "incremental_dedup": q_incremental_dedup,
+    "quantized_topk": q_quantized_topk,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -2168,6 +2194,47 @@ ORACLES: dict[str, str] = {
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
                ), 0) // 512 AS bin_id
         FROM t
+    """,
+    "incremental_dedup": f"""
+        WITH keyed AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
+                       AS fp,
+                   {bucket_sql('doc_id', 'seen')} AS b
+            FROM documents
+        ),
+        seen AS (SELECT DISTINCT fp FROM keyed WHERE b < 5000),
+        fresh AS (
+            SELECT doc_id, fp FROM keyed
+            WHERE b >= 5000 AND fp NOT IN (SELECT fp FROM seen)
+        )
+        SELECT MIN(doc_id) AS doc_id, fp AS fingerprint
+        FROM fresh GROUP BY fp
+    """,
+    "quantized_topk": f"""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
+        ),
+        m AS (
+            SELECT vec_id, ev,
+                   list_max(list_transform(ev, x -> abs(x))) AS mx
+            FROM v
+        ),
+        q8 AS (
+            SELECT vec_id,
+                   CASE WHEN mx = 0 THEN list_transform(ev, x -> 0.0)
+                        ELSE list_transform(ev, x -> round(x * 127.0 / mx))
+                   END AS qv
+            FROM m
+        ),
+        q AS (SELECT qv AS a_v FROM q8 WHERE vec_id = 0),
+        scored AS (
+            SELECT b.vec_id,
+                   ROUND({_COS_SIM.replace('b_v', 'b.qv')}, 4) AS cos_sim_q8
+            FROM q8 b, q WHERE b.vec_id <> 0
+        )
+        SELECT vec_id, cos_sim_q8 FROM scored
+        ORDER BY cos_sim_q8 DESC, vec_id LIMIT 10
     """,
 }
 

@@ -326,3 +326,40 @@ def simhash_near_pairs(
             "hamming",
         )
     )
+
+
+def incremental_dedup(
+    new_df: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: drop rows of `new_df` whose
+    canonical fingerprint already exists in the ingested corpus
+    (`seen_df`), then dedup the batch against itself (min-id wins).
+    Returns the surviving (id, fingerprint) rows.
+
+    Physical plan: both sides collapse to 16-byte md5 keys before the
+    anti-join, so the exchange moves fingerprints, not documents, and
+    hash keys are uniform (no skew).  At 100 TB the seen side should
+    be the fingerprint STORE (not a re-scan of the corpus) — small
+    stores broadcast, large ones shuffle 16 bytes/row; Spark's
+    runtime Bloom filter (spark.sql.optimizer.runtime.bloomFilter.*)
+    prunes most probes scan-side.  This is the batch twin of a
+    streaming dedup with `dropDuplicates` over a watermarked state
+    store."""
+    from pyspark.sql import Window
+
+    seen_fps = seen_df.select(
+        F.md5(normalize_text(text_col)).alias("_fp")
+    ).distinct()
+    keyed = new_df.select(
+        F.col(id_col), F.md5(normalize_text(text_col)).alias("_fp")
+    )
+    fresh = keyed.join(seen_fps, "_fp", "left_anti")
+    w = Window.partitionBy("_fp")
+    return (
+        fresh.withColumn("_min_id", F.min(id_col).over(w))
+        .filter(F.col(id_col) == F.col("_min_id"))
+        .select(F.col(id_col), F.col("_fp").alias("fingerprint"))
+    )

@@ -168,3 +168,20 @@ def test_tfidf_never_shuffles_raw_tokens(spark):
     plan = _plan(entry_mod.queries()["tfidf_keywords"](spark, SF_CORRECT))
     assert "BroadcastExchange" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_quantized_topk_is_takeordered_no_shuffle(spark):
+    # SQ8 ANN must keep cosine_topk's shape: scan-stage quantization +
+    # TakeOrdered — no exchange anywhere
+    plan = _plan(entry_mod.queries()["quantized_topk"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_incremental_dedup_joins_fingerprints_not_documents(spark):
+    # the anti-join must move 16-byte fingerprints: the text column
+    # may not survive past the scan projection
+    df = entry_mod.queries()["incremental_dedup"](spark, SF_CORRECT)
+    plan = _plan(df)
+    assert "LeftAnti" in plan
+    assert "text" not in df.columns

@@ -332,3 +332,45 @@ def test_pack_sequences_matches_prefix_sum_rule(spark, docs):
         assert (g["bin_id"] == prev // 512).all()
         assert g["bin_id"].is_monotonic_increasing
         assert g["bin_id"].iloc[0] == 0
+
+
+def test_quantize_int8_bounded_and_recall(spark, emb):
+    from cassandra_data_migration_spark.operators.similarity import (
+        cosine_topk,
+        quantize_int8,
+        quantized_topk,
+    )
+
+    qp = quantize_int8(emb).toPandas()
+    assert max(max(abs(v) for v in row) for row in qp["qvec"]) <= 127
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact = {r.vec_id for r in cosine_topk(emb, qv, k=10, exclude_ids=[0]).collect()}
+    approx = {r.vec_id for r in quantized_topk(emb, 0, 10).collect()}
+    assert len(exact & approx) >= 8  # SQ8 keeps near-exact ranking
+
+
+def test_incremental_dedup_survivors_are_unseen_and_unique(spark, docs):
+    from cassandra_data_migration_spark.operators.dedup import incremental_dedup
+    from cassandra_data_migration_spark.operators.sampling import hash_bucket
+
+    bucket = hash_bucket("doc_id", "seen")
+    seen, new = docs.filter(bucket < 5000), docs.filter(bucket >= 5000)
+    out = incremental_dedup(new, seen).toPandas()
+    # one survivor per fingerprint
+    assert out["fingerprint"].is_unique
+    # no survivor's fingerprint exists in the seen corpus
+    from cassandra_data_migration_spark.operators.text import fingerprint
+
+    seen_fps = {
+        r.fingerprint for r in fingerprint(seen).select("fingerprint").collect()
+    }
+    assert not (set(out["fingerprint"]) & seen_fps)
+    # deduping against an empty corpus == plain exact dedup canonical set
+    from cassandra_data_migration_spark.operators.dedup import dedup_exact
+
+    empty = seen.limit(0)
+    solo = incremental_dedup(new, empty).toPandas()
+    canon = dedup_exact(new).toPandas()
+    assert set(solo["doc_id"]) == set(
+        canon[canon.doc_id == canon.canonical_id]["doc_id"]
+    )
