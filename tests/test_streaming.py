@@ -256,3 +256,38 @@ def test_stateful_lww_stream_merges_across_batches(spark, tmp_path):
             assert final.loc[k, "v"] == 1.0 and final.loc[k, "_writetime"] == 100 + k
         else:
             assert final.loc[k, "v"] == 2.0 and final.loc[k, "_writetime"] == 900 + k
+
+
+def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
+    """F.session_window over the event stream must produce exactly the
+    batch sessionize sessions: same per-user session count and the
+    same (n_events, duration) multiset — the gap-boundary alignment
+    (truncate to seconds, gap+1 window) is what this pins."""
+    from cassandra_data_migration_spark.operators.windows import sessionize
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.sessions import sessionize_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        sessionize_stream(stream, gap_seconds=28800, watermark=None)
+        .writeStream.format("memory")
+        .queryName("sess")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.n_events, r.duration_s)
+        for r in spark.sql("SELECT * FROM sess").collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.duration_s)
+        for r in sessionize(events, gap_seconds=28800).collect()
+    )
+    assert got == want
