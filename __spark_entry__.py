@@ -1211,6 +1211,16 @@ def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sketch-tier corpus profiling: HLL++ approx-distinct fingerprints
+    # + approx token quantiles per source, one map-combined aggregation.
+    # Estimates are engine-specific ⇒ deliberately NO oracle_sql entry
+    # (rows-only check); accuracy vs exact counts is pinned by tests.
+    from cassandra_data_migration_spark.operators.aggregates import sketch_profile
+
+    return sketch_profile(load_table(spark, sf_dir, "documents"))
+
+
 def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     # top-3 TF-IDF keywords per document (smoothed sklearn idf);
     # per-doc term histograms are folded scan-side, df + corpus size
@@ -1330,6 +1340,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pack_sequences": q_pack_sequences,
     "incremental_dedup": q_incremental_dedup,
     "quantized_topk": q_quantized_topk,
+    "sketch_profile": q_sketch_profile,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---

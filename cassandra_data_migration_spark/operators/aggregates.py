@@ -160,3 +160,43 @@ def summary_stats(df: DataFrame, col: str) -> DataFrame:
 def conditional_sum(df: DataFrame, cond: Column, alias: str) -> DataFrame:
     """`sum(when(cond,1))` building block used by traffic summaries."""
     return df.agg(F.sum(F.when(cond, 1).otherwise(0)).alias(alias))
+
+
+def sketch_profile(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rsd: float = 0.05,
+) -> DataFrame:
+    """Sketch-based corpus profiling: per-group approximate distinct
+    fingerprints (HyperLogLog++, `approx_count_distinct`) and
+    approximate token-count quantiles (`percentile_approx`), plus the
+    exact row count.
+
+    This is the 100 TB profiling tier: HLL state is ~kilobytes per
+    group and merges associatively, so the whole profile is ONE
+    map-side-combined aggregation regardless of corpus size — the
+    exact-distinct twin would shuffle every fingerprint.  Estimates
+    are engine-specific (no DuckDB hash parity by design); accuracy
+    is pinned by tests against the exact counts at fixture scale."""
+    from cassandra_data_migration_spark.operators.text import (
+        normalize_text,
+        token_count,
+    )
+
+    return (
+        df.select(
+            F.col(group_col),
+            F.md5(normalize_text(text_col)).alias("_fp"),
+            token_count(text_col).alias("_nt"),
+        )
+        .groupBy(group_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.approx_count_distinct("_fp", rsd).alias("approx_distinct_docs"),
+            F.percentile_approx(
+                "_nt", [0.5, 0.9, 0.99], 10000
+            ).alias("token_quantiles"),
+        )
+    )

@@ -75,3 +75,44 @@ def test_salted_join_equals_plain_join_on_skewed_data(spark):
     assert salted.count() == plain.count() == 1000
     assert salted.exceptAll(plain).count() == 0
     assert plain.exceptAll(salted).count() == 0
+
+
+def test_sketch_profile_accuracy_vs_exact(spark):
+    """HLL distinct estimate within 3×rsd of exact; median quantile
+    within the approx rank error; one aggregation, no fingerprint
+    shuffle (partial_ prefix proves map-side combine)."""
+    import contextlib
+    import io
+
+    from cassandra_data_migration_spark.operators.aggregates import sketch_profile
+    from cassandra_data_migration_spark.operators.text import normalize_text
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    prof = {r["source"]: r for r in sketch_profile(docs, rsd=0.05).collect()}
+    exact = {
+        r["source"]: r
+        for r in docs.select(
+            "source", F.md5(normalize_text("text")).alias("fp")
+        )
+        .groupBy("source")
+        .agg(
+            F.countDistinct("fp").alias("nd"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .collect()
+    }
+    assert set(prof) == set(exact)
+    for src, r in prof.items():
+        e = exact[src]
+        assert r["n_docs"] == e["n"]
+        assert abs(r["approx_distinct_docs"] - e["nd"]) <= max(2, 0.15 * e["nd"])
+        q50, q90, q99 = r["token_quantiles"]
+        assert q50 <= q90 <= q99
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        sketch_profile(docs).explain("formatted")
+    plan = buf.getvalue()
+    assert "partial_" in plan  # sketches combine map-side
