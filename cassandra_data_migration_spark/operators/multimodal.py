@@ -119,3 +119,55 @@ def frame_sample_plan(
             )
         ),
     ).select(id_col, "frame.frame_index", "frame.offset_ms")
+
+
+def resize_media(
+    df: DataFrame,
+    width: int = 224,
+    height: int = 224,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+    meta_col: str = "media_meta",
+    fake_decode: bool = True,
+) -> DataFrame:
+    """Arrow-batched resize stage: decode → scale to (width, height) →
+    re-encode, with the media metadata struct updated to the target
+    dims.  The codec is the same stub as ``decode_media`` (real
+    deployments put Pillow's resize here); the dataflow — columnar
+    batches in, payload + typed metadata out, stateless and
+    shuffle-free — is the real 100 TB-shaped plumbing.  The fake
+    "resized" payload is a deterministic hash chain of
+    (payload, width, height) so tests can assert exact bytes."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            decoded = pdf[payload_col].map(
+                lambda b: decode_media(bytes(b), {}, fake=fake_decode)
+            )
+            resized = decoded.map(
+                lambda d: hashlib.sha256(
+                    d + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                ).digest()
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload_resized": resized,
+                    "width": width,
+                    "height": height,
+                }
+            )
+
+    resized = df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, payload_resized binary, width int, height int"
+    )
+    meta = F.struct(
+        F.lit("image").alias("modality"),
+        F.lit("application/octet-stream").alias("mime"),
+        F.col("width"),
+        F.col("height"),
+        F.lit(None).cast("int").alias("duration_ms"),
+    )
+    return resized.select(
+        id_col, "payload_resized", meta.alias(meta_col)
+    )

@@ -374,3 +374,22 @@ def test_incremental_dedup_survivors_are_unseen_and_unique(spark, docs):
     assert set(solo["doc_id"]) == set(
         canon[canon.doc_id == canon.canonical_id]["doc_id"]
     )
+
+
+def test_multimodal_resize_updates_meta_and_is_deterministic(spark, docs):
+    import hashlib
+
+    with_payload = multimodal.attach_binary_payload(docs.limit(20))
+    out = multimodal.resize_media(with_payload, width=224, height=160)
+    rows = {r.doc_id: r for r in out.collect()}
+    assert len(rows) == 20
+    src = {r.doc_id: bytes(r.payload) for r in with_payload.collect()}
+    for doc_id, r in rows.items():
+        assert r.media_meta.width == 224 and r.media_meta.height == 160
+        assert r.media_meta.modality == "image"
+        want = hashlib.sha256(
+            hashlib.sha256(src[doc_id]).digest()
+            + (224).to_bytes(4, "big")
+            + (160).to_bytes(4, "big")
+        ).digest()
+        assert bytes(r.payload_resized) == want
