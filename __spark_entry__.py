@@ -1246,6 +1246,40 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.web import (
+        parse_url_parts,
+        synthesize_url,
+    )
+
+    return parse_url_parts(synthesize_url(load_table(spark, sf_dir, "documents")))
+
+
+def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # web-corpus keying: deterministic URL synthesis + built-in
+    # parse_url split into protocol/host/domain/path/query — narrow
+    # scan-side projection, no UDF
+    return _docs_with_urls(spark, sf_dir).select(
+        "doc_id", "protocol", "host", "domain", "path", "query_string"
+    )
+
+
+def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-domain corpus profile: one map-combined aggregation,
+    # shuffle O(domains)
+    from cassandra_data_migration_spark.operators.web import domain_stats
+
+    return domain_stats(_docs_with_urls(spark, sf_dir))
+
+
+def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Common-Crawl-style per-domain cap: keep ≤5 docs per domain by a
+    # deterministic md5 draw (stable across re-crawls and engines)
+    from cassandra_data_migration_spark.operators.web import domain_quota_sample
+
+    return domain_quota_sample(_docs_with_urls(spark, sf_dir), cap=5)
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -1341,9 +1375,25 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "incremental_dedup": q_incremental_dedup,
     "quantized_topk": q_quantized_topk,
     "sketch_profile": q_sketch_profile,
+    "url_parse": q_url_parse,
+    "domain_stats": q_domain_stats,
+    "domain_quota": q_domain_quota,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
+
+from cassandra_data_migration_spark.functions.hashing import (  # noqa: E402
+    md5_draw_sql as _md5_draw_sql,
+)
+
+# deterministic URL synthesis twin of operators/web.synthesize_url:
+# sitedom = registered domain "{source}-site.{tld}", tld by doc_id % 3
+_URL_CTE = """
+    SELECT doc_id, lang, source, n_chars,
+           source || '-site.' ||
+               (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1] AS sitedom
+    FROM documents
+"""
 
 _SHINGLES_CTE = """
     sh AS (
@@ -2246,6 +2296,37 @@ ORACLES: dict[str, str] = {
         )
         SELECT vec_id, cos_sim_q8 FROM scored
         ORDER BY cos_sim_q8 DESC, vec_id LIMIT 10
+    """,
+    "url_parse": f"""
+        WITH u AS ({_URL_CTE})
+        SELECT doc_id, 'https' AS protocol,
+               'www.' || sitedom AS host,
+               sitedom AS domain,
+               '/' || lang || '/' || CAST(doc_id % 37 AS VARCHAR)
+                   || '/doc-' || CAST(doc_id AS VARCHAR) || '.html' AS path,
+               'ref=r' || CAST(doc_id % 5 AS VARCHAR) AS query_string
+        FROM u
+    """,
+    "domain_stats": f"""
+        WITH u AS ({_URL_CTE})
+        SELECT sitedom AS domain,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               ROUND(AVG(n_chars), 2) AS avg_chars,
+               COUNT(DISTINCT lang) AS n_langs
+        FROM u GROUP BY sitedom
+    """,
+    "domain_quota": f"""
+        WITH u AS ({_URL_CTE}),
+        ranked AS (
+            SELECT sitedom AS domain, doc_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sitedom
+                       ORDER BY {_md5_draw_sql('quota', 'doc_id')}, doc_id
+                   ) AS quota_rank
+            FROM u
+        )
+        SELECT domain, doc_id, quota_rank FROM ranked WHERE quota_rank <= 5
     """,
 }
 

@@ -393,3 +393,26 @@ def test_multimodal_resize_updates_meta_and_is_deterministic(spark, docs):
             + (160).to_bytes(4, "big")
         ).digest()
         assert bytes(r.payload_resized) == want
+
+
+def test_url_parse_roundtrip_and_quota_cap(spark, docs):
+    """parse_url must invert synthesize_url, and the domain quota must
+    keep <=cap stable survivors per domain."""
+    from cassandra_data_migration_spark.operators import web
+
+    parsed = web.parse_url_parts(web.synthesize_url(docs)).cache()
+    for r in parsed.limit(50).collect():
+        assert r.url == f"{r.protocol}://{r.host}{r.path}?{r.query_string}"
+        assert r.host == f"www.{r.domain}"
+        assert r.domain.split(".")[-1] in ("com", "org", "net")
+
+    capped = web.domain_quota_sample(parsed, cap=5)
+    per_dom = capped.groupBy("domain").count().collect()
+    assert per_dom and all(r["count"] <= 5 for r in per_dom)
+    # survivors are a pure function of the row: repartitioning the
+    # input must not change membership
+    again = web.domain_quota_sample(parsed.repartition(7), cap=5)
+    assert {(r.domain, r.doc_id) for r in capped.collect()} == {
+        (r.domain, r.doc_id) for r in again.collect()
+    }
+    parsed.unpersist()
