@@ -1246,6 +1246,43 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_throttle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T1 rate limiting, declarative form: the per-worker admission
+    # schedule (worker = PK hash, send_second = rank DIV per-worker
+    # budget) aggregated to rows-per-second — pure row functions, so
+    # the wall-clock limiter's plan is oracle-checkable
+    from cassandra_data_migration_spark.plans.throttle import throttle_schedule
+
+    sched = throttle_schedule(
+        load_table(spark, sf_dir, "orders"),
+        ["o_orderkey"],
+        rows_per_sec_global=2000,
+        num_workers=4,
+    )
+    return sched.groupBy("send_second").agg(
+        F.count(F.lit(1)).alias("rows_sent"),
+        F.countDistinct("worker").alias("n_workers"),
+    )
+
+
+def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Bloom-filter membership (the J1-at-scale pre-pass): fingerprint
+    # the ordering-customer key set, probe every customer scan-side
+    # via a 1-row broadcast bit array — no join shuffle; md5-derived
+    # bits so the oracle rebuilds the identical filter
+    from cassandra_data_migration_spark.operators.bloom import (
+        bloom_build,
+        bloom_might_contain,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    bloom = bloom_build(orders, "o_custkey")
+    return bloom_might_contain(cust, bloom, "c_custkey").select(
+        "c_custkey", "might_contain"
+    )
+
+
 def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.web import (
         parse_url_parts,
@@ -1378,6 +1415,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_parse": q_url_parse,
     "domain_stats": q_domain_stats,
     "domain_quota": q_domain_quota,
+    "bloom_membership": q_bloom_membership,
+    "throttle_schedule": q_throttle_schedule,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -1394,6 +1433,27 @@ _URL_CTE = """
                (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1] AS sitedom
     FROM documents
 """
+
+def _bloom_membership_oracle() -> str:
+    """Rebuild the identical md5-derived Bloom bit set in DuckDB and
+    probe every customer key against it."""
+    from cassandra_data_migration_spark.operators.bloom import bloom_positions_sql
+
+    build = " UNION ALL ".join(
+        f"SELECT {p} AS pos FROM orders"
+        for p in bloom_positions_sql("o_custkey")
+    )
+    probes = " AND ".join(
+        f"{p} IN (SELECT pos FROM pos)"
+        for p in bloom_positions_sql("c_custkey")
+    )
+    return f"""
+        WITH pos AS (SELECT DISTINCT pos FROM ({build}))
+        SELECT c_custkey,
+               CASE WHEN {probes} THEN 1 ELSE 0 END AS might_contain
+        FROM customer
+    """
+
 
 _SHINGLES_CTE = """
     sh AS (
@@ -2327,6 +2387,21 @@ ORACLES: dict[str, str] = {
             FROM u
         )
         SELECT domain, doc_id, quota_rank FROM ranked WHERE quota_rank <= 5
+    """,
+    "bloom_membership": _bloom_membership_oracle(),
+    "throttle_schedule": f"""
+        WITH sched AS (
+            SELECT ({_md5_draw_sql('throttle:w', 'o_orderkey')} % 4) AS worker,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY ({_md5_draw_sql('throttle:w', 'o_orderkey')} % 4)
+                       ORDER BY {_md5_draw_sql('throttle:o', 'o_orderkey')}, o_orderkey
+                   ) - 1 AS rank0
+            FROM orders
+        )
+        SELECT rank0 // 500 AS send_second,
+               COUNT(*) AS rows_sent,
+               COUNT(DISTINCT worker) AS n_workers
+        FROM sched GROUP BY 1
     """,
 }
 

@@ -60,6 +60,45 @@ def rate_limited_foreach_partition(
     df.foreachPartition(run)
 
 
+def throttle_schedule(
+    df: DataFrame,
+    pk_cols: list[str],
+    rows_per_sec_global: int,
+    num_workers: int = 4,
+    salt: str = "throttle",
+) -> DataFrame:
+    """T1, declarative form: the admission schedule the token-bucket
+    limiter executes.  Each row is assigned a worker (hash of its PK —
+    the reference's per-worker rate split, docs/04-cdm-approach.md:637)
+    and a send second = rank within its worker DIV the per-worker
+    budget (``rows_per_sec_global / num_workers``).
+
+    Everything is a pure function of the row (md5 draws + integer
+    DIV), so the schedule is reproducible across engines and
+    partitionings — unlike the wall-clock limiter, it can be
+    oracle-checked.  Physical plan: one shuffle on the worker id, then
+    a per-worker rank — exactly the work distribution the real
+    limiter induces, computed ahead of time."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    per_worker = max(rows_per_sec_global // num_workers, 1)
+    worker = md5_draw(f"{salt}:w", *pk_cols) % num_workers
+    out = df.withColumn("worker", worker.cast("int"))
+    w = Window.partitionBy("worker").orderBy(
+        md5_draw(f"{salt}:o", *pk_cols), *[F.col(c) for c in pk_cols]
+    )
+    return (
+        out.withColumn(
+            "_rank0", (F.row_number().over(w) - F.lit(1)).cast("long")
+        )
+        .withColumn("send_second", F.expr(f"_rank0 DIV {int(per_worker)}"))
+        .drop("_rank0")
+    )
+
+
 def with_error_budget(
     df: DataFrame,
     process_row,

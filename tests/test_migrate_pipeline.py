@@ -170,3 +170,27 @@ def test_run_tracker_resume(spark, tmp_path, keyspace):
     # buckets 0 and 3 are filtered out
     got = {r.id % 8 for r in remaining.collect()}
     assert 0 not in got and 3 not in got and got == {1, 2, 4, 5, 6, 7}
+
+
+def test_throttle_schedule_honors_budgets_and_is_stable(spark):
+    """T1 declarative schedule: no worker exceeds its per-second
+    budget, every row is scheduled exactly once, and the schedule is a
+    pure row function (repartition-invariant)."""
+    from cassandra_data_migration_spark.plans.throttle import throttle_schedule
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    sched = throttle_schedule(
+        orders, ["o_orderkey"], rows_per_sec_global=2000, num_workers=4
+    ).cache()
+    assert sched.count() == orders.count()
+    per = sched.groupBy("worker", "send_second").count().collect()
+    assert all(r["count"] <= 500 for r in per)  # 2000/4 per worker-second
+    glob = sched.groupBy("send_second").count().collect()
+    assert all(r["count"] <= 2000 for r in glob)
+    again = throttle_schedule(
+        orders.repartition(7), ["o_orderkey"], rows_per_sec_global=2000, num_workers=4
+    )
+    assert sched.exceptAll(again).count() == 0
+    sched.unpersist()

@@ -416,3 +416,39 @@ def test_url_parse_roundtrip_and_quota_cap(spark, docs):
         (r.domain, r.doc_id) for r in again.collect()
     }
     parsed.unpersist()
+
+
+def test_bloom_no_false_negatives_and_low_fp(spark):
+    """Every true member must probe 1; non-member false positives stay
+    near the analytic fill_ratio^k rate; pruning keeps a superset of
+    the exact semi-join."""
+    from cassandra_data_migration_spark.operators import bloom
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    cust = load_table(spark, SF_CORRECT, "customer")
+    filt = bloom.bloom_build(orders, "o_custkey").cache()
+    # every sf0.01 customer has orders, so extend the candidate set
+    # with keys guaranteed absent from the filter
+    cands = cust.select("c_custkey").union(
+        cust.select((F.col("c_custkey") + 1_000_000).alias("c_custkey"))
+    )
+    flagged = bloom.bloom_might_contain(cands, filt, "c_custkey")
+
+    members = {r.o_custkey for r in orders.select("o_custkey").distinct().collect()}
+    got = {r.c_custkey: r.might_contain for r in flagged.collect()}
+    non_members = [k for k in got if k not in members]
+    assert all(got[k] == 1 for k in got if k in members)
+    assert non_members
+    fp = sum(got[k] for k in non_members) / len(non_members)
+    fill = filt.count() / bloom.NUM_BITS
+    assert fp <= max(2 * fill**bloom.NUM_HASHES, 0.02)
+
+    pruned = {r.c_custkey for r in bloom.bloom_prune(cust, filt, "c_custkey").collect()}
+    exact = {
+        r.c_custkey
+        for r in cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_semi"
+        ).collect()
+    }
+    assert exact <= pruned
+    filt.unpersist()
