@@ -1246,6 +1246,38 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def _pq_inputs(spark: SparkSession, sf_dir: str):
+    from cassandra_data_migration_spark.operators.similarity import pq_codebook
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cb = pq_codebook(emb, n_centroids=32)
+    return emb, cb
+
+
+def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-quantization encode: 64-dim float32 → 8 subspace codes
+    # (8 bytes/vector, 32x compression); nearest-centroid per subspace
+    # compared as e4 fixed-point integers, ties to the smallest id —
+    # engine-exact, scan-side, no UDF
+    from cassandra_data_migration_spark.operators.similarity import pq_encode
+
+    emb, cb = _pq_inputs(spark, sf_dir)
+    return pq_encode(emb, cb).select(
+        "vec_id", F.posexplode("codes").alias("j", "code")
+    )
+
+
+def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PQ asymmetric-distance top-k: full-precision query scored
+    # against 8-byte codes via a driver-built integer LUT — 8 lookups
+    # per vector, shuffle-free TakeOrdered
+    from cassandra_data_migration_spark.operators.similarity import pq_adc_topk
+
+    emb, cb = _pq_inputs(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0])
+
+
 def q_throttle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T1 rate limiting, declarative form: the per-worker admission
     # schedule (worker = PK hash, send_second = rank DIV per-worker
@@ -1417,6 +1449,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_quota": q_domain_quota,
     "bloom_membership": q_bloom_membership,
     "throttle_schedule": q_throttle_schedule,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -1433,6 +1467,37 @@ _URL_CTE = """
                (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1] AS sitedom
     FROM documents
 """
+
+# product-quantization twins of operators/similarity.pq_encode: 32
+# codebook rows by (md5(id), id), 8 subspaces of 8 dims, argmin key
+# c·c − 2·x·c (squared-L2 minus the constant x·x), e4 fixed-point
+# compare, ties to smallest cid
+_PQ_CTES = """
+    cb AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+               embedding::DOUBLE[] AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)
+    ),
+    subs AS (SELECT unnest(range(8)) AS j),
+    csl AS (SELECT cid, j, list_slice(cv, j*8+1, j*8+8) AS c FROM cb, subs),
+    vsl AS (
+        SELECT vec_id, j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS x
+        FROM embeddings, subs
+    ),
+    dist AS (
+        SELECT vec_id, j, cid,
+               CAST(floor((list_dot_product(c, c) - 2.0 * list_dot_product(x, c))
+                          * 10000.0 + 0.5) AS BIGINT) AS d2
+        FROM vsl JOIN csl USING (j)
+    ),
+    codes AS (
+        SELECT vec_id, j, list_position(arr, list_min(arr)) - 1 AS code
+        FROM (SELECT vec_id, j, list(d2 ORDER BY cid) AS arr
+              FROM dist GROUP BY vec_id, j)
+    )
+"""
+
 
 def _bloom_membership_oracle() -> str:
     """Rebuild the identical md5-derived Bloom bit set in DuckDB and
@@ -2402,6 +2467,31 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS rows_sent,
                COUNT(DISTINCT worker) AS n_workers
         FROM sched GROUP BY 1
+    """,
+    "pq_codes": f"""
+        WITH {_PQ_CTES}
+        SELECT vec_id, j, code FROM codes
+    """,
+    "pq_adc_topk": f"""
+        WITH {_PQ_CTES},
+        q AS (
+            SELECT j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS qx
+            FROM embeddings, subs WHERE vec_id = 0
+        ),
+        lut AS (
+            SELECT csl.j, csl.cid,
+                   CAST(floor(list_dot_product(q.qx, csl.c) * 10000.0 + 0.5)
+                        AS BIGINT) AS w
+            FROM csl JOIN q ON q.j = csl.j
+        ),
+        scored AS (
+            SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS adc_score_e4
+            FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
+            WHERE c.vec_id <> 0
+            GROUP BY c.vec_id
+        )
+        SELECT vec_id, adc_score_e4 FROM scored
+        ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
     """,
 }
 

@@ -478,3 +478,125 @@ def quantized_topk(
         F.round(cosine(qd, qlit.cast("array<double>")), 4).alias("cos_sim_q8"),
     )
     return scored.orderBy(F.desc("cos_sim_q8"), F.asc(id_col)).limit(k)
+
+
+def pq_codebook(
+    df: DataFrame,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """Deterministic PQ codebook: the ``n_centroids`` corpus vectors
+    with the smallest (md5(id), id) — the same seeded-sample scheme as
+    ``ivf_centroids``, so any engine regenerates the identical book.
+    Centroid id = rank in that order.  (k-means per subspace drops in
+    without changing the encode/search dataflow.)"""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[vec_col]] for r in rows]
+
+
+def _e4(x: Column) -> Column:
+    """floor(x·10⁴ + 0.5) as BIGINT — fixed-point e4 rounding with an
+    explicit IEEE op sequence both engines reproduce exactly (SQL
+    ROUND half-away vs Python banker's rounding would drift)."""
+    return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization encode (Jégou et al., PQ for nearest
+    neighbor search): split each vector into ``num_subspaces``
+    contiguous slices; per subspace store only the id of the nearest
+    codebook slice (squared L2, via the dot-product identity
+    |x−c|² = x·x − 2·x·c + c·c).  64-dim float32 → 8 bytes/vector:
+    a 32× compression that turns a 100 TB embedding corpus into an
+    in-memory shortlist tier.
+
+    Engine-exact: distances are compared as e4 fixed-point integers
+    and ties break to the smallest centroid id (``array_position`` of
+    the min — first occurrence).  Everything is scan-side JVM
+    expression (no UDF, no shuffle); the codebook enters as literals.
+
+    Output: (id, codes array<int>) — code j for subspace j.
+    """
+    dim = len(codebook[0])
+    width = dim // num_subspaces
+    v = F.col(vec_col).cast("array<double>")
+    codes = []
+    for j in range(num_subspaces):
+        sl = F.slice(v, j * width + 1, width)
+        dists = []
+        for cvec in codebook:
+            c = cvec[j * width : (j + 1) * width]
+            clit = F.array(*[F.lit(x) for x in c])
+            cc = 0.0
+            for x in c:
+                cc = cc + x * x  # sequential, mirroring the SQL fold
+            # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
+            # centroids, so the argmin key keeps only c·c − 2·x·c
+            d2 = F.lit(cc) - F.lit(2.0) * dot(sl, clit)
+            dists.append(_e4(d2))
+        arr = F.array(*dists)
+        codes.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+
+
+def pq_adc_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[float]],
+    k: int = 10,
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """Asymmetric-distance top-k: the query stays full-precision; each
+    corpus vector is scored from its PQ codes through a per-subspace
+    lookup table LUT[j][c] = q_j·c_jc built driver-side (8×16 ints —
+    the classic ADC trick: scoring touches 8 bytes + 8 table lookups
+    per vector, never the original floats).
+
+    LUT entries are e4 fixed-point BIGINTs, so the score sum is exact
+    integer arithmetic — order-independent and oracle-reproducible.
+    Plan: encode is scan-side, scoring is 8 ``element_at`` lookups,
+    top-k is TakeOrdered — no shuffle, and the scan reads only the
+    codes at 1/32 the bandwidth of the float tier."""
+    import math
+
+    dim = len(codebook[0])
+    width = dim // num_subspaces
+    encoded = pq_encode(df, codebook, num_subspaces, id_col, vec_col)
+    score = None
+    for j in range(num_subspaces):
+        q_j = query_vec[j * width : (j + 1) * width]
+        lut = []
+        for cvec in codebook:
+            c = cvec[j * width : (j + 1) * width]
+            d = 0.0
+            for a, b in zip(q_j, c):
+                d = d + a * b  # sequential, mirroring the SQL fold
+            lut.append(int(math.floor(d * 10000.0 + 0.5)))
+        term = F.element_at(
+            F.array(*[F.lit(x) for x in lut]),
+            F.element_at(F.col("codes"), j + 1) + 1,
+        )
+        score = term if score is None else score + term
+    scored = encoded.select(
+        F.col(id_col), score.cast("long").alias("adc_score_e4")
+    )
+    if exclude_ids:
+        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
+    return scored.orderBy(F.desc("adc_score_e4"), F.asc(id_col)).limit(k)

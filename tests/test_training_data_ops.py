@@ -452,3 +452,30 @@ def test_bloom_no_false_negatives_and_low_fp(spark):
     }
     assert exact <= pruned
     filt.unpersist()
+
+
+def test_pq_codes_valid_and_adc_recall(spark, emb):
+    """PQ codes stay in range, compression is 8 ints/vector, and ADC
+    top-10 overlaps the exact inner-product ranking."""
+    from cassandra_data_migration_spark.operators import similarity as sim
+
+    cb = sim.pq_codebook(emb, n_centroids=32)
+    assert len(cb) == 32 and all(len(c) == 64 for c in cb)
+    codes = sim.pq_encode(emb, cb).collect()
+    assert all(len(r.codes) == 8 for r in codes)
+    assert all(0 <= c < 32 for r in codes for c in r.codes)
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    pq10 = {
+        r.vec_id
+        for r in sim.pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0]).collect()
+    }
+    q = F.array(*[F.lit(x) for x in qv])
+    exact = emb.filter("vec_id <> 0").select(
+        "vec_id",
+        sim.dot(F.col("embedding").cast("array<double>"), q).alias("ip"),
+    )
+    ex10 = {r.vec_id for r in exact.orderBy(F.desc("ip"), F.asc("vec_id")).limit(10).collect()}
+    ex50 = {r.vec_id for r in exact.orderBy(F.desc("ip"), F.asc("vec_id")).limit(50).collect()}
+    assert len(pq10 & ex10) / 10 >= 0.2
+    assert len(pq10 & ex50) / 10 >= 0.6
