@@ -291,3 +291,57 @@ def test_sessionize_stream_matches_batch_twin(spark, tmp_path):
         for r in sessionize(events, gap_seconds=28800).collect()
     )
     assert got == want
+
+
+def test_contamination_stream_matches_batch_twin(spark, tmp_path):
+    """The stream-static broadcast scrub must flag exactly the docs
+    (and overlap counts) that the batch decontaminate operator flags,
+    and the clean route must be its exact complement."""
+    from cassandra_data_migration_spark.operators.text import decontaminate
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.decontaminate import (
+        clean_stream,
+        contamination_stream,
+    )
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    benchmark = docs.filter("doc_id % 10 = 0").select("text")
+    corpus = docs.filter("doc_id % 10 <> 0")
+    src = str(tmp_path / "docs")
+    corpus.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        contamination_stream(stream, benchmark)
+        .writeStream.format("memory")
+        .queryName("contam")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.doc_id, r.n_overlap)
+        for r in spark.sql("SELECT * FROM contam").collect()
+    }
+    want = {
+        (r.doc_id, r.n_overlap)
+        for r in decontaminate(corpus, benchmark).collect()
+    }
+    assert got == want and want  # fixture plants overlaps
+
+    stream2 = spark.readStream.schema(schema).parquet(src)
+    q2 = (
+        clean_stream(stream2, benchmark)
+        .writeStream.format("memory")
+        .queryName("clean")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    clean_ids = {r.doc_id for r in spark.sql("SELECT doc_id FROM clean").collect()}
+    flagged = {d for d, _ in want}
+    all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
+    assert clean_ids == all_ids - flagged
