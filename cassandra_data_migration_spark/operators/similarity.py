@@ -535,18 +535,30 @@ def pq_encode(
     codes = []
     for j in range(num_subspaces):
         sl = F.slice(v, j * width + 1, width)
-        dists = []
+        # one struct-array literal {c, cc} per subspace, distances via
+        # a single transform lambda — identical float op sequence to
+        # unrolling one expression per centroid, but the plan tree is
+        # O(K) literals + 1 lambda instead of K dot folds, which keeps
+        # analysis/codegen time flat as K grows
+        entries = []
         for cvec in codebook:
             c = cvec[j * width : (j + 1) * width]
-            clit = F.array(*[F.lit(x) for x in c])
             cc = 0.0
             for x in c:
                 cc = cc + x * x  # sequential, mirroring the SQL fold
-            # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
-            # centroids, so the argmin key keeps only c·c − 2·x·c
-            d2 = F.lit(cc) - F.lit(2.0) * dot(sl, clit)
-            dists.append(_e4(d2))
-        arr = F.array(*dists)
+            entries.append(
+                F.struct(
+                    F.array(*[F.lit(x) for x in c]).alias("c"),
+                    F.lit(cc).alias("cc"),
+                )
+            )
+        cb_j = F.array(*entries)
+        # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
+        # centroids, so the argmin key keeps only c·c − 2·x·c
+        arr = F.transform(
+            cb_j,
+            lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
+        )
         codes.append(
             (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
         )
