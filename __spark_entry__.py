@@ -601,6 +601,24 @@ def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return csv_import(spark, f"{d}/nation_csv", schema=n.schema)
 
 
+def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S6-adjacent: columnar ORC staging (Hive/Trino interchange) —
+    # export then re-import must be lossless; aggregate proves values,
+    # not just row counts, survived
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import orc_export, orc_import
+
+    s = load_table(spark, sf_dir, "supplier")
+    d = tempfile.mkdtemp(prefix="orc_rt_")
+    orc_export(s, f"{d}/supplier_orc")
+    back = orc_import(spark, f"{d}/supplier_orc", schema=s.schema)
+    return back.groupBy("s_nationkey").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
+    )
+
+
 def q_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S8: compressed staging (dsbulk --connector.csv.compression gzip)
     import tempfile
@@ -1246,6 +1264,64 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sub-document exact dedup (Lee et al. ExactSubstr shape): share of
+    # each doc's 32-token chunks that appear verbatim in other docs —
+    # catches boilerplate document-level dedup misses; shuffles carry
+    # md5 chunk keys, never chunk text
+    from cassandra_data_migration_spark.operators.text import chunk_dedup_signals
+
+    return chunk_dedup_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # language-rebalancing sample: per-stratum deterministic rates
+    # (down-sample high-resource langs, keep low-resource) — one
+    # scan-side predicate, membership a pure function of (lang, id)
+    from cassandra_data_migration_spark.operators.sampling import stratified_sample
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = stratified_sample(
+        docs,
+        "lang",
+        {"en": 0.3, "es": 0.6, "de": 0.6},
+        "doc_id",
+        default_fraction=1.0,
+    )
+    return out.select("doc_id", "lang")
+
+
+def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # backward as-of join: each error event picks up the user's most
+    # recent click at-or-before it — union-window shape (one shuffle
+    # per input on user_id), not a quadratic range join; oracle uses
+    # DuckDB's native ASOF JOIN as an independent implementation
+    from cassandra_data_migration_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    out = asof_join(
+        errors,
+        clicks,
+        on=["user_id"],
+        ts_col="ts",
+        payload_cols=["event_id", "value", "ts"],
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("event_id_matched").alias("click_event_id"),
+        F.col("value_matched").alias("click_value"),
+        (F.unix_micros("ts") - F.unix_micros("ts_matched")).alias("gap_us"),
+    )
+
+
 def _pq_inputs(spark: SparkSession, sf_dir: str):
     from cassandra_data_migration_spark.operators.similarity import pq_codebook
 
@@ -1451,6 +1527,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "throttle_schedule": q_throttle_schedule,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
+    "asof_last_click": q_asof_last_click,
+    "stratified_sample": q_stratified_sample,
+    "chunk_dedup": q_chunk_dedup,
+    "orc_roundtrip": q_orc_roundtrip,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -1497,6 +1577,20 @@ _PQ_CTES = """
               FROM dist GROUP BY vec_id, j)
     )
 """
+
+
+def _stratified_sample_oracle() -> str:
+    from cassandra_data_migration_spark.operators.sampling import (
+        stratified_bucket_sql,
+    )
+
+    bucket = stratified_bucket_sql("lang", "doc_id")
+    return f"""
+        SELECT doc_id, lang FROM documents
+        WHERE {bucket} < CASE lang
+            WHEN 'en' THEN 3000 WHEN 'es' THEN 6000 WHEN 'de' THEN 6000
+            ELSE 10000 END
+    """
 
 
 def _bloom_membership_oracle() -> str:
@@ -2492,6 +2586,51 @@ ORACLES: dict[str, str] = {
         )
         SELECT vec_id, adc_score_e4 FROM scored
         ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
+    """,
+    "asof_last_click": """
+        SELECT e.event_id,
+               e.user_id,
+               c.event_id AS click_event_id,
+               c.value AS click_value,
+               CASE WHEN c.ts IS NULL THEN NULL
+                    ELSE epoch_us(e.ts) - epoch_us(c.ts) END AS gap_us
+        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
+        ASOF LEFT JOIN
+             (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
+        ON e.user_id = c.user_id AND e.ts >= c.ts
+    """,
+    "stratified_sample": _stratified_sample_oracle(),
+    "chunk_dedup": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS chunk_id
+            FROM t
+        ),
+        ch AS (
+            SELECT doc_id,
+                   md5(array_to_string(
+                       list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32), ' '
+                   )) AS h
+            FROM c
+        ),
+        freq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
+        SELECT ch.doc_id,
+               COUNT(*) AS n_chunks,
+               CAST(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dup_chunks,
+               ROUND(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+                     / COUNT(*), 4) AS dup_frac
+        FROM ch JOIN freq USING (h)
+        GROUP BY ch.doc_id
+    """,
+    "orc_roundtrip": """
+        SELECT s_nationkey,
+               COUNT(*) AS n_suppliers,
+               ROUND(SUM(s_acctbal), 2) AS sum_acctbal
+        FROM supplier GROUP BY s_nationkey
     """,
 }
 

@@ -156,3 +156,75 @@ def per_bucket_count_compare(
         )
         .filter(F.col("origin_cnt") != F.col("target_cnt"))
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    ts_col: str,
+    payload_cols: list[str],
+    tiebreak_col: str | None = None,
+    suffix: str = "_matched",
+) -> DataFrame:
+    """Backward as-of join: attach to every left row the most recent
+    right row with the same key and ``right.ts <= left.ts`` (NULLs
+    when no prior right row exists) — the event-enrichment /
+    point-in-time-feature join. Beyond the reference's equi-join
+    surface (SURVEY.md §2.3 notes it has none), but a staple of
+    temporal training-data assembly.
+
+    Physical plan — the union-window trick, NOT a range join: tag both
+    inputs, union them (narrow), and run ONE window per key ordered by
+    (ts, side, tiebreak) carrying ``last(right payload, ignorenulls)``
+    forward; left rows then read their carried match. A naive
+    inequality join explodes to O(|L|·|R|) per key and shuffles both
+    sides per probe; this shape shuffles each input exactly once on
+    the key and scales linearly. Right rows sort before left rows at
+    equal ts, giving inclusive (<=) semantics; ties inside the right
+    side resolve by ``tiebreak_col`` (last one wins — deterministic
+    for any engine).
+
+    Streaming twin: the carried-payload state is exactly one struct
+    per key, so the same semantics port to
+    ``applyInPandasWithState`` with bounded state.
+    """
+    tb = tiebreak_col or payload_cols[0]
+    payload = F.struct(*[F.col(c) for c in payload_cols])
+    p_type = right.select(payload.alias("_p")).schema["_p"].dataType
+    l_cols = list(left.columns)
+    lt = left.select(
+        *[F.col(c) for c in l_cols],
+        F.lit(1).alias("_side"),
+        F.lit(None).cast(p_type).alias("_p"),
+        F.lit(None).cast("long").alias("_tb"),
+    )
+    rt = right.select(
+        *[
+            F.col(c)
+            if c in on or c == ts_col
+            else F.lit(None).cast(left.schema[c].dataType).alias(c)
+            for c in l_cols
+        ],
+        F.lit(0).alias("_side"),
+        payload.alias("_p"),
+        F.col(tb).cast("long").alias("_tb"),
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(F.col(ts_col).asc(), F.col("_side").asc(), F.col("_tb").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = lt.unionByName(rt).withColumn(
+        "_carry", F.last("_p", ignorenulls=True).over(w)
+    )
+    out = carried.filter(F.col("_side") == 1).select(
+        *[F.col(c) for c in l_cols],
+        *[
+            F.col("_carry").getField(c).alias(f"{c}{suffix}")
+            for c in payload_cols
+        ],
+    )
+    return out

@@ -105,3 +105,59 @@ def weighted_mixture(
     for p in parts[1:]:
         outp = outp.unionByName(p)
     return outp
+
+
+def hash_bucket_expr(key: Column, salt: str = "") -> Column:
+    """:func:`hash_bucket` over an arbitrary string expression instead
+    of a single column — same draw, same bias bound."""
+    h = F.conv(
+        F.substring(F.md5(F.concat(F.lit(salt), key)), 1, 8), 16, 10
+    ).cast("long")
+    return (h % NUM_BUCKETS).cast("int")
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    fractions: dict[str, float],
+    id_col: str,
+    default_fraction: float = 0.0,
+    salt: str = "strat",
+) -> DataFrame:
+    """Per-stratum deterministic sampling — the class-rebalancing /
+    language-rebalancing step of corpus assembly (e.g. keep 50% of
+    English but 100% of low-resource languages).  Membership is a pure
+    function of (stratum, id): the draw key is ``stratum:id``, so
+    changing one stratum's rate never reshuffles another's survivors,
+    and supersets nest per stratum exactly as in :func:`hash_sample`.
+
+    Scan-side filter — no shuffle, no per-stratum pass; one predicate
+    evaluates every row regardless of how many strata exist (contrast
+    ``df.sampleBy``, which is plan-dependent like ``df.sample``)."""
+    key = F.concat(
+        F.col(strata_col).cast("string"), F.lit(":"), F.col(id_col).cast("string")
+    )
+    bucket = hash_bucket_expr(key, salt)
+    threshold = None
+    for name, frac in fractions.items():
+        cond = F.col(strata_col) == name
+        t = F.lit(int(round(frac * NUM_BUCKETS)))
+        threshold = F.when(cond, t) if threshold is None else threshold.when(cond, t)
+    threshold = (
+        threshold.otherwise(int(round(default_fraction * NUM_BUCKETS)))
+        if threshold is not None
+        else F.lit(int(round(default_fraction * NUM_BUCKETS)))
+    )
+    return df.filter(bucket < threshold)
+
+
+def stratified_bucket_sql(
+    strata_col: str, id_col: str, salt: str = "strat"
+) -> str:
+    """DuckDB twin of the :func:`stratified_sample` draw, kept beside
+    it so the two definitions cannot drift."""
+    key = f"CAST({strata_col} AS VARCHAR) || ':' || CAST({id_col} AS VARCHAR)"
+    return (
+        f"CAST(CAST('0x' || substr(md5('{salt}' || {key}), 1, 8)"
+        f" AS BIGINT) % {NUM_BUCKETS} AS INTEGER)"
+    )

@@ -80,3 +80,31 @@ def test_weighted_mixture_sources_and_rates(spark):
     }
     assert counts.get("all") == docs.count()
     assert "none" not in counts
+
+
+def test_stratified_sample_rates_and_independence(spark):
+    """Realized per-stratum rates track the targets, and changing one
+    stratum's rate never moves another stratum's survivors."""
+    from cassandra_data_migration_spark.operators.sampling import stratified_sample
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    totals = {r.lang: r["count"] for r in docs.groupBy("lang").count().collect()}
+    rates = {"en": 0.3, "es": 0.6}
+    out = stratified_sample(docs, "lang", rates, "doc_id", default_fraction=1.0)
+    kept = {r.lang: r["count"] for r in out.groupBy("lang").count().collect()}
+    for lang, frac in rates.items():
+        assert abs(kept[lang] / totals[lang] - frac) < 0.15
+    for lang in set(totals) - set(rates):  # default 1.0 keeps everything
+        assert kept[lang] == totals[lang]
+
+    bumped = stratified_sample(
+        docs, "lang", {"en": 0.3, "es": 0.9}, "doc_id", default_fraction=1.0
+    )
+    es_before = {r.doc_id for r in out.filter("lang='es'").collect()}
+    es_after = {r.doc_id for r in bumped.filter("lang='es'").collect()}
+    en_before = {r.doc_id for r in out.filter("lang='en'").collect()}
+    en_after = {r.doc_id for r in bumped.filter("lang='en'").collect()}
+    assert es_before <= es_after  # superset nesting within the stratum
+    assert en_before == en_after  # untouched stratum unchanged

@@ -116,3 +116,27 @@ def test_sketch_profile_accuracy_vs_exact(spark):
         sketch_profile(docs).explain("formatted")
     plan = buf.getvalue()
     assert "partial_" in plan  # sketches combine map-side
+
+
+def test_asof_join_semantics_on_crafted_rows(spark):
+    """Inclusive backward match, NULL when no prior right row, and
+    deterministic last-wins on right-side timestamp ties."""
+    from cassandra_data_migration_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame(
+        [(1, 10, 100), (1, 20, 101), (2, 5, 102)], "k int, t int, lid int"
+    ).select("k", F.col("t").cast("timestamp").alias("ts"), "lid")
+    right = spark.createDataFrame(
+        [(1, 10, 7, 0.5), (1, 10, 9, 0.7), (1, 15, 3, 0.9), (2, 6, 4, 0.1)],
+        "k int, t int, rid int, v double",
+    ).select("k", F.col("t").cast("timestamp").alias("ts"), "rid", "v")
+    out = {
+        r.lid: (r.rid_matched, r.v_matched)
+        for r in asof_join(
+            left, right, on=["k"], ts_col="ts",
+            payload_cols=["rid", "v"], tiebreak_col="rid",
+        ).collect()
+    }
+    assert out[100] == (9, 0.7)   # equal-ts right row matches; rid=9 wins tie
+    assert out[101] == (3, 0.9)   # latest at-or-before 20 is ts=15
+    assert out[102] == (None, None)  # right row is strictly later
