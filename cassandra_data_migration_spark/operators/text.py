@@ -445,3 +445,53 @@ def pack_sequences(
         .withColumn("bin_id", F.expr(f"_prev_cum DIV {int(budget)}"))
         .drop("_prev_cum")
     )
+
+
+def chunk_dedup_signals(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 32,
+) -> DataFrame:
+    """Sub-document exact dedup signals (cf. Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better" — their
+    ExactSubstr pass): fraction of each document's fixed-size token
+    chunks that also occur verbatim in OTHER documents.  Boilerplate,
+    licence blocks, and templated passages score high even when the
+    whole document is unique, which is exactly what document-level
+    dedup misses.
+
+    (id, n_chunks, n_dup_chunks, dup_frac); route high-dup_frac docs
+    to chunk-level scrubbing rather than whole-doc dropping.
+
+    Physical plan: chunk explode is narrow (scan-side); chunk texts
+    reduce to md5 keys so the frequency shuffle carries 16-byte
+    hashes, not chunk text; the doc-count aggregate map-side combines;
+    the flag joins back on the same hash key (co-partitioned with the
+    aggregate — AQE reuses the exchange) and the final per-doc rollup
+    is one more bounded shuffle.  At 100 TB this is the same
+    three-exchange shape as tfidf, all on compact keys."""
+    chunks = chunk_documents(df, id_col, text_col, chunk_tokens).select(
+        F.col(id_col), F.md5("chunk_text").alias("_h")
+    )
+    freq = chunks.groupBy("_h").agg(
+        F.countDistinct(id_col).alias("_docs")
+    )
+    return (
+        chunks.join(freq, "_h")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum(F.when(F.col("_docs") >= 2, 1).otherwise(0)).alias(
+                "n_dup_chunks"
+            ),
+        )
+        .select(
+            F.col(id_col),
+            "n_chunks",
+            "n_dup_chunks",
+            F.round(F.col("n_dup_chunks") / F.col("n_chunks"), 4).alias(
+                "dup_frac"
+            ),
+        )
+    )

@@ -106,3 +106,30 @@ def json_import(
     if schema is not None:
         reader = reader.schema(schema)
     return reader.json(path)
+
+
+def orc_export(
+    df: DataFrame,
+    path: str,
+    compression: str = "zlib",
+    partition_cols: list[str] | None = None,
+) -> None:
+    """Columnar staging in ORC — the second columnar format big-data
+    stacks expect next to parquet (Hive/Trino interchange).  Same
+    parallel-unload shape as S6; ORC's zlib default mirrors the
+    compressed-staging option surface (S8)."""
+    w = df.write.mode("overwrite").option("compression", compression)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    w.orc(path)
+
+
+def orc_import(
+    spark: SparkSession, path: str, schema: StructType | None = None
+) -> DataFrame:
+    """Read back an ORC staging dir; explicit schema skips inference
+    (footer reads) on wide directories."""
+    r = spark.read
+    if schema is not None:
+        r = r.schema(schema)
+    return r.orc(path)

@@ -35,3 +35,17 @@ def test_json_round_trip(spark, tmp_path):
     files.json_export(region, path)
     back = files.json_import(spark, path, schema=region.schema)
     assert sorted(map(str, back.collect())) == sorted(map(str, region.collect()))
+
+
+def test_orc_round_trip_lossless_and_partitioned(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.files import orc_export, orc_import
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    s = load_table(spark, "/root/testdata/sf0.001", "supplier")
+    p = str(tmp_path / "orc")
+    orc_export(s, p, partition_cols=["s_nationkey"])
+    back = orc_import(spark, p).select(*s.columns)
+    assert back.count() == s.count()
+    # values survive byte-for-byte (partition column comes back typed)
+    assert s.exceptAll(back.select(*[back[c].cast(t.dataType) for c, t in
+        zip(back.columns, [s.schema[c] for c in back.columns])])).count() == 0

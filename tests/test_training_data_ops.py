@@ -479,3 +479,22 @@ def test_pq_codes_valid_and_adc_recall(spark, emb):
     ex50 = {r.vec_id for r in exact.orderBy(F.desc("ip"), F.asc("vec_id")).limit(50).collect()}
     assert len(pq10 & ex10) / 10 >= 0.2
     assert len(pq10 & ex50) / 10 >= 0.6
+
+
+def test_chunk_dedup_flags_shared_boilerplate(spark):
+    """A chunk pasted into two docs must be flagged in both; fully
+    unique docs must score zero."""
+    from cassandra_data_migration_spark.operators.text import chunk_dedup_signals
+
+    boiler = " ".join(f"b{i}" for i in range(32))
+    uniq = lambda tag: " ".join(f"{tag}{i}" for i in range(32))
+    rows = [
+        (1, boiler + " " + uniq("x")),
+        (2, boiler + " " + uniq("y")),
+        (3, uniq("z")),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in chunk_dedup_signals(df).collect()}
+    assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 1
+    assert got[1].dup_frac == 0.5 and got[2].dup_frac == 0.5
+    assert got[3].n_dup_chunks == 0 and got[3].dup_frac == 0.0
