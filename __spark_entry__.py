@@ -1264,6 +1264,31 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hierarchical corpus profile: per-(lang, source) cells + lang
+    # subtotals + grand total in ONE pass (Expand → single map-side
+    # combined aggregate); grouping_id labels the level
+    from cassandra_data_migration_spark.operators.aggregates import rollup_profile
+
+    return rollup_profile(
+        load_table(spark, sf_dir, "documents"), ["lang", "source"]
+    )
+
+
+def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-customer cumulative revenue in (date, key) order; decimal
+    # accumulation keeps the cumulative sum engine-exact
+    from cassandra_data_migration_spark.operators.windows import running_total
+
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
+    return running_total(
+        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
+        "o_custkey",
+        ["o_orderdate", "o_orderkey"],
+        "o_totalprice",
+    ).select("o_custkey", "o_orderkey", "running_total")
+
+
 def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sub-document exact dedup (Lee et al. ExactSubstr shape): share of
     # each doc's 32-token chunks that appear verbatim in other docs —
@@ -1531,6 +1556,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stratified_sample": q_stratified_sample,
     "chunk_dedup": q_chunk_dedup,
     "orc_roundtrip": q_orc_roundtrip,
+    "rollup_profile": q_rollup_profile,
+    "running_total": q_running_total,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -2631,6 +2658,22 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_suppliers,
                ROUND(SUM(s_acctbal), 2) AS sum_acctbal
         FROM supplier GROUP BY s_nationkey
+    """,
+    "rollup_profile": """
+        SELECT lang, source,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+               CAST(GROUPING(lang, source) AS BIGINT) AS gid
+        FROM documents GROUP BY ROLLUP (lang, source)
+    """,
+    "running_total": """
+        SELECT o_custkey, o_orderkey,
+               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_orderdate, o_orderkey
+                   ROWS UNBOUNDED PRECEDING
+               ) AS DOUBLE), 2) AS running_total
+        FROM orders WHERE o_custkey < 100
     """,
 }
 

@@ -200,3 +200,28 @@ def sketch_profile(
             ).alias("token_quantiles"),
         )
     )
+
+
+def rollup_profile(
+    df: DataFrame,
+    dims: list[str],
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Hierarchical corpus profile via ROLLUP: one pass emits the
+    per-(lang, source) cells plus every subtotal level and the grand
+    total — the report shape dashboards want without re-scanning per
+    level.  ``grouping_id`` disambiguates a subtotal NULL from a NULL
+    data value.
+
+    Physical plan: Spark expands the rollup into an Expand node (one
+    input row → level count rows) feeding a single hash aggregate —
+    map-side combined, so the shuffle carries one row per (cell ×
+    level), never the corpus."""
+    return (
+        df.rollup(*dims)
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(chars_col).alias("total_chars"),
+            F.grouping_id().alias("gid"),
+        )
+    )

@@ -122,3 +122,33 @@ def running_delta(df: DataFrame, partition_by: list[str], order_by: str, value: 
     return df.withColumn("_prev", F.lag(value).over(w)).withColumn(
         "delta", F.col(value) - F.col("_prev")
     ).drop("_prev")
+
+
+def running_total(
+    df: DataFrame,
+    key_col: str,
+    order_cols: list[str],
+    val_col: str,
+    out: str = "running_total",
+) -> DataFrame:
+    """Per-key cumulative sum in deterministic order — the running
+    balance / cumulative-revenue analytic.  The value ACCUMULATES as
+    DECIMAL(18,2) (exact addition, so the result is independent of
+    both partitioning and the window implementation — a float
+    cumulative sum differs between engines' accumulation strategies)
+    and is emitted as a rounded double, the engine's output-column
+    convention.  One shuffle on the key."""
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(*[F.col(c) for c in order_cols])
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn(
+        out,
+        F.round(
+            F.sum(F.col(val_col).cast("decimal(18,2)")).over(w).cast("double"),
+            2,
+        ),
+    )

@@ -185,3 +185,48 @@ def test_incremental_dedup_joins_fingerprints_not_documents(spark):
     plan = _plan(df)
     assert "LeftAnti" in plan
     assert "text" not in df.columns
+
+
+def test_pq_topk_is_takeordered_no_shuffle(spark):
+    # PQ encode is scan-stage expression over codebook literals and
+    # ADC scoring is table lookups: the whole search must stay
+    # exchange-free with a TakeOrdered top-k
+    plan = _plan(entry_mod.queries()["pq_adc_topk"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange" not in plan
+
+
+def test_bloom_probe_broadcasts_bits_no_candidate_shuffle(spark):
+    # the candidate scan must join the 1-row bit array by broadcast;
+    # any Exchange on the probe side would defeat the pre-filter
+    plan = _plan(entry_mod.queries()["bloom_membership"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stratified_sample_is_scan_side_filter(spark):
+    # any number of strata, zero exchanges: membership is one predicate
+    plan = _plan(entry_mod.queries()["stratified_sample"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
+def test_asof_join_shuffles_once_on_key(spark):
+    # union-window as-of: the union is narrow, so BOTH inputs flow
+    # through exactly one exchange, on the join key — a range join
+    # would show per-probe work or a nested loop
+    plan = _plan(entry_mod.queries()["asof_last_click"](spark, SF_CORRECT))
+    # formatted output lists each node twice (tree + "(n) Exchange"
+    # detail header); count the detail headers = physical nodes
+    assert plan.count(") Exchange") == 1
+    assert "hashpartitioning(user_id" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_chunk_dedup_shuffles_hashes_not_text(spark):
+    # every exchange must carry the 16-byte md5 key or doc aggregates;
+    # raw chunk_text may never cross a shuffle boundary
+    plan = _plan(entry_mod.queries()["chunk_dedup"](spark, SF_CORRECT))
+    for line in plan.splitlines():
+        if "Exchange" in line:
+            assert "chunk_text" not in line

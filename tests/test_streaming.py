@@ -345,3 +345,36 @@ def test_contamination_stream_matches_batch_twin(spark, tmp_path):
     flagged = {d for d, _ in want}
     all_ids = {r.doc_id for r in corpus.select("doc_id").collect()}
     assert clean_ids == all_ids - flagged
+
+
+def test_dedup_stream_matches_batch_fingerprint_set(spark, tmp_path):
+    """Streaming dropDuplicates must keep exactly one survivor per
+    distinct fingerprint — the same groups the batch operator forms —
+    and every survivor must be a real corpus document."""
+    from cassandra_data_migration_spark.operators.dedup import dedup_exact
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.dedup import dedup_stream
+
+    docs = load_table(spark, "/root/testdata/sf0.01", "documents")
+    src = str(tmp_path / "docs")
+    docs.write.parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        dedup_stream(stream)
+        .writeStream.format("memory")
+        .queryName("dedup")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = spark.sql("SELECT doc_id, _fp FROM dedup").collect()
+
+    batch = dedup_exact(docs)
+    n_groups = batch.select("canonical_id").distinct().count()
+    assert len(kept) == n_groups  # one survivor per duplicate group
+    assert len({r._fp for r in kept}) == len(kept)
+    all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
+    assert {r.doc_id for r in kept} <= all_ids
