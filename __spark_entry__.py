@@ -1264,6 +1264,80 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # engine-exact Lloyd k-means (k=8, 2 rounds + final assign):
+    # e4 fixed-point assignment, DECIMAL-sum centroid updates — the
+    # refinement behind the IVF/PQ/SemDeDup coarse quantizers; the
+    # oracle replays the identical iterations as unrolled CTEs
+    from cassandra_data_migration_spark.operators.similarity import kmeans_fit
+
+    assigned, _ = kmeans_fit(
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+    )
+    return assigned
+
+
+def q_interval_session_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-interval join: each error event looks up the activity
+    # session (built from non-error events) whose window contains it,
+    # NULL when it falls in an idle gap — SCD-2-style validity lookup
+    # in the linear union-window shape, not a quadratic range join
+    from cassandra_data_migration_spark.operators.joins import interval_join
+    from cassandra_data_migration_spark.operators.windows import sessionize
+
+    ev = load_table(spark, sf_dir, "events")
+    sessions = sessionize(
+        ev.filter(F.col("event_type") != "error"), gap_seconds=28800
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    out = interval_join(
+        errors,
+        sessions,
+        on=["user_id"],
+        ts_col="ts",
+        start_col="session_start",
+        end_col="session_end",
+        payload_cols=["session_id", "n_events"],
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.col("session_id_iv").alias("session_id"),
+        F.col("n_events_iv").alias("session_n_events"),
+    )
+
+
+def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-tab: docs per (source row, lang column) with an explicit
+    # category list — same single map-combined aggregate as a grouped
+    # count, schema independent of the data
+    from cassandra_data_migration_spark.operators.aggregates import pivot_counts
+
+    return pivot_counts(
+        load_table(spark, sf_dir, "documents"),
+        "source",
+        "lang",
+        ["en", "zh", "es", "de", "fr"],
+    )
+
+
+def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # equal-frequency length bucketing (NTILE) with a pinned total
+    # order — the length-balancing signal for batch packing; per-tile
+    # summary keeps the result small
+    from cassandra_data_migration_spark.operators.windows import ntile_buckets
+
+    docs = load_table(spark, sf_dir, "documents")
+    tiled = ntile_buckets(docs, "n_chars", n=4, tiebreak_col="doc_id")
+    return tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
 def q_rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # hierarchical corpus profile: per-(lang, source) cells + lang
     # subtotals + grand total in ONE pass (Expand → single map-side
@@ -1558,6 +1632,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orc_roundtrip": q_orc_roundtrip,
     "rollup_profile": q_rollup_profile,
     "running_total": q_running_total,
+    "pivot_lang_source": q_pivot_lang_source,
+    "length_quartiles": q_length_quartiles,
+    "interval_session_lookup": q_interval_session_lookup,
+    "kmeans_clusters": q_kmeans_clusters,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -1617,6 +1695,57 @@ def _stratified_sample_oracle() -> str:
         WHERE {bucket} < CASE lang
             WHEN 'en' THEN 3000 WHEN 'es' THEN 6000 WHEN 'de' THEN 6000
             ELSE 10000 END
+    """
+
+
+def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled-CTE replay of operators/similarity.kmeans_fit: same
+    md5-seeded init, e4 fixed-point assignment (argmin key c·c − 2·x·c,
+    ties to smallest cid), DECIMAL(20,10)-sum centroid updates emitted
+    as round(sum/count, 6), empty clusters keeping prior centroids."""
+    ctes = [
+        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
+        f"""cb0 AS (
+            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
+                   embedding::DOUBLE[] AS cv
+            FROM (SELECT vec_id, embedding FROM embeddings
+                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
+        )""",
+    ]
+    for it in range(iters + 1):
+        ctes.append(f"""d{it} AS (
+            SELECT vec_id, cid,
+                   CAST(floor((list_dot_product(cv, cv) - 2.0 * list_dot_product(ev, cv))
+                              * 10000.0 + 0.5) AS BIGINT) AS dk
+            FROM v, cb{it}
+        )""")
+        ctes.append(f"""a{it} AS (
+            SELECT vec_id, cid AS cluster FROM (
+                SELECT vec_id, cid,
+                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dk, cid) AS rn
+                FROM d{it}
+            ) WHERE rn = 1
+        )""")
+        if it < iters:
+            ctes.append(f"""s{it + 1} AS (
+                SELECT a{it}.cluster, p.pos,
+                       ROUND(CAST(SUM(CAST(v.ev[p.pos] AS DECIMAL(20,10))) AS DOUBLE)
+                             / COUNT(*), 6) AS comp
+                FROM a{it} JOIN v USING (vec_id),
+                     (SELECT unnest(range(1, {dim + 1})) AS pos) p
+                GROUP BY a{it}.cluster, p.pos
+            )""")
+            ctes.append(f"""cb{it + 1} AS (
+                SELECT cb{it}.cid, COALESCE(m.cv, cb{it}.cv) AS cv
+                FROM cb{it} LEFT JOIN (
+                    SELECT cluster AS cid, list(comp ORDER BY pos) AS cv
+                    FROM s{it + 1} GROUP BY cluster
+                ) m ON m.cid = cb{it}.cid
+            )""")
+    joined = ",\n        ".join(ctes)
+    return f"""
+        WITH {joined}
+        SELECT vec_id, cluster FROM a{iters}
     """
 
 
@@ -2658,6 +2787,59 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_suppliers,
                ROUND(SUM(s_acctbal), 2) AS sum_acctbal
         FROM supplier GROUP BY s_nationkey
+    """,
+    "kmeans_clusters": _kmeans_oracle(),
+    "interval_session_lookup": """
+        WITH e AS (
+            SELECT user_id, event_id, ts,
+                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
+            FROM events WHERE event_type <> 'error'
+        ),
+        f AS (
+            SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                             OR sec - lag(sec) OVER w > 28800
+                           THEN 1 ELSE 0 END AS is_new
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ),
+        s AS (
+            SELECT *, SUM(is_new) OVER (
+                PARTITION BY user_id ORDER BY ts, event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+            ) AS session_id
+            FROM f
+        ),
+        sess AS (
+            SELECT user_id, session_id, COUNT(*) AS n_events,
+                   MIN(ts) AS session_start, MAX(ts) AS session_end
+            FROM s GROUP BY user_id, session_id
+        )
+        SELECT err.event_id, err.user_id,
+               sess.session_id AS session_id,
+               sess.n_events AS session_n_events
+        FROM (SELECT event_id, user_id, ts FROM events
+              WHERE event_type = 'error') err
+        LEFT JOIN sess
+          ON err.user_id = sess.user_id
+         AND err.ts >= sess.session_start AND err.ts <= sess.session_end
+    """,
+    "pivot_lang_source": """
+        SELECT source,
+               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+               CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
+               CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+               CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+               CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr
+        FROM documents GROUP BY source
+    """,
+    "length_quartiles": """
+        WITH tiled AS (
+            SELECT n_chars,
+                   NTILE(4) OVER (ORDER BY n_chars, doc_id) AS tile
+            FROM documents
+        )
+        SELECT tile, COUNT(*) AS n_docs,
+               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
+        FROM tiled GROUP BY tile
     """,
     "rollup_profile": """
         SELECT lang, source,

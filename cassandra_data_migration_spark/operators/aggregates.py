@@ -225,3 +225,25 @@ def rollup_profile(
             F.grouping_id().alias("gid"),
         )
     )
+
+
+def pivot_counts(
+    df: DataFrame,
+    row_dim: str,
+    col_dim: str,
+    values: list[str],
+) -> DataFrame:
+    """Cross-tab: one row per ``row_dim``, one count column per
+    ``col_dim`` value — the matrix view of a two-dim grouped count.
+    ``values`` is explicit (not inferred): inference costs an extra
+    distinct scan AND makes the output schema data-dependent, which
+    breaks at scale where a late-arriving category would silently
+    reshape downstream consumers.  Compiles to the same single
+    map-combined hash aggregate as a grouped count (each pivot cell is
+    a conditional partial)."""
+    return (
+        df.groupBy(row_dim)
+        .pivot(col_dim, values)
+        .agg(F.count(F.lit(1)))
+        .na.fill(0, [str(v) for v in values])
+    )

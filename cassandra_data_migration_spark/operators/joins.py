@@ -228,3 +228,50 @@ def asof_join(
         ],
     )
     return out
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    on: list[str],
+    ts_col: str,
+    start_col: str,
+    end_col: str,
+    payload_cols: list[str],
+    suffix: str = "_iv",
+) -> DataFrame:
+    """Point-in-interval join against NON-OVERLAPPING validity windows
+    (sessions, SCD-2 dimension versions, config epochs): each point
+    row picks up the payload of the same-key interval containing its
+    timestamp, NULLs when it falls in a gap.
+
+    Built on :func:`asof_join`: carry the latest interval whose START
+    is at-or-before the point, then invalidate the match when the
+    point lies past that interval's END.  Inherits the union-window
+    physical shape — one exchange on the key, linear in rows — where
+    the textbook ``l.ts BETWEEN r.start AND r.end`` join is quadratic
+    per key.  Overlapping intervals need a multi-match explode
+    instead; non-overlap is asserted by the callers that matter
+    (sessions are disjoint by construction)."""
+    rt = intervals.select(
+        *[F.col(c) for c in on],
+        F.col(start_col).alias(ts_col),
+        *[F.col(c) for c in payload_cols],
+        F.col(end_col),
+    )
+    carried = asof_join(
+        points,
+        rt,
+        on=on,
+        ts_col=ts_col,
+        payload_cols=payload_cols + [end_col],
+        tiebreak_col=end_col,
+        suffix=suffix,
+    )
+    inside = F.col(ts_col) <= F.col(f"{end_col}{suffix}")
+    out = carried
+    for c in payload_cols:
+        out = out.withColumn(
+            f"{c}{suffix}", F.when(inside, F.col(f"{c}{suffix}"))
+        )
+    return out.drop(f"{end_col}{suffix}")

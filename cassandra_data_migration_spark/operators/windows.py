@@ -152,3 +152,27 @@ def running_total(
             2,
         ),
     )
+
+
+def ntile_buckets(
+    df: DataFrame,
+    order_col: str,
+    n: int = 4,
+    tiebreak_col: str | None = None,
+    out: str = "tile",
+) -> DataFrame:
+    """Equal-frequency bucketing (quartiles/deciles) by ``order_col``
+    — the length-balancing step before batch packing, and the classic
+    per-feature quantile binning.  ``tiebreak_col`` pins a total
+    order so tile assignment is deterministic across engines.
+
+    Single-partition window: NTILE needs the global rank, so this
+    shape holds to ~10⁸ rows; beyond that switch to approx quantile
+    cut points (`sketch_profile`) + a scan-side `when` chain, trading
+    exact equal counts for full parallelism."""
+    from pyspark.sql import Window
+
+    order = [F.col(order_col).asc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).asc())
+    return df.withColumn(out, F.ntile(n).over(Window.orderBy(*order)))

@@ -140,3 +140,34 @@ def test_asof_join_semantics_on_crafted_rows(spark):
     assert out[100] == (9, 0.7)   # equal-ts right row matches; rid=9 wins tie
     assert out[101] == (3, 0.9)   # latest at-or-before 20 is ts=15
     assert out[102] == (None, None)  # right row is strictly later
+
+
+def test_interval_join_containment_and_gap_nulls(spark):
+    """Points inside a validity window get its payload; points in gaps
+    or before the first window get NULLs."""
+    from cassandra_data_migration_spark.operators.joins import interval_join
+
+    points = spark.createDataFrame(
+        [(1, 5, 100), (1, 15, 101), (1, 25, 102), (2, 9, 103)],
+        "k int, t int, pid int",
+    ).select("k", F.col("t").cast("timestamp").alias("ts"), "pid")
+    intervals = spark.createDataFrame(
+        [(1, 10, 20, 7), (1, 22, 24, 8), (2, 1, 9, 9)],
+        "k int, s int, e int, iid int",
+    ).select(
+        "k",
+        F.col("s").cast("timestamp").alias("start"),
+        F.col("e").cast("timestamp").alias("end"),
+        "iid",
+    )
+    got = {
+        r.pid: r.iid_iv
+        for r in interval_join(
+            points, intervals, on=["k"], ts_col="ts",
+            start_col="start", end_col="end", payload_cols=["iid"],
+        ).collect()
+    }
+    assert got[100] is None      # before any window
+    assert got[101] == 7         # inside [10, 20]
+    assert got[102] is None      # in the gap between windows
+    assert got[103] == 9         # inclusive end boundary
