@@ -612,3 +612,101 @@ def pq_adc_topk(
     if exclude_ids:
         scored = scored.filter(~F.col(id_col).isin(exclude_ids))
     return scored.orderBy(F.desc("adc_score_e4"), F.asc(id_col)).limit(k)
+
+
+def _nearest_centroid(vcol: Column, cents: list[list[float]]) -> Column:
+    """0-based index of the squared-L2-nearest centroid, compared as
+    e4 fixed-point BIGINTs (argmin key c·c − 2·x·c; x·x is constant),
+    ties to the smallest index — the PQ encode rule applied full-dim,
+    engine-exact by the same construction."""
+    entries = []
+    for c in cents:
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x  # sequential, mirroring the SQL fold
+        entries.append(
+            F.struct(
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+                F.lit(cc).alias("cc"),
+            )
+        )
+    arr = F.transform(
+        F.array(*entries),
+        lambda s: _e4(s["cc"] - F.lit(2.0) * dot(vcol, s["c"])),
+    )
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int = 8,
+    iters: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+):
+    """Engine-exact Lloyd k-means: ``iters`` assign/update rounds from
+    the md5-seeded init, then a final assignment against the refined
+    centroids.  Returns (assignment DataFrame (id, cluster),
+    centroids list) — the refinement step the IVF / PQ / SemDeDup
+    coarse quantizers advertise as drop-in.
+
+    Engine-exact because every step is order-independent:
+    assignments compare e4 fixed-point integers; centroid updates
+    accumulate components as DECIMAL(20,10) (exact addition — float
+    sums reorder under partitioning) and re-emit each component as
+    ``round(sum/count, 6)``; empty clusters keep their previous
+    centroid.  The DuckDB oracle replays the identical iterations as
+    unrolled CTEs and matches bit-for-bit.
+
+    Physical plan per round: assignment is a scan-side transform over
+    k centroid literals (no shuffle); the update is one explode +
+    map-combined aggregation whose shuffle carries k·dim partial sums
+    per task, independent of corpus size; only k·dim doubles ever
+    reach the driver.  Rounds are driver-orchestrated, exactly like
+    CDM's driver-held phase state (SURVEY.md §2.9 Z4)."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(k)
+        .collect()
+    )
+    cents = [[float(x) for x in r[vec_col]] for r in rows]
+    v = F.col(vec_col).cast("array<double>")
+    for _ in range(iters):
+        assigned = df.select(
+            F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
+        )
+        flat = assigned.join(df.select(id_col, vec_col), id_col).select(
+            "cluster",
+            F.explode(F.sequence(F.lit(1), F.lit(dim))).alias("pos"),
+            v.alias("_v"),
+        ).select(
+            "cluster",
+            "pos",
+            F.element_at(F.col("_v"), F.col("pos"))
+            .cast("decimal(20,10)")
+            .alias("_val"),
+        )
+        stats = (
+            flat.groupBy("cluster", "pos")
+            .agg(
+                F.round(
+                    F.sum("_val").cast("double") / F.count(F.lit(1)), 6
+                ).alias("comp")
+            )
+            .collect()
+        )
+        by_cluster: dict[int, dict[int, float]] = {}
+        for r in stats:
+            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["comp"]
+        cents = [
+            [by_cluster[i][p] for p in range(1, dim + 1)]
+            if i in by_cluster
+            else cents[i]
+            for i in range(k)
+        ]
+    final = df.select(
+        F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
+    )
+    return final, cents

@@ -498,3 +498,35 @@ def test_chunk_dedup_flags_shared_boilerplate(spark):
     assert got[1].n_chunks == 2 and got[1].n_dup_chunks == 1
     assert got[1].dup_frac == 0.5 and got[2].dup_frac == 0.5
     assert got[3].n_dup_chunks == 0 and got[3].dup_frac == 0.0
+
+
+def test_kmeans_improves_sse_and_is_plan_independent(spark, emb):
+    """Lloyd rounds must not worsen within-cluster SSE vs the seeded
+    init, assignments must be repartition-invariant, and the refined
+    centroids must drop into ivf_topk."""
+    import numpy as np
+
+    from cassandra_data_migration_spark.operators import similarity as sim
+
+    def sse(assigned, cents):
+        rows = assigned.join(emb, "vec_id").select("cluster", "embedding").collect()
+        c = np.asarray(cents)
+        return sum(
+            float(np.sum((np.asarray(r.embedding, dtype=np.float64) - c[r.cluster]) ** 2))
+            for r in rows
+        )
+
+    init_assigned, init_cents = sim.kmeans_fit(emb, k=8, iters=0)
+    fit_assigned, fit_cents = sim.kmeans_fit(emb, k=8, iters=2)
+    assert sse(fit_assigned, fit_cents) <= sse(init_assigned, init_cents)
+
+    again, _ = sim.kmeans_fit(emb.repartition(7), k=8, iters=2)
+    assert {(r.vec_id, r.cluster) for r in fit_assigned.collect()} == {
+        (r.vec_id, r.cluster) for r in again.collect()
+    }
+
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 2).first()["embedding"]]
+    top = sim.ivf_topk(
+        emb, qv, k=5, n_probe=8, centroids=np.asarray(fit_cents)
+    ).collect()
+    assert len(top) == 5
