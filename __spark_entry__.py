@@ -1111,14 +1111,20 @@ def q_synthetic_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _events_stream(spark: SparkSession, sf_dir: str):
-    """events as a file-backed mutation stream (ts arrives as ns-long,
-    truncated to µs timestamp exactly like the batch loader)."""
+    """events as a file-backed mutation stream, normalizing ``ts`` to a
+    µs timestamp exactly like the batch loader (older fixture drops
+    store ns-longs, newer ones TIMESTAMP_NTZ)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
     # glob, not a bare file path: the file stream source requires its
     # basePath to be a directory
     stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    dtype = dict(stream.dtypes)["ts"]
+    if dtype == "bigint":
+        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if dtype.startswith("timestamp_ntz"):
+        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    return stream
 
 
 def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:

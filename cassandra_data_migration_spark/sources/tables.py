@@ -33,23 +33,31 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
-# tables whose parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-# reader rejects; read as long ns and truncate to µs (exactly what
-# DuckDB's ns→µs narrowing does, so both engines see identical values)
-NANOS_TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
+# columns that must surface as TIMESTAMP regardless of how the driver's
+# generator wrote them: older fixture drops used TIMESTAMP(NANOS), which
+# Spark's vectorized reader rejects (read as long ns via the
+# ``nanosAsLong`` escape hatch and truncate to µs — exactly DuckDB's
+# ns→µs narrowing); newer drops store µs timestamps directly.
+TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Scan one table. Declarative — Catalyst prunes columns and pushes
     filters applied downstream into this scan."""
-    nanos_cols = NANOS_TS_COLS.get(name, [])
-    if nanos_cols:
+    ts_cols = TS_COLS.get(name, [])
+    if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
-    for c in nanos_cols:
-        # integer `div` — a double division of an 18-digit ns value
-        # rounds in the last µs digit
-        df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    for c in ts_cols:
+        dtype = dict(df.dtypes)[c]
+        if dtype == "bigint":
+            # integer `div` — a double division of an 18-digit ns value
+            # rounds in the last µs digit
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+        elif dtype.startswith("timestamp_ntz"):
+            # driver writes wall-clock instants; align with the TZ-aware
+            # type the rest of the engine (and DuckDB's reader) uses
+            df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
 
 
