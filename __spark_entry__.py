@@ -1530,6 +1530,59 @@ def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_quota_sample(_docs_with_urls(spark, sf_dir), cap=5)
 
 
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BM25 retrieval: top-10 documents for a 4-term query; per-term
+    # scores are e6 fixed-point so the doc score is an exact integer
+    # sum — scan-side scoring, broadcast stats, TakeOrdered top-k
+    from cassandra_data_migration_spark.operators.text import bm25_topk
+
+    return bm25_topk(
+        load_table(spark, sf_dir, "documents"),
+        query_terms=["spark", "join", "window", "vector"],
+        k=10,
+    )
+
+
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet-style perplexity-proxy quality filter: top-50 unigram LM
+    # with add-one smoothing, per-doc total/avg log-prob as exact e6
+    # integer sums; LM re-enters as a 1-row broadcast map
+    from cassandra_data_migration_spark.operators.text import unigram_logprob
+
+    return unigram_logprob(load_table(spark, sf_dir, "documents"), vocab_size=50)
+
+
+def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # entity resolution over the distinct-name dictionary: part-name
+    # variants within 2 edits, blocked on the noun token, length-bound
+    # pre-pruned; the quadratic kernel never touches full rows
+    from cassandra_data_migration_spark.operators.joins import fuzzy_name_match
+
+    return fuzzy_name_match(
+        load_table(spark, sf_dir, "part"), name_col="p_name", max_dist=2
+    )
+
+
+def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hypertable rollup: per-user hourly purchase series over each
+    # user's own span, gaps filled with 0-counts and forward-filled
+    # last value — one key shuffle, narrow grid explode
+    from cassandra_data_migration_spark.operators.windows import resample_ffill
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    return resample_ffill(ev, key_col="user_id", ts_col="ts", value_col="value")
+
+
+def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # sequenced-mins funnel view→click→purchase: one map-combined
+    # groupBy(user) computing all stage mins in a single pass
+    from cassandra_data_migration_spark.operators.aggregates import event_funnel
+
+    return event_funnel(load_table(spark, sf_dir, "events"))
+
+
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "full_scan": q_full_scan,
@@ -1642,6 +1695,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "length_quartiles": q_length_quartiles,
     "interval_session_lookup": q_interval_session_lookup,
     "kmeans_clusters": q_kmeans_clusters,
+    "bm25_topk": q_bm25_topk,
+    "unigram_logprob": q_unigram_logprob,
+    "fuzzy_part_match": q_fuzzy_part_match,
+    "resample_ffill": q_resample_ffill,
+    "event_funnel": q_event_funnel,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -2862,6 +2920,143 @@ ORACLES: dict[str, str] = {
                    ROWS UNBOUNDED PRECEDING
                ) AS DOUBLE), 2) AS running_total
         FROM orders WHERE o_custkey < 100
+    """,
+    # e6 fixed-point per-term scores (exact integer doc sums); the
+    # float constants 2.2/1.2/0.25/0.75 are the exact doubles the
+    # Spark side uses (1.2 + 1.0 == 2.2 bit-exactly)
+    "bm25_topk": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS tot_len
+            FROM tk
+        ),
+        flat AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   unnest(toks) AS term
+            FROM tk
+        ),
+        tf AS (
+            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM flat
+            WHERE term IN ('spark', 'join', 'window', 'vector')
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        scored AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       1000000.0
+                       * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * (t.n_tokens
+                            / (s.tot_len * 1.0 / s.n_docs))))
+                   ) AS BIGINT) AS term_score_e6
+            FROM tf t JOIN dfreq d USING (term), stats s
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_query_terms,
+               CAST(SUM(term_score_e6) AS BIGINT) AS score_e6,
+               ROUND(SUM(term_score_e6) * 1.0 / 1000000.0, 4) AS score
+        FROM scored GROUP BY doc_id
+        ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
+    """,
+    "unigram_logprob": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        flat AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        cnt AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt),
+        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 50),
+        vn AS (SELECT CAST(COUNT(*) AS INT) AS v FROM vocab),
+        lp AS (
+            SELECT f.doc_id,
+                   CAST(round(1000000.0 * ln(
+                       (COALESCE(vo.c, 0) + 1.0) / (t.tot + n.v + 1.0)
+                   )) AS BIGINT) AS lp_e6
+            FROM flat f LEFT JOIN vocab vo USING (term), tot t, vn n
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6,
+               ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
+                   AS avg_logprob
+        FROM lp GROUP BY doc_id
+    """,
+    "fuzzy_part_match": """
+        WITH names AS (
+            SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n,
+                   string_split(p_name, ' ')[-1] AS blk
+            FROM part GROUP BY p_name
+        )
+        SELECT a.nm AS name_a, b.nm AS name_b,
+               levenshtein(a.nm, b.nm) AS dist,
+               a.n AS n_a, b.n AS n_b
+        FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
+        WHERE abs(len(a.nm) - len(b.nm)) <= 2
+          AND levenshtein(a.nm, b.nm) <= 2
+    """,
+    "resample_ffill": """
+        WITH e AS (
+            SELECT user_id, date_trunc('hour', ts) AS h, value
+            FROM events WHERE event_type = 'purchase'
+        ),
+        b AS (
+            SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS c,
+                   MAX(value) AS mv
+            FROM e GROUP BY 1, 2
+        ),
+        span AS (
+            SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1
+        ),
+        grid AS (
+            SELECT user_id,
+                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
+            FROM span
+        )
+        SELECT g.user_id, g.bucket,
+               COALESCE(b.c, 0) AS n_events,
+               last_value(b.mv IGNORE NULLS) OVER (
+                   PARTITION BY g.user_id ORDER BY g.bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS value_ffill
+        FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.bucket
+    """,
+    "event_funnel": """
+        WITH u AS (
+            SELECT user_id,
+                   MIN(ts) FILTER (WHERE event_type = 'view') AS t0,
+                   MIN(ts) FILTER (WHERE event_type = 'click') AS t1,
+                   MIN(ts) FILTER (WHERE event_type = 'purchase') AS t2
+            FROM events GROUP BY 1
+        ),
+        c AS (
+            SELECT
+                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c0,
+                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                              AND t0 < t1 THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c1,
+                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
+                              AND t0 < t1 AND t2 IS NOT NULL AND t1 < t2
+                              THEN 1 ELSE 0 END)
+                     AS BIGINT) AS c2
+            FROM u
+        )
+        SELECT 0 AS stage_index, 'view' AS stage, c0 AS users,
+               CAST(NULL AS DOUBLE) AS conversion FROM c
+        UNION ALL
+        SELECT 1, 'click', c1, ROUND(c1 * 1.0 / c0, 4) FROM c
+        UNION ALL
+        SELECT 2, 'purchase', c2, ROUND(c2 * 1.0 / c1, 4) FROM c
     """,
 }
 

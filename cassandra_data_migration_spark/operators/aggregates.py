@@ -247,3 +247,63 @@ def pivot_counts(
         .agg(F.count(F.lit(1)))
         .na.fill(0, [str(v) for v in values])
     )
+
+
+def event_funnel(
+    df: DataFrame,
+    stages: tuple[str, ...] = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered funnel analysis: how many users reached each stage in
+    sequence, where stage i counts users whose earliest stage-i event
+    happened strictly after their earliest stage-(i-1) event (the
+    "sequenced mins" funnel).  Emits one row per stage:
+    (stage_index, stage, users, conversion-vs-previous-stage).
+
+    Physical plan: a single map-combined groupBy(user) computes every
+    stage's min timestamp in one pass (conditional min aggregates),
+    then the funnel flags and the final counts reduce to one row —
+    at 100 TB this is one shuffle of |users| narrow rows and nothing
+    else.
+    """
+    per_user = df.groupBy(user_col).agg(
+        *[
+            F.min(F.when(F.col(type_col) == s, F.col(ts_col))).alias(f"_t{i}")
+            for i, s in enumerate(stages)
+        ]
+    )
+    flags = [F.col("_t0").isNotNull()]
+    for i in range(1, len(stages)):
+        flags.append(
+            flags[i - 1]
+            & F.col(f"_t{i}").isNotNull()
+            & (F.col(f"_t{i-1}") < F.col(f"_t{i}"))
+        )
+    counts = per_user.agg(
+        *[
+            F.sum(f.cast("bigint")).alias(f"_c{i}")
+            for i, f in enumerate(flags)
+        ]
+    )
+    rows = [
+        F.struct(
+            F.lit(0).alias("stage_index"),
+            F.lit(stages[0]).alias("stage"),
+            F.col("_c0").alias("users"),
+            F.lit(None).cast("double").alias("conversion"),
+        )
+    ]
+    for i in range(1, len(stages)):
+        rows.append(
+            F.struct(
+                F.lit(i).alias("stage_index"),
+                F.lit(stages[i]).alias("stage"),
+                F.col(f"_c{i}").alias("users"),
+                F.round(
+                    F.col(f"_c{i}") * 1.0 / F.col(f"_c{i-1}"), 4
+                ).alias("conversion"),
+            )
+        )
+    return counts.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")

@@ -275,3 +275,51 @@ def interval_join(
             f"{c}{suffix}", F.when(inside, F.col(f"{c}{suffix}"))
         )
     return out.drop(f"{end_col}{suffix}")
+
+
+def fuzzy_name_match(
+    df: DataFrame,
+    name_col: str,
+    max_dist: int = 2,
+) -> DataFrame:
+    """Blocked fuzzy matching over the DISTINCT-name dictionary
+    (entity resolution): pairs of distinct name strings within
+    `max_dist` Levenshtein edits (excluding exact equals — those are
+    exact-dedup's job), blocked on the name's last token, each side
+    annotated with its row count.
+
+    Emits (name_a, name_b, dist, n_a, n_b) with name_a < name_b.
+
+    Physical plan: rows first collapse to the distinct-name dictionary
+    with counts (one map-combined aggregate — the only pass over the
+    full data), so the quadratic kernel runs on the dictionary, which
+    grows sublinearly with the corpus.  The dictionary self-join
+    shuffles on the block key only; within a block the cheap
+    `abs(len(a)-len(b)) <= max_dist` bound (a Levenshtein lower
+    bound) prunes pairs before the O(n*m) edit-distance kernel.  At
+    100 TB the pair space is |dictionary|^2-bounded per block, never
+    |rows|^2; skewed blocks get a second blocking attribute or the
+    salted-join treatment — never an unblocked cross join.
+    """
+    names = df.groupBy(F.col(name_col).alias("_nm")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    block = F.element_at(F.split(F.col("_nm"), " "), -1)
+    a = names.select(
+        F.col("_nm").alias("name_a"), F.col("_n").alias("n_a"),
+        block.alias("_blk"),
+    )
+    b = names.select(
+        F.col("_nm").alias("name_b"), F.col("_n").alias("n_b"),
+        block.alias("_blk"),
+    )
+    return (
+        a.join(b, "_blk")
+        .where(F.col("name_a") < F.col("name_b"))
+        .where(
+            F.abs(F.length("name_a") - F.length("name_b")) <= F.lit(max_dist)
+        )
+        .withColumn("dist", F.levenshtein("name_a", "name_b"))
+        .where(F.col("dist") <= F.lit(max_dist))
+        .select("name_a", "name_b", "dist", "n_a", "n_b")
+    )

@@ -495,3 +495,147 @@ def chunk_dedup_signals(
             ),
         )
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    k: int = 10,
+    k1: float = 1.2,
+    b: float = 0.75,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """BM25 top-k retrieval: score every document against a bag of
+    query terms with Okapi BM25 (idf = ln((N-df+0.5)/(df+0.5)+1),
+    Lucene's convention) and return the k best.
+
+    Per-term scores are fixed-point e6 BIGINTs so the document score
+    is an order-independent integer sum — reproducible across engines
+    and partitionings.
+
+    Physical plan: documents fold to per-doc term histograms in the
+    scan stage (term_counts), and rows for non-query terms are
+    dropped *before* anything shuffles, so the corpus-wide traffic is
+    |docs|x|query| rows at most.  df and the corpus stats are
+    query-sized aggregates that re-enter via broadcast; the final
+    top-k is a TakeOrdered over the per-doc sums (no global sort).
+    At 100 TB: scan-heavy, shuffle-light — the only wide exchange is
+    the doc-keyed score sum on pre-filtered rows.
+    """
+    toks = tokens(text_col)
+    tf = (
+        df.select(
+            F.col(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.explode(term_counts(toks)).alias("_e"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            F.col("_e.term").alias("term"),
+            F.col("_e.cnt").alias("tf"),
+        )
+        .where(F.col("term").isin(list(query_terms)))
+    )
+    stats = df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(toks).cast("bigint")).alias("tot_len"),
+    )
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    avgdl = F.col("tot_len") * 1.0 / F.col("n_docs")
+    term_score_e6 = F.round(
+        F.lit(1000000.0)
+        * idf
+        * (F.col("tf") * F.lit(k1 + 1.0))
+        / (
+            F.col("tf")
+            + F.lit(k1)
+            * (F.lit(1.0 - b) + F.lit(b) * (F.col("n_tokens") / avgdl))
+        ),
+        0,
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select(F.col(id_col), term_score_e6.alias("_s"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_query_terms"),
+            F.sum("_s").alias("score_e6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_query_terms",
+            "score_e6",
+            F.round(F.col("score_e6") * 1.0 / 1000000.0, 4).alias("score"),
+        )
+    )
+    return scored.orderBy(F.desc("score_e6"), F.asc(id_col)).limit(k)
+
+
+def unigram_logprob(
+    df: DataFrame,
+    vocab_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model document scoring — the CCNet-style
+    perplexity-proxy quality filter.  A top-`vocab_size` unigram LM
+    with add-one smoothing is fit on the corpus itself; every
+    document gets its total and per-token average log-probability.
+    Gibberish / OOV-heavy documents score low and are filtered.
+
+    p(t) = (count(t)+1)/(T+V+1) for in-vocab t, 1/(T+V+1) for OOV
+    (the same unified add-one form).  Per-token log-probs are
+    e6-rounded BIGINTs so document sums are exact integers,
+    independent of token order and partitioning.
+
+    Physical plan: the wordcount shuffle moves per-doc histograms
+    (term_counts fold); the fitted LM re-enters as a 1-row broadcast
+    map, so scoring is a scan-stage `aggregate` fold over the token
+    array with no join — at 100 TB the second pass is embarrassingly
+    parallel.
+    """
+    toks = tokens(text_col)
+    counts = (
+        df.select(F.explode(term_counts(toks)).alias("_e"))
+        .groupBy(F.col("_e.term").alias("term"))
+        .agg(F.sum("_e.cnt").alias("c"))
+    )
+    tot = counts.agg(F.sum("c").alias("_tot"))
+    vocab = counts.orderBy(F.desc("c"), F.asc("term")).limit(vocab_size)
+    lm = vocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("term"), F.col("c")))
+        ).alias("_lm")
+    )
+    denom = F.col("_tot") + F.size("_lm") + F.lit(1.0)
+
+    def lp_e6(t):
+        p = (F.coalesce(F.col("_lm")[t], F.lit(0)) + F.lit(1.0)) / denom
+        return F.round(F.lit(1000000.0) * F.log(p), 0).cast("bigint")
+
+    return (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .crossJoin(F.broadcast(lm))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col(id_col),
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.col("_t"), F.lit(0).cast("bigint"), lambda acc, t: acc + lp_e6(t)
+            ).alias("logprob_e6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "logprob_e6",
+            F.round(
+                F.col("logprob_e6") * 1.0 / F.col("n_tokens") / 1000000.0, 4
+            ).alias("avg_logprob"),
+        )
+    )

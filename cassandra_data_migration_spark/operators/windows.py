@@ -176,3 +176,69 @@ def ntile_buckets(
     if tiebreak_col:
         order.append(F.col(tiebreak_col).asc())
     return df.withColumn(out, F.ntile(n).over(Window.orderBy(*order)))
+
+
+def resample_ffill(
+    df: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Time-series resample + gap fill: per key, an hourly grid from
+    the key's first to last observation, with the event count per
+    bucket (0 in gaps) and the bucket-max value forward-filled across
+    gaps — the hypertable-rollup / sensor-downsample primitive.
+
+    Emits (key, bucket, n_events, value_ffill).
+
+    Physical plan: one shuffle on the key builds both the per-bucket
+    aggregates and the per-key span; the grid explode is narrow
+    (sequence() on the span row); the gap-fill window runs on the
+    same key partitioning, so AQE reuses a single exchange.  The grid
+    is bounded by span-hours per key, never by event count — at
+    100 TB of events the output is |keys| x |hours|, usually far
+    smaller than the input.
+    """
+    hour = F.date_trunc("hour", F.col(ts_col))
+    buckets = (
+        df.select(F.col(key_col), hour.alias("_h"), F.col(value_col))
+        .groupBy(key_col, "_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.max(value_col).alias("_mv"),
+        )
+    )
+    span = df.select(F.col(key_col), hour.alias("_h")).groupBy(key_col).agg(
+        F.min("_h").alias("_h0"), F.max("_h").alias("_h1")
+    )
+    grid = span.select(
+        F.col(key_col),
+        F.explode(
+            F.sequence(F.col("_h0"), F.col("_h1"), F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        grid.join(
+            buckets,
+            (grid[key_col] == buckets[key_col])
+            & (grid["bucket"] == buckets["_h"]),
+            "left",
+        )
+        .select(
+            grid[key_col],
+            "bucket",
+            F.coalesce(F.col("_c"), F.lit(0)).alias("n_events"),
+            F.col("_mv"),
+        )
+        .select(
+            F.col(key_col),
+            "bucket",
+            "n_events",
+            F.last("_mv", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+    )
