@@ -1427,11 +1427,19 @@ def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PQ_CB_CACHE: dict[str, list] = {}
+
+
 def _pq_inputs(spark: SparkSession, sf_dir: str):
     from cassandra_data_migration_spark.operators.similarity import pq_codebook
 
     emb = load_table(spark, sf_dir, "embeddings")
-    cb = pq_codebook(emb, n_centroids=32)
+    # the codebook is a deterministic pure function of the fixture
+    # table — memoize the collect so encode and ADC search don't each
+    # pay the TakeOrdered job
+    cb = _PQ_CB_CACHE.get(sf_dir)
+    if cb is None:
+        cb = _PQ_CB_CACHE[sf_dir] = pq_codebook(emb, n_centroids=32)
     return emb, cb
 
 

@@ -158,7 +158,7 @@ def lsh_bucket(
     v = F.col(vec_col).cast("array<double>")
     bits = []
     for i, plane in enumerate(_hyperplanes(dim, num_planes, seed)):
-        p = F.array(*[F.lit(c) for c in plane])
+        p = _lit_double_array(list(plane))
         bits.append(F.when(dot(v, p) >= 0, F.lit(1 << i)).otherwise(F.lit(0)))
     code = bits[0]
     for b in bits[1:]:
@@ -359,7 +359,7 @@ def semantic_dedup(
     cos_names = []
     for c_id, c_vec in cents:
         name = f"_cos_{c_id}"
-        lit_c = F.array(*[F.lit(x) for x in c_vec])
+        lit_c = _lit_double_array(c_vec)
         scored = scored.withColumn(
             name,
             F.round(
@@ -500,11 +500,37 @@ def pq_codebook(
     return [[float(x) for x in r[vec_col]] for r in rows]
 
 
+
+def _lit_double_array(vals: list[float]) -> Column:
+    """array<double> literal via one parsed SQL string — same values
+    as nested F.lit (repr round-trips doubles exactly), a fraction of
+    the py4j plan-construction latency."""
+    return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
+
 def _e4(x: Column) -> Column:
     """floor(x·10⁴ + 0.5) as BIGINT — fixed-point e4 rounding with an
     explicit IEEE op sequence both engines reproduce exactly (SQL
     ROUND half-away vs Python banker's rounding would drift)."""
     return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("long")
+
+
+def _lit_centroid_array(slices: list[list[float]]) -> Column:
+    """array<struct<c:array<double>,cc:double>> literal (centroid
+    slice + its self-dot) built from ONE parsed SQL string.  Python
+    ``repr`` round-trips doubles exactly and Spark's literal parser
+    is IEEE-nearest, so the values are bit-identical to nested
+    ``F.lit`` — but thousands of py4j round trips collapse into a
+    single ``expr()`` call, which matters because plan construction
+    is constant driver-side latency paid per query regardless of
+    data size."""
+    parts = []
+    for c in slices:
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x  # sequential, mirroring the SQL fold
+        arr = ",".join(f"{x!r}D" for x in c)
+        parts.append(f"named_struct('c',array({arr}),'cc',{cc!r}D)")
+    return F.expr("array(" + ",".join(parts) + ")")
 
 
 def pq_encode(
@@ -531,38 +557,43 @@ def pq_encode(
     """
     dim = len(codebook[0])
     width = dim // num_subspaces
-    v = F.col(vec_col).cast("array<double>")
+    base = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    )
+    # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across centroids,
+    # so the argmin key keeps only c·c − 2·x·c.  The whole codes array
+    # is ONE flat parsed SQL expression: no higher-order-function
+    # lambdas (which evaluate interpreted) and no per-literal py4j
+    # round trips — plain multiply-adds that whole-stage codegen
+    # compiles, with the exact fold order of the aggregate/zip_with
+    # form (((0 + v0·c0) + v1·c1) + …), so values are bit-identical.
     codes = []
     for j in range(num_subspaces):
-        sl = F.slice(v, j * width + 1, width)
-        # one struct-array literal {c, cc} per subspace, distances via
-        # a single transform lambda — identical float op sequence to
-        # unrolling one expression per centroid, but the plan tree is
-        # O(K) literals + 1 lambda instead of K dot folds, which keeps
-        # analysis/codegen time flat as K grows
-        entries = []
+        exprs = []
         for cvec in codebook:
             c = cvec[j * width : (j + 1) * width]
             cc = 0.0
             for x in c:
                 cc = cc + x * x  # sequential, mirroring the SQL fold
-            entries.append(
-                F.struct(
-                    F.array(*[F.lit(x) for x in c]).alias("c"),
-                    F.lit(cc).alias("cc"),
-                )
+            # no parens: SQL precedence gives the identical
+            # left-assoc fold ((0 + v0*c0) + v1*c1) + ..., and flat
+            # chains parse linearly where 64-deep nesting chokes ANTLR
+            dot_s = "0.0D" + "".join(
+                f" + _v[{j * width + i}] * {x!r}D"
+                for i, x in enumerate(c)
             )
-        cb_j = F.array(*entries)
-        # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
-        # centroids, so the argmin key keeps only c·c − 2·x·c
-        arr = F.transform(
-            cb_j,
-            lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
-        )
+            exprs.append(
+                f"CAST(floor(({cc!r}D - 2.0D * {dot_s}) * 10000.0D + 0.5D)"
+                " AS BIGINT)"
+            )
+        arr = "array(" + ",".join(exprs) + ")"
         codes.append(
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
         )
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    return base.select(
+        F.col(id_col),
+        F.expr("array(" + ",".join(codes) + ")").alias("codes"),
+    )
 
 
 def pq_adc_topk(
@@ -602,7 +633,7 @@ def pq_adc_topk(
                 d = d + a * b  # sequential, mirroring the SQL fold
             lut.append(int(math.floor(d * 10000.0 + 0.5)))
         term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]),
+            F.expr("array(" + ",".join(f"{x}L" for x in lut) + ")"),
             F.element_at(F.col("codes"), j + 1) + 1,
         )
         score = term if score is None else score + term
@@ -614,27 +645,33 @@ def pq_adc_topk(
     return scored.orderBy(F.desc("adc_score_e4"), F.asc(id_col)).limit(k)
 
 
-def _nearest_centroid(vcol: Column, cents: list[list[float]]) -> Column:
+def _nearest_centroid(vec_name: str, cents: list[list[float]]) -> Column:
     """0-based index of the squared-L2-nearest centroid, compared as
     e4 fixed-point BIGINTs (argmin key c·c − 2·x·c; x·x is constant),
     ties to the smallest index — the PQ encode rule applied full-dim,
-    engine-exact by the same construction."""
-    entries = []
+    engine-exact by the same construction.  Built as ONE flat parsed
+    SQL expression over the named vector column (per-element
+    float→double cast ≡ the old array cast): no HOF lambdas, no
+    per-literal py4j round trips, same fold order → same bits."""
+    exprs = []
     for c in cents:
         cc = 0.0
         for x in c:
             cc = cc + x * x  # sequential, mirroring the SQL fold
-        entries.append(
-            F.struct(
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-                F.lit(cc).alias("cc"),
-            )
+        # flat chain, not nested parens — same left-assoc fold,
+        # linear parse (deep nesting is pathological for the parser)
+        dot_s = "0.0D" + "".join(
+            f" + CAST(`{vec_name}`[{i}] AS DOUBLE) * {x!r}D"
+            for i, x in enumerate(c)
         )
-    arr = F.transform(
-        F.array(*entries),
-        lambda s: _e4(s["cc"] - F.lit(2.0) * dot(vcol, s["c"])),
+        exprs.append(
+            f"CAST(floor(({cc!r}D - 2.0D * {dot_s}) * 10000.0D + 0.5D)"
+            " AS BIGINT)"
+        )
+    arr = "array(" + ",".join(exprs) + ")"
+    return F.expr(
+        f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
     )
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
 def kmeans_fit(
@@ -675,7 +712,7 @@ def kmeans_fit(
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         assigned = df.select(
-            F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
+            F.col(id_col), _nearest_centroid(vec_col, cents).alias("cluster")
         )
         flat = assigned.join(df.select(id_col, vec_col), id_col).select(
             "cluster",
@@ -707,6 +744,6 @@ def kmeans_fit(
             for i in range(k)
         ]
     final = df.select(
-        F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
+        F.col(id_col), _nearest_centroid(vec_col, cents).alias("cluster")
     )
     return final, cents
