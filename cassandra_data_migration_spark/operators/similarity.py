@@ -514,25 +514,6 @@ def _e4(x: Column) -> Column:
     return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("long")
 
 
-def _lit_centroid_array(slices: list[list[float]]) -> Column:
-    """array<struct<c:array<double>,cc:double>> literal (centroid
-    slice + its self-dot) built from ONE parsed SQL string.  Python
-    ``repr`` round-trips doubles exactly and Spark's literal parser
-    is IEEE-nearest, so the values are bit-identical to nested
-    ``F.lit`` — but thousands of py4j round trips collapse into a
-    single ``expr()`` call, which matters because plan construction
-    is constant driver-side latency paid per query regardless of
-    data size."""
-    parts = []
-    for c in slices:
-        cc = 0.0
-        for x in c:
-            cc = cc + x * x  # sequential, mirroring the SQL fold
-        arr = ",".join(f"{x!r}D" for x in c)
-        parts.append(f"named_struct('c',array({arr}),'cc',{cc!r}D)")
-    return F.expr("array(" + ",".join(parts) + ")")
-
-
 def pq_encode(
     df: DataFrame,
     codebook: list[list[float]],
@@ -557,43 +538,41 @@ def pq_encode(
     """
     dim = len(codebook[0])
     width = dim // num_subspaces
-    base = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    )
-    # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across centroids,
-    # so the argmin key keeps only c·c − 2·x·c.  The whole codes array
-    # is ONE flat parsed SQL expression: no higher-order-function
-    # lambdas (which evaluate interpreted) and no per-literal py4j
-    # round trips — plain multiply-adds that whole-stage codegen
-    # compiles, with the exact fold order of the aggregate/zip_with
-    # form (((0 + v0·c0) + v1·c1) + …), so values are bit-identical.
+    v = F.col(vec_col).cast("array<double>")
     codes = []
     for j in range(num_subspaces):
-        exprs = []
+        sl = F.slice(v, j * width + 1, width)
+        # one struct-array literal {c, cc} per subspace, distances via
+        # a single transform lambda — identical float op sequence to
+        # unrolling one expression per centroid, but the plan tree is
+        # O(K) literals + 1 lambda instead of K dot folds, which keeps
+        # analysis/codegen time flat as K grows (and the distance
+        # array materializes ONCE — inlining it twice inside
+        # array_position(arr, array_min(arr)) as flat SQL blew up
+        # whole-stage codegen / janino in round 1)
+        entries = []
         for cvec in codebook:
             c = cvec[j * width : (j + 1) * width]
             cc = 0.0
             for x in c:
                 cc = cc + x * x  # sequential, mirroring the SQL fold
-            # no parens: SQL precedence gives the identical
-            # left-assoc fold ((0 + v0*c0) + v1*c1) + ..., and flat
-            # chains parse linearly where 64-deep nesting chokes ANTLR
-            dot_s = "0.0D" + "".join(
-                f" + _v[{j * width + i}] * {x!r}D"
-                for i, x in enumerate(c)
+            entries.append(
+                F.struct(
+                    F.array(*[F.lit(x) for x in c]).alias("c"),
+                    F.lit(cc).alias("cc"),
+                )
             )
-            exprs.append(
-                f"CAST(floor(({cc!r}D - 2.0D * {dot_s}) * 10000.0D + 0.5D)"
-                " AS BIGINT)"
-            )
-        arr = "array(" + ",".join(exprs) + ")"
-        codes.append(
-            f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+        cb_j = F.array(*entries)
+        # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
+        # centroids, so the argmin key keeps only c·c − 2·x·c
+        arr = F.transform(
+            cb_j,
+            lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
         )
-    return base.select(
-        F.col(id_col),
-        F.expr("array(" + ",".join(codes) + ")").alias("codes"),
-    )
+        codes.append(
+            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
+        )
+    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
 def pq_adc_topk(
@@ -633,7 +612,7 @@ def pq_adc_topk(
                 d = d + a * b  # sequential, mirroring the SQL fold
             lut.append(int(math.floor(d * 10000.0 + 0.5)))
         term = F.element_at(
-            F.expr("array(" + ",".join(f"{x}L" for x in lut) + ")"),
+            F.array(*[F.lit(x) for x in lut]),
             F.element_at(F.col("codes"), j + 1) + 1,
         )
         score = term if score is None else score + term
@@ -645,33 +624,30 @@ def pq_adc_topk(
     return scored.orderBy(F.desc("adc_score_e4"), F.asc(id_col)).limit(k)
 
 
-def _nearest_centroid(vec_name: str, cents: list[list[float]]) -> Column:
+def _nearest_centroid(vcol: Column, cents: list[list[float]]) -> Column:
     """0-based index of the squared-L2-nearest centroid, compared as
     e4 fixed-point BIGINTs (argmin key c·c − 2·x·c; x·x is constant),
     ties to the smallest index — the PQ encode rule applied full-dim,
-    engine-exact by the same construction.  Built as ONE flat parsed
-    SQL expression over the named vector column (per-element
-    float→double cast ≡ the old array cast): no HOF lambdas, no
-    per-literal py4j round trips, same fold order → same bits."""
-    exprs = []
+    engine-exact by the same construction.  The distance array is a
+    single transform lambda materialized once — NOT inlined flat SQL
+    duplicated inside array_position(arr, array_min(arr)), which
+    broke oracle parity and blew up codegen in round 1."""
+    entries = []
     for c in cents:
         cc = 0.0
         for x in c:
             cc = cc + x * x  # sequential, mirroring the SQL fold
-        # flat chain, not nested parens — same left-assoc fold,
-        # linear parse (deep nesting is pathological for the parser)
-        dot_s = "0.0D" + "".join(
-            f" + CAST(`{vec_name}`[{i}] AS DOUBLE) * {x!r}D"
-            for i, x in enumerate(c)
+        entries.append(
+            F.struct(
+                F.array(*[F.lit(x) for x in c]).alias("c"),
+                F.lit(cc).alias("cc"),
+            )
         )
-        exprs.append(
-            f"CAST(floor(({cc!r}D - 2.0D * {dot_s}) * 10000.0D + 0.5D)"
-            " AS BIGINT)"
-        )
-    arr = "array(" + ",".join(exprs) + ")"
-    return F.expr(
-        f"CAST(array_position({arr}, array_min({arr})) - 1 AS INT)"
+    arr = F.transform(
+        F.array(*entries),
+        lambda s: _e4(s["cc"] - F.lit(2.0) * dot(vcol, s["c"])),
     )
+    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
 
 
 def kmeans_fit(
@@ -712,7 +688,7 @@ def kmeans_fit(
     v = F.col(vec_col).cast("array<double>")
     for _ in range(iters):
         assigned = df.select(
-            F.col(id_col), _nearest_centroid(vec_col, cents).alias("cluster")
+            F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
         )
         flat = assigned.join(df.select(id_col, vec_col), id_col).select(
             "cluster",
@@ -744,6 +720,6 @@ def kmeans_fit(
             for i in range(k)
         ]
     final = df.select(
-        F.col(id_col), _nearest_centroid(vec_col, cents).alias("cluster")
+        F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
     )
     return final, cents
