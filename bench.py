@@ -9,6 +9,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import threading
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -26,28 +27,51 @@ def main() -> None:
     queries = entry_mod.queries()
     # warm the JVM + parquet footers once so per-query times measure the
     # plan, not session startup
-    queries["pricing_summary"](spark, sf_dir).count()
+    try:
+        queries["pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
 
+    # fault-isolated: one broken query must never take down the whole
+    # bench artifact — record its error and keep timing the rest
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
+    sc = spark.sparkContext
     for name, fn in queries.items():
         t0 = time.perf_counter()
-        df = fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        _ = n
-    total = round(sum(timings.values()), 4)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+        # watchdog: cancel this query's Spark jobs if it runs away —
+        # count() then raises and we record the error instead of hanging
+        sc.setJobGroup(name, name, interruptOnCancel=True)
+        watchdog = threading.Timer(
+            per_query_timeout, lambda g=name: sc.cancelJobGroup(g)
         )
-    )
-    spark.stop()
+        watchdog.daemon = True
+        watchdog.start()
+        try:
+            fn(spark, sf_dir).count()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as exc:  # noqa: BLE001
+            timings[name] = round(time.perf_counter() - t0, 4)
+            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+        finally:
+            watchdog.cancel()
+            sc.setJobGroup("", "")
+    total = round(sum(timings.values()), 4)
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    try:
+        spark.stop()
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":
