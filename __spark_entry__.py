@@ -426,22 +426,14 @@ def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # IVF ANN, full-probe mode: probing all 16 inverted lists is exactly
     # brute force, so the whole assign→probe→score path oracle-checks
     # against the exact top-k SQL.  The approximate path (n_probe < 16)
-    # is `ivf_topk_probe` below (rows-only) + recall tests.
+    # is covered by the recall-floor test in
+    # tests/test_training_data_ops.py — approximate-by-design results
+    # don't belong in the exact-oracle gate.
     from cassandra_data_migration_spark.operators.similarity import ivf_topk
 
     emb = load_table(spark, sf_dir, "embeddings")
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16)
-
-
-def q_ivf_topk_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the scale path: scan ~4/16 of the corpus; approximate by design,
-    # so no SQL oracle (tests assert a recall floor vs brute force)
-    from cassandra_data_migration_spark.operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=4)
 
 
 def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1591,8 +1583,54 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(load_table(spark, sf_dir, "events"))
 
 
+# Ordered so a budget-capped driver run still yields verdicts for the
+# highest-value entries first: (A) the flagship + every SURVEY §2
+# migrate/validate/streaming/throttle operator that round 1's driver
+# window missed, plus the round-1 regressions; (B) the §2 scan/filter/
+# agg block; (C) / (D) the training-data extension blocks.
 QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    # --- A: flagship + §2 operators + round-1 red rows ---
     "pricing_summary": q_pricing_summary,
+    "traffic_summary": q_traffic_summary,
+    "migrate_pipeline": q_migrate_pipeline,
+    "migrate_dry_run": q_migrate_dry_run,
+    "csv_roundtrip": q_csv_roundtrip,
+    "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
+    "json_roundtrip": q_json_roundtrip,
+    "csv_import_quarantine": q_csv_import_quarantine,
+    "orc_roundtrip": q_orc_roundtrip,
+    "run_tracker_resume": q_run_tracker_resume,
+    "throttle_schedule": q_throttle_schedule,
+    "missing_rows": q_missing_rows,
+    "mismatch_detect": q_mismatch_detect,
+    "reconcile_rows": q_reconcile_rows,
+    "bucket_count_compare": q_bucket_count_compare,
+    "validation_summary": q_validation_summary,
+    "schema_diff": q_schema_diff,
+    "autocorrect_lww": q_autocorrect_lww,
+    "lww_merge": q_lww_merge,
+    "stream_dual_write": q_stream_dual_write,
+    "stream_windowed_rate": q_stream_windowed_rate,
+    "read_routing": q_read_routing,
+    "traffic_ops_mix": q_traffic_ops_mix,
+    "continuous_validation_ticks": q_continuous_validation_ticks,
+    "alert_error_windows": q_alert_error_windows,
+    "observe_progress": q_observe_progress,
+    "latency_harness": q_latency_harness,
+    "writetime_shift": q_writetime_shift,
+    "ttl_expiry": q_ttl_expiry,
+    "counter_merge": q_counter_merge,
+    "null_unset_mask": q_null_unset_mask,
+    "custom_transform": q_custom_transform,
+    "uuid_derivation": q_uuid_derivation,
+    "synthetic_users": q_synthetic_users,
+    "order_items_list": q_order_items_list,
+    "map_explode": q_map_explode,
+    "fk_join_enrich": q_fk_join_enrich,
+    "kmeans_clusters": q_kmeans_clusters,
+    "pq_codes": q_pq_codes,
+    "pq_adc_topk": q_pq_adc_topk,
+    # --- B: §2 scan / filter / aggregate / window / function block ---
     "full_scan": q_full_scan,
     "projection": q_projection,
     "column_exclude": q_column_exclude,
@@ -1602,7 +1640,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_count": q_grouped_count,
     "writetime_filter": q_writetime_filter,
     "guardrail_violations": q_guardrail_violations,
-    "traffic_summary": q_traffic_summary,
     "latency_percentiles": q_latency_percentiles,
     "windowed_rate": q_windowed_rate,
     "rowwise_greatest": q_rowwise_greatest,
@@ -1616,6 +1653,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "row_hash": q_row_hash,
     "json_extract": q_json_extract,
     "word_explode_count": q_word_explode_count,
+    # --- C: text / dedup / similarity extensions ---
     "token_count": q_token_count,
     "text_quality": q_text_quality,
     "lang_id": q_lang_id,
@@ -1630,7 +1668,6 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "salted_join": q_salted_join,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ivf_topk": q_ivf_topk,
-    "ivf_topk_probe": q_ivf_topk_probe,
     "ann_lsh_pairs": q_ann_lsh_pairs,
     "multimodal_features": q_multimodal_features,
     "dup_clusters": q_dup_clusters,
@@ -1642,40 +1679,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pii_redact": q_pii_redact,
     "topk_per_group": q_topk_per_group,
     "label_centroids": q_label_centroids,
-    "stream_dual_write": q_stream_dual_write,
-    "stream_windowed_rate": q_stream_windowed_rate,
-    "csv_roundtrip": q_csv_roundtrip,
-    "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "csv_import_quarantine": q_csv_import_quarantine,
-    "migrate_pipeline": q_migrate_pipeline,
-    "migrate_dry_run": q_migrate_dry_run,
-    "run_tracker_resume": q_run_tracker_resume,
-    "lww_merge": q_lww_merge,
-    "autocorrect_lww": q_autocorrect_lww,
-    "writetime_shift": q_writetime_shift,
-    "counter_merge": q_counter_merge,
-    "order_items_list": q_order_items_list,
-    "map_explode": q_map_explode,
-    "alert_error_windows": q_alert_error_windows,
-    "fk_join_enrich": q_fk_join_enrich,
-    "schema_diff": q_schema_diff,
-    "validation_summary": q_validation_summary,
-    "latency_harness": q_latency_harness,
-    "continuous_validation_ticks": q_continuous_validation_ticks,
-    "observe_progress": q_observe_progress,
+    # --- D: remaining extensions ---
     "part_type_revenue": q_part_type_revenue,
-    "ttl_expiry": q_ttl_expiry,
-    "null_unset_mask": q_null_unset_mask,
-    "custom_transform": q_custom_transform,
-    "read_routing": q_read_routing,
-    "uuid_derivation": q_uuid_derivation,
-    "traffic_ops_mix": q_traffic_ops_mix,
-    "synthetic_users": q_synthetic_users,
-    "missing_rows": q_missing_rows,
-    "mismatch_detect": q_mismatch_detect,
-    "reconcile_rows": q_reconcile_rows,
-    "bucket_count_compare": q_bucket_count_compare,
     "event_sessions": q_event_sessions,
     "repetition_signals": q_repetition_signals,
     "decontaminate": q_decontaminate,
@@ -1690,19 +1695,14 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_stats": q_domain_stats,
     "domain_quota": q_domain_quota,
     "bloom_membership": q_bloom_membership,
-    "throttle_schedule": q_throttle_schedule,
-    "pq_codes": q_pq_codes,
-    "pq_adc_topk": q_pq_adc_topk,
     "asof_last_click": q_asof_last_click,
     "stratified_sample": q_stratified_sample,
     "chunk_dedup": q_chunk_dedup,
-    "orc_roundtrip": q_orc_roundtrip,
     "rollup_profile": q_rollup_profile,
     "running_total": q_running_total,
     "pivot_lang_source": q_pivot_lang_source,
     "length_quartiles": q_length_quartiles,
     "interval_session_lookup": q_interval_session_lookup,
-    "kmeans_clusters": q_kmeans_clusters,
     "bm25_topk": q_bm25_topk,
     "unigram_logprob": q_unigram_logprob,
     "fuzzy_part_match": q_fuzzy_part_match,
@@ -2020,8 +2020,8 @@ ORACLES: dict[str, str] = {
         SELECT COUNT(*) AS total_ops,
                SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
                ROUND(100.0 * (1 - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)), 4) AS success_rate_pct,
-               ROUND(SUM(value), 4) AS total_value,
-               ROUND(AVG(value), 4) AS avg_value
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS total_value,
+               ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
         FROM events
     """,
     "latency_percentiles": """

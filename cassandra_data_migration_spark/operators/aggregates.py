@@ -80,14 +80,21 @@ def traffic_summary(events: DataFrame) -> DataFrame:
     ``simulate_app_traffic.py:156-206`` end-of-run report re-expressed
     as one conditional-aggregation pass (no per-op Python loop)."""
     is_err = F.when(F.col("event_type") == "error", 1).otherwise(0)
+    # sum as DECIMAL, not DOUBLE: parallel double summation is
+    # order-dependent in the 4th decimal, so Spark vs a sequential
+    # engine would drift — decimal accumulation is exact and
+    # order-independent (same convention as pricing_summary)
+    dec_sum = F.sum(F.col("value").cast("decimal(20,6)"))
     return events.agg(
         F.count(F.lit(1)).alias("total_ops"),
         F.sum(is_err).alias("error_count"),
         F.round(100.0 * (1 - F.sum(is_err) / F.count(F.lit(1))), 4).alias(
             "success_rate_pct"
         ),
-        F.round(F.sum("value"), 4).alias("total_value"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.round(dec_sum, 4).cast("double").alias("total_value"),
+        F.round(dec_sum.cast("double") / F.count(F.lit(1)), 4).alias(
+            "avg_value"
+        ),
     )
 
 
