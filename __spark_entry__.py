@@ -849,6 +849,42 @@ def q_fk_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_write_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T2: CDM batchSize as a declarative assignment — rows grouped into
+    # UNLOGGED-BATCH-sized chunks within their partition-key group
+    # (cdm.properties:28); md5-ranked so the oracle reproduces it
+    from cassandra_data_migration_spark.plans.throttle import assign_write_batches
+
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    return assign_write_batches(
+        orders, ["o_custkey"], ["o_orderkey"], batch_size=5
+    )
+
+
+def q_writetime_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §1.1/F10: ttlwritetime.calc.useCollections
+    # (docs/04-cdm-approach.md:830) — per-cell writetimes collapse to
+    # the row max, excluding collection cells by default and including
+    # them when the flag is set; both variants in one result row
+    from cassandra_data_migration_spark.functions.metadata import collapse_writetime
+
+    base = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.array(F.col("o_orderpriority")).alias("tags"),
+        (F.col("o_orderkey") * 1_000_000 + 1)
+        .cast("long")
+        .alias("o_totalprice_writetime"),
+        (F.col("o_orderkey") * 1_000_000 + 2).cast("long").alias("tags_writetime"),
+    )
+    no_coll = collapse_writetime(base, use_collections=False).withColumnRenamed(
+        "_writetime", "wt_no_collections"
+    )
+    both = collapse_writetime(no_coll, use_collections=True).withColumnRenamed(
+        "_writetime", "wt_with_collections"
+    )
+    return both.select("o_orderkey", "wt_no_collections", "wt_with_collections")
+
+
 def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # U2: normalized schema diff between origin and a target missing a
     # column (exercise 6:187-233)
@@ -1627,6 +1663,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_items_list": q_order_items_list,
     "map_explode": q_map_explode,
     "fk_join_enrich": q_fk_join_enrich,
+    "write_batches": q_write_batches,
+    "writetime_collapse": q_writetime_collapse,
     "kmeans_clusters": q_kmeans_clusters,
     "pq_codes": q_pq_codes,
     "pq_adc_topk": q_pq_adc_topk,
@@ -2419,6 +2457,22 @@ ORACLES: dict[str, str] = {
     "fk_join_enrich": """
         SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
         FROM orders JOIN customer ON o_custkey = c_custkey
+    """,
+    "write_batches": f"""
+        SELECT o_orderkey, o_custkey,
+               CAST((ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY {_md5_draw_sql("batch:o", "o_orderkey")}, o_orderkey
+               ) - 1) // 5 AS INT) AS batch_seq
+        FROM orders
+    """,
+    "writetime_collapse": """
+        SELECT o_orderkey,
+               CAST(o_orderkey * 1000000 + 1 AS BIGINT) AS wt_no_collections,
+               CAST(greatest(o_orderkey * 1000000 + 1,
+                             o_orderkey * 1000000 + 2) AS BIGINT)
+                   AS wt_with_collections
+        FROM orders
     """,
     "schema_diff": """
         SELECT 'c_acctbal' AS col_name,

@@ -73,11 +73,25 @@ def collapse_writetime(
     )
 
 
-def collapse_ttl(df: DataFrame, cell_cols: list[str] | None = None) -> DataFrame:
-    """Row-level TTL = max over per-cell ``<col>_ttl`` columns."""
+def collapse_ttl(
+    df: DataFrame,
+    cell_cols: list[str] | None = None,
+    use_collections: bool = False,
+) -> DataFrame:
+    """Row-level TTL = max over per-cell ``<col>_ttl`` columns.
+    Collections are excluded unless ``use_collections`` — the same
+    ``ttlwritetime.calc.useCollections`` switch as writetime
+    (docs/04-cdm-approach.md:830)."""
     ttl_cols = [c for c in df.columns if c.endswith("_ttl") and c != TTL_COL]
     if cell_cols is not None:
         ttl_cols = [f"{c}_ttl" for c in cell_cols if f"{c}_ttl" in df.columns]
+    if not use_collections:
+        collection_bases = {
+            f.name
+            for f in df.schema.fields
+            if isinstance(f.dataType, (ArrayType, MapType))
+        }
+        ttl_cols = [c for c in ttl_cols if c.removesuffix("_ttl") not in collection_bases]
     if not ttl_cols:
         return df.withColumn(TTL_COL, F.lit(None).cast("int"))
     if len(ttl_cols) == 1:

@@ -4,11 +4,13 @@ Media is modeled the way a 100 TB training pipeline stores it:
 an opaque ``binary`` payload column plus a typed metadata struct
 (modality, mime, nominal dims).  The Spark-side machinery — schema,
 partitioning, Arrow-batched ``mapInPandas`` feature extraction,
-batch shapes — is real and tested; the actual codec step is STUBBED
-(this container has no image/audio libraries): ``decode_media``
-raises NotImplementedError unless ``fake=True``, in which case a
-deterministic hash-derived feature vector stands in for decoded
-content so downstream plumbing can be exercised end-to-end.
+batch shapes — is real and tested.  The codec step resolves at call
+time: Pillow (images) / soundfile (audio) when installed, else the
+deterministic hash-derived stub via ``fake=True``; with ``fake=False``
+and no codec present, ``decode_media`` raises NotImplementedError
+instead of silently substituting fake content.  This container ships
+no codec libraries, so tests exercise the stub path plus the
+raises-without-codec contract.
 """
 
 from __future__ import annotations
@@ -45,16 +47,60 @@ def attach_binary_payload(
     )
 
 
+def _image_codec():
+    """Pillow if installed, else None — the real path is gated on the
+    import so the same code runs in codec-less containers (stub) and
+    real deployments (decode) without a config switch."""
+    try:
+        from PIL import Image  # noqa: PLC0415
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _audio_codec():
+    """soundfile if installed, else None."""
+    try:
+        import soundfile  # noqa: PLC0415
+
+        return soundfile
+    except ImportError:
+        return None
+
+
 def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
-    """THE CODEC STUB.  Real deployments plug Pillow/torchaudio/pyav
-    here; this container has none of them."""
-    if not fake:
-        raise NotImplementedError(
-            "media decoding requires image/audio codecs not present in "
-            "this environment; pass fake=True for the deterministic stub"
-        )
-    # deterministic "decoded" bytes: payload echoed through a hash chain
-    return hashlib.sha256(payload).digest()
+    """Decode a media payload to raw content bytes.
+
+    ``fake=True`` → deterministic hash-derived stand-in (always
+    available; what the oracle-checked queries use).  ``fake=False`` →
+    the REAL path: Pillow for images (raw RGB bytes), soundfile for
+    audio (raw PCM16 bytes), resolved at call time via import-try; if
+    the codec library is absent this raises NotImplementedError rather
+    than silently substituting fake content."""
+    if fake:
+        # deterministic "decoded" bytes: payload through a hash chain
+        return hashlib.sha256(payload).digest()
+    modality = (meta or {}).get("modality", "image")
+    if modality == "image":
+        image_mod = _image_codec()
+        if image_mod is not None:
+            import io  # noqa: PLC0415
+
+            with image_mod.open(io.BytesIO(payload)) as img:
+                return img.convert("RGB").tobytes()
+    elif modality == "audio":
+        sf_mod = _audio_codec()
+        if sf_mod is not None:
+            import io  # noqa: PLC0415
+
+            data, _rate = sf_mod.read(io.BytesIO(payload), dtype="int16")
+            return data.tobytes()
+    raise NotImplementedError(
+        f"no codec available for modality={modality!r} (install Pillow "
+        "for images / soundfile for audio), and fake=False was "
+        "requested; pass fake=True for the deterministic stub"
+    )
 
 
 def extract_features(
@@ -139,16 +185,32 @@ def resize_media(
     "resized" payload is a deterministic hash chain of
     (payload, width, height) so tests can assert exact bytes."""
 
+    def _real_resize(b: bytes) -> bytes:
+        import io  # noqa: PLC0415
+
+        image_mod = _image_codec()
+        if image_mod is None:
+            raise NotImplementedError(
+                "resize_media(fake_decode=False) needs Pillow installed"
+            )
+        with image_mod.open(io.BytesIO(b)) as img:
+            out = io.BytesIO()
+            img.resize((width, height)).save(out, format="PNG")
+            return out.getvalue()
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            decoded = pdf[payload_col].map(
-                lambda b: decode_media(bytes(b), {}, fake=fake_decode)
-            )
-            resized = decoded.map(
-                lambda d: hashlib.sha256(
-                    d + width.to_bytes(4, "big") + height.to_bytes(4, "big")
-                ).digest()
-            )
+            if fake_decode:
+                decoded = pdf[payload_col].map(
+                    lambda b: decode_media(bytes(b), {}, fake=True)
+                )
+                resized = decoded.map(
+                    lambda d: hashlib.sha256(
+                        d + width.to_bytes(4, "big") + height.to_bytes(4, "big")
+                    ).digest()
+                )
+            else:
+                resized = pdf[payload_col].map(lambda b: _real_resize(bytes(b)))
             yield pd.DataFrame(
                 {
                     id_col: pdf[id_col],

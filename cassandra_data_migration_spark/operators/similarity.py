@@ -79,6 +79,7 @@ def all_pairs_cosine(
     threshold: float = 0.9,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_broadcast_rows: int = 2_000_000,
 ) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above threshold, exact.
 
@@ -88,18 +89,32 @@ def all_pairs_cosine(
     surviving (id_a < id_b) pairs.  No shuffle, no per-pair
     interpreted loop; this is the classic block-broadcast brute-force
     tier.  It holds while one side's matrix fits an executor
-    (n·dim·8 bytes — ~3 GB at 5M×64); beyond that, switch to
+    (n·dim·8 bytes — ~1 GB at 2M×64); beyond that, switch to
     ``lsh_bucketed_pairs`` (sub-quadratic) or tile the broadcast side.
+
+    The broadcast side is built from a bounded ``take`` — if the corpus
+    exceeds ``max_broadcast_rows`` this raises immediately instead of
+    silently OOMing the driver mid-collect.
     """
     src = with_min_parallelism(
         df.select(F.col(id_col).cast("long").alias(id_col), vec_col)
     )
-    pdf = src.toPandas()
     import numpy as np
     import pandas as pd
 
-    b_ids = pdf[id_col].to_numpy()
-    b_mat = np.stack([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
+    # take(limit+1): transfers at most limit+1 rows even on an
+    # unbounded input, unlike count()+toPandas() which would scan
+    # twice and still ship everything before we could check
+    rows = src.take(max_broadcast_rows + 1)
+    if len(rows) > max_broadcast_rows:
+        raise ValueError(
+            f"all_pairs_cosine: corpus exceeds max_broadcast_rows="
+            f"{max_broadcast_rows}; the brute-force tier broadcasts the "
+            "whole corpus to every executor. Use lsh_bucketed_pairs "
+            "(sub-quadratic) for corpora beyond the broadcast bound."
+        )
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    b_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
     b_norm = np.linalg.norm(b_mat, axis=1)
     bc = df.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
 

@@ -28,8 +28,9 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cassandra_data_migration_spark.functions import metadata as meta
 from cassandra_data_migration_spark.operators import filters as flt
-from cassandra_data_migration_spark.schema import WRITETIME_COL
+from cassandra_data_migration_spark.schema import TTL_COL, WRITETIME_COL
 
 Transform = Callable[[DataFrame], DataFrame]
 
@@ -68,6 +69,16 @@ class MigrationConfig:
     num_parts: int | None = None  # repartition target for the write
     rate_limit_rows_per_sec: int | None = None  # perfops.ratelimit.target
     batch_partition_cols: list[str] = field(default_factory=list)
+    # spark.cdm.perfops.batchSize (cdm.properties:28): None → CDM's
+    # auto rule, 1 for rows >20KB or PK==partition key, else 5
+    # (docs/04-cdm-approach.md:460-462)
+    batch_size: int | None = None
+    large_row_kb: float = 20.0
+    pk_is_partition_key: bool = False
+    # spark.cdm.schema.ttlwritetime.calc.useCollections
+    # (docs/04-cdm-approach.md:830): include collection/UDT cells in
+    # the row-level max-TTL/max-writetime collapse
+    ttlwritetime_use_collections: bool = False
     # dsbulk --dryRun (docs/03-dse-tooling.md:231-240)
     dry_run: bool = False
 
@@ -79,6 +90,7 @@ class MigrationResult:
     guardrail_violations: int
     elapsed_sec: float
     dry_run: bool
+    batch_size: int = 5  # the effective (possibly auto-derived) value
 
     @property
     def rows_per_sec(self) -> float:
@@ -89,6 +101,18 @@ def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> tuple[DataFra
     """Steps 3-4 of the lifecycle (SURVEY.md §3.1): compose the feature
     stages.  Returns (migrating_rows, guardrail_violations_or_None).
     Pure plan construction — nothing executes here."""
+    # per-cell metadata collapse first: row-level max writetime/TTL,
+    # honoring the useCollections switch (docs/04-cdm-approach.md:830)
+    if WRITETIME_COL not in df.columns and any(
+        c.endswith("_writetime") for c in df.columns
+    ):
+        df = meta.collapse_writetime(
+            df, use_collections=cfg.ttlwritetime_use_collections
+        )
+    if TTL_COL not in df.columns and any(c.endswith("_ttl") for c in df.columns):
+        df = meta.collapse_ttl(
+            df, use_collections=cfg.ttlwritetime_use_collections
+        )
     if cfg.include_columns:
         df = flt.project(df, cfg.include_columns)
     if cfg.exclude_columns:
@@ -128,6 +152,11 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
     (same dataflow; a Cassandra connector swaps in at the
     ``spark.read``/``write`` boundary without touching the plan).
     """
+    from cassandra_data_migration_spark.plans.throttle import (
+        effective_batch_size,
+        estimate_avg_row_kb,
+    )
+
     t0 = time.perf_counter()
     src = spark.read.parquet(cfg.origin_path)
     rows_read_df = src.observe("migrate_read", F.count(F.lit(1)).alias("rows"))
@@ -135,10 +164,24 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
 
     n_violations = violations.count() if violations is not None else 0
 
+    # batchSize resolution (docs/04-cdm-approach.md:460-462): explicit
+    # config wins; otherwise CDM's auto rule from a bounded row-size
+    # sample (>20 KB rows or PK==partition key → 1, else 5)
+    if cfg.batch_size is not None:
+        batch = cfg.batch_size
+    else:
+        batch = effective_batch_size(
+            estimate_avg_row_kb(src),
+            large_row_kb=cfg.large_row_kb,
+            pk_is_partition_key=cfg.pk_is_partition_key,
+        )
+
     if cfg.dry_run:
         # T4: plan + count, no write (docs/03-dse-tooling.md:231-240)
         n = out.count()
-        return MigrationResult(n, 0, n_violations, time.perf_counter() - t0, True)
+        return MigrationResult(
+            n, 0, n_violations, time.perf_counter() - t0, True, batch
+        )
 
     writer = out
     if cfg.batch_partition_cols:
@@ -154,5 +197,5 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
     writer.write.mode("overwrite").parquet(cfg.target_path)
     n_written = spark.read.parquet(cfg.target_path).count()
     return MigrationResult(
-        n_written, n_written, n_violations, time.perf_counter() - t0, False
+        n_written, n_written, n_violations, time.perf_counter() - t0, False, batch
     )

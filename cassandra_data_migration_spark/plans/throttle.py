@@ -131,6 +131,75 @@ def with_error_budget(
     return errors.value
 
 
+def estimate_avg_row_kb(df: DataFrame, sample_rows: int = 1000) -> float:
+    """Average serialized row size (KB) from a bounded sample — the
+    input to CDM's batchSize heuristic.  JSON encoding is the proxy
+    (close enough to CQL wire size to trip the same >20 KB threshold);
+    ``limit`` keeps the probe O(sample) on a 100 TB table."""
+    from pyspark.sql import functions as F
+
+    row = (
+        df.limit(sample_rows)
+        .select(
+            F.avg(
+                F.octet_length(F.to_json(F.struct(*df.columns)))
+            ).alias("avg_bytes")
+        )
+        .first()
+    )
+    return float(row["avg_bytes"] or 0.0) / 1024.0
+
+
+def effective_batch_size(
+    avg_row_kb: float,
+    batch_size: int = 5,
+    large_row_kb: float = 20.0,
+    pk_is_partition_key: bool = False,
+) -> int:
+    """CDM's batchSize rule (docs/04-cdm-approach.md:460-462): default
+    5, but use 1 for large rows (>20 KB) or when the primary key IS the
+    partition key (batching buys nothing — every row is its own
+    partition, so a multi-row batch spans partitions and the
+    coordinator splits it anyway)."""
+    if pk_is_partition_key or avg_row_kb > large_row_kb:
+        return 1
+    return batch_size
+
+
+def assign_write_batches(
+    df: DataFrame,
+    partition_cols: list[str],
+    order_cols: list[str],
+    batch_size: int = 5,
+    salt: str = "batch",
+) -> DataFrame:
+    """T2, declarative form: group rows into write batches of
+    ``batch_size`` within their partition-key group — the unit a
+    CQL-like sink sends as one UNLOGGED BATCH (cdm.properties:28).
+
+    ``order_cols`` must uniquely identify a row within its group (the
+    clustering key): batch membership is md5-ranked over them, so the
+    assignment is a pure function of the row — engine-reproducible and
+    oracle-checkable.  Physical plan: one shuffle on the partition
+    key, then a per-group rank — the same co-location the real
+    batched writer needs anyway."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    w = Window.partitionBy(*partition_cols).orderBy(
+        md5_draw(f"{salt}:o", *order_cols), *[F.col(c) for c in order_cols]
+    )
+    return (
+        df.withColumn("_rank0", (F.row_number().over(w) - F.lit(1)).cast("long"))
+        .withColumn(
+            "batch_seq", F.expr(f"CAST(_rank0 DIV {int(batch_size)} AS INT)")
+        )
+        .drop("_rank0")
+    )
+
+
 def batched_write(
     df: DataFrame,
     path: str,

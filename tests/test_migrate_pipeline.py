@@ -134,6 +134,80 @@ def test_writetime_metadata_collapse(spark):
     assert {r.id: r["_ttl"] for r in out2.collect()} == {1: None, 2: 60}
 
 
+def test_writetime_collapse_use_collections_flag(spark):
+    # ttlwritetime.calc.useCollections (docs/04-cdm-approach.md:830):
+    # collection cells excluded from the row max by default, included
+    # when the flag is set — for both writetime and TTL
+    df = spark.createDataFrame(
+        [(1, ["x"], 100, 900, 5, 99)],
+        "id int, tags array<string>, id_writetime long, "
+        "tags_writetime long, id_ttl int, tags_ttl int",
+    )
+    default = md.collapse_writetime(df).first()[WRITETIME_COL]
+    with_coll = md.collapse_writetime(df, use_collections=True).first()[
+        WRITETIME_COL
+    ]
+    assert (default, with_coll) == (100, 900)
+    assert md.collapse_ttl(df).first()["_ttl"] == 5
+    assert md.collapse_ttl(df, use_collections=True).first()["_ttl"] == 99
+
+
+def test_batch_size_heuristic_and_assignment(spark):
+    from cassandra_data_migration_spark.plans.throttle import (
+        assign_write_batches,
+        effective_batch_size,
+        estimate_avg_row_kb,
+    )
+
+    # CDM rule: default 5; 1 for >20KB rows; 1 when PK==partition key
+    assert effective_batch_size(0.5) == 5
+    assert effective_batch_size(25.0) == 1
+    assert effective_batch_size(0.5, pk_is_partition_key=True) == 1
+
+    small = spark.createDataFrame([(1, "x" * 10)], "id int, v string")
+    big = spark.createDataFrame([(1, "x" * 40_000)], "id int, v string")
+    assert estimate_avg_row_kb(small) < 20.0 < estimate_avg_row_kb(big)
+
+    df = spark.createDataFrame(
+        [(i, i % 3) for i in range(30)], "rid int, grp int"
+    )
+    out = assign_write_batches(df, ["grp"], ["rid"], batch_size=4).collect()
+    by_group: dict = {}
+    for r in out:
+        by_group.setdefault((r.grp, r.batch_seq), []).append(r.rid)
+    # every batch within a group holds at most batch_size rows
+    assert all(len(v) <= 4 for v in by_group.values())
+    # deterministic: re-running yields the identical assignment
+    again = assign_write_batches(df, ["grp"], ["rid"], batch_size=4).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+
+
+def test_migrate_auto_batch_size(spark, keyspace, tmp_path):
+    # auto rule resolves from a bounded row-size sample
+    src = str(tmp_path / "src")
+    keyspace["orders"].write.mode("overwrite").parquet(src)
+    res = migrate(
+        spark,
+        MigrationConfig(origin_path=src, target_path="", dry_run=True),
+    )
+    assert res.batch_size == 5
+    res1 = migrate(
+        spark,
+        MigrationConfig(
+            origin_path=src, target_path="", dry_run=True,
+            pk_is_partition_key=True,
+        ),
+    )
+    assert res1.batch_size == 1
+    res2 = migrate(
+        spark,
+        MigrationConfig(
+            origin_path=src, target_path="", dry_run=True, batch_size=7
+        ),
+    )
+    assert res2.batch_size == 7
+
+
 def test_writetime_filter_and_shift(spark):
     df = spark.createDataFrame([(1, 100), (2, 300)], "id int, _writetime long")
     from cassandra_data_migration_spark.operators.filters import writetime_filter

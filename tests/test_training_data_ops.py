@@ -71,6 +71,13 @@ def test_lsh_bucketed_pairs_subset_of_bruteforce(spark, emb):
         assert abs(v - brute[k]) < 1e-9
 
 
+def test_all_pairs_cosine_guards_oversized_corpus(spark, emb):
+    # the brute-force tier must fail fast (not OOM the driver) when the
+    # corpus exceeds the broadcast bound, and point at the scale path
+    with pytest.raises(ValueError, match="lsh_bucketed_pairs"):
+        similarity.all_pairs_cosine(emb, threshold=0.4, max_broadcast_rows=5)
+
+
 def test_cosine_topk_arrow_matches_sql_variant(spark, emb):
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 3).first()["embedding"]]
     a = similarity.cosine_topk(emb, qv, k=5).collect()
@@ -79,8 +86,31 @@ def test_cosine_topk_arrow_matches_sql_variant(spark, emb):
 
 
 def test_multimodal_decode_stub_raises_without_fake():
+    # real path is import-gated; in this codec-less container fake=False
+    # must raise, never silently substitute stub content
+    if multimodal._image_codec() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"bytes", {"modality": "image"}, fake=False)
+    if multimodal._audio_codec() is None:
+        with pytest.raises(NotImplementedError):
+            multimodal.decode_media(b"bytes", {"modality": "audio"}, fake=False)
     with pytest.raises(NotImplementedError):
-        multimodal.decode_media(b"bytes", {}, fake=False)
+        multimodal.decode_media(b"bytes", {"modality": "video"}, fake=False)
+
+
+@pytest.mark.skipif(
+    multimodal._image_codec() is None, reason="Pillow not installed"
+)
+def test_multimodal_decode_real_image_roundtrip():
+    # when Pillow IS present the real path decodes actual image bytes
+    import io
+
+    image_mod = multimodal._image_codec()
+    img = image_mod.new("RGB", (4, 2), (10, 20, 30))
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    raw = multimodal.decode_media(buf.getvalue(), {"modality": "image"})
+    assert raw == bytes([10, 20, 30]) * 8
 
 
 def test_multimodal_feature_shape(spark):
