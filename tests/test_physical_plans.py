@@ -153,6 +153,22 @@ def test_sessionize_shuffles_once_on_user_key(spark):
     assert "hashpartitioning(user_id" in plan
 
 
+def test_write_batches_shuffles_once_on_partition_key(spark):
+    # batch assignment rides ONE exchange on the partition key — the
+    # same co-location the batched sink needs, so the rank is free
+    plan = _plan(entry_mod.queries()["write_batches"](spark, SF_CORRECT))
+    assert plan.count("Exchange (") == 1
+    assert "hashpartitioning(o_custkey" in plan
+    # only the two needed columns ever leave the scan
+    assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
+
+
+def test_writetime_collapse_is_shuffle_free(spark):
+    # row-level metadata collapse is a pure projection — no exchange
+    plan = _plan(entry_mod.queries()["writetime_collapse"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+
+
 def test_pack_sequences_shuffles_once_on_group_key(spark):
     # the running sum and bin assignment must ride ONE source-keyed
     # exchange; a second shuffle would mean the window repartitioned
