@@ -450,6 +450,17 @@ def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Johnson-Lindenstrauss random projection 64→8 dims: the cheap ANN
+    # front-tier; hash-derived projection matrix so the oracle
+    # regenerates it, e4-rounded components for cross-engine parity
+    from cassandra_data_migration_spark.operators.similarity import rp_project
+
+    return rp_project(
+        load_table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8, seed=7
+    )
+
+
 def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.multimodal import (
         attach_binary_payload,
@@ -1707,6 +1718,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ivf_topk": q_ivf_topk,
     "ann_lsh_pairs": q_ann_lsh_pairs,
+    "rp_projection": q_rp_projection,
     "multimodal_features": q_multimodal_features,
     "dup_clusters": q_dup_clusters,
     "hash_split_counts": q_hash_split_counts,
@@ -2378,6 +2390,29 @@ ORACLES: dict[str, str] = {
           ON a.bucket = b.bucket AND a.vec_id < b.vec_id
         WHERE ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.3
     """,
+    "rp_projection": (
+        """
+        WITH planes AS (
+            SELECT p, list((s - floor(s)) * 2 - 1 ORDER BY d) AS plane
+            FROM (
+                SELECT p, d,
+                       sin(7 * 1000003 + p * 10007 + d * 101) * 43758.5453 AS s
+                FROM range(0, 8) t1(p), range(0, 64) t2(d)
+            )
+            GROUP BY p
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
+        SELECT vec_id,
+        """
+        + ",\n               ".join(
+            f"ROUND(SUM(CASE WHEN p = {p} THEN list_dot_product(ev, plane) END), 4) AS rp{p}"
+            for p in range(8)
+        )
+        + """
+        FROM v, planes
+        GROUP BY vec_id
+        """
+    ),
     "embedding_near_dup": f"""
         WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
         SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -159,6 +159,37 @@ def _hyperplanes(dim: int, num_planes: int, seed: int) -> list[list[float]]:
     return planes
 
 
+def rp_project(
+    df: DataFrame,
+    in_dim: int,
+    out_dim: int = 8,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_prefix: str = "rp",
+) -> DataFrame:
+    """Random-projection dimensionality reduction (Johnson-
+    Lindenstrauss): project each embedding onto ``out_dim``
+    hash-derived pseudo-random hyperplanes — the cheap front of an ANN
+    pipeline (8 doubles per vector instead of 64; distances preserved
+    within JL distortion).
+
+    Pure scan-side expression: ``out_dim`` codegen'd dot folds per
+    row, zero shuffles, and the projection matrix enters as literals
+    (same seeded derivation as ``lsh_bucket``'s hyperplanes, so any
+    engine — including the DuckDB oracle — regenerates it exactly).
+    Components are e4-rounded for cross-engine reproducibility."""
+    v = F.col(vec_col).cast("array<double>")
+    cols: list[Column] = [F.col(id_col)]
+    for p, plane in enumerate(_hyperplanes(in_dim, out_dim, seed)):
+        cols.append(
+            F.round(dot(v, _lit_double_array(list(plane))), 4).alias(
+                f"{out_prefix}{p}"
+            )
+        )
+    return df.select(*cols)
+
+
 def lsh_bucket(
     df: DataFrame,
     dim: int,

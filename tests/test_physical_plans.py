@@ -163,6 +163,14 @@ def test_write_batches_shuffles_once_on_partition_key(spark):
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
 
 
+def test_rp_projection_is_shuffle_free(spark):
+    # JL projection is pure scan-side codegen — the matrix enters as
+    # literals, so no exchange and no Python boundary
+    plan = _plan(entry_mod.queries()["rp_projection"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_writetime_collapse_is_shuffle_free(spark):
     # row-level metadata collapse is a pure projection — no exchange
     plan = _plan(entry_mod.queries()["writetime_collapse"](spark, SF_CORRECT))
