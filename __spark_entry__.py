@@ -592,6 +592,34 @@ def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hive-partitioned layout + partition pruning: events land in
+    # event_type=... directories; the filter prunes 4/5 of the data at
+    # planning time (PartitionFilters — zero I/O for other types), then
+    # a decimal-exact per-user aggregate runs over the survivors
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.tables import (
+        load_partitioned,
+        write_partitioned,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "value"
+    )
+    d = tempfile.mkdtemp(prefix="part_ev_")
+    write_partitioned(ev, f"{d}/events_part", ["event_type"])
+    clicks = load_partitioned(spark, f"{d}/events_part").filter(
+        F.col("event_type") == "click"
+    )
+    return clicks.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
+        .cast("double")
+        .alias("click_value"),
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S4+S5: COPY TO / COPY FROM — export then re-import must be lossless
     import tempfile
@@ -1646,6 +1674,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "json_roundtrip": q_json_roundtrip,
     "csv_import_quarantine": q_csv_import_quarantine,
     "orc_roundtrip": q_orc_roundtrip,
+    "partitioned_events": q_partitioned_events,
     "run_tracker_resume": q_run_tracker_resume,
     "throttle_schedule": q_throttle_schedule,
     "missing_rows": q_missing_rows,
@@ -2948,6 +2977,13 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_suppliers,
                ROUND(SUM(s_acctbal), 2) AS sum_acctbal
         FROM supplier GROUP BY s_nationkey
+    """,
+    "partitioned_events": """
+        SELECT user_id, COUNT(*) AS n_clicks,
+               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
+                   AS click_value
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id
     """,
     "kmeans_clusters": _kmeans_oracle(),
     "interval_session_lookup": """

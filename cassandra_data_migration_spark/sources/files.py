@@ -133,3 +133,25 @@ def orc_import(
     if schema is not None:
         r = r.schema(schema)
     return r.orc(path)
+
+
+def binary_import(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-media ingest via Spark's ``binaryFile`` source: each file
+    becomes one row (path, modificationTime, length, content binary) —
+    the on-ramp that feeds ``operators/multimodal`` without ever
+    materializing file bytes on the driver.  At 100 TB this is how
+    image/audio corpora enter the engine: the source parallelizes per
+    file, pushes ``pathGlobFilter`` down to the listing, and the
+    opaque payload column flows straight into Arrow-batched decode/
+    feature UDFs."""
+    r = spark.read.format("binaryFile")
+    if glob:
+        r = r.option("pathGlobFilter", glob)
+    if recursive:
+        r = r.option("recursiveFileLookup", "true")
+    return r.load(path)

@@ -61,6 +61,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_cols: list[str],
+    mode: str = "overwrite",
+) -> None:
+    """Hive-style partitioned layout: partition-column values become
+    directory keys, so a filter on them prunes whole directories at
+    planning time (zero I/O for excluded partitions) — the 100 TB
+    default for time- or tenant-keyed tables, and the Spark analogue
+    of Cassandra's partition-key data placement (SURVEY.md §1.3)."""
+    df.write.mode(mode).partitionBy(*partition_cols).parquet(path)
+
+
+def load_partitioned(spark: SparkSession, path: str) -> DataFrame:
+    """Read a hive-partitioned table; partition columns come back as
+    regular columns and filters on them show up as PartitionFilters
+    in the scan (pruning happens before any file is opened)."""
+    return spark.read.parquet(path)
+
+
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
     return {t: load_table(spark, sf_dir, t) for t in TABLES}
 
