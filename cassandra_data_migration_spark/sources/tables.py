@@ -61,6 +61,24 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def paged_fetch(df: DataFrame, page_size: int = 1000):
+    """S3: paged result fetch (the driver-side analogue of CQL paging /
+    ``fetchSizeInRows``, docs/04-cdm-approach.md:461).  Yields lists of
+    at most ``page_size`` Rows via ``toLocalIterator``, which streams
+    one partition at a time to the driver — bounded memory regardless
+    of table size, unlike ``collect()``.  Use only at the extraction
+    edge (exporting to a row-oriented sink); everything upstream stays
+    distributed."""
+    page: list = []
+    for row in df.toLocalIterator(prefetchPartitions=True):
+        page.append(row)
+        if len(page) >= page_size:
+            yield page
+            page = []
+    if page:
+        yield page
+
+
 def write_partitioned(
     df: DataFrame,
     path: str,

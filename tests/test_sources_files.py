@@ -95,3 +95,15 @@ def test_partitioned_write_prunes_partitions(spark, tmp_path):
     assert "PartitionFilters" in plan and "event_type" in plan.split(
         "PartitionFilters", 1
     )[1].split("\n", 1)[0]
+
+
+def test_paged_fetch_streams_bounded_pages(spark):
+    from cassandra_data_migration_spark.sources.tables import load_table, paged_fetch
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_orderkey")
+    pages = list(paged_fetch(orders, page_size=64))
+    assert all(len(p) <= 64 for p in pages)
+    assert all(len(p) == 64 for p in pages[:-1])  # only the tail is short
+    fetched = sorted(r.o_orderkey for p in pages for r in p)
+    expected = sorted(r.o_orderkey for r in orders.collect())
+    assert fetched == expected
