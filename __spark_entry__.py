@@ -620,6 +620,18 @@ def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # metadata-only COUNT/MIN/MAX from parquet footers (DSv2 aggregate
+    # pushdown) — the table-size probe CDM runs before sizing numParts
+    from cassandra_data_migration_spark.sources.tables import fast_table_stats
+
+    # numeric/date columns only: parquet footer min/max stats don't
+    # cover timestamps or strings, so those would force a data read
+    return fast_table_stats(
+        spark, sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]
+    )
+
+
 def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # S4+S5: COPY TO / COPY FROM — export then re-import must be lossless
     import tempfile
@@ -713,6 +725,35 @@ def q_migrate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         where_condition="c_acctbal > 5000",
         constant_columns={"source_cluster": "origin"},
         batch_partition_cols=["c_custkey"],
+    )
+    migrate(spark, cfg)
+    return spark.read.parquet(cfg.target_path)
+
+
+def q_migrate_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S10 at bulk scale: migrate the LARGEST fixture table (lineitem —
+    # 600K rows at sf0.1) with projection + constant column; this is
+    # the query whose rows/sec lands in BENCH as migrate_rows_per_sec,
+    # the direct comparable to BASELINE.md's DSBulk/CDM tiers
+    import tempfile
+
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        migrate,
+    )
+
+    d = tempfile.mkdtemp(prefix="migrate_bulk_")
+    cfg = MigrationConfig(
+        origin_path=f"{sf_dir}/lineitem.parquet",
+        target_path=f"{d}/lineitem_target",
+        include_columns=[
+            "l_orderkey",
+            "l_linenumber",
+            "l_quantity",
+            "l_extendedprice",
+        ],
+        constant_columns={"source_cluster": "origin"},
+        batch_size=5,
     )
     migrate(spark, cfg)
     return spark.read.parquet(cfg.target_path)
@@ -1668,6 +1709,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pricing_summary": q_pricing_summary,
     "traffic_summary": q_traffic_summary,
     "migrate_pipeline": q_migrate_pipeline,
+    "migrate_bulk": q_migrate_bulk,
     "migrate_dry_run": q_migrate_dry_run,
     "csv_roundtrip": q_csv_roundtrip,
     "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
@@ -1675,6 +1717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "csv_import_quarantine": q_csv_import_quarantine,
     "orc_roundtrip": q_orc_roundtrip,
     "partitioned_events": q_partitioned_events,
+    "table_stats": q_table_stats,
     "run_tracker_resume": q_run_tracker_resume,
     "throttle_schedule": q_throttle_schedule,
     "missing_rows": q_missing_rows,
@@ -2466,6 +2509,11 @@ ORACLES: dict[str, str] = {
         SELECT c_custkey, c_name, c_acctbal, 'origin' AS source_cluster
         FROM customer WHERE c_acctbal > 5000
     """,
+    "migrate_bulk": """
+        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
+               'origin' AS source_cluster
+        FROM lineitem
+    """,
     "migrate_dry_run": """
         SELECT CAST(COUNT(*) AS BIGINT) AS rows_read,
                CAST(0 AS BIGINT) AS rows_written
@@ -2977,6 +3025,14 @@ ORACLES: dict[str, str] = {
                COUNT(*) AS n_suppliers,
                ROUND(SUM(s_acctbal), 2) AS sum_acctbal
         FROM supplier GROUP BY s_nationkey
+    """,
+    "table_stats": """
+        SELECT COUNT(*) AS row_count,
+               MIN(l_orderkey) AS l_orderkey_min,
+               MAX(l_orderkey) AS l_orderkey_max,
+               MIN(l_extendedprice) AS l_extendedprice_min,
+               MAX(l_extendedprice) AS l_extendedprice_max
+        FROM lineitem
     """,
     "partitioned_events": """
         SELECT user_id, COUNT(*) AS n_clicks,

@@ -35,6 +35,7 @@ def main() -> None:
     # fault-isolated: one broken query must never take down the whole
     # bench artifact — record its error and keep timing the rest
     timings: dict[str, float] = {}
+    rows: dict[str, int] = {}
     errors: dict[str, str] = {}
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     sc = spark.sparkContext
@@ -49,7 +50,7 @@ def main() -> None:
         watchdog.daemon = True
         watchdog.start()
         try:
-            fn(spark, sf_dir).count()
+            rows[name] = fn(spark, sf_dir).count()
             timings[name] = round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
             timings[name] = round(time.perf_counter() - t0, 4)
@@ -65,6 +66,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # direct comparable to BASELINE.md's "CDM 50K rows/s" tier: rows
+    # moved by the bulk migrate (largest table) over its wall time
+    for key in ("migrate_bulk", "migrate_pipeline"):
+        if key in rows and timings.get(key) and key not in errors:
+            out["migrate_rows_per_sec"] = round(rows[key] / timings[key])
+            out["migrate_rows_per_sec_query"] = key
+            break
     if errors:
         out["errors"] = errors
     print(json.dumps(out))

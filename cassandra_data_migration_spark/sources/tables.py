@@ -61,6 +61,38 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def fast_table_stats(
+    spark: SparkSession, sf_dir: str, name: str, cols: list[str]
+) -> DataFrame:
+    """COUNT(*) / MIN / MAX answered from parquet footer statistics
+    (DSv2 aggregate pushdown): the scan reads one footer per file
+    instead of the data pages — at 100 TB that is a metadata-only
+    operation, the Spark analogue of the reference's table-size probes
+    before sizing numParts (docs/04-cdm-approach.md:459,472).
+
+    The v2 parquet reader is enabled only for this read (the session
+    default stays on v1 so every other operator keeps its pinned plan
+    shape); ``PushedAggregation: [COUNT(*), MIN(..), MAX(..)]`` in the
+    plan is the evidence the scan never touches row data."""
+    prev = spark.conf.get("spark.sql.sources.useV1SourceList", None)
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    spark.conf.set(
+        "spark.sql.sources.useV1SourceList", "avro,csv,json,kafka,orc,text"
+    )
+    try:
+        df = spark.read.parquet(f"{sf_dir.rstrip('/')}/{name}.parquet")
+        aggs = [F.count(F.lit(1)).alias("row_count")]
+        for c in cols:
+            aggs.append(F.min(c).alias(f"{c}_min"))
+            aggs.append(F.max(c).alias(f"{c}_max"))
+        return df.agg(*aggs)
+    finally:
+        if prev is not None:
+            spark.conf.set("spark.sql.sources.useV1SourceList", prev)
+        else:
+            spark.conf.unset("spark.sql.sources.useV1SourceList")
+
+
 def paged_fetch(df: DataFrame, page_size: int = 1000):
     """S3: paged result fetch (the driver-side analogue of CQL paging /
     ``fetchSizeInRows``, docs/04-cdm-approach.md:461).  Yields lists of

@@ -163,6 +163,14 @@ def test_write_batches_shuffles_once_on_partition_key(spark):
     assert "ReadSchema: struct<o_orderkey:bigint,o_custkey:bigint>" in plan
 
 
+def test_table_stats_pushes_aggregates_to_footer(spark):
+    # COUNT/MIN/MAX must be answered from parquet footer statistics —
+    # the scan never reads row data
+    plan = _plan(entry_mod.queries()["table_stats"](spark, SF_CORRECT))
+    assert "PushedAggregation: [COUNT(*)" in plan
+    assert "MIN(l_orderkey)" in plan and "MAX(l_extendedprice)" in plan
+
+
 def test_rp_projection_is_shuffle_free(spark):
     # JL projection is pure scan-side codegen — the matrix enters as
     # literals, so no exchange and no Python boundary
