@@ -974,6 +974,17 @@ def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return schema_diff(c, c.drop("c_acctbal"))
 
 
+def q_sample_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # §3.2 layer 2: the reference's 100-row sampled spot-check
+    # (validate_migration.py:42-66) as a deterministic md5-ranked
+    # sample broadcast-probed into the target in one pass
+    from cassandra_data_migration_spark.plans.validate import sample_validate
+
+    return sample_validate(
+        _origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK, n=100
+    )
+
+
 def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # §3.2 layers 1-3 in one verdict row (validate_migration.py:69-81)
     from cassandra_data_migration_spark.plans.validate import validate_table
@@ -1724,6 +1735,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mismatch_detect": q_mismatch_detect,
     "reconcile_rows": q_reconcile_rows,
     "bucket_count_compare": q_bucket_count_compare,
+    "sample_validate": q_sample_validate,
     "validation_summary": q_validation_summary,
     "schema_diff": q_schema_diff,
     "autocorrect_lww": q_autocorrect_lww,
@@ -2591,6 +2603,31 @@ ORACLES: dict[str, str] = {
                lower(typeof(c_acctbal)) AS col_type,
                'origin_only' AS side
         FROM customer LIMIT 1
+    """,
+    "sample_validate": f"""
+        WITH target AS ({_TARGET_SQL}),
+        s AS (
+            SELECT * FROM orders
+            ORDER BY {_md5_draw_sql("sampleval", "o_orderkey")}, o_orderkey
+            LIMIT 100
+        ),
+        j AS (
+            SELECT s.o_orderkey,
+                   (t.o_orderkey IS NOT NULL) AS found_flag,
+                   CASE WHEN t.o_orderkey IS NOT NULL AND (
+                        s.o_custkey IS DISTINCT FROM t.o_custkey
+                     OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
+                     OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
+                     OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
+                     OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
+                   ) THEN 1 ELSE 0 END AS mism
+            FROM s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
+        )
+        SELECT CAST(COUNT(*) AS BIGINT) AS sampled,
+               CAST(SUM(CASE WHEN found_flag THEN 1 ELSE 0 END) AS BIGINT) AS found,
+               CAST(SUM(CASE WHEN found_flag THEN 0 ELSE 1 END) AS BIGINT) AS missing,
+               CAST(SUM(mism) AS BIGINT) AS mismatched
+        FROM j
     """,
     "validation_summary": """
         SELECT 'orders' AS table_name,

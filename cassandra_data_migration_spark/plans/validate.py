@@ -103,6 +103,56 @@ def validate_table(
     )
 
 
+def sample_validate(
+    origin: DataFrame,
+    target: DataFrame,
+    pk: list[str],
+    n: int = 100,
+    compare_cols: list[str] | None = None,
+    salt: str = "sampleval",
+) -> DataFrame:
+    """The reference's sampled spot-check (validate_migration.py:42-66:
+    ``SELECT * LIMIT 100`` then 100 point lookups), re-expressed
+    scale-correctly.  Two fixes over the script: the sample is
+    DETERMINISTIC (md5-ranked, so any engine draws the identical rows
+    — a bare CQL LIMIT is coordinator-order and irreproducible), and
+    the 100 point reads become ONE broadcast semi-probe: the n-row
+    sample broadcasts to the target scan, so cost is one target scan
+    with zero shuffle regardless of table size — the quick-confidence
+    tier to run before the full `validate_table` pass.
+
+    Returns one row: (sampled, found, missing, mismatched)."""
+    from cassandra_data_migration_spark.functions.hashing import (
+        md5_draw,
+        with_row_hash,
+    )
+
+    value_cols = compare_cols or [c for c in origin.columns if c not in pk]
+    sample = (
+        with_row_hash(origin.select(*pk, *value_cols), value_cols, "_oh")
+        .select(*pk, "_oh")
+        .orderBy(md5_draw(salt, *pk), *[F.col(c) for c in pk])
+        .limit(n)
+    )
+    t = with_row_hash(
+        target.select(*pk, *value_cols), value_cols, "_th"
+    ).select(*pk, "_th")
+    probed = t.join(F.broadcast(sample), on=pk, how="inner")
+    agg_found = probed.agg(
+        F.count(F.lit(1)).alias("found"),
+        F.sum(
+            F.when(F.col("_oh") != F.col("_th"), 1).otherwise(0)
+        ).alias("mismatched"),
+    )
+    agg_sampled = sample.agg(F.count(F.lit(1)).alias("sampled"))
+    return agg_sampled.crossJoin(agg_found).select(
+        "sampled",
+        "found",
+        (F.col("sampled") - F.col("found")).alias("missing"),
+        "mismatched",
+    )
+
+
 def validation_report(results: list[TableValidation]) -> str:
     """The validate_migration.py:69-81 PASS/FAIL transcript."""
     lines = ["=" * 60, "MIGRATION VALIDATION REPORT", "=" * 60]

@@ -228,6 +228,31 @@ def test_pq_topk_is_takeordered_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_sample_validate_broadcasts_sample_no_sortmerge(spark):
+    # the n-row sample must broadcast into the target probe (one scan,
+    # no repartition of the big side) and the sample itself must be a
+    # TakeOrdered, not a global sort
+    plan = _plan(entry_mod.queries()["sample_validate"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_giant_expression_queries_survive_strict_codegen(spark):
+    # round-1 regression net: the PQ/k-means literal-heavy expressions
+    # once blew past janino's method limits — Spark then silently falls
+    # back to interpreted evaluation (or worse, hangs compiling).  With
+    # fallback disabled, a codegen blowup fails THIS test instead of
+    # shipping a 10-100x slower interpreted plan.
+    prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try:
+        for name in ("pq_codes", "pq_adc_topk", "kmeans_clusters", "rp_projection"):
+            assert entry_mod.queries()[name](spark, SF_CORRECT).count() > 0
+    finally:
+        spark.conf.set("spark.sql.codegen.fallback", prev)
+
+
 def test_bloom_probe_broadcasts_bits_no_candidate_shuffle(spark):
     # the candidate scan must join the 1-row bit array by broadcast;
     # any Exchange on the probe side would defeat the pre-filter
