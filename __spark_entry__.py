@@ -517,6 +517,39 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", "source")
 
 
+def q_group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # leakage-safe split: keyed on the GROUP (source), so every doc of
+    # a provenance lands on one side — near-dups within a source can
+    # never straddle train/eval
+    from cassandra_data_migration_spark.operators.sampling import hash_split
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive negative sampling: 3 deterministic never-self
+    # partners per anchor, drawn row-locally (dense-id arithmetic);
+    # the only shuffle is the join attaching partner payload
+    from cassandra_data_migration_spark.operators.sampling import negative_samples
+
+    docs = load_table(spark, sf_dir, "documents")
+    n = docs.count()
+    pairs = negative_samples(docs, "doc_id", corpus_size=n, k=3)
+    partner = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
+    )
+    return pairs.join(partner, "neg_id").select(
+        "doc_id", "neg_ix", "neg_id", "neg_source"
+    )
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end curation pipeline: quality gate → exact-dedup keep
     # canonical → stable split → per-split stats, one composed plan
@@ -1808,6 +1841,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hash_split_counts": q_hash_split_counts,
     "corpus_sample": q_corpus_sample,
     "mixture_sample": q_mixture_sample,
+    "group_split_counts": q_group_split_counts,
+    "negative_pairs": q_negative_pairs,
     "corpus_curation": q_corpus_curation,
     "doc_chunks": q_doc_chunks,
     "pii_redact": q_pii_redact,
@@ -2318,6 +2353,36 @@ ORACLES: dict[str, str] = {
     "corpus_sample": f"""
         SELECT doc_id FROM documents
         WHERE {bucket_sql('doc_id', 'sample')} < 2500
+    """,
+    "group_split_counts": f"""
+        WITH b AS (
+            SELECT source, {bucket_sql('source', 'grp')} AS bucket FROM documents
+        )
+        SELECT CASE WHEN bucket < 8000 THEN 'train'
+                    WHEN bucket < 9000 THEN 'val'
+                    ELSE 'test' END AS split,
+               COUNT(*) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM b GROUP BY 1
+    """,
+    "negative_pairs": f"""
+        WITH n AS (SELECT COUNT(*) AS N FROM documents),
+        a AS (
+            SELECT doc_id, CAST(unnest(range(0, 3)) AS INTEGER) AS neg_ix
+            FROM documents
+        ),
+        d AS (
+            SELECT doc_id, neg_ix,
+                   {_md5_draw_sql("neg", "doc_id", "neg_ix")} % (N - 1) AS dd
+            FROM a, n
+        ),
+        x AS (
+            SELECT doc_id, neg_ix,
+                   CASE WHEN dd >= doc_id THEN dd + 1 ELSE dd END AS neg_id
+            FROM d
+        )
+        SELECT x.doc_id, x.neg_ix, x.neg_id, p.source AS neg_source
+        FROM x JOIN documents p ON p.doc_id = x.neg_id
     """,
     "mixture_sample": f"""
         SELECT doc_id, 'short' AS source FROM documents

@@ -83,8 +83,43 @@ def hash_split(
     salt: str = "",
     out: str = "split",
 ) -> DataFrame:
-    """Add a stable train/val/test-style ``split`` column."""
+    """Add a stable train/val/test-style ``split`` column.
+
+    Pass a GROUP key (domain, source, author) instead of the document
+    id for a leakage-safe split: every row of a group lands in the
+    same side, so near-duplicates within a group can never straddle
+    train and eval — the standard guard against contamination-by-
+    provenance in pretraining splits."""
     return df.withColumn(out, split_column(id_col, weights, salt))
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    corpus_size: int,
+    k: int = 4,
+    salt: str = "neg",
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor row draws ``k`` uniform partners from the corpus, never
+    itself.  Precondition: ids are dense ``0..corpus_size-1`` (the
+    fixture layout; re-rank once offline otherwise) — that makes the
+    draw pure row-local arithmetic: ``d = md5_draw(salt, id, j) %
+    (N-1)``, then skip-self via ``d + 1`` when ``d >= id``, which is
+    exactly uniform over the other N-1 ids.
+
+    Physical shape: explode k per anchor (narrow), draws are
+    codegen'd hash arithmetic, and the single shuffle is the join
+    that attaches partner payloads — no global rank, no window, so it
+    scales to any corpus the join itself can handle."""
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    anchors = df.select(F.col(id_col)).withColumn(
+        "neg_ix", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    )
+    d = md5_draw(salt, id_col, "neg_ix") % F.lit(corpus_size - 1)
+    neg = F.when(d >= F.col(id_col), d + 1).otherwise(d)
+    return anchors.withColumn("neg_id", neg.cast("long"))
 
 
 def weighted_mixture(

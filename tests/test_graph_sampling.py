@@ -108,3 +108,37 @@ def test_stratified_sample_rates_and_independence(spark):
     en_after = {r.doc_id for r in bumped.filter("lang='en'").collect()}
     assert es_before <= es_after  # superset nesting within the stratum
     assert en_before == en_after  # untouched stratum unchanged
+
+
+def test_group_split_is_leakage_free(spark):
+    # splitting on the GROUP key: every source's docs land in exactly
+    # one split — provenance can never straddle train/eval
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = hash_split(
+        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
+    )
+    per = out.groupBy("source").agg(
+        F.countDistinct("split").alias("k")
+    ).collect()
+    assert per and all(r.k == 1 for r in per)
+
+
+def test_negative_samples_never_self_and_deterministic(spark):
+    from cassandra_data_migration_spark.operators.sampling import negative_samples
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    n = docs.count()
+    out = negative_samples(docs, "doc_id", corpus_size=n, k=3).collect()
+    assert len(out) == 3 * n
+    for r in out:
+        assert 0 <= r.neg_id < n and r.neg_id != r.doc_id
+    again = negative_samples(docs, "doc_id", corpus_size=n, k=3).collect()
+    assert sorted(map(str, out)) == sorted(map(str, again))
+    # draws are roughly uniform: no partner dominates
+    from collections import Counter
+
+    c = Counter(r.neg_id for r in out)
+    assert max(c.values()) <= 12  # 1500 draws over 500 ids, mean 3
