@@ -550,6 +550,15 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bigram LM scoring: conditional p(w2|w1) punishes improbable token
+    # ORDER (shuffled/boilerplate text), one rung up from the unigram
+    # perplexity proxy; integer e6 sums keep it engine-exact
+    from cassandra_data_migration_spark.operators.text import bigram_logprob
+
+    return bigram_logprob(load_table(spark, sf_dir, "documents"))
+
+
 def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     # end-to-end curation pipeline: quality gate → exact-dedup keep
     # canonical → stable split → per-split stats, one composed plan
@@ -1874,6 +1883,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "interval_session_lookup": q_interval_session_lookup,
     "bm25_topk": q_bm25_topk,
     "unigram_logprob": q_unigram_logprob,
+    "bigram_logprob": q_bigram_logprob,
     "fuzzy_part_match": q_fuzzy_part_match,
     "resample_ffill": q_resample_ffill,
     "event_funnel": q_event_funnel,
@@ -3277,6 +3287,43 @@ ORACLES: dict[str, str] = {
         )
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_tokens,
+               CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6,
+               ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
+                   AS avg_logprob
+        FROM lp GROUP BY doc_id
+    """,
+    "bigram_logprob": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        tk2 AS (SELECT * FROM tk WHERE len(toks) >= 2),
+        idx AS (
+            SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk2
+        ),
+        bi AS (
+            SELECT doc_id, toks[i] AS ctx, toks[i] || ' ' || toks[i + 1] AS bg
+            FROM idx
+        ),
+        bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
+        bvocab AS (SELECT bg, c FROM bcnt ORDER BY c DESC, bg ASC LIMIT 200),
+        bv AS (SELECT CAST(COUNT(*) AS INT) AS v FROM bvocab),
+        ucnt AS (
+            SELECT t, CAST(COUNT(*) AS BIGINT) AS c
+            FROM (SELECT unnest(toks) AS t FROM tk2) GROUP BY 1
+        ),
+        uvocab AS (SELECT t, c FROM ucnt ORDER BY c DESC, t ASC LIMIT 200),
+        lp AS (
+            SELECT bi.doc_id,
+                   CAST(round(1000000.0 * ln(
+                       (COALESCE(b.c, 0) + 1.0)
+                       / (COALESCE(u.c, 0) + n.v + 1.0)
+                   )) AS BIGINT) AS lp_e6
+            FROM bi
+            LEFT JOIN bvocab b USING (bg)
+            LEFT JOIN uvocab u ON u.t = bi.ctx, bv n
+        )
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6,
                ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
                    AS avg_logprob

@@ -639,3 +639,89 @@ def unigram_logprob(
             ).alias("avg_logprob"),
         )
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    vocab_size: int = 200,
+    context_size: int = 200,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Bigram language-model document scoring — one rung up the CCNet
+    quality ladder from :func:`unigram_logprob`: conditional
+    probabilities p(w₂|w₁) punish improbable token ORDER, not just
+    rare tokens, so shuffled/boilerplate text scores low even when its
+    vocabulary looks normal.
+
+    p(w₂|w₁) = (c(w₁w₂)+1) / (c(w₁)+V+1) with a top-``vocab_size``
+    bigram table and top-``context_size`` unigram context table, both
+    fit on the corpus itself (add-one smoothing; out-of-table counts
+    are 0).  Per-bigram log-probs are e6-rounded BIGINTs so document
+    sums are exact integers.  Documents with fewer than 2 tokens are
+    excluded (they have no bigrams).
+
+    Physical plan: two corpus passes fold per-doc histograms before
+    any shuffle; the fitted tables re-enter as TWO 1-row broadcast
+    maps, so scoring is a scan-stage fold — same embarrassingly
+    parallel second pass as the unigram scorer.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_t")).filter(F.size("_t") >= 2)
+    n1 = F.size("_t") - 1
+    pairs = F.zip_with(
+        F.slice(F.col("_t"), 1, n1),
+        F.slice(F.col("_t"), 2, n1),
+        lambda a, b: F.struct(
+            a.alias("ctx"), F.concat_ws(" ", a, b).alias("bg")
+        ),
+    )
+
+    flat = base.select(F.explode(pairs).alias("_p"))
+    bcnt = flat.groupBy(F.col("_p.bg").alias("bg")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    bvocab = bcnt.orderBy(F.desc("c"), F.asc("bg")).limit(vocab_size)
+    blm = bvocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("bg"), F.col("c")))
+        ).alias("_bg")
+    )
+    ucnt = base.select(F.explode("_t").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    uvocab = ucnt.orderBy(F.desc("c"), F.asc("t")).limit(context_size)
+    ulm = uvocab.agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("t"), F.col("c")))
+        ).alias("_ug")
+    )
+    denom_v = F.size("_bg") + F.lit(1.0)
+
+    def lp_e6(p):
+        num = F.coalesce(F.col("_bg")[p["bg"]], F.lit(0)) + F.lit(1.0)
+        den = F.coalesce(F.col("_ug")[p["ctx"]], F.lit(0)) + denom_v
+        return F.round(F.lit(1000000.0) * F.log(num / den), 0).cast("bigint")
+
+    return (
+        base.select(F.col(id_col), pairs.alias("_ps"))
+        .crossJoin(F.broadcast(blm))
+        .crossJoin(F.broadcast(ulm))
+        .select(
+            F.col(id_col),
+            F.size("_ps").cast("bigint").alias("n_bigrams"),
+            F.aggregate(
+                F.col("_ps"),
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + lp_e6(p),
+            ).alias("logprob_e6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_bigrams",
+            "logprob_e6",
+            F.round(
+                F.col("logprob_e6") * 1.0 / F.col("n_bigrams") / 1000000.0, 4
+            ).alias("avg_logprob"),
+        )
+    )

@@ -105,3 +105,20 @@ def test_event_funnel_requires_stage_order(spark):
     assert out["view"].conversion is None
     assert abs(out["click"].conversion - round(1 / 3, 4)) < 1e-9
     assert out["purchase"].conversion == 1.0
+
+
+def test_bigram_logprob_punishes_shuffled_order(spark):
+    # same vocabulary, different ORDER: the natural ordering dominates
+    # the corpus so its bigrams are in-table; the shuffled doc's
+    # bigrams are unseen and must score lower
+    from cassandra_data_migration_spark.operators.text import bigram_logprob
+
+    rows = [(i, "the cat sat on the mat") for i in range(10)]
+    rows += [(100, "the cat sat on the mat"), (101, "mat the on sat cat the")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r.doc_id: r for r in bigram_logprob(docs).collect()}
+    assert out[100].avg_logprob > out[101].avg_logprob
+    assert out[100].n_bigrams == out[101].n_bigrams == 5
+    # single-token docs have no bigrams and are excluded
+    one = spark.createDataFrame([(1, "word")], "doc_id long, text string")
+    assert bigram_logprob(one).count() == 0
