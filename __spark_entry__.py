@@ -143,6 +143,14 @@ def q_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return agg.rate_over_window(load_table(spark, sf_dir, "events"), "ts", 5)
 
 
+def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # A7 sliding form: 10-min windows every 5 min — each event lands in
+    # exactly two overlapping windows
+    from cassandra_data_migration_spark.operators.aggregates import sliding_rate
+
+    return sliding_rate(load_table(spark, sf_dir, "events"))
+
+
 def q_rowwise_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
     # A8 — row-level max (CDM's writetime/TTL collapse shape)
     return agg.rowwise_max(
@@ -1817,6 +1825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "guardrail_violations": q_guardrail_violations,
     "latency_percentiles": q_latency_percentiles,
     "windowed_rate": q_windowed_rate,
+    "sliding_rate": q_sliding_rate,
     "rowwise_greatest": q_rowwise_greatest,
     "latest_event_per_user": q_latest_event_per_user,
     "limit_n": q_limit_n,
@@ -2211,6 +2220,18 @@ ORACLES: dict[str, str] = {
                ROUND(AVG(value), 4) AS avg_value,
                COUNT(*) AS n
         FROM events GROUP BY event_type
+    """,
+    "sliding_rate": """
+        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
+        x AS (
+            SELECT (sec // 300) * 300 AS ws FROM e
+            UNION ALL
+            SELECT ((sec // 300) - 1) * 300 AS ws FROM e
+        )
+        SELECT ws AS window_start_sec,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               ROUND(COUNT(*) / 600.0, 6) AS ops_per_sec
+        FROM x GROUP BY 1
     """,
     "windowed_rate": """
         SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,

@@ -141,6 +141,36 @@ def rate_over_window(
     )
 
 
+def sliding_rate(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_sec: int = 600,
+    slide_sec: int = 300,
+) -> DataFrame:
+    """A7 sliding form: overlapping ``window_sec`` windows every
+    ``slide_sec`` — the Prometheus ``rate(...[10m])``-sampled-every-5m
+    view that smooths tumbling-bucket edges.  ``F.window`` with a
+    slide duplicates each event into window/slide buckets before ONE
+    count aggregate; the shuffle moves (window, partial count) pairs,
+    so overlap costs map-side duplication only, never a second scan.
+    Emits the window start as epoch seconds (engine-neutral)."""
+    w = F.window(F.col(ts_col), f"{window_sec} seconds", f"{slide_sec} seconds")
+    return (
+        events.groupBy(w.alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.count(F.lit(1)) / float(window_sec), 6).alias(
+                "ops_per_sec"
+            ),
+        )
+        .select(
+            F.unix_timestamp(F.col("w.start")).alias("window_start_sec"),
+            "cnt",
+            "ops_per_sec",
+        )
+    )
+
+
 def rowwise_max(df: DataFrame, cols: list[str], out: str) -> DataFrame:
     """A8: row-level max across columns — CDM's collapse of cell-level
     writetime/TTL to a row value (docs/04-cdm-approach.md:826-829)."""
