@@ -228,6 +228,30 @@ def test_pq_topk_is_takeordered_no_shuffle(spark):
     assert "Exchange" not in plan
 
 
+def test_sliding_rate_single_aggregate_no_second_scan(spark):
+    # overlap comes from map-side window duplication (one Expand node
+    # over a single scan), one partial-aggregated shuffle — never a
+    # union of two scans
+    plan = _plan(entry_mod.queries()["sliding_rate"](spark, SF_CORRECT))
+    assert "Expand" in plan and "Union" not in plan
+    assert "partial_count" in plan
+    assert plan.count("Exchange (") == 1
+
+
+def test_bigram_scoring_stays_jvm_side(spark):
+    # LM fit + scoring is all built-in expressions — no Python boundary
+    plan = _plan(entry_mod.queries()["bigram_logprob"](spark, SF_CORRECT))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_negative_pairs_only_shuffles_for_payload_join(spark):
+    # draws are row-local arithmetic; no global rank or window
+    plan = _plan(entry_mod.queries()["negative_pairs"](spark, SF_CORRECT))
+    assert "Window" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_sample_validate_broadcasts_sample_no_sortmerge(spark):
     # the n-row sample must broadcast into the target probe (one scan,
     # no repartition of the big side) and the sample itself must be a
