@@ -558,6 +558,24 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # corpus QC one-liner: what fraction of all token occurrences the
+    # top-100 terms cover — natural text ~0.4-0.6, template spam → 1.0
+    from cassandra_data_migration_spark.operators.text import zipf_head_coverage
+
+    return zipf_head_coverage(load_table(spark, sf_dir, "documents"))
+
+
+def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # winnowing (MOSS) local fingerprints: any shared substring of
+    # length >= k+window-1 across docs yields a shared fingerprint —
+    # substring-level dedup keys, one scan-stage expression chain
+    from cassandra_data_migration_spark.operators.text import winnow_fingerprints
+
+    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
+    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram LM scoring: conditional p(w2|w1) punishes improbable token
     # ORDER (shuffled/boilerplate text), one rung up from the unigram
@@ -1893,6 +1911,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "winnow_fingerprints": q_winnow_fingerprints,
+    "zipf_head_coverage": q_zipf_head_coverage,
     "fuzzy_part_match": q_fuzzy_part_match,
     "resample_ffill": q_resample_ffill,
     "event_funnel": q_event_funnel,
@@ -3312,6 +3332,44 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
                    AS avg_logprob
         FROM lp GROUP BY doc_id
+    """,
+    "zipf_head_coverage": """
+        WITH flat AS (
+            SELECT unnest(string_split(text, ' ')) AS t FROM documents
+        ),
+        cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1),
+        tot AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS distinct_terms
+            FROM cnt
+        ),
+        head AS (
+            SELECT CAST(SUM(c) AS BIGINT) AS h
+            FROM (SELECT c FROM cnt ORDER BY c DESC, t ASC LIMIT 100)
+        )
+        SELECT tot.total_tokens, tot.distinct_terms,
+               ROUND(head.h * 1.0 / tot.total_tokens, 4) AS head_coverage
+        FROM tot, head
+    """,
+    "winnow_fingerprints": """
+        WITH g AS (
+            SELECT doc_id, text, len(text) - 4 AS ng FROM documents
+        ),
+        h AS (
+            SELECT doc_id,
+                   list_transform(range(1, ng + 1),
+                       i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)
+                                AS BIGINT)) AS hs
+            FROM g WHERE ng >= 1
+        ),
+        w AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, len(hs) - 2),
+                       j -> list_min(list_slice(hs, CAST(j AS INT),
+                                                CAST(j AS INT) + 3)))) AS fps
+            FROM h WHERE len(hs) >= 4
+        )
+        SELECT doc_id, unnest(fps) AS fp FROM w
     """,
     "bigram_logprob": """
         WITH tk AS (

@@ -125,6 +125,66 @@ def fingerprint(df: DataFrame, text_col: str = "text", out: str = "fingerprint")
     return df.withColumn(out, F.md5(normalize_text(text_col)))
 
 
+def winnow_fingerprints(
+    df: DataFrame,
+    k: int = 5,
+    window: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    out: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD'03 — the MOSS scheme): hash every char ``k``-gram, slide a
+    ``window`` over the hash sequence, keep each window's MINIMUM hash,
+    dedup.  Guarantees: any shared substring of length ≥ k+window-1
+    between two documents yields at least one shared fingerprint, with
+    ~2/(window+1) selection density — the local, position-robust
+    alternative to whole-document hashing for substring-level dedup.
+
+    Hashes are the same 32-bit md5-prefix integers as
+    ``sampling.hash_bucket`` (engine-reproducible).
+
+    Physical shape: the k-gram hash array is built scan-side (one md5
+    per character position), then posexploded to (doc, pos, hash)
+    rows and window-min'd per document.  The naive form — an
+    array-local ``transform`` taking ``array_min(slice(hashes, j,
+    w))`` per window — re-evaluates the WHOLE hash expression per
+    window once CollapseProject inlines the alias into the lambda:
+    O(n²) md5 calls per document (measured 90x slower; the round-1
+    duplicated-expression trap again).  The explode shuffles only
+    12-byte (doc, pos, hash) rows — never the text — and the window
+    rides one doc-keyed exchange."""
+    from pyspark.sql import Window
+
+    t = F.col(text_col)
+    n_grams = F.length(t) - (k - 1)
+    gram_hash = lambda i: (  # noqa: E731
+        F.conv(F.substring(F.md5(F.substring(t, i, k)), 1, 8), 16, 10)
+        .cast("long")
+    )
+    # sequence(1, n) flips to descending when n < 1 — guard short docs
+    hashes = F.when(
+        n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
+    ).otherwise(F.array().cast("array<bigint>"))
+    flat = df.select(
+        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
+    )
+    doc_w = Window.partitionBy(id_col)
+    win = (
+        Window.partitionBy(id_col)
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, window - 1)
+    )
+    mins = (
+        flat.withColumn("_last", F.max("pos").over(doc_w))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("_last") - (window - 1))
+    )
+    return mins.groupBy(id_col).agg(
+        F.array_sort(F.collect_set("fp")).alias(out)
+    )
+
+
 def word_shingles(text_col: str, n: int = 3) -> Column:
     """Word n-gram shingles — the unit set for Jaccard/MinHash dedup.
     transform over a sequence of start positions; all JVM-side."""
@@ -724,4 +784,41 @@ def bigram_logprob(
                 F.col("logprob_e6") * 1.0 / F.col("n_bigrams") / 1000000.0, 4
             ).alias("avg_logprob"),
         )
+    )
+
+
+def zipf_head_coverage(
+    df: DataFrame, top_k: int = 100, text_col: str = "text"
+) -> DataFrame:
+    """Corpus token-frequency profile: total token occurrences,
+    distinct terms, and the fraction of all occurrences covered by the
+    ``top_k`` most frequent terms — the Zipf head-coverage number that
+    tells you whether a corpus is natural text (head ≈ 40-60% at
+    k=100) or template spam (head → 1.0).  One row out.
+
+    Physical plan: per-doc term histograms fold scan-side
+    (``term_counts``), so the one shuffle moves |vocab-per-doc| rows,
+    never the token stream; the head is a TakeOrdered over the term
+    table.  Integer counts throughout — engine-exact."""
+    toks = tokens(text_col)
+    cnt = (
+        df.select(F.explode(term_counts(toks)).alias("_e"))
+        .groupBy(F.col("_e.term").alias("term"))
+        .agg(F.sum("_e.cnt").alias("c"))
+    )
+    totals = cnt.agg(
+        F.sum("c").cast("long").alias("total_tokens"),
+        F.count(F.lit(1)).cast("long").alias("distinct_terms"),
+    )
+    head = (
+        cnt.orderBy(F.desc("c"), F.asc("term"))
+        .limit(top_k)
+        .agg(F.sum("c").cast("long").alias("_head"))
+    )
+    return totals.crossJoin(head).select(
+        "total_tokens",
+        "distinct_terms",
+        F.round(F.col("_head") * 1.0 / F.col("total_tokens"), 4).alias(
+            "head_coverage"
+        ),
     )

@@ -252,6 +252,15 @@ def test_negative_pairs_only_shuffles_for_payload_join(spark):
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
+def test_winnow_shuffles_hashes_never_text(spark):
+    # the doc-keyed window exchange must carry (doc, pos, hash) rows
+    # only — the text column dies at the scan projection
+    plan = _plan(entry_mod.queries()["winnow_fingerprints"](spark, SF_CORRECT))
+    exchange_after = plan.split("Exchange", 1)[1]
+    assert "text" not in exchange_after.split("(1) Scan parquet", 1)[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
 def test_sample_validate_broadcasts_sample_no_sortmerge(spark):
     # the n-row sample must broadcast into the target probe (one scan,
     # no repartition of the big side) and the sample itself must be a

@@ -122,3 +122,24 @@ def test_bigram_logprob_punishes_shuffled_order(spark):
     # single-token docs have no bigrams and are excluded
     one = spark.createDataFrame([(1, "word")], "doc_id long, text string")
     assert bigram_logprob(one).count() == 0
+
+
+def test_winnow_shared_substring_shares_fingerprint(spark):
+    # guarantee: a shared substring of length >= k+window-1 (=8) must
+    # produce at least one shared fingerprint; disjoint texts share none
+    from cassandra_data_migration_spark.operators.text import winnow_fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xxxx THE SHARED PHRASE IS HERE yyyy"),
+            (2, "aaaa THE SHARED PHRASE IS HERE bbbb"),
+            (3, "zzzz completely different content qqqq"),
+        ],
+        "doc_id long, text string",
+    )
+    fps = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    assert fps[1] & fps[2], "shared phrase must yield a shared fingerprint"
+    assert not (fps[1] & fps[3] and fps[2] & fps[3]), "disjoint docs should not all collide"
+    # deterministic
+    again = {r.doc_id: set(r.fingerprints) for r in winnow_fingerprints(docs).collect()}
+    assert fps == again
