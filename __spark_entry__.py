@@ -558,6 +558,15 @@ def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Gopher duplicate-ngram-fraction filter: share of 3-gram
+    # occurrences that repeat an earlier one — catches docs cycling
+    # through many repeated phrases, scan-side and shuffle-free
+    from cassandra_data_migration_spark.operators.text import dup_ngram_fraction
+
+    return dup_ngram_fraction(load_table(spark, sf_dir, "documents"))
+
+
 def q_zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     # corpus QC one-liner: what fraction of all token occurrences the
     # top-100 terms cover — natural text ~0.4-0.6, template spam → 1.0
@@ -1913,6 +1922,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
+    "dup_ngram_fraction": q_dup_ngram_fraction,
     "fuzzy_part_match": q_fuzzy_part_match,
     "resample_ffill": q_resample_ffill,
     "event_funnel": q_event_funnel,
@@ -3332,6 +3342,23 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
                    AS avg_logprob
         FROM lp GROUP BY doc_id
+    """,
+    "dup_ngram_fraction": """
+        WITH sh AS (
+            SELECT doc_id,
+                   list_transform(
+                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
+                       i -> array_to_string(list_slice(string_split(text, ' '),
+                                                       CAST(i AS INT),
+                                                       CAST(i AS INT) + 2), ' ')
+                   ) AS g
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(g) AS BIGINT) AS n_ngrams,
+               ROUND((len(g) - len(list_distinct(g))) * 1.0 / len(g), 4)
+                   AS dup_ngram_frac
+        FROM sh
     """,
     "zipf_head_coverage": """
         WITH flat AS (

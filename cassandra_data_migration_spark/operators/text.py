@@ -822,3 +822,25 @@ def zipf_head_coverage(
             "head_coverage"
         ),
     )
+
+
+def dup_ngram_fraction(
+    df: DataFrame, n: int = 3, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Gopher-style duplicate n-gram fraction: the share of a
+    document's word ``n``-gram occurrences that are repeats of an
+    earlier occurrence — near 0 for natural prose, high for looping /
+    templated spam.  Complements ``repetition_signals`` (which tracks
+    the single top bigram) by catching documents that cycle through
+    MANY repeated phrases.
+
+    Pure scan-side array arithmetic (shingles → distinct count), zero
+    shuffles, engine-exact."""
+    grams = word_shingles(text_col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return df.select(
+        F.col(id_col),
+        total.cast("long").alias("n_ngrams"),
+        F.round((total - distinct) / total, 4).alias("dup_ngram_frac"),
+    )
