@@ -1756,6 +1756,30 @@ def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_logprob(load_table(spark, sf_dir, "documents"), vocab_size=50)
 
 
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DSIR (Xie et al. 2023): top-100 raw docs by hashed-unigram
+    # importance weight toward the English-document target
+    # distribution; 64-bucket add-one models, exact e6 integer sums,
+    # broadcast log-ratio map, TakeOrdered top-k
+    from cassandra_data_migration_spark.operators.sampling import dsir_importance
+
+    return dsir_importance(
+        load_table(spark, sf_dir, "documents"),
+        target_filter=F.col("lang") == "en",
+        k=100,
+        n_buckets=64,
+    )
+
+
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet head/middle/tail tiering: per-language equal-frequency
+    # thirds by unigram-LM per-token log-prob (deterministic NTILE
+    # with doc_id tiebreak)
+    from cassandra_data_migration_spark.operators.text import perplexity_buckets
+
+    return perplexity_buckets(load_table(spark, sf_dir, "documents"), vocab_size=50)
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entity resolution over the distinct-name dictionary: part-name
     # variants within 2 edits, blocked on the noun token, length-bound
@@ -1920,6 +1944,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bm25_topk": q_bm25_topk,
     "unigram_logprob": q_unigram_logprob,
     "bigram_logprob": q_bigram_logprob,
+    "dsir_select": q_dsir_select,
+    "perplexity_buckets": q_perplexity_buckets,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -3342,6 +3368,82 @@ ORACLES: dict[str, str] = {
                ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
                    AS avg_logprob
         FROM lp GROUP BY doc_id
+    """,
+    "dsir_select": """
+        WITH tk AS (
+            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
+        ),
+        flat AS (SELECT doc_id, lang, unnest(toks) AS term FROM tk),
+        fb AS (
+            SELECT doc_id,
+                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                   CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS b
+            FROM flat
+        ),
+        cnt AS (
+            SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
+                   CAST(SUM(is_t) AS BIGINT) AS c_tgt
+            FROM fb GROUP BY 1
+        ),
+        tot AS (
+            SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
+                   CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
+            FROM cnt
+        ),
+        lr AS (
+            SELECT b,
+                   CAST(round(1000000.0 * (
+                       ln((c_tgt + 1.0) / (t.t_tgt + 64.0))
+                     - ln((c_raw + 1.0) / (t.t_raw + 64.0)))) AS BIGINT) AS lr_e6
+            FROM cnt, tot t
+        ),
+        sc AS (
+            SELECT fb.doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lr.lr_e6) AS BIGINT) AS weight_e6
+            FROM fb JOIN lr USING (b) GROUP BY 1
+        )
+        SELECT doc_id, n_tokens, weight_e6,
+               ROUND(weight_e6 * 1.0 / 1000000.0, 4) AS weight
+        FROM sc ORDER BY weight_e6 DESC, doc_id ASC LIMIT 100
+    """,
+    "perplexity_buckets": """
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        flat AS (SELECT doc_id, unnest(toks) AS term FROM tk),
+        cnt AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1
+        ),
+        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt),
+        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 50),
+        vn AS (SELECT CAST(COUNT(*) AS INT) AS v FROM vocab),
+        lp AS (
+            SELECT f.doc_id,
+                   CAST(round(1000000.0 * ln(
+                       (COALESCE(vo.c, 0) + 1.0) / (t.tot + n.v + 1.0)
+                   )) AS BIGINT) AS lp_e6
+            FROM flat f LEFT JOIN vocab vo USING (term), tot t, vn n
+        ),
+        sc AS (
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+                   CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6
+            FROM lp GROUP BY doc_id
+        ),
+        tiled AS (
+            SELECT s.doc_id, d.lang,
+                   s.logprob_e6 * 1.0 / s.n_tokens AS avg_key,
+                   NTILE(3) OVER (
+                       PARTITION BY d.lang
+                       ORDER BY s.logprob_e6 * 1.0 / s.n_tokens DESC,
+                                s.doc_id ASC) AS tile
+            FROM sc s JOIN documents d USING (doc_id)
+        )
+        SELECT doc_id, lang,
+               ROUND(avg_key / 1000000.0, 4) AS avg_logprob,
+               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                         ELSE 'tail' END AS ppl_bucket
+        FROM tiled
     """,
     "dup_ngram_fraction": """
         WITH sh AS (

@@ -196,3 +196,93 @@ def stratified_bucket_sql(
         f"CAST(CAST('0x' || substr(md5('{salt}' || {key}), 1, 8)"
         f" AS BIGINT) % {NUM_BUCKETS} AS INTEGER)"
     )
+
+
+def _term_bucket(term: Column, n_buckets: int) -> Column:
+    """Hashed-feature bucket for a token: first 8 hex digits of
+    md5(term) mod ``n_buckets`` — the portable analogue of DSIR's
+    hashed n-gram featurizer (engine-reproducible, no vocab)."""
+    h = F.conv(F.substring(F.md5(term), 1, 8), 16, 10).cast("long")
+    return h % n_buckets
+
+
+def dsir_importance(
+    df: DataFrame,
+    target_filter: Column,
+    k: int = 100,
+    n_buckets: int = 64,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Data Selection via Importance Resampling (DSIR, Xie et al.
+    2023): pick the ``k`` raw documents whose hashed-unigram bag looks
+    most like a target distribution.  Two hashed-unigram models are
+    fit — target = rows matching ``target_filter``, raw = the whole
+    corpus — with add-one smoothing over ``n_buckets`` buckets:
+
+        p(b) = (c[b]+1) / (T+B)
+        w(doc) = sum_tokens  log p_target(b(t)) - log p_raw(b(t))
+
+    Per-bucket log-ratios are e6-rounded BIGINTs so document sums are
+    exact integers, independent of token order and partitioning; the
+    deterministic analogue of DSIR's Gumbel resampling is top-k by
+    (weight, id).
+
+    Physical plan: the model pass shuffles ``n_buckets`` (≤64) partial
+    counts (map-side combined); the fitted log-ratio table re-enters
+    as a 1-row broadcast map, so scoring is a scan-stage fold over the
+    token array with no join, and the top-k is a TakeOrdered (no
+    global sort).  At 100 TB both passes are embarrassingly parallel.
+    """
+    from cassandra_data_migration_spark.operators.text import tokens
+
+    toks = tokens(text_col)
+    flat = df.select(
+        target_filter.cast("int").alias("_is_t"),
+        F.explode(toks).alias("_term"),
+    ).select("_is_t", _term_bucket(F.col("_term"), n_buckets).alias("_b"))
+    counts = flat.groupBy("_b").agg(
+        F.count(F.lit(1)).alias("_c_raw"),
+        F.sum("_is_t").alias("_c_tgt"),
+    )
+    totals = counts.agg(
+        F.sum("_c_raw").alias("_t_raw"), F.sum("_c_tgt").alias("_t_tgt")
+    )
+    b = F.lit(float(n_buckets))
+    lr_e6 = F.round(
+        F.lit(1000000.0)
+        * (
+            F.log((F.col("_c_tgt") + 1.0) / (F.col("_t_tgt") + b))
+            - F.log((F.col("_c_raw") + 1.0) / (F.col("_t_raw") + b))
+        ),
+        0,
+    ).cast("bigint")
+    model = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(F.col("_b"), lr_e6.alias("_lr"))
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("_b"), F.col("_lr")))
+            ).alias("_m")
+        )
+    )
+    scored = (
+        df.select(F.col(id_col), toks.alias("_t"))
+        .crossJoin(F.broadcast(model))
+        .select(
+            F.col(id_col),
+            F.size("_t").cast("bigint").alias("n_tokens"),
+            F.aggregate(
+                F.col("_t"),
+                F.lit(0).cast("bigint"),
+                lambda acc, t: acc + F.col("_m")[_term_bucket(t, n_buckets)],
+            ).alias("weight_e6"),
+        )
+        .select(
+            F.col(id_col),
+            "n_tokens",
+            "weight_e6",
+            F.round(F.col("weight_e6") * 1.0 / 1000000.0, 4).alias("weight"),
+        )
+    )
+    return scored.orderBy(F.desc("weight_e6"), F.asc(id_col)).limit(k)

@@ -844,3 +844,48 @@ def dup_ngram_fraction(
         total.cast("long").alias("n_ngrams"),
         F.round((total - distinct) / total, 4).alias("dup_ngram_frac"),
     )
+
+
+def perplexity_buckets(
+    df: DataFrame,
+    vocab_size: int = 50,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """CCNet-style per-language perplexity bucketing: score every
+    document with the corpus unigram LM (:func:`unigram_logprob`),
+    then split each language into equal-frequency head / middle /
+    tail thirds by per-token log-probability — the classic quality
+    tiering used to over-sample "head" web text.
+
+    Ordering key is logprob_e6 / n_tokens (one IEEE division of two
+    exact integers — identical in every engine) with ``id_col`` as
+    tiebreak, so tile assignment is deterministic.
+
+    Single-window-per-language NTILE: exact equal thirds need the
+    per-language global rank, so this shape holds to ~10⁸ docs per
+    language; at 100 TB switch to approx-quantile cut points
+    (`sketch_profile`) + a scan-side `when` chain, trading exact
+    equal counts for full parallelism (the tier SEMANTICS are the
+    same; only the boundary docs move).
+    """
+    from pyspark.sql import Window
+
+    scored = unigram_logprob(df, vocab_size=vocab_size, id_col=id_col,
+                             text_col=text_col)
+    joined = scored.join(df.select(id_col, group_col), id_col)
+    avg_key = F.col("logprob_e6") * 1.0 / F.col("n_tokens")
+    w = Window.partitionBy(group_col).orderBy(
+        avg_key.desc(), F.col(id_col).asc()
+    )
+    tile = F.ntile(3).over(w)
+    return joined.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.round(avg_key / 1000000.0, 4).alias("avg_logprob"),
+        F.when(tile == 1, F.lit("head"))
+        .when(tile == 2, F.lit("middle"))
+        .otherwise(F.lit("tail"))
+        .alias("ppl_bucket"),
+    )

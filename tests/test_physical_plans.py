@@ -320,3 +320,12 @@ def test_chunk_dedup_shuffles_hashes_not_text(spark):
     for line in plan.splitlines():
         if "Exchange" in line:
             assert "chunk_text" not in line
+
+
+def test_dsir_scoring_is_broadcast_fold_takeordered(spark):
+    # the fitted 64-bucket log-ratio table must re-enter as a 1-row
+    # broadcast (no sort-merge join against the corpus) and the top-k
+    # must be a TakeOrdered, not a global sort
+    plan = _plan(entry_mod.queries()["dsir_select"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+    assert "SortMergeJoin" not in plan
