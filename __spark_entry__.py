@@ -1780,6 +1780,19 @@ def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return perplexity_buckets(load_table(spark, sf_dir, "documents"), vocab_size=50)
 
 
+def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb boilerplate scrub: 8-token chunks recurring in
+    # >1 distinct doc are dropped corpus-wide, docs reassembled from
+    # surviving chunks; frequency pass shuffles chunk hashes only
+    from cassandra_data_migration_spark.operators.text import (
+        strip_repeated_chunks,
+    )
+
+    return strip_repeated_chunks(
+        load_table(spark, sf_dir, "documents"), chunk_tokens=8, max_docs=1
+    )
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entity resolution over the distinct-name dictionary: part-name
     # variants within 2 edits, blocked on the noun token, length-bound
@@ -1946,6 +1959,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bigram_logprob": q_bigram_logprob,
     "dsir_select": q_dsir_select,
     "perplexity_buckets": q_perplexity_buckets,
+    "strip_boilerplate": q_strip_boilerplate,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -3444,6 +3458,42 @@ ORACLES: dict[str, str] = {
                CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
                          ELSE 'tail' END AS ppl_bucket
         FROM tiled
+    """,
+    "strip_boilerplate": """
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        c AS (
+            SELECT doc_id, toks,
+                   unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT)))
+                       AS chunk_id
+            FROM t
+        ),
+        ch AS (
+            SELECT doc_id, chunk_id,
+                   array_to_string(
+                       list_slice(toks, CAST(chunk_id * 8 + 1 AS INT),
+                                  CAST(chunk_id * 8 + 8 AS INT)), ' ')
+                       AS chunk_text
+            FROM c
+        ),
+        freq AS (
+            SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
+            FROM ch GROUP BY 1
+        ),
+        marked AS (
+            SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
+                   (f.nd > 1) AS dropped
+            FROM ch JOIN freq f USING (chunk_text)
+        )
+        SELECT doc_id,
+               COALESCE(string_agg(
+                   CASE WHEN NOT dropped THEN chunk_text END,
+                   ' ' ORDER BY chunk_id), '') AS cleaned_text,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_dropped
+        FROM marked GROUP BY doc_id
     """,
     "dup_ngram_fraction": """
         WITH sh AS (

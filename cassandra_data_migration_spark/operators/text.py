@@ -889,3 +889,56 @@ def perplexity_buckets(
         .otherwise(F.lit("tail"))
         .alias("ppl_bucket"),
     )
+
+
+def strip_repeated_chunks(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_tokens: int = 8,
+    max_docs: int = 1,
+) -> DataFrame:
+    """CCNet/RefinedWeb-style boilerplate scrub: drop every fixed-size
+    token chunk whose text recurs in more than ``max_docs`` distinct
+    documents (navigation bars, license footers, cookie banners — the
+    text that repeats corpus-wide), then reassemble each document from
+    its surviving chunks in order.
+
+    Output: (id, cleaned_text, n_chunks, n_dropped); a fully
+    boilerplate document survives with cleaned_text = ''.
+
+    Physical plan: chunking is a narrow explode
+    (:func:`chunk_documents`); the recurrence count groups on the
+    16-byte md5 of the chunk, so the frequency pass shuffles hashes,
+    never chunk text; the frequent set (boilerplate is by definition
+    few DISTINCT strings) re-enters as a broadcast hash join; the one
+    text-bearing shuffle is the per-document reassembly groupBy —
+    irreducible for a materialization that must re-order chunks.
+    """
+    chunks = chunk_documents(
+        df, id_col=id_col, text_col=text_col, chunk_tokens=chunk_tokens
+    ).withColumn("_h", F.md5("chunk_text"))
+    frequent = (
+        chunks.groupBy("_h")
+        .agg(F.count_distinct(F.col(id_col)).alias("_nd"))
+        .filter(F.col("_nd") > max_docs)
+        .select("_h")
+        .withColumn("_drop", F.lit(True))
+    )
+    marked = chunks.join(F.broadcast(frequent), "_h", "left").withColumn(
+        "_dropped", F.coalesce(F.col("_drop"), F.lit(False))
+    )
+    kept_struct = F.when(
+        ~F.col("_dropped"), F.struct(F.col("chunk_id"), F.col("chunk_text"))
+    )
+    return marked.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(kept_struct)),
+                lambda s: s["chunk_text"],
+            ),
+            " ",
+        ).alias("cleaned_text"),
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum(F.col("_dropped").cast("long")).alias("n_dropped"),
+    )
