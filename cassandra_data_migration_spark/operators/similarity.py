@@ -585,17 +585,14 @@ def pq_encode(
     dim = len(codebook[0])
     width = dim // num_subspaces
     v = F.col(vec_col).cast("array<double>")
-    codes = []
+    dist_cols = []
     for j in range(num_subspaces):
         sl = F.slice(v, j * width + 1, width)
         # one struct-array literal {c, cc} per subspace, distances via
         # a single transform lambda — identical float op sequence to
         # unrolling one expression per centroid, but the plan tree is
         # O(K) literals + 1 lambda instead of K dot folds, which keeps
-        # analysis/codegen time flat as K grows (and the distance
-        # array materializes ONCE — inlining it twice inside
-        # array_position(arr, array_min(arr)) as flat SQL blew up
-        # whole-stage codegen / janino in round 1)
+        # analysis/codegen time flat as K grows
         entries = []
         for cvec in codebook:
             c = cvec[j * width : (j + 1) * width]
@@ -611,14 +608,27 @@ def pq_encode(
         cb_j = F.array(*entries)
         # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
         # centroids, so the argmin key keeps only c·c − 2·x·c
-        arr = F.transform(
-            cb_j,
-            lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
+        dist_cols.append(
+            F.transform(
+                cb_j,
+                lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
+            ).alias(f"_d{j}")
         )
-        codes.append(
-            (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-        )
-    return df.select(F.col(id_col), F.array(*codes).alias("codes"))
+    # stage the distance arrays in their own projection so each is
+    # materialized ONCE: referencing the transform expression directly
+    # inside array_position(arr, array_min(arr)) would inline the
+    # whole O(K·width) tree twice (round 1's janino codegen blowup);
+    # CollapseProject keeps the two selects apart because the
+    # duplicated producer is not a cheap expression
+    staged = df.select(F.col(id_col), *dist_cols)
+    codes = [
+        (
+            F.array_position(F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}")))
+            - 1
+        ).cast("int")
+        for j in range(num_subspaces)
+    ]
+    return staged.select(F.col(id_col), F.array(*codes).alias("codes"))
 
 
 def pq_adc_topk(
