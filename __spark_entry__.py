@@ -1824,6 +1824,77 @@ def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return event_funnel(load_table(spark, sf_dir, "events"))
 
 
+def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # hybrid retrieval: BM25 lexical candidates + dense cosine
+    # candidates fused with Reciprocal Rank Fusion (e9 integer
+    # contributions).  Corpus-side work stays in the rankers
+    # (scan-side scoring, TakeOrdered); fusion touches only the two
+    # bounded top-50 lists.
+    from cassandra_data_migration_spark.operators.retrieval import (
+        ranked_list,
+        rrf_fuse,
+    )
+    from cassandra_data_migration_spark.operators.similarity import cosine_topk
+    from cassandra_data_migration_spark.operators.text import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    lex = bm25_topk(docs, ["spark", "join", "window", "vector"], k=50)
+    dense = cosine_topk(emb, qv, k=50, exclude_ids=[0])
+    return rrf_fuse(
+        [
+            ranked_list(
+                lex, [F.desc("score_e6"), F.asc("doc_id")], "doc_id", "bm25"
+            ),
+            ranked_list(
+                dense, [F.desc("cos_sim"), F.asc("vec_id")], "vec_id", "dense"
+            ),
+        ],
+        k=15,
+        c=60,
+    )
+
+
+def q_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # URL-level dedup: canonicalize (strip query/fragment/www/default
+    # port, reduce to directory) then one grouped agg on the canonical
+    # key — O(groups) shuffle, text never moves
+    from cassandra_data_migration_spark.operators.web import (
+        synthesize_url,
+        url_canonical_groups,
+    )
+
+    docs = synthesize_url(load_table(spark, sf_dir, "documents"))
+    return url_canonical_groups(docs)
+
+
+def q_hashed_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fastText-style hashed-token linear classifier: md5-derived
+    # weights folded scan-side (aggregate over transform — zero
+    # explode, zero shuffle); exact BIGINT weight sums
+    from cassandra_data_migration_spark.operators.text import hashed_linear_score
+
+    return hashed_linear_score(load_table(spark, sf_dir, "documents"))
+
+
+def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fill-to-N-tokens selection without a global sort: driver-side
+    # cumsum over per-priority totals picks the cutoff stratum; only
+    # that stratum runs a windowed cumsum
+    from cassandra_data_migration_spark.operators.sampling import (
+        token_budget_select,
+    )
+    from cassandra_data_migration_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text")
+    )
+    return token_budget_select(
+        docs, budget=10_000, priority_col="n_chars", token_col="n_tok"
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -1966,6 +2037,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "fuzzy_part_match": q_fuzzy_part_match,
     "resample_ffill": q_resample_ffill,
     "event_funnel": q_event_funnel,
+    "hybrid_rrf": q_hybrid_rrf,
+    "url_canonical_groups": q_url_canonical_groups,
+    "hashed_quality_clf": q_hashed_quality_clf,
+    "token_budget_select": q_token_budget_select,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -3653,6 +3728,133 @@ ORACLES: dict[str, str] = {
         SELECT 1, 'click', c1, ROUND(c1 * 1.0 / c0, 4) FROM c
         UNION ALL
         SELECT 2, 'purchase', c2, ROUND(c2 * 1.0 / c1, 4) FROM c
+    """,
+    "hybrid_rrf": f"""
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        stats AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(len(toks)) AS BIGINT) AS tot_len
+            FROM tk
+        ),
+        flat AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   unnest(toks) AS term
+            FROM tk
+        ),
+        tf AS (
+            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
+                   CAST(COUNT(*) AS BIGINT) AS tf
+            FROM flat
+            WHERE term IN ('spark', 'join', 'window', 'vector')
+            GROUP BY 1, 2
+        ),
+        dfreq AS (
+            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+        ),
+        bmscored AS (
+            SELECT t.doc_id,
+                   CAST(round(
+                       1000000.0
+                       * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+                       * (t.tf * 2.2)
+                       / (t.tf + 1.2 * (0.25 + 0.75 * (t.n_tokens
+                            / (s.tot_len * 1.0 / s.n_docs))))
+                   ) AS BIGINT) AS term_score_e6
+            FROM tf t JOIN dfreq d USING (term), stats s
+        ),
+        bm AS (
+            SELECT doc_id, CAST(SUM(term_score_e6) AS BIGINT) AS score_e6
+            FROM bmscored GROUP BY doc_id
+            ORDER BY score_e6 DESC, doc_id LIMIT 50
+        ),
+        bmr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY score_e6 DESC, doc_id) AS r
+            FROM bm
+        ),
+        q AS (
+            SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0
+        ),
+        cosd AS (
+            SELECT b.vec_id AS doc_id,
+                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4)
+                       AS cos_sim
+            FROM embeddings b, q WHERE b.vec_id <> 0
+        ),
+        cost AS (
+            SELECT doc_id, cos_sim FROM cosd
+            ORDER BY cos_sim DESC, doc_id LIMIT 50
+        ),
+        cosr AS (
+            SELECT doc_id, ROW_NUMBER() OVER (
+                ORDER BY cos_sim DESC, doc_id) AS r
+            FROM cost
+        ),
+        u AS (
+            SELECT doc_id, CAST(round(1000000000.0 / (60 + r)) AS BIGINT) AS c
+            FROM bmr
+            UNION ALL
+            SELECT doc_id, CAST(round(1000000000.0 / (60 + r)) AS BIGINT) AS c
+            FROM cosr
+        )
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
+               CAST(SUM(c) AS BIGINT) AS rrf_e9,
+               ROUND(SUM(c) / 1000000000.0, 6) AS rrf_score
+        FROM u GROUP BY doc_id
+        ORDER BY rrf_e9 DESC, doc_id LIMIT 15
+    """,
+    "url_canonical_groups": f"""
+        WITH u AS ({_URL_CTE}),
+        c AS (
+            SELECT 'https://' || sitedom || '/' || lang || '/'
+                       || CAST(doc_id % 37 AS VARCHAR) || '/' AS canonical_url,
+                   doc_id
+            FROM u
+        )
+        SELECT canonical_url,
+               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
+        FROM c GROUP BY canonical_url
+    """,
+    "hashed_quality_clf": f"""
+        WITH tk AS (
+            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        ),
+        s AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(list_sum(list_transform(toks,
+                       t -> {_md5_draw_sql('quality-clf', 't')} % 2001 - 1000
+                   )) AS BIGINT) AS w_sum_e3
+            FROM tk
+        ),
+        p AS (
+            SELECT doc_id, n_tokens, w_sum_e3,
+                   ROUND(1.0 / (1.0 + exp(-(w_sum_e3 / (1000.0 * n_tokens)))),
+                         4) AS quality_prob
+            FROM s
+        )
+        SELECT doc_id, n_tokens, w_sum_e3, quality_prob,
+               quality_prob >= 0.5 AS accept
+        FROM p
+    """,
+    "token_budget_select": """
+        WITH t AS (
+            SELECT doc_id, n_chars,
+                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+            FROM documents
+        ),
+        c AS (
+            SELECT doc_id, n_chars, n_tokens,
+                   SUM(n_tokens) OVER (
+                       ORDER BY n_chars DESC, doc_id ASC
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                   ) AS cum
+            FROM t
+        )
+        SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 10000
     """,
 }
 

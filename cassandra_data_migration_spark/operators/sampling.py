@@ -286,3 +286,72 @@ def dsir_importance(
         )
     )
     return scored.orderBy(F.desc("weight_e6"), F.asc(id_col)).limit(k)
+
+
+def token_budget_select(
+    df: DataFrame,
+    budget: int,
+    priority_col: str,
+    token_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Select documents in priority order until a global token budget
+    is exhausted: walk rows in (priority DESC, id ASC) order and keep
+    every row whose inclusive running token total is <= ``budget`` —
+    the standard "fill the training mix to N tokens" step.
+
+    A naive implementation is a GLOBAL ordered cumsum — a single-
+    partition sort of the whole corpus, the classic 100 TB scale
+    killer.  Instead, selection is split in two exact phases:
+
+    1. Per-priority-value token totals (one O(distinct priorities)
+       map-side-combined aggregation) are cumsum'd on the driver —
+       priorities are coarse features (scores, lengths), so this is
+       KBs, not data — yielding the cutoff priority p* and the budget
+       remaining when the walk reaches p*.
+    2. Rows with priority > p* are kept by a scan-side filter (no
+       sort at all); ONLY the p* stratum runs a windowed cumsum, and
+       that window is partitioned on the priority value, so the sort
+       covers one stratum instead of the corpus.
+
+    The result equals the naive global walk exactly (the oracle states
+    it as one window cumsum).
+    """
+    d = df.select(
+        F.col(id_col),
+        F.col(priority_col).alias("_prio"),
+        F.col(token_col).cast("bigint").alias("n_tokens"),
+    )
+    per_prio = (
+        d.groupBy("_prio").agg(F.sum("n_tokens").alias("_tot")).collect()
+    )
+    running = 0
+    cutoff = None  # first priority whose stratum crosses the budget
+    remaining = budget
+    for row in sorted(per_prio, key=lambda r: r["_prio"], reverse=True):
+        if running + row["_tot"] > budget:
+            cutoff = row["_prio"]
+            remaining = budget - running
+            break
+        running += row["_tot"]
+    out_cols = [
+        F.col(id_col),
+        F.col("_prio").alias(priority_col),
+        "n_tokens",
+    ]
+    if cutoff is None:  # whole corpus fits
+        return d.select(*out_cols)
+    kept_hi = d.filter(F.col("_prio") > F.lit(cutoff))
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("_prio")
+        .orderBy(F.asc(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    kept_edge = (
+        d.filter(F.col("_prio") == F.lit(cutoff))
+        .withColumn("_cum", F.sum("n_tokens").over(w))
+        .filter(F.col("_cum") <= F.lit(remaining))
+    )
+    return kept_hi.select(*out_cols).unionByName(kept_edge.select(*out_cols))

@@ -942,3 +942,47 @@ def strip_repeated_chunks(
         F.count(F.lit(1)).alias("n_chunks"),
         F.sum(F.col("_dropped").cast("long")).alias("n_dropped"),
     )
+
+
+def hashed_linear_score(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    seed: str = "quality-clf",
+) -> DataFrame:
+    """fastText-style linear text classifier over hashed token
+    features: each token's weight is a deterministic draw in
+    [-1, 1] (e3 fixed point) derived from md5(seed, token) — the
+    engine-portable stand-in for a trained embedding-bag, exactly the
+    execution shape of a real fastText/CCNet quality classifier (hash
+    token → look up weight → mean → sigmoid).  Swapping the md5 draw
+    for a broadcast weight table keeps the same plan.
+
+    Everything folds inside the scan: ``aggregate(transform(tokens))``
+    sums per-document weights with zero explode and zero shuffle, so
+    at 100 TB this is a pure map pass.  The weight sum is an exact
+    BIGINT; only the final sigmoid is floating point (rounded to 4).
+    """
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    toks = tokens(text_col)
+    w_e3 = lambda t: (  # noqa: E731
+        md5_draw(seed, t) % 2001 - 1000
+    )
+    w_sum = F.aggregate(
+        F.transform(toks, w_e3), F.lit(0).cast("long"), lambda acc, x: acc + x
+    )
+    n = F.size(toks).cast("bigint")
+    mean_w = F.col("w_sum_e3") / (F.lit(1000.0) * F.col("n_tokens"))
+    return (
+        df.select(
+            F.col(id_col),
+            n.alias("n_tokens"),
+            w_sum.alias("w_sum_e3"),
+        )
+        .withColumn(
+            "quality_prob",
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-mean_w)), 4),
+        )
+        .withColumn("accept", (F.col("quality_prob") >= 0.5).cast("boolean"))
+    )

@@ -120,3 +120,40 @@ def domain_quota_sample(
         .filter(F.col("quota_rank") <= cap)
         .select(F.col(domain_col).alias("domain"), id_col, "quota_rank")
     )
+
+
+def canonicalize_url(url: Column) -> Column:
+    """Canonical form of a URL for URL-level dedup (the CommonCrawl /
+    refinement-pipeline convention): lowercase, strip the query string
+    and fragment (tracking params like ``?ref=…``), drop a leading
+    ``www.`` host label and default ``:80``/``:443`` ports, and reduce
+    the path to its directory (the trailing file segment is the
+    per-capture name; the directory is the resource identity).
+
+    Pure ``regexp_replace`` chain — evaluated in the scan stage, no
+    UDF, no shuffle.  Each pattern matches at most once so the
+    replace-first (DuckDB) vs replace-all (Spark) difference cannot
+    bite."""
+    u = F.lower(url)
+    u = F.regexp_replace(u, r"[?#].*$", "")
+    u = F.regexp_replace(u, r"://www\.", "://")
+    u = F.regexp_replace(u, r":(80|443)/", "/")
+    return F.regexp_replace(u, r"/[^/]*$", "/")
+
+
+def url_canonical_groups(
+    df: DataFrame, url_col: str = "url", id_col: str = "doc_id"
+) -> DataFrame:
+    """URL-level dedup report: group documents by canonical URL, keep
+    the smallest id as the survivor, count the casualties.  One grouped
+    aggregation on the canonical key — O(groups) shuffle, map-side
+    combined; the text column never moves."""
+    return (
+        df.select(canonicalize_url(F.col(url_col)).alias("canonical_url"), id_col)
+        .groupBy("canonical_url")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        )
+        .withColumn("n_dropped", (F.col("n_docs") - 1).cast("bigint"))
+    )
