@@ -1895,6 +1895,69 @@ def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # two-pass bucket-sketch heavy hitters: bucket counts bound token
+    # counts from above (no false negatives), so the exact pass only
+    # shuffles tokens sharing a bucket with a genuinely frequent one
+    from cassandra_data_migration_spark.operators.text import heavy_hitters
+
+    return heavy_hitters(
+        load_table(spark, sf_dir, "documents"), min_count=300
+    )
+
+
+def q_stable_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dense ids in (n_chars DESC, doc_id) order WITHOUT the
+    # single-partition row_number: quantile-bucketed numbering with
+    # driver-cumsum'd offsets; equals the global window exactly
+    from cassandra_data_migration_spark.operators.ids import stable_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    return stable_dense_ids(
+        docs, ["n_chars", "doc_id"], descending=[True, False], buckets=16
+    )
+
+
+def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # SCD type-2 history build from the event log: change-point filter
+    # + validity intervals, all per-key partitioned windows
+    from cassandra_data_migration_spark.operators.windows import scd2_history
+
+    return scd2_history(
+        load_table(spark, sf_dir, "events"),
+        key_col="user_id",
+        ts_col="ts",
+        attr_col="event_type",
+    )
+
+
+def q_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language percent-rank calibration of a quality proxy
+    from cassandra_data_migration_spark.operators.windows import (
+        percentile_normalize,
+    )
+
+    return percentile_normalize(
+        load_table(spark, sf_dir, "documents"),
+        group_col="lang",
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
+def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-language median/MAD robust z-score: exact grouped medians,
+    # broadcast re-join, scan-side scaling
+    from cassandra_data_migration_spark.operators.aggregates import robust_scale
+
+    return robust_scale(
+        load_table(spark, sf_dir, "documents"),
+        group_col="lang",
+        value_col="n_chars",
+        id_col="doc_id",
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2041,6 +2104,11 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "url_canonical_groups": q_url_canonical_groups,
     "hashed_quality_clf": q_hashed_quality_clf,
     "token_budget_select": q_token_budget_select,
+    "heavy_hitters": q_heavy_hitters,
+    "stable_dense_ids": q_stable_dense_ids,
+    "scd2_history": q_scd2_history,
+    "percentile_normalize": q_percentile_normalize,
+    "robust_scale": q_robust_scale,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -3855,6 +3923,69 @@ ORACLES: dict[str, str] = {
             FROM t
         )
         SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 10000
+    """,
+    "heavy_hitters": """
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
+        GROUP BY term HAVING COUNT(*) >= 300
+    """,
+    "stable_dense_ids": """
+        SELECT doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
+                    AS BIGINT) AS stable_id
+        FROM documents
+    """,
+    "scd2_history": """
+        WITH c AS (
+            SELECT user_id, ts, event_type,
+                   lag(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_type
+                   ) AS prev
+            FROM events
+        ),
+        f AS (
+            SELECT user_id, ts, event_type FROM c
+            WHERE prev IS NULL OR prev <> event_type
+        )
+        SELECT user_id,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+               ) AS BIGINT) AS version,
+               event_type,
+               ts AS valid_from,
+               lead(ts) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_type
+               ) AS valid_to
+        FROM f
+    """,
+    "percentile_normalize": """
+        SELECT doc_id, lang, n_chars,
+               ROUND(percent_rank() OVER (
+                   PARTITION BY lang ORDER BY n_chars ASC
+               ), 6) AS pct_rank
+        FROM documents
+    """,
+    "robust_scale": """
+        WITH med AS (
+            -- quantile_cont = Spark's interpolated median (DuckDB's
+            -- median() is the discrete lower-middle variant)
+            SELECT lang,
+                   CAST(quantile_cont(n_chars * 1.0, 0.5) AS DOUBLE) AS m
+            FROM documents GROUP BY lang
+        ),
+        mad AS (
+            SELECT d.lang,
+                   CAST(quantile_cont(abs(d.n_chars * 1.0 - med.m), 0.5)
+                        AS DOUBLE) AS s
+            FROM documents d JOIN med USING (lang) GROUP BY d.lang
+        )
+        SELECT d.doc_id, d.lang, d.n_chars,
+               ROUND(med.m, 4) AS group_median,
+               ROUND(mad.s, 4) AS group_mad,
+               CASE WHEN mad.s <> 0
+                    THEN ROUND((d.n_chars * 1.0 - med.m) / mad.s, 4)
+               END AS robust_z
+        FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
     """,
 }
 

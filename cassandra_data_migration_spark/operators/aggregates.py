@@ -344,3 +344,39 @@ def event_funnel(
             )
         )
     return counts.select(F.explode(F.array(*rows)).alias("_s")).select("_s.*")
+
+
+def robust_scale(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Median/MAD robust z-score per group (the outlier-insensitive
+    normalization for quality-score columns): two exact grouped
+    medians — values, then absolute deviations — re-joined broadcast
+    (group cardinality is small by construction), then a scan-side
+    scaled score.  Shuffles are O(groups) aggregates plus the
+    broadcast hash joins; the value column itself moves zero times.
+    """
+    v = F.col(value_col).cast("double")
+    med = df.groupBy(group_col).agg(F.median(v).alias("_med"))
+    dev = (
+        df.join(F.broadcast(med), group_col)
+        .groupBy(group_col)
+        .agg(F.median(F.abs(v - F.col("_med"))).alias("_mad"))
+    )
+    stats = med.join(dev, group_col)
+    return (
+        df.join(F.broadcast(stats), group_col)
+        .select(
+            F.col(id_col),
+            F.col(group_col),
+            F.col(value_col),
+            F.round(F.col("_med"), 4).alias("group_median"),
+            F.round(F.col("_mad"), 4).alias("group_mad"),
+            F.when(F.col("_mad") != 0.0,
+                   F.round((v - F.col("_med")) / F.col("_mad"), 4))
+            .alias("robust_z"),
+        )
+    )

@@ -986,3 +986,43 @@ def hashed_linear_score(
         )
         .withColumn("accept", (F.col("quality_prob") >= 0.5).cast("boolean"))
     )
+
+
+def heavy_hitters(
+    df: DataFrame,
+    min_count: int,
+    text_col: str = "text",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """All tokens with corpus frequency >= ``min_count``, via the
+    two-pass bucket-sketch plan instead of a full token groupBy:
+
+    1. count hashed token *buckets* (xxhash64 % n_buckets) — the
+       shuffle carries at most ``n_buckets`` map-combined partials,
+       not the token vocabulary;
+    2. exact-count only tokens whose bucket total reaches
+       ``min_count`` (a bucket count upper-bounds every member
+       token's count — no false negatives, same guarantee as a
+       count-min row), with the surviving bucket ids broadcast back
+       as a scan-side semi-filter.
+
+    At 100 TB the vocabulary-wide shuffle this avoids is the
+    dominant cost of naive heavy-hitter queries; the residual exact
+    pass shuffles only tokens that share a bucket with a genuinely
+    frequent token (~ vocab / n_buckets of the corpus).
+    """
+    terms = df.select(F.explode(tokens(text_col)).alias("term"))
+    bucket = F.pmod(F.xxhash64("term"), F.lit(n_buckets))
+    hot = (
+        terms.groupBy(bucket.alias("_b"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_count)
+        .select("_b")
+    )
+    return (
+        terms.withColumn("_b", bucket)
+        .join(F.broadcast(hot), "_b", "left_semi")
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
+    )

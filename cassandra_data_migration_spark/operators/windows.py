@@ -242,3 +242,64 @@ def resample_ffill(
             F.last("_mv", ignorenulls=True).over(w).alias("value_ffill"),
         )
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    attr_col: str,
+    open_end: str | None = None,
+) -> DataFrame:
+    """Build a slowly-changing-dimension type-2 history from an event
+    log: per key, keep only rows where ``attr_col`` CHANGES (the first
+    row of each run), and give each surviving version a
+    ``[valid_from, valid_to)`` interval, the last one open-ended
+    (``valid_to`` NULL, or ``open_end`` if given).
+
+    Both windows are PARTITIONed by the key — at 100 TB this is one
+    key-hash shuffle and per-key sorts, never a global sort.  Ties on
+    the timestamp are broken deterministically by the attribute value.
+    """
+    w = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(attr_col))
+    changed = (
+        df.select(key_col, ts_col, attr_col)
+        .withColumn("_prev", F.lag(attr_col).over(w))
+        .filter(F.col("_prev").isNull() | (F.col("_prev") != F.col(attr_col)))
+    )
+    w2 = Window.partitionBy(key_col).orderBy(F.asc(ts_col), F.asc(attr_col))
+    return (
+        changed.withColumn("valid_from", F.col(ts_col))
+        .withColumn(
+            "valid_to",
+            F.lead(ts_col).over(w2)
+            if open_end is None
+            else F.coalesce(
+                F.lead(ts_col).over(w2), F.lit(open_end).cast("timestamp")
+            ),
+        )
+        .withColumn(
+            "version", F.row_number().over(w2).cast("bigint")
+        )
+        .select(key_col, "version", attr_col, "valid_from", "valid_to")
+    )
+
+
+def percentile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    out: str = "pct_rank",
+) -> DataFrame:
+    """Percent-rank of ``value_col`` within each group — the standard
+    per-language/per-domain score calibration step before global
+    thresholding.  A grouped window (one key shuffle, per-group sort);
+    rounded to 6 so the double is engine-reproducible."""
+    w = Window.partitionBy(group_col).orderBy(F.asc(value_col))
+    return df.select(
+        F.col(id_col),
+        F.col(group_col),
+        F.col(value_col),
+        F.round(F.percent_rank().over(w), 6).alias(out),
+    )

@@ -118,3 +118,93 @@ def test_token_budget_select_whole_corpus_fits(spark):
     )
     out = token_budget_select(df, 100, priority_col="prio", token_col="n_tok")
     assert out.count() == 2
+
+
+def test_heavy_hitters_equals_naive_groupby(spark):
+    rows = [(i, "a b c " + ("hot " * (i % 3))) for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    from cassandra_data_migration_spark.operators.text import heavy_hitters, tokens
+
+    got = {
+        (r["term"], r["cnt"])
+        for r in heavy_hitters(df, min_count=20, n_buckets=8).collect()
+    }
+    naive = {
+        (r["term"], r["cnt"])
+        for r in df.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 20)
+        .collect()
+    }
+    assert got == naive and len(naive) >= 3  # a b c are hot; sketch adds none
+
+
+def test_stable_dense_ids_equal_global_row_number(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [(i, rng.randint(0, 50)) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, n long").repartition(13)
+    from cassandra_data_migration_spark.operators.ids import stable_dense_ids
+
+    out = stable_dense_ids(
+        df, ["n", "doc_id"], descending=[True, False], buckets=8
+    ).collect()
+    want = {
+        r[0]: rank + 1
+        for rank, r in enumerate(sorted(rows, key=lambda r: (-r[1], r[0])))
+    }
+    assert {r["doc_id"]: r["stable_id"] for r in out} == want
+
+
+def test_scd2_history_builds_change_intervals(spark):
+    import datetime as dt
+
+    t = lambda s: dt.datetime(2024, 1, s)  # noqa: E731
+    df = spark.createDataFrame(
+        [
+            (1, t(1), "free"),
+            (1, t(2), "free"),   # no change -> folded into v1
+            (1, t(3), "pro"),
+            (1, t(5), "free"),
+            (2, t(4), "pro"),
+        ],
+        "user_id long, ts timestamp, event_type string",
+    )
+    from cassandra_data_migration_spark.operators.windows import scd2_history
+
+    out = sorted(
+        scd2_history(df, "user_id", "ts", "event_type").collect(),
+        key=lambda r: (r["user_id"], r["version"]),
+    )
+    assert [(r["user_id"], r["version"], r["event_type"]) for r in out] == [
+        (1, 1, "free"), (1, 2, "pro"), (1, 3, "free"), (2, 1, "pro"),
+    ]
+    assert out[0]["valid_from"] == t(1) and out[0]["valid_to"] == t(3)
+    assert out[2]["valid_to"] is None and out[3]["valid_to"] is None
+
+
+def test_percentile_normalize_and_robust_scale(spark):
+    df = spark.createDataFrame(
+        [(1, "en", 10), (2, "en", 20), (3, "en", 30), (4, "de", 7)],
+        "doc_id long, lang string, v long",
+    )
+    from cassandra_data_migration_spark.operators.aggregates import robust_scale
+    from cassandra_data_migration_spark.operators.windows import (
+        percentile_normalize,
+    )
+
+    pr = {
+        r["doc_id"]: r["pct_rank"]
+        for r in percentile_normalize(df, "lang", "v", "doc_id").collect()
+    }
+    assert pr[1] == 0.0 and pr[2] == 0.5 and pr[3] == 1.0 and pr[4] == 0.0
+    rs = {
+        r["doc_id"]: r
+        for r in robust_scale(df, "lang", "v", "doc_id").collect()
+    }
+    # en: median 20, deviations {10,0,10} -> MAD 10 -> z = (v-20)/10
+    assert rs[1]["robust_z"] == -1.0 and rs[3]["robust_z"] == 1.0
+    # singleton group: MAD 0 -> z is NULL, never a division blowup
+    assert rs[4]["robust_z"] is None and rs[4]["group_mad"] == 0.0
