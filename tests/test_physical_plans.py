@@ -329,3 +329,48 @@ def test_dsir_scoring_is_broadcast_fold_takeordered(spark):
     plan = _plan(entry_mod.queries()["dsir_select"](spark, SF_CORRECT))
     assert "TakeOrderedAndProject" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hashed_clf_is_shuffle_free_scan(spark):
+    # classifier folds inside the scan: no exchange, no explode
+    plan = _plan(entry_mod.queries()["hashed_quality_clf"](spark, SF_CORRECT))
+    assert "Exchange" not in plan
+    assert "Generate" not in plan  # no explode — aggregate over transform
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+def test_heavy_hitters_prefilters_with_broadcast_semi(spark):
+    # exact pass only sees tokens surviving the bucket sketch
+    plan = _plan(entry_mod.queries()["heavy_hitters"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_stable_dense_ids_never_single_partitions(spark):
+    # the whole point: no Window over an un-partitioned global sort
+    plan = _plan(entry_mod.queries()["stable_dense_ids"](spark, SF_CORRECT))
+    assert "SinglePartition" not in plan
+    assert "Window" in plan  # per-bucket windows remain
+
+
+def test_scd2_windows_are_key_partitioned(spark):
+    plan = _plan(entry_mod.queries()["scd2_history"](spark, SF_CORRECT))
+    assert "SinglePartition" not in plan
+    assert "hashpartitioning(user_id" in plan
+
+
+def test_robust_scale_joins_are_broadcast(spark):
+    plan = _plan(entry_mod.queries()["robust_scale"](spark, SF_CORRECT))
+    assert "SortMergeJoin" not in plan
+
+
+def test_rrf_corpus_work_stays_in_rankers(spark):
+    # fused lists are TakeOrdered outputs; no corpus-wide global sort
+    plan = _plan(entry_mod.queries()["hybrid_rrf"](spark, SF_CORRECT))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_url_groups_aggregate_never_ships_text(spark):
+    plan = _plan(entry_mod.queries()["url_canonical_groups"](spark, SF_CORRECT))
+    assert "partial_count" in plan or "partial_min" in plan  # map-side combine
+    assert "text" not in plan.split("ReadSchema")[1][:200]  # text column unread
