@@ -1958,6 +1958,45 @@ def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PageRank domain authority in e12 fixed-point integers: the
+    # iterative message-passing rounds are driver-side control flow
+    # over joins; all arithmetic is integer `div`, so the result is
+    # bit-identical to the oracle's unrolled-CTE fixpoint
+    from cassandra_data_migration_spark.operators.graph import domain_pagerank
+
+    return domain_pagerank(load_table(spark, sf_dir, "documents"), iterations=5)
+
+
+def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # co-located bucketed join: both fact tables hash-bucketed on the
+    # order key, so the join runs with zero Exchange (pinned by
+    # tests/test_physical_plans.py); result equals the plain join
+    from cassandra_data_migration_spark.sources.tables import (
+        bucketed_join_revenue,
+    )
+
+    return bucketed_join_revenue(spark, sf_dir)
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # near-dup clusters → keep the highest-quality copy per cluster
+    # (tie-break min id): the curation policy that preserves the best
+    # duplicate instead of the arbitrary min-id one
+    from cassandra_data_migration_spark.operators.graph import dedup_survivors
+
+    return dedup_survivors(load_table(spark, sf_dir, "documents"))
+
+
+def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # fraction of each doc's distinct 3-grams unseen anywhere else in
+    # the corpus — boilerplate shows up as low novelty even below
+    # pairwise dedup thresholds
+    from cassandra_data_migration_spark.operators.dedup import ngram_novelty
+
+    return ngram_novelty(load_table(spark, sf_dir, "documents"))
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2109,6 +2148,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "scd2_history": q_scd2_history,
     "percentile_normalize": q_percentile_normalize,
     "robust_scale": q_robust_scale,
+    "domain_pagerank": q_domain_pagerank,
+    "bucketed_join": q_bucketed_join,
+    "dedup_survivors": q_dedup_survivors,
+    "ngram_novelty": q_ngram_novelty,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -2153,6 +2196,68 @@ _PQ_CTES = """
         SELECT vec_id, j, list_position(arr, list_min(arr)) - 1 AS code
         FROM (SELECT vec_id, j, list(d2 ORDER BY cid) AS arr
               FROM dist GROUP BY vec_id, j)
+    )
+"""
+
+
+def _pagerank_oracle(iterations: int = 5) -> str:
+    """Unrolled-CTE twin of operators/graph.pagerank over the
+    synthesized domain link graph: one CTE per iteration, every
+    division integer (`//`), so the fixpoint matches Spark's loop
+    bit-for-bit."""
+    it = ""
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        it += f""",
+    r{k} AS (
+        SELECT v.i AS id,
+               (15000000000000 // (100 * v.n))
+               + (85 * COALESCE(inc.s, 0)) // 100 AS r
+        FROM idx v LEFT JOIN (
+            SELECT e.dst AS id, SUM({prev}.r // d.outdeg) AS s
+            FROM edges e
+            JOIN {prev} ON {prev}.id = e.src
+            JOIN deg d ON d.src = e.src
+            GROUP BY e.dst
+        ) inc ON inc.id = v.i
+    )"""
+        prev = f"r{k}"
+    return f"""
+        WITH u AS ({_URL_CTE}),
+        doms AS (SELECT DISTINCT sitedom AS domain FROM u),
+        idx AS (SELECT domain,
+                       ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
+                       (SELECT COUNT(*) FROM doms) AS n
+                FROM doms),
+        edges AS (
+            SELECT src, dst FROM (
+                SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
+                UNION SELECT i, (i * 5 + 2) % n FROM idx
+                UNION SELECT i, (i * 7 + 3) % n FROM idx
+            ) WHERE src <> dst
+        ),
+        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
+        r0 AS (SELECT i AS id,
+                      1000000000000 // (SELECT COUNT(*) FROM doms) AS r
+               FROM idx){it}
+        SELECT idx.domain, CAST({prev}.r AS BIGINT) AS rank_e12
+        FROM idx JOIN {prev} ON {prev}.id = idx.i
+    """
+
+
+# e4 fixed-point twin of graph.dedup_survivors' quality blend: raw
+# ratios, identical IEEE op order, floor(x·10⁴+0.5) — no decimal
+# ROUND intermediates, so both engines produce the same BIGINT
+_QUALITY_CTE = """
+    q AS (
+        SELECT doc_id,
+               CAST(floor(
+                   (0.7 * LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
+                  + 0.3 * LEAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','to','and','in','is'], t)))
+                        / len(string_split(text, ' ')) * 5.0, 1.0))
+                   * 10000.0 + 0.5) AS BIGINT) AS quality_e4
+        FROM documents
     )
 """
 
@@ -3986,6 +4091,70 @@ ORACLES: dict[str, str] = {
                     THEN ROUND((d.n_chars * 1.0 - med.m) / mad.s, 4)
                END AS robust_z
         FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
+    """,
+    "domain_pagerank": _pagerank_oracle(5),
+    "bucketed_join": """
+        SELECT o_orderstatus,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_qty,
+               COUNT(*) AS n_items
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        GROUP BY o_orderstatus
+    """,
+    "dedup_survivors": f"""
+        WITH RECURSIVE {_SHINGLES_CTE},
+        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+        inter AS (
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
+            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ),
+        pairs AS (
+            SELECT id_a, id_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = id_a
+            JOIN sizes sb ON sb.doc_id = id_b
+            WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+        ),
+        edges AS (
+            SELECT id_a AS src, id_b AS dst FROM pairs
+            UNION SELECT id_b, id_a FROM pairs
+        ),
+        reach(id, r) AS (
+            SELECT doc_id, doc_id FROM documents
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
+        ),
+        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
+        sized AS (
+            SELECT doc_id, component,
+                   COUNT(*) OVER (PARTITION BY component) AS cluster_size
+            FROM comp
+        ),
+        {_QUALITY_CTE},
+        ranked AS (
+            SELECT s.doc_id, s.cluster_size, q.quality_e4,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY s.component
+                       ORDER BY q.quality_e4 DESC, s.doc_id
+                   ) AS rn
+            FROM sized s JOIN q USING (doc_id)
+        )
+        SELECT doc_id, cluster_size, quality_e4 FROM ranked WHERE rn = 1
+    """,
+    "ngram_novelty": f"""
+        WITH {_SHINGLES_CTE},
+        dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle)
+        SELECT doc_id,
+               COUNT(*) AS n_shingles,
+               CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_unique,
+               ROUND(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1.0
+                     / COUNT(*), 4) AS novelty
+        FROM sh JOIN dfq USING (shingle)
+        GROUP BY doc_id
     """,
 }
 

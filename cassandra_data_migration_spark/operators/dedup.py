@@ -363,3 +363,36 @@ def incremental_dedup(
         .filter(F.col(id_col) == F.col("_min_id"))
         .select(F.col(id_col), F.col("_fp").alias("fingerprint"))
     )
+
+def ngram_novelty(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Per-document novelty: the fraction of the doc's DISTINCT word
+    n-grams that occur in no other document.  Low novelty flags
+    template/boilerplate documents even when no single pair crosses a
+    Jaccard threshold — a corpus-level quality signal that complements
+    pairwise dedup.
+
+    Scale: one explode → groupBy on the 8-byte shingle hash for the
+    corpus document-frequency table, one hash-join back, one per-doc
+    aggregation.  The exchanges carry (hash, id) longs, never text;
+    df-table rows are O(distinct shingles) with map-side combine.
+    """
+    sh = shingle_table(df, id_col, text_col, n).select(
+        F.col(id_col), F.xxhash64("shingle").alias("_hs")
+    )
+    docfreq = sh.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
+    return (
+        sh.join(docfreq, "_hs")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_unique"),
+        )
+        .withColumn(
+            "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 4)
+        )
+    )

@@ -81,6 +81,133 @@ def connected_components(
     return labels.select(F.col("a").alias(id_col), "component")
 
 
+E12 = 10**12
+
+
+def pagerank(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    iterations: int = 5,
+    damping_pct: int = 85,
+) -> DataFrame:
+    """PageRank over a directed graph in exact e12 fixed-point integer
+    arithmetic: ``rank' = (100-d)%·E12/N + d%·Σ_in (rank/outdeg)``
+    with every division an integer ``div`` — bit-identical across
+    engines and partitionings (no float summation-order drift), which
+    is what makes the result oracle-checkable.
+
+    Link-graph authority is a standard web-corpus quality signal
+    (Common Crawl ranks hosts by harmonic centrality the same way);
+    the reference has no graph surface, so this extends it.
+
+    Scale notes
+    -----------
+    - Each iteration shuffles |E| contribution rows of two 8-byte
+      columns plus a groupBy(dst) with map-side combine — the classic
+      message-passing round, same cost envelope as
+      :func:`connected_components`.
+    - Fixed ``iterations`` (no convergence probe): round count is
+      known up front, and determinism does not depend on a float
+      epsilon test.
+    - ``localCheckpoint`` per round truncates lineage; a cluster run
+      points ``setCheckpointDir`` at durable storage instead.
+    - Dangling nodes (no out-edges) contribute nothing; nodes with no
+      in-edges settle at the teleport floor.  Rank mass is therefore
+      conserved only up to dangling leakage + integer floors, the
+      standard simplification.
+    """
+    n = nodes.count()
+    init = E12 // n
+    base = ((100 - damping_pct) * E12) // (100 * n)
+    deg = edges.groupBy(F.col(src).alias("_src")).agg(
+        F.count(F.lit(1)).alias("_outdeg")
+    )
+    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    ranks = nodes.select(
+        F.col(id_col).alias("_id"), F.lit(init).cast("long").alias("rank_e12")
+    )
+    for _ in range(iterations):
+        contrib = ranks.join(
+            deg, ranks["_id"] == deg["_src"]
+        ).select(
+            F.col("_src"),
+            F.expr("rank_e12 div _outdeg").alias("_c"),
+        )
+        incoming = (
+            e.join(contrib, "_src")
+            .groupBy(F.col("_dst").alias("_id"))
+            .agg(F.sum("_c").alias("_in"))
+        )
+        ranks = (
+            nodes.select(F.col(id_col).alias("_id"))
+            .join(incoming, "_id", "left")
+            .select(
+                "_id",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({damping_pct} * coalesce(_in, 0L)) div 100"
+                    )
+                ).cast("long").alias("rank_e12"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks.select(F.col("_id").alias(id_col), "rank_e12")
+
+
+def domain_link_graph(docs: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(nodes, edges) over the corpus's registered domains.  The
+    ``documents`` fixture has no real hyperlinks, so out-links are
+    synthesized deterministically from the domain's dense index ``i``
+    (``i → (3i+1) % n, (5i+2) % n, (7i+3) % n``, self-loops dropped) —
+    both engines regenerate the identical graph, the same convention
+    as :func:`web.synthesize_url`.
+
+    The dense index is a ``row_number`` over the DISTINCT domain
+    table — a dim-side global sort over O(domains) rows (thousands at
+    web scale), never over documents.
+    """
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.operators.web import (
+        parse_url_parts,
+        synthesize_url,
+    )
+
+    domains = (
+        parse_url_parts(synthesize_url(docs)).select("domain").distinct()
+    )
+    idx = domains.select(
+        "domain",
+        (F.row_number().over(Window.orderBy("domain")) - 1).alias("i"),
+    )
+    n = idx.count()
+    targets = F.array(
+        *[
+            (F.col("i") * F.lit(m) + F.lit(o)) % F.lit(n)
+            for m, o in ((3, 1), (5, 2), (7, 3))
+        ]
+    )
+    edges = (
+        idx.select(F.col("i").alias("src"), F.explode(targets).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    return idx, edges
+
+
+def domain_pagerank(docs: DataFrame, iterations: int = 5) -> DataFrame:
+    """(domain, rank_e12): PageRank authority per registered domain
+    over the synthesized link graph — the corpus-curation signal a
+    crawler mixes into per-domain quality weighting."""
+    idx, edges = domain_link_graph(docs)
+    pr = pagerank(edges, idx.select("i"), id_col="i", iterations=iterations)
+    return idx.join(pr, "i").select("domain", "rank_e12")
+
+
 def dup_clusters(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -106,4 +233,62 @@ def dup_clusters(
         id_col,
         "component",
         F.count(F.lit(1)).over(w).alias("cluster_size"),
+    )
+
+
+def dedup_survivors(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Quality-aware canonical selection: within each near-dup cluster
+    keep the HIGHEST-quality document (tie-break: smallest id), not
+    the smallest-id one — the curation policy that preserves the best
+    copy of boilerplate-mangled duplicates.
+
+    Output: one row per cluster ``(doc_id, cluster_size,
+    quality_e4)`` — the surviving corpus.
+
+    The score is the C4-style blend of ``text.quality_score`` but in
+    e4 fixed-point over RAW ratios (``floor(x·10⁴+0.5)``, no decimal
+    ROUND intermediates): every float op is the identical IEEE
+    sequence in any engine, so the argmax ordering — and therefore
+    which document survives — is deterministic and oracle-checkable.
+
+    Scale: clusters from :func:`dup_clusters` (sub-quadratic pair
+    generation + label propagation), quality from a scan-side
+    expression; the argmax is one window over the component key, the
+    same shuffle the cluster-size count already paid.
+    """
+    from cassandra_data_migration_spark.operators.text import (
+        stopword_count,
+        token_count,
+    )
+
+    clusters = dup_clusters(df, id_col, text_col, n, threshold)
+    n_tok = token_count(text_col)
+    length_term = F.least(n_tok / F.lit(64.0), F.lit(1.0))
+    stop_term = F.least(
+        stopword_count(text_col) / n_tok * F.lit(5.0), F.lit(1.0)
+    )
+    q = df.select(
+        F.col(id_col),
+        F.floor(
+            (F.lit(0.7) * length_term + F.lit(0.3) * stop_term)
+            * F.lit(10000.0)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("quality_e4"),
+    )
+    w = Window.partitionBy("component").orderBy(
+        F.col("quality_e4").desc(), F.col(id_col)
+    )
+    return (
+        clusters.join(q, id_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(id_col, "cluster_size", "quality_e4")
     )

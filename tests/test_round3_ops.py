@@ -1,0 +1,125 @@
+"""Round-3 operators: PageRank (e12 integer), bucketed co-located
+join, quality-aware dedup survivors, n-gram novelty."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.dedup import ngram_novelty
+from cassandra_data_migration_spark.operators.graph import (
+    E12,
+    dedup_survivors,
+    dup_clusters,
+    pagerank,
+)
+from cassandra_data_migration_spark.sources.tables import (
+    bucketed_join_revenue,
+    load_table,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_pagerank_floor_and_mass_conservation(spark):
+    # 0→1, 1→2, 2→0 cycle plus 3→1: node 3 has no in-links so it
+    # settles at the teleport floor; every node has out-links so rank
+    # mass is conserved up to integer floors
+    edges = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 1)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(4)], ["id"])
+    rows = {
+        r["id"]: r["rank_e12"]
+        for r in pagerank(edges, nodes, iterations=4).collect()
+    }
+    base = (15 * E12) // (100 * 4)
+    assert rows[3] == base
+    assert all(v >= base for v in rows.values())
+    total = sum(rows.values())
+    assert 0.95 * E12 < total <= E12
+
+
+def test_pagerank_partitioning_invariant(spark):
+    # exact integer arithmetic ⇒ identical ranks under any input
+    # partitioning (the determinism claim the oracle check rests on)
+    edges = spark.createDataFrame(
+        [(i, (i * 3 + 1) % 7) for i in range(7)], ["src", "dst"]
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(7)], ["id"])
+    a = sorted(
+        tuple(r) for r in pagerank(edges, nodes, iterations=3).collect()
+    )
+    b = sorted(
+        tuple(r)
+        for r in pagerank(
+            edges.repartition(13), nodes.repartition(5), iterations=3
+        ).collect()
+    )
+    assert a == b
+
+
+def test_bucketed_join_matches_plain_join(spark):
+    got = {
+        r["o_orderstatus"]: (r["sum_price"], r["n_items"])
+        for r in bucketed_join_revenue(spark, SF_SMOKE).collect()
+    }
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    want = {
+        r["o_orderstatus"]: (r["sum_price"], r["n_items"])
+        for r in li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("o_orderstatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_bucketed_join_plan_has_no_join_exchange(spark):
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = bucketed_join_revenue(spark, SF_SMOKE)._jdf.queryExecution().toString()
+        assert "SortMergeJoin" in plan
+        # the ONLY exchange is the final tiny aggregation — the join
+        # itself reads bucket-aligned files with no shuffle
+        assert plan.count("Exchange hashpartitioning") == 1
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+
+
+def test_dedup_survivors_one_max_quality_doc_per_cluster(spark):
+    docs = load_table(spark, SF_SMOKE, "documents")
+    surv = dedup_survivors(docs).collect()
+    clusters = dup_clusters(docs).collect()
+    n_components = len({r["component"] for r in clusters})
+    assert len(surv) == n_components
+    sizes = {}
+    for r in clusters:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    by_size = sorted(r["cluster_size"] for r in surv)
+    assert by_size == sorted(sizes.values())
+
+
+def test_ngram_novelty_bounds_and_exact_dups(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "alpha beta gamma delta epsilon"),
+            (3, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in ngram_novelty(df).collect()}
+    # exact duplicates share every shingle → zero novelty; the
+    # unrelated doc shares none → full novelty
+    assert rows[1]["novelty"] == 0.0 and rows[2]["novelty"] == 0.0
+    assert rows[3]["novelty"] == 1.0
+    corpus = ngram_novelty(load_table(spark, SF_SMOKE, "documents")).collect()
+    assert all(0.0 <= r["novelty"] <= 1.0 for r in corpus)
+    assert all(r["n_unique"] <= r["n_shingles"] for r in corpus)
