@@ -378,3 +378,47 @@ def test_dedup_stream_matches_batch_fingerprint_set(spark, tmp_path):
     assert len({r._fp for r in kept}) == len(kept)
     all_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     assert {r.doc_id for r in kept} <= all_ids
+
+
+def test_stream_enrich_broadcasts_and_keeps_unmatched(spark, tmp_path):
+    """Stream-static enrichment: the dim side must broadcast (no
+    stream-side shuffle) and rows without a dim match survive with
+    NULLs — batch-equivalence is pinned by the stream_enrich oracle."""
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.enrich import enrich_stream
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id"
+    )
+    dim = load_table(spark, "/root/testdata/sf0.001", "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    # same joining code on the batch frame: broadcast hint visible
+    plan = (
+        enrich_stream(events, dim, "user_id")
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        enrich_stream(stream, dim, "user_id")
+        .writeStream.format("memory")
+        .queryName("enriched")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    out = spark.sql("SELECT * FROM enriched").collect()
+    assert len(out) == events.count()  # left join never drops events
+    matched = {r.user_id for r in dim.collect()}
+    for r in out:
+        if r.user_id not in matched:
+            assert r.c_mktsegment is None
