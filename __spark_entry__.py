@@ -2038,6 +2038,24 @@ def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("zkey", zorder_key(["x", "y"], bits=8))
 
 
+def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact integer Gram matrix of the e6-quantized embedding matrix:
+    # Arrow-batched int64 GEMM partials per partition, one tiny
+    # map-combined sum — the mapInPandas kernel is still bit-exact
+    # against the SQL oracle because everything is integer
+    from cassandra_data_migration_spark.operators.linalg import gram_matrix
+
+    return gram_matrix(load_table(spark, sf_dir, "embeddings"), dim=64)
+
+
+def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # cross-dataset contamination audit: distinct shared exact-dup
+    # fingerprints per source pair
+    from cassandra_data_migration_spark.operators.dedup import source_overlap
+
+    return source_overlap(load_table(spark, sf_dir, "documents"))
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2195,6 +2213,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ngram_novelty": q_ngram_novelty,
     "zorder_keys": q_zorder_keys,
     "stream_enrich": q_stream_enrich,
+    "gram_matrix": q_gram_matrix,
+    "source_overlap": q_source_overlap,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4204,7 +4224,24 @@ ORACLES: dict[str, str] = {
         SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
         FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
     """,
+    "source_overlap": """
+        WITH fp AS (
+            SELECT DISTINCT source AS src,
+                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+            FROM documents
+        )
+        SELECT a.src AS source_a, b.src AS source_b,
+               COUNT(*) AS shared_fps
+        FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
+        GROUP BY 1, 2
+    """,
 }
+
+from cassandra_data_migration_spark.operators.linalg import (  # noqa: E402
+    gram_matrix_sql as _gram_matrix_sql,
+)
+
+ORACLES["gram_matrix"] = _gram_matrix_sql("embeddings", "embedding", "vec_id", 64)
 
 from cassandra_data_migration_spark.operators.layout import (  # noqa: E402
     zorder_key_sql as _zorder_key_sql,

@@ -396,3 +396,35 @@ def ngram_novelty(
             "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 4)
         )
     )
+
+def source_overlap(
+    df: DataFrame,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """Cross-dataset contamination matrix: for every pair of sources,
+    the number of DISTINCT exact-duplicate fingerprints they share —
+    the audit that catches one dataset leaking into another (mirror
+    sites, common-crawl re-packs) before mixture weights are trusted.
+
+    Scale: (source, fp) distinct pass, then a fingerprint self-join —
+    only co-fingerprinted source pairs materialize, and the exchange
+    carries the 32-char fp + source key, never text.  Output is
+    O(sources²) rows.
+    """
+    from cassandra_data_migration_spark.operators.text import normalize_text
+
+    fp = df.select(
+        F.col(source_col).alias("_src"),
+        F.md5(normalize_text(text_col)).alias("_fp"),
+    ).distinct()
+    a, b = fp.alias("a"), fp.alias("b")
+    return (
+        a.join(b, "_fp")
+        .filter(F.col("a._src") < F.col("b._src"))
+        .groupBy(
+            F.col("a._src").alias("source_a"),
+            F.col("b._src").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("shared_fps"))
+    )

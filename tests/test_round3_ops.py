@@ -123,3 +123,49 @@ def test_ngram_novelty_bounds_and_exact_dups(spark):
     corpus = ngram_novelty(load_table(spark, SF_SMOKE, "documents")).collect()
     assert all(0.0 <= r["novelty"] <= 1.0 for r in corpus)
     assert all(r["n_unique"] <= r["n_shingles"] for r in corpus)
+
+
+def test_gram_matrix_exact_and_partitioning_invariant(spark):
+    import numpy as np
+
+    from cassandra_data_migration_spark.operators.linalg import gram_matrix
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        (r["i"], r["j"]): r["sxy"] for r in gram_matrix(emb, dim=64).collect()
+    }
+    # reference: the same quantized product computed in plain numpy
+    rows = emb.select("embedding").collect()
+    m = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    q = np.floor(m * 1e6 + 0.5).astype(np.int64)
+    g = q.T @ q
+    for (i, j), v in got.items():
+        assert v == g[i][j]
+    assert len(got) == 64 * 65 // 2
+    # integer partials ⇒ identical under any partitioning
+    got2 = {
+        (r["i"], r["j"]): r["sxy"]
+        for r in gram_matrix(emb.repartition(17), dim=64).collect()
+    }
+    assert got == got2
+
+
+def test_source_overlap_counts_distinct_shared_fingerprints(spark):
+    from cassandra_data_migration_spark.operators.dedup import source_overlap
+
+    df = spark.createDataFrame(
+        [
+            (1, "shared doc one", "a"),
+            (2, "shared doc one", "b"),   # a↔b share fp1
+            (3, "shared doc two", "a"),
+            (4, "shared doc two", "b"),   # a↔b share fp2
+            (5, "shared doc two", "b"),   # duplicate within b: no extra count
+            (6, "only in c", "c"),
+        ],
+        ["doc_id", "text", "source"],
+    )
+    got = {
+        (r["source_a"], r["source_b"]): r["shared_fps"]
+        for r in source_overlap(df).collect()
+    }
+    assert got == {("a", "b"): 2}
