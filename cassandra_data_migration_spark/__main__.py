@@ -1,0 +1,115 @@
+"""Command-line entry points mirroring the reference's run surface:
+
+    python -m cassandra_data_migration_spark migrate \
+        --properties cdm.properties --origin <parquet> --target <out> [--dry-run]
+    python -m cassandra_data_migration_spark validate \
+        --origin <parquet> --target <parquet> --pk col[,col...]
+
+``migrate`` is the spark-submit + cdm.properties flow
+(lab/exercises/04-cdm-migration.md:116-124); ``validate`` is
+lab/scripts/validate_migration.py's count/missing/mismatch report.
+Each prints one JSON line so the commands compose in shell pipelines
+the same way the reference's lab scripts do.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="cassandra_data_migration_spark")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    m = sub.add_parser("migrate", help="run the Migrate pipeline")
+    m.add_argument("--properties", help="cdm.properties file")
+    m.add_argument("--origin", required=True, help="origin parquet path")
+    m.add_argument("--target", required=True, help="target parquet path")
+    m.add_argument("--dry-run", action="store_true")
+
+    v = sub.add_parser("validate", help="origin/target reconciliation report")
+    v.add_argument("--origin", required=True)
+    v.add_argument("--target", required=True)
+    v.add_argument("--pk", required=True, help="comma-separated primary key")
+    v.add_argument("--table", default="")
+
+    args = ap.parse_args(argv)
+
+    from pyspark.sql import SparkSession
+
+    from cassandra_data_migration_spark.session import get_spark
+
+    # reuse a live session when called programmatically (tests, REPL);
+    # only stop a session this invocation itself created
+    preexisting = SparkSession.getActiveSession() is not None
+    spark = get_spark(app_name=f"cdm-spark-{args.cmd}")
+    spark.sparkContext.setLogLevel("ERROR")
+    try:
+        if args.cmd == "migrate":
+            from cassandra_data_migration_spark.plans.migrate import (
+                MigrationConfig,
+                migrate,
+            )
+            from cassandra_data_migration_spark.plans.properties import (
+                load_config,
+            )
+
+            if args.properties:
+                cfg = load_config(
+                    args.properties, args.origin, args.target, args.dry_run
+                )
+            else:
+                cfg = MigrationConfig(
+                    origin_path=args.origin,
+                    target_path=args.target,
+                    dry_run=args.dry_run,
+                )
+            res = migrate(spark, cfg)
+            print(
+                json.dumps(
+                    {
+                        "rows_read": res.rows_read,
+                        "rows_written": res.rows_written,
+                        "guardrail_violations": res.guardrail_violations,
+                        "elapsed_sec": round(res.elapsed_sec, 3),
+                        "rows_per_sec": round(res.rows_per_sec),
+                        "batch_size": res.batch_size,
+                        "dry_run": res.dry_run,
+                    }
+                )
+            )
+            return 0
+        # validate
+        from cassandra_data_migration_spark.plans.validate import (
+            validate_table,
+        )
+
+        res = validate_table(
+            spark.read.parquet(args.origin),
+            spark.read.parquet(args.target),
+            pk=[c.strip() for c in args.pk.split(",") if c.strip()],
+            table=args.table,
+        )
+        print(
+            json.dumps(
+                {
+                    "table": res.table,
+                    "origin_count": res.origin_count,
+                    "target_count": res.target_count,
+                    "missing": res.missing,
+                    "mismatched": res.mismatched,
+                    "extra_in_target": res.extra_in_target,
+                    "status": res.status,
+                }
+            )
+        )
+        return 0 if res.passed else 1
+    finally:
+        if not preexisting:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())
