@@ -2056,6 +2056,27 @@ def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     return source_overlap(load_table(spark, sf_dir, "documents"))
 
 
+def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # declarative data-quality sign-off: row-local checks fold into
+    # ONE scan aggregation, uniqueness adds one distinct, FK is a
+    # broadcast anti-join — O(checks) report rows at any table size
+    from cassandra_data_migration_spark.operators import quality as dq
+
+    orders = load_table(spark, sf_dir, "orders")
+    customer = load_table(spark, sf_dir, "customer")
+    return dq.dq_report(
+        orders,
+        [
+            dq.not_null("o_custkey"),
+            dq.in_range("o_totalprice", 0.0, 1000000.0),
+            dq.in_set("o_orderstatus", ["O", "F", "P"]),
+            dq.matches("o_orderpriority", "^[0-9]-"),
+            dq.unique("o_orderkey"),
+            dq.foreign_key("o_custkey", customer, "c_custkey"),
+        ],
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2215,6 +2236,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_enrich": q_stream_enrich,
     "gram_matrix": q_gram_matrix,
     "source_overlap": q_source_overlap,
+    "dq_report": q_dq_report,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4242,6 +4264,48 @@ from cassandra_data_migration_spark.operators.linalg import (  # noqa: E402
 )
 
 ORACLES["gram_matrix"] = _gram_matrix_sql("embeddings", "embedding", "vec_id", 64)
+
+ORACLES["dq_report"] = """
+    WITH raw AS (
+        SELECT 'not_null(o_custkey)' AS check_name,
+               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+               COUNT(*) AS n_rows
+        FROM orders
+        UNION ALL
+        SELECT 'range(o_totalprice)',
+               CAST(SUM(CASE WHEN o_totalprice IS NULL
+                              OR o_totalprice < 0.0
+                              OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'in_set(o_orderstatus)',
+               CAST(SUM(CASE WHEN o_orderstatus IS NULL
+                              OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'regex(o_orderpriority)',
+               CAST(SUM(CASE WHEN o_orderpriority IS NULL
+                              OR NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'unique(o_orderkey)',
+               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'fk(o_custkey)',
+               CAST((SELECT COUNT(*) FROM orders o
+                     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+                       ON o.o_custkey = c.c_custkey
+                     WHERE c.c_custkey IS NULL) AS BIGINT),
+               COUNT(*)
+        FROM orders
+    )
+    SELECT check_name, violations, n_rows, violations = 0 AS passed FROM raw
+"""
 
 from cassandra_data_migration_spark.operators.layout import (  # noqa: E402
     zorder_key_sql as _zorder_key_sql,

@@ -1,0 +1,135 @@
+"""Data-quality constraint checks — the declarative expectation suite
+(Deequ/Great-Expectations shape) a migration signs off with.
+
+The reference's validation scripts assert count parity and row-hash
+equality (lab/scripts/validate_migration.py); production sign-off
+also wants COLUMN-level invariants: null rates, key uniqueness,
+referential integrity, value domains.  Each check compiles to a plan
+fragment and the report is their union — declarative in, one Spark
+job out.
+
+Scale notes
+-----------
+- All row-local checks (not-null / range / set / regex) fold into ONE
+  full-scan aggregation: each check is a conditional-sum column, so
+  adding checks adds zero passes.  The scan's shuffle is a single
+  1-row partial per task.
+- ``unique`` folds into the same pass count-distinct-style only via a
+  second aggregation on its key (exact distinct needs its own
+  shuffle); ``fk`` is a broadcast LEFT ANTI join when the dimension
+  is dim-sized (the usual case) — probe-side pruned, no full shuffle.
+- The report output is O(checks) rows regardless of table size.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+@dataclass
+class Check:
+    kind: str  # not_null | range | in_set | regex | unique | fk
+    column: str
+    params: dict = field(default_factory=dict)
+
+    @property
+    def name(self) -> str:
+        return f"{self.kind}({self.column})"
+
+
+def not_null(column: str) -> Check:
+    return Check("not_null", column)
+
+
+def in_range(column: str, lo, hi) -> Check:
+    return Check("range", column, {"lo": lo, "hi": hi})
+
+
+def in_set(column: str, values: list) -> Check:
+    return Check("in_set", column, {"values": values})
+
+
+def matches(column: str, pattern: str) -> Check:
+    return Check("regex", column, {"pattern": pattern})
+
+
+def unique(column: str) -> Check:
+    return Check("unique", column)
+
+
+def foreign_key(column: str, dim: DataFrame, dim_key: str) -> Check:
+    return Check("fk", column, {"dim": dim, "dim_key": dim_key})
+
+
+def _violation_expr(c: Check) -> Column:
+    col = F.col(c.column)
+    if c.kind == "not_null":
+        bad = col.isNull()
+    elif c.kind == "range":
+        bad = col.isNull() | (col < F.lit(c.params["lo"])) | (
+            col > F.lit(c.params["hi"])
+        )
+    elif c.kind == "in_set":
+        arr = F.array(*[F.lit(v) for v in c.params["values"]])
+        bad = ~F.array_contains(arr, col) | col.isNull()
+    elif c.kind == "regex":
+        bad = col.isNull() | ~col.rlike(c.params["pattern"])
+    else:  # pragma: no cover - guarded by dq_report
+        raise ValueError(f"not a row-local check: {c.kind}")
+    return F.sum(F.when(bad, 1).otherwise(0)).cast("long")
+
+
+def dq_report(df: DataFrame, checks: list[Check]) -> DataFrame:
+    """(check_name, violations, n_rows, passed) per check.
+
+    Row-local checks share one aggregation pass; unique/fk checks
+    contribute their own single-aggregate plans; the union is a
+    constant-size report."""
+    row_local = [c for c in checks if c.kind in ("not_null", "range", "in_set", "regex")]
+    parts: list[DataFrame] = []
+    if row_local:
+        agg = df.agg(
+            F.count(F.lit(1)).cast("long").alias("_n"),
+            *[_violation_expr(c).alias(f"_v{i}") for i, c in enumerate(row_local)],
+        )
+        stack = ", ".join(
+            f"'{c.name}', _v{i}" for i, c in enumerate(row_local)
+        )
+        parts.append(
+            agg.selectExpr(
+                f"stack({len(row_local)}, {stack}) AS (check_name, violations)",
+                "_n AS n_rows",
+            )
+        )
+    for c in checks:
+        if c.kind == "unique":
+            parts.append(
+                df.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.countDistinct(c.column).cast("long").alias("_d"),
+                ).select(
+                    F.lit(c.name).alias("check_name"),
+                    # duplicates + nulls are both uniqueness violations
+                    # (countDistinct ignores NULL, so nulls land here)
+                    (F.col("n_rows") - F.col("_d")).alias("violations"),
+                    "n_rows",
+                )
+            )
+        elif c.kind == "fk":
+            dim = c.params["dim"].select(
+                F.col(c.params["dim_key"]).alias(c.column)
+            ).distinct()
+            orphans = (
+                df.join(F.broadcast(dim), c.column, "left_anti")
+                .agg(F.count(F.lit(1)).cast("long").alias("violations"))
+                .select(F.lit(c.name).alias("check_name"), "violations")
+            )
+            n_df = df.agg(F.count(F.lit(1)).cast("long").alias("n_rows"))
+            parts.append(orphans.crossJoin(n_df))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.withColumn("passed", F.col("violations") == 0)
