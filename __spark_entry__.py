@@ -2077,6 +2077,35 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q3 shape: one fact-fact shuffle, broadcast customer dim,
+    # TakeOrdered top-k — the join workout CQL cannot express
+    from cassandra_data_migration_spark.operators.olap import shipping_priority
+
+    return shipping_priority(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+    )
+
+
+def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q5 shape: whole dimension chain broadcasts; exchanges are
+    # the fact-fact join and one tiny final aggregation
+    from cassandra_data_migration_spark.operators.olap import (
+        region_supplier_volume,
+    )
+
+    return region_supplier_volume(
+        load_table(spark, sf_dir, "lineitem"),
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "supplier"),
+        load_table(spark, sf_dir, "nation"),
+        load_table(spark, sf_dir, "region"),
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2237,6 +2266,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "gram_matrix": q_gram_matrix,
     "source_overlap": q_source_overlap,
     "dq_report": q_dq_report,
+    "shipping_priority": q_shipping_priority,
+    "region_volume": q_region_volume,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4264,6 +4295,36 @@ from cassandra_data_migration_spark.operators.linalg import (  # noqa: E402
 )
 
 ORACLES["gram_matrix"] = _gram_matrix_sql("embeddings", "embedding", "vec_id", 64)
+
+ORACLES["shipping_priority"] = """
+    SELECT o_orderkey, o_orderdate,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1997-06-01'
+      AND l_shipdate > TIMESTAMP '1997-06-01'
+    GROUP BY o_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderkey
+    LIMIT 10
+"""
+
+ORACLES["region_volume"] = """
+    SELECT n_name,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
+                AS DOUBLE) AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN supplier ON l_suppkey = s_suppkey
+                 AND c_nationkey = s_nationkey
+    JOIN nation ON s_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+    GROUP BY n_name
+"""
 
 ORACLES["dq_report"] = """
     WITH raw AS (

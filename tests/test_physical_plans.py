@@ -374,3 +374,22 @@ def test_url_groups_aggregate_never_ships_text(spark):
     plan = _plan(entry_mod.queries()["url_canonical_groups"](spark, SF_CORRECT))
     assert "partial_count" in plan or "partial_min" in plan  # map-side combine
     assert "text" not in plan.split("ReadSchema")[1][:200]  # text column unread
+
+
+def test_shipping_priority_broadcasts_dim_and_takeordered(spark):
+    """Q3 shape: customer dim broadcasts, top-k is TakeOrdered (no
+    global sort), and the date filters reach the parquet scans."""
+    plan = _plan(entry_mod.queries()["shipping_priority"](spark, SF_CORRECT))
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "PushedFilters" in plan and "IsNotNull" in plan
+
+
+def test_region_volume_only_fact_join_shuffles(spark):
+    """Q5 shape: the entire region→nation→customer/supplier dimension
+    chain broadcasts — the only hash-partition exchanges left are the
+    fact-fact join sides and the final aggregation."""
+    plan = _plan(entry_mod.queries()["region_volume"](spark, SF_CORRECT))
+    assert plan.count("BroadcastHashJoin") >= 3
+    # fact-fact join (2 sides) + final agg = at most 3 exchanges
+    assert plan.count("Exchange hashpartitioning") <= 3
