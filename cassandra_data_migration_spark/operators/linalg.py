@@ -98,3 +98,65 @@ def gram_matrix_sql(
         FROM ux a JOIN ux b ON a.rid = b.rid AND b.i >= a.i
         GROUP BY a.i, b.i
     """
+
+
+def pca_project(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    dim: int | None = None,
+) -> DataFrame:
+    """Project embeddings onto their top-``k`` principal components.
+
+    Distribution of work mirrors every scalable PCA: the dim×dim
+    covariance is assembled from ONE distributed pass (the
+    :func:`gram_matrix` partials plus a mean vector), the
+    eigendecomposition is a driver-side numpy call on a dim×dim
+    matrix (dim ≤ a few thousand — never data-sized), and the
+    projection is a broadcast matrix applied scan-side per Arrow
+    batch.  Only the k-dim outputs are shuffled onward.
+
+    Eigenvector sign/order is a numpy implementation detail, so this
+    operator is validated by PROPERTY tests (orthonormality, variance
+    ordering, reconstruction-error monotonicity) rather than a SQL
+    oracle — the one linalg op where cross-engine bit-equality is the
+    wrong contract.
+    """
+    import numpy as np
+    import pandas as pd
+
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    n = df.count()
+    g_rows = gram_matrix(df, vec_col, dim=dim).collect()
+    g = np.zeros((dim, dim))
+    for r in g_rows:
+        g[r["i"], r["j"]] = g[r["j"], r["i"]] = r["sxy"] / float(E6) ** 2
+    mean_row = (
+        df.select(F.col(vec_col).cast("array<double>").alias("_v"))
+        .select(*[F.avg(F.col("_v")[i]).alias(f"m{i}") for i in range(dim)])
+        .first()
+    )
+    mu = np.array([mean_row[f"m{i}"] for i in range(dim)])
+    cov = g / n - np.outer(mu, mu)
+    vals, vecs = np.linalg.eigh(cov)
+    order = np.argsort(vals)[::-1][:k]
+    proj = vecs[:, order]  # dim×k
+
+    def apply(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_v"].to_numpy())
+            out = (m - mu) @ proj
+            yield pd.DataFrame(
+                {"_id": pdf["_id"], "proj": list(map(list, out))}
+            )
+
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    res = src.mapInPandas(apply, f"_id long, proj array<double>")
+    return res.select(F.col("_id").alias(id_col), "proj")

@@ -11,6 +11,8 @@ multi-file output); ``single_file=True`` gets COPY's one-CSV shape.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.types import StructType
 
@@ -155,3 +157,40 @@ def binary_import(
     if recursive:
         r = r.option("recursiveFileLookup", "true")
     return r.load(path)
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> int:
+    """Compact a small-file parquet directory into ~``target_mb``
+    files; returns the new file count.
+
+    Streaming sinks and per-batch writers accrete thousands of tiny
+    files; scans then pay per-file open/footer costs and lose
+    row-group-level pruning.  Compaction = read → repartition to
+    ceil(bytes/target) → atomic-ish swap (write aside, move over).
+    At lake scale this is the OPTIMIZE/rewrite maintenance job; the
+    repartition is the only shuffle and writes stay fully parallel.
+    """
+    import math
+    import shutil
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n = max(1, math.ceil(total / (target_mb * 1024 * 1024)))
+    tmp = path.rstrip("/") + "_compacting"
+    spark.read.parquet(path).repartition(n).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    shutil.move(tmp, path)
+    return sum(
+        1
+        for _, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )

@@ -169,3 +169,43 @@ def test_source_overlap_counts_distinct_shared_fingerprints(spark):
         for r in source_overlap(df).collect()
     }
     assert got == {("a", "b"): 2}
+
+
+def test_pca_project_properties(spark):
+    import numpy as np
+
+    from cassandra_data_migration_spark.operators.linalg import pca_project
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = pca_project(emb, k=8).collect()
+    assert len(out) == emb.count()
+    p = np.stack([np.array(r["proj"]) for r in out])
+    assert p.shape[1] == 8
+    # principal components come variance-ordered
+    var = p.var(axis=0)
+    assert all(var[i] >= var[i + 1] - 1e-12 for i in range(7))
+    # components are decorrelated: off-diagonal covariance ~ 0
+    c = np.cov(p, rowvar=False)
+    off = c - np.diag(np.diag(c))
+    assert np.abs(off).max() < 1e-6
+    # projecting onto more components explains more variance
+    p2 = np.stack(
+        [np.array(r["proj"]) for r in pca_project(emb, k=2).collect()]
+    )
+    assert p2.var(axis=0).sum() <= p.var(axis=0).sum() + 1e-9
+
+
+def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.files import compact_parquet
+
+    path = str(tmp_path / "many")
+    src = load_table(spark, SF_SMOKE, "events")
+    src.repartition(40).write.parquet(path)
+    import glob
+
+    before = len(glob.glob(f"{path}/*.parquet"))
+    assert before >= 40
+    n_rows = src.count()
+    after = compact_parquet(spark, path, target_mb=128)
+    assert after < before
+    assert spark.read.parquet(path).count() == n_rows
