@@ -2106,6 +2106,26 @@ def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # per-type z-score outliers: DECIMAL-exact moment sums, broadcast
+    # stats re-join, scan-side flagging
+    from cassandra_data_migration_spark.operators.aggregates import (
+        grouped_zscore_outliers,
+    )
+
+    return grouped_zscore_outliers(load_table(spark, sf_dir, "events"))
+
+
+def q_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # top-3 event types per hourly window (batch twin of the
+    # streaming trending aggregation)
+    from cassandra_data_migration_spark.operators.aggregates import (
+        trending_per_window,
+    )
+
+    return trending_per_window(load_table(spark, sf_dir, "events"))
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2268,6 +2288,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dq_report": q_dq_report,
     "shipping_priority": q_shipping_priority,
     "region_volume": q_region_volume,
+    "event_anomalies": q_event_anomalies,
+    "trending_types": q_trending_types,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4324,6 +4346,38 @@ ORACLES["region_volume"] = """
     JOIN region ON n_regionkey = r_regionkey
     WHERE r_name = 'ASIA'
     GROUP BY n_name
+"""
+
+ORACLES["event_anomalies"] = """
+    WITH s AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sv,
+               CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           ROUND((e.value - sv / n)
+                 / sqrt(sq / n - (sv / n) * (sv / n)), 4) AS z
+    FROM events e JOIN s USING (event_type)
+    WHERE ABS(ROUND((e.value - sv / n)
+                    / sqrt(sq / n - (sv / n) * (sv / n)), 4)) > 2.5
+"""
+
+ORACLES["trending_types"] = """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               COUNT(*) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT win_start, event_type, n_events,
+               CAST(ROW_NUMBER() OVER (
+                   PARTITION BY win_start
+                   ORDER BY n_events DESC, event_type
+               ) AS INT) AS rnk
+        FROM c
+    )
+    SELECT win_start, event_type, n_events, rnk FROM r WHERE rnk <= 3
 """
 
 ORACLES["dq_report"] = """

@@ -380,3 +380,78 @@ def robust_scale(
             .alias("robust_z"),
         )
     )
+
+
+def grouped_zscore_outliers(
+    df: DataFrame,
+    group_col: str = "event_type",
+    value_col: str = "value",
+    id_col: str = "event_id",
+    z_threshold: float = 2.5,
+) -> DataFrame:
+    """Per-group z-score anomaly detection: rows whose value sits more
+    than ``z_threshold`` population-σ from their group's mean — the
+    metric-stream outlier sweep a migration's traffic monitor runs
+    (reference analogue: the latency/error thresholds of
+    lab/scripts/simulate_app_traffic.py, generalized per key).
+
+    Determinism: Σv and Σv² accumulate as DECIMAL (order-independent
+    exact), convert to double once, and every remaining op (divide,
+    sqrt, round) is a correctly-rounded IEEE scalar — so the flag set
+    is reproducible across engines and partitionings.
+
+    Scale: one map-combined groupBy for the stats (O(groups) rows),
+    broadcast re-join, scan-side flagging — the events table streams
+    through twice without ever shuffling.
+    """
+    v = F.col(value_col)
+    stats = df.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.sum(v.cast("decimal(28,8)")).cast("double").alias("_sv"),
+        F.sum((v * v).cast("decimal(28,8)")).cast("double").alias("_sq"),
+    )
+    mean = F.col("_sv") / F.col("_n")
+    var = F.col("_sq") / F.col("_n") - mean * mean
+    enriched = df.join(F.broadcast(stats), group_col)
+    z = F.round((v - mean) / F.sqrt(var), 4)
+    return (
+        enriched.withColumn("z", z)
+        .filter(F.abs(F.col("z")) > F.lit(z_threshold))
+        .select(id_col, group_col, value_col, "z")
+    )
+
+
+def trending_per_window(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    window: str = "1 hour",
+    k: int = 3,
+) -> DataFrame:
+    """Top-``k`` keys per tumbling time window by event count — the
+    batch twin of the streaming trending aggregation (same
+    ``F.window`` bucketing, so stream-vs-batch equality is testable).
+
+    Scale: one count aggregation keyed on (window, key) with map-side
+    combine, then a rank window partitioned by the time bucket —
+    state per window is O(distinct keys)."""
+    from pyspark.sql import Window as W
+
+    counts = df.groupBy(
+        F.window(F.col(ts_col), window).alias("_w"), F.col(key_col)
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    rnk = F.row_number().over(
+        W.partitionBy("_w").orderBy(
+            F.col("n_events").desc(), F.col(key_col)
+        )
+    )
+    return (
+        counts.withColumn("rnk", rnk)
+        .filter(F.col("rnk") <= k)
+        .select(
+            F.col("_w.start").alias("win_start"),
+            key_col,
+            "n_events",
+            "rnk",
+        )
+    )

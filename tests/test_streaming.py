@@ -422,3 +422,41 @@ def test_stream_enrich_broadcasts_and_keeps_unmatched(spark, tmp_path):
     for r in out:
         if r.user_id not in matched:
             assert r.c_mktsegment is None
+
+
+def test_trending_stream_equals_batch(spark, tmp_path):
+    """Windowed trending counts: the streaming aggregation's final
+    state must equal the batch twin's result on the same data."""
+    from cassandra_data_migration_spark.operators.aggregates import (
+        trending_per_window,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.trending import (
+        rank_topk,
+        trending_counts_stream,
+    )
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    src = str(tmp_path / "ev")
+    events.write.parquet(src)
+    stream = spark.readStream.schema(
+        spark.read.parquet(src).schema
+    ).parquet(src)
+    q = (
+        trending_counts_stream(stream)
+        .writeStream.format("memory")
+        .queryName("trending")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.win_start, r.event_type): (r.n_events, r.rnk)
+        for r in rank_topk(spark.table("trending")).collect()
+    }
+    want = {
+        (r.win_start, r.event_type): (r.n_events, r.rnk)
+        for r in trending_per_window(events).collect()
+    }
+    assert got == want and len(got) > 0
