@@ -2126,6 +2126,36 @@ def q_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trending_per_window(load_table(spark, sf_dir, "events"))
 
 
+def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # capped inverted index: per-term doc freq + deterministic top-5
+    # postings (array_sort'ed structs, never raw collect_list order)
+    from cassandra_data_migration_spark.operators.text import inverted_postings
+
+    return inverted_postings(load_table(spark, sf_dir, "documents"), k=5)
+
+
+def q_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # at-least-once cleanup: drop events within 60s of the previous
+    # survivor per (user, type) — chained retries collapse to one
+    from cassandra_data_migration_spark.operators.windows import retry_collapse
+
+    return retry_collapse(
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        ),
+        tolerance_sec=60,
+    )
+
+
+def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact equi-width histogram in one map-combined aggregation
+    from cassandra_data_migration_spark.operators.aggregates import (
+        value_histogram,
+    )
+
+    return value_histogram(load_table(spark, sf_dir, "events"))
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2290,6 +2320,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "region_volume": q_region_volume,
     "event_anomalies": q_event_anomalies,
     "trending_types": q_trending_types,
+    "inverted_postings": q_inverted_postings,
+    "retry_collapse": q_retry_collapse,
+    "value_histogram": q_value_histogram,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4378,6 +4411,62 @@ ORACLES["trending_types"] = """
         FROM c
     )
     SELECT win_start, event_type, n_events, rnk FROM r WHERE rnk <= 3
+"""
+
+ORACLES["inverted_postings"] = """
+    WITH tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    ),
+    r AS (
+        SELECT term, doc_id, tf,
+               ROW_NUMBER() OVER (
+                   PARTITION BY term ORDER BY tf DESC, doc_id
+               ) AS rnk
+        FROM tf
+    )
+    SELECT term, COUNT(*) AS doc_freq,
+           list(doc_id ORDER BY rnk) FILTER (WHERE rnk <= 5) AS postings
+    FROM r GROUP BY term
+"""
+
+ORACLES["retry_collapse"] = """
+    WITH g AS (
+        SELECT event_id, user_id, event_type, ts,
+               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+               ) AS gap
+        FROM events
+    ),
+    s AS (
+        SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 60000000
+                           THEN 1 ELSE 0 END) OVER (
+                   PARTITION BY user_id, event_type
+                   ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING) AS sess
+        FROM g
+    ),
+    f AS (
+        SELECT *, ROW_NUMBER() OVER (
+                   PARTITION BY user_id, event_type, sess
+                   ORDER BY ts, event_id) AS r
+        FROM s
+    )
+    SELECT event_id, user_id, event_type, ts FROM f WHERE r = 1
+"""
+
+ORACLES["value_histogram"] = """
+    WITH b AS (
+        SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 10.0) AS BIGINT),
+                              0), 19) AS bucket
+        FROM events
+    )
+    SELECT bucket, ROUND(0.0 + bucket * 10.0, 4) AS lo_edge,
+           COUNT(*) AS n
+    FROM b GROUP BY bucket
 """
 
 ORACLES["dq_report"] = """

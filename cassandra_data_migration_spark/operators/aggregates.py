@@ -455,3 +455,27 @@ def trending_per_window(
             "rnk",
         )
     )
+
+
+def value_histogram(
+    df: DataFrame,
+    value_col: str = "value",
+    lo: float = 0.0,
+    hi: float = 200.0,
+    num_buckets: int = 20,
+) -> DataFrame:
+    """Exact equi-width histogram: (bucket, lo_edge, count), bucket =
+    floor((v−lo)/width) clamped to [0, n−1], out-of-range values in
+    the edge buckets.  One map-combined aggregation — the profiling
+    primitive behind every distribution dashboard; all arithmetic is
+    the same IEEE op sequence in any engine."""
+    width = (hi - lo) / num_buckets
+    b = F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width)).cast("long")
+    b = F.least(F.greatest(b, F.lit(0)), F.lit(num_buckets - 1))
+    return (
+        df.select(b.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4))
+        .select("bucket", "lo_edge", "n")
+    )

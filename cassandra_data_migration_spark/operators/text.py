@@ -1026,3 +1026,53 @@ def heavy_hitters(
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
         .filter(F.col("cnt") >= min_count)
     )
+
+
+def inverted_postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Capped inverted index: per term, the document frequency and the
+    top-``k`` posting doc ids ranked by (tf desc, doc_id) — the
+    retrieval-serving structure BM25/TF-IDF read from, materialized
+    as a table.
+
+    Determinism: postings are collected as (rank, doc) structs and
+    ``array_sort``-ed, so the list order is a pure function of the
+    data (collect_list alone is arrival-ordered — never comparable).
+
+    Scale: explode → per-(term,doc) count (map-side combine) → rank
+    window per term → one grouped collect of ≤k structs.  The cap
+    bounds every term's posting payload, so the Zipf head ("the")
+    costs k entries, not millions.
+    """
+    from pyspark.sql import Window as W
+
+    tf = (
+        df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term", id_col)
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    rnk = F.row_number().over(
+        W.partitionBy("term").orderBy(F.col("tf").desc(), F.col(id_col))
+    )
+    ranked = tf.withColumn("rnk", rnk)
+    return (
+        ranked.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(
+                            F.col("rnk") <= k,
+                            F.struct(F.col("rnk"), F.col(id_col).alias("d")),
+                        )
+                    )
+                ),
+                lambda s: s["d"],
+            ).alias("postings"),
+        )
+    )

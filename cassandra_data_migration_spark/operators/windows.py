@@ -303,3 +303,43 @@ def percentile_normalize(
         F.col(value_col),
         F.round(F.percent_rank().over(w), 6).alias(out),
     )
+
+
+def retry_collapse(
+    df: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    tolerance_sec: int = 60,
+) -> DataFrame:
+    """Collapse client retries: within each (user, event_type) stream,
+    drop every event whose gap to the PREVIOUS event is within
+    ``tolerance_sec`` — an unbroken retry chain collapses to its first
+    event (gap-session semantics).  The at-least-once-delivery cleanup
+    every event pipeline runs before counting anything.
+
+    Implementation: lag gap (exact integer µs) → cumulative new-session
+    counter → keep each session's first row.  One shuffle on the
+    stream key; everything else is window arithmetic.
+    """
+    from pyspark.sql import Window as W
+
+    keys = key_cols or ["user_id", "event_type"]
+    w = W.partitionBy(*keys).orderBy(F.col(ts_col), F.col(id_col))
+    # exact integer microseconds: no float-epoch drift in the gap test
+    us = F.unix_micros(F.col(ts_col))
+    gap = us - F.lag(us).over(w)
+    sess = F.sum(
+        F.when(
+            gap.isNull() | (gap > tolerance_sec * 1_000_000), 1
+        ).otherwise(0)
+    ).over(w)
+    first_in_sess = F.row_number().over(
+        W.partitionBy(*keys, "_sess").orderBy(F.col(ts_col), F.col(id_col))
+    )
+    return (
+        df.withColumn("_sess", sess)
+        .withColumn("_r", first_in_sess)
+        .filter(F.col("_r") == 1)
+        .drop("_sess", "_r")
+    )

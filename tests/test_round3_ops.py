@@ -209,3 +209,63 @@ def test_compact_parquet_reduces_files_preserves_rows(spark, tmp_path):
     after = compact_parquet(spark, path, target_mb=128)
     assert after < before
     assert spark.read.parquet(path).count() == n_rows
+
+
+def test_retry_collapse_chained_retries_one_survivor(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        # chained retries 30s apart: all within tolerance of the last
+        # SURVIVOR chain → one survivor
+        (1, 7, "click", base),
+        (2, 7, "click", base + dt.timedelta(seconds=30)),
+        (3, 7, "click", base + dt.timedelta(seconds=55)),
+        # 61s after the previous EVENT (not survivor) → new session
+        (4, 7, "click", base + dt.timedelta(seconds=120)),
+        # other key unaffected
+        (5, 8, "click", base),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    from cassandra_data_migration_spark.operators.windows import retry_collapse
+
+    kept = sorted(r["event_id"] for r in retry_collapse(df).collect())
+    assert kept == [1, 4, 5]
+
+
+def test_value_histogram_counts_and_clamping(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        value_histogram,
+    )
+
+    df = spark.createDataFrame(
+        [(-5.0,), (0.0,), (9.99,), (10.0,), (199.0,), (250.0,)], ["value"]
+    )
+    got = {r["bucket"]: r["n"] for r in value_histogram(df).collect()}
+    # -5 clamps into bucket 0; 250 clamps into bucket 19
+    assert got[0] == 3 and got[1] == 1 and got[19] == 2
+    assert sum(got.values()) == 6
+
+
+def test_inverted_postings_cap_and_order(spark):
+    from cassandra_data_migration_spark.operators.text import inverted_postings
+
+    df = spark.createDataFrame(
+        [
+            (1, "x x x y"),
+            (2, "x x y"),
+            (3, "x y"),
+            (4, "x"),
+            (5, "x"),
+            (6, "x"),
+            (7, "x"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r["term"]: r for r in inverted_postings(df, k=3).collect()}
+    assert got["x"]["doc_freq"] == 7
+    # ranked by tf desc then doc_id, capped at 3
+    assert got["x"]["postings"] == [1, 2, 3]
+    assert got["y"]["postings"] == [1, 2, 3]
