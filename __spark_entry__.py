@@ -2156,6 +2156,17 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
 
 
+def q_ring_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cassandra vnode-ring placement as an analytics report: portable
+    # md5 tokens, ring as aligned array literals, successor lookup
+    # scan-side — per-node ownership balance before cutover
+    from cassandra_data_migration_spark.operators.ring import ring_ownership
+
+    return ring_ownership(
+        load_table(spark, sf_dir, "orders"), key_col="o_orderkey"
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -2323,6 +2334,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "inverted_postings": q_inverted_postings,
     "retry_collapse": q_retry_collapse,
     "value_histogram": q_value_histogram,
+    "ring_ownership": q_ring_ownership,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4350,6 +4362,12 @@ from cassandra_data_migration_spark.operators.linalg import (  # noqa: E402
 )
 
 ORACLES["gram_matrix"] = _gram_matrix_sql("embeddings", "embedding", "vec_id", 64)
+
+from cassandra_data_migration_spark.operators.ring import (  # noqa: E402
+    ring_sql as _ring_sql,
+)
+
+ORACLES["ring_ownership"] = _ring_sql("orders", "o_orderkey")
 
 ORACLES["shipping_priority"] = """
     SELECT o_orderkey, o_orderdate,

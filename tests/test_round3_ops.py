@@ -269,3 +269,22 @@ def test_inverted_postings_cap_and_order(spark):
     # ranked by tf desc then doc_id, capped at 3
     assert got["x"]["postings"] == [1, 2, 3]
     assert got["y"]["postings"] == [1, 2, 3]
+
+
+def test_ring_ownership_total_and_balance(spark):
+    from cassandra_data_migration_spark.operators.ring import (
+        ring_ownership,
+        vnode_ring,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = ring_ownership(orders, "o_orderkey", num_nodes=4).collect()
+    total = orders.count()
+    assert sum(r["n_rows"] for r in rows) == total
+    assert {r["node"] for r in rows} <= {0, 1, 2, 3}
+    # vnodes spread load: no node owns more than half at 16 vnodes
+    assert max(r["n_rows"] for r in rows) < 0.5 * total
+    # ring is sorted and deterministic
+    ring = vnode_ring(4, 16)
+    assert ring == sorted(ring)
+    assert ring == vnode_ring(4, 16)
