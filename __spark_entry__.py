@@ -2156,6 +2156,16 @@ def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return value_histogram(load_table(spark, sf_dir, "events"))
 
 
+def q_replica_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # RF=3 SimpleStrategy placement: replica fan-out happens AFTER
+    # projection to the node id, so only 4-byte ids multiply
+    from cassandra_data_migration_spark.operators.ring import replica_ownership
+
+    return replica_ownership(
+        load_table(spark, sf_dir, "orders"), key_col="o_orderkey", rf=3
+    )
+
+
 def q_ring_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cassandra vnode-ring placement as an analytics report: portable
     # md5 tokens, ring as aligned array literals, successor lookup
@@ -2335,6 +2345,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "retry_collapse": q_retry_collapse,
     "value_histogram": q_value_histogram,
     "ring_ownership": q_ring_ownership,
+    "replica_ownership": q_replica_ownership,
 }
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -4368,6 +4379,12 @@ from cassandra_data_migration_spark.operators.ring import (  # noqa: E402
 )
 
 ORACLES["ring_ownership"] = _ring_sql("orders", "o_orderkey")
+
+from cassandra_data_migration_spark.operators.ring import (  # noqa: E402
+    replica_sql as _replica_sql,
+)
+
+ORACLES["replica_ownership"] = _replica_sql("orders", "o_orderkey", rf=3)
 
 ORACLES["shipping_priority"] = """
     SELECT o_orderkey, o_orderdate,

@@ -114,3 +114,105 @@ def ring_sql(
         FROM assigned, tot
         GROUP BY node, tot.n
     """
+
+
+def replica_sets(
+    ring: list[tuple[int, int]], rf: int = 3
+) -> list[tuple[int, list[int]]]:
+    """[(token, [owners])] per vnode slot: walk clockwise from each
+    vnode collecting the first ``rf`` DISTINCT nodes — Cassandra's
+    SimpleStrategy placement.  Driver-side over the tiny ring; the
+    result ships to executors as literals."""
+    n_slots = len(ring)
+    out = []
+    for i, (tok, _) in enumerate(ring):
+        owners: list[int] = []
+        j = i
+        while len(owners) < rf and j < i + n_slots:
+            node = ring[j % n_slots][1]
+            if node not in owners:
+                owners.append(node)
+            j += 1
+        out.append((tok, owners))
+    return out
+
+
+def replica_ownership(
+    df: DataFrame,
+    key_col: str,
+    num_nodes: int = 4,
+    vnodes_per_node: int = 16,
+    rf: int = 3,
+    seed: str = "ring",
+) -> DataFrame:
+    """(node, n_replica_rows, pct_of_rows) under RF=``rf``: how many
+    rows each node stores INCLUDING replicas — the capacity number a
+    migration actually provisions for (RF× the primary ownership,
+    rebalanced by the ring walk).
+
+    Plan shape: slot lookup is the same scan-side successor expression
+    as :func:`ring_ownership`; the rf owners per slot ride along as an
+    aligned array-of-arrays literal, one explode fans each row to its
+    replicas, and the report aggregates O(nodes) keys.  Rows fan out
+    ×rf, but only AFTER projection to the 4-byte node id — the wide
+    row never replicates.
+    """
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    ring = vnode_ring(num_nodes, vnodes_per_node, seed)
+    sets = replica_sets(ring, rf)
+    tokens = F.array(*[F.lit(t) for t, _ in sets])
+    owners = F.array(
+        *[F.array(*[F.lit(n) for n in ns]) for _, ns in sets]
+    )
+    tok = md5_draw(seed + ":key", key_col)
+    succ = F.array_min(F.filter(tokens, lambda t: t >= tok))
+    wrapped = F.coalesce(succ, F.lit(sets[0][0]))
+    slot_owners = F.element_at(
+        owners, F.array_position(tokens, wrapped).cast("int")
+    )
+    total = df.count()
+    return (
+        df.select(F.explode(slot_owners).alias("node"))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_replica_rows"))
+        .withColumn(
+            "pct_of_rows",
+            F.round(F.col("n_replica_rows") / F.lit(total), 4),
+        )
+    )
+
+
+def replica_sql(
+    table: str,
+    key_expr: str,
+    num_nodes: int = 4,
+    vnodes_per_node: int = 16,
+    rf: int = 3,
+    seed: str = "ring",
+) -> str:
+    """DuckDB twin of :func:`replica_ownership`."""
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    ring = vnode_ring(num_nodes, vnodes_per_node, seed)
+    sets = replica_sets(ring, rf)
+    tokens = "[" + ", ".join(str(t) for t, _ in sets) + "]"
+    owners = (
+        "["
+        + ", ".join("[" + ", ".join(str(n) for n in ns) + "]" for _, ns in sets)
+        + "]"
+    )
+    tok = md5_draw_sql(seed + ":key", key_expr)
+    return f"""
+        WITH assigned AS (
+            SELECT unnest(({owners})[list_position({tokens},
+                       COALESCE(list_min(list_filter({tokens},
+                                t -> t >= {tok})), {sets[0][0]}))]) AS node
+            FROM {table}
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM {table})
+        SELECT node, COUNT(*) AS n_replica_rows,
+               ROUND(COUNT(*) * 1.0 / tot.n, 4) AS pct_of_rows
+        FROM assigned, tot
+        GROUP BY node, tot.n
+    """

@@ -288,3 +288,21 @@ def test_ring_ownership_total_and_balance(spark):
     ring = vnode_ring(4, 16)
     assert ring == sorted(ring)
     assert ring == vnode_ring(4, 16)
+
+
+def test_replica_ownership_rf_invariants(spark):
+    from cassandra_data_migration_spark.operators.ring import (
+        replica_ownership,
+        replica_sets,
+        vnode_ring,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = replica_ownership(orders, "o_orderkey", num_nodes=4, rf=3).collect()
+    total = orders.count()
+    # every row stored on exactly rf distinct nodes
+    assert sum(r["n_replica_rows"] for r in rows) == 3 * total
+    assert all(r["n_replica_rows"] <= total for r in rows)
+    # placement property: every slot's owner set has rf distinct nodes
+    for _, owners in replica_sets(vnode_ring(4, 16), rf=3):
+        assert len(owners) == 3 and len(set(owners)) == 3
