@@ -2071,6 +2071,10 @@ def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             dq.in_range("o_totalprice", 0.0, 1000000.0),
             dq.in_set("o_orderstatus", ["O", "F", "P"]),
             dq.matches("o_orderpriority", "^[0-9]-"),
+            dq.expect(
+                "finished_have_price",
+                "o_orderstatus != 'F' OR o_totalprice > 0",
+            ),
             dq.unique("o_orderkey"),
             dq.foreign_key("o_custkey", customer, "c_custkey"),
         ],
@@ -4527,6 +4531,13 @@ ORACLES["dq_report"] = """
         SELECT 'regex(o_orderpriority)',
                CAST(SUM(CASE WHEN o_orderpriority IS NULL
                               OR NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT),
+               COUNT(*)
+        FROM orders
+        UNION ALL
+        SELECT 'expect(finished_have_price)',
+               CAST(SUM(CASE WHEN NOT COALESCE(
+                        o_orderstatus != 'F' OR o_totalprice > 0,
+                        FALSE) THEN 1 ELSE 0 END) AS BIGINT),
                COUNT(*)
         FROM orders
         UNION ALL

@@ -60,6 +60,16 @@ def unique(column: str) -> Check:
     return Check("unique", column)
 
 
+def expect(name: str, predicate: str) -> Check:
+    """Generic row-level expectation: any SQL boolean expression over
+    the row (e.g. ``"o_totalprice >= 0 OR o_orderstatus = 'F'"``).
+    Violations are rows where the predicate is NOT satisfied (NULL
+    counts as a violation, matching SQL constraint semantics).  Folds
+    into the same single scan aggregation as the other row-local
+    checks."""
+    return Check("expect", name, {"predicate": predicate})
+
+
 def foreign_key(column: str, dim: DataFrame, dim_key: str) -> Check:
     return Check("fk", column, {"dim": dim, "dim_key": dim_key})
 
@@ -77,6 +87,8 @@ def _violation_expr(c: Check) -> Column:
         bad = ~F.array_contains(arr, col) | col.isNull()
     elif c.kind == "regex":
         bad = col.isNull() | ~col.rlike(c.params["pattern"])
+    elif c.kind == "expect":
+        bad = ~F.coalesce(F.expr(c.params["predicate"]), F.lit(False))
     else:  # pragma: no cover - guarded by dq_report
         raise ValueError(f"not a row-local check: {c.kind}")
     return F.sum(F.when(bad, 1).otherwise(0)).cast("long")
@@ -88,7 +100,11 @@ def dq_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     Row-local checks share one aggregation pass; unique/fk checks
     contribute their own single-aggregate plans; the union is a
     constant-size report."""
-    row_local = [c for c in checks if c.kind in ("not_null", "range", "in_set", "regex")]
+    row_local = [
+        c
+        for c in checks
+        if c.kind in ("not_null", "range", "in_set", "regex", "expect")
+    ]
     parts: list[DataFrame] = []
     if row_local:
         agg = df.agg(

@@ -65,3 +65,35 @@ def test_canonical_hash_is_column_order_independent(spark):
     hn = df_null.select(row_md5(df_null).alias("h")).first().h
     he = df_empty.select(row_md5(df_empty).alias("h")).first().h
     assert hn != he
+
+
+def test_retry_collapse_is_idempotent(spark):
+    """Survivors are pairwise > tolerance apart, so a second pass
+    keeps every survivor — the cleanup is safe to re-run."""
+    from cassandra_data_migration_spark.operators.windows import retry_collapse
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    once = retry_collapse(events, tolerance_sec=120)
+    twice = retry_collapse(once, tolerance_sec=120)
+    assert once.count() == twice.count()
+    a = {r["event_id"] for r in once.collect()}
+    b = {r["event_id"] for r in twice.collect()}
+    assert a == b
+
+
+def test_zorder_key_is_injective_on_the_domain(spark):
+    """Bit interleaving is a bijection from (x, y) ∈ [0,256)² onto its
+    z-curve image — no two cells collide."""
+    from cassandra_data_migration_spark.operators.layout import zorder_key
+
+    df = (
+        spark.range(64)
+        .selectExpr("id % 8 AS x", "id div 8 AS y")
+        .withColumn("z", zorder_key(["x", "y"], bits=3))
+    )
+    rows = df.collect()
+    assert len({r["z"] for r in rows}) == 64
+    assert all(0 <= r["z"] < 64 for r in rows)

@@ -66,3 +66,20 @@ def test_row_local_checks_share_one_aggregation(spark):
     )
     # one Aggregate for N row-local checks — no per-check scan
     assert plan.count("Aggregate") == 1
+
+
+def test_expect_generic_predicate_and_null_semantics(spark):
+    df = spark.createDataFrame(
+        [(1, "O", 10.0), (2, "F", -5.0), (3, "O", None)],
+        "k long, status string, price double",
+    )
+    got = _report(
+        spark,
+        df,
+        [
+            dq.expect("positive_open", "status != 'O' OR price > 0"),
+        ],
+    )
+    # row 2: F, passes; row 1: O with price>0 passes; row 3: O with
+    # NULL price → predicate NULL → violation (constraint semantics)
+    assert got["expect(positive_open)"] == (1, 3, False)
