@@ -12,14 +12,19 @@ Design
 - Tokens are the portable 60-bit md5 draw (functions/hashing.md5_draw)
   so Spark, DuckDB, and driver-side Python all derive identical ring
   positions — the ring itself is pure data, not engine state.
-- The ring is tiny (nodes·vnodes entries) and ships as two aligned
-  ARRAY LITERALS (sorted tokens + owner per slot).  Successor lookup
-  is ``array_min(filter(tokens, t -> t >= row_token))`` with a
-  wraparound coalesce — scan-side, codegen'd, no join, no shuffle for
-  the assignment itself; the ownership report is one map-combined
-  groupBy over O(nodes) keys.
-- At 100 TB the same expression assigns every row without touching
-  the exchange; only the per-node aggregates move.
+- The ring is tiny (nodes·vnodes entries) and ships as a BROADCAST
+  table of half-open token ranges ``(lo, hi] -> node``.  Each row
+  computes its md5 token ONCE in a projection, then a broadcast
+  range join assigns the owning slot — no shuffle of the data side,
+  and the per-node report aggregates O(nodes) keys map-side.
+- Why a join and not a scan-side array expression: a higher-order
+  ``filter(tokens, t -> t >= row_token)`` lambda re-evaluates the
+  captured token expression PER ELEMENT (HOFs are interpreted, no
+  common-subexpression elimination), so a 64-vnode ring paid 64 md5
+  computations per row — measured 17 s vs 2 s at sf0.1.  The join
+  materializes the token into the row first, so md5 runs once.
+- At 100 TB the broadcast is still O(nodes·vnodes) bytes and the
+  data side never exchanges; only per-node aggregates move.
 """
 
 from __future__ import annotations
@@ -57,12 +62,55 @@ def token_owner(
 ) -> Column:
     """Owning node for a token: the successor vnode on the ring
     (smallest vnode token ≥ key token, wrapping to the ring's first
-    vnode).  Pure scan-side array expressions over the ring literals."""
+    vnode).  Pure scan-side array expressions over the ring literals.
+
+    Column-level convenience for ALREADY-MATERIALIZED cheap token
+    columns only: the lambda re-evaluates ``key_token`` once per ring
+    slot (HOFs skip codegen CSE), so never pass an expensive
+    expression (md5/conv) here — the report functions below use the
+    broadcast range join instead."""
     tokens = F.array(*[F.lit(t) for t, _ in ring])
     nodes = F.array(*[F.lit(n) for _, n in ring])
     succ = F.array_min(F.filter(tokens, lambda t: t >= key_token))
     wrapped = F.coalesce(succ, F.lit(ring[0][0]))
     return F.element_at(nodes, F.array_position(tokens, wrapped).cast("int"))
+
+
+def _slot_ranges(ring: list[tuple[int, int]]) -> list[tuple[int | None, int, int]]:
+    """Half-open ranges ``(lo_exclusive, hi_inclusive, node)`` per
+    vnode slot; the first slot's lo is None (ring start).  Tokens
+    above the last vnode wrap to the first slot before the join."""
+    out: list[tuple[int | None, int, int]] = []
+    prev: int | None = None
+    for tok, node in ring:
+        out.append((prev, tok, node))
+        prev = tok
+    return out
+
+
+def _assign_nodes(
+    df: DataFrame,
+    key_col: str,
+    ranges: list[tuple[int | None, int, int]],
+    seed: str,
+) -> DataFrame:
+    """One ``node`` row per (row, matching range): md5 token computed
+    once per row in a projection, then a broadcast range join against
+    the tiny ranges table.  For ``replica_sets``-expanded ranges the
+    join fans each row out to its rf owners — after projection to the
+    8-byte token, so the wide row never replicates."""
+    spark = df.sparkSession
+    slots = spark.createDataFrame(ranges, "lo long, hi long, node int")
+    tok = md5_draw(seed + ":key", key_col)
+    first_hi = ranges[0][1]
+    last_hi = ranges[-1][1]
+    toks = df.select(
+        F.when(tok > F.lit(last_hi), F.lit(first_hi)).otherwise(tok).alias("_tok")
+    )
+    cond = (F.col("_tok") <= F.col("hi")) & (
+        F.col("lo").isNull() | (F.col("_tok") > F.col("lo"))
+    )
+    return toks.join(F.broadcast(slots), cond, "inner").select("node")
 
 
 def ring_ownership(
@@ -77,8 +125,7 @@ def ring_ownership(
     concentrates toward 1/num_nodes; the pct column is what capacity
     review reads."""
     ring = vnode_ring(num_nodes, vnodes_per_node, seed)
-    tok = md5_draw(seed + ":key", key_col)
-    owned = df.select(token_owner(ring, tok).alias("node"))
+    owned = _assign_nodes(df, key_col, _slot_ranges(ring), seed)
     total = df.count()
     return (
         owned.groupBy("node")
@@ -150,30 +197,22 @@ def replica_ownership(
     migration actually provisions for (RF× the primary ownership,
     rebalanced by the ring walk).
 
-    Plan shape: slot lookup is the same scan-side successor expression
-    as :func:`ring_ownership`; the rf owners per slot ride along as an
-    aligned array-of-arrays literal, one explode fans each row to its
-    replicas, and the report aggregates O(nodes) keys.  Rows fan out
-    ×rf, but only AFTER projection to the 4-byte node id — the wide
-    row never replicates.
+    Plan shape: same broadcast range join as :func:`ring_ownership`,
+    with the ranges table pre-expanded to rf rows per slot — the join
+    itself fans each row out to its replicas.  Rows fan out ×rf, but
+    only AFTER projection to the 8-byte token — the wide row never
+    replicates.
     """
-    from cassandra_data_migration_spark.functions.hashing import md5_draw
-
     ring = vnode_ring(num_nodes, vnodes_per_node, seed)
     sets = replica_sets(ring, rf)
-    tokens = F.array(*[F.lit(t) for t, _ in sets])
-    owners = F.array(
-        *[F.array(*[F.lit(n) for n in ns]) for _, ns in sets]
-    )
-    tok = md5_draw(seed + ":key", key_col)
-    succ = F.array_min(F.filter(tokens, lambda t: t >= tok))
-    wrapped = F.coalesce(succ, F.lit(sets[0][0]))
-    slot_owners = F.element_at(
-        owners, F.array_position(tokens, wrapped).cast("int")
-    )
+    ranges: list[tuple[int | None, int, int]] = []
+    prev: int | None = None
+    for tok, owners in sets:
+        ranges.extend((prev, tok, n) for n in owners)
+        prev = tok
     total = df.count()
     return (
-        df.select(F.explode(slot_owners).alias("node"))
+        _assign_nodes(df, key_col, ranges, seed)
         .groupBy("node")
         .agg(F.count(F.lit(1)).alias("n_replica_rows"))
         .withColumn(
