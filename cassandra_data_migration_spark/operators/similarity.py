@@ -493,14 +493,23 @@ def quantize_int8(
     Cosine is scale-invariant, so the per-vector scale cancels and is
     not carried.  Integer-exact across engines: products ≤ 127², sums
     ≤ dim·127² — far inside double's 2^53 exact range."""
+    # stage the max-|x| scale in its own projection: captured inside
+    # the transform lambda it would be re-evaluated per ELEMENT (HOF
+    # lambdas skip codegen CSE), turning the quantize into O(dim²)
+    # per row; referenced twice here, CollapseProject keeps it staged
     v = F.col(vec_col).cast("array<double>")
-    m = F.array_max(F.transform(v, lambda x: F.abs(x)))
-    qv = F.when(
-        m == 0, F.transform(v, lambda x: F.lit(0))
-    ).otherwise(
-        F.transform(v, lambda x: F.round(x * 127.0 / m).cast("int"))
+    staged = df.select(
+        F.col(id_col),
+        v.alias("_v"),
+        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_m"),
     )
-    return df.select(F.col(id_col), qv.alias("qvec"))
+    m = F.col("_m")
+    qv = F.when(
+        m == 0, F.transform(F.col("_v"), lambda x: F.lit(0))
+    ).otherwise(
+        F.transform(F.col("_v"), lambda x: F.round(x * 127.0 / m).cast("int"))
+    )
+    return staged.select(F.col(id_col), qv.alias("qvec"))
 
 
 def quantized_topk(
