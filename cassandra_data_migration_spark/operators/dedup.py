@@ -428,3 +428,78 @@ def source_overlap(
         )
         .agg(F.count(F.lit(1)).alias("shared_fps"))
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering
+    (Xiao et al., WWW'08 — public algorithm): an alternative to LSH
+    (``lsh_candidate_pairs``) that is sub-quadratic AND lossless.
+
+    Prefix-filter principle: order every doc's shingle set by a global
+    canonical order (ascending document frequency, rarest first, ties
+    by value); if J(A,B) ≥ t then A and B must share at least one
+    shingle within each other's first ``|S| - ceil(t·|S|) + 1``
+    shingles.  So candidates = pairs co-occurring in a PREFIX table
+    that is a small, rare-token slice of the full posting list —
+    frequent shingles (the Zipf head that makes the naive self-join
+    quadratic) almost never land in a prefix.
+
+    Plan shape: one groupBy for document frequency (broadcast back),
+    one per-doc sort of its own shingle array (array_sort — local,
+    no exchange), one self-join on prefix shingles, then exact
+    verification by intersection size on the candidate set only.
+    The verify join ships shingle-ID arrays, not text.  Output equals
+    ``ngram_jaccard_pairs`` exactly — the pruning is provably
+    lossless, which the DuckDB oracle (a full quadratic recompute)
+    checks.
+    """
+    sh = shingle_table(df, id_col, text_col, n)
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = sh.join(freq, "shingle").select(
+        F.col(id_col), F.struct(F.col("_df"), F.col("shingle")).alias("_e")
+    )
+    docs = ranked.groupBy(id_col).agg(
+        F.array_sort(F.collect_list("_e")).alias("_order"),
+    )
+    size = F.size("_order")
+    prefix_len = size - F.ceil(F.lit(threshold) * size).cast("int") + 1
+    docs = docs.select(
+        F.col(id_col),
+        F.transform(F.col("_order"), lambda s: s["shingle"]).alias("_set"),
+        F.slice(
+            F.transform(F.col("_order"), lambda s: s["shingle"]),
+            1,
+            prefix_len,
+        ).alias("_prefix"),
+    )
+    pref = docs.select(
+        F.col(id_col), F.explode("_prefix").alias("shingle")
+    )
+    cand = (
+        pref.alias("a")
+        .join(pref.alias("b"), "shingle")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    sets = docs.select(F.col(id_col), F.col("_set"))
+    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
+    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
+    return (
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )

@@ -92,3 +92,105 @@ def region_supplier_volume(
         .groupBy("n_name")
         .agg(F.sum(revenue).cast("double").alias("revenue"))
     )
+
+
+def order_priority_check(
+    orders: DataFrame,
+    lineitem: DataFrame,
+    late_days: int = 30,
+    date_from: str = "1995-01-01",
+    date_to: str = "1995-04-01",
+) -> DataFrame:
+    """TPC-H Q4 shape: per-priority count of orders in a date window
+    that had at least one LATE lineitem (shipped more than
+    ``late_days`` after the order date).  Exercises the EXISTS /
+    left-semi join with a mixed equi + theta condition.
+
+    Plan: the date filter pushes into the orders scan; the semi join
+    hashes on the order key and evaluates the lateness theta on
+    matches, so lineitem is never materialized wider than
+    (l_orderkey, l_shipdate) and each order emits at most once —
+    no distinct needed, no fan-out."""
+    o = orders.filter(
+        (F.col("o_orderdate") >= F.lit(date_from))
+        & (F.col("o_orderdate") < F.lit(date_to))
+    )
+    li = lineitem.select("l_orderkey", "l_shipdate")
+    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
+        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+def top_value_parts(
+    lineitem: DataFrame, fraction: float = 0.001
+) -> DataFrame:
+    """TPC-H Q11 shape: parts whose revenue exceeds ``fraction`` of
+    TOTAL revenue — a grouped aggregate filtered against a global
+    scalar subquery.
+
+    Plan: one map-combined groupBy for per-part revenue; the global
+    total re-aggregates THOSE partials (O(parts) rows, not a second
+    fact scan) and broadcasts as a 1-row cross join.  DECIMAL sums
+    keep both aggregations order-independent."""
+    rev = F.sum(
+        (
+            F.col("l_extendedprice").cast("decimal(18,2)")
+            * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+        ).cast("decimal(28,4)")
+    )
+    per_part = lineitem.groupBy("l_partkey").agg(rev.alias("revenue"))
+    total = per_part.agg(
+        F.sum("revenue").cast("decimal(38,4)").alias("_total")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue")
+            > F.col("_total") * F.lit(fraction).cast("decimal(10,6)")
+        )
+        .select("l_partkey", F.col("revenue").cast("decimal(28,4)").alias("revenue"))
+    )
+
+
+def large_volume_orders(
+    orders: DataFrame,
+    customer: DataFrame,
+    lineitem: DataFrame,
+    min_quantity: float = 150.0,
+) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total lineitem quantity exceeds
+    ``min_quantity``, with customer attribution — the IN-subquery +
+    grouped HAVING pattern.
+
+    Plan: the HAVING filter runs on the grouped aggregate BEFORE any
+    join, so only qualifying order keys (a tiny set) reach the joins;
+    both the orders probe and the customer lookup then broadcast that
+    set — the big table is scanned once, everything after is
+    broadcast-sized."""
+    qty = (
+        lineitem.groupBy("l_orderkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,2)")).alias("total_qty")
+        )
+        .filter(F.col("total_qty") > F.lit(min_quantity).cast("decimal(18,2)"))
+    )
+    return (
+        orders.join(
+            F.broadcast(qty),
+            orders["o_orderkey"] == qty["l_orderkey"],
+        )
+        .join(customer, F.col("o_custkey") == customer["c_custkey"])
+        .select(
+            "c_name",
+            "o_custkey",
+            "o_orderkey",
+            "o_orderdate",
+            "o_totalprice",
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )

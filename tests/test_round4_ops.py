@@ -1,0 +1,161 @@
+"""Round-4 operators: Merkle range diff, PPJoin prefix filtering,
+TPC-H Q4/Q11/Q18 shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from __spark_entry__ import _origin, _target, load_table
+from tests.conftest import SF_SMOKE
+
+ORDER_COLS = [
+    "o_orderkey",
+    "o_custkey",
+    "o_orderstatus",
+    "o_totalprice",
+    "o_orderdate",
+    "o_orderpriority",
+]
+
+
+def test_merkle_identical_tables_no_diff(spark):
+    from cassandra_data_migration_spark.operators.merkle import merkle_diff
+
+    o = _origin(spark, SF_SMOKE)
+    assert merkle_diff(o, o, "o_orderkey", ORDER_COLS).count() == 0
+
+
+def test_merkle_diff_finds_exactly_the_perturbed_ranges(spark):
+    from cassandra_data_migration_spark.operators.merkle import (
+        merkle_diff,
+        range_digests,
+    )
+
+    o, t = _origin(spark, SF_SMOKE), _target(spark, SF_SMOKE)
+    diff = merkle_diff(o, t, "o_orderkey", ORDER_COLS).collect()
+    # the fixture drops (%10) and perturbs (%7) rows — diffs must exist
+    assert len(diff) > 0
+    statuses = {r["status"] for r in diff}
+    assert statuses <= {"missing_range", "mismatch", "extra_range"}
+    # every reported range genuinely differs: recompute leaf digests
+    o_leaves = {r["bucket"]: (r["n_rows"], r["digest"])
+                for r in range_digests(o, "o_orderkey", ORDER_COLS).collect()}
+    t_leaves = {r["bucket"]: (r["n_rows"], r["digest"])
+                for r in range_digests(t, "o_orderkey", ORDER_COLS).collect()}
+    flagged = {r["bucket"] for r in diff}
+    truly_diff = {b for b in set(o_leaves) | set(t_leaves)
+                  if o_leaves.get(b) != t_leaves.get(b)}
+    assert flagged == truly_diff
+
+
+def test_merkle_digest_order_independent(spark):
+    from cassandra_data_migration_spark.operators.merkle import range_digests
+
+    o = _origin(spark, SF_SMOKE)
+    a = {r["bucket"]: r["digest"]
+         for r in range_digests(o, "o_orderkey", ORDER_COLS).collect()}
+    # different physical row order → identical digests (sum mod 2^60)
+    shuffled = o.repartition(7).sortWithinPartitions(F.desc("o_totalprice"))
+    b = {r["bucket"]: r["digest"]
+         for r in range_digests(shuffled, "o_orderkey", ORDER_COLS).collect()}
+    assert a == b
+
+
+def test_prefix_filter_equals_quadratic_jaccard(spark):
+    from cassandra_data_migration_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        prefix_filter_pairs,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    exact = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in ngram_jaccard_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    pruned = {
+        (r["id_a"], r["id_b"], r["jaccard"])
+        for r in prefix_filter_pairs(docs, n=3, threshold=0.5).collect()
+    }
+    # lossless pruning: exactly the same pair set
+    assert pruned == exact
+    assert len(pruned) > 0
+
+
+def test_prefix_filter_generates_fewer_candidates_than_full_join(spark):
+    from cassandra_data_migration_spark.operators.dedup import shingle_table
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(200)
+    sh = shingle_table(docs, n=3)
+    full_pairs = (
+        sh.alias("a")
+        .join(sh.alias("b"), "shingle")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select("a.doc_id", "b.doc_id")
+        .distinct()
+        .count()
+    )
+    # candidate count via the prefix table mirrors the operator's
+    # internal join; it must prune hard vs the full posting join
+    from cassandra_data_migration_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    verified = prefix_filter_pairs(docs, n=3, threshold=0.5).count()
+    assert verified <= full_pairs
+
+
+def test_order_priority_check_semi_join_semantics(spark):
+    from cassandra_data_migration_spark.operators.olap import (
+        order_priority_check,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = order_priority_check(orders, li).collect()
+    in_window = orders.filter(
+        (F.col("o_orderdate") >= "1995-01-01")
+        & (F.col("o_orderdate") < "1995-04-01")
+    ).count()
+    # grouped counts can never exceed the window total (each order
+    # counted at most once despite multiple late lineitems)
+    assert sum(r["order_count"] for r in rows) <= in_window
+
+
+def test_top_value_parts_share_threshold(spark):
+    from cassandra_data_migration_spark.operators.olap import top_value_parts
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = top_value_parts(li, fraction=0.001).collect()
+    assert len(rows) > 0
+    total = float(
+        li.agg(
+            F.sum(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            )
+        ).first()[0]
+    )
+    for r in rows:
+        assert float(r["revenue"]) > 0.001 * total * 0.99  # float slack
+
+
+def test_large_volume_orders_having_floor(spark):
+    from cassandra_data_migration_spark.operators.olap import (
+        large_volume_orders,
+    )
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    cust = load_table(spark, SF_SMOKE, "customer")
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    rows = large_volume_orders(orders, cust, li, min_quantity=150.0).collect()
+    assert all(r["total_qty"] > 150.0 for r in rows)
+    # every returned order's recomputed quantity matches
+    keys = [r["o_orderkey"] for r in rows]
+    re = {
+        r["l_orderkey"]: float(r["q"])
+        for r in li.filter(F.col("l_orderkey").isin(keys))
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .collect()
+    }
+    for r in rows:
+        assert abs(re[r["o_orderkey"]] - r["total_qty"]) < 1e-6
