@@ -2181,6 +2181,36 @@ def q_ring_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+EVENTS_DIGEST_COLS = [
+    "event_id", "ts", "user_id", "event_type", "value", "props",
+]
+
+
+def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous validation, Merkle form: leaf digests incrementally
+    # maintained by a stateful streaming aggregation (O(leaves) state),
+    # final table identical to the batch range_digests / DuckDB oracle
+    import uuid as _uuid
+
+    from cassandra_data_migration_spark.streaming.merkle import (
+        incremental_range_digests,
+    )
+
+    name = f"mdig_{_uuid.uuid4().hex[:8]}"
+    dig = incremental_range_digests(
+        _events_stream(spark, sf_dir), "event_id", EVENTS_DIGEST_COLS
+    )
+    q = (
+        dig.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Anti-entropy repair primitive: per-token-range md5 digests on
     # each side (map-combined, O(leaves) keys), full-outer join of the
@@ -2415,6 +2445,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ring_ownership": q_ring_ownership,
     "replica_ownership": q_replica_ownership,
     "merkle_range_diff": q_merkle_range_diff,
+    "stream_merkle_digests": q_stream_merkle_digests,
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "order_priority_check": q_order_priority_check,
     "top_value_parts": q_top_value_parts,
@@ -4654,7 +4685,7 @@ _ORDERS_DIGEST_EXPRS = [
     "CAST(o_custkey AS VARCHAR)",
     "CAST(o_orderstatus AS VARCHAR)",
     "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
-    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S')",
+    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')",
     "CAST(o_orderpriority AS VARCHAR)",
 ]
 
@@ -4677,6 +4708,20 @@ ORACLES["merkle_range_diff"] = f"""
 # the prefix filter is lossless, so its oracle IS the full quadratic
 # Jaccard recompute — identical output to dedup_ngram_jaccard
 ORACLES["prefix_filter_pairs"] = ORACLES["dedup_ngram_jaccard"]
+
+_EVENTS_DIGEST_EXPRS = [
+    "CAST(event_id AS VARCHAR)",
+    "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')",
+    "CAST(user_id AS VARCHAR)",
+    "CAST(event_type AS VARCHAR)",
+    "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
+    "CAST(props AS VARCHAR)",
+]
+
+# the streaming aggregation must converge to EXACTLY the batch digest
+ORACLES["stream_merkle_digests"] = _merkle_digest_sql(
+    "SELECT * FROM events", "event_id", _EVENTS_DIGEST_EXPRS
+)
 
 ORACLES["order_priority_check"] = """
     SELECT o_orderpriority, COUNT(*) AS order_count

@@ -65,7 +65,7 @@ def portable_digest_cols(df: DataFrame, cols: list[str]) -> list[Column]:
         elif dt.startswith("timestamp"):
             # explicit format on both engines — bare casts disagree on
             # fractional-second rendering
-            out.append(F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss"))
+            out.append(F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss.SSSSSS"))
         else:
             out.append(F.col(c).cast("string"))
     return out
@@ -80,7 +80,7 @@ def portable_digest_sql(df: DataFrame, cols: list[str]) -> list[str]:
         if dt == "double":
             out.append(f"CAST(CAST(FLOOR({c} * 100) AS BIGINT) AS VARCHAR)")
         elif dt.startswith("timestamp"):
-            out.append(f"strftime({c}, '%Y-%m-%d %H:%M:%S')")
+            out.append(f"strftime({c}, '%Y-%m-%d %H:%M:%S.%f')")
         else:
             out.append(f"CAST({c} AS VARCHAR)")
     return out

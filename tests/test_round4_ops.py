@@ -159,3 +159,43 @@ def test_large_volume_orders_having_floor(spark):
     }
     for r in rows:
         assert abs(re[r["o_orderkey"]] - r["total_qty"]) < 1e-6
+
+
+def test_stream_merkle_equals_batch(spark):
+    import uuid as _uuid
+
+    from __spark_entry__ import EVENTS_DIGEST_COLS, _events_stream
+    from cassandra_data_migration_spark.operators.merkle import range_digests
+    from cassandra_data_migration_spark.streaming.merkle import (
+        incremental_range_digests,
+    )
+
+    name = f"mdig_{_uuid.uuid4().hex[:8]}"
+    dig = incremental_range_digests(
+        _events_stream(spark, SF_SMOKE), "event_id", EVENTS_DIGEST_COLS
+    )
+    q = (
+        dig.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        r["bucket"]: (r["n_rows"], r["digest"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    ts_type = dict(batch_df.dtypes)["ts"]
+    if ts_type == "bigint":
+        batch_df = batch_df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    batch = {
+        r["bucket"]: (r["n_rows"], r["digest"])
+        for r in range_digests(
+            batch_df, "event_id", EVENTS_DIGEST_COLS
+        ).collect()
+    }
+    assert streamed == batch
