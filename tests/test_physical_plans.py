@@ -393,3 +393,51 @@ def test_region_volume_only_fact_join_shuffles(spark):
     assert plan.count("BroadcastHashJoin") >= 3
     # fact-fact join (2 sides) + final agg = at most 3 exchanges
     assert plan.count("Exchange hashpartitioning") <= 3
+
+
+def test_ring_assignment_token_computed_once_then_broadcast_joined(spark):
+    # the md5 token must be materialized in a projection BELOW the
+    # join (computed once per row), with the tiny ring table broadcast
+    # — never re-evaluated per ring slot inside a HOF lambda
+    plan = _plan(entry_mod.queries()["ring_ownership"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    # the join condition compares the MATERIALIZED token attribute,
+    # not an inline md5 expression
+    cond = [l for l in plan.splitlines() if "Join condition:" in l]
+    assert cond and "_tok#" in cond[0] and "md5" not in cond[0]
+    assert "partial_count" in plan  # ownership report map-combines
+
+
+def test_merkle_digests_partially_aggregate_and_read_only_needed_cols(spark):
+    plan = _plan(entry_mod.queries()["merkle_range_diff"](spark, SF_CORRECT))
+    # leaf digests are map-combined before the shuffle: the exchange
+    # carries O(leaves) partial rows, never row data
+    assert "partial_count" in plan and "partial_sum" in plan
+    assert "FullOuter" in plan
+
+
+def test_prefix_filter_never_builds_a_cartesian(spark):
+    plan = _plan(
+        entry_mod.queries()["prefix_filter_pairs"](spark, SF_CORRECT)
+    )
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_priority_check_is_semi_join_with_pushed_dates(spark):
+    plan = _plan(
+        entry_mod.queries()["order_priority_check"](spark, SF_CORRECT)
+    )
+    assert "LeftSemi" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan  # window pushed to scan
+    # lineitem side reads only the two needed columns
+    assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan
+
+
+def test_large_volume_orders_broadcasts_qualifying_keys(spark):
+    plan = _plan(
+        entry_mod.queries()["large_volume_orders"](spark, SF_CORRECT)
+    )
+    # HAVING-filtered key set broadcasts; the fact table is scanned once
+    assert "BroadcastHashJoin" in plan
+    assert plan.count("+- Scan parquet") == 3  # lineitem, orders, customer
