@@ -2211,6 +2211,29 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # stream-stream interval join: two watermarked unbounded sides,
+    # two-sided time bound -> bounded state; availableNow drains the
+    # file stream and the result equals the batch interval join
+    import uuid as _uuid
+
+    from cassandra_data_migration_spark.streaming.attribution import (
+        attribution_join_stream,
+    )
+
+    name = f"attr_{_uuid.uuid4().hex[:8]}"
+    joined = attribution_join_stream(_events_stream(spark, sf_dir))
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}")
+
+
 def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Anti-entropy repair primitive: per-token-range md5 digests on
     # each side (map-combined, O(leaves) keys), full-outer join of the
@@ -2446,6 +2469,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "replica_ownership": q_replica_ownership,
     "merkle_range_diff": q_merkle_range_diff,
     "stream_merkle_digests": q_stream_merkle_digests,
+    "stream_attribution": q_stream_attribution,
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "order_priority_check": q_order_priority_check,
     "top_value_parts": q_top_value_parts,
@@ -4717,6 +4741,15 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["stream_attribution"] = """
+    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
+           p.value, c.event_id AS click_id, c.ts AS click_ts
+    FROM events p JOIN events c
+      ON p.user_id = c.user_id
+     AND p.event_type = 'purchase' AND c.event_type = 'click'
+     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
+"""
 
 # the streaming aggregation must converge to EXACTLY the batch digest
 ORACLES["stream_merkle_digests"] = _merkle_digest_sql(

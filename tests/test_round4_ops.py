@@ -199,3 +199,37 @@ def test_stream_merkle_equals_batch(spark):
         ).collect()
     }
     assert streamed == batch
+
+
+def test_stream_attribution_equals_batch_interval_join(spark):
+    import uuid as _uuid
+
+    from __spark_entry__ import _events_stream
+    from cassandra_data_migration_spark.streaming.attribution import (
+        attribution_join_stream,
+    )
+
+    name = f"attr_{_uuid.uuid4().hex[:8]}"
+    q = (
+        attribution_join_stream(_events_stream(spark, SF_SMOKE))
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    streamed = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql(f"SELECT * FROM {name}").collect()
+    }
+    batch_df = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    if dict(batch_df.dtypes)["ts"] == "bigint":
+        batch_df = batch_df.withColumn(
+            "ts", F.timestamp_micros(F.expr("ts div 1000"))
+        )
+    batch = {
+        (r["purchase_id"], r["click_id"])
+        for r in attribution_join_stream(batch_df).collect()
+    }
+    assert streamed == batch and len(batch) > 0
