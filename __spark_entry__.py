@@ -2211,6 +2211,41 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CUBE lattice completion of the rollup profile: all dim subsets
+    # in one Expand -> single map-combined aggregate pass
+    from cassandra_data_migration_spark.operators.aggregates import cube_profile
+
+    return cube_profile(
+        load_table(spark, sf_dir, "documents"), ["lang", "source"]
+    )
+
+
+def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # join-key pre-flight: per-key counts reduced to a fixed-size
+    # skew report (the decide-between-plain/salted/AQE-join check)
+    from cassandra_data_migration_spark.operators.aggregates import (
+        key_skew_report,
+    )
+
+    return key_skew_report(
+        load_table(spark, sf_dir, "events"), "user_id", top_n=5
+    )
+
+
+def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Efraimidis-Spirakis A-ES: exact weighted sampling without
+    # replacement, k per group, md5-derived draws (engine-portable)
+    from cassandra_data_migration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    return weighted_sample_per_group(
+        load_table(spark, sf_dir, "documents"),
+        "lang", "doc_id", "n_chars", k=5,
+    )
+
+
 def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stream-stream interval join: two watermarked unbounded sides,
     # two-sided time bound -> bounded state; availableNow drains the
@@ -2470,6 +2505,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "merkle_range_diff": q_merkle_range_diff,
     "stream_merkle_digests": q_stream_merkle_digests,
     "stream_attribution": q_stream_attribution,
+    "cube_profile": q_cube_profile,
+    "key_skew_report": q_key_skew_report,
+    "weighted_sample": q_weighted_sample,
     "prefix_filter_pairs": q_prefix_filter_pairs,
     "order_priority_check": q_order_priority_check,
     "top_value_parts": q_top_value_parts,
@@ -4741,6 +4779,48 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["cube_profile"] = """
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(GROUPING(lang, source) AS BIGINT) AS gid
+    FROM documents GROUP BY CUBE (lang, source)
+"""
+
+ORACLES["key_skew_report"] = """
+    WITH counts AS (
+        SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    stats AS (
+        SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows,
+               MAX(n) AS max_key_rows
+        FROM counts
+    )
+    SELECT c.user_id AS key, c.n AS key_rows, s.n_keys, s.n_rows,
+           s.max_key_rows,
+           ROUND(c.n * 1.0 / s.n_rows, 6) AS share,
+           ROUND(c.n * 1.0 * s.n_keys / s.n_rows, 4) AS skew_factor
+    FROM counts c, stats s
+    ORDER BY c.n DESC, c.user_id ASC LIMIT 5
+"""
+
+ORACLES["weighted_sample"] = """
+    WITH draws AS (
+        SELECT lang, doc_id, n_chars,
+               -ln((CAST('0x' || substr(md5(concat_ws(':', 'wsample',
+                        CAST(lang AS VARCHAR), CAST(doc_id AS VARCHAR))),
+                    1, 8) AS BIGINT) + 1) / 4294967296.0) / n_chars AS akey
+        FROM documents
+    ),
+    ranked AS (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY akey ASC, doc_id ASC) AS rk
+        FROM draws
+    )
+    SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 5
+"""
 
 ORACLES["stream_attribution"] = """
     SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

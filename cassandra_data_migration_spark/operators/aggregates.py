@@ -479,3 +479,58 @@ def value_histogram(
         .withColumn("lo_edge", F.round(F.lit(lo) + F.col("bucket") * F.lit(width), 4))
         .select("bucket", "lo_edge", "n")
     )
+
+
+def cube_profile(
+    df: DataFrame,
+    dims: list[str],
+    chars_col: str = "n_chars",
+) -> DataFrame:
+    """Cross-dimensional corpus profile via CUBE: every subset of
+    ``dims`` aggregated in ONE pass — rollup's lattice completion
+    (rollup emits only the hierarchy's prefixes; cube also emits e.g.
+    per-source-across-all-langs).  Same Expand→single-aggregate plan
+    as ``rollup_profile``: the shuffle carries (cell × 2^dims) partial
+    rows, never the corpus."""
+    return df.cube(*dims).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(chars_col).alias("total_chars"),
+        F.grouping_id().alias("gid"),
+    )
+
+
+def key_skew_report(
+    df: DataFrame, key_col: str, top_n: int = 5
+) -> DataFrame:
+    """Skew diagnosis for a prospective join/groupBy key: per-key
+    counts reduced to a fixed-size report — total keys, total rows,
+    the max key's share, and the top-``top_n`` heavy hitters with
+    their row counts.  This is the pre-flight check that decides
+    between a plain shuffle join, a salted join
+    (``operators/joins.salted_equi_join``), or AQE skew handling.
+
+    Plan: one map-combined groupBy over the key, then a single-row
+    aggregate over the O(keys) count table plus a TakeOrdered for the
+    head — the corpus shuffles once as (key, partial count), the
+    report itself is bytes."""
+    counts = df.groupBy(key_col).agg(F.count(F.lit(1)).alias("n"))
+    top = counts.orderBy(F.desc("n"), F.asc(key_col)).limit(top_n)
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("n").alias("n_rows"),
+        F.max("n").alias("max_key_rows"),
+    )
+    return (
+        top.crossJoin(F.broadcast(stats))
+        .select(
+            F.col(key_col).alias("key"),
+            F.col("n").alias("key_rows"),
+            "n_keys",
+            "n_rows",
+            "max_key_rows",
+            F.round(F.col("n") / F.col("n_rows"), 6).alias("share"),
+            F.round(
+                F.col("n") * F.col("n_keys") / F.col("n_rows"), 4
+            ).alias("skew_factor"),
+        )
+    )

@@ -355,3 +355,50 @@ def token_budget_select(
         .filter(F.col("_cum") <= F.lit(remaining))
     )
     return kept_hi.select(*out_cols).unionByName(kept_edge.select(*out_cols))
+
+
+def weighted_sample_per_group(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    weight_col: str,
+    k: int = 5,
+    salt: str = "wsample",
+) -> DataFrame:
+    """Deterministic weighted sampling WITHOUT replacement, k per
+    group — Efraimidis–Spirakis A-ES (public algorithm): each row
+    draws u ~ U(0,1) from the portable md5 hash and is ranked by
+    ``-ln(u)/w``; the k smallest keys per group are an exact weighted
+    sample without replacement.  Engine-reproducible: the same rows
+    win in Spark, DuckDB, or plain Python because the draw is
+    content-derived, not RNG-state-derived.
+
+    Plan: scan-side draw + ONE per-group window rank (single shuffle
+    on the group key); no global sort.  At 100 TB the window's
+    per-group sort is bounded by group size — for heavy groups,
+    pre-filter with a per-partition top-k (TakeOrdered shape) before
+    the window if profiling demands it."""
+    from pyspark.sql import Window
+
+    draw32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt),
+                    F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (draw32 + 1) / F.lit(float(1 << 32))
+    key = -F.log(u) / F.col(weight_col)
+    w = Window.partitionBy(group_col).orderBy(F.asc("_akey"), F.asc(id_col))
+    return (
+        df.withColumn("_akey", key)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(group_col, id_col, weight_col)
+    )

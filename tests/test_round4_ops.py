@@ -233,3 +233,59 @@ def test_stream_attribution_equals_batch_interval_join(spark):
         for r in attribution_join_stream(batch_df).collect()
     }
     assert streamed == batch and len(batch) > 0
+
+
+def test_cube_profile_has_all_lattice_levels(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cube_profile,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = cube_profile(docs, ["lang", "source"]).collect()
+    gids = {r["gid"] for r in rows}
+    assert gids == {0, 1, 2, 3}  # cells, source-margin, lang-margin, total
+    total = [r for r in rows if r["gid"] == 3]
+    assert len(total) == 1 and total[0]["n_docs"] == docs.count()
+    # margins re-aggregate the cells exactly
+    cells = sum(r["n_docs"] for r in rows if r["gid"] == 0)
+    assert cells == docs.count()
+
+
+def test_key_skew_report_internal_consistency(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        key_skew_report,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = key_skew_report(ev, "user_id", top_n=5).collect()
+    assert len(rows) == 5
+    assert all(r["n_rows"] == ev.count() for r in rows)
+    assert rows[0]["key_rows"] == rows[0]["max_key_rows"]
+    assert all(r["skew_factor"] >= 1.0 for r in rows)  # top keys ≥ mean
+
+
+def test_weighted_sample_determinism_and_size(spark):
+    from cassandra_data_migration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "lang", "doc_id", "n_chars", k=5
+        ).collect()
+    }
+    b = {
+        (r["lang"], r["doc_id"])
+        for r in weighted_sample_per_group(
+            docs, "lang", "doc_id", "n_chars", k=5
+        ).collect()
+    }
+    assert a == b  # content-derived draws: no RNG state
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in a)
+    assert all(v <= 5 for v in per_group.values())
+    n_langs = docs.select("lang").distinct().count()
+    assert len(per_group) == n_langs
