@@ -2211,6 +2211,21 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # BPE tokenizer training (8 merges) + vocabulary report: the
+    # corpus collapses to (word, count) once, merge rounds iterate on
+    # distinct words (Heaps-law working set), argmax pair per round is
+    # TakeOrdered over map-combined pair counts
+    from cassandra_data_migration_spark.operators.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    merges, _ = bpe_train(docs, num_merges=8)
+    return bpe_segment_counts(docs, merges)
+
+
 def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CUBE lattice completion of the rollup profile: all dim subsets
     # in one Expand -> single map-combined aggregate pass
@@ -2506,6 +2521,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_merkle_digests": q_stream_merkle_digests,
     "stream_attribution": q_stream_attribution,
     "cube_profile": q_cube_profile,
+    "bpe_vocab": q_bpe_vocab,
     "key_skew_report": q_key_skew_report,
     "weighted_sample": q_weighted_sample,
     "prefix_filter_pairs": q_prefix_filter_pairs,
@@ -4884,5 +4900,103 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return dict(QUERIES)
 
 
+_BPE_ORACLE_CACHE: dict[str, str] = {}
+
+
+def _py_bpe_learn(wc: list[tuple[str, int]], num_merges: int):
+    """Pure-Python reference BPE (the classic Sennrich formulation) —
+    learns the merge sequence the oracle SQL then applies.  Tie-break
+    (count DESC, pair ASC) matches the Spark trainer exactly."""
+    vocab: dict[tuple, int] = {}
+    for w, n in wc:
+        vocab[tuple(list(w) + ["</w>"])] = vocab.get(tuple(list(w) + ["</w>"]), 0) + n
+    merges = []
+    for _ in range(num_merges):
+        pairs: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                pairs[p] = pairs.get(p, 0) + n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append(best)
+        a, b = best
+        new: dict[tuple, int] = {}
+        for syms, n in vocab.items():
+            out, pend = [], None
+            for x in syms:
+                if pend == a and x == b:
+                    out.append(a + b)
+                    pend = None
+                else:
+                    if pend is not None:
+                        out.append(pend)
+                    pend = x
+            if pend is not None:
+                out.append(pend)
+            t = tuple(out)
+            new[t] = new.get(t, 0) + n
+        vocab = new
+    return merges
+
+
+def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for ``bpe_vocab``: learn the merges with the pure-Python
+    reference over the same word counts (read via DuckDB), then emit
+    SQL that applies them as sentinel-delimited string replaces
+    (plain replace() is leftmost non-overlapping — identical
+    semantics to the Spark-side fold) and aggregates the vocabulary.
+    Built lazily because it reads the fixture at oracle time."""
+    if sf_dir in _BPE_ORACLE_CACHE:
+        return _BPE_ORACLE_CACHE[sf_dir]
+    import duckdb as _duckdb
+
+    wc = _duckdb.sql(
+        f"""
+        SELECT word, COUNT(*) AS n FROM (
+            SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                '\s+', ' ', 'g')), ' ')) AS word
+            FROM '{sf_dir}/documents.parquet'
+        ) WHERE word <> '' GROUP BY 1
+        """
+    ).fetchall()
+    merges = _py_bpe_learn([(w, n) for w, n in wc], 8)
+    enc = lambda sym: f"chr(2) || '{sym}' || chr(3)"  # noqa: E731
+    rounds = ""
+    prev = "enc"
+    for i, (a, b) in enumerate(merges):
+        rounds += (
+            f", m{i} AS (SELECT n, replace(s, {enc(a)} || ' ' || {enc(b)},"
+            f" {enc(a + b)}) AS s FROM {prev})"
+        )
+        prev = f"m{i}"
+    sql = f"""
+        WITH words AS (
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ) WHERE word <> '' GROUP BY 1
+        ),
+        enc AS (
+            SELECT n,
+                   array_to_string(list_transform(range(1, length(word) + 1),
+                       i -> chr(2) || substr(word, CAST(i AS INT), 1) || chr(3)),
+                       ' ') || ' ' || chr(2) || '</w>' || chr(3) AS s
+            FROM words
+        ){rounds}
+        SELECT replace(replace(symbol, chr(2), ''), chr(3), '') AS symbol,
+               COUNT(*) AS n_words, SUM(n) AS occurrences
+        FROM (
+            SELECT n, unnest(string_split(s, ' ')) AS symbol FROM {prev}
+        ) GROUP BY 1
+    """
+    _BPE_ORACLE_CACHE[sf_dir] = sql
+    return sql
+
+
 def oracle_sql() -> dict[str, str]:
-    return dict(ORACLES)
+    out = dict(ORACLES)
+    out["bpe_vocab"] = _bpe_oracle_sql()
+    return out

@@ -289,3 +289,55 @@ def test_weighted_sample_determinism_and_size(spark):
     assert all(v <= 5 for v in per_group.values())
     n_langs = docs.select("lang").distinct().count()
     assert len(per_group) == n_langs
+
+
+def test_bpe_trainer_matches_python_reference(spark):
+    from __spark_entry__ import _py_bpe_learn
+    from cassandra_data_migration_spark.operators.bpe import (
+        bpe_train,
+        word_counts,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    wc = [
+        (r["word"], r["n"]) for r in word_counts(docs).collect()
+    ]
+    expected = _py_bpe_learn(wc, 6)
+    got, _ = bpe_train(docs, num_merges=6)
+    # identical merge SEQUENCE (order matters: each round conditions
+    # the next), not just the same set
+    assert got == expected
+
+
+def test_bpe_merge_pair_overlap_semantics(spark):
+    from cassandra_data_migration_spark.operators.bpe import _merge_pair
+
+    df = spark.createDataFrame(
+        [(["a", "a", "a"],), (["a", "b", "b"],), (["x", "a", "b", "a", "b"],)],
+        "symbols array<string>",
+    )
+    out = [r[0] for r in df.select(_merge_pair(F.col("symbols"), "a", "a")).collect()]
+    assert out[0] == ["aa", "a"]  # leftmost, non-overlapping
+    out = [r[0] for r in df.select(_merge_pair(F.col("symbols"), "a", "b")).collect()]
+    assert out[1] == ["ab", "b"]
+    assert out[2] == ["x", "ab", "ab"]
+
+
+def test_bpe_vocab_mass_conservation(spark):
+    from cassandra_data_migration_spark.operators.bpe import (
+        bpe_segment_counts,
+        bpe_train,
+        word_counts,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    merges, _ = bpe_train(docs, num_merges=4)
+    vocab = bpe_segment_counts(docs, merges).collect()
+    # every word emits exactly one </w>-terminated segmentation: the
+    # total occurrence mass of symbols ending in </w> equals the
+    # distinct-word mass
+    wc = word_counts(docs).collect()
+    end_mass = sum(
+        r["occurrences"] for r in vocab if r["symbol"].endswith("</w>")
+    )
+    assert end_mass == sum(r["n"] for r in wc)
