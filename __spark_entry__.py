@@ -2211,6 +2211,32 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact kNN JOIN: every query vector gets its top-k corpus
+    # neighbors; query side broadcast, corpus scanned once, one
+    # (query_id) shuffle of score triples for the per-query rank
+    from cassandra_data_migration_spark.operators.similarity import knn_join
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
+
+
+def q_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema drift remediation: reorder + cast + NULL-fill a drifted
+    # source back to the target schema (pure projection, zero shuffle)
+    from cassandra_data_migration_spark.operators.setops import conform_schema
+
+    orders = load_table(spark, sf_dir, "orders")
+    drifted = orders.select(
+        F.col("o_orderkey").cast("int"),          # narrowed type
+        F.col("o_totalprice").cast("string"),     # stringly typed
+        "o_custkey",
+        F.lit("x").alias("o_extra"),              # extra column
+        "o_orderstatus", "o_orderdate",           # o_orderpriority missing
+    )
+    return conform_schema(drifted, orders)
+
+
 def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     # BPE tokenizer training (8 merges) + vocabulary report: the
     # corpus collapses to (word, count) once, merge rounds iterate on
@@ -2522,6 +2548,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_attribution": q_stream_attribution,
     "cube_profile": q_cube_profile,
     "bpe_vocab": q_bpe_vocab,
+    "knn_join": q_knn_join,
+    "conform_schema": q_conform_schema,
     "key_skew_report": q_key_skew_report,
     "weighted_sample": q_weighted_sample,
     "prefix_filter_pairs": q_prefix_filter_pairs,
@@ -4795,6 +4823,38 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["knn_join"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS a_v
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS neighbor_id,
+               ROUND({_COS_SIM.replace('b_v', 'c.embedding::DOUBLE[]')}, 4)
+                   AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id <> q.query_id
+    ),
+    ranked AS (
+        SELECT query_id, neighbor_id, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, neighbor_id ASC)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["conform_schema"] = """
+    SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS o_orderkey,
+           o_custkey,
+           o_orderstatus,
+           CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
+           o_orderdate,
+           CAST(NULL AS VARCHAR) AS o_orderpriority
+    FROM orders
+"""
 
 ORACLES["cube_profile"] = """
     SELECT lang, source,

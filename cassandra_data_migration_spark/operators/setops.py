@@ -31,3 +31,35 @@ def value_set_diff(a: DataFrame, b: DataFrame) -> DataFrame:
     sides — the normalized schema diff uses this over
     (column, type) rows."""
     return a.exceptAll(b)
+
+
+def conform_schema(
+    df: DataFrame,
+    target: DataFrame,
+    fill_missing: bool = True,
+) -> DataFrame:
+    """Conform ``df`` to ``target``'s schema: reorder columns, cast
+    matching columns to the target type, add NULL-filled columns the
+    source lacks, drop extras.  The reference REQUIRES origin and
+    target schemas to match exactly and treats drift as a failure
+    (reference docs/05-zdm-approach.md:18, schema diff in
+    lab/exercises/06-validation-monitoring.md:187-233); this stage is
+    the remediation half — run ``plans/validate.schema_diff`` to see
+    the drift, ``conform_schema`` to resolve it before a Migrate.
+
+    Pure projection: zero shuffles, casts fold into the scan."""
+    from pyspark.sql import functions as F
+
+    src = dict(df.dtypes)
+    cols = []
+    for f in target.schema.fields:
+        if f.name in src:
+            cols.append(F.col(f.name).cast(f.dataType).alias(f.name))
+        elif fill_missing:
+            cols.append(F.lit(None).cast(f.dataType).alias(f.name))
+        else:
+            raise ValueError(
+                f"conform_schema: source lacks column {f.name!r} and "
+                "fill_missing=False"
+            )
+    return df.select(*cols)

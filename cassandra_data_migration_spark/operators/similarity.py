@@ -788,3 +788,53 @@ def kmeans_fit(
         F.col(id_col), _nearest_centroid(v, cents).alias("cluster")
     )
     return final, cents
+
+
+def knn_join(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str | None = None,
+) -> DataFrame:
+    """Exact k-nearest-neighbor JOIN: for EVERY query vector, the top-k
+    corpus vectors by cosine — the batch retrieval shape (RAG corpus
+    lookup, hard-negative mining) that ``cosine_topk`` (one literal
+    query) doesn't cover.
+
+    Plan: the query side broadcasts (it is the small side by
+    definition — batch lookups are ≤10⁵ rows against a corpus of
+    10⁹); one corpus scan scores all pairs via the broadcast hash-less
+    nested loop, then a per-query window keeps k — the only shuffle
+    is on query_id for the rank, carrying (query, id, score) triples,
+    never vectors.  At 100 TB the corpus never exchanges; for
+    corpus-scale query sets, pre-bucket both sides with
+    ``lsh_bucket`` and run this per bucket.
+
+    Scores are e4-rounded with (score DESC, corpus id ASC) rank order
+    — deterministic and oracle-reproducible."""
+    from pyspark.sql import Window
+
+    qid = query_id_col or id_col
+    q = queries.select(
+        F.col(qid).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id")).select(
+        "query_id",
+        "neighbor_id",
+        F.round(cosine(F.col("_cv"), F.col("_qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select("query_id", "neighbor_id", "cos_sim", F.col("_rk").alias("rank"))
+    )

@@ -341,3 +341,47 @@ def test_bpe_vocab_mass_conservation(spark):
         r["occurrences"] for r in vocab if r["symbol"].endswith("</w>")
     )
     assert end_mass == sum(r["n"] for r in wc)
+
+
+def test_knn_join_matches_per_query_brute_force(spark):
+    from cassandra_data_migration_spark.operators.similarity import (
+        cosine_topk,
+        knn_join,
+    )
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = knn_join(emb, emb.filter(F.col("vec_id") < 3), k=4).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for qid in by_q:
+        by_q[qid].sort(key=lambda r: r["rank"])
+        qvec = [
+            float(x)
+            for x in emb.filter(F.col("vec_id") == qid).first()["embedding"]
+        ]
+        expected = cosine_topk(emb, qvec, k=4, exclude_ids=[qid]).collect()
+        assert [r["neighbor_id"] for r in by_q[qid]] == [
+            r["vec_id"] for r in expected
+        ]
+
+
+def test_conform_schema_roundtrip_and_fill(spark):
+    from cassandra_data_migration_spark.operators.setops import conform_schema
+
+    orders = load_table(spark, SF_SMOKE, "orders")
+    drifted = orders.select(
+        F.col("o_totalprice").cast("string"),
+        "o_custkey", "o_orderkey", "o_orderstatus", "o_orderdate",
+        F.lit("junk").alias("o_extra"),
+    )
+    out = conform_schema(drifted, orders)
+    assert out.schema == orders.schema
+    assert out.count() == orders.count()
+    # missing column NULL-filled, extra dropped
+    assert out.filter(F.col("o_orderpriority").isNotNull()).count() == 0
+    assert "o_extra" not in out.columns
+    import pytest
+
+    with pytest.raises(ValueError):
+        conform_schema(drifted, orders, fill_missing=False)
