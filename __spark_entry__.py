@@ -2211,6 +2211,23 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tick->bar compaction: one map-combined agg, open/close via
+    # min_by/max_by over a deterministic (ts, value) tiebreak
+    from cassandra_data_migration_spark.operators.windows import ohlc_bars
+
+    return ohlc_bars(load_table(spark, sf_dir, "events"))
+
+
+def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # product-analytics retention matrix: first-seen cohort x offset
+    from cassandra_data_migration_spark.operators.windows import (
+        retention_cohorts,
+    )
+
+    return retention_cohorts(load_table(spark, sf_dir, "events"))
+
+
 def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact kNN JOIN: every query vector gets its top-k corpus
     # neighbors; query side broadcast, corpus scanned once, one
@@ -2549,6 +2566,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cube_profile": q_cube_profile,
     "bpe_vocab": q_bpe_vocab,
     "knn_join": q_knn_join,
+    "ohlc_bars": q_ohlc_bars,
+    "retention_cohorts": q_retention_cohorts,
     "conform_schema": q_conform_schema,
     "key_skew_report": q_key_skew_report,
     "weighted_sample": q_weighted_sample,
@@ -4823,6 +4842,42 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["ohlc_bars"] = """
+    WITH t AS (
+        SELECT date_trunc('day', ts) AS bar_start, event_type, ts, value
+        FROM events
+    ),
+    r AS (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
+                                  ORDER BY ts ASC, value ASC) AS rn_a,
+               ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
+                                  ORDER BY ts DESC, value DESC) AS rn_d
+        FROM t
+    )
+    SELECT bar_start, event_type,
+           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
+           COUNT(*) AS n_ticks
+    FROM r GROUP BY 1, 2
+"""
+
+ORACLES["retention_cohorts"] = """
+    WITH p AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        FROM events
+    ),
+    f AS (SELECT user_id, MIN(period) AS cohort FROM p GROUP BY 1)
+    SELECT f.cohort,
+           CAST(FLOOR(date_diff('day', f.cohort, p.period) / 7.0) AS INT)
+               AS period_offset,
+           COUNT(*) AS n_users
+    FROM p JOIN f ON p.user_id = f.user_id
+    GROUP BY 1, 2
+"""
 
 ORACLES["knn_join"] = f"""
     WITH q AS (

@@ -343,3 +343,72 @@ def retry_collapse(
         .filter(F.col("_r") == 1)
         .drop("_sess", "_r")
     )
+
+
+def ohlc_bars(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bar: str = "1 day",
+) -> DataFrame:
+    """Calendar downsampling to OHLC bars: per (key, time bucket) the
+    open (first by time), high, low, close (last by time), and count —
+    the classic tick→bar compaction of time-series storage.
+
+    Plan: ONE map-combined aggregation — open/close ride as
+    ``min_by``/``max_by`` over (ts, tiebreak) so no window pass or
+    second shuffle is needed; high/low/count are plain aggregates.
+    The shuffle carries one row per (key, bar).  Ties on identical
+    timestamps resolve by a deterministic tiebreak column (the value
+    itself), matching the SQL oracle's argmin/argmax semantics."""
+    w = F.window(F.col(ts_col), bar)
+    tie = F.struct(F.col(ts_col), F.col(value_col))
+    return (
+        df.groupBy(w.alias("w"), F.col(key_col))
+        .agg(
+            F.min_by(F.col(value_col), tie).alias("open"),
+            F.max(F.col(value_col)).alias("high"),
+            F.min(F.col(value_col)).alias("low"),
+            F.max_by(F.col(value_col), tie).alias("close"),
+            F.count(F.lit(1)).alias("n_ticks"),
+        )
+        .select(
+            F.col("w.start").alias("bar_start"),
+            key_col,
+            "open", "high", "low", "close", "n_ticks",
+        )
+    )
+
+
+def retention_cohorts(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Retention matrix: users grouped by first-activity period
+    (cohort), counted by how many periods later they return —
+    (cohort, period_offset, n_users).  The standard product-analytics
+    rollup.
+
+    Plan: first-seen is one groupBy(user) min; activity periods are a
+    distinct over (user, period); the offset join is user-keyed (both
+    sides hash on the user id — co-partitioned, single shuffle each)
+    and the final matrix aggregates O(cohorts × offsets) keys."""
+    secs = {"day": 86400, "week": 7 * 86400}[period]
+    p = F.date_trunc(period, F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(p).alias("cohort"))
+    active = df.select(F.col(user_col), p.alias("period")).distinct()
+    return (
+        active.join(first, user_col)
+        .select(
+            "cohort",
+            F.floor(
+                (F.unix_timestamp("period") - F.unix_timestamp("cohort"))
+                / F.lit(secs)
+            ).cast("int").alias("period_offset"),
+        )
+        .groupBy("cohort", "period_offset")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

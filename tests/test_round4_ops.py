@@ -385,3 +385,29 @@ def test_conform_schema_roundtrip_and_fill(spark):
 
     with pytest.raises(ValueError):
         conform_schema(drifted, orders, fill_missing=False)
+
+
+def test_ohlc_bars_invariants(spark):
+    from cassandra_data_migration_spark.operators.windows import ohlc_bars
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = ohlc_bars(ev).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r["low"] <= r["open"] <= r["high"]
+        assert r["low"] <= r["close"] <= r["high"]
+    assert sum(r["n_ticks"] for r in rows) == ev.count()
+
+
+def test_retention_cohorts_offset_zero_equals_cohort_size(spark):
+    from cassandra_data_migration_spark.operators.windows import (
+        retention_cohorts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    rows = retention_cohorts(ev).collect()
+    # every user is active in their own first period: offset-0 count
+    # per cohort == cohort size; total offset-0 mass == distinct users
+    zero = sum(r["n_users"] for r in rows if r["period_offset"] == 0)
+    assert zero == ev.select("user_id").distinct().count()
+    assert all(r["period_offset"] >= 0 for r in rows)
