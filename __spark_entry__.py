@@ -2265,8 +2265,8 @@ def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
-    merges, _ = bpe_train(docs, num_merges=8)
-    return bpe_segment_counts(docs, merges)
+    merges, segmented = bpe_train(docs, num_merges=8)
+    return bpe_segment_counts(docs, merges, segmented=segmented)
 
 
 def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

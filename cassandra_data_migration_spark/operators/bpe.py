@@ -162,16 +162,23 @@ def bpe_segment_counts(
     df: DataFrame,
     merges: list[tuple[str, str]],
     text_col: str = "text",
+    segmented: DataFrame | None = None,
 ) -> DataFrame:
     """(symbol, n_words_containing, total_occurrences) over the corpus
     after applying the learned merges — the vocabulary report a
-    tokenizer build emits."""
-    words = word_counts(df, text_col)
-    sym = words.select(
-        "n", _initial_symbols(F.col("word")).alias("symbols")
-    )
-    for a, b in merges:
-        sym = sym.select("n", _merge_pair(F.col("symbols"), a, b).alias("symbols"))
+    tokenizer build emits.  Pass ``bpe_train``'s final table as
+    ``segmented`` to skip re-applying the merges from scratch."""
+    if segmented is not None:
+        sym = segmented.select("n", "symbols")
+    else:
+        words = word_counts(df, text_col)
+        sym = words.select(
+            "n", _initial_symbols(F.col("word")).alias("symbols")
+        )
+        for a, b in merges:
+            sym = sym.select(
+                "n", _merge_pair(F.col("symbols"), a, b).alias("symbols")
+            )
     return (
         sym.select(F.col("n"), F.explode("symbols").alias("symbol"))
         .groupBy("symbol")

@@ -133,17 +133,23 @@ def top_value_parts(
     TOTAL revenue — a grouped aggregate filtered against a global
     scalar subquery.
 
-    Plan: one map-combined groupBy for per-part revenue; the global
-    total re-aggregates THOSE partials (O(parts) rows, not a second
-    fact scan) and broadcasts as a 1-row cross join.  DECIMAL sums
+    Plan: one map-combined groupBy for per-part revenue, PERSISTED —
+    the frame feeds both the filter and the global total (a diamond
+    dependency Spark would otherwise recompute, i.e. a second fact
+    scan at 100 TB); the O(parts) persisted rows re-aggregate to the
+    1-row total that broadcasts into the cross join.  DECIMAL sums
     keep both aggregations order-independent."""
+    from pyspark.storagelevel import StorageLevel
+
     rev = F.sum(
         (
             F.col("l_extendedprice").cast("decimal(18,2)")
             * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
         ).cast("decimal(28,4)")
     )
-    per_part = lineitem.groupBy("l_partkey").agg(rev.alias("revenue"))
+    per_part = lineitem.groupBy("l_partkey").agg(rev.alias("revenue")).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     total = per_part.agg(
         F.sum("revenue").cast("decimal(38,4)").alias("_total")
     )
