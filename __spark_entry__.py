@@ -2211,6 +2211,47 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q12 shape: CASE-inside-SUM conditional aggregation
+    from cassandra_data_migration_spark.operators.olap import (
+        priority_line_counts,
+    )
+
+    return priority_line_counts(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
+    )
+
+
+def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q14 shape: conditional numerator over common denominator
+    from cassandra_data_migration_spark.operators.olap import (
+        promo_revenue_share,
+    )
+
+    return promo_revenue_share(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q19 shape: OR-of-ANDs cross-table predicate with
+    # single-side parts pre-filtered into both scans
+    from cassandra_data_migration_spark.operators.olap import (
+        disjunctive_predicate_revenue,
+    )
+
+    return disjunctive_predicate_revenue(
+        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
+    )
+
+
+def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PMI collocation mining over adjacent token pairs
+    from cassandra_data_migration_spark.operators.text import pmi_collocations
+
+    return pmi_collocations(load_table(spark, sf_dir, "documents"))
+
+
 def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tick->bar compaction: one map-combined agg, open/close via
     # min_by/max_by over a deterministic (ts, value) tiebreak
@@ -2567,6 +2608,10 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "bpe_vocab": q_bpe_vocab,
     "knn_join": q_knn_join,
     "ohlc_bars": q_ohlc_bars,
+    "priority_line_counts": q_priority_line_counts,
+    "promo_revenue": q_promo_revenue,
+    "disjunctive_revenue": q_disjunctive_revenue,
+    "pmi_collocations": q_pmi_collocations,
     "retention_cohorts": q_retention_cohorts,
     "conform_schema": q_conform_schema,
     "key_skew_report": q_key_skew_report,
@@ -4842,6 +4887,80 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["priority_line_counts"] = """
+    SELECT l_returnflag,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS high_line_count,
+           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS low_line_count
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    GROUP BY 1
+"""
+
+ORACLES["promo_revenue"] = """
+    WITH agg AS (
+        SELECT SUM(CASE WHEN p_type = 'PROMO'
+                   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                        AS DECIMAL(28,4))
+                   ELSE CAST(0 AS DECIMAL(28,4)) END) AS promo,
+               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                   AS DECIMAL(28,4))) AS total
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
+    )
+    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+           CAST(total AS DOUBLE) AS total_revenue,
+           ROUND(100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)), 4)
+               AS promo_pct
+    FROM agg
+"""
+
+ORACLES["disjunctive_revenue"] = """
+    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+               * (1 - CAST(l_discount AS DECIMAL(18,2)))
+               AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand IN ('Brand#1', 'Brand#2') AND p_size <= 20
+           AND l_quantity BETWEEN 1 AND 15)
+       OR (p_brand IN ('Brand#3', 'Brand#4') AND p_size <= 30
+           AND l_quantity BETWEEN 10 AND 30)
+"""
+
+ORACLES["pmi_collocations"] = """
+    WITH toks AS (
+        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
+            'g')), ' ') AS ts
+        FROM documents
+    ),
+    bi AS (
+        SELECT p.a, p.b, COUNT(*) AS n_ab FROM (
+            SELECT unnest(list_transform(range(1, len(ts)),
+                i -> struct_pack(a := ts[CAST(i AS INT)],
+                                 b := ts[CAST(i AS INT) + 1]))) AS p
+            FROM toks WHERE len(ts) >= 2
+        ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
+    ),
+    uni AS (
+        SELECT t, COUNT(*) AS n FROM (
+            SELECT unnest(ts) AS t FROM toks
+        ) WHERE t <> '' GROUP BY 1
+    ),
+    nt AS (SELECT SUM(n) AS total FROM uni)
+    SELECT bi.a, bi.b, bi.n_ab,
+           ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(nt.total AS DOUBLE))
+                 / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 6) AS pmi
+    FROM bi
+    JOIN uni ua ON ua.t = bi.a
+    JOIN uni ub ON ub.t = bi.b
+    CROSS JOIN nt
+    ORDER BY pmi DESC, bi.a ASC, bi.b ASC
+    LIMIT 50
+"""
 
 ORACLES["ohlc_bars"] = """
     WITH t AS (

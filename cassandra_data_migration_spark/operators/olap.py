@@ -200,3 +200,112 @@ def large_volume_orders(
             F.col("total_qty").cast("double").alias("total_qty"),
         )
     )
+
+
+def priority_line_counts(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1997-01-01",
+) -> DataFrame:
+    """TPC-H Q12 shape: per return-flag, how many lines belong to
+    high- vs low-priority orders — the conditional-aggregation (CASE
+    inside SUM) pattern, one fact-fact join.
+
+    Plan: the date filter pushes into the lineitem scan; orders joins
+    on the order key carrying only (key, priority); both CASE sums
+    map-combine, so the post-join shuffle is one row per flag."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    ).select("l_orderkey", "l_returnflag")
+    o = orders.select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li["l_orderkey"] == o["o_orderkey"])
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1)).alias("low_line_count"),
+        )
+    )
+
+
+def promo_revenue_share(
+    lineitem: DataFrame,
+    part: DataFrame,
+    date_from: str = "1996-01-01",
+    date_to: str = "1996-04-01",
+) -> DataFrame:
+    """TPC-H Q14 shape: the share of revenue from PROMO-type parts in
+    a window — a conditional numerator over a common denominator in
+    ONE aggregation (no second scan, no subquery).
+
+    Plan: part broadcasts (dimension), the date filter pushes into
+    the fact scan, DECIMAL sums make numerator and denominator exact,
+    and the ratio is computed on the single output row."""
+    li = lineitem.filter(
+        (F.col("l_shipdate") >= F.lit(date_from))
+        & (F.col("l_shipdate") < F.lit(date_to))
+    )
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    joined = li.join(
+        F.broadcast(part.select("p_partkey", "p_type")),
+        li["l_partkey"] == F.col("p_partkey"),
+    )
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0).cast("decimal(28,4)"))).alias("_promo"),
+        F.sum(rev).alias("_total"),
+    )
+    return agg.select(
+        F.col("_promo").cast("double").alias("promo_revenue"),
+        F.col("_total").cast("double").alias("total_revenue"),
+        F.round(
+            F.lit(100.0) * (F.col("_promo").cast("double") / F.col("_total").cast("double")),
+            4,
+        ).alias("promo_pct"),
+    )
+
+
+def disjunctive_predicate_revenue(
+    lineitem: DataFrame, part: DataFrame
+) -> DataFrame:
+    """TPC-H Q19 shape: revenue under an OR-of-ANDs predicate mixing
+    both tables' columns (brand × size × quantity bands) — the
+    optimizer workout where per-branch constraints must still push
+    partial filters to both scans.
+
+    Plan: the parts of the predicate that touch only one side
+    (brand/size sets; the overall quantity envelope) are applied
+    BEFORE the join so both scans pre-filter; the cross-table
+    conjunctions evaluate on join output.  Part broadcasts."""
+    p = part.select("p_partkey", "p_brand", "p_size").filter(
+        (F.col("p_brand").isin("Brand#1", "Brand#2") & (F.col("p_size") <= 20))
+        | (F.col("p_brand").isin("Brand#3", "Brand#4") & (F.col("p_size") <= 30))
+    )
+    li = lineitem.select(
+        "l_partkey", "l_quantity", "l_extendedprice", "l_discount"
+    ).filter(F.col("l_quantity").between(1, 30))
+    rev = (
+        F.col("l_extendedprice").cast("decimal(18,2)")
+        * (F.lit(1).cast("decimal(18,2)") - F.col("l_discount").cast("decimal(18,2)"))
+    ).cast("decimal(28,4)")
+    branch1 = (
+        F.col("p_brand").isin("Brand#1", "Brand#2")
+        & (F.col("p_size") <= 20)
+        & F.col("l_quantity").between(1, 15)
+    )
+    branch2 = (
+        F.col("p_brand").isin("Brand#3", "Brand#4")
+        & (F.col("p_size") <= 30)
+        & F.col("l_quantity").between(10, 30)
+    )
+    return (
+        li.join(F.broadcast(p), li["l_partkey"] == p["p_partkey"])
+        .filter(branch1 | branch2)
+        .agg(F.sum(rev).cast("double").alias("revenue"),
+             F.count(F.lit(1)).alias("n_lines"))
+    )

@@ -1076,3 +1076,73 @@ def inverted_postings(
             ).alias("postings"),
         )
     )
+
+
+def pmi_collocations(
+    df: DataFrame,
+    text_col: str = "text",
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Collocation extraction by pointwise mutual information:
+    PMI(a,b) = log( p(a,b) / (p(a)·p(b)) ) over adjacent token pairs —
+    the corpus-statistics pass that finds multiword expressions
+    ("new york") worth fusing before tokenizer training.
+
+    Engine-exact: counts are integers, the PMI is computed from them
+    in one deterministic float expression and e6-rounded; ranking ties
+    break on the pair itself.
+
+    Plan: one exploded-bigram groupBy (map-combined) + one unigram
+    groupBy; unigram totals broadcast back onto the bigram table via
+    two joins on the token (small side auto-broadcast); top-k is
+    TakeOrdered.  The corpus scans once per table; nothing shuffles
+    raw text."""
+    toks = F.split(normalize_text(text_col), " ")
+    bi = (
+        df.select(
+            F.explode(
+                F.when(
+                    F.size(toks) >= 2,
+                    F.transform(
+                        F.sequence(F.lit(1), F.size(toks) - 1),
+                        lambda i: F.struct(
+                            F.element_at(toks, i).alias("a"),
+                            F.element_at(toks, i + 1).alias("b"),
+                        ),
+                    ),
+                ).otherwise(
+                    F.array().cast("array<struct<a:string,b:string>>")
+                )
+            ).alias("p")
+        )
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= min_count)
+    )
+    uni = (
+        df.select(F.explode(toks).alias("t"))
+        .filter(F.col("t") != "")
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    n_total = uni.agg(F.sum("n").alias("_nt"))
+    ua = uni.select(F.col("t").alias("a"), F.col("n").alias("n_a"))
+    ub = uni.select(F.col("t").alias("b"), F.col("n").alias("n_b"))
+    return (
+        bi.join(ua, "a")
+        .join(ub, "b")
+        .crossJoin(F.broadcast(n_total))
+        .select(
+            "a", "b", "n_ab",
+            F.round(
+                F.log(
+                    (F.col("n_ab").cast("double") * F.col("_nt").cast("double"))
+                    / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
+        .limit(top_k)
+    )

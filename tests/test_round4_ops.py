@@ -411,3 +411,56 @@ def test_retention_cohorts_offset_zero_equals_cohort_size(spark):
     zero = sum(r["n_users"] for r in rows if r["period_offset"] == 0)
     assert zero == ev.select("user_id").distinct().count()
     assert all(r["period_offset"] >= 0 for r in rows)
+
+
+def test_priority_line_counts_partition_of_lines(spark):
+    from cassandra_data_migration_spark.operators.olap import (
+        priority_line_counts,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    rows = priority_line_counts(li, orders).collect()
+    in_window = li.filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+    ).count()
+    assert sum(r["high_line_count"] + r["low_line_count"] for r in rows) == in_window
+
+
+def test_promo_revenue_share_bounds(spark):
+    from cassandra_data_migration_spark.operators.olap import (
+        promo_revenue_share,
+    )
+
+    r = promo_revenue_share(
+        load_table(spark, SF_SMOKE, "lineitem"),
+        load_table(spark, SF_SMOKE, "part"),
+    ).first()
+    assert 0 <= r["promo_pct"] <= 100
+    assert r["promo_revenue"] <= r["total_revenue"]
+
+
+def test_disjunctive_revenue_branches_subset(spark):
+    from cassandra_data_migration_spark.operators.olap import (
+        disjunctive_predicate_revenue,
+    )
+
+    li = load_table(spark, SF_SMOKE, "lineitem")
+    part = load_table(spark, SF_SMOKE, "part")
+    r = disjunctive_predicate_revenue(li, part).first()
+    assert r["n_lines"] <= li.count()
+    assert r["n_lines"] > 0
+
+
+def test_pmi_collocations_consistency(spark):
+    from cassandra_data_migration_spark.operators.text import pmi_collocations
+
+    rows = pmi_collocations(
+        load_table(spark, SF_SMOKE, "documents"), min_count=3, top_k=20
+    ).collect()
+    assert 0 < len(rows) <= 20
+    # ranked descending, counts respect the floor
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r["n_ab"] >= 3 for r in rows)
