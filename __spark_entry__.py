@@ -2211,6 +2211,24 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CDC changelog fold: latest op per key wins, deletes vanish -
+    # the full I/U/D semantics CDM's never-delete AutoCorrect omits;
+    # ops derived deterministically from the events fixture
+    from cassandra_data_migration_spark.operators.windows import cdc_apply
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    return cdc_apply(
+        log, ["user_id"], ts_col="ts", tiebreak_col="event_id"
+    )
+
+
 def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q12 shape: CASE-inside-SUM conditional aggregation
     from cassandra_data_migration_spark.operators.olap import (
@@ -2609,6 +2627,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "knn_join": q_knn_join,
     "ohlc_bars": q_ohlc_bars,
     "priority_line_counts": q_priority_line_counts,
+    "cdc_apply": q_cdc_apply,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pmi_collocations": q_pmi_collocations,
@@ -4887,6 +4906,23 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+ORACLES["cdc_apply"] = """
+    WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END AS op
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, ts, event_id, value, op
+    FROM ranked WHERE rn = 1 AND op <> 'D'
+"""
 
 ORACLES["priority_line_counts"] = """
     SELECT l_returnflag,

@@ -412,3 +412,33 @@ def retention_cohorts(
         .groupBy("cohort", "period_offset")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+def cdc_apply(
+    changelog: DataFrame,
+    pk_cols: list[str],
+    ts_col: str = "ts",
+    op_col: str = "op",
+    delete_op: str = "D",
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """Materialize the current state from a CDC changelog: the latest
+    operation per key wins; keys whose latest operation is a DELETE
+    vanish.  This is the general changelog fold that CDM's
+    AutoCorrect deliberately is NOT (the reference never deletes
+    target rows — docs/04-cdm-approach.md:367); migrating FROM a
+    CDC feed needs the full insert/update/delete semantics.
+
+    Plan: ONE hash shuffle on the key for the per-key window (same
+    shape as Z3's LWW merge), ordered by (ts, tiebreak) with a
+    deterministic tiebreak so replayed logs materialize identically;
+    the delete filter is scan-side after the rank."""
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col:
+        order.append(F.col(tiebreak_col).desc())
+    w = Window.partitionBy(*pk_cols).orderBy(*order)
+    return (
+        changelog.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
+        .drop("_rn")
+    )

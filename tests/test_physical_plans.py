@@ -441,3 +441,31 @@ def test_large_volume_orders_broadcasts_qualifying_keys(spark):
     # HAVING-filtered key set broadcasts; the fact table is scanned once
     assert "BroadcastHashJoin" in plan
     assert plan.count("+- Scan parquet") == 3  # lineitem, orders, customer
+
+
+def test_disjunctive_predicate_pushes_single_side_conjuncts(spark):
+    plan = _plan(
+        entry_mod.queries()["disjunctive_revenue"](spark, SF_CORRECT)
+    )
+    # the quantity envelope reaches the lineitem scan; the brand/size
+    # disjunction reaches the part scan — neither waits for the join
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "LessThanOrEqual(l_quantity,30.0)" in plan
+    assert "In(p_brand" in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_promo_revenue_single_aggregation_no_second_scan(spark):
+    plan = _plan(entry_mod.queries()["promo_revenue"](spark, SF_CORRECT))
+    # numerator + denominator in ONE aggregate over one joined scan
+    assert plan.count("+- Scan parquet") == 2  # lineitem + part only
+    assert "partial_sum" in plan
+
+
+def test_cdc_apply_single_key_shuffle(spark):
+    plan = _plan(entry_mod.queries()["cdc_apply"](spark, SF_CORRECT))
+    # one hash exchange on the key, then window + scan-side filter;
+    # WindowGroupLimit pushes the rank<=1 cutoff below the final sort
+    # so each partition keeps one candidate row per key pre-shuffle
+    assert plan.count("+- Exchange ") == 1
+    assert "WindowGroupLimit" in plan
