@@ -97,3 +97,102 @@ def test_zorder_key_is_injective_on_the_domain(spark):
     rows = df.collect()
     assert len({r["z"] for r in rows}) == 64
     assert all(0 <= r["z"] < 64 for r in rows)
+
+
+rows_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),  # key
+        st.integers(min_value=-100, max_value=100),  # payload
+    ),
+    min_size=1,
+    max_size=30,
+    unique_by=lambda t: t[0],
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(rows=rows_strategy)
+def test_merkle_digest_additive_over_disjoint_splits(spark, rows):
+    # digest(A ∪ B) = (digest(A) + digest(B)) mod 2^60 for disjoint
+    # A, B — the property that makes the leaf digests incrementally
+    # maintainable (streaming/merkle.py) and partition-order-free
+    from cassandra_data_migration_spark.operators.merkle import (
+        TOKEN_SPACE,
+        range_digests,
+    )
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    a = df.filter("k % 2 = 0")
+    b = df.filter("k % 2 = 1")
+
+    def leaves(d):
+        return {
+            r["bucket"]: (r["n_rows"], r["digest"])
+            for r in range_digests(d, "k", ["k", "v"], depth=1).collect()
+        }
+
+    la, lb, lu = leaves(a), leaves(b), leaves(df)
+    for bucket in set(la) | set(lb):
+        na, da = la.get(bucket, (0, 0))
+        nb, db = lb.get(bucket, (0, 0))
+        assert lu[bucket] == (na + nb, (da + db) % TOKEN_SPACE)
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=8),   # group
+            st.integers(min_value=0, max_value=999),  # id
+            st.integers(min_value=1, max_value=50),   # weight > 0
+        ),
+        min_size=1,
+        max_size=25,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_weighted_sample_subset_and_cap(spark, rows):
+    from cassandra_data_migration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+
+    df = spark.createDataFrame(rows, "g long, i long, w long")
+    out = weighted_sample_per_group(df, "g", "i", "w", k=3).collect()
+    chosen = {(r["g"], r["i"]) for r in out}
+    assert chosen <= {(g, i) for g, i, _ in rows}
+    from collections import Counter
+
+    per_group = Counter(g for g, _ in chosen)
+    sizes = Counter(g for g, _, _ in rows)
+    for g, n in per_group.items():
+        assert n == min(3, sizes[g])  # exactly k (or all) per group
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    ops=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=4),    # key
+            st.integers(min_value=0, max_value=100),  # ts
+            st.sampled_from(["I", "U", "D"]),
+        ),
+        min_size=1,
+        max_size=20,
+    )
+)
+def test_cdc_apply_replay_and_reference(spark, ops):
+    from cassandra_data_migration_spark.operators.windows import cdc_apply
+
+    rows = [(k, t, i, op) for i, (k, t, op) in enumerate(ops)]
+    df = spark.createDataFrame(rows, "k long, ts long, seq long, op string")
+    out = {
+        r["k"]: (r["ts"], r["seq"], r["op"])
+        for r in cdc_apply(df, ["k"], ts_col="ts", tiebreak_col="seq").collect()
+    }
+    # pure-python reference: latest (ts, seq) per key, drop deletes
+    best = {}
+    for k, t, i, op in rows:
+        if k not in best or (t, i) > (best[k][0], best[k][1]):
+            best[k] = (t, i, op)
+    expected = {k: v for k, v in best.items() if v[2] != "D"}
+    assert out == expected
