@@ -109,3 +109,49 @@ def test_full_lab_migration_scenario(spark, tmp_path):
     repaired = autocorrect(origin_live, corrupted, PK)
     final = validate_table(origin_live, repaired, PK, "users")
     assert final.passed and final.status == "PASS"
+
+
+def test_merkle_scoped_repair_flow(spark):
+    """The anti-entropy repair loop end to end: Merkle diff names the
+    divergent token ranges, row-level reconciliation runs ONLY inside
+    them, and the post-repair re-diff is clean."""
+    from pyspark.sql import functions as F
+
+    from __spark_entry__ import _origin, _target
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+    from cassandra_data_migration_spark.operators.joins import reconcile
+    from cassandra_data_migration_spark.operators.merkle import (
+        TOKEN_SPACE,
+        merkle_diff,
+    )
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    origin = _origin(spark, "/root/testdata/sf0.001")
+    target = _target(spark, "/root/testdata/sf0.001")
+
+    flagged = merkle_diff(origin, target, "o_orderkey", cols).collect()
+    assert flagged, "fixture perturbations must surface"
+    buckets = [r["bucket"] for r in flagged]
+
+    # drill down: P4-style token predicate scopes the row-level work
+    width = -(-TOKEN_SPACE // 64)
+    tok = md5_draw("merkle:tok", "o_orderkey")
+    in_scope = F.floor(tok / F.lit(width)).isin(buckets)
+    o_scope = origin.filter(in_scope)
+    t_scope = target.filter(in_scope)
+
+    # the scoped set is where ALL the damage lives: repair it
+    repair = reconcile(o_scope, t_scope, ["o_orderkey"])
+    repaired_target = (
+        target.join(repair, ["o_orderkey"], "left_anti")
+        .unionByName(repair)
+    )
+
+    # post-repair: the whole-table re-diff is clean (never-delete
+    # semantics hold because the fixture only drops/perturbs rows)
+    assert (
+        merkle_diff(origin, repaired_target, "o_orderkey", cols).count() == 0
+    )
