@@ -5,12 +5,16 @@ an opaque ``binary`` payload column plus a typed metadata struct
 (modality, mime, nominal dims).  The Spark-side machinery — schema,
 partitioning, Arrow-batched ``mapInPandas`` feature extraction,
 batch shapes — is real and tested.  The codec step resolves at call
-time: Pillow (images) / soundfile (audio) when installed, else the
-deterministic hash-derived stub via ``fake=True``; with ``fake=False``
-and no codec present, ``decode_media`` raises NotImplementedError
-instead of silently substituting fake content.  This container ships
-no codec libraries, so tests exercise the stub path plus the
-raises-without-codec contract.
+time, in order: (1) REAL pure-stdlib decoders for the uncompressed
+containers — 24-bit BMP and P6 PPM → raw RGB, PCM WAV → PCM16 —
+which run in any environment including this one (tested on
+synthesized payloads, pixel/sample-exact); (2) Pillow (images) /
+soundfile (audio) when installed, for compressed formats; (3) the
+deterministic hash-derived stub via ``fake=True`` (what the
+oracle-checked queries use, since the fixture payloads are text
+bytes, not media).  With ``fake=False`` and no applicable codec,
+``decode_media`` raises NotImplementedError instead of silently
+substituting fake content.
 """
 
 from __future__ import annotations
@@ -69,18 +73,102 @@ def _audio_codec():
         return None
 
 
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib decode of an uncompressed 24-bit BMP (BI_RGB) to
+    (width, height, raw top-down RGB bytes).  BMP stores rows
+    bottom-up in BGR with 4-byte row padding; both are undone here.
+    Public format, fully specified — no codec library required."""
+    import struct  # noqa: PLC0415
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (pixel_off,) = struct.unpack_from("<I", payload, 10)
+    width, height = struct.unpack_from("<ii", payload, 18)
+    (bpp,) = struct.unpack_from("<H", payload, 28)
+    (compression,) = struct.unpack_from("<I", payload, 30)
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24-bit BI_RGB supported (bpp={bpp})")
+    row_bytes = (width * 3 + 3) & ~3
+    out = bytearray()
+    for row in range(abs(height)):
+        # positive height → bottom-up storage
+        src_row = (abs(height) - 1 - row) if height > 0 else row
+        base = pixel_off + src_row * row_bytes
+        line = payload[base : base + width * 3]
+        for x in range(width):
+            b, g, r = line[3 * x : 3 * x + 3]
+            out += bytes((r, g, b))
+    return width, abs(height), bytes(out)
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib decode of a binary PPM (P6, maxval 255): already
+    top-down RGB — just parse the header."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    parts: list[int] = []
+    i = 2
+    while len(parts) < 3:
+        while i < len(payload) and payload[i : i + 1].isspace():
+            i += 1
+        if payload[i : i + 1] == b"#":  # comment line
+            while payload[i : i + 1] != b"\n":
+                i += 1
+            continue
+        j = i
+        while j < len(payload) and not payload[j : j + 1].isspace():
+            j += 1
+        parts.append(int(payload[i:j]))
+        i = j
+    i += 1  # single whitespace after maxval
+    width, height, maxval = parts
+    if maxval != 255:
+        raise ValueError("only maxval=255 PPM supported")
+    return width, height, payload[i : i + width * height * 3]
+
+
+def decode_wav(payload: bytes) -> bytes:
+    """Stdlib decode of a PCM WAV to interleaved PCM16 frame bytes
+    (the ``wave`` module ships with Python — a real codec, not a
+    stub)."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    with wave.open(io.BytesIO(payload)) as w:
+        return w.readframes(w.getnframes())
+
+
+def _sniff(payload: bytes) -> str | None:
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] == b"P6":
+        return "ppm"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
 def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
     """Decode a media payload to raw content bytes.
 
     ``fake=True`` → deterministic hash-derived stand-in (always
     available; what the oracle-checked queries use).  ``fake=False`` →
-    the REAL path: Pillow for images (raw RGB bytes), soundfile for
-    audio (raw PCM16 bytes), resolved at call time via import-try; if
-    the codec library is absent this raises NotImplementedError rather
-    than silently substituting fake content."""
+    the REAL path, in resolution order: (1) container-sniffed
+    pure-stdlib codecs — BMP/PPM → raw RGB, PCM WAV → PCM16 frames —
+    which work in ANY environment; (2) Pillow (images) / soundfile
+    (audio) when installed, for the compressed formats; (3)
+    NotImplementedError rather than silently substituting fake
+    content."""
     if fake:
         # deterministic "decoded" bytes: payload through a hash chain
         return hashlib.sha256(payload).digest()
+    kind = _sniff(payload)
+    if kind == "bmp":
+        return decode_bmp(payload)[2]
+    if kind == "ppm":
+        return decode_ppm(payload)[2]
+    if kind == "wav":
+        return decode_wav(payload)
     modality = (meta or {}).get("modality", "image")
     if modality == "image":
         image_mod = _image_codec()
@@ -97,9 +185,10 @@ def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
             data, _rate = sf_mod.read(io.BytesIO(payload), dtype="int16")
             return data.tobytes()
     raise NotImplementedError(
-        f"no codec available for modality={modality!r} (install Pillow "
-        "for images / soundfile for audio), and fake=False was "
-        "requested; pass fake=True for the deterministic stub"
+        f"no codec available for this payload (modality={modality!r}): "
+        "uncompressed BMP/PPM/WAV decode in-repo; compressed formats "
+        "need Pillow (images) / soundfile (audio); or pass fake=True "
+        "for the deterministic stub"
     )
 
 
@@ -188,10 +277,26 @@ def resize_media(
     def _real_resize(b: bytes) -> bytes:
         import io  # noqa: PLC0415
 
+        kind = _sniff(bytes(b))
+        if kind in ("bmp", "ppm"):
+            # pure stdlib+numpy path: decode → nearest-neighbor
+            # resample → re-encode as P6 PPM.  Real pixels, no Pillow.
+            import numpy as np  # noqa: PLC0415
+
+            w0, h0, rgb = (decode_bmp if kind == "bmp" else decode_ppm)(
+                bytes(b)
+            )
+            arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
+            ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
+            xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
+            resized_arr = arr[ys][:, xs]
+            header = f"P6\n{width} {height}\n255\n".encode()
+            return header + resized_arr.tobytes()
         image_mod = _image_codec()
         if image_mod is None:
             raise NotImplementedError(
-                "resize_media(fake_decode=False) needs Pillow installed"
+                "resize_media(fake_decode=False) needs an uncompressed "
+                "BMP/PPM payload or Pillow installed"
             )
         with image_mod.open(io.BytesIO(b)) as img:
             out = io.BytesIO()

@@ -464,3 +464,77 @@ def test_pmi_collocations_consistency(spark):
     pmis = [r["pmi"] for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r["n_ab"] >= 3 for r in rows)
+
+
+def _make_bmp(width, height, pixels):
+    """Minimal 24-bit BI_RGB BMP: pixels is row-major top-down RGB."""
+    import struct
+
+    row_bytes = (width * 3 + 3) & ~3
+    data = bytearray()
+    for row in range(height - 1, -1, -1):  # bottom-up storage
+        line = bytearray()
+        for x in range(width):
+            r, g, b = pixels[row * width + x]
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_bytes - len(line))
+        data += line
+    pixel_off = 14 + 40
+    size = pixel_off + len(data)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + data)
+
+
+def test_decode_bmp_ppm_wav_real_codecs():
+    import io
+    import wave as wave_mod
+
+    from cassandra_data_migration_spark.operators.multimodal import (
+        decode_bmp,
+        decode_media,
+        decode_ppm,
+        decode_wav,
+    )
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    bmp = _make_bmp(2, 2, pixels)
+    w, h, rgb = decode_bmp(bmp)
+    assert (w, h) == (2, 2)
+    assert rgb == b"".join(bytes(p) for p in pixels)  # BGR undone, top-down
+    assert decode_media(bmp, {}, fake=False) == rgb  # sniffed
+
+    ppm = b"P6\n2 2\n255\n" + rgb
+    assert decode_ppm(ppm) == (2, 2, rgb)
+    assert decode_media(ppm, {}, fake=False) == rgb
+
+    pcm = bytes(range(32))  # 16 PCM16 samples
+    buf = io.BytesIO()
+    with wave_mod.open(buf, "wb") as wv:
+        wv.setnchannels(1)
+        wv.setsampwidth(2)
+        wv.setframerate(8000)
+        wv.writeframes(pcm)
+    wav = buf.getvalue()
+    assert decode_wav(wav) == pcm
+    assert decode_media(wav, {"modality": "audio"}, fake=False) == pcm
+
+
+def test_resize_media_real_path_without_pillow(spark):
+    from cassandra_data_migration_spark.operators.multimodal import (
+        decode_ppm,
+        resize_media,
+    )
+
+    pixels = [(255, 0, 0), (0, 255, 0), (0, 0, 255), (10, 20, 30)]
+    bmp = _make_bmp(2, 2, pixels)
+    df = spark.createDataFrame([(1, bytearray(bmp))], "doc_id long, payload binary")
+    out = resize_media(df, width=4, height=4, fake_decode=False).first()
+    w, h, rgb = decode_ppm(bytes(out["payload_resized"]))
+    assert (w, h) == (4, 4)
+    # nearest-neighbor: top-left quadrant is the top-left source pixel
+    assert rgb[0:3] == bytes((255, 0, 0))
+    assert rgb[3:6] == bytes((255, 0, 0))
+    assert out["media_meta"]["width"] == 4
