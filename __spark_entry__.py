@@ -2211,6 +2211,35 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(f"SELECT * FROM {name}")
 
 
+def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
+    """Deterministic pseudo-image pixels from md5 — both the query's
+    payloads and the oracle's expected sums derive from this."""
+    import hashlib as _hashlib
+
+    raw = b""
+    i = 0
+    while len(raw) < w * h * 3:
+        raw += _hashlib.md5(f"bmp:{doc_id}:{i}".encode()).digest()
+        i += 1
+    return raw[: w * h * 3]
+
+
+def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL codec path end to end: deterministic BMPs encoded driver-
+    # side, decoded by the in-repo BI_RGB codec inside an Arrow
+    # mapInPandas, integer channel sums out (engine-comparable)
+    from cassandra_data_migration_spark.operators.multimodal import (
+        encode_bmp,
+        media_pixel_stats,
+    )
+
+    rows = [
+        (i, bytearray(encode_bmp(4, 4, _synth_rgb(i)))) for i in range(32)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return media_pixel_stats(df)
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC changelog fold: latest op per key wins, deletes vanish -
     # the full I/U/D semantics CDM's never-delete AutoCorrect omits;
@@ -2628,6 +2657,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ohlc_bars": q_ohlc_bars,
     "priority_line_counts": q_priority_line_counts,
     "cdc_apply": q_cdc_apply,
+    "media_decode": q_media_decode,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pmi_collocations": q_pmi_collocations,
@@ -4906,6 +4936,24 @@ _EVENTS_DIGEST_EXPRS = [
     "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
     "CAST(props AS VARCHAR)",
 ]
+
+def _media_decode_expected() -> str:
+    # expected sums computed straight from the pixel generator —
+    # independent of the BMP encode/decode roundtrip under test
+    vals = []
+    for i in range(32):
+        rgb = _synth_rgb(i)
+        vals.append(
+            f"({i}, 4, 4, {sum(rgb[0::3])}, {sum(rgb[1::3])}, {sum(rgb[2::3])})"
+        )
+    return (
+        "SELECT * FROM (VALUES "
+        + ", ".join(vals)
+        + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
+    )
+
+
+ORACLES["media_decode"] = _media_decode_expected()
 
 ORACLES["cdc_apply"] = """
     WITH log AS (

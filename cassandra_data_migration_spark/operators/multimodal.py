@@ -338,3 +338,65 @@ def resize_media(
     return resized.select(
         id_col, "payload_resized", meta.alias(meta_col)
     )
+
+
+def media_pixel_stats(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
+) -> DataFrame:
+    """REAL-decode pixel statistics: sniff + decode each payload with
+    the in-repo codecs (BMP/PPM) and emit integer channel sums —
+    (id, width, height, sum_r, sum_g, sum_b).  Integer-exact, so the
+    result is engine-comparable; Arrow-batched ``mapInPandas``, one
+    pass, no shuffle."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {
+                id_col: [], "width": [], "height": [],
+                "sum_r": [], "sum_g": [], "sum_b": [],
+            }
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(b)
+                kind = _sniff(b)
+                if kind == "bmp":
+                    w, h, rgb = decode_bmp(b)
+                elif kind == "ppm":
+                    w, h, rgb = decode_ppm(b)
+                else:
+                    raise ValueError("media_pixel_stats: unsupported payload")
+                out[id_col].append(rid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["sum_r"].append(sum(rgb[0::3]))
+                out["sum_g"].append(sum(rgb[1::3]))
+                out["sum_b"].append(sum(rgb[2::3]))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run,
+        f"{id_col} long, width int, height int, "
+        "sum_r long, sum_g long, sum_b long",
+    )
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Encoder twin of :func:`decode_bmp`: raw top-down RGB → 24-bit
+    BI_RGB BMP bytes (bottom-up BGR, 4-byte row padding).  Pure
+    stdlib; what a media sink stage writes."""
+    import struct  # noqa: PLC0415
+
+    row_bytes = (width * 3 + 3) & ~3
+    data = bytearray()
+    for row in range(height - 1, -1, -1):
+        line = bytearray()
+        for x in range(width):
+            r, g, b = rgb[3 * (row * width + x) : 3 * (row * width + x) + 3]
+            line += bytes((b, g, r))
+        line += b"\x00" * (row_bytes - len(line))
+        data += line
+    pixel_off = 14 + 40
+    header = struct.pack("<2sIHHI", b"BM", pixel_off + len(data), 0, 0, pixel_off)
+    dib = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, len(data), 2835, 2835, 0, 0
+    )
+    return bytes(header + dib + data)
