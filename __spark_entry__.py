@@ -2224,6 +2224,19 @@ def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
     return raw[: w * h * 3]
 
 
+def q_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # bag-semantics diff: EXCEPT ALL / INTERSECT ALL with
+    # multiplicity - catches duplicated-row drift that set diffs miss
+    from cassandra_data_migration_spark.operators.setops import (
+        multiset_compare,
+    )
+
+    # duplicate some target rows to make multiplicity matter
+    t = _target(spark, sf_dir)
+    dup = t.filter(F.pmod("o_orderkey", F.lit(13)) == 0)
+    return multiset_compare(_origin(spark, sf_dir), t.unionByName(dup))
+
+
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # REAL codec path end to end: deterministic BMPs encoded driver-
     # side, decoded by the in-repo BI_RGB codec inside an Arrow
@@ -2658,6 +2671,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "priority_line_counts": q_priority_line_counts,
     "cdc_apply": q_cdc_apply,
     "media_decode": q_media_decode,
+    "multiset_compare": q_multiset_compare,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pmi_collocations": q_pmi_collocations,
@@ -4952,6 +4966,22 @@ def _media_decode_expected() -> str:
         + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
     )
 
+
+ORACLES["multiset_compare"] = f"""
+    WITH t2 AS (
+        SELECT * FROM ({_TARGET_SQL})
+        UNION ALL
+        SELECT * FROM ({_TARGET_SQL}) WHERE o_orderkey % 13 = 0
+    ),
+    oa AS (SELECT COUNT(*) AS n FROM
+           (SELECT * FROM orders EXCEPT ALL SELECT * FROM t2)),
+    ib AS (SELECT COUNT(*) AS n FROM
+           (SELECT * FROM orders INTERSECT ALL SELECT * FROM t2)),
+    ob AS (SELECT COUNT(*) AS n FROM
+           (SELECT * FROM t2 EXCEPT ALL SELECT * FROM orders))
+    SELECT oa.n AS only_origin, ib.n AS in_both, ob.n AS only_target
+    FROM oa, ib, ob
+"""
 
 ORACLES["media_decode"] = _media_decode_expected()
 

@@ -63,3 +63,24 @@ def conform_schema(
                 "fill_missing=False"
             )
     return df.select(*cols)
+
+
+def multiset_compare(a: DataFrame, b: DataFrame) -> DataFrame:
+    """Full bag-semantics comparison of two same-schema sides in one
+    report row: |A EXCEPT ALL B|, |A INTERSECT ALL B|, |B EXCEPT ALL
+    A|.  Duplicates count with multiplicity — the distinction that
+    row-hash set diffs miss when a migration DUPLICATES rows instead
+    of dropping them (list-append re-run duplication is a documented
+    reference hazard, docs/04-cdm-approach.md:834).
+
+    Plan: each set op is one hash shuffle of the canonicalized rows;
+    the three counts reduce map-side.  At scale, project to
+    (pk, row_hash) first so the exchanges carry 16 bytes/row."""
+    only_a = a.exceptAll(b).count()
+    in_both = a.intersectAll(b).count()
+    only_b = b.exceptAll(a).count()
+    spark = a.sparkSession
+    return spark.createDataFrame(
+        [(only_a, in_both, only_b)],
+        "only_origin long, in_both long, only_target long",
+    )

@@ -460,3 +460,78 @@ def test_trending_stream_equals_batch(spark, tmp_path):
         for r in trending_per_window(events).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_stream_checkpoint_resume_no_duplicates(spark, tmp_path):
+    """T5 streaming form: stopping a checkpointed stream and starting
+    a new query over the SAME checkpoint must not re-emit processed
+    batches — the exactly-once resume the migrate cutover relies on."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base.limit(100).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema)
+            .parquet(src)
+            .writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    run_once()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 100
+    # add a second file; resume from the same checkpoint
+    base.limit(150).exceptAll(base.limit(100)).write.mode("append").parquet(src)
+    run_once()
+    out = spark.read.parquet(sink)
+    assert out.count() == 150  # no re-emission of the first batch
+    assert out.select("event_id").distinct().count() == 150
+    shutil.rmtree(src, ignore_errors=True)
+
+
+def test_paced_file_stream_rate_limits_batches(spark, tmp_path):
+    """T6 (throttled streams): maxFilesPerTrigger paces ingestion —
+    the streaming analogue of the T1 token-bucket rate cap.  Proven
+    by batch count: 4 source files at 1 file/trigger -> 4 micro-
+    batches; unpaced -> 1."""
+    src = str(tmp_path / "psrc")
+    base = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    base.limit(80).repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+
+    def batches(options):
+        reader = spark.readStream.schema(schema)
+        for k, v in options.items():
+            reader = reader.option(k, v)
+        import uuid as _uuid
+
+        name = f"paced_{_uuid.uuid4().hex[:8]}"
+        q = (
+            reader.parquet(src)
+            .groupBy()
+            .count()
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("complete")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return len(q.recentProgress)
+
+    paced = batches({"maxFilesPerTrigger": "1"})
+    unpaced = batches({})
+    assert paced >= 4
+    assert unpaced <= 2  # one data batch (+ possible empty finalizer)
