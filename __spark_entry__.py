@@ -2224,6 +2224,40 @@ def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
     return raw[: w * h * 3]
 
 
+def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the SQL interface end to end: fixture tables registered as temp
+    # views, the report written as SQL text - same Catalyst plan as
+    # the DataFrame form (spark.sql is a first-class entry point)
+    for t in ("orders", "customer", "nation"):
+        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
+    return spark.sql("""
+        SELECT n.n_name AS nation,
+               COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
+                    AS DOUBLE) AS total_price
+        FROM v_orders o
+        JOIN v_customer c ON o.o_custkey = c.c_custkey
+        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
+        GROUP BY n.n_name
+    """)
+
+
+def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # semi-structured JSON via Spark 4 VariantType: parse once,
+    # typed extraction without a user-declared schema - the columnar
+    # path for ragged props at scale (vs per-access string re-parse
+    # with get_json_object)
+    ev = load_table(spark, sf_dir, "events")
+    v = F.parse_json("props")
+    return (
+        ev.select(
+            "event_id",
+            F.try_variant_get(v, "$.k", "int").alias("k_value"),
+        )
+        .filter(F.col("k_value").isNotNull() & (F.col("k_value") % 7 == 0))
+    )
+
+
 def q_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bag-semantics diff: EXCEPT ALL / INTERSECT ALL with
     # multiplicity - catches duplicated-row drift that set diffs miss
@@ -2672,6 +2706,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply": q_cdc_apply,
     "media_decode": q_media_decode,
     "multiset_compare": q_multiset_compare,
+    "sql_passthrough": q_sql_passthrough,
+    "props_variant": q_props_variant,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
     "pmi_collocations": q_pmi_collocations,
@@ -4966,6 +5002,23 @@ def _media_decode_expected() -> str:
         + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
     )
 
+
+ORACLES["sql_passthrough"] = """
+    SELECT n.n_name AS nation,
+           COUNT(*) AS n_orders,
+           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders o
+    JOIN customer c ON o.o_custkey = c.c_custkey
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+"""
+
+ORACLES["props_variant"] = """
+    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_value
+    FROM events
+    WHERE CAST(json_extract(props, '$.k') AS INT) % 7 = 0
+"""
 
 ORACLES["multiset_compare"] = f"""
     WITH t2 AS (
