@@ -2224,6 +2224,31 @@ def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
     return raw[: w * h * 3]
 
 
+def q_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Laplace-mechanism release of grouped counts, seeded-noise mode
+    # (reproducible draw per group via md5 inverse-CDF)
+    from cassandra_data_migration_spark.operators.privacy import (
+        dp_group_counts,
+    )
+
+    return dp_group_counts(
+        load_table(spark, sf_dir, "events"), ["event_type"], epsilon=0.5
+    )
+
+
+def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # quasi-identifier audit: cells smaller than k are re-id risks
+    from cassandra_data_migration_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    return k_anonymity_violations(
+        load_table(spark, sf_dir, "customer"),
+        ["c_nationkey", "c_mktsegment"],
+        k=20,
+    )
+
+
 def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the SQL interface end to end: fixture tables registered as temp
     # views, the report written as SQL text - same Catalyst plan as
@@ -2707,6 +2732,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "media_decode": q_media_decode,
     "multiset_compare": q_multiset_compare,
     "sql_passthrough": q_sql_passthrough,
+    "dp_group_counts": q_dp_group_counts,
+    "k_anonymity": q_k_anonymity,
     "props_variant": q_props_variant,
     "promo_revenue": q_promo_revenue,
     "disjunctive_revenue": q_disjunctive_revenue,
@@ -5002,6 +5029,28 @@ def _media_decode_expected() -> str:
         + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
     )
 
+
+ORACLES["dp_group_counts"] = """
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+    ),
+    noised AS (
+        SELECT event_type, n,
+               (CAST('0x' || substr(md5(concat_ws(':', 'dp-release',
+                    CAST(event_type AS VARCHAR))), 1, 8) AS BIGINT) + 1)
+                   / 4294967297.0 AS u
+        FROM g
+    )
+    SELECT event_type,
+           ROUND(GREATEST(n + (-2.0 * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5))), 0.0), 6) AS noisy_count
+    FROM noised
+"""
+
+ORACLES["k_anonymity"] = """
+    SELECT c_nationkey, c_mktsegment, COUNT(*) AS group_size
+    FROM customer GROUP BY 1, 2 HAVING COUNT(*) < 20
+"""
 
 ORACLES["sql_passthrough"] = """
     SELECT n.n_name AS nation,

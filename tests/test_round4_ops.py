@@ -538,3 +538,41 @@ def test_resize_media_real_path_without_pillow(spark):
     assert rgb[0:3] == bytes((255, 0, 0))
     assert rgb[3:6] == bytes((255, 0, 0))
     assert out["media_meta"]["width"] == 4
+
+
+def test_dp_group_counts_noise_properties(spark):
+    from cassandra_data_migration_spark.operators.privacy import (
+        dp_group_counts,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    true = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    a = {r["event_type"]: r["noisy_count"]
+         for r in dp_group_counts(ev, ["event_type"], epsilon=0.5).collect()}
+    b = {r["event_type"]: r["noisy_count"]
+         for r in dp_group_counts(ev, ["event_type"], epsilon=0.5).collect()}
+    assert a == b  # pinned release seed: reproducible
+    for k, noisy in a.items():
+        assert noisy >= 0
+        # Laplace(2) tail: |noise| < 50 with overwhelming probability
+        assert abs(noisy - true[k]) < 50
+    # different seed -> different noise
+    c = {r["event_type"]: r["noisy_count"]
+         for r in dp_group_counts(ev, ["event_type"], epsilon=0.5,
+                                  seed="other").collect()}
+    assert c != a
+
+
+def test_k_anonymity_violations_crafted(spark):
+    from cassandra_data_migration_spark.operators.privacy import (
+        k_anonymity_violations,
+    )
+
+    rows = [("a", 1)] * 10 + [("b", 2)] * 3 + [("c", 3)] * 1
+    df = spark.createDataFrame(rows, "q1 string, q2 int")
+    out = {(r["q1"], r["q2"]): r["group_size"]
+           for r in k_anonymity_violations(df, ["q1", "q2"], k=5).collect()}
+    assert out == {("b", 2): 3, ("c", 3): 1}
