@@ -2224,6 +2224,29 @@ def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
     return raw[: w * h * 3]
 
 
+def q_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # gaps-and-islands completeness check over a sequenced feed; gaps
+    # injected by dropping every 97th id
+    from cassandra_data_migration_spark.operators.windows import (
+        id_gap_islands,
+    )
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.pmod("event_id", F.lit(97)) != 0
+    )
+    return id_gap_islands(ev)
+
+
+def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # outlier-robust per-group means: exact-percentile clamp then
+    # DECIMAL mean
+    from cassandra_data_migration_spark.operators.aggregates import (
+        winsorized_stats,
+    )
+
+    return winsorized_stats(load_table(spark, sf_dir, "events"))
+
+
 def q_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Laplace-mechanism release of grouped counts, seeded-noise mode
     # (reproducible draw per group via md5 inverse-CDF)
@@ -2733,6 +2756,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiset_compare": q_multiset_compare,
     "sql_passthrough": q_sql_passthrough,
     "dp_group_counts": q_dp_group_counts,
+    "id_gap_islands": q_id_gap_islands,
+    "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
     "props_variant": q_props_variant,
     "promo_revenue": q_promo_revenue,
@@ -5029,6 +5054,39 @@ def _media_decode_expected() -> str:
         + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
     )
 
+
+ORACLES["id_gap_islands"] = """
+    WITH present AS (
+        SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0
+    ),
+    keyed AS (
+        SELECT event_id,
+               event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS island
+        FROM present
+    )
+    SELECT MIN(event_id) AS island_start,
+           MAX(event_id) AS island_end,
+           COUNT(*) AS island_len
+    FROM keyed GROUP BY island
+"""
+
+ORACLES["winsorized_stats"] = """
+    WITH bounds AS (
+        SELECT event_type,
+               quantile_cont(value, 0.05) AS lo,
+               quantile_cont(value, 0.95) AS hi
+        FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
+                 AS DECIMAL(20,6))) / COUNT(*) AS DOUBLE), 6)
+               AS winsorized_mean,
+           ROUND(ANY_VALUE(b.lo), 6) AS lower_bound,
+           ROUND(ANY_VALUE(b.hi), 6) AS upper_bound,
+           COUNT(*) AS n
+    FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY 1
+"""
 
 ORACLES["dp_group_counts"] = """
     WITH g AS (

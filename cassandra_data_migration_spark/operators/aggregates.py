@@ -534,3 +534,43 @@ def key_skew_report(
             ).alias("skew_factor"),
         )
     )
+
+
+def winsorized_stats(
+    df: DataFrame,
+    value_col: str = "value",
+    group_col: str = "event_type",
+    lower_pct: float = 0.05,
+    upper_pct: float = 0.95,
+) -> DataFrame:
+    """Outlier-robust per-group means: values clamped to the group's
+    [lower, upper] exact percentiles before averaging (winsorization)
+    — the feature-cleaning step that keeps a fat-tailed metric from
+    dominating a normalization.
+
+    Exactness: percentiles use ``percentile`` (exact, not approx) so
+    both engines agree; the clamped mean is a DECIMAL sum / count,
+    order-independent.  Plan: one groupBy for the bounds (exact
+    percentile sorts within each group's aggregation buffer), bounds
+    broadcast back, then one map-combined clamped aggregation —
+    two scans of the metric column, O(groups) broadcast."""
+    bounds = df.groupBy(group_col).agg(
+        F.expr(f"percentile({value_col}, {lower_pct})").alias("_lo"),
+        F.expr(f"percentile({value_col}, {upper_pct})").alias("_hi"),
+    )
+    clamped = df.join(F.broadcast(bounds), group_col).select(
+        group_col,
+        F.least(F.greatest(F.col(value_col), F.col("_lo")), F.col("_hi"))
+        .cast("decimal(20,6)")
+        .alias("_c"),
+        F.col("_lo"),
+        F.col("_hi"),
+    )
+    return clamped.groupBy(group_col).agg(
+        F.round(
+            (F.sum("_c") / F.count(F.lit(1))).cast("double"), 6
+        ).alias("winsorized_mean"),
+        F.round(F.first("_lo"), 6).alias("lower_bound"),
+        F.round(F.first("_hi"), 6).alias("upper_bound"),
+        F.count(F.lit(1)).alias("n"),
+    )

@@ -442,3 +442,52 @@ def cdc_apply(
         .filter((F.col("_rn") == 1) & (F.col(op_col) != delete_op))
         .drop("_rn")
     )
+
+
+def id_gap_islands(
+    df: DataFrame,
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Gaps-and-islands over a dense id space: contiguous runs of
+    present ids collapse to (island_start, island_end, island_len)
+    rows — the classic completeness check for sequenced ingest (which
+    id ranges did the feed drop?).
+
+    Plan: the island key is ``id − row_number()`` (constant within a
+    contiguous run) — one global-ordered window.  To avoid a
+    single-task global sort, the row_number is composed from a range
+    bucket's local rank plus broadcast per-bucket offsets — the same
+    two-phase trick as ``operators/ids.stable_dense_ids``; here ids
+    are already near-dense so fixed-width buckets serve as the range
+    partitioner."""
+    bucket = (F.col(id_col) / F.lit(100000)).cast("long")
+    w_local = Window.partitionBy("_bkt").orderBy(F.asc(id_col))
+    local = (
+        df.select(F.col(id_col)).distinct()
+        .withColumn("_bkt", bucket)
+        .withColumn("_lrn", F.row_number().over(w_local))
+    )
+    sizes = {
+        r["_bkt"]: r["n"]
+        for r in local.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    offsets, acc = {}, 0
+    for b in sorted(sizes):
+        offsets[b] = acc
+        acc += sizes[b]
+    off = F.map_from_arrays(
+        F.array(*[F.lit(b) for b in sorted(offsets)]),
+        F.array(*[F.lit(offsets[b]) for b in sorted(offsets)]),
+    )
+    keyed = local.withColumn(
+        "_island", F.col(id_col) - (F.col("_lrn") + off[F.col("_bkt")])
+    )
+    return (
+        keyed.groupBy("_island")
+        .agg(
+            F.min(id_col).alias("island_start"),
+            F.max(id_col).alias("island_end"),
+            F.count(F.lit(1)).alias("island_len"),
+        )
+        .select("island_start", "island_end", "island_len")
+    )

@@ -576,3 +576,31 @@ def test_k_anonymity_violations_crafted(spark):
     out = {(r["q1"], r["q2"]): r["group_size"]
            for r in k_anonymity_violations(df, ["q1", "q2"], k=5).collect()}
     assert out == {("b", 2): 3, ("c", 3): 1}
+
+
+def test_id_gap_islands_crafted(spark):
+    from cassandra_data_migration_spark.operators.windows import (
+        id_gap_islands,
+    )
+
+    ids = [1, 2, 3, 7, 8, 10, 200001, 200002]  # spans two range buckets
+    df = spark.createDataFrame([(i,) for i in ids], "event_id long")
+    out = sorted(
+        (r["island_start"], r["island_end"], r["island_len"])
+        for r in id_gap_islands(df).collect()
+    )
+    assert out == [(1, 3, 3), (7, 8, 2), (10, 10, 1), (200001, 200002, 2)]
+
+
+def test_winsorized_mean_tames_outliers(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        winsorized_stats,
+    )
+
+    rows = [("a", float(v)) for v in range(1, 20)] + [("a", 10000.0)]
+    df = spark.createDataFrame(rows, "event_type string, value double")
+    r = winsorized_stats(df, "value", "event_type").first()
+    # the 10000 outlier is clamped to the 95th percentile
+    assert r["winsorized_mean"] < 50
+    assert r["upper_bound"] < 10000
+    assert r["n"] == 20
