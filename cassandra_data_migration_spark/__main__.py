@@ -4,10 +4,15 @@
         --properties cdm.properties --origin <parquet> --target <out> [--dry-run]
     python -m cassandra_data_migration_spark validate \
         --origin <parquet> --target <parquet> --pk col[,col...]
+    python -m cassandra_data_migration_spark guardrail \
+        --origin <parquet> --col-caps text=64 --row-cap-kb 256
 
 ``migrate`` is the spark-submit + cdm.properties flow
 (lab/exercises/04-cdm-migration.md:116-124); ``validate`` is
-lab/scripts/validate_migration.py's count/missing/mismatch report.
+lab/scripts/validate_migration.py's count/missing/mismatch report;
+``guardrail`` is CDM's scan-only GuardrailCheck job class
+(docs/04-cdm-approach.md:438-447) — the third of the reference's
+three spark-submit job classes.
 Each prints one JSON line so the commands compose in shell pipelines
 the same way the reference's lab scripts do.
 """
@@ -34,6 +39,20 @@ def main(argv: list[str] | None = None) -> int:
     v.add_argument("--target", required=True)
     v.add_argument("--pk", required=True, help="comma-separated primary key")
     v.add_argument("--table", default="")
+
+    g = sub.add_parser(
+        "guardrail", help="scan-only size-cap check (CDM GuardrailCheck)"
+    )
+    g.add_argument("--origin", required=True)
+    g.add_argument(
+        "--col-caps",
+        default="",
+        help="comma-separated col=capKB pairs (spark.cdm.guardrail.colSizeInKB)",
+    )
+    g.add_argument(
+        "--row-cap-kb", type=float, default=None,
+        help="spark.cdm.guardrail.rowSizeInKB",
+    )
 
     args = ap.parse_args(argv)
 
@@ -81,6 +100,29 @@ def main(argv: list[str] | None = None) -> int:
                 )
             )
             return 0
+        if args.cmd == "guardrail":
+            from cassandra_data_migration_spark.operators.filters import (
+                guardrail_split,
+            )
+
+            caps = {}
+            for pair in args.col_caps.split(","):
+                if pair.strip():
+                    c, cap = pair.split("=")
+                    caps[c.strip()] = float(cap)
+            df = spark.read.parquet(args.origin)
+            ok, bad = guardrail_split(df, caps or None, args.row_cap_kb)
+            n_bad = bad.count()
+            print(
+                json.dumps(
+                    {
+                        "rows_scanned": df.count(),
+                        "violations": n_bad,
+                        "clean": n_bad == 0,
+                    }
+                )
+            )
+            return 0 if n_bad == 0 else 1
         # validate
         from cassandra_data_migration_spark.plans.validate import (
             validate_table,

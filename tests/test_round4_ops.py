@@ -604,3 +604,30 @@ def test_winsorized_mean_tames_outliers(spark):
     assert r["winsorized_mean"] < 50
     assert r["upper_bound"] < 10000
     assert r["n"] == 20
+
+
+def test_cli_guardrail_subcommand(spark):
+    import json as _json
+
+    from cassandra_data_migration_spark.__main__ import main
+
+    import contextlib, io
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "guardrail",
+            "--origin", "/root/testdata/sf0.001/documents.parquet",
+            "--col-caps", "text=0.4",  # 0.4 KB cap -> long docs violate
+        ])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["rows_scanned"] == 500
+    assert out["violations"] > 0 and rc == 1
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = main([
+            "guardrail",
+            "--origin", "/root/testdata/sf0.001/documents.parquet",
+            "--col-caps", "text=100000",
+        ])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out["violations"] == 0 and rc == 0
