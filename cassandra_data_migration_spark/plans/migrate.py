@@ -56,8 +56,9 @@ class MigrationConfig:
     writetime_max: int | None = None
     # spark.cdm.filter.cassandra.whereCondition (SQL fragment)
     where_condition: str | None = None
-    # spark.cdm.guardrail.colSizeInKB
+    # spark.cdm.guardrail.colSizeInKB / rowSizeInKB
     guardrail_col_kb: float | None = None
+    guardrail_row_kb: float | None = None
     guardrail_cols: list[str] = field(default_factory=list)
     # spark.cdm.transform.custom.class analogue
     custom_transforms: list[Transform] = field(default_factory=list)
@@ -81,6 +82,14 @@ class MigrationConfig:
     ttlwritetime_use_collections: bool = False
     # dsbulk --dryRun (docs/03-dse-tooling.md:231-240)
     dry_run: bool = False
+    # spark.cdm.trackRun{,.previousRunId} (docs/04-cdm-approach.md:
+    # 422-434, 843-846): per-token-bucket progress + autoRerun resume.
+    # track_key_col names the bucketing key (CDM derives it from the
+    # table's PK; parquet stand-ins declare it explicitly).
+    track_run: bool = False
+    track_dir: str | None = None
+    track_key_col: str | None = None
+    previous_run_id: str | None = None
 
 
 @dataclass
@@ -91,6 +100,7 @@ class MigrationResult:
     elapsed_sec: float
     dry_run: bool
     batch_size: int = 5  # the effective (possibly auto-derived) value
+    run_id: str | None = None  # set when trackRun is enabled
 
     @property
     def rows_per_sec(self) -> float:
@@ -129,9 +139,17 @@ def build_feature_pipeline(df: DataFrame, cfg: MigrationConfig) -> tuple[DataFra
         df = df.filter(cfg.where_condition)
 
     violations = None
-    if cfg.guardrail_col_kb is not None and cfg.guardrail_cols:
+    if cfg.guardrail_cols and (
+        cfg.guardrail_col_kb is not None or cfg.guardrail_row_kb is not None
+    ):
+        caps = {
+            c: (cfg.guardrail_col_kb
+                if cfg.guardrail_col_kb is not None
+                else float("inf"))
+            for c in cfg.guardrail_cols
+        }
         df, violations = flt.guardrail_split(
-            df, {c: cfg.guardrail_col_kb for c in cfg.guardrail_cols}
+            df, caps, row_cap_kb=cfg.guardrail_row_kb
         )
 
     for name, value in cfg.constant_columns.items():
@@ -159,6 +177,19 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
 
     t0 = time.perf_counter()
     src = spark.read.parquet(cfg.origin_path)
+    tracker = run_id = None
+    if cfg.track_run and cfg.track_key_col:
+        from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+        tracker = RunTracker(
+            spark, cfg.track_dir or cfg.target_path.rstrip("/") + "_runinfo"
+        )
+        run_id = tracker.new_run()
+        # autoRerun: clip the scan to buckets the previous run did not
+        # complete (docs/04-cdm-approach.md:843-846)
+        src = tracker.filter_pending(
+            src, cfg.track_key_col, cfg.previous_run_id
+        )
     rows_read_df = src.observe("migrate_read", F.count(F.lit(1)).alias("rows"))
     out, violations = build_feature_pipeline(rows_read_df, cfg)
 
@@ -180,7 +211,8 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
         # T4: plan + count, no write (docs/03-dse-tooling.md:231-240)
         n = out.count()
         return MigrationResult(
-            n, 0, n_violations, time.perf_counter() - t0, True, batch
+            n, 0, n_violations, time.perf_counter() - t0, True, batch,
+            run_id=run_id,
         )
 
     writer = out
@@ -196,6 +228,18 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
 
     writer.write.mode("overwrite").parquet(cfg.target_path)
     n_written = spark.read.parquet(cfg.target_path).count()
+    if tracker is not None and run_id is not None:
+        # per-bucket completion records (cdm_run_details analogue)
+        written = spark.read.parquet(cfg.target_path)
+        bucket = F.pmod(F.col(cfg.track_key_col), F.lit(tracker.num_buckets))
+        counts = (
+            written.groupBy(bucket.alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        for r in counts:
+            tracker.record_bucket(run_id, int(r["_b"]), "PASSED", rows=r["_n"])
     return MigrationResult(
-        n_written, n_written, n_violations, time.perf_counter() - t0, False, batch
+        n_written, n_written, n_violations, time.perf_counter() - t0, False, batch,
+        run_id=run_id
     )

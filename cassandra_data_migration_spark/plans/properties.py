@@ -74,6 +74,20 @@ def config_from_properties(
     if not _get_bool(props, p + "feature.writetime.enabled", True):
         exclude.append("_writetime")
     guard_kb = props.get(p + "guardrail.colSizeInKB")
+    guard_row_kb = props.get(p + "guardrail.rowSizeInKB")
+    # spark.cdm.transform.custom.class: the reference names a Java
+    # Transformer class; the Python analogue is a dotted callable path
+    # ("pkg.mod:fn" or "pkg.mod.fn") resolved at load time
+    transforms = []
+    custom = props.get(p + "transform.custom.class")
+    if custom:
+        import importlib
+
+        if ":" in custom:
+            mod_name, fn_name = custom.split(":", 1)
+        else:
+            mod_name, _, fn_name = custom.rpartition(".")
+        transforms.append(getattr(importlib.import_module(mod_name), fn_name))
     return MigrationConfig(
         origin_path=origin_path,
         target_path=target_path,
@@ -87,7 +101,9 @@ def config_from_properties(
         writetime_max=_get_int(props, p + "feature.writetime.filter.max"),
         where_condition=props.get(p + "filter.cassandra.whereCondition"),
         guardrail_col_kb=float(guard_kb) if guard_kb else None,
+        guardrail_row_kb=float(guard_row_kb) if guard_row_kb else None,
         guardrail_cols=_get_list(props, p + "guardrail.columns"),
+        custom_transforms=transforms,
         writetime_increment=_get_int(
             props, p + "transform.custom.writetime.incrementBy"
         )
@@ -98,6 +114,12 @@ def config_from_properties(
         ttlwritetime_use_collections=_get_bool(
             props, p + "schema.ttlwritetime.calc.useCollections", False
         ),
+        # trackRun/autoRerun (docs/04-cdm-approach.md:422-434); CDM
+        # buckets by the table PK — the parquet stand-in names the key
+        # column via the engine extension key trackRun.keyColumn
+        track_run=_get_bool(props, p + "trackRun", False),
+        track_key_col=props.get(p + "trackRun.keyColumn"),
+        previous_run_id=props.get(p + "trackRun.previousRunId"),
         dry_run=dry_run,
     )
 

@@ -631,3 +631,60 @@ def test_cli_guardrail_subcommand(spark):
         ])
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out["violations"] == 0 and rc == 0
+
+
+def test_migrate_track_run_resume_via_properties(spark, tmp_path):
+    """trackRun end to end through the properties surface: run 1
+    records per-bucket completion; run 2 with previousRunId scans
+    only the buckets run 1 left pending."""
+    from cassandra_data_migration_spark.plans.migrate import migrate
+    from cassandra_data_migration_spark.plans.properties import (
+        config_from_properties,
+    )
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    origin = "/root/testdata/sf0.001/orders.parquet"
+    props = {
+        "spark.cdm.trackRun": "true",
+        "spark.cdm.trackRun.keyColumn": "o_orderkey",
+    }
+    cfg = config_from_properties(props, origin, str(tmp_path / "t1"))
+    cfg.track_dir = str(tmp_path / "runinfo")
+    res1 = migrate(spark, cfg)
+    assert res1.run_id is not None and res1.rows_written > 0
+
+    tracker = RunTracker(spark, cfg.track_dir)
+    done = tracker.completed_buckets(res1.run_id)
+    assert len(done) == tracker.num_buckets  # full run completed all
+
+    # simulate a partial run: forge a run with only half the buckets
+    partial = tracker.new_run()
+    for b in range(tracker.num_buckets // 2):
+        tracker.record_bucket(partial, b, "PASSED", rows=1)
+    props["spark.cdm.trackRun.previousRunId"] = partial
+    cfg2 = config_from_properties(props, origin, str(tmp_path / "t2"))
+    cfg2.track_dir = cfg.track_dir
+    res2 = migrate(spark, cfg2)
+    # resume scanned only pending buckets -> strictly fewer rows
+    assert 0 < res2.rows_written < res1.rows_written
+
+
+def test_properties_custom_class_and_row_guardrail(spark, tmp_path):
+    from cassandra_data_migration_spark.plans.migrate import migrate
+    from cassandra_data_migration_spark.plans.properties import (
+        config_from_properties,
+    )
+
+    props = {
+        "spark.cdm.transform.custom.class":
+            "tests.fixtures_transforms:add_flag",
+        "spark.cdm.guardrail.rowSizeInKB": "0.2",
+        "spark.cdm.guardrail.columns": "o_orderstatus,o_orderpriority",
+    }
+    cfg = config_from_properties(
+        props, "/root/testdata/sf0.001/orders.parquet", str(tmp_path / "out")
+    )
+    res = migrate(spark, cfg)
+    out = spark.read.parquet(str(tmp_path / "out"))
+    assert "migrated_flag" in out.columns  # custom transform applied
+    assert res.guardrail_violations == 0  # tiny strings, generous cap
