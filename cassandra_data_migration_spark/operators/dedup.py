@@ -441,65 +441,124 @@ def prefix_filter_pairs(
     (Xiao et al., WWW'08 — public algorithm): an alternative to LSH
     (``lsh_candidate_pairs``) that is sub-quadratic AND lossless.
 
-    Prefix-filter principle: order every doc's shingle set by a global
-    canonical order (ascending document frequency, rarest first, ties
-    by value); if J(A,B) ≥ t then A and B must share at least one
-    shingle within each other's first ``|S| - ceil(t·|S|) + 1``
-    shingles.  So candidates = pairs co-occurring in a PREFIX table
-    that is a small, rare-token slice of the full posting list —
-    frequent shingles (the Zipf head that makes the naive self-join
-    quadratic) almost never land in a prefix.
+    Three pruning layers, all provably lossless (the DuckDB oracle is
+    a full quadratic recompute and must match exactly):
 
-    Plan shape: one groupBy for document frequency (broadcast back),
-    one per-doc sort of its own shingle array (array_sort — local,
-    no exchange), one self-join on prefix shingles, then exact
-    verification by intersection size on the candidate set only.
-    The verify join ships shingle-ID arrays, not text.  Output equals
-    ``ngram_jaccard_pairs`` exactly — the pruning is provably
-    lossless, which the DuckDB oracle (a full quadratic recompute)
-    checks.
+    1. **Multiplicity collapse** — identical shingle SETS group by a
+       content fingerprint first; intra-group pairs emit directly at
+       J=1.0 and the expensive machinery runs only on DISTINCT sets.
+       Without this, a duplicate-heavy corpus (the common case dedup
+       exists for!) makes candidate generation quadratic in the
+       duplicate multiplicity — measured 447 s vs 11 s at 10× docs
+       with 10× duplication.
+    2. **Prefix filter** — under a global (document-frequency, value)
+       order, J(A,B) ≥ t requires A and B to share a token within
+       each one's first ``|S| − ⌈t·|S|⌉ + 1`` tokens; candidates come
+       from a self-join of that small, rare-token prefix table, so
+       the Zipf head never joins.
+    3. **Length filter** — J ≥ t also requires
+       ``t·max(|A|,|B|) ≤ min(|A|,|B|)``; applied inside the
+       candidate join before verification.
+
+    Verification computes exact Jaccard by set intersection on the
+    candidate (distinct-set) pairs only; qualifying rep pairs expand
+    back to member pairs through the fingerprint groups.  Shingle-ID
+    arrays ship through the joins, never text.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = sh.join(freq, "shingle").select(
-        F.col(id_col), F.struct(F.col("_df"), F.col("shingle")).alias("_e")
+    doc_sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_canon")
     )
-    docs = ranked.groupBy(id_col).agg(
-        F.array_sort(F.collect_list("_e")).alias("_order"),
+    keyed = doc_sets.withColumn(
+        "_fp", F.md5(F.concat_ws("\x1f", F.col("_canon")))
+    )
+    members = keyed.select(F.col(id_col), "_fp")
+
+    # layer 1: intra-group pairs (identical sets) — J = 1.0 by
+    # construction, no verification needed
+    ma, mb = members.alias("ma"), members.alias("mb")
+    intra = (
+        ma.join(mb, "_fp")
+        .filter(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
+        .select(
+            F.col(f"ma.{id_col}").alias("id_a"),
+            F.col(f"mb.{id_col}").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+    # distinct-set representatives
+    reps = keyed.groupBy("_fp").agg(
+        F.min(id_col).alias("_rid"), F.first("_canon").alias("_set")
+    )
+    rsh = reps.select("_rid", F.explode("_set").alias("shingle"))
+    freq = rsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = rsh.join(freq, "shingle").select(
+        "_rid", F.struct(F.col("_df"), F.col("shingle")).alias("_e")
+    )
+    ordered = ranked.groupBy("_rid").agg(
+        F.array_sort(F.collect_list("_e")).alias("_order")
     )
     size = F.size("_order")
     prefix_len = size - F.ceil(F.lit(threshold) * size).cast("int") + 1
-    docs = docs.select(
-        F.col(id_col),
-        F.transform(F.col("_order"), lambda s: s["shingle"]).alias("_set"),
-        F.slice(
-            F.transform(F.col("_order"), lambda s: s["shingle"]),
-            1,
-            prefix_len,
-        ).alias("_prefix"),
+    pref = ordered.select(
+        "_rid",
+        size.alias("_sz"),
+        F.explode(
+            F.slice(
+                F.transform(F.col("_order"), lambda s: s["shingle"]),
+                1,
+                prefix_len,
+            )
+        ).alias("shingle"),
     )
-    pref = docs.select(
-        F.col(id_col), F.explode("_prefix").alias("shingle")
-    )
+    # layers 2+3: prefix-token candidates, length-filtered
+    pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
-        pref.alias("a")
-        .join(pref.alias("b"), "shingle")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        pa.join(pb, "shingle")
+        .filter(
+            (F.col("pa._rid") < F.col("pb._rid"))
+            & (
+                F.lit(threshold)
+                * F.greatest(F.col("pa._sz"), F.col("pb._sz"))
+                <= F.least(F.col("pa._sz"), F.col("pb._sz"))
+            )
+        )
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("pa._rid").alias("_ra"), F.col("pb._rid").alias("_rb")
         )
         .distinct()
     )
-    sets = docs.select(F.col(id_col), F.col("_set"))
-    sa = sets.select(F.col(id_col).alias("id_a"), F.col("_set").alias("_sa"))
-    sb = sets.select(F.col(id_col).alias("id_b"), F.col("_set").alias("_sb"))
+    sa = reps.select(
+        F.col("_rid").alias("_ra"),
+        F.col("_fp").alias("_fpa"),
+        F.col("_set").alias("_sa"),
+    )
+    sb = reps.select(
+        F.col("_rid").alias("_rb"),
+        F.col("_fp").alias("_fpb"),
+        F.col("_set").alias("_sb"),
+    )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter
-    return (
-        cand.join(sa, "id_a")
-        .join(sb, "id_b")
+    verified = (
+        cand.join(sa, "_ra")
+        .join(sb, "_rb")
         .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("_fpa", "_fpb", "jaccard")
     )
+    # expand rep pairs back to member pairs (groups are disjoint, so
+    # no overlap with the intra set)
+    xa = members.select(F.col(id_col).alias("_ia"), F.col("_fp").alias("_fpa"))
+    xb = members.select(F.col(id_col).alias("_ib"), F.col("_fp").alias("_fpb"))
+    cross = (
+        verified.join(xa, "_fpa")
+        .join(xb, "_fpb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+    return intra.unionByName(cross)

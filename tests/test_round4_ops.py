@@ -688,3 +688,22 @@ def test_properties_custom_class_and_row_guardrail(spark, tmp_path):
     out = spark.read.parquet(str(tmp_path / "out"))
     assert "migrated_flag" in out.columns  # custom transform applied
     assert res.guardrail_violations == 0  # tiny strings, generous cap
+
+
+def test_prefix_filter_collapses_duplicate_multiplicity(spark):
+    from cassandra_data_migration_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    # 4 copies of each of 3 distinct texts -> every intra-group pair
+    # at J=1.0, no cross pairs (texts disjoint)
+    texts = ["alpha beta gamma delta epsilon", "zeta eta theta iota kappa",
+             "lam mu nu xi omicron"]
+    rows = [(i * 10 + c, texts[i]) for i in range(3) for c in range(4)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = prefix_filter_pairs(df, n=3, threshold=0.5).collect()
+    assert len(out) == 3 * 6  # C(4,2) per group
+    assert all(r["jaccard"] == 1.0 for r in out)
+    groups = {r["id_a"] // 10 for r in out} | {r["id_b"] // 10 for r in out}
+    for r in out:
+        assert r["id_a"] // 10 == r["id_b"] // 10  # never cross-group
