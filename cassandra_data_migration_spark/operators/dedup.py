@@ -100,6 +100,56 @@ def shingle_table(
     return sh
 
 
+def _set_groups(sh: DataFrame, id_col: str):
+    """Multiplicity collapse shared by the exact-Jaccard operators:
+    group docs whose DISTINCT shingle sets are identical by a content
+    fingerprint.  Returns (members(id, _fp), reps(_fp, _rid, _set)).
+    Any pair-generation method then runs on DISTINCT sets only —
+    candidate complexity depends on distinct content, not corpus
+    size — and intra-group pairs are J=1.0 by construction."""
+    doc_sets = sh.groupBy(id_col).agg(
+        F.sort_array(F.collect_set("shingle")).alias("_canon")
+    )
+    keyed = doc_sets.withColumn(
+        "_fp", F.md5(F.concat_ws("\x1f", F.col("_canon")))
+    )
+    members = keyed.select(F.col(id_col), "_fp")
+    reps = keyed.groupBy("_fp").agg(
+        F.min(id_col).alias("_rid"), F.first("_canon").alias("_set")
+    )
+    return members, reps
+
+
+def _intra_group_pairs(members: DataFrame, id_col: str) -> DataFrame:
+    ma, mb = members.alias("ma"), members.alias("mb")
+    return (
+        ma.join(mb, "_fp")
+        .filter(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
+        .select(
+            F.col(f"ma.{id_col}").alias("id_a"),
+            F.col(f"mb.{id_col}").alias("id_b"),
+            F.lit(1.0).alias("jaccard"),
+        )
+    )
+
+
+def _expand_rep_pairs(
+    rep_pairs: DataFrame, members: DataFrame, id_col: str
+) -> DataFrame:
+    """(_fpa, _fpb, jaccard) rep-level pairs -> all member pairs."""
+    xa = members.select(F.col(id_col).alias("_ia"), F.col("_fp").alias("_fpa"))
+    xb = members.select(F.col(id_col).alias("_ib"), F.col("_fp").alias("_fpb"))
+    return (
+        rep_pairs.join(xa, "_fpa")
+        .join(xb, "_fpb")
+        .select(
+            F.least("_ia", "_ib").alias("id_a"),
+            F.greatest("_ia", "_ib").alias("id_b"),
+            "jaccard",
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -115,33 +165,32 @@ def ngram_jaccard_pairs(
     # cheaper than materializing the exploded table (and at corpus
     # scale the shingle table wouldn't fit cache anyway)
     sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
-    if max_shingle_freq is None:
-        # set size straight off the per-doc array: a narrow scan-side
-        # expression, no explode + groupBy shuffle
-        sizes = shingle_sets(df, id_col, text_col, n).select(
-            F.col(id_col), F.size("shingles").alias("set_size")
-        )
-    else:
-        # capped shingles change the effective set size — count them
-        sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
+    # multiplicity collapse first: the posting self-join runs on
+    # DISTINCT sets only (duplicate-heavy corpora otherwise make it
+    # quadratic in multiplicity — measured 150 s vs 17 s at 10×
+    # duplication); intra-group pairs are J=1.0 by construction
+    members, reps = _set_groups(sh, id_col)
+    intra = _intra_group_pairs(members, id_col)
+    rsh = reps.select("_rid", "_fp", F.explode("_set").alias("shingle"))
+    sizes = reps.select("_fp", F.size("_set").alias("set_size"))
     # join on the 8-byte hash of the shingle, not the string: same
     # equality semantics (collisions ~2^-64), a fraction of the shuffle
     # bytes — the join key is the only thing the exchange carries
-    hashed = sh.select(F.col(id_col), F.xxhash64("shingle").alias("_hs"))
+    hashed = rsh.select("_fp", F.xxhash64("shingle").alias("_hs"))
     a, b = hashed.alias("a"), hashed.alias("b")
     inter = (
         a.join(b, on="_hs")
-        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .filter(F.col("a._fp") < F.col("b._fp"))
         .groupBy(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+            F.col("a._fp").alias("_fpa"), F.col("b._fp").alias("_fpb")
         )
         .agg(F.count(F.lit(1)).alias("inter"))
     )
-    sa = sizes.select(F.col(id_col).alias("id_a"), F.col("set_size").alias("size_a"))
-    sb = sizes.select(F.col(id_col).alias("id_b"), F.col("set_size").alias("size_b"))
-    return (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
+    sa = sizes.select(F.col("_fp").alias("_fpa"), F.col("set_size").alias("size_a"))
+    sb = sizes.select(F.col("_fp").alias("_fpb"), F.col("set_size").alias("size_b"))
+    rep_pairs = (
+        inter.join(sa, "_fpa")
+        .join(sb, "_fpb")
         .withColumn(
             "jaccard",
             F.round(
@@ -149,8 +198,9 @@ def ngram_jaccard_pairs(
             ),
         )
         .filter(F.col("jaccard") >= threshold)
-        .select("id_a", "id_b", "jaccard")
+        .select("_fpa", "_fpb", "jaccard")
     )
+    return intra.unionByName(_expand_rep_pairs(rep_pairs, members, id_col))
 
 
 def _minhash_col(seed: int) -> Column:
@@ -466,31 +516,10 @@ def prefix_filter_pairs(
     arrays ship through the joins, never text.
     """
     sh = shingle_table(df, id_col, text_col, n)
-    doc_sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("shingle")).alias("_canon")
-    )
-    keyed = doc_sets.withColumn(
-        "_fp", F.md5(F.concat_ws("\x1f", F.col("_canon")))
-    )
-    members = keyed.select(F.col(id_col), "_fp")
-
-    # layer 1: intra-group pairs (identical sets) — J = 1.0 by
-    # construction, no verification needed
-    ma, mb = members.alias("ma"), members.alias("mb")
-    intra = (
-        ma.join(mb, "_fp")
-        .filter(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
-        .select(
-            F.col(f"ma.{id_col}").alias("id_a"),
-            F.col(f"mb.{id_col}").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
-    )
-
-    # distinct-set representatives
-    reps = keyed.groupBy("_fp").agg(
-        F.min(id_col).alias("_rid"), F.first("_canon").alias("_set")
-    )
+    # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
+    # by construction, no verification needed
+    members, reps = _set_groups(sh, id_col)
+    intra = _intra_group_pairs(members, id_col)
     rsh = reps.select("_rid", F.explode("_set").alias("shingle"))
     freq = rsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
     ranked = rsh.join(freq, "shingle").select(
@@ -550,15 +579,4 @@ def prefix_filter_pairs(
     )
     # expand rep pairs back to member pairs (groups are disjoint, so
     # no overlap with the intra set)
-    xa = members.select(F.col(id_col).alias("_ia"), F.col("_fp").alias("_fpa"))
-    xb = members.select(F.col(id_col).alias("_ib"), F.col("_fp").alias("_fpb"))
-    cross = (
-        verified.join(xa, "_fpa")
-        .join(xb, "_fpb")
-        .select(
-            F.least("_ia", "_ib").alias("id_a"),
-            F.greatest("_ia", "_ib").alias("id_b"),
-            "jaccard",
-        )
-    )
-    return intra.unionByName(cross)
+    return intra.unionByName(_expand_rep_pairs(verified, members, id_col))
