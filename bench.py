@@ -40,6 +40,13 @@ def main() -> None:
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     sc = spark.sparkContext
     for name, fn in queries.items():
+        # drop any frames the previous query persisted: 187 queries'
+        # leftover caches otherwise accumulate in one JVM and skew the
+        # tail of the run (operators re-persist internally as needed)
+        try:
+            spark.catalog.clearCache()
+        except Exception:
+            pass
         t0 = time.perf_counter()
         # watchdog: cancel this query's Spark jobs if it runs away —
         # count() then raises and we record the error instead of hanging
