@@ -2247,6 +2247,20 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # column-level AES (PII-at-rest story beside redaction + DP):
+    # encrypt -> decrypt roundtrip over the sensitive column; output
+    # is deterministic (the ciphertext itself carries a random IV and
+    # never leaves the plan)
+    ev = load_table(spark, sf_dir, "events")
+    key = F.lit("0123456789abcdef")
+    enc = F.aes_encrypt(F.col("props").cast("binary"), key)
+    return ev.select(
+        "event_id",
+        F.aes_decrypt(enc, key).cast("string").alias("props_roundtrip"),
+    )
+
+
 def q_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Laplace-mechanism release of grouped counts, seeded-noise mode
     # (reproducible draw per group via md5 inverse-CDF)
@@ -2756,6 +2770,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multiset_compare": q_multiset_compare,
     "sql_passthrough": q_sql_passthrough,
     "dp_group_counts": q_dp_group_counts,
+    "column_encryption": q_column_encryption,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
@@ -5086,6 +5101,11 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+# decrypt(encrypt(x)) == x exactly, so the oracle is the identity
+ORACLES["column_encryption"] = """
+    SELECT event_id, props AS props_roundtrip FROM events
 """
 
 ORACLES["dp_group_counts"] = """
