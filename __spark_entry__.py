@@ -2247,6 +2247,47 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom stateful streaming operator (applyInPandasWithState):
+    # continuously materialized CDC current-state with DELETE
+    # tombstones; final reconstruction equals the batch cdc_apply fold
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.streaming.cdc import (
+        stateful_cdc_stream,
+    )
+
+    log = _events_stream(spark, sf_dir).select(
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+        "value",
+    )
+    name = f"cdcs_{_uuid.uuid4().hex[:8]}"
+    q = (
+        stateful_cdc_stream(log, ["user_id"], ts_col="ts_us", seq_col="seq")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("seq"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_emit") != "D"))
+        .select("user_id", "ts_us", "seq", "op", "value")
+    )
+
+
 def q_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-level AES (PII-at-rest story beside redaction + DP):
     # encrypt -> decrypt roundtrip over the sensitive column; output
@@ -2771,6 +2812,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sql_passthrough": q_sql_passthrough,
     "dp_group_counts": q_dp_group_counts,
     "column_encryption": q_column_encryption,
+    "stream_cdc_state": q_stream_cdc_state,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
@@ -5101,6 +5143,24 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["stream_cdc_state"] = """
+    WITH log AS (
+        SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END AS op,
+               value
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts_us DESC, seq DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, ts_us, seq, op, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 # decrypt(encrypt(x)) == x exactly, so the oracle is the identity

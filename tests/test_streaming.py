@@ -535,3 +535,67 @@ def test_paced_file_stream_rate_limits_batches(spark, tmp_path):
     unpaced = batches({})
     assert paced >= 4
     assert unpaced <= 2  # one data batch (+ possible empty finalizer)
+
+
+def test_stateful_cdc_stream_equals_batch_apply(spark, tmp_path):
+    """Cross-batch CDC semantics: DELETE tombstones the key, a late
+    UPDATE (older ts) arriving in a later batch is ignored, re-insert
+    after delete starts fresh — identical to the batch cdc_apply fold
+    over the full log."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.windows import cdc_apply
+    from cassandra_data_migration_spark.streaming.cdc import (
+        stateful_cdc_stream,
+    )
+
+    schema = "k long, ts long, seq long, op string, v long"
+    batch1 = [(1, 1, 0, "I", 10), (2, 2, 1, "I", 20), (3, 3, 2, "I", 30)]
+    batch2 = [(1, 5, 3, "D", 0), (2, 4, 4, "U", 21),
+              (3, 1, 5, "U", 99),  # late: older ts than k=3's insert? no — ts 1 < 3 → ignored
+              (4, 6, 6, "I", 40)]
+    src = str(tmp_path / "cdc_src")
+    spark.createDataFrame(batch1, schema).repartition(1).write.mode(
+        "overwrite"
+    ).parquet(src)
+    spark.createDataFrame(batch2, schema).repartition(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    name = f"cdc_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_cdc_stream(stream, ["k"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    # reconstruct current state: last emitted op per key, drop tombstones
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("ts"), F.desc("seq"))
+    current = {
+        r["k"]: (r["ts"], r["v"])
+        for r in emitted.withColumn("_rn", F.row_number().over(w))
+        .filter((F.col("_rn") == 1) & (F.col("_emit") != "D"))
+        .collect()
+    }
+    full_log = spark.createDataFrame(batch1 + batch2, schema)
+    expected = {
+        r["k"]: (r["ts"], r["v"])
+        for r in cdc_apply(full_log, ["k"], ts_col="ts",
+                           tiebreak_col="seq").collect()
+    }
+    assert current == expected
+    assert 1 not in current          # deleted key gone
+    assert current[3] == (3, 30)     # late update ignored
