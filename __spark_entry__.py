@@ -2247,6 +2247,18 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # distributed parquet-footer inventory: one row per row group,
+    # metadata only (the data-skipping layout review input)
+    from cassandra_data_migration_spark.sources.files import (
+        parquet_rowgroup_stats,
+    )
+
+    return parquet_rowgroup_stats(
+        spark, f"{sf_dir}/lineitem.parquet"
+    ).select("row_group", "num_rows", "n_columns")
+
+
 def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # custom stateful streaming operator (applyInPandasWithState):
     # continuously materialized CDC current-state with DELETE
@@ -2813,6 +2825,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dp_group_counts": q_dp_group_counts,
     "column_encryption": q_column_encryption,
     "stream_cdc_state": q_stream_cdc_state,
+    "rowgroup_stats": q_rowgroup_stats,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
@@ -5143,6 +5156,15 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+# independent footer reader: DuckDB's parquet_metadata()
+ORACLES["rowgroup_stats"] = """
+    SELECT CAST(row_group_id AS INT) AS row_group,
+           row_group_num_rows AS num_rows,
+           CAST(COUNT(*) AS INT) AS n_columns
+    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
+    GROUP BY row_group_id, row_group_num_rows
 """
 
 ORACLES["stream_cdc_state"] = """

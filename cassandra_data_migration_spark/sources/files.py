@@ -194,3 +194,41 @@ def compact_parquet(
         for f in fs
         if f.endswith(".parquet")
     )
+
+
+def parquet_rowgroup_stats(spark, path: str):
+    """Row-group-level metadata report: (file, row_group, num_rows,
+    n_columns) per row group — the data-skipping inventory a layout
+    review reads (row-group sizing drives min/max pruning
+    effectiveness; see ``operators/layout`` for the Z-order side).
+
+    Scale shape: footers are KB-sized but a 100 TB table has ~10⁶
+    files, so the footer reads are DISTRIBUTED — the file list
+    parallelizes and each executor reads its files' metadata with
+    pyarrow (Arrow-batched, no row data touched).  The report is
+    O(row groups)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    files = spark.read.parquet(path).inputFiles()
+    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+
+    def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pyarrow.parquet as pq
+
+        for p in batches:
+            out = {"file": [], "row_group": [], "num_rows": [], "n_columns": []}
+            for f in p["file"]:
+                local = f[5:] if f.startswith("file:") else f
+                md = pq.ParquetFile(local).metadata
+                for i in range(md.num_row_groups):
+                    out["file"].append(local.rsplit("/", 1)[-1])
+                    out["row_group"].append(i)
+                    out["num_rows"].append(md.row_group(i).num_rows)
+                    out["n_columns"].append(md.row_group(i).num_columns)
+            yield pd.DataFrame(out)
+
+    return fdf.mapInPandas(
+        scan, "file string, row_group int, num_rows long, n_columns int"
+    )
