@@ -2247,6 +2247,31 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NULL-safe equality join: rows with a legitimately-absent key
+    # match the dimension's NULL bucket instead of dropping
+    from cassandra_data_migration_spark.operators.joins import (
+        null_safe_enrich,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.when(F.col("value") < 5, None)
+        .otherwise(F.col("event_type"))
+        .alias("etype"),
+    )
+    dim = (
+        ev.select(F.col("etype").alias("dim_key")).distinct()
+        .withColumn(
+            "label",
+            F.coalesce(F.concat(F.lit("type:"), "dim_key"), F.lit("unattributed")),
+        )
+    )
+    return null_safe_enrich(ev, dim, "etype", "dim_key").groupBy(
+        "label"
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+
+
 def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # distributed parquet-footer inventory: one row per row group,
     # metadata only (the data-skipping layout review input)
@@ -2826,6 +2851,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_encryption": q_column_encryption,
     "stream_cdc_state": q_stream_cdc_state,
     "rowgroup_stats": q_rowgroup_stats,
+    "null_safe_join": q_null_safe_join,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
@@ -5156,6 +5182,22 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["null_safe_join"] = """
+    WITH ev AS (
+        SELECT event_id,
+               CASE WHEN value < 5 THEN NULL ELSE event_type END AS etype
+        FROM events
+    ),
+    dim AS (
+        SELECT DISTINCT etype AS dim_key,
+               COALESCE('type:' || etype, 'unattributed') AS label
+        FROM ev
+    )
+    SELECT d.label, COUNT(*) AS n_events
+    FROM ev e LEFT JOIN dim d ON e.etype IS NOT DISTINCT FROM d.dim_key
+    GROUP BY d.label
 """
 
 # independent footer reader: DuckDB's parquet_metadata()

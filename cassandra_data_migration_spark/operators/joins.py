@@ -323,3 +323,21 @@ def fuzzy_name_match(
         .where(F.col("dist") <= F.lit(max_dist))
         .select("name_a", "name_b", "dist", "n_a", "n_b")
     )
+
+
+def null_safe_enrich(
+    left: DataFrame,
+    dim: DataFrame,
+    left_key: str,
+    dim_key: str,
+) -> DataFrame:
+    """Broadcast enrichment joining with NULL-SAFE equality
+    (``<=>`` / IS NOT DISTINCT FROM): NULL keys match the dimension's
+    NULL row instead of silently dropping — the correct semantics for
+    enriching a feed whose key is legitimately absent (unknown
+    category buckets, unattributed traffic).  A plain equi-join makes
+    NULL≠NULL and loses those rows; an outer join loses the explicit
+    NULL-bucket attribution."""
+    return left.join(
+        F.broadcast(dim), left[left_key].eqNullSafe(dim[dim_key]), "left"
+    )
