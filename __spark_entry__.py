@@ -2247,6 +2247,26 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # registered-users growth curve: first-seen period per user, then
+    # an O(periods) running total
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cumulative_users,
+    )
+
+    return cumulative_users(load_table(spark, sf_dir, "events"))
+
+
+def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # weekly new/retained/resurrected/churned decomposition via one
+    # distinct + per-user lag/lead flags
+    from cassandra_data_migration_spark.operators.aggregates import (
+        growth_accounting,
+    )
+
+    return growth_accounting(load_table(spark, sf_dir, "events"))
+
+
 def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # NULL-safe equality join: rows with a legitimately-absent key
     # match the dimension's NULL bucket instead of dropping
@@ -2852,6 +2872,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_cdc_state": q_stream_cdc_state,
     "rowgroup_stats": q_rowgroup_stats,
     "null_safe_join": q_null_safe_join,
+    "cumulative_users": q_cumulative_users,
+    "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
     "k_anonymity": q_k_anonymity,
@@ -5182,6 +5204,45 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["cumulative_users"] = """
+    WITH first AS (
+        SELECT user_id, MIN(date_trunc('week', ts)) AS period
+        FROM events GROUP BY 1
+    ),
+    per AS (SELECT period, COUNT(*) AS new_users FROM first GROUP BY 1)
+    SELECT period, new_users,
+           SUM(new_users) OVER (ORDER BY period
+               ROWS UNBOUNDED PRECEDING) AS cumulative_users
+    FROM per
+"""
+
+ORACLES["growth_accounting"] = """
+    WITH active AS (
+        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
+        FROM events
+    ),
+    flagged AS (
+        SELECT user_id, period,
+               LAG(period) OVER (PARTITION BY user_id ORDER BY period)
+                   AS prev,
+               LEAD(period) OVER (PARTITION BY user_id ORDER BY period)
+                   AS next
+        FROM active
+    )
+    SELECT period,
+           SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS new_users,
+           SUM(CASE WHEN prev IS NOT NULL
+                AND date_diff('second', prev, period) = 604800
+                THEN 1 ELSE 0 END) AS retained,
+           SUM(CASE WHEN prev IS NOT NULL
+                AND date_diff('second', prev, period) > 604800
+                THEN 1 ELSE 0 END) AS resurrected,
+           SUM(CASE WHEN next IS NULL
+                OR date_diff('second', period, next) > 604800
+                THEN 1 ELSE 0 END) AS churned_after
+    FROM flagged GROUP BY 1
 """
 
 ORACLES["null_safe_join"] = """

@@ -574,3 +574,93 @@ def winsorized_stats(
         F.round(F.first("_hi"), 6).alias("upper_bound"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+def cumulative_users(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """(period, new_users, cumulative_users): each user counts once,
+    in their first-activity period — the registered-users growth
+    curve.
+
+    Plan: first-seen is one groupBy(user) min; new-user counts
+    aggregate O(periods) rows; the running total is a window over
+    those few rows (a per-period frame, not per-event)."""
+    from pyspark.sql import Window
+
+    p = F.date_trunc(period, F.col(ts_col))
+    first = df.groupBy(user_col).agg(F.min(p).alias("period"))
+    per = first.groupBy("period").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("period").rowsBetween(Window.unboundedPreceding, 0)
+    return per.withColumn(
+        "cumulative_users", F.sum("new_users").over(w)
+    )
+
+
+def growth_accounting(
+    df: DataFrame,
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+    period: str = "week",
+) -> DataFrame:
+    """Weekly growth accounting: per period, how many active users are
+    NEW (first ever), RETAINED (also active previous period), or
+    RESURRECTED (returning after a gap); plus CHURNED (active previous
+    period, absent now) — the standard DAU/WAU decomposition
+    new + retained + resurrected − churned = Δactive.
+
+    Plan: one distinct over (user, period), one per-user window for
+    previous-activity/first flags, then an O(periods) aggregation.
+    The only corpus-sized shuffle is the distinct; everything after is
+    user-keyed lag logic."""
+    from pyspark.sql import Window
+
+    secs = {"day": 86400, "week": 7 * 86400}[period]
+    p = F.date_trunc(period, F.col(ts_col))
+    active = df.select(F.col(user_col), p.alias("period")).distinct()
+    w = Window.partitionBy(user_col).orderBy("period")
+    flagged = active.select(
+        user_col,
+        "period",
+        F.lag("period").over(w).alias("_prev"),
+    ).select(
+        user_col,
+        "period",
+        F.when(F.col("_prev").isNull(), F.lit("new"))
+        .when(
+            F.unix_timestamp("period") - F.unix_timestamp("_prev")
+            == F.lit(secs),
+            F.lit("retained"),
+        )
+        .otherwise(F.lit("resurrected"))
+        .alias("status"),
+        # a user churns OUT OF the period after _this_ one unless they
+        # return in exactly the next period
+        F.lead("period").over(w).alias("_next"),
+    )
+    counts = flagged.groupBy("period").agg(
+        F.sum(F.when(F.col("status") == "new", 1).otherwise(0)).alias("new_users"),
+        F.sum(F.when(F.col("status") == "retained", 1).otherwise(0)).alias(
+            "retained"
+        ),
+        F.sum(F.when(F.col("status") == "resurrected", 1).otherwise(0)).alias(
+            "resurrected"
+        ),
+        # churned AFTER this period: no activity in period + 1
+        F.sum(
+            F.when(
+                F.col("_next").isNull()
+                | (
+                    F.unix_timestamp("_next") - F.unix_timestamp("period")
+                    > F.lit(secs)
+                ),
+                1,
+            ).otherwise(0)
+        ).alias("churned_after"),
+    )
+    return counts

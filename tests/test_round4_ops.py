@@ -707,3 +707,33 @@ def test_prefix_filter_collapses_duplicate_multiplicity(spark):
     groups = {r["id_a"] // 10 for r in out} | {r["id_b"] // 10 for r in out}
     for r in out:
         assert r["id_a"] // 10 == r["id_b"] // 10  # never cross-group
+
+
+def test_growth_accounting_identity(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cumulative_users,
+        growth_accounting,
+    )
+
+    ev = load_table(spark, SF_SMOKE, "events")
+    g = {r["period"]: r for r in growth_accounting(ev).collect()}
+    periods = sorted(g)
+    # actives(p) = new + retained + resurrected; and
+    # actives(p+1) = actives(p) + new(p+1) + resurrected(p+1) - churned_after(p)
+    actives = {
+        p: g[p]["new_users"] + g[p]["retained"] + g[p]["resurrected"]
+        for p in periods
+    }
+    for a, b in zip(periods, periods[1:]):
+        if (b - a).days == 7:  # consecutive weeks only
+            assert actives[b] == (
+                actives[a]
+                + g[b]["new_users"] + g[b]["resurrected"]
+                - g[a]["churned_after"]
+            )
+    # total new across all periods == distinct users == final cumulative
+    total_new = sum(g[p]["new_users"] for p in periods)
+    n_users = ev.select("user_id").distinct().count()
+    assert total_new == n_users
+    cu = cumulative_users(ev).orderBy(F.desc("period")).first()
+    assert cu["cumulative_users"] == n_users
