@@ -2247,6 +2247,17 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # linear multi-touch attribution in integer cents (floor split -
+    # order-independent, engine-exact)
+    from cassandra_data_migration_spark.streaming.attribution import (
+        multi_touch_credit,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    return multi_touch_credit(ev)
+
+
 def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     # registered-users growth curve: first-seen period per user, then
     # an O(periods) running total
@@ -2873,6 +2884,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rowgroup_stats": q_rowgroup_stats,
     "null_safe_join": q_null_safe_join,
     "cumulative_users": q_cumulative_users,
+    "multi_touch_credit": q_multi_touch_credit,
     "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
@@ -5203,6 +5215,24 @@ ORACLES["winsorized_stats"] = """
            ROUND(ANY_VALUE(b.hi), 6) AS upper_bound,
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
+    GROUP BY 1
+"""
+
+ORACLES["multi_touch_credit"] = """
+    WITH pairs AS (
+        SELECT p.event_id AS purchase_id, p.value, c.event_id AS click_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND p.event_type = 'purchase' AND c.event_type = 'click'
+         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
+    ),
+    touches AS (
+        SELECT purchase_id, COUNT(*) AS n, ANY_VALUE(value) AS v
+        FROM pairs GROUP BY 1
+    )
+    SELECT pr.click_id, COUNT(*) AS n_purchases,
+           SUM(CAST(FLOOR(t.v * 100 / t.n) AS BIGINT)) AS credit_cents
+    FROM pairs pr JOIN touches t ON pr.purchase_id = t.purchase_id
     GROUP BY 1
 """
 

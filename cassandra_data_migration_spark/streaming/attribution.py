@@ -69,3 +69,43 @@ def attribution_join_stream(
         "click_id",
         "click_ts",
     )
+
+
+def multi_touch_credit(
+    events: DataFrame,
+    attribution_window: str = "4 hours",
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Linear multi-touch attribution: every click inside the window
+    before a purchase gets an equal share of the purchase value —
+    (click_id, n_purchases, credit_cents).
+
+    Exactness: credit is allocated in integer CENTS with floor
+    division (``floor(value·100 / n_clicks)``) so per-click credit
+    sums are order-independent integers in any engine; the sub-cent
+    remainder per purchase is deliberately dropped (documented,
+    deterministic) rather than floated.
+
+    Plan: the interval join emits (purchase, click) pairs; one
+    groupBy(purchase) counts touches; credit allocation is scan-side;
+    the per-click rollup is the only further shuffle."""
+    pairs = attribution_join_stream(
+        events, attribution_window, ts_col=ts_col, key_col=key_col
+    )
+    touches = pairs.groupBy("purchase_id").agg(
+        F.count(F.lit(1)).alias("_n"),
+        F.first("value").alias("_v"),
+    )
+    credited = pairs.join(touches, "purchase_id").select(
+        "click_id",
+        "purchase_id",
+        F.floor(F.col("_v") * 100 / F.col("_n")).cast("long").alias("_credit"),
+    )
+    return (
+        credited.groupBy("click_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("_credit").alias("credit_cents"),
+        )
+    )
