@@ -2247,6 +2247,16 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # experiment readout: deterministic hash assignment, DECIMAL-exact
+    # moments, Welch z on the 2-row result
+    from cassandra_data_migration_spark.operators.sampling import (
+        ab_test_readout,
+    )
+
+    return ab_test_readout(load_table(spark, sf_dir, "events"))
+
+
 def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # linear multi-touch attribution in integer cents (floor split -
     # order-independent, engine-exact)
@@ -2885,6 +2895,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "null_safe_join": q_null_safe_join,
     "cumulative_users": q_cumulative_users,
     "multi_touch_credit": q_multi_touch_credit,
+    "ab_test_readout": q_ab_test_readout,
     "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
@@ -5216,6 +5227,38 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["ab_test_readout"] = """
+    WITH assigned AS (
+        SELECT CASE WHEN CAST(CAST('0x' || substr(md5('exp1'
+                   || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+                   % 10000 AS INTEGER) < 5000
+               THEN 'treatment' ELSE 'control' END AS arm,
+               CAST(value AS DECIMAL(18,6)) AS x
+        FROM events
+    ),
+    stats AS (
+        SELECT arm, COUNT(*) AS n, SUM(x) AS sx,
+               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
+        FROM assigned GROUP BY 1
+    ),
+    per AS (
+        SELECT arm, n,
+               CAST(sx AS DOUBLE) / n AS mean,
+               (CAST(sxx AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+               / (n - 1) AS variance
+        FROM stats
+    )
+    SELECT t.n AS n_treatment, c.n AS n_control,
+           ROUND(t.mean, 6) AS mean_treatment,
+           ROUND(c.mean, 6) AS mean_control,
+           ROUND(t.mean - c.mean, 6) AS lift,
+           ROUND((t.mean - c.mean)
+                 / sqrt(t.variance / t.n + c.variance / c.n), 6) AS welch_z
+    FROM (SELECT * FROM per WHERE arm = 'treatment') t,
+         (SELECT * FROM per WHERE arm = 'control') c
 """
 
 ORACLES["multi_touch_credit"] = """

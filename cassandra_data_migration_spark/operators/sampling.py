@@ -402,3 +402,76 @@ def weighted_sample_per_group(
         .filter(F.col("_rk") <= k)
         .select(group_col, id_col, weight_col)
     )
+
+
+def ab_test_readout(
+    df: DataFrame,
+    unit_col: str = "user_id",
+    metric_col: str = "value",
+    salt: str = "exp1",
+    treatment_pct: int = 50,
+) -> DataFrame:
+    """Experiment readout over a deterministic assignment: units hash
+    into treatment/control via the salted md5 bucket (same draw as
+    ``hash_split`` — stable across reruns and engines), and each arm
+    reports n, mean, variance, and the Welch z-score of the
+    treatment-control difference.
+
+    Exactness: Σx and Σx² accumulate as DECIMALs (order-independent);
+    means/variances derive from those exact sums at the edge, so both
+    engines produce identical doubles.  One scan, one map-combined
+    aggregation; the z-score computes on the 2-row result.
+
+    (At 10¹² rows the Σx² DECIMAL(38,12) would overflow — switch the
+    accumulator to e6 fixed-point BIGINT pairs as in
+    ``linalg.gram_matrix``; at fixture scale the decimal form is
+    clearer and exact.)"""
+    arm = F.when(
+        hash_bucket_expr(F.col(unit_col).cast("string"), salt=salt)
+        < F.lit(treatment_pct * NUM_BUCKETS // 100),
+        "treatment",
+    ).otherwise("control")
+    x = F.col(metric_col).cast("decimal(18,6)")
+    stats = (
+        df.select(arm.alias("arm"), x.alias("_x"))
+        .groupBy("arm")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_x").alias("_sx"),
+            F.sum((F.col("_x") * F.col("_x")).cast("decimal(38,12)")).alias(
+                "_sxx"
+            ),
+        )
+    )
+    mean = (F.col("_sx").cast("double") / F.col("n")).alias("mean")
+    var = (
+        (
+            F.col("_sxx").cast("double")
+            - F.col("_sx").cast("double")
+            * F.col("_sx").cast("double")
+            / F.col("n")
+        )
+        / (F.col("n") - 1)
+    ).alias("variance")
+    per_arm = stats.select("arm", "n", mean, var)
+    t = per_arm.filter(F.col("arm") == "treatment").select(
+        F.col("n").alias("_nt"),
+        F.col("mean").alias("_mt"),
+        F.col("variance").alias("_vt"),
+    )
+    c = per_arm.filter(F.col("arm") == "control").select(
+        F.col("n").alias("_nc"),
+        F.col("mean").alias("_mc"),
+        F.col("variance").alias("_vc"),
+    )
+    z = (F.col("_mt") - F.col("_mc")) / F.sqrt(
+        F.col("_vt") / F.col("_nt") + F.col("_vc") / F.col("_nc")
+    )
+    return t.crossJoin(c).select(
+        F.col("_nt").alias("n_treatment"),
+        F.col("_nc").alias("n_control"),
+        F.round(F.col("_mt"), 6).alias("mean_treatment"),
+        F.round(F.col("_mc"), 6).alias("mean_control"),
+        F.round(F.col("_mt") - F.col("_mc"), 6).alias("lift"),
+        F.round(z, 6).alias("welch_z"),
+    )
