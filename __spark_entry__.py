@@ -2247,6 +2247,21 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # interval coalescing: events become [ts, ts+30min] validity
+    # spans; overlapping spans per user merge into one
+    from cassandra_data_migration_spark.operators.windows import (
+        merge_intervals,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
+    )
+    return merge_intervals(ev, "user_id", "start_ts", "end_ts")
+
+
 def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
     # experiment readout: deterministic hash assignment, DECIMAL-exact
     # moments, Welch z on the 2-row result
@@ -2896,6 +2911,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cumulative_users": q_cumulative_users,
     "multi_touch_credit": q_multi_touch_credit,
     "ab_test_readout": q_ab_test_readout,
+    "merge_intervals": q_merge_intervals,
     "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
@@ -5227,6 +5243,34 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["merge_intervals"] = """
+    WITH iv AS (
+        SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
+        FROM events
+    ),
+    flagged AS (
+        SELECT *,
+               CASE WHEN start_ts > MAX(end_ts) OVER (
+                        PARTITION BY user_id ORDER BY start_ts, end_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                    OR MAX(end_ts) OVER (
+                        PARTITION BY user_id ORDER BY start_ts, end_ts
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                       IS NULL
+               THEN 1 ELSE 0 END AS new_span
+        FROM iv
+    ),
+    spanned AS (
+        SELECT *, SUM(new_span) OVER (
+                   PARTITION BY user_id ORDER BY start_ts, end_ts
+                   ROWS UNBOUNDED PRECEDING) AS span
+        FROM flagged
+    )
+    SELECT user_id, MIN(start_ts) AS span_start, MAX(end_ts) AS span_end,
+           COUNT(*) AS n_merged
+    FROM spanned GROUP BY user_id, span
 """
 
 ORACLES["ab_test_readout"] = """

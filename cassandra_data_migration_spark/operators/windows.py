@@ -491,3 +491,45 @@ def id_gap_islands(
         )
         .select("island_start", "island_end", "island_len")
     )
+
+
+def merge_intervals(
+    df: DataFrame,
+    key_col: str,
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """Union of overlapping/adjacent [start, end] intervals per key —
+    (key, span_start, span_end, n_merged).  The interval-coalescing
+    pattern (maintenance windows, on-call spans, validity ranges)
+    that ``sessionize`` (point events + gap) does not cover.
+
+    Plan: one key shuffle; a running max of end over the start-ordered
+    window detects non-overlap starts (start > max(end) so far), a
+    running sum of those flags numbers the spans, and one groupBy
+    emits them.  Two window passes + one aggregation, all on the same
+    partitioning — Spark reuses the exchange."""
+    w_order = Window.partitionBy(key_col).orderBy(
+        F.asc(start_col), F.asc(end_col)
+    )
+    prev_max_end = F.max(end_col).over(
+        w_order.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    spanned = df.withColumn("_new", new_span).withColumn(
+        "_span",
+        F.sum("_new").over(
+            w_order.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    return (
+        spanned.groupBy(key_col, "_span")
+        .agg(
+            F.min(start_col).alias("span_start"),
+            F.max(end_col).alias("span_end"),
+            F.count(F.lit(1)).alias("n_merged"),
+        )
+        .select(key_col, "span_start", "span_end", "n_merged")
+    )

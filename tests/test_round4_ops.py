@@ -737,3 +737,32 @@ def test_growth_accounting_identity(spark):
     assert total_new == n_users
     cu = cumulative_users(ev).orderBy(F.desc("period")).first()
     assert cu["cumulative_users"] == n_users
+
+
+def test_merge_intervals_crafted(spark):
+    from datetime import datetime
+
+    from cassandra_data_migration_spark.operators.windows import (
+        merge_intervals,
+    )
+
+    d = datetime
+    rows = [
+        (1, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 1, 0)),
+        (1, d(2024, 1, 1, 0, 30), d(2024, 1, 1, 2, 0)),   # overlaps
+        (1, d(2024, 1, 1, 3, 0), d(2024, 1, 1, 4, 0)),    # new span
+        (1, d(2024, 1, 1, 3, 10), d(2024, 1, 1, 3, 20)),  # contained
+        (2, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 0, 10)),
+    ]
+    df = spark.createDataFrame(
+        rows, "k long, s timestamp, e timestamp"
+    )
+    out = sorted(
+        (r["k"], r["span_start"], r["span_end"], r["n_merged"])
+        for r in merge_intervals(df, "k", "s", "e").collect()
+    )
+    assert out == [
+        (1, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 2, 0), 2),
+        (1, d(2024, 1, 1, 3, 0), d(2024, 1, 1, 4, 0), 2),
+        (2, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 0, 10), 1),
+    ]
