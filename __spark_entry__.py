@@ -2247,6 +2247,15 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Flesch-style readability from integer regex counts (scan-side)
+    from cassandra_data_migration_spark.operators.text import (
+        readability_scores,
+    )
+
+    return readability_scores(load_table(spark, sf_dir, "documents"))
+
+
 def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
     # interval coalescing: events become [ts, ts+30min] validity
     # spans; overlapping spans per user merge into one
@@ -2912,6 +2921,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multi_touch_credit": q_multi_touch_credit,
     "ab_test_readout": q_ab_test_readout,
     "merge_intervals": q_merge_intervals,
+    "readability": q_readability,
     "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
@@ -5243,6 +5253,23 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["readability"] = """
+    WITH c AS (
+        SELECT doc_id,
+               GREATEST(len(regexp_extract_all(lower(text),
+                   '[a-z0-9'']+')), 1) AS n_words,
+               GREATEST(len(regexp_extract_all(lower(text),
+                   '[.!?]+')), 1) AS n_sentences,
+               GREATEST(len(regexp_extract_all(lower(text),
+                   '[aeiouy]+')), 1) AS n_syllables
+        FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
+                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch_score
+    FROM c
 """
 
 ORACLES["merge_intervals"] = """

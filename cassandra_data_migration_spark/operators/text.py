@@ -1146,3 +1146,32 @@ def pmi_collocations(
         .orderBy(F.desc("pmi"), F.asc("a"), F.asc("b"))
         .limit(top_k)
     )
+
+
+def readability_scores(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Flesch-style reading-ease estimate from pure regex counts:
+    206.835 − 1.015·(words/sentences) − 84.6·(syllables/words), with
+    syllables approximated as vowel-group runs — the classic corpus-QC
+    readability feature, entirely scan-side (regexp_count is
+    codegen'd; no UDF, no shuffle).
+
+    Counts are integers, so the score derives identically in any
+    engine; sentence count floors at 1 (fragments still score)."""
+    t = F.lower(F.col(text_col))
+    words = F.greatest(F.regexp_count(t, F.lit(r"[a-z0-9']+")), F.lit(1))
+    sentences = F.greatest(F.regexp_count(t, F.lit(r"[.!?]+")), F.lit(1))
+    syllables = F.greatest(F.regexp_count(t, F.lit(r"[aeiouy]+")), F.lit(1))
+    score = (
+        F.lit(206.835)
+        - F.lit(1.015) * (words / sentences)
+        - F.lit(84.6) * (syllables / words)
+    )
+    return df.select(
+        F.col(id_col),
+        words.alias("n_words"),
+        sentences.alias("n_sentences"),
+        syllables.alias("n_syllables"),
+        F.round(score, 4).alias("flesch_score"),
+    )
