@@ -2247,6 +2247,24 @@ def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winsorized_stats(load_table(spark, sf_dir, "events"))
 
 
+def q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # code-vs-prose routing signals (regexp_count, scan-side)
+    from cassandra_data_migration_spark.operators.text import (
+        code_prose_signals,
+    )
+
+    return code_prose_signals(load_table(spark, sf_dir, "documents"))
+
+
+def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Benford first-digit forensic audit over order totals
+    from cassandra_data_migration_spark.operators.quality import (
+        benford_profile,
+    )
+
+    return benford_profile(load_table(spark, sf_dir, "orders"), "o_totalprice")
+
+
 def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Flesch-style readability from integer regex counts (scan-side)
     from cassandra_data_migration_spark.operators.text import (
@@ -2922,6 +2940,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ab_test_readout": q_ab_test_readout,
     "merge_intervals": q_merge_intervals,
     "readability": q_readability,
+    "code_signals": q_code_signals,
+    "benford_profile": q_benford_profile,
     "growth_accounting": q_growth_accounting,
     "id_gap_islands": q_id_gap_islands,
     "winsorized_stats": q_winsorized_stats,
@@ -5253,6 +5273,50 @@ ORACLES["winsorized_stats"] = """
            COUNT(*) AS n
     FROM events e JOIN bounds b ON e.event_type = b.event_type
     GROUP BY 1
+"""
+
+ORACLES["code_signals"] = """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[{}\[\]();]')) AS n_braces,
+           len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
+               AS n_operators,
+           len(regexp_extract_all(text,
+               '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b'))
+               AS n_identifiers,
+           ROUND((len(regexp_extract_all(text, '[{}\[\]();]'))
+                  + len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
+                  + len(regexp_extract_all(text,
+                      '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b')))
+                 * 1.0 / GREATEST(len(regexp_extract_all(text, '\S+')), 1),
+                 6) AS code_density,
+           (len(regexp_extract_all(text, '[{}\[\]();]'))
+            + len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
+            + len(regexp_extract_all(text,
+                '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b')))
+           * 1.0 / GREATEST(len(regexp_extract_all(text, '\S+')), 1)
+           > 0.05 AS is_codelike
+    FROM documents
+"""
+
+ORACLES["benford_profile"] = f"""
+    WITH f AS (SELECT o_totalprice FROM orders WHERE ABS(o_totalprice) >= 1),
+    counts AS (
+        SELECT CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)
+                   AS VARCHAR), 1, 1) AS INT) AS digit,
+               COUNT(*) AS n
+        FROM f GROUP BY 1
+    ),
+    tot AS (SELECT COUNT(*) AS t FROM f),
+    benford(digit, benford_pct) AS (
+        VALUES {", ".join(f"({k}, {round(__import__('math').log10(1 + 1/k), 6)})" for k in range(1, 10))}
+    )
+    SELECT c.digit, c.n,
+           ROUND(c.n * 1.0 / tot.t, 6) AS observed_pct,
+           b.benford_pct,
+           ROUND(ABS(ROUND(c.n * 1.0 / tot.t, 6) - b.benford_pct), 6)
+               AS abs_dev
+    FROM counts c JOIN benford b ON b.digit = c.digit CROSS JOIN tot
+    WHERE c.digit BETWEEN 1 AND 9
 """
 
 ORACLES["readability"] = """

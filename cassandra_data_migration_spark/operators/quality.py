@@ -149,3 +149,42 @@ def dq_report(df: DataFrame, checks: list[Check]) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.withColumn("passed", F.col("violations") == 0)
+
+
+def benford_profile(
+    df, value_col: str, min_value: float = 1.0
+):
+    """First-significant-digit distribution vs Benford's law — the
+    classic forensic data-quality audit for organically-generated
+    numeric columns (fabricated or truncated data skews the profile).
+
+    Output: (digit, n, observed_pct, benford_pct, abs_dev).  One
+    map-combined aggregation over 9 keys; the digit extraction is a
+    string head after normalization, engine-portable."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    # values are filtered to >= min_value >= 1, so the first
+    # significant digit is the integer part's leading character —
+    # exact and engine-portable, no float formatting involved
+    d = F.substring(
+        F.floor(F.abs(F.col(value_col))).cast("long").cast("string"), 1, 1
+    ).cast("int")
+    filtered = df.filter(F.abs(F.col(value_col)) >= min_value)
+    counts = filtered.groupBy(d.alias("digit")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    total = filtered.count()
+    benford = F.array(
+        *[F.lit(round(math.log10(1 + 1 / k), 6)) for k in range(1, 10)]
+    )
+    return (
+        counts.filter(F.col("digit").between(1, 9))
+        .withColumn("observed_pct", F.round(F.col("n") / F.lit(total), 6))
+        .withColumn("benford_pct", F.element_at(benford, F.col("digit")))
+        .withColumn(
+            "abs_dev",
+            F.round(F.abs(F.col("observed_pct") - F.col("benford_pct")), 6),
+        )
+    )

@@ -1175,3 +1175,29 @@ def readability_scores(
         syllables.alias("n_syllables"),
         F.round(score, 4).alias("flesch_score"),
     )
+
+
+def code_prose_signals(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """Code-vs-prose routing signals: counts of code-ish punctuation
+    (braces/brackets/semicolons), operators, and camelCase/snake_case
+    identifiers per document, plus a simple is_codelike flag — the
+    corpus-routing feature that decides which quality model scores a
+    document.  All codegen'd regexp_count, no shuffle."""
+    t = F.col(text_col)
+    braces = F.regexp_count(t, F.lit(r"[{}\[\]();]"))
+    operators = F.regexp_count(t, F.lit(r"(==|!=|->|=>|&&|\|\||::)"))
+    idents = F.regexp_count(
+        t, F.lit(r"\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b")
+    )
+    words = F.greatest(F.regexp_count(t, F.lit(r"\S+")), F.lit(1))
+    density = F.round((braces + operators + idents) / words, 6)
+    return df.select(
+        F.col(id_col),
+        braces.alias("n_braces"),
+        operators.alias("n_operators"),
+        idents.alias("n_identifiers"),
+        density.alias("code_density"),
+        (density > 0.05).alias("is_codelike"),
+    )
