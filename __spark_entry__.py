@@ -16,6 +16,7 @@ Here both engines derive the same deterministic pair from ``orders``:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
@@ -2364,7 +2365,7 @@ def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return parquet_rowgroup_stats(
         spark, f"{sf_dir}/lineitem.parquet"
-    ).select("row_group", "num_rows", "n_columns")
+    ).select("file", "row_group", "num_rows", "n_columns")
 
 
 def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3285,8 +3286,8 @@ def _traffic_ops_mix_oracle() -> str:
         ),
         f AS (SELECT (draw % 100) < 75 AS is_read FROM d)
         SELECT COUNT(*) AS total_ops,
-               SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS reads,
-               SUM(CASE WHEN NOT is_read THEN 1 ELSE 0 END) AS writes,
+               CAST(SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS BIGINT) AS reads,
+               CAST(SUM(CASE WHEN NOT is_read THEN 1 ELSE 0 END) AS BIGINT) AS writes,
                ROUND(100.0 * SUM(CASE WHEN is_read THEN 1 ELSE 0 END)::DOUBLE
                      / COUNT(*), 2) AS read_pct
         FROM f
@@ -3330,7 +3331,7 @@ ORACLES: dict[str, str] = {
     """,
     "traffic_summary": """
         SELECT COUNT(*) AS total_ops,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_count,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
                ROUND(100.0 * (1 - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)), 4) AS success_rate_pct,
                CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS total_value,
                ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
@@ -3792,7 +3793,7 @@ ORACLES: dict[str, str] = {
     "alert_error_windows": """
         SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
                         '%Y-%m-%d %H:%M:%S') AS window_start,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS errors,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
                'error_count_breach' AS alert
         FROM events
         GROUP BY time_bucket(INTERVAL '1 hour', ts)
@@ -3925,7 +3926,7 @@ ORACLES: dict[str, str] = {
     """,
     "observe_progress": """
         SELECT COUNT(*) AS rows_processed,
-               SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_rows
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_rows
         FROM events
     """,
     "stream_dual_write": """
@@ -4000,7 +4001,8 @@ ORACLES: dict[str, str] = {
             ) AS session_id
             FROM f
         )
-        SELECT user_id, session_id, COUNT(*) AS n_events,
+        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+               COUNT(*) AS n_events,
                MIN(ts) AS session_start, MAX(ts) AS session_end,
                MAX(sec) - MIN(sec) AS duration_s
         FROM s GROUP BY user_id, session_id
@@ -4107,7 +4109,8 @@ ORACLES: dict[str, str] = {
         cnt AS (SELECT term, COUNT(*) AS c FROM flat GROUP BY 1),
         vocab AS (SELECT term FROM cnt ORDER BY c DESC, term ASC LIMIT 20)
         SELECT f.doc_id, any_value(f.n_tokens) AS n_tokens,
-               SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS n_oov,
+               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_oov,
                ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
                      / any_value(f.n_tokens), 4) AS oov_frac
         FROM flat f LEFT JOIN vocab v ON f.term = v.term
@@ -4120,10 +4123,10 @@ ORACLES: dict[str, str] = {
             FROM documents
         )
         SELECT doc_id, source, n_tokens,
-               COALESCE(SUM(n_tokens) OVER (
+               CAST(COALESCE(SUM(n_tokens) OVER (
                    PARTITION BY source ORDER BY doc_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 512 AS bin_id
+               ), 0) // 512 AS BIGINT) AS bin_id
         FROM t
     """,
     "incremental_dedup": f"""
@@ -5409,7 +5412,8 @@ ORACLES["multi_touch_credit"] = """
         FROM pairs GROUP BY 1
     )
     SELECT pr.click_id, COUNT(*) AS n_purchases,
-           SUM(CAST(FLOOR(t.v * 100 / t.n) AS BIGINT)) AS credit_cents
+           CAST(SUM(CAST(FLOOR(t.v * 100 / t.n) AS BIGINT))
+                AS BIGINT) AS credit_cents
     FROM pairs pr JOIN touches t ON pr.purchase_id = t.purchase_id
     GROUP BY 1
 """
@@ -5421,8 +5425,8 @@ ORACLES["cumulative_users"] = """
     ),
     per AS (SELECT period, COUNT(*) AS new_users FROM first GROUP BY 1)
     SELECT period, new_users,
-           SUM(new_users) OVER (ORDER BY period
-               ROWS UNBOUNDED PRECEDING) AS cumulative_users
+           CAST(SUM(new_users) OVER (ORDER BY period
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
     FROM per
 """
 
@@ -5440,16 +5444,17 @@ ORACLES["growth_accounting"] = """
         FROM active
     )
     SELECT period,
-           SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END) AS new_users,
-           SUM(CASE WHEN prev IS NOT NULL
+           CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS new_users,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
                 AND date_diff('second', prev, period) = 604800
-                THEN 1 ELSE 0 END) AS retained,
-           SUM(CASE WHEN prev IS NOT NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS retained,
+           CAST(SUM(CASE WHEN prev IS NOT NULL
                 AND date_diff('second', prev, period) > 604800
-                THEN 1 ELSE 0 END) AS resurrected,
-           SUM(CASE WHEN next IS NULL
+                THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
+           CAST(SUM(CASE WHEN next IS NULL
                 OR date_diff('second', period, next) > 604800
-                THEN 1 ELSE 0 END) AS churned_after
+                THEN 1 ELSE 0 END) AS BIGINT) AS churned_after
     FROM flagged GROUP BY 1
 """
 
@@ -5469,14 +5474,29 @@ ORACLES["null_safe_join"] = """
     GROUP BY d.label
 """
 
-# independent footer reader: DuckDB's parquet_metadata()
-ORACLES["rowgroup_stats"] = """
-    SELECT CAST(row_group_id AS INT) AS row_group,
-           row_group_num_rows AS num_rows,
-           CAST(COUNT(*) AS INT) AS n_columns
-    FROM parquet_metadata('/root/testdata/sf0.01/lineitem.parquet')
-    GROUP BY row_group_id, row_group_num_rows
-"""
+# independent footer reader: DuckDB's parquet_metadata().  Computed at
+# oracle_sql() time from the contract sf dir (CDM_ORACLE_SF_DIR, driver
+# default sf0.01) so the contract holds at any scale factor; grouping
+# includes the file so multi-file datasets don't merge row groups.
+
+
+def _rowgroup_stats_oracle() -> str:
+    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return f"""
+        SELECT regexp_extract(file_name, '[^/]+$') AS file,
+               CAST(row_group_id
+                    - MIN(row_group_id) OVER (PARTITION BY file_name)
+                    AS INT) AS row_group,
+               num_rows,
+               n_columns
+        FROM (
+            SELECT file_name, row_group_id,
+                   ANY_VALUE(row_group_num_rows) AS num_rows,
+                   CAST(COUNT(*) AS INT) AS n_columns
+            FROM parquet_metadata('{sf_dir}/lineitem.parquet')
+            GROUP BY file_name, row_group_id
+        )
+    """
 
 ORACLES["stream_cdc_state"] = """
     WITH log AS (
@@ -5577,10 +5597,10 @@ ORACLES["cdc_apply"] = """
 
 ORACLES["priority_line_counts"] = """
     SELECT l_returnflag,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS low_line_count
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
     FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
     GROUP BY 1
@@ -5730,7 +5750,7 @@ ORACLES["key_skew_report"] = """
         SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
     ),
     stats AS (
-        SELECT COUNT(*) AS n_keys, SUM(n) AS n_rows,
+        SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
                MAX(n) AS max_key_rows
         FROM counts
     )
@@ -5749,6 +5769,7 @@ ORACLES["weighted_sample"] = """
                         CAST(lang AS VARCHAR), CAST(doc_id AS VARCHAR))),
                     1, 8) AS BIGINT) + 1) / 4294967296.0) / n_chars AS akey
         FROM documents
+        WHERE n_chars > 0
     ),
     ranked AS (
         SELECT lang, doc_id, n_chars,
@@ -5908,7 +5929,7 @@ def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
             FROM words
         ){rounds}
         SELECT replace(replace(symbol, chr(2), ''), chr(3), '') AS symbol,
-               COUNT(*) AS n_words, SUM(n) AS occurrences
+               COUNT(*) AS n_words, CAST(SUM(n) AS BIGINT) AS occurrences
         FROM (
             SELECT n, unnest(string_split(s, ' ')) AS symbol FROM {prev}
         ) GROUP BY 1
@@ -5920,4 +5941,5 @@ def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 def oracle_sql() -> dict[str, str]:
     out = dict(ORACLES)
     out["bpe_vocab"] = _bpe_oracle_sql()
+    out["rowgroup_stats"] = _rowgroup_stats_oracle()
     return out

@@ -74,6 +74,7 @@ def main() -> None:
             f"SELECT * FROM read_parquet('{args.sf}/{t}.parquet')"
         )
 
+    os.environ["CDM_ORACLE_SF_DIR"] = args.sf
     queries = entry_mod.queries()
     oracles = entry_mod.oracle_sql()
     only = {s for s in args.only.split(",") if s}
@@ -108,6 +109,24 @@ def main() -> None:
                         f"values differ at sorted-row {bad}: "
                         f"spark={srows[bad]} duck={drows[bad]}"[:400]
                     )
+                else:
+                    # The driver hashes raw value reprs, so an int column on
+                    # one side vs float64 on the other (DuckDB HUGEINT ->
+                    # pandas float) hash-mismatches even when norm() agrees.
+                    # Flag dtype-kind divergence as a failure here too.
+                    bad_kinds = [
+                        c
+                        for c in scols
+                        if {sdf[c].dtype.kind, ddf[c].dtype.kind} == {"i", "f"}
+                        and not ddf[c].isna().any()
+                        and not sdf[c].isna().any()
+                    ]
+                    if bad_kinds:
+                        verdict = "DTYPE"
+                        detail = "int-vs-float dtype on " + ",".join(
+                            f"{c}({sdf[c].dtype.kind}/{ddf[c].dtype.kind})"
+                            for c in bad_kinds
+                        )
             else:
                 verdict = "rows-only"
                 detail = f"{len(srows)} rows"
@@ -122,7 +141,9 @@ def main() -> None:
         print(f"{name:40s} {verdict:9s} {dt:7.2f}s{flag}", flush=True)
 
     total = round(time.perf_counter() - t_start, 1)
-    fails = {k: v for k, v in results.items() if v["verdict"] in ("FAIL", "ERR")}
+    fails = {
+        k: v for k, v in results.items() if v["verdict"] in ("FAIL", "ERR", "DTYPE")
+    }
     print(f"\n== {len(results)} queries, {len(fails)} failing, {total}s total ==")
     for k, v in fails.items():
         print(f"  {k}: {v['verdict']} {v['detail']}")
