@@ -165,6 +165,12 @@ def benford_profile(
 
     from pyspark.sql import functions as F
 
+    if min_value < 1:
+        # with |v| < 1 the leading integer digit is 0, which the digit
+        # counts drop but the denominator would keep — observed_pct
+        # would no longer sum to 1
+        raise ValueError("benford_profile requires min_value >= 1")
+
     # values are filtered to >= min_value >= 1, so the first
     # significant digit is the integer part's leading character —
     # exact and engine-portable, no float formatting involved

@@ -396,6 +396,11 @@ def weighted_sample_per_group(
     u = (draw32 + 1) / F.lit(float(1 << 32))
     key = -F.log(u) / F.col(weight_col)
     w = Window.partitionBy(group_col).orderBy(F.asc("_akey"), F.asc(id_col))
+    # A-ES is defined for w > 0: a zero/NULL weight makes the key NULL
+    # (non-ANSI division), and NULLs sort FIRST ascending — such rows
+    # would always win the sample, the opposite of zero-probability.
+    # Exclude them up front (standard A-ES precondition).
+    df = df.filter(F.col(weight_col) > 0)
     return (
         df.withColumn("_akey", key)
         .withColumn("_rk", F.row_number().over(w))

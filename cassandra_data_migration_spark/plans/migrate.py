@@ -226,8 +226,24 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
     elif cfg.num_parts:
         writer = out.repartition(cfg.num_parts)
 
-    writer.write.mode("overwrite").parquet(cfg.target_path)
-    n_written = spark.read.parquet(cfg.target_path).count()
+    # Resume semantics (docs/04-cdm-approach.md:843-846): with
+    # previousRunId the scan is clipped to pending buckets, so the
+    # write must APPEND next to the completed buckets' rows already in
+    # the target — overwrite would delete them (CDM's target is a live
+    # Cassandra table; rerun upserts only the pending ranges).  Safe
+    # for parquet because bucket completion is recorded only after the
+    # write job commits: a crashed run leaves no partial bucket data.
+    resuming = cfg.previous_run_id is not None and tracker is not None
+    n_before = 0
+    if resuming:
+        try:
+            n_before = spark.read.parquet(cfg.target_path).count()
+        except Exception:  # target does not exist yet — nothing to keep
+            n_before = 0
+    writer.write.mode("append" if resuming else "overwrite").parquet(
+        cfg.target_path
+    )
+    n_written = spark.read.parquet(cfg.target_path).count() - n_before
     if tracker is not None and run_id is not None:
         # per-bucket completion records (cdm_run_details analogue)
         written = spark.read.parquet(cfg.target_path)

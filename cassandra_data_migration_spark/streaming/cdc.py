@@ -8,12 +8,16 @@ re-insert starts fresh — full I/U/D semantics that the LWW store
 (``streaming/lww.py``, which mirrors CDM's never-delete rule)
 deliberately does not implement.
 
-State shape: one row per LIVE key plus nothing for deleted keys —
-the tombstone is the *absence* of state, exactly like a compacted
-changelog topic.  Cross-batch ordering uses (ts, seq): a late UPDATE
-arriving after the DELETE that supersedes it is ignored, which is
-the replay-deterministic rule ``cdc_apply`` applies batch-side (the
-stream-equals-batch test pins the two to identical output).
+State shape: one row per key, INCLUDING deleted keys — a DELETE is
+kept in state as a tombstone row (op='D') rather than removed, so a
+late UPDATE arriving in a later micro-batch with an *older* (ts, seq)
+still loses to the tombstone and is ignored — the replay-deterministic
+rule ``cdc_apply`` applies batch-side (the stream-equals-batch test
+pins the two to identical output).  Removing the state instead would
+lose the delete's ordering key and let the stale UPDATE resurrect the
+key.  Tombstones are small (one row) and can be GC'd with a state
+timeout once the out-of-orderness bound has passed; this module keeps
+them indefinitely (NoTimeout) for exact replay determinism.
 
 Emission: update-mode — each micro-batch emits the keys it changed
 with an ``_op`` column ('U' for a new winner, 'D' for a deletion),
@@ -56,22 +60,24 @@ def stateful_cdc_stream(
                 [batch, pd.DataFrame([tuple(state.get)], columns=cols)],
                 ignore_index=True,
             )
+        prev = tuple(state.get) if state.exists else None
         best = batch.sort_values(
             by=[ts_col, seq_col], ascending=False
         ).iloc[0]
-        if best[op_col] == delete_op:
-            had_state = state.exists
-            if had_state:
-                state.remove()
-            # emit the tombstone so sinks can delete downstream
-            out = pd.DataFrame([best[cols]])
-            out["_emit"] = "D"
-            yield out
-        else:
-            state.update(tuple(best[c] for c in cols))
-            out = pd.DataFrame([best[cols]])
-            out["_emit"] = "U"
-            yield out
+        winner = tuple(best[c] for c in cols)
+        # compare on the (ts, seq) ordering key — unique per key, and
+        # NaN-safe where payload equality is not
+        ti, si = cols.index(ts_col), cols.index(seq_col)
+        if prev is not None and (winner[ti], winner[si]) == (prev[ti], prev[si]):
+            # this batch's ops all lost to the held state (e.g. a late
+            # UPDATE older than the tombstone) — no change, no emission
+            return
+        # DELETE included: the tombstone row stays in state so its
+        # (ts, seq) keeps ordering against later-arriving older ops
+        state.update(winner)
+        out = pd.DataFrame([best[cols]])
+        out["_emit"] = "D" if best[op_col] == delete_op else "U"
+        yield out
 
     return stream.groupBy(*pk).applyInPandasWithState(
         update,

@@ -657,16 +657,33 @@ def test_migrate_track_run_resume_via_properties(spark, tmp_path):
     done = tracker.completed_buckets(res1.run_id)
     assert len(done) == tracker.num_buckets  # full run completed all
 
-    # simulate a partial run: forge a run with only half the buckets
+    # simulate a partial run: the target holds only the completed
+    # buckets' rows and the tracker records exactly those buckets
     partial = tracker.new_run()
-    for b in range(tracker.num_buckets // 2):
+    done_b = list(range(tracker.num_buckets // 2))
+    for b in done_b:
         tracker.record_bucket(partial, b, "PASSED", rows=1)
+    src = spark.read.parquet(origin)
+    partial_target = str(tmp_path / "t2")
+    src.filter(
+        F.pmod("o_orderkey", F.lit(tracker.num_buckets)).isin(done_b)
+    ).write.parquet(partial_target)
+
     props["spark.cdm.trackRun.previousRunId"] = partial
-    cfg2 = config_from_properties(props, origin, str(tmp_path / "t2"))
+    cfg2 = config_from_properties(props, origin, partial_target)
     cfg2.track_dir = cfg.track_dir
     res2 = migrate(spark, cfg2)
     # resume scanned only pending buckets -> strictly fewer rows
     assert 0 < res2.rows_written < res1.rows_written
+    # resume-into-same-target APPENDS next to the completed buckets'
+    # rows: final target is the complete table, nothing deleted, no key
+    # migrated twice
+    final = spark.read.parquet(partial_target)
+    assert final.count() == src.count()
+    assert (
+        final.select("o_orderkey").distinct().count()
+        == src.select("o_orderkey").distinct().count()
+    )
 
 
 def test_properties_custom_class_and_row_guardrail(spark, tmp_path):

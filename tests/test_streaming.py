@@ -599,3 +599,52 @@ def test_stateful_cdc_stream_equals_batch_apply(spark, tmp_path):
     assert current == expected
     assert 1 not in current          # deleted key gone
     assert current[3] == (3, 30)     # late update ignored
+
+
+def test_stateful_cdc_delete_then_late_update_stays_dead(spark, tmp_path):
+    """The tombstone case ADVICE r2 flagged: a DELETE arrives, then a
+    later micro-batch carries an UPDATE with an *older* (ts, seq).
+    The tombstone's ordering key must win — the key stays deleted and
+    no 'U' is emitted after the 'D' (state.remove() would have lost the
+    delete's timestamp and resurrected the key).  A re-insert with a
+    NEWER ts must still revive it."""
+    import uuid as _uuid
+
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.streaming.cdc import (
+        stateful_cdc_stream,
+    )
+
+    schema = "k long, ts long, seq long, op string, v long"
+    batch1 = [(1, 1, 0, "I", 10), (1, 9, 1, "D", 0),
+              (2, 1, 2, "I", 20), (2, 9, 3, "D", 0)]
+    batch2 = [(1, 5, 4, "U", 99)]        # late: older than k=1's delete
+    batch3 = [(2, 12, 5, "I", 21)]       # newer: revives k=2
+    src = str(tmp_path / "cdc_late")
+    for i, b in enumerate([batch1, batch2, batch3]):
+        spark.createDataFrame(b, schema).repartition(1).write.mode(
+            "overwrite" if i == 0 else "append"
+        ).parquet(src)
+
+    name = f"cdclate_{_uuid.uuid4().hex[:8]}"
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        stateful_cdc_stream(stream, ["k"])
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(f"SELECT * FROM {name}").collect()
+    k1 = sorted((r["ts"], r["_emit"]) for r in emitted if r["k"] == 1)
+    # one 'D' at ts=9 and NOTHING after it — the late update is ignored
+    assert k1 == [(9, "D")]
+    k2 = sorted((r["ts"], r["_emit"]) for r in emitted if r["k"] == 2)
+    assert k2 == [(9, "D"), (12, "U")]   # delete, then genuine revive
