@@ -66,12 +66,38 @@ def main() -> None:
             watchdog.cancel()
             sc.setJobGroup("", "")
     total = round(sum(timings.values()), 4)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # The full per-query map (199 entries, ~5.4 KB as JSON) exceeds the
+    # driver's 2,000-char stdout tail capture, so it goes to a sibling
+    # file; the FINAL stdout line is a compact summary that always fits.
+    full = {
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "rows": rows,
+        "sf": sf_val,
+    }
+    if errors:
+        full["errors"] = errors
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+    )
+    with open(full_path, "w") as f:
+        json.dump(full, f, indent=1)
+
+    slowest = dict(
+        sorted(timings.items(), key=lambda kv: kv[1], reverse=True)[:10]
+    )
+    out = {
+        "metric": "total_query_wall_sec",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "n_queries": len(timings),
+        "n_errors": len(errors),
+        "queries": slowest,  # slowest 10; full map in BENCH_FULL.json
+        "full": full_path,
     }
     # direct comparable to BASELINE.md's "CDM 50K rows/s" tier: rows
     # moved by the bulk migrate (largest table) over its wall time
@@ -80,9 +106,11 @@ def main() -> None:
             out["migrate_rows_per_sec"] = round(rows[key] / timings[key])
             out["migrate_rows_per_sec_query"] = key
             break
-    if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+    line = json.dumps(out)
+    if len(line) > 1900:  # belt-and-braces: never exceed the capture
+        out.pop("queries", None)
+        line = json.dumps(out)
+    print(line)
     try:
         spark.stop()
     except Exception:
