@@ -239,6 +239,78 @@ def sketch_profile(
     )
 
 
+def sketch_profile_audit(
+    df: DataFrame,
+    group_col: str = "source",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    rsd: float = 0.05,
+    rank_tol: float = 0.011,
+) -> DataFrame:
+    """Error-bound audit of :func:`sketch_profile` — the oracle-able
+    form of the sketch tier.  Sketch ESTIMATES are engine-specific, but
+    their GUARANTEES are not: HLL++'s relative error stays within a few
+    rsd, and ``percentile_approx``'s result has rank within ε·n of the
+    requested quantile.  This audit checks the invariants engine-side
+    and emits per-group booleans, so a SQL oracle can assert the same
+    rows exactly (every bound must hold ⇒ all TRUE).
+
+    Checks per group:
+    - ``distinct_ok``: |approx_distinct − exact_distinct| ≤ 3·rsd·exact
+      (3σ of the advertised standard error);
+    - ``median_rank_ok``: the rank interval of the approximate median
+      among exact token counts covers 0.5 within ``rank_tol``.
+
+    Cost note: the audit computes the EXACT distinct (one fingerprint
+    shuffle) — it is the verification tier you run at sample scale, not
+    the production profile, which stays sketch-only and shuffle-light.
+    """
+    from cassandra_data_migration_spark.operators.text import (
+        normalize_text,
+        token_count,
+    )
+
+    base = df.select(
+        F.col(group_col),
+        F.md5(normalize_text(text_col)).alias("_fp"),
+        token_count(text_col).alias("_nt"),
+    )
+    prof = sketch_profile(df, group_col, text_col, id_col, rsd).select(
+        group_col,
+        "n_docs",
+        "approx_distinct_docs",
+        F.element_at("token_quantiles", 1).alias("_amed"),
+    )
+    audited = (
+        base.join(F.broadcast(prof), on=group_col)
+        .groupBy(group_col)
+        .agg(
+            F.any_value("n_docs").alias("n_docs"),
+            F.any_value("approx_distinct_docs").alias("_approx_d"),
+            F.countDistinct("_fp").alias("_exact_d"),
+            F.sum(
+                F.when(F.col("_nt") < F.col("_amed"), 1).otherwise(0)
+            ).alias("_rank_lt"),
+            F.sum(
+                F.when(F.col("_nt") <= F.col("_amed"), 1).otherwise(0)
+            ).alias("_rank_le"),
+        )
+    )
+    n = F.col("n_docs").cast("double")
+    return audited.select(
+        group_col,
+        "n_docs",
+        (
+            F.abs(F.col("_approx_d") - F.col("_exact_d"))
+            <= F.lit(3 * rsd) * F.col("_exact_d")
+        ).alias("distinct_ok"),
+        (
+            (F.col("_rank_lt") / n - F.lit(rank_tol) <= F.lit(0.5))
+            & (F.lit(0.5) <= F.col("_rank_le") / n + F.lit(rank_tol))
+        ).alias("median_rank_ok"),
+    )
+
+
 def rollup_profile(
     df: DataFrame,
     dims: list[str],

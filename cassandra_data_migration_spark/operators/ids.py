@@ -7,8 +7,12 @@ This module assigns the identical ids with bounded parallelism:
 1. approximate quantile boundaries of the leading order column split
    the data into ordered buckets (approximation only affects balance,
    never correctness — equal keys always map to the same bucket);
-2. per-bucket counts (an O(buckets) aggregate) are cumsum'd on the
-   driver into bucket offsets;
+2. per-bucket counts (an O(buckets) aggregate) are cumsum'd into
+   bucket offsets and BROADCAST-JOINED back — the offsets frame is one
+   row per bucket, so the cumsum window and the broadcast are both
+   O(buckets), and the plan size stays constant no matter how many
+   buckets there are (a literal id→offset map would bloat the plan
+   past ~10^6 buckets);
 3. each bucket numbers its own rows with a PARTITIONed window and adds
    its offset.
 
@@ -55,27 +59,29 @@ def stable_dense_ids(
         bounds = sorted({-b for b in bounds})
     bucket = _bucket_of(lead_key, bounds).alias("_bkt")
     d = df.withColumn("_bkt", bucket)
+    # exclusive prefix sum over the O(buckets) counts — collected and
+    # cumsum'd driver-side (tiny), then shipped back as a BROADCAST-
+    # JOINED frame: the plan stays O(1) in size however many buckets
+    # there are (a literal id→offset map would bloat it past ~10^6)
     per_bucket = {
         r["_bkt"]: r["cnt"]
         for r in d.groupBy("_bkt").agg(F.count(F.lit(1)).alias("cnt")).collect()
     }
-    offsets, acc = {}, start - 1
+    rows, acc = [], start - 1
     for b in sorted(per_bucket):
-        offsets[b] = acc
+        rows.append((b, acc))
         acc += per_bucket[b]
-    off_map = F.map_from_arrays(
-        F.array(*[F.lit(b) for b in sorted(offsets)]),
-        F.array(*[F.lit(offsets[b]) for b in sorted(offsets)]),
-    )
+    offsets = d.sparkSession.createDataFrame(rows, "_bkt int, _off long")
     order_exprs = [
         F.col(c).desc() if dsc else F.col(c).asc()
         for c, dsc in zip(order_cols, desc)
     ]
     w = Window.partitionBy("_bkt").orderBy(*order_exprs)
     return (
-        d.withColumn(
+        d.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
             out,
-            (F.row_number().over(w) + off_map[F.col("_bkt")]).cast("bigint"),
+            (F.row_number().over(w) + F.col("_off")).cast("bigint"),
         )
-        .drop("_bkt")
+        .drop("_bkt", "_off")
     )

@@ -456,10 +456,13 @@ def id_gap_islands(
     Plan: the island key is ``id − row_number()`` (constant within a
     contiguous run) — one global-ordered window.  To avoid a
     single-task global sort, the row_number is composed from a range
-    bucket's local rank plus broadcast per-bucket offsets — the same
-    two-phase trick as ``operators/ids.stable_dense_ids``; here ids
-    are already near-dense so fixed-width buckets serve as the range
-    partitioner."""
+    bucket's local rank plus per-bucket offsets — the same two-phase
+    trick as ``operators/ids.stable_dense_ids``; here ids are already
+    near-dense so fixed-width buckets serve as the range partitioner.
+    Offsets are an exclusive prefix sum over the one-row-per-bucket
+    counts (collected and cumsum'd driver-side — O(buckets), tiny),
+    shipped back as a BROADCAST-JOINED frame rather than a literal
+    map, whose plan size would grow with the id space."""
     bucket = (F.col(id_col) / F.lit(100000)).cast("long")
     w_local = Window.partitionBy("_bkt").orderBy(F.asc(id_col))
     local = (
@@ -471,16 +474,13 @@ def id_gap_islands(
         r["_bkt"]: r["n"]
         for r in local.groupBy("_bkt").agg(F.count(F.lit(1)).alias("n")).collect()
     }
-    offsets, acc = {}, 0
+    rows, acc = [], 0
     for b in sorted(sizes):
-        offsets[b] = acc
+        rows.append((b, acc))
         acc += sizes[b]
-    off = F.map_from_arrays(
-        F.array(*[F.lit(b) for b in sorted(offsets)]),
-        F.array(*[F.lit(offsets[b]) for b in sorted(offsets)]),
-    )
-    keyed = local.withColumn(
-        "_island", F.col(id_col) - (F.col("_lrn") + off[F.col("_bkt")])
+    offsets = df.sparkSession.createDataFrame(rows, "_bkt long, _off long")
+    keyed = local.join(F.broadcast(offsets), "_bkt").withColumn(
+        "_island", F.col(id_col) - (F.col("_lrn") + F.col("_off"))
     )
     return (
         keyed.groupBy("_island")

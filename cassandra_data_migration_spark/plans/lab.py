@@ -1,0 +1,112 @@
+"""End-to-end lab parity: the reference's full training-keyspace
+migration + validation flow as ONE report query.
+
+Reference surfaces re-expressed (not ported):
+
+- lab/exercises/04-cdm-migration.md:116-255 — migrate the four
+  training tables (users, products, orders, user_activity) cluster to
+  cluster, preserving writetime on the activity table;
+- lab/scripts/validate_migration.py:24-81 — per-table count check +
+  100-row sampled spot-check, console PASS/FAIL per table.
+
+The script's 100 per-row point lookups become one broadcast semi-probe
+(`plans.validate.sample_validate`) and the count check is one
+full-outer-join pass (`validate_table`); per table the whole
+validation reads origin and target once each — the set-oriented shape
+that holds at 100 TB where a driver loop of point reads does not.
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+# (lab table, fixture stand-in, primary key, carry writetime) — the
+# PK map mirrors validate_migration.py:5-10; user_activity's composite
+# (user_id, activity_date, activity_time) maps to events'
+# (user_id, event_id) in the fixture schema.
+LAB_TABLES: list[tuple[str, str, list[str], bool]] = [
+    ("orders", "orders", ["o_orderkey"], False),
+    ("products", "part", ["p_partkey"], False),
+    ("user_activity", "events", ["user_id", "event_id"], True),
+    ("users", "customer", ["c_custkey"], False),
+]
+
+
+def lab_migration_report(
+    spark: SparkSession, sf_dir: str, workdir: str | None = None
+) -> DataFrame:
+    """Migrate all four training tables and emit one PASS/FAIL report
+    row per table, shaped like validate_migration.py:69-81's output:
+    (table_name, origin_rows, target_rows, count_check, sampled,
+    sample_failures, sample_check).
+
+    The activity table carries a derived row writetime through the
+    pipeline (CDM preserves cell writetime end to end —
+    docs/04-cdm-approach.md:826-829); validation compares the origin's
+    own columns, so the added metadata column never skews the check.
+    """
+    from cassandra_data_migration_spark.functions.metadata import (
+        attach_derived_writetime,
+    )
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        migrate,
+    )
+    from cassandra_data_migration_spark.plans.validate import (
+        sample_validate,
+        validate_table,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    workdir = workdir or tempfile.mkdtemp(prefix="lab_migration_")
+    report_rows = []
+    for lab_name, table, pk, carry_writetime in LAB_TABLES:
+        cfg = MigrationConfig(
+            origin_path=f"{sf_dir.rstrip('/')}/{table}.parquet",
+            target_path=f"{workdir}/{lab_name}",
+            table=lab_name,
+        )
+        if carry_writetime:
+            cfg.custom_transforms = [
+                lambda df: attach_derived_writetime(
+                    df.withColumn("ts", F.col("ts").cast("timestamp")), "ts"
+                )
+            ]
+        migrate(spark, cfg)
+
+        origin = load_table(spark, sf_dir, table)
+        target = spark.read.parquet(cfg.target_path)
+        compare_cols = [c for c in origin.columns if c not in pk]
+        tv = validate_table(origin, target, pk, table=lab_name,
+                            compare_cols=compare_cols)
+        sample = sample_validate(
+            origin, target, pk, n=100, compare_cols=compare_cols
+        ).first()
+        count_pass = (
+            tv.origin_count == tv.target_count
+            and tv.missing == 0
+            and tv.mismatched == 0
+        )
+        sample_failures = (sample["missing"] or 0) + (
+            sample["mismatched"] or 0
+        )
+        report_rows.append(
+            (
+                lab_name,
+                tv.origin_count,
+                tv.target_count,
+                "PASS" if count_pass else "FAIL",
+                sample["sampled"],
+                sample_failures,
+                "PASS" if sample_failures == 0 else "FAIL",
+            )
+        )
+    return spark.createDataFrame(
+        report_rows,
+        "table_name string, origin_rows long, target_rows long, "
+        "count_check string, sampled long, sample_failures long, "
+        "sample_check string",
+    )

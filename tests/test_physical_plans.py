@@ -351,6 +351,17 @@ def test_stable_dense_ids_never_single_partitions(spark):
     plan = _plan(entry_mod.queries()["stable_dense_ids"](spark, SF_CORRECT))
     assert "SinglePartition" not in plan
     assert "Window" in plan  # per-bucket windows remain
+    # offsets ride a broadcast join, not a literal map whose plan size
+    # would grow with the bucket count
+    assert "map_from_arrays" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_id_gap_islands_offsets_are_broadcast_not_literal(spark):
+    plan = _plan(entry_mod.queries()["id_gap_islands"](spark, SF_CORRECT))
+    assert "SinglePartition" not in plan
+    assert "map_from_arrays" not in plan
+    assert "BroadcastHashJoin" in plan
 
 
 def test_scd2_windows_are_key_partitioned(spark):

@@ -783,3 +783,45 @@ def test_merge_intervals_crafted(spark):
         (1, d(2024, 1, 1, 3, 0), d(2024, 1, 1, 4, 0), 2),
         (2, d(2024, 1, 1, 0, 0), d(2024, 1, 1, 0, 10), 1),
     ]
+
+
+def test_sketch_profile_audit_bounds_hold(spark):
+    """The error-bound audit form: every advertised sketch guarantee
+    must hold on the fixture corpus, per group."""
+    from cassandra_data_migration_spark.operators.aggregates import (
+        sketch_profile_audit,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    rows = sketch_profile_audit(docs).collect()
+    assert rows and all(r["distinct_ok"] for r in rows)
+    assert all(r["median_rank_ok"] for r in rows)
+    assert sum(r["n_docs"] for r in rows) == docs.count()
+
+
+def test_paged_fetch_pages_are_full_and_complete(spark):
+    from cassandra_data_migration_spark.sources.tables import (
+        load_table,
+        paged_fetch,
+    )
+
+    df = load_table(spark, SF_SMOKE, "customer").select("c_custkey")
+    n = df.count()
+    pages = list(paged_fetch(df, page_size=64))
+    assert len(pages) == (n + 63) // 64
+    assert all(len(p) == 64 for p in pages[:-1])
+    assert sum(len(p) for p in pages) == n
+    keys = sorted(r.c_custkey for p in pages for r in p)
+    assert keys == sorted(r.c_custkey for r in df.collect())
+
+
+def test_lab_migration_report_all_pass(spark):
+    from cassandra_data_migration_spark.plans.lab import lab_migration_report
+
+    rows = {r["table_name"]: r for r in
+            lab_migration_report(spark, SF_SMOKE).collect()}
+    assert set(rows) == {"users", "products", "orders", "user_activity"}
+    for r in rows.values():
+        assert r["count_check"] == "PASS" and r["sample_check"] == "PASS"
+        assert r["origin_rows"] == r["target_rows"] > 0
+        assert r["sample_failures"] == 0
