@@ -1506,6 +1506,52 @@ def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
 
 
+def q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # tokenize→pack END TO END: learn 8 BPE merges on-cluster, price
+    # every document in LEARNED-tokenizer tokens (per-word symbol
+    # counts broadcast back over the corpus — the word table is the
+    # Heaps'-law working set, never the corpus), then pack documents
+    # into per-source 256-token context bins via the same exclusive
+    # running sum as pack_sequences.  The oracle replays the identical
+    # merges (pure-Python learner + sentinel-replace CTEs) and packs
+    # with the same window arithmetic.
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.operators.bpe import bpe_train
+    from cassandra_data_migration_spark.operators.text import normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    _merges, segmented = bpe_train(docs, num_merges=8)
+    wlen = segmented.select(
+        "word", F.size("symbols").cast("bigint").alias("_w_tokens")
+    )
+    doc_words = docs.select(
+        "doc_id",
+        "source",
+        F.explode(F.split(normalize_text("text"), " ")).alias("word"),
+    ).filter(F.col("word") != "")
+    per_doc = (
+        doc_words.join(F.broadcast(wlen), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.any_value("source").alias("source"),
+            F.sum("_w_tokens").alias("bpe_tokens"),
+        )
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        per_doc.withColumn(
+            "_prev", F.coalesce(F.sum("bpe_tokens").over(w), F.lit(0))
+        )
+        .withColumn("bin_id", F.expr("_prev DIV 256"))
+        .select("doc_id", "source", "bpe_tokens", "bin_id")
+    )
+
+
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # engine-exact Lloyd k-means (k=8, 2 rounds + final assign):
     # e4 fixed-point assignment, DECIMAL-sum centroid updates — the
@@ -2535,16 +2581,26 @@ def q_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL codec path end to end: deterministic BMPs encoded driver-
-    # side, decoded by the in-repo BI_RGB codec inside an Arrow
-    # mapInPandas, integer channel sums out (engine-comparable)
+    # REAL codec path end to end: deterministic images encoded driver-
+    # side — half as 24-bit BMP, half as zlib-compressed baseline PNG —
+    # decoded by the in-repo codecs inside an Arrow mapInPandas,
+    # integer channel sums out (container-invariant, engine-comparable)
     from cassandra_data_migration_spark.operators.multimodal import (
         encode_bmp,
+        encode_png,
         media_pixel_stats,
     )
 
     rows = [
-        (i, bytearray(encode_bmp(4, 4, _synth_rgb(i)))) for i in range(32)
+        (
+            i,
+            bytearray(
+                (encode_bmp if i % 2 == 0 else encode_png)(
+                    4, 4, _synth_rgb(i)
+                )
+            ),
+        )
+        for i in range(32)
     ]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     return media_pixel_stats(df)
@@ -2906,6 +2962,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tfidf_keywords": q_tfidf_keywords,
     "vocab_oov": q_vocab_oov,
     "pack_sequences": q_pack_sequences,
+    "bpe_pack_pipeline": q_bpe_pack_pipeline,
     "incremental_dedup": q_incremental_dedup,
     "quantized_topk": q_quantized_topk,
     "sketch_profile": q_sketch_profile,
@@ -3013,7 +3070,7 @@ _ROUND_HEAD: list[str] = [
     "observe_progress", "lab_migration_report", "paged_fetch_audit",
     "sketch_profile", "rowgroup_stats", "weighted_sample",
     "event_sessions", "vocab_oov", "pack_sequences",
-    "bpe_vocab", "priority_line_counts", "cumulative_users",
+    "bpe_vocab", "bpe_pack_pipeline", "priority_line_counts", "cumulative_users",
     "multi_touch_credit", "growth_accounting", "key_skew_report",
     "stream_cdc_state", "id_gap_islands", "stable_dense_ids",
     "benford_profile", "sliding_rate", "rp_projection",
@@ -3025,8 +3082,9 @@ _ROUND_HEAD: list[str] = [
     "chunk_dedup", "rollup_profile", "running_total",
     "pivot_lang_source", "length_quartiles", "interval_session_lookup",
     "bm25_topk", "unigram_logprob", "bigram_logprob",
-    "dsir_select", "perplexity_buckets", "strip_boilerplate",
+    "dsir_select",
 ]
+assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 
 # rotate: head first (this round's driver window), everything else in
 # its existing order behind it
@@ -5964,6 +6022,87 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 _BPE_ORACLE_CACHE: dict[str, str] = {}
 
 
+_BPE_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
+
+
+def _learned_bpe_merges(sf_dir: str) -> list[tuple[str, str]]:
+    """Learn the 8-merge sequence over the fixture corpus with the
+    pure-Python reference (identical tie-breaks to the Spark trainer,
+    pinned by tests) — shared by the bpe_vocab and bpe_pack_pipeline
+    oracles."""
+    if sf_dir not in _BPE_MERGE_CACHE:
+        import duckdb as _duckdb
+
+        wc = _duckdb.sql(
+            f"""
+            SELECT word, COUNT(*) AS n FROM (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS word
+                FROM '{sf_dir}/documents.parquet'
+            ) WHERE word <> '' GROUP BY 1
+            """
+        ).fetchall()
+        _BPE_MERGE_CACHE[sf_dir] = _py_bpe_learn(
+            [(w, n) for w, n in wc], 8
+        )
+    return _BPE_MERGE_CACHE[sf_dir]
+
+
+def _bpe_pack_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
+    """Oracle for ``bpe_pack_pipeline``: replay the learned merges with
+    word retained through the rounds, price each document in learned
+    tokens, pack into per-source 256-token bins with the identical
+    exclusive-cumsum arithmetic."""
+    merges = _learned_bpe_merges(sf_dir)
+    enc = lambda sym: f"chr(2) || '{sym}' || chr(3)"  # noqa: E731
+    rounds = ""
+    prev = "enc"
+    for i, (a, b) in enumerate(merges):
+        rounds += (
+            f", p{i} AS (SELECT word, replace(s, {enc(a)} || ' ' || {enc(b)},"
+            f" {enc(a + b)}) AS s FROM {prev})"
+        )
+        prev = f"p{i}"
+    return f"""
+        WITH words AS (
+            SELECT DISTINCT word FROM (
+                SELECT unnest(string_split(trim(regexp_replace(lower(text),
+                    '\s+', ' ', 'g')), ' ')) AS word
+                FROM documents
+            ) WHERE word <> ''
+        ),
+        enc AS (
+            SELECT word,
+                   array_to_string(list_transform(range(1, length(word) + 1),
+                       i -> chr(2) || substr(word, CAST(i AS INT), 1) || chr(3)),
+                       ' ') || ' ' || chr(2) || '</w>' || chr(3) AS s
+            FROM words
+        ){rounds},
+        wlen AS (
+            SELECT word, len(string_split(s, ' ')) AS w_tokens FROM {prev}
+        ),
+        docw AS (
+            SELECT doc_id, source,
+                   unnest(string_split(trim(regexp_replace(lower(text),
+                       '\s+', ' ', 'g')), ' ')) AS word
+            FROM documents
+        ),
+        perdoc AS (
+            SELECT d.doc_id, ANY_VALUE(d.source) AS source,
+                   CAST(SUM(w.w_tokens) AS BIGINT) AS bpe_tokens
+            FROM docw d JOIN wlen w USING (word)
+            WHERE d.word <> ''
+            GROUP BY d.doc_id
+        )
+        SELECT doc_id, source, bpe_tokens,
+               CAST(COALESCE(SUM(bpe_tokens) OVER (
+                   PARTITION BY source ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) // 256 AS BIGINT) AS bin_id
+        FROM perdoc
+    """
+
+
 def _py_bpe_learn(wc: list[tuple[str, int]], num_merges: int):
     """Pure-Python reference BPE (the classic Sennrich formulation) —
     learns the merge sequence the oracle SQL then applies.  Tie-break
@@ -6011,18 +6150,7 @@ def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
     Built lazily because it reads the fixture at oracle time."""
     if sf_dir in _BPE_ORACLE_CACHE:
         return _BPE_ORACLE_CACHE[sf_dir]
-    import duckdb as _duckdb
-
-    wc = _duckdb.sql(
-        f"""
-        SELECT word, COUNT(*) AS n FROM (
-            SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                '\s+', ' ', 'g')), ' ')) AS word
-            FROM '{sf_dir}/documents.parquet'
-        ) WHERE word <> '' GROUP BY 1
-        """
-    ).fetchall()
-    merges = _py_bpe_learn([(w, n) for w, n in wc], 8)
+    merges = _learned_bpe_merges(sf_dir)
     enc = lambda sym: f"chr(2) || '{sym}' || chr(3)"  # noqa: E731
     rounds = ""
     prev = "enc"
@@ -6058,7 +6186,9 @@ def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     out = dict(ORACLES)
-    out["bpe_vocab"] = _bpe_oracle_sql()
+    out["bpe_vocab"] = _bpe_oracle_sql(sf_dir)
+    out["bpe_pack_pipeline"] = _bpe_pack_oracle_sql(sf_dir)
     out["rowgroup_stats"] = _rowgroup_stats_oracle()
     return out

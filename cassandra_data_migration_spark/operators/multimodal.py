@@ -5,11 +5,12 @@ an opaque ``binary`` payload column plus a typed metadata struct
 (modality, mime, nominal dims).  The Spark-side machinery — schema,
 partitioning, Arrow-batched ``mapInPandas`` feature extraction,
 batch shapes — is real and tested.  The codec step resolves at call
-time, in order: (1) REAL pure-stdlib decoders for the uncompressed
-containers — 24-bit BMP and P6 PPM → raw RGB, PCM WAV → PCM16 —
-which run in any environment including this one (tested on
+time, in order: (1) REAL pure-stdlib decoders — 24-bit BMP, P6 PPM,
+and baseline 8-bit PNG (zlib inflate + unfilter) → raw RGB, PCM WAV
+→ PCM16 — which run in any environment including this one (tested on
 synthesized payloads, pixel/sample-exact); (2) Pillow (images) /
-soundfile (audio) when installed, for compressed formats; (3) the
+soundfile (audio) when installed, for JPEG/palette-PNG/FLAC and other
+compressed formats; (3) the
 deterministic hash-derived stub via ``fake=True`` (what the
 oracle-checked queries use, since the fixture payloads are text
 bytes, not media).  With ``fake=False`` and no applicable codec,
@@ -138,11 +139,128 @@ def decode_wav(payload: bytes) -> bytes:
         return w.readframes(w.getnframes())
 
 
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """Pure-stdlib PNG decode (zlib inflate + per-row unfilter) to
+    (width, height, top-down RGB bytes).  Covers the baseline profile:
+    8-bit depth, color types 0/2/4/6 (grayscale, RGB, gray+alpha,
+    RGBA; alpha is dropped), non-interlaced, all five filter types.
+    Palette/16-bit/Adam7 raise — those are the Pillow tier.
+
+    The unfilter loop is per-byte Python, which is fine where this
+    runs: inside an Arrow-batched ``mapInPandas`` stage over payloads
+    that are KBs each; a production deployment swaps in Pillow via
+    ``_image_codec`` without touching the dataflow."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG payload")
+    idat = bytearray()
+    width = height = bit_depth = color_type = interlace = None
+    i = 8
+    while i + 8 <= len(payload):
+        (length,), typ = struct.unpack_from(">I", payload, i), payload[i + 4 : i + 8]
+        data = payload[i + 8 : i + 8 + length]
+        if typ == b"IHDR":
+            width, height, bit_depth, color_type, _c, _f, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+        elif typ == b"IDAT":
+            idat += data
+        elif typ == b"IEND":
+            break
+        i += 12 + length
+    if width is None:
+        raise ValueError("PNG missing IHDR")
+    if bit_depth != 8 or interlace:
+        raise ValueError("only 8-bit non-interlaced PNG supported in-repo")
+    channels = {0: 1, 2: 3, 4: 2, 6: 4}.get(color_type)
+    if channels is None:
+        raise ValueError(f"unsupported PNG color type {color_type}")
+    raw = zlib.decompress(bytes(idat))
+    stride = width * channels
+    prev = bytearray(stride)
+    out = bytearray()
+    pos = 0
+    for _row in range(height):
+        ftype = raw[pos]
+        line = bytearray(raw[pos + 1 : pos + 1 + stride])
+        pos += 1 + stride
+        if ftype == 1:  # Sub
+            for x in range(channels, stride):
+                line[x] = (line[x] + line[x - channels]) & 0xFF
+        elif ftype == 2:  # Up
+            for x in range(stride):
+                line[x] = (line[x] + prev[x]) & 0xFF
+        elif ftype == 3:  # Average
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                line[x] = (line[x] + ((a + prev[x]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for x in range(stride):
+                a = line[x - channels] if x >= channels else 0
+                b = prev[x]
+                c = prev[x - channels] if x >= channels else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b if pb <= pc else c)
+                line[x] = (line[x] + pred) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"bad PNG filter type {ftype}")
+        prev = line
+        if color_type == 2:
+            out += line
+        elif color_type == 6:
+            for x in range(width):
+                out += line[4 * x : 4 * x + 3]
+        elif color_type == 0:
+            for v in line:
+                out += bytes((v, v, v))
+        else:  # 4: gray + alpha
+            for x in range(width):
+                v = line[2 * x]
+                out += bytes((v, v, v))
+    return width, height, bytes(out)
+
+
+def encode_png(width: int, height: int, rgb: bytes) -> bytes:
+    """Encoder twin of :func:`decode_png`: top-down RGB → 8-bit
+    truecolor non-interlaced PNG (filter type 0 rows, one zlib
+    stream).  Pure stdlib; makes PNG roundtrip tests runnable in
+    codec-less containers."""
+    import struct  # noqa: PLC0415
+    import zlib  # noqa: PLC0415
+
+    def chunk(typ: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + typ
+            + data
+            + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    raw = bytearray()
+    for row in range(height):
+        raw += b"\x00" + rgb[3 * width * row : 3 * width * (row + 1)]
+    return (
+        _PNG_MAGIC
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw), 6))
+        + chunk(b"IEND", b"")
+    )
+
+
 def _sniff(payload: bytes) -> str | None:
     if payload[:2] == b"BM":
         return "bmp"
     if payload[:2] == b"P6":
         return "ppm"
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
     if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
         return "wav"
     return None
@@ -167,6 +285,8 @@ def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
         return decode_bmp(payload)[2]
     if kind == "ppm":
         return decode_ppm(payload)[2]
+    if kind == "png":
+        return decode_png(payload)[2]
     if kind == "wav":
         return decode_wav(payload)
     modality = (meta or {}).get("modality", "image")
@@ -186,7 +306,7 @@ def decode_media(payload: bytes, meta: dict, fake: bool = False) -> bytes:
             return data.tobytes()
     raise NotImplementedError(
         f"no codec available for this payload (modality={modality!r}): "
-        "uncompressed BMP/PPM/WAV decode in-repo; compressed formats "
+        "BMP/PPM/baseline-PNG/WAV decode in-repo; other formats "
         "need Pillow (images) / soundfile (audio); or pass fake=True "
         "for the deterministic stub"
     )
@@ -278,14 +398,13 @@ def resize_media(
         import io  # noqa: PLC0415
 
         kind = _sniff(bytes(b))
-        if kind in ("bmp", "ppm"):
+        if kind in ("bmp", "ppm", "png"):
             # pure stdlib+numpy path: decode → nearest-neighbor
             # resample → re-encode as P6 PPM.  Real pixels, no Pillow.
             import numpy as np  # noqa: PLC0415
 
-            w0, h0, rgb = (decode_bmp if kind == "bmp" else decode_ppm)(
-                bytes(b)
-            )
+            codec = {"bmp": decode_bmp, "ppm": decode_ppm, "png": decode_png}
+            w0, h0, rgb = codec[kind](bytes(b))
             arr = np.frombuffer(rgb, dtype=np.uint8).reshape(h0, w0, 3)
             ys = (np.arange(height) * h0 // height).clip(0, h0 - 1)
             xs = (np.arange(width) * w0 // width).clip(0, w0 - 1)
@@ -344,7 +463,7 @@ def media_pixel_stats(
     df: DataFrame, id_col: str = "doc_id", payload_col: str = "payload"
 ) -> DataFrame:
     """REAL-decode pixel statistics: sniff + decode each payload with
-    the in-repo codecs (BMP/PPM) and emit integer channel sums —
+    the in-repo codecs (BMP/PPM/PNG) and emit integer channel sums —
     (id, width, height, sum_r, sum_g, sum_b).  Integer-exact, so the
     result is engine-comparable; Arrow-batched ``mapInPandas``, one
     pass, no shuffle."""
@@ -362,6 +481,8 @@ def media_pixel_stats(
                     w, h, rgb = decode_bmp(b)
                 elif kind == "ppm":
                     w, h, rgb = decode_ppm(b)
+                elif kind == "png":
+                    w, h, rgb = decode_png(b)
                 else:
                     raise ValueError("media_pixel_stats: unsupported payload")
                 out[id_col].append(rid)

@@ -825,3 +825,105 @@ def test_lab_migration_report_all_pass(spark):
         assert r["count_check"] == "PASS" and r["sample_check"] == "PASS"
         assert r["origin_rows"] == r["target_rows"] > 0
         assert r["sample_failures"] == 0
+
+
+def test_png_codec_roundtrip_all_filters():
+    """In-repo baseline PNG: encode→decode roundtrips exactly, and the
+    decoder handles every filter type + RGBA/gray inputs."""
+    import struct
+    import zlib
+
+    from cassandra_data_migration_spark.operators.multimodal import (
+        _PNG_MAGIC,
+        decode_media,
+        decode_png,
+        encode_png,
+    )
+
+    # gradient exercises Sub/Up/Average/Paeth predictions meaningfully
+    w, h = 5, 4
+    rgb = b"".join(
+        bytes(((x * 50) % 256, (y * 80) % 256, (x * y * 7) % 256))
+        for y in range(h)
+        for x in range(w)
+    )
+    png = encode_png(w, h, rgb)
+    assert png[:8] == _PNG_MAGIC
+    assert decode_png(png) == (w, h, rgb)
+    assert decode_media(png, {"modality": "image"}, fake=False) == rgb
+
+    # hand-build payloads per filter type: filtered scanlines that
+    # unfilter back to the same raw rows
+    def build(color_type, channels, rows, filt):
+        stride = len(rows[0])
+        raw = bytearray()
+        prev = bytearray(stride)
+        for line in rows:
+            enc = bytearray(line)
+            if filt == 1:
+                for x in range(stride - 1, channels - 1, -1):
+                    enc[x] = (enc[x] - line[x - channels]) & 0xFF
+            elif filt == 2:
+                for x in range(stride):
+                    enc[x] = (enc[x] - prev[x]) & 0xFF
+            elif filt == 3:
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    enc[x] = (enc[x] - ((a + prev[x]) >> 1)) & 0xFF
+            elif filt == 4:
+                for x in range(stride):
+                    a = line[x - channels] if x >= channels else 0
+                    b = prev[x]
+                    c = prev[x - channels] if x >= channels else 0
+                    p = a + b - c
+                    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                    pred = a if pa <= pb and pa <= pc else (
+                        b if pb <= pc else c
+                    )
+                    enc[x] = (enc[x] - pred) & 0xFF
+            raw += bytes([filt]) + bytes(enc)
+            prev = bytearray(line)
+
+        def chunk(typ, data):
+            return (
+                struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", zlib.crc32(typ + data) & 0xFFFFFFFF)
+            )
+
+        ihdr = struct.pack(
+            ">IIBBBBB", stride // channels, len(rows), 8, color_type, 0, 0, 0
+        )
+        return (
+            _PNG_MAGIC + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b"")
+        )
+
+    rows_rgb = [bytes(range(30)), bytes(range(100, 130)), bytes(range(200, 230))]
+    for filt in (0, 1, 2, 3, 4):
+        png_f = build(2, 3, rows_rgb, filt)
+        assert decode_png(png_f) == (10, 3, b"".join(rows_rgb)), f"filter {filt}"
+
+    # RGBA → alpha dropped; grayscale → replicated to RGB
+    rows_rgba = [bytes((1, 2, 3, 9, 4, 5, 6, 9))]
+    assert decode_png(build(6, 4, rows_rgba, 4)) == (2, 1, bytes((1, 2, 3, 4, 5, 6)))
+    rows_gray = [bytes((7, 250))]
+    assert decode_png(build(0, 1, rows_gray, 1)) == (2, 1, bytes((7, 7, 7, 250, 250, 250)))
+
+
+def test_resize_media_handles_png_without_pillow(spark):
+    from cassandra_data_migration_spark.operators.multimodal import (
+        decode_ppm,
+        encode_png,
+        resize_media,
+    )
+
+    rgb = bytes((255, 0, 0)) + bytes((0, 255, 0)) + bytes((0, 0, 255)) + bytes((9, 9, 9))
+    png = encode_png(2, 2, rgb)
+    df = spark.createDataFrame(
+        [(1, bytearray(png))], "doc_id long, payload binary"
+    )
+    out = resize_media(df, width=4, height=4, fake_decode=False).first()
+    w, h, out_rgb = decode_ppm(bytes(out["payload_resized"]))
+    assert (w, h) == (4, 4)
+    assert out_rgb[0:3] == bytes((255, 0, 0))
