@@ -49,6 +49,15 @@ def get_spark(
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # 200+ whole-stage-codegen'd plans in one JVM overflow the
+        # default 240 MB reserved code cache; once it fills, the JIT
+        # stops compiling and late queries run interpreted (3-6x
+        # slower — measured on the full bench run).  Spark's own docs
+        # recommend raising it for codegen-heavy workloads.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=512m",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
