@@ -234,27 +234,68 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
     # for parquet because bucket completion is recorded only after the
     # write job commits: a crashed run leaves no partial bucket data.
     resuming = cfg.previous_run_id is not None and tracker is not None
-    n_before = 0
-    if resuming:
-        try:
-            n_before = spark.read.parquet(cfg.target_path).count()
-        except Exception:  # target does not exist yet — nothing to keep
-            n_before = 0
+
+    # Rows-written accounting rides the WRITE JOB itself via an
+    # Observation — re-reading the target to count would scan the
+    # entire written output a second time (at 100 TB, that doubles the
+    # job's I/O).  Per-bucket completion counts piggyback on the same
+    # observation as conditional aggregates when the bucket count is
+    # modest (the 32-bucket default), so the tracked path costs zero
+    # extra scans too.
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    metrics = [F.count(F.lit(1)).alias("rows")]
+    observe_buckets = (
+        tracker is not None
+        and run_id is not None
+        and tracker.num_buckets <= 64
+    )
+    if observe_buckets:
+        bucket = F.pmod(F.col(cfg.track_key_col), F.lit(tracker.num_buckets))
+        metrics += [
+            F.sum(F.when(bucket == b, 1).otherwise(0)).alias(f"b{b}")
+            for b in range(tracker.num_buckets)
+        ]
+    writer = writer.observe(obs, *metrics)
     writer.write.mode("append" if resuming else "overwrite").parquet(
         cfg.target_path
     )
-    n_written = spark.read.parquet(cfg.target_path).count() - n_before
+    observed = obs.get
+    n_written = observed["rows"]
     if tracker is not None and run_id is not None:
-        # per-bucket completion records (cdm_run_details analogue)
-        written = spark.read.parquet(cfg.target_path)
-        bucket = F.pmod(F.col(cfg.track_key_col), F.lit(tracker.num_buckets))
-        counts = (
-            written.groupBy(bucket.alias("_b"))
-            .agg(F.count(F.lit(1)).alias("_n"))
-            .collect()
-        )
-        for r in counts:
-            tracker.record_bucket(run_id, int(r["_b"]), "PASSED", rows=r["_n"])
+        # per-bucket completion records (cdm_run_details analogue).
+        # On resume the observation covers THIS run's buckets only —
+        # previously completed buckets already hold their records
+        # under the prior run id.
+        if observe_buckets:
+            counts = [
+                (b, observed[f"b{b}"]) for b in range(tracker.num_buckets)
+            ]
+        else:  # many buckets: one aggregation over the written rows
+            written = spark.read.parquet(cfg.target_path)
+            bucket = F.pmod(
+                F.col(cfg.track_key_col), F.lit(tracker.num_buckets)
+            )
+            counts = [
+                (int(r["_b"]), r["_n"])
+                for r in written.groupBy(bucket.alias("_b"))
+                .agg(F.count(F.lit(1)).alias("_n"))
+                .collect()
+            ]
+        recorded = set()
+        for b, n in counts:
+            if n:
+                tracker.record_bucket(run_id, b, "PASSED", rows=n)
+                recorded.add(b)
+        if resuming:
+            # carry the prior run's completed buckets forward so THIS
+            # run's details are self-contained — a later resume may
+            # pass this run id as previousRunId and must not re-scan
+            # (and, with append, duplicate) already-migrated buckets
+            for b, n in tracker.completed_bucket_rows(cfg.previous_run_id):
+                if b not in recorded:
+                    tracker.record_bucket(run_id, b, "PASSED", rows=n)
     return MigrationResult(
         n_written, n_written, n_violations, time.perf_counter() - t0, False, batch,
         run_id=run_id

@@ -58,17 +58,24 @@ class RunTracker:
         pq.write_table(table, f"{path}/{uuid.uuid4().hex}.parquet")
 
     def completed_buckets(self, run_id: str) -> list[int]:
+        return [b for b, _ in self.completed_bucket_rows(run_id)]
+
+    def completed_bucket_rows(self, run_id: str) -> list[tuple[int, int]]:
+        """(bucket, rows) for every bucket whose LAST status is PASSED
+        (a bucket may fail then pass on rerun)."""
         path = self._details_path(run_id)
         if not os.path.exists(path):
             return []
         det = self.spark.read.parquet(path)
-        # last status per bucket wins (a bucket may fail then pass on rerun)
         last = (
             det.groupBy("bucket")
-            .agg(F.max_by("status", "recorded_at").alias("status"))
+            .agg(
+                F.max_by("status", "recorded_at").alias("status"),
+                F.max_by("rows", "recorded_at").alias("rows"),
+            )
             .filter(F.col("status") == "PASSED")
         )
-        return [r.bucket for r in last.collect()]
+        return [(int(r["bucket"]), int(r["rows"])) for r in last.collect()]
 
     def pending_buckets(self, run_id: str | None) -> list[int]:
         """autoRerun semantics: all buckets minus previously PASSED

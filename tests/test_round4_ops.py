@@ -927,3 +927,49 @@ def test_resize_media_handles_png_without_pillow(spark):
     w, h, out_rgb = decode_ppm(bytes(out["payload_resized"]))
     assert (w, h) == (4, 4)
     assert out_rgb[0:3] == bytes((255, 0, 0))
+
+
+def test_migrate_chained_resume_is_self_contained(spark, tmp_path):
+    """Resume-of-resume: run 2's details must carry run 1's completed
+    buckets forward, so a run 3 resuming FROM RUN 2 scans nothing and
+    appends nothing (no duplicated keys with append-mode resume)."""
+    from cassandra_data_migration_spark.plans.migrate import (
+        MigrationConfig,
+        migrate,
+    )
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    origin = "/root/testdata/sf0.001/orders.parquet"
+    src = spark.read.parquet(origin)
+    track_dir = str(tmp_path / "runinfo")
+    tracker = RunTracker(spark, track_dir)
+
+    # forge run 1: half the buckets PASSED, target holds exactly them
+    run1 = tracker.new_run()
+    done_b = list(range(tracker.num_buckets // 2))
+    for b in done_b:
+        tracker.record_bucket(run1, b, "PASSED", rows=1)
+    target = str(tmp_path / "t")
+    src.filter(
+        F.pmod("o_orderkey", F.lit(tracker.num_buckets)).isin(done_b)
+    ).write.parquet(target)
+
+    def cfg(prev):
+        return MigrationConfig(
+            origin_path=origin, target_path=target, track_run=True,
+            track_dir=track_dir, track_key_col="o_orderkey",
+            previous_run_id=prev,
+        )
+
+    res2 = migrate(spark, cfg(run1))
+    assert res2.rows_written > 0
+    n_after_2 = spark.read.parquet(target).count()
+    assert n_after_2 == src.count()
+
+    res3 = migrate(spark, cfg(res2.run_id))
+    assert res3.rows_written == 0          # nothing left to migrate
+    final = spark.read.parquet(target)
+    assert final.count() == src.count()    # run 3 appended nothing
+    assert (
+        final.select("o_orderkey").distinct().count() == src.count()
+    )
