@@ -1804,6 +1804,85 @@ def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_HTML_WRAP_PARTS = (
+    '<html><head><title>Page</title><style>body{font-size:10px}</style>'
+    '</head><body><script type="text/javascript">var x = 1;</script><h1>',
+    '</h1><br/><p>',
+    '</p><!-- crawl footer --></body></html>',
+)
+
+
+def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # WARC-pipeline extraction stage: wrap each document in a full
+    # HTML page (head/style/script/comment boilerplate), then strip it
+    # back to visible text with the codegen'd regex chain — the oracle
+    # runs the LITERALLY identical chain (generated from the same step
+    # tables, html_strip_sql)
+    from cassandra_data_migration_spark.operators.text import html_to_text
+
+    a, b, c = _HTML_WRAP_PARTS
+    docs = load_table(spark, sf_dir, "documents")
+    html = F.concat(
+        F.lit(a), F.col("source"), F.lit(b), F.col("text"), F.lit(c)
+    )
+    return docs.select("doc_id", html_to_text(html).alias("extracted"))
+
+
+def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the web-scale front door end to end: synthesize 4 deterministic
+    # .warc.gz files (each record its own gzip member, per spec) from
+    # the documents fixture, read them back DISTRIBUTED (binaryFile →
+    # one file per task → streaming parse), split HTTP headers off
+    # response payloads, and extract page text — oracle recomputes
+    # every column from the documents table
+    import os as _os
+    import tempfile
+
+    from cassandra_data_migration_spark.operators.text import html_to_text
+    from cassandra_data_migration_spark.sources.warc import (
+        build_warc,
+        read_warc,
+    )
+
+    rows = sorted(
+        load_table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") < 64)
+        .select("doc_id", "source", "text")
+        .collect(),
+        key=lambda r: r["doc_id"],
+    )
+    recs = [
+        {
+            "record_id": f"<urn:doc:{r['doc_id']}>",
+            "warc_type": "response",
+            "target_uri": f"http://example.org/{r['source']}/{r['doc_id']}",
+            "warc_date": "2024-01-01T00:00:00Z",
+            "http_status": 200,
+            "http_content_type": "text/html; charset=utf-8",
+            "payload": (
+                f"<html><body><h1>{r['source']}</h1><p>{r['text']}</p>"
+                "</body></html>"
+            ).encode(),
+        }
+        for r in rows
+    ]
+    tmpd = tempfile.mkdtemp(prefix="warc_")
+    per_file = (len(recs) + 3) // 4
+    for i in range(4):
+        chunk = recs[i * per_file : (i + 1) * per_file]
+        if chunk:
+            with open(_os.path.join(tmpd, f"part-{i}.warc.gz"), "wb") as f:
+                f.write(build_warc(chunk))
+    w = read_warc(spark, tmpd + "/*.warc.gz")
+    return w.select(
+        "target_uri",
+        "warc_type",
+        "http_status",
+        "http_content_type",
+        html_to_text(F.decode(F.col("payload"), "UTF-8")).alias("text"),
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-domain corpus profile: one map-combined aggregation,
     # shuffle O(domains)
@@ -2963,6 +3042,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "vocab_oov": q_vocab_oov,
     "pack_sequences": q_pack_sequences,
     "bpe_pack_pipeline": q_bpe_pack_pipeline,
+    "html_extract": q_html_extract,
+    "warc_ingest": q_warc_ingest,
     "incremental_dedup": q_incremental_dedup,
     "quantized_topk": q_quantized_topk,
     "sketch_profile": q_sketch_profile,
@@ -3081,8 +3162,8 @@ _ROUND_HEAD: list[str] = [
     "bloom_membership", "asof_last_click", "stratified_sample",
     "chunk_dedup", "rollup_profile", "running_total",
     "pivot_lang_source", "length_quartiles", "interval_session_lookup",
-    "bm25_topk", "unigram_logprob", "bigram_logprob",
-    "dsir_select",
+    "bm25_topk", "unigram_logprob", "warc_ingest",
+    "html_extract",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 
@@ -5657,6 +5738,41 @@ ORACLES["null_safe_join"] = """
 # includes the file so multi-file datasets don't merge row groups.
 
 
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def _html_extract_oracle() -> str:
+    from cassandra_data_migration_spark.operators.text import html_strip_sql
+
+    a, b, c = _HTML_WRAP_PARTS
+    expr = (
+        f"{_sql_quote(a)} || source || {_sql_quote(b)} || text || "
+        f"{_sql_quote(c)}"
+    )
+    return (
+        f"SELECT doc_id, {html_strip_sql(expr)} AS extracted FROM documents"
+    )
+
+
+def _warc_ingest_oracle() -> str:
+    from cassandra_data_migration_spark.operators.text import html_strip_sql
+
+    expr = (
+        "'<html><body><h1>' || source || '</h1><p>' || text || "
+        "'</p></body></html>'"
+    )
+    return f"""
+        SELECT 'http://example.org/' || source || '/' || doc_id
+                   AS target_uri,
+               'response' AS warc_type,
+               200 AS http_status,
+               'text/html; charset=utf-8' AS http_content_type,
+               {html_strip_sql(expr)} AS text
+        FROM documents WHERE doc_id < 64
+    """
+
+
 def _rowgroup_stats_oracle() -> str:
     sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
     return f"""
@@ -6191,4 +6307,6 @@ def oracle_sql() -> dict[str, str]:
     out["bpe_vocab"] = _bpe_oracle_sql(sf_dir)
     out["bpe_pack_pipeline"] = _bpe_pack_oracle_sql(sf_dir)
     out["rowgroup_stats"] = _rowgroup_stats_oracle()
+    out["html_extract"] = _html_extract_oracle()
+    out["warc_ingest"] = _warc_ingest_oracle()
     return out

@@ -1201,3 +1201,67 @@ def code_prose_signals(
         density.alias("code_density"),
         (density > 0.05).alias("is_codelike"),
     )
+
+
+# --- HTML → text extraction (WARC pipeline stage) -------------------------
+
+# Shared transform spec: applied in order by BOTH the Spark column
+# function and the DuckDB oracle builder, so the two engines run the
+# literally identical regex chain.  Patterns stay in the RE2 ∩ Java
+# regex subset (embedded (?is) flags, non-greedy, no backrefs).
+HTML_STRIP_STEPS: list[tuple[str, str]] = [
+    (r"(?is)<head[^>]*>.*?</head>", " "),       # title/meta/head styles
+    (r"(?is)<script[^>]*>.*?</script>", " "),   # executable blocks
+    (r"(?is)<style[^>]*>.*?</style>", " "),     # style blocks
+    (r"(?s)<!--.*?-->", " "),                    # comments
+    (r"(?is)<br[^>]*>", "\n"),                  # line breaks → newline
+    (r"<[^>]+>", " "),                           # every remaining tag
+]
+
+# entity decode AFTER tag stripping; '&amp;' last so '&amp;lt;' does
+# not double-decode
+HTML_ENTITY_STEPS: list[tuple[str, str]] = [
+    ("&nbsp;", " "),
+    ("&lt;", "<"),
+    ("&gt;", ">"),
+    ("&quot;", '"'),
+    ("&#39;", "'"),
+    ("&amp;", "&"),
+]
+
+
+def html_to_text(col: Column | str) -> Column:
+    """Strip an HTML document to whitespace-normalized visible text —
+    the boilerplate-free extraction stage between WARC ingest and the
+    documents table.  Pure codegen'd regexp_replace chain: scan-side,
+    shuffle-free, no Python in the loop; the identical chain is
+    expressible in any RE2-compatible SQL engine (see
+    ``html_strip_sql``)."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in HTML_STRIP_STEPS:
+        c = F.regexp_replace(c, pat, repl)
+    for ent, repl in HTML_ENTITY_STEPS:
+        c = F.replace(c, F.lit(ent), F.lit(repl))
+    return F.trim(F.regexp_replace(c, r"\s+", " "))
+
+
+def html_strip_sql(expr: str) -> str:
+    """The DuckDB/ANSI twin of :func:`html_to_text` over a SQL
+    expression string — generated from the same step tables so the
+    two engines cannot drift."""
+    out = expr
+    for pat, repl in HTML_STRIP_STEPS:
+        p = pat.replace("'", "''")
+        r = repl.replace("\n", "' || chr(10) || '")
+        out = f"regexp_replace({out}, '{p}', '{r}', 'g')"
+    for ent, repl in HTML_ENTITY_STEPS:
+        r = repl.replace("'", "''")
+        out = f"replace({out}, '{ent}', '{r}')"
+    return f"trim(regexp_replace({out}, '\\s+', ' ', 'g'))"
+
+
+def extract_html_text(
+    df: DataFrame, html_col: str = "html", out: str = "text"
+) -> DataFrame:
+    """DataFrame form of :func:`html_to_text`."""
+    return df.withColumn(out, html_to_text(html_col))
