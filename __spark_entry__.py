@@ -1883,6 +1883,39 @@ def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # UT1-style safety gate: suffix-blocklisted domains (one exact
+    # site, one whole TLD) + a URL pattern rule; survivors only.
+    # Corpus text shuffles zero times — suffix explode → broadcast
+    # semi join → id-keyed anti join
+    from cassandra_data_migration_spark.operators.web import blocklist_filter
+
+    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "url")
+    return blocklist_filter(
+        docs,
+        blocked_domains=["src3-site.com", "src7-site.org", "net"],
+        blocked_patterns=[r"ref=r4$"],
+    )
+
+
+def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # snapshot-drift monitor: PSI between the full events value
+    # distribution and a skewed subsample (every 3rd user), fixed
+    # 10-bin grid, Laplace-smoothed shares — the between-crawl
+    # distribution check a corpus refresh signs off with
+    from cassandra_data_migration_spark.operators.quality import psi_drift
+
+    ev = load_table(spark, sf_dir, "events")
+    return psi_drift(
+        ev.select("value"),
+        ev.filter(F.pmod("user_id", F.lit(3)) == 0).select("value"),
+        "value",
+        bins=10,
+        lo=0.0,
+        hi=500.0,
+    )
+
+
 def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-domain corpus profile: one map-combined aggregation,
     # shuffle O(domains)
@@ -3048,6 +3081,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "quantized_topk": q_quantized_topk,
     "sketch_profile": q_sketch_profile,
     "url_parse": q_url_parse,
+    "blocklist_filter": q_blocklist_filter,
+    "psi_drift": q_psi_drift,
     "domain_stats": q_domain_stats,
     "domain_quota": q_domain_quota,
     "bloom_membership": q_bloom_membership,
@@ -4437,6 +4472,54 @@ ORACLES: dict[str, str] = {
                    || '/doc-' || CAST(doc_id AS VARCHAR) || '.html' AS path,
                'ref=r' || CAST(doc_id % 5 AS VARCHAR) AS query_string
         FROM u
+    """,
+    "blocklist_filter": f"""
+        WITH u AS ({_URL_CTE}),
+        urls AS (
+            SELECT doc_id, sitedom,
+                   'https://www.' || sitedom || '/' || lang || '/' ||
+                   CAST(doc_id % 37 AS VARCHAR) || '/doc-' ||
+                   CAST(doc_id AS VARCHAR) || '.html?ref=r' ||
+                   CAST(doc_id % 5 AS VARCHAR) AS url
+            FROM u
+        )
+        SELECT doc_id, url FROM urls
+        WHERE NOT (sitedom IN ('src3-site.com', 'src7-site.org')
+                   OR sitedom LIKE '%.net')
+          AND NOT regexp_matches(url, 'ref=r4$')
+    """,
+    "psi_drift": """
+        WITH a AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT),
+                                  0), 9) AS bucket
+            FROM events
+        ),
+        b AS (
+            SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT),
+                                  0), 9) AS bucket
+            FROM events WHERE user_id % 3 = 0
+        ),
+        ca AS (SELECT bucket, COUNT(*) AS n_a FROM a GROUP BY 1),
+        cb AS (SELECT bucket, COUNT(*) AS n_b FROM b GROUP BY 1),
+        spine AS (SELECT CAST(g AS INT) AS bucket
+                  FROM generate_series(0, 9) t(g)),
+        j AS (
+            SELECT s.bucket, COALESCE(n_a, 0) AS n_a,
+                   COALESCE(n_b, 0) AS n_b
+            FROM spine s LEFT JOIN ca USING (bucket)
+                         LEFT JOIN cb USING (bucket)
+        ),
+        t AS (
+            SELECT *,
+                   (n_a + 1) / (SUM(n_a) OVER () + 10.0) AS p,
+                   (n_b + 1) / (SUM(n_b) OVER () + 10.0) AS q
+            FROM j
+        )
+        SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
+               CAST(n_b AS BIGINT) AS n_b,
+               ROUND(p, 6) AS share_a, ROUND(q, 6) AS share_b,
+               ROUND((p - q) * ln(p / q), 6) AS psi_term
+        FROM t
     """,
     "domain_stats": f"""
         WITH u AS ({_URL_CTE})

@@ -194,3 +194,70 @@ def benford_profile(
             F.round(F.abs(F.col("observed_pct") - F.col("benford_pct")), 6),
         )
     )
+
+
+def psi_drift(
+    df_a,
+    df_b,
+    value_col: str = "value",
+    bins: int = 10,
+    lo: float = 0.0,
+    hi: float = 500.0,
+):
+    """Population Stability Index between two snapshots of a numeric
+    column — the standard distribution-drift monitor a training-data
+    pipeline runs between crawl/snapshot versions (PSI < 0.1 stable,
+    0.1-0.25 moderate shift, > 0.25 investigate).
+
+    Both snapshots bucket on the SAME fixed [lo, hi) grid (out-of-range
+    values clamp into the edge buckets), shares are Laplace-smoothed
+    (+1 per bucket) so empty buckets stay finite, and
+    ``psi_term = (p − q)·ln(p/q)`` per bucket; ``SUM(psi_term)`` is the
+    index.  Everything is one map-combined count aggregation per side
+    plus an O(bins) spine join — corpus rows shuffle nothing but their
+    bucket id.  The O(bins) totals window runs over ``bins`` rows, not
+    data."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    spark = df_a.sparkSession
+    width = (hi - lo) / bins
+
+    def bucketed(df, alias):
+        b = F.least(
+            F.greatest(
+                F.floor((F.col(value_col) - F.lit(lo)) / F.lit(width))
+                .cast("int"),
+                F.lit(0),
+            ),
+            F.lit(bins - 1),
+        )
+        return (
+            df.select(b.alias("bucket"))
+            .groupBy("bucket")
+            .agg(F.count(F.lit(1)).alias(alias))
+        )
+
+    spine = spark.range(bins).select(F.col("id").cast("int").alias("bucket"))
+    j = (
+        spine.join(bucketed(df_a, "n_a"), "bucket", "left")
+        .join(bucketed(df_b, "n_b"), "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce("n_a", F.lit(0)).alias("n_a"),
+            F.coalesce("n_b", F.lit(0)).alias("n_b"),
+        )
+    )
+    w = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    p = (F.col("n_a") + 1) / (F.sum("n_a").over(w) + F.lit(bins))
+    q = (F.col("n_b") + 1) / (F.sum("n_b").over(w) + F.lit(bins))
+    return j.select(
+        "bucket",
+        "n_a",
+        "n_b",
+        F.round(p, 6).alias("share_a"),
+        F.round(q, 6).alias("share_b"),
+        F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
+    )

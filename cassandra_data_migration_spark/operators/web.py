@@ -157,3 +157,54 @@ def url_canonical_groups(
         )
         .withColumn("n_dropped", (F.col("n_docs") - 1).cast("bigint"))
     )
+
+
+def blocklist_filter(
+    df: DataFrame,
+    blocked_domains: list[str],
+    blocked_patterns: list[str] | None = None,
+    url_col: str = "url",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """UT1/adult-blocklist-style corpus filtering (the standard web-
+    corpus safety gate, cf. the RefinedWeb/CCNet pipelines): drop a
+    document when its registered domain — or ANY parent suffix of its
+    host — is blocklisted, or its URL matches a blocked path pattern.
+    Returns the survivors.
+
+    Suffix semantics: blocking ``example.com`` also blocks
+    ``a.b.example.com`` (how UT1 lists are applied).  The host's
+    suffix set is a scan-side array fold over its dot-split labels;
+    each suffix probes the BROADCAST blocklist (even UT1's ~4M
+    entries are tens of MB).  Plan: explode(≤ label-count per row) →
+    broadcast semi join → distinct blocked ids → one id-keyed
+    left-anti join back.  The corpus text shuffles ZERO times — only
+    ids move, and AQE broadcasts the blocked-id side when it is small
+    (the normal case).
+
+    Pattern rules are a codegen'd ``rlike`` AND-NOT chain, evaluated
+    in the scan; keep the rule count bounded (regexes compile per
+    task)."""
+    host = F.lower(F.parse_url(F.col(url_col), F.lit("HOST")))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    # ["a","b","example","com"] -> ["a.b.example.com", "b.example.com",
+    # "example.com", "com"]
+    suffixes = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.array_join(F.slice(labels, i, n), "."),
+    )
+    bl = df.sparkSession.createDataFrame(
+        [(d.lower(),) for d in blocked_domains], "blocked_suffix string"
+    )
+    blocked_ids = (
+        df.select(id_col, F.explode(suffixes).alias("_sfx"))
+        .join(F.broadcast(bl), F.col("_sfx") == F.col("blocked_suffix"),
+              "left_semi")
+        .select(id_col)
+        .distinct()
+    )
+    out = df.join(blocked_ids, on=id_col, how="left_anti")
+    for pat in blocked_patterns or []:
+        out = out.filter(~F.col(url_col).rlike(pat))
+    return out

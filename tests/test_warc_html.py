@@ -128,3 +128,70 @@ def test_html_strip_sql_twin_matches_spark(spark):
 
 def _q(s: str) -> str:
     return "'" + s.replace("'", "''") + "'"
+
+
+def test_blocklist_filter_suffix_and_pattern_semantics(spark):
+    from cassandra_data_migration_spark.operators.web import blocklist_filter
+
+    rows = [
+        (1, "https://www.ok.example.com/a"),
+        (2, "https://bad.example.com/b"),        # exact domain block
+        (3, "https://sub.deep.bad.example.com/c"),  # parent-suffix block
+        (4, "https://fine.example.org/d"),
+        (5, "https://anything.evil/e"),          # whole-TLD block
+        (6, "https://www.ok.example.com/tracked?ref=spam"),  # pattern
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, url string")
+    out = blocklist_filter(
+        df,
+        blocked_domains=["bad.example.com", "evil"],
+        blocked_patterns=[r"ref=spam"],
+    )
+    assert {r["doc_id"] for r in out.collect()} == {1, 4}
+
+
+def test_blocklist_filter_probe_is_broadcast(spark):
+    import contextlib
+    import io
+
+    from cassandra_data_migration_spark.operators.web import blocklist_filter
+
+    df = spark.createDataFrame(
+        [(i, f"https://h{i}.example.com/x") for i in range(100)],
+        "doc_id long, url string",
+    )
+    out = blocklist_filter(df, ["example.net"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    # the blocklist probe must broadcast; the corpus never shuffles its
+    # payload columns for the suffix check
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_psi_drift_identical_snapshots_is_zero(spark):
+    from cassandra_data_migration_spark.operators.quality import psi_drift
+
+    df = spark.createDataFrame(
+        [(float(v),) for v in range(0, 500, 7)], "value double"
+    )
+    rows = psi_drift(df, df, "value").collect()
+    assert len(rows) == 10
+    assert all(r["psi_term"] == 0.0 for r in rows)
+    assert abs(sum(r["share_a"] for r in rows) - 1.0) < 1e-4
+
+
+def test_psi_drift_detects_shift_and_clamps(spark):
+    from cassandra_data_migration_spark.operators.quality import psi_drift
+
+    a = spark.createDataFrame([(float(v),) for v in range(100)], "value double")
+    # shifted + out-of-range values clamp into edge buckets
+    b = spark.createDataFrame(
+        [(float(v),) for v in range(400, 520, 2)] + [(-50.0,), (9999.0,)],
+        "value double",
+    )
+    rows = {r["bucket"]: r for r in psi_drift(a, b, "value").collect()}
+    psi = sum(r["psi_term"] for r in rows.values())
+    assert psi > 0.25  # clearly-drifted distributions score high
+    assert rows[0]["n_b"] == 1 and rows[9]["n_b"] >= 1  # clamped rows landed
