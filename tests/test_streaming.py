@@ -648,3 +648,39 @@ def test_stateful_cdc_delete_then_late_update_stays_dead(spark, tmp_path):
     assert k1 == [(9, "D")]
     k2 = sorted((r["ts"], r["_emit"]) for r in emitted if r["k"] == 2)
     assert k2 == [(9, "D"), (12, "U")]   # delete, then genuine revive
+
+
+def test_zdm_config_drop_in_parses_reference_file(spark):
+    """The reference's shipped zdm-config.yml loads unmodified and
+    yields the router the proxy would run."""
+    from cassandra_data_migration_spark.streaming.routing import (
+        Cluster,
+        ReadMode,
+    )
+    from cassandra_data_migration_spark.streaming.zdm_config import (
+        load_zdm_config,
+        router_from_zdm_config,
+    )
+
+    cfg = load_zdm_config("/root/reference/lab/zdm-config/zdm-config.yml")
+    assert cfg["origin_contact_points"] == "dse-node"
+    assert cfg["proxy_listen_port"] == 9042
+    assert cfg["proxy_max_client_connections"] == 1000
+    assert cfg["metrics_enabled"] is True
+    assert cfg["read_mode"] == "PRIMARY_ONLY"
+
+    router = router_from_zdm_config(cfg)
+    assert router.read_mode is ReadMode.PRIMARY_ONLY
+    assert router.primary_cluster is Cluster.ORIGIN
+    assert router.metrics is not None  # metrics_enabled: true
+
+    # behavior: PRIMARY_ONLY+ORIGIN routes to origin, meters the read
+    o = spark.range(5).withColumnRenamed("id", "k")
+    t = spark.range(3).withColumnRenamed("id", "k")
+    got = router.route(o, t, lambda df: df).count()
+    assert got == 5 and router.metrics.reads_origin == 1
+
+    # flipping the file's phase keys flips behavior
+    cfg2 = dict(cfg, read_mode="TARGET_ONLY", primary_cluster="TARGET")
+    r2 = router_from_zdm_config(cfg2)
+    assert r2.route(o, t, lambda df: df).count() == 3
