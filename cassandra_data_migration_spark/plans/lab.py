@@ -57,12 +57,16 @@ def lab_migration_report(
     )
     from cassandra_data_migration_spark.plans.validate import (
         sample_validate,
-        validate_table,
+        validate_table_plan,
     )
     from cassandra_data_migration_spark.sources.tables import load_table
 
     workdir = workdir or tempfile.mkdtemp(prefix="lab_migration_")
-    report_rows = []
+    # Phase 1: the four migrations (four write jobs — side effects).
+    # Phase 2: all four tables' validations as ONE unioned lazy plan,
+    # so the caller's single action runs the count checks and sample
+    # probes together instead of 8 driver round-trips.
+    report = None
     for lab_name, table, pk, carry_writetime in LAB_TABLES:
         cfg = MigrationConfig(
             origin_path=f"{sf_dir.rstrip('/')}/{table}.parquet",
@@ -80,33 +84,37 @@ def lab_migration_report(
         origin = load_table(spark, sf_dir, table)
         target = spark.read.parquet(cfg.target_path)
         compare_cols = [c for c in origin.columns if c not in pk]
-        tv = validate_table(origin, target, pk, table=lab_name,
-                            compare_cols=compare_cols)
+        counts = validate_table_plan(
+            origin, target, pk, compare_cols=compare_cols
+        )
         sample = sample_validate(
             origin, target, pk, n=100, compare_cols=compare_cols
-        ).first()
+        )
         count_pass = (
-            tv.origin_count == tv.target_count
-            and tv.missing == 0
-            and tv.mismatched == 0
+            (F.col("o_cnt") == F.col("t_cnt"))
+            & (F.col("missing") == 0)
+            & (F.col("mismatched") == 0)
         )
-        sample_failures = (sample["missing"] or 0) + (
-            sample["mismatched"] or 0
-        )
-        report_rows.append(
-            (
-                lab_name,
-                tv.origin_count,
-                tv.target_count,
-                "PASS" if count_pass else "FAIL",
-                sample["sampled"],
-                sample_failures,
-                "PASS" if sample_failures == 0 else "FAIL",
+        sample_failures = (
+            F.coalesce(F.col("missing2"), F.lit(0))
+            + F.coalesce(F.col("mismatched2"), F.lit(0))
+        ).cast("long")
+        row = counts.crossJoin(
+            sample.select(
+                F.col("sampled"),
+                F.col("missing").alias("missing2"),
+                F.col("mismatched").alias("mismatched2"),
             )
+        ).select(
+            F.lit(lab_name).alias("table_name"),
+            F.col("o_cnt").cast("long").alias("origin_rows"),
+            F.col("t_cnt").cast("long").alias("target_rows"),
+            F.when(count_pass, "PASS").otherwise("FAIL").alias("count_check"),
+            F.col("sampled").cast("long").alias("sampled"),
+            sample_failures.alias("sample_failures"),
+            F.when(sample_failures == 0, "PASS")
+            .otherwise("FAIL")
+            .alias("sample_check"),
         )
-    return spark.createDataFrame(
-        report_rows,
-        "table_name string, origin_rows long, target_rows long, "
-        "count_check string, sampled long, sample_failures long, "
-        "sample_check string",
-    )
+        report = row if report is None else report.unionByName(row)
+    return report

@@ -45,6 +45,44 @@ class TableValidation:
         return "PASS" if self.passed else "FAIL"
 
 
+def validate_table_plan(
+    origin: DataFrame,
+    target: DataFrame,
+    pk: list[str],
+    compare_cols: list[str] | None = None,
+) -> DataFrame:
+    """The validation aggregate as a LAZY one-row plan
+    (o_cnt, t_cnt, missing, extra, mismatched) — compose/union several
+    tables' validations and evaluate them in one action."""
+    from cassandra_data_migration_spark.functions.hashing import with_row_hash
+
+    value_cols = compare_cols or [c for c in origin.columns if c not in pk]
+    o = with_row_hash(
+        origin.select(*pk, *value_cols), value_cols, "_oh", algo="xxhash"
+    ).select(
+        *pk, "_oh"
+    )
+    t = with_row_hash(
+        target.select(*pk, *value_cols), value_cols, "_th", algo="xxhash"
+    ).select(
+        *pk, "_th"
+    )
+    return o.join(t, on=pk, how="full_outer").agg(
+        F.count("_oh").alias("o_cnt"),
+        F.count("_th").alias("t_cnt"),
+        F.sum(F.when(F.col("_th").isNull(), 1).otherwise(0)).alias("missing"),
+        F.sum(F.when(F.col("_oh").isNull(), 1).otherwise(0)).alias("extra"),
+        F.sum(
+            F.when(
+                F.col("_oh").isNotNull()
+                & F.col("_th").isNotNull()
+                & (F.col("_oh") != F.col("_th")),
+                1,
+            ).otherwise(0)
+        ).alias("mismatched"),
+    )
+
+
 def validate_table(
     origin: DataFrame,
     target: DataFrame,
@@ -62,37 +100,7 @@ def validate_table(
     validation pass that reads the table once and one that reads it
     five times at 100 TB.
     """
-    from cassandra_data_migration_spark.functions.hashing import with_row_hash
-
-    value_cols = compare_cols or [c for c in origin.columns if c not in pk]
-    o = with_row_hash(
-        origin.select(*pk, *value_cols), value_cols, "_oh", algo="xxhash"
-    ).select(
-        *pk, "_oh"
-    )
-    t = with_row_hash(
-        target.select(*pk, *value_cols), value_cols, "_th", algo="xxhash"
-    ).select(
-        *pk, "_th"
-    )
-    row = (
-        o.join(t, on=pk, how="full_outer")
-        .agg(
-            F.count("_oh").alias("o_cnt"),
-            F.count("_th").alias("t_cnt"),
-            F.sum(F.when(F.col("_th").isNull(), 1).otherwise(0)).alias("missing"),
-            F.sum(F.when(F.col("_oh").isNull(), 1).otherwise(0)).alias("extra"),
-            F.sum(
-                F.when(
-                    F.col("_oh").isNotNull()
-                    & F.col("_th").isNotNull()
-                    & (F.col("_oh") != F.col("_th")),
-                    1,
-                ).otherwise(0)
-            ).alias("mismatched"),
-        )
-        .first()
-    )
+    row = validate_table_plan(origin, target, pk, compare_cols).first()
     return TableValidation(
         table=table,
         origin_count=row["o_cnt"],
