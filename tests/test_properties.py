@@ -196,3 +196,94 @@ def test_cdc_apply_replay_and_reference(spark, ops):
             best[k] = (t, i, op)
     expected = {k: v for k, v in best.items() if v[2] != "D"}
     assert out == expected
+
+
+# --- WARC container (sources/warc.py) --------------------------------------
+
+warc_records = st.lists(
+    st.tuples(
+        st.sampled_from(["response", "request", "metadata"]),
+        st.binary(min_size=0, max_size=200),
+        st.booleans(),  # attach an HTTP envelope?
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+@settings(max_examples=25, deadline=None)
+@given(recs=warc_records, compress=st.booleans())
+def test_warc_container_roundtrips_any_payload(recs, compress):
+    """build→parse is the identity on (type, payload) for ARBITRARY
+    payload bytes — including ones full of CRLF / header-like noise —
+    because record framing is Content-Length, not delimiters."""
+    from cassandra_data_migration_spark.sources.warc import (
+        build_warc,
+        parse_warc_stream,
+    )
+    import gzip as _gzip
+    import io as _io
+
+    built = [
+        {
+            "record_id": f"<urn:p:{i}>",
+            "warc_type": typ,
+            "target_uri": f"http://x.example/{i}",
+            "payload": payload,
+            **(
+                {"http_status": 200, "http_content_type": "text/plain"}
+                if (http and typ == "response")
+                else {}
+            ),
+        }
+        for i, (typ, payload, http) in enumerate(recs)
+    ]
+    raw = build_warc(built, compress=compress)
+    if compress:
+        raw = _gzip.GzipFile(fileobj=_io.BytesIO(raw)).read()
+    parsed = list(parse_warc_stream(raw))
+    assert [(p["record_id"], p["warc_type"], p["payload"]) for p in parsed] \
+        == [(b["record_id"], b["warc_type"], b["payload"]) for b in built]
+
+
+# --- HTML strip chain (operators/text.py) ----------------------------------
+
+html_fragments = st.lists(
+    st.sampled_from(
+        [
+            "plain words ",
+            "<p>", "</p>", "<div class='x'>", "</div>", "<br>",
+            "<script>var a = '<p>not text</p>';</script>",
+            "<style>p::before { content: '<'; }</style>",
+            "<head><title>t</title></head>",
+            "<!-- a comment -->",
+            "&amp;", "&lt;", "&gt;", "&nbsp;", "&quot;", "&#39;",
+            "tail text", "  ", "UPPER <B>bold</B>",
+        ]
+    ),
+    min_size=1,
+    max_size=8,
+).map("".join)
+
+
+@settings(max_examples=10, deadline=None)
+@given(html=html_fragments)
+def test_html_strip_spark_equals_duckdb_twin(spark, html):
+    """The Spark chain and its generated SQL twin agree on arbitrary
+    compositions of tags/entities/boilerplate — the property that
+    makes html_extract's oracle trustworthy."""
+    import duckdb
+
+    from cassandra_data_migration_spark.operators.text import (
+        html_strip_sql,
+        html_to_text,
+    )
+
+    got_spark = (
+        spark.createDataFrame([(html,)], "h string")
+        .select(html_to_text("h").alias("t"))
+        .first()["t"]
+    )
+    lit = "'" + html.replace("'", "''") + "'"
+    got_duck = duckdb.sql(f"SELECT {html_strip_sql(lit)}").fetchone()[0]
+    assert got_spark == got_duck
