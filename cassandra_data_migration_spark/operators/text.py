@@ -185,14 +185,25 @@ def winnow_fingerprints(
     )
 
 
-def word_shingles(text_col: str, n: int = 3) -> Column:
-    """Word n-gram shingles — the unit set for Jaccard/MinHash dedup.
-    transform over a sequence of start positions; all JVM-side."""
-    toks = tokens(text_col)
+def shingles_of(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from a PRE-STAGED token-array column.
+    Pass a staged column reference, not a split() expression: an
+    expression captured in the transform lambda re-evaluates per
+    shingle position (O(tokens²) per doc — the pmi_collocations fix
+    measured 7.1 s → 1.1 s from exactly this staging)."""
     return F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(1))),
         lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
     )
+
+
+def word_shingles(text_col: str, n: int = 3) -> Column:
+    """Word n-gram shingles — the unit set for Jaccard/MinHash dedup.
+    transform over a sequence of start positions; all JVM-side.
+    NOTE: splits the text inline, so the lambda re-evaluates the
+    split per position — fine for one-shot scalar use; hot paths
+    should stage the token array and use :func:`shingles_of`."""
+    return shingles_of(tokens(text_col), n)
 
 
 def repetition_signals(
@@ -214,8 +225,8 @@ def repetition_signals(
     hash aggregates; at corpus scale this is embarrassingly parallel
     and never materializes the n-gram stream.
     """
-    toks = tokens(text_col)
-    bigrams = word_shingles(text_col, 2)
+    toks = F.col("_toks")
+    bigrams = F.col("_bigrams")
     sorted_bg = F.array_sort(bigrams)
     state0 = F.struct(
         F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
@@ -230,12 +241,18 @@ def repetition_signals(
         )
 
     top_count = F.aggregate(sorted_bg, state0, step, lambda acc: acc["best"])
-    return df.select(
-        F.col(id_col),
-        F.round(
-            F.size(F.array_distinct(toks)) / F.size(toks), 4
-        ).alias("distinct_token_ratio"),
-        F.round(top_count / F.size(bigrams), 4).alias("top_bigram_frac"),
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(
+            F.col(id_col), toks, shingles_of(toks, 2).alias("_bigrams")
+        )
+        .select(
+            F.col(id_col),
+            F.round(
+                F.size(F.array_distinct(toks)) / F.size(toks), 4
+            ).alias("distinct_token_ratio"),
+            F.round(top_count / F.size(bigrams), 4).alias("top_bigram_frac"),
+        )
     )
 
 
@@ -263,12 +280,17 @@ def decontaminate(
     so the DuckDB oracle can recompute them.
     """
     c_sh = corpus.select(
+        F.col(id_col), tokens(text_col).alias("_toks")
+    ).select(
         F.col(id_col),
-        F.explode(F.array_distinct(word_shingles(text_col, n))).alias("_sh"),
+        F.explode(F.array_distinct(shingles_of(F.col("_toks"), n))).alias("_sh"),
     )
     b_sh = (
-        benchmark.select(
-            F.explode(F.array_distinct(word_shingles(text_col, n))).alias("_sh")
+        benchmark.select(tokens(text_col).alias("_toks"))
+        .select(
+            F.explode(
+                F.array_distinct(shingles_of(F.col("_toks"), n))
+            ).alias("_sh")
         )
         .distinct()
     )
@@ -836,13 +858,17 @@ def dup_ngram_fraction(
 
     Pure scan-side array arithmetic (shingles → distinct count), zero
     shuffles, engine-exact."""
-    grams = word_shingles(text_col, n)
+    grams = F.col("_grams")
     total = F.size(grams)
     distinct = F.size(F.array_distinct(grams))
-    return df.select(
-        F.col(id_col),
-        total.cast("long").alias("n_ngrams"),
-        F.round((total - distinct) / total, 4).alias("dup_ngram_frac"),
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+        .select(F.col(id_col), shingles_of(F.col("_toks"), n).alias("_grams"))
+        .select(
+            F.col(id_col),
+            total.cast("long").alias("n_ngrams"),
+            F.round((total - distinct) / total, 4).alias("dup_ngram_frac"),
+        )
     )
 
 
@@ -1097,22 +1123,22 @@ def pmi_collocations(
     groupBy; unigram totals broadcast back onto the bigram table via
     two joins on the token (small side auto-broadcast); top-k is
     TakeOrdered.  The corpus scans once per table; nothing shuffles
-    raw text."""
-    toks = F.split(normalize_text(text_col), " ")
+    raw text.  The token array is STAGED as a column before the
+    bigram zip (NOTES invariant: a non-trivial expression captured in
+    a HOF lambda re-evaluates per element — here that made the
+    normalize+split run once per bigram, O(tokens²) chars per doc;
+    staging + arrays_zip makes it once per row — measured 7.1 s →
+    1.1 s warm at sf0.1)."""
+    toked = df.select(F.split(normalize_text(text_col), " ").alias("_toks"))
+    n_tok = F.size("_toks")
+    # adjacent pairs via two shifted slices zipped — no lambda capture
     bi = (
-        df.select(
+        toked.filter(n_tok >= 2)
+        .select(
             F.explode(
-                F.when(
-                    F.size(toks) >= 2,
-                    F.transform(
-                        F.sequence(F.lit(1), F.size(toks) - 1),
-                        lambda i: F.struct(
-                            F.element_at(toks, i).alias("a"),
-                            F.element_at(toks, i + 1).alias("b"),
-                        ),
-                    ),
-                ).otherwise(
-                    F.array().cast("array<struct<a:string,b:string>>")
+                F.arrays_zip(
+                    F.slice("_toks", F.lit(1), n_tok - 1).alias("a"),
+                    F.slice("_toks", F.lit(2), n_tok - 1).alias("b"),
                 )
             ).alias("p")
         )
@@ -1121,7 +1147,7 @@ def pmi_collocations(
         .filter(F.col("n_ab") >= min_count)
     )
     uni = (
-        df.select(F.explode(toks).alias("t"))
+        toked.select(F.explode("_toks").alias("t"))
         .filter(F.col("t") != "")
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("n"))
