@@ -25,7 +25,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_data_migration_spark.operators.text import word_shingles
+from cassandra_data_migration_spark.operators.text import (
+    shingles_of,
+    tokens,
+    word_shingles,
+)
 
 
 def contamination_stream(
@@ -48,13 +52,16 @@ def contamination_stream(
     b_arr = benchmark.select(
         F.explode(F.array_distinct(word_shingles(text_col, n))).alias("_sh")
     ).agg(F.array_sort(F.collect_set("_sh")).alias("_bench"))
+    # stream side: stage the token array so the shingle lambda reads a
+    # column, not a re-evaluated split (O(tokens^2) otherwise)
     overlap = F.size(
         F.array_intersect(
-            F.array_distinct(word_shingles(text_col, n)), F.col("_bench")
+            F.array_distinct(shingles_of(F.col("_toks"), n)), F.col("_bench")
         )
     )
     return (
-        stream.crossJoin(F.broadcast(b_arr))
+        stream.withColumn("_toks", tokens(text_col))
+        .crossJoin(F.broadcast(b_arr))
         .withColumn("n_overlap", overlap.cast("long"))
         .filter(F.col("n_overlap") > 0)
         .select(F.col(id_col), "n_overlap")
@@ -75,11 +82,12 @@ def clean_stream(
     ).agg(F.array_sort(F.collect_set("_sh")).alias("_bench"))
     overlap = F.size(
         F.array_intersect(
-            F.array_distinct(word_shingles(text_col, n)), F.col("_bench")
+            F.array_distinct(shingles_of(F.col("_toks"), n)), F.col("_bench")
         )
     )
     return (
-        stream.crossJoin(F.broadcast(b_arr))
+        stream.withColumn("_toks", tokens(text_col))
+        .crossJoin(F.broadcast(b_arr))
         .filter(overlap == 0)
-        .drop("_bench")
+        .drop("_bench", "_toks")
     )
