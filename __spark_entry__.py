@@ -396,6 +396,20 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # embedding-level benchmark decontamination: every 20th vector is
+    # the held-out eval set (broadcast matrix), the rest is the corpus
+    # streaming through one BLAS block-matmul per Arrow batch
+    from cassandra_data_migration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    bench = emb.filter(F.pmod("vec_id", F.lit(20)) == 0)
+    corpus = emb.filter(F.pmod("vec_id", F.lit(20)) != 0)
+    return semantic_decontaminate(corpus, bench, threshold=0.4)
+
+
 def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skew-salted big-big equi-join: result identical to the plain
     # join (the oracle), physically spread over (key, salt) partitions
@@ -3048,6 +3062,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "simhash": q_simhash,
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
+    "semantic_decontaminate": q_semantic_decontaminate,
     "salted_join": q_salted_join,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ivf_topk": q_ivf_topk,
@@ -3189,7 +3204,7 @@ _ROUND_HEAD: list[str] = [
     "bpe_vocab", "bpe_pack_pipeline", "priority_line_counts", "cumulative_users",
     "multi_touch_credit", "growth_accounting", "key_skew_report",
     "stream_cdc_state", "id_gap_islands", "stable_dense_ids",
-    "benford_profile", "sliding_rate", "rp_projection",
+    "benford_profile", "blocklist_filter", "psi_drift",
     "group_split_counts", "negative_pairs", "part_type_revenue",
     "repetition_signals", "decontaminate", "semantic_dedup",
     "tfidf_keywords", "incremental_dedup", "quantized_topk",
@@ -3974,6 +3989,31 @@ ORACLES: dict[str, str] = {
         FROM v a, v b
         WHERE a.vec_id < b.vec_id
           AND ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
+    """,
+    "semantic_decontaminate": f"""
+        WITH bench AS (
+            SELECT vec_id AS b_id, embedding::DOUBLE[] AS b_v
+            FROM embeddings WHERE vec_id % 20 = 0
+        ),
+        corp AS (
+            SELECT vec_id, embedding::DOUBLE[] AS a_v
+            FROM embeddings WHERE vec_id % 20 <> 0
+        ),
+        scored AS (
+            SELECT c.vec_id, b.b_id, ROUND({_COS_SIM}, 4) AS cs
+            FROM corp c, bench b
+        ),
+        agg AS (
+            SELECT vec_id, MAX(cs) AS max_benchmark_sim
+            FROM scored GROUP BY 1
+        )
+        SELECT s.vec_id,
+               MIN(s.b_id) AS nearest_benchmark_id,
+               a.max_benchmark_sim,
+               a.max_benchmark_sim >= 0.4 AS contaminated
+        FROM scored s
+        JOIN agg a ON s.vec_id = a.vec_id AND s.cs = a.max_benchmark_sim
+        GROUP BY s.vec_id, a.max_benchmark_sim
     """,
     "multimodal_features": """
         SELECT doc_id,

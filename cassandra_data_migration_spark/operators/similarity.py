@@ -838,3 +838,81 @@ def knn_join(
         .filter(F.col("_rk") <= k)
         .select("query_id", "neighbor_id", "cos_sim", F.col("_rk").alias("rank"))
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    threshold: float = 0.4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    max_benchmark_rows: int = 2_000_000,
+) -> DataFrame:
+    """Embedding-level benchmark decontamination — the semantic twin
+    of ``text.decontaminate``: n-gram collision misses paraphrased
+    eval leakage, so modern curation (FineWeb / phi-style decontam)
+    ALSO flags corpus items whose embedding is too close to any
+    held-out benchmark embedding.
+
+    Output per corpus row: (id, nearest_benchmark_id,
+    max_benchmark_sim, contaminated).  Ties on the (e4-rounded) max
+    similarity resolve to the smallest benchmark id — deterministic
+    and oracle-checkable.
+
+    Physical plan: eval suites are tiny relative to the corpus, so the
+    BENCHMARK side broadcasts as one dense matrix and the corpus
+    streams through an Arrow ``mapInPandas`` — one BLAS block-matmul
+    per batch, no shuffle, corpus scanned once.  The broadcast is a
+    bounded ``take`` that fails fast past ``max_benchmark_rows``."""
+    import numpy as np
+    import pandas as pd
+
+    rows = benchmark.select(id_col, vec_col).take(max_benchmark_rows + 1)
+    if not rows:
+        raise ValueError("semantic_decontaminate: empty benchmark set")
+    if len(rows) > max_benchmark_rows:
+        raise ValueError(
+            "semantic_decontaminate: benchmark exceeds "
+            f"max_benchmark_rows={max_benchmark_rows}; the benchmark side "
+            "broadcasts whole — shard the benchmark or raise the bound."
+        )
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    b_mat = np.stack([np.asarray(r[vec_col], dtype=np.float64) for r in rows])
+    b_norm = np.linalg.norm(b_mat, axis=1)
+    src = with_min_parallelism(
+        corpus.select(F.col(id_col).cast("long").alias(id_col), vec_col)
+    )
+    bc = corpus.sparkSession.sparkContext.broadcast((b_ids, b_mat, b_norm))
+
+    def score(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for p in batches:
+            if len(p) == 0:
+                continue
+            ids_a = p[id_col].to_numpy()
+            mat_a = np.stack(
+                [np.asarray(v, dtype=np.float64) for v in p[vec_col]]
+            )
+            sims = np.round(
+                (mat_a @ mat_b.T)
+                / np.outer(np.linalg.norm(mat_a, axis=1), norm_b),
+                4,
+            )
+            best = sims.max(axis=1)
+            masked = np.where(
+                sims == best[:, None], ids_b[None, :], np.iinfo(np.int64).max
+            )
+            yield pd.DataFrame(
+                {
+                    id_col: ids_a,
+                    "nearest_benchmark_id": masked.min(axis=1),
+                    "max_benchmark_sim": best,
+                    "contaminated": best >= threshold,
+                }
+            )
+
+    return src.mapInPandas(
+        score,
+        f"{id_col} long, nearest_benchmark_id long, "
+        "max_benchmark_sim double, contaminated boolean",
+    )

@@ -560,3 +560,35 @@ def test_kmeans_improves_sse_and_is_plan_independent(spark, emb):
         emb, qv, k=5, n_probe=8, centroids=np.asarray(fit_cents)
     ).collect()
     assert len(top) == 5
+
+
+def test_semantic_decontaminate_flags_and_ties(spark):
+    from cassandra_data_migration_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    bench = spark.createDataFrame(
+        [(100, [1.0, 0.0]), (200, [0.0, 1.0])],
+        "vec_id long, embedding array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [0.99, 0.01]),   # ~benchmark 100 → contaminated
+            (2, [-1.0, 0.0]),    # opposite → clean
+            (3, [1.0, 1.0]),     # equidistant: tie → smallest bench id
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in
+           semantic_decontaminate(corpus, bench, threshold=0.9).collect()}
+    assert out[1]["contaminated"] and out[1]["nearest_benchmark_id"] == 100
+    assert not out[2]["contaminated"]
+    assert out[3]["nearest_benchmark_id"] == 100  # tie → min id
+    assert abs(out[3]["max_benchmark_sim"] - 0.7071) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="empty benchmark"):
+        semantic_decontaminate(corpus, bench.filter("vec_id < 0")).collect()
+    with _pytest.raises(ValueError, match="max_benchmark_rows"):
+        semantic_decontaminate(corpus, bench, max_benchmark_rows=1)
