@@ -396,6 +396,24 @@ def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
 
 
+def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # α-sampling domain mixture (n_i^α weighting): events by type —
+    # a skewed natural distribution — at α=0.5, target 30% of the
+    # corpus; admission is an integer-e6 rate compare on md5 draws so
+    # the SELECTED SET is engine-exact
+    from cassandra_data_migration_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    return temperature_mixture(
+        load_table(spark, sf_dir, "events"),
+        group_col="event_type",
+        id_col="event_id",
+        alpha=0.5,
+        target_fraction=0.3,
+    )
+
+
 def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # embedding-level benchmark decontamination: every 20th vector is
     # the held-out eval set (broadcast matrix), the rest is the corpus
@@ -3063,6 +3081,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cosine_topk": q_cosine_topk,
     "embedding_near_dup": q_embedding_near_dup,
     "semantic_decontaminate": q_semantic_decontaminate,
+    "temperature_mixture": q_temperature_mixture,
     "salted_join": q_salted_join,
     "minhash_lsh_dedup": q_minhash_lsh_dedup,
     "ivf_topk": q_ivf_topk,
@@ -3989,6 +4008,23 @@ ORACLES: dict[str, str] = {
         FROM v a, v b
         WHERE a.vec_id < b.vec_id
           AND ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
+    """,
+    "temperature_mixture": f"""
+        WITH c AS (
+            SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
+        ),
+        r AS (
+            SELECT event_type,
+                   CAST(LEAST(ROUND(0.3 * (SUM(n) OVER ())
+                        * pow(n, 0.5) / (SUM(pow(n, 0.5)) OVER ())
+                        / n * 1000000.0, 0), 1000000.0) AS BIGINT)
+                       AS rate_e6
+            FROM c
+        )
+        SELECT e.event_id, e.event_type, r.rate_e6
+        FROM events e JOIN r USING (event_type)
+        WHERE {_md5_draw_sql('tempmix', 'e.event_type', 'e.event_id')}
+              % 1000000 < r.rate_e6
     """,
     "semantic_decontaminate": f"""
         WITH bench AS (

@@ -480,3 +480,61 @@ def ab_test_readout(
         F.round(F.col("_mt") - F.col("_mc"), 6).alias("lift"),
         F.round(z, 6).alias("welch_z"),
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    alpha: float = 0.5,
+    target_fraction: float = 0.5,
+    salt: str = "tempmix",
+) -> DataFrame:
+    """Temperature-scaled mixture sampling (the multilingual/domain
+    α-sampling rule, cf. XLM/mT5: p_i ∝ n_i^α) — α < 1 upsamples the
+    tail domains relative to their natural share, α = 1 is natural
+    mixing.  A domain's admission rate is
+
+        rate_i = min(1, target_total · n_i^α / Σ_j n_j^α / n_i)
+
+    and each row draws a deterministic md5 key — so membership is a
+    pure row function, repartition-invariant and engine-reproducible.
+    Rates are fixed to e6 integers before the compare (both engines
+    round the one float expression once), making the selected SET
+    bit-identical cross-engine, not just the expected counts.
+
+    Plan: one O(groups) count aggregate → rates broadcast back → a
+    scan-side integer compare.  The corpus shuffles nothing.
+
+    Returns the sampled rows with the per-domain rate attached:
+    (id, group, rate_e6)."""
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    counts = df.groupBy(group_col).agg(F.count(F.lit(1)).alias("_n"))
+    # O(groups) rows: the unpartitioned totals window is over domains,
+    # never data
+    w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    pw = F.pow(F.col("_n").cast("double"), F.lit(float(alpha)))
+    rate = F.least(
+        F.round(
+            F.lit(float(target_fraction))
+            * F.sum("_n").over(w).cast("double")
+            * pw
+            / F.sum(pw).over(w)
+            / F.col("_n")
+            * 1_000_000.0,
+            0,
+        ),
+        F.lit(1_000_000.0),
+    )
+    rates = counts.select(
+        group_col, rate.cast("long").alias("rate_e6")
+    )
+    draw_e6 = F.pmod(md5_draw(salt, group_col, id_col), F.lit(1_000_000))
+    return (
+        df.join(F.broadcast(rates), group_col)
+        .filter(draw_e6 < F.col("rate_e6"))
+        .select(id_col, group_col, "rate_e6")
+    )

@@ -592,3 +592,39 @@ def test_semantic_decontaminate_flags_and_ties(spark):
         semantic_decontaminate(corpus, bench.filter("vec_id < 0")).collect()
     with _pytest.raises(ValueError, match="max_benchmark_rows"):
         semantic_decontaminate(corpus, bench, max_benchmark_rows=1)
+
+
+def test_temperature_mixture_upsamples_tail_domains(spark):
+    from cassandra_data_migration_spark.operators.sampling import (
+        temperature_mixture,
+    )
+
+    # one giant domain (10k rows), one tiny (100 rows)
+    rows = [(i, "big") for i in range(10_000)] + [
+        (100_000 + i, "small") for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    out = temperature_mixture(
+        df, "source", "doc_id", alpha=0.5, target_fraction=0.3
+    )
+    got = {r["source"]: r for r in
+           out.groupBy("source").agg(F.count(F.lit(1)).alias("k"),
+                                     F.any_value("rate_e6").alias("rate"))
+           .collect()}
+    # α=0.5: small domain's admission RATE far exceeds the big one's
+    assert got["small"]["rate"] > 3 * got["big"]["rate"]
+    # realized counts track the e6 rates within sampling noise
+    for name, n in (("big", 10_000), ("small", 100)):
+        expect = n * got[name]["rate"] / 1e6
+        assert abs(got[name]["k"] - expect) < 4 * (expect ** 0.5) + 3
+    # α=1 is natural mixing: equal rates everywhere
+    nat = temperature_mixture(
+        df, "source", "doc_id", alpha=1.0, target_fraction=0.3
+    )
+    rates = {r["rate_e6"] for r in nat.select("rate_e6").distinct().collect()}
+    assert len(rates) == 1
+    # membership is a pure row function — repartitioning changes nothing
+    again = temperature_mixture(
+        df.repartition(13), "source", "doc_id", alpha=0.5, target_fraction=0.3
+    )
+    assert out.exceptAll(again).count() == 0 and again.exceptAll(out).count() == 0
