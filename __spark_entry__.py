@@ -618,6 +618,16 @@ def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
 
 
+def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # suffix-array-style EXACT substring dedup (Lee et al. 2022):
+    # per-doc coverage of word sequences >= 5 tokens that occur twice
+    # anywhere in the corpus — k-gram postings + interval union, the
+    # distributed equivalent of the SA adjacent-LCP test
+    from cassandra_data_migration_spark.operators.dedup import substring_dup_spans
+
+    return substring_dup_spans(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram LM scoring: conditional p(w2|w1) punishes improbable token
     # ORDER (shuffled/boilerplate text), one rung up from the unigram
@@ -3207,6 +3217,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "order_priority_check": q_order_priority_check,
     "top_value_parts": q_top_value_parts,
     "large_volume_orders": q_large_volume_orders,
+    "substring_dup_spans": q_substring_dup_spans,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6284,6 +6295,59 @@ ORACLES["large_volume_orders"] = """
     JOIN customer c ON c.c_custkey = o.o_custkey
 """
 
+# Exact substring-duplication coverage (k=5 word grams): postings of
+# md5-prefix gram hashes -> global count >= 2 -> per-doc interval
+# union (gaps-and-islands), mirroring operators/dedup.py
+# substring_dup_spans step for step.
+ORACLES["substring_dup_spans"] = """
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    pg AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos,
+               CAST('0x' || substr(md5(array_to_string(
+                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4),
+                   ' ')), 1, 8) AS BIGINT) AS gh
+        FROM (SELECT doc_id, toks,
+                     unnest(range(1, CAST(n_tokens AS INT) - 3)) AS i
+              FROM tk WHERE n_tokens >= 5)
+    ),
+    dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (gh)),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
+                        PARTITION BY doc_id ORDER BY pos
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1) + 1
+                    THEN 1 ELSE 0 END AS nw
+        FROM hits
+    ),
+    isl2 AS (
+        SELECT doc_id, pos,
+               SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 4 AS e
+        FROM isl2 GROUP BY doc_id, g
+    ),
+    pd AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
+        FROM spans GROUP BY doc_id
+    )
+    SELECT tk.doc_id, tk.n_tokens,
+           CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
+           CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
+           ROUND(COALESCE(pd.dup_tokens, 0) * 1.0 / tk.n_tokens, 4)
+               AS dup_frac
+    FROM tk LEFT JOIN pd USING (doc_id)
+"""
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -6312,7 +6376,7 @@ def _learned_bpe_merges(sf_dir: str) -> list[tuple[str, str]]:
             f"""
             SELECT word, COUNT(*) AS n FROM (
                 SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\s+', ' ', 'g')), ' ')) AS word
+                    '\\s+', ' ', 'g')), ' ')) AS word
                 FROM '{sf_dir}/documents.parquet'
             ) WHERE word <> '' GROUP BY 1
             """
@@ -6342,7 +6406,7 @@ def _bpe_pack_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         WITH words AS (
             SELECT DISTINCT word FROM (
                 SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\s+', ' ', 'g')), ' ')) AS word
+                    '\\s+', ' ', 'g')), ' ')) AS word
                 FROM documents
             ) WHERE word <> ''
         ),
@@ -6359,7 +6423,7 @@ def _bpe_pack_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         docw AS (
             SELECT doc_id, source,
                    unnest(string_split(trim(regexp_replace(lower(text),
-                       '\s+', ' ', 'g')), ' ')) AS word
+                       '\\s+', ' ', 'g')), ' ')) AS word
             FROM documents
         ),
         perdoc AS (
@@ -6439,7 +6503,7 @@ def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
         WITH words AS (
             SELECT word, COUNT(*) AS n FROM (
                 SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\s+', ' ', 'g')), ' ')) AS word
+                    '\\s+', ' ', 'g')), ' ')) AS word
                 FROM documents
             ) WHERE word <> '' GROUP BY 1
         ),

@@ -580,3 +580,96 @@ def prefix_filter_pairs(
     # expand rep pairs back to member pairs (groups are disjoint, so
     # no overlap with the intra set)
     return intra.unionByName(_expand_rep_pairs(verified, members, id_col))
+
+
+def substring_dup_spans(
+    df: DataFrame,
+    k: int = 5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exact substring-duplication coverage — the suffix-array dedup of
+    Lee et al., *Deduplicating Training Data Makes Language Models
+    Better* (2022), re-expressed as distributed k-gram posting
+    analysis.  Any word sequence of length >= ``k`` occurring twice
+    anywhere in the corpus (another document OR elsewhere in the same
+    one) is, position by position, a run of duplicated k-grams; the
+    interval union of those k-gram hits is therefore exactly the
+    corpus's maximal duplicated substrings of length >= k.  No suffix
+    array needed — the posting count is the same decision the SA's
+    adjacent-suffix LCP >= k test makes.
+
+    Plan shape (100 TB notes):
+    1. one scan stages the token array and emits (doc, pos, gram-hash)
+       postings — 8-byte md5-prefix hashes, never text;
+    2. groupBy hash counts global occurrences (map-side combined;
+       shuffle carries 8-byte keys + partial counts only);
+    3. duplicated hashes (count >= 2) left-semi join back onto the
+       postings — a shuffle hash join on the 8-byte key (the dup set
+       is corpus-sized, so no broadcast);
+    4. per-doc interval union via a gaps-and-islands window over pos —
+       partitioned by doc, bounded by document length, never global.
+
+    Zero-coverage documents are kept via a left join so the output is
+    one row per input document.  Reference analogue: none — this is a
+    north-star training-pipeline extension (BASELINE.json).
+    """
+    from pyspark.sql import Window as W
+
+    from cassandra_data_migration_spark.operators.text import tokens
+
+    staged = df.select(
+        F.col(id_col),
+        tokens(text_col).alias("_toks"),
+    ).withColumn("n_tokens", F.size("_toks").cast("long"))
+    span = k - 1
+    grams = F.transform(
+        F.sequence(F.lit(1), F.col("n_tokens").cast("int") - span),
+        lambda i: F.conv(
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+    )
+    postings = (
+        staged.filter(F.col("n_tokens") >= k)
+        .select(F.col(id_col), F.posexplode(grams).alias("_p0", "_gh"))
+        .select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), F.col("_gh"))
+    )
+    dup = (
+        postings.groupBy("_gh")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= 2)
+        .select("_gh")
+    )
+    hits = postings.join(dup, "_gh", "left_semi").select(id_col, "pos")
+    w = W.partitionBy(id_col).orderBy("pos")
+    prev_end = F.max(F.col("pos") + span).over(
+        w.rowsBetween(W.unboundedPreceding, -1)
+    )
+    new_span = F.when(
+        prev_end.isNull() | (F.col("pos") > prev_end + 1), F.lit(1)
+    ).otherwise(F.lit(0))
+    islands = hits.withColumn("_new", new_span).withColumn(
+        "_isl", F.sum("_new").over(w)
+    )
+    spans = islands.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("_s"), (F.max("pos") + span).alias("_e")
+    )
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+        F.sum(F.col("_e") - F.col("_s") + 1).cast("long").alias("dup_tokens"),
+    )
+    return (
+        staged.select(id_col, "n_tokens")
+        .join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.col("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias("n_dup_spans"),
+            F.coalesce("dup_tokens", F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce("dup_tokens", F.lit(0)) / F.col("n_tokens"), 4
+            ).alias("dup_frac"),
+        )
+    )

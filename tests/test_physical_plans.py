@@ -480,3 +480,13 @@ def test_cdc_apply_single_key_shuffle(spark):
     # so each partition keeps one candidate row per key pre-shuffle
     assert plan.count("+- Exchange ") == 1
     assert "WindowGroupLimit" in plan
+
+
+def test_substring_dup_spans_shuffles_hashes_never_text(spark):
+    # posting/count/island exchanges carry (doc, pos, 8-byte hash)
+    # rows only — the text column must die at the scan projection
+    plan = _plan(entry_mod.queries()["substring_dup_spans"](spark, SF_CORRECT))
+    exchange_after = plan.split("Exchange", 1)[1]
+    assert "text" not in exchange_after.split("(1) Scan parquet", 1)[0]
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
