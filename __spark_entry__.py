@@ -628,6 +628,15 @@ def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return substring_dup_spans(load_table(spark, sf_dir, "documents"), k=5)
 
 
+def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T5 denoising data prep: seeded 15% token mask, runs collapsed to
+    # numbered sentinels, masked runs emitted as the target sequence —
+    # deterministic (md5 coin), so re-runs are byte-identical
+    from cassandra_data_migration_spark.operators.text import span_corrupt
+
+    return span_corrupt(load_table(spark, sf_dir, "documents"), density=0.15)
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram LM scoring: conditional p(w2|w1) punishes improbable token
     # ORDER (shuffled/boilerplate text), one rung up from the unigram
@@ -3218,6 +3227,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "top_value_parts": q_top_value_parts,
     "large_volume_orders": q_large_volume_orders,
     "substring_dup_spans": q_substring_dup_spans,
+    "span_corrupt": q_span_corrupt,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6346,6 +6356,59 @@ ORACLES["substring_dup_spans"] = """
            ROUND(COALESCE(pd.dup_tokens, 0) * 1.0 / tk.n_tokens, 4)
                AS dup_frac
     FROM tk LEFT JOIN pd USING (doc_id)
+"""
+
+# T5 span corruption: per-position md5 coin (< floor(0.15 * 2^32) =
+# 644245094), masked runs -> numbered sentinels, string_agg ordered by
+# pos re-assembles both sequences.  Mirrors operators/text.py
+# span_corrupt step for step.
+ORACLES["span_corrupt"] = """
+    WITH tk AS (
+        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    pos AS (
+        SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
+              FROM tk)
+    ),
+    m AS (
+        SELECT doc_id, pos, tok,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
+                   CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) < 644245094
+                   AS masked
+        FROM pos
+    ),
+    r AS (
+        SELECT doc_id, pos, tok, masked,
+               CASE WHEN masked AND NOT COALESCE(
+                        LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos),
+                        FALSE)
+                    THEN 1 ELSE 0 END AS rs
+        FROM m
+    ),
+    r2 AS (
+        SELECT doc_id, pos, tok, masked, rs,
+               SUM(rs) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
+        FROM r
+    ),
+    pieces AS (
+        SELECT doc_id, pos, masked, rs,
+               CASE WHEN NOT masked THEN tok
+                    WHEN rs = 1 THEN '<extra_id_' ||
+                        CAST(rid - 1 AS VARCHAR) || '>' END AS cp,
+               CASE WHEN masked AND rs = 1 THEN '<extra_id_' ||
+                        CAST(rid - 1 AS VARCHAR) || '> ' || tok
+                    WHEN masked THEN tok END AS tp
+        FROM r2
+    )
+    SELECT doc_id,
+           COALESCE(string_agg(cp, ' ' ORDER BY pos), '') AS corrupted_text,
+           COALESCE(string_agg(tp, ' ' ORDER BY pos), '') AS target_text,
+           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_masked,
+           CAST(SUM(rs) AS BIGINT) AS n_spans
+    FROM pieces GROUP BY doc_id
 """
 
 

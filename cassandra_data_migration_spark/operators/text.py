@@ -1291,3 +1291,101 @@ def extract_html_text(
 ) -> DataFrame:
     """DataFrame form of :func:`html_to_text`."""
     return df.withColumn(out, html_to_text(html_col))
+
+
+def span_corrupt(
+    df: DataFrame,
+    density: float = 0.15,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    sentinel_prefix: str = "<extra_id_",
+) -> DataFrame:
+    """T5-style span corruption (Raffel et al., 2020): mask ~``density``
+    of each document's tokens with independent seeded draws, collapse
+    each masked RUN to one numbered sentinel in the input, and emit the
+    masked runs (sentinel-prefixed) as the target sequence — the
+    denoising-objective data prep, deterministic so both engines (and
+    any re-run) produce byte-identical pairs.
+
+    The mask draw is the repo's standard cross-engine coin: the first
+    8 md5 hex digits of ``doc_id:pos`` as a 32-bit integer, masked iff
+    below ``floor(density * 2^32)``.  Independent per-position draws
+    give geometric-ish span lengths (expected ~1/(1-density)) without
+    the sequential sampler of the original, which a scan-parallel
+    engine cannot reproduce deterministically.
+
+    Plan shape: one scan explodes to (doc, pos, token); two window
+    passes per doc key (lag + running sums — one Exchange, doc-bounded
+    partitions); groupBy doc re-assembles both sequences via
+    collect_list(struct(pos, piece)) + array_sort, so assembly order
+    never depends on partitioning.  Divergence from the paper: no
+    trailing end-sentinel on targets, spans are not length-capped.
+    """
+    from pyspark.sql import Window as W
+
+    thr = int(density * 2**32)
+    staged = df.select(F.col(id_col), tokens(text_col).alias("_toks"))
+    pos_tok = staged.select(
+        F.col(id_col), F.posexplode("_toks").alias("_p0", "tok")
+    ).select(F.col(id_col), (F.col("_p0") + 1).alias("pos"), "tok")
+    draw = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col(id_col).cast("string"),
+                    F.lit(":"),
+                    F.col("pos").cast("string"),
+                )
+            ),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    marked = pos_tok.withColumn("masked", draw < F.lit(thr))
+    w = W.partitionBy(id_col).orderBy("pos")
+    run_start = F.when(
+        F.col("masked") & ~F.coalesce(F.lag("masked").over(w), F.lit(False)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    runs = marked.withColumn("_rs", run_start).withColumn(
+        "_rid", F.sum("_rs").over(w)
+    )
+    sentinel = F.concat(
+        F.lit(sentinel_prefix), (F.col("_rid") - 1).cast("string"), F.lit(">")
+    )
+    cpiece = (
+        F.when(~F.col("masked"), F.col("tok"))
+        .when(F.col("_rs") == 1, sentinel)
+    )
+    tpiece = (
+        F.when(
+            F.col("masked") & (F.col("_rs") == 1),
+            F.concat(sentinel, F.lit(" "), F.col("tok")),
+        )
+        .when(F.col("masked"), F.col("tok"))
+    )
+    pieces = runs.select(
+        F.col(id_col),
+        "pos",
+        "masked",
+        F.col("_rs"),
+        cpiece.alias("_cp"),
+        tpiece.alias("_tp"),
+    )
+
+    def _assemble(col: str):
+        collected = F.collect_list(
+            F.when(F.col(col).isNotNull(), F.struct(F.col("pos"), F.col(col)))
+        )
+        return F.array_join(
+            F.transform(F.array_sort(collected), lambda s: s[col]), " "
+        )
+
+    return pieces.groupBy(id_col).agg(
+        _assemble("_cp").alias("corrupted_text"),
+        _assemble("_tp").alias("target_text"),
+        F.sum(F.col("masked").cast("long")).cast("long").alias("n_masked"),
+        F.sum("_rs").cast("long").alias("n_spans"),
+    )

@@ -68,3 +68,63 @@ def test_substring_dup_spans_overlapping_grams_merge(spark):
     for d in (1, 2):
         assert out[d]["n_dup_spans"] == 1
         assert out[d]["dup_tokens"] == 6
+
+
+def test_span_corrupt_density_extremes(spark):
+    from cassandra_data_migration_spark.operators.text import span_corrupt
+
+    rows = [(1, "w1 w2 w3 w4 w5")]
+    (none,) = span_corrupt(_docs(spark, rows), density=0.0).collect()
+    assert none["corrupted_text"] == "w1 w2 w3 w4 w5"
+    assert none["target_text"] == "" and none["n_masked"] == 0
+    (full,) = span_corrupt(_docs(spark, rows), density=1.0).collect()
+    assert full["corrupted_text"] == "<extra_id_0>"
+    assert full["target_text"] == "<extra_id_0> w1 w2 w3 w4 w5"
+    assert full["n_masked"] == 5 and full["n_spans"] == 1
+
+
+def test_span_corrupt_reconstructs_original(spark):
+    """Splicing each target span back over its sentinel must restore
+    the original document exactly — the denoising-pair invariant."""
+    import re
+
+    from cassandra_data_migration_spark.operators.text import span_corrupt
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(50)
+    out = span_corrupt(docs, density=0.3).collect()
+    originals = {r["doc_id"]: r["text"] for r in docs.collect()}
+    assert out and any(r["n_masked"] > 0 for r in out)
+    for r in out:
+        spans = {}
+        for part in re.split(r"(<extra_id_\d+>)", r["target_text"]):
+            part = part.strip()
+            if not part:
+                continue
+            if re.fullmatch(r"<extra_id_\d+>", part):
+                cur = part
+                spans[cur] = ""
+            else:
+                spans[cur] = part
+        rebuilt = " ".join(
+            spans[t] if t in spans else t
+            for t in r["corrupted_text"].split(" ")
+        )
+        rebuilt = re.sub(r"\s+", " ", rebuilt).strip()
+        assert rebuilt == originals[r["doc_id"]], r["doc_id"]
+
+
+def test_span_corrupt_deterministic_across_runs(spark):
+    from cassandra_data_migration_spark.operators.text import span_corrupt
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    a = {r["doc_id"]: r for r in span_corrupt(docs).collect()}
+    b = {r["doc_id"]: r for r in span_corrupt(docs).collect()}
+    assert all(
+        a[k]["corrupted_text"] == b[k]["corrupted_text"]
+        and a[k]["target_text"] == b[k]["target_text"]
+        for k in a
+    )
