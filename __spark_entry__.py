@@ -637,6 +637,20 @@ def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
     return span_corrupt(load_table(spark, sf_dir, "documents"), density=0.15)
 
 
+def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DPO/RLHF data prep: per source, pair i-th best with i-th worst
+    # by the scalar quality score, strict-positive margin only — two
+    # row_number windows share one exchange, join input is 2k rows/group
+    from cassandra_data_migration_spark.operators.sampling import preference_pairs
+    from cassandra_data_migration_spark.operators.text import quality_score_e6
+
+    docs = load_table(spark, sf_dir, "documents")
+    scored = quality_score_e6(docs).select("doc_id", "source", "quality_e6x10")
+    return preference_pairs(
+        scored, "quality_e6x10", group_col="source", id_col="doc_id", k=5
+    )
+
+
 def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     # bigram LM scoring: conditional p(w2|w1) punishes improbable token
     # ORDER (shuffled/boilerplate text), one rung up from the unigram
@@ -3228,6 +3242,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "large_volume_orders": q_large_volume_orders,
     "substring_dup_spans": q_substring_dup_spans,
     "span_corrupt": q_span_corrupt,
+    "preference_pairs": q_preference_pairs,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6409,6 +6424,46 @@ ORACLES["span_corrupt"] = """
                AS n_masked,
            CAST(SUM(rs) AS BIGINT) AS n_spans
     FROM pieces GROUP BY doc_id
+"""
+
+# Preference pairs: integer-exact quality_e6x10 (operators/text.py
+# quality_score_e6 — micro-unit integer arithmetic, no float rounding
+# boundary), i-th best vs i-th worst per source, strict-positive
+# margin.  Crossed/self pairs (group smaller than 2k) die on the
+# margin filter in both engines.
+ORACLES["preference_pairs"] = """
+    WITH base AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+               CAST(len(list_filter(string_split(text, ' '),
+                   t -> list_contains(
+                       ['the','a','of','to','and','in','is'], t)))
+                   AS BIGINT) AS n_stop
+        FROM documents
+    ),
+    q AS (
+        SELECT doc_id, source,
+               7 * least(n_tok * 15625, 1000000)
+               + 3 * least(CAST(floor(5000000 * n_stop * 1.0 / n_tok)
+                               AS BIGINT), 1000000) AS quality_e6x10
+        FROM base
+    ),
+    r AS (
+        SELECT source, doc_id, quality_e6x10,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality_e6x10 DESC, doc_id ASC) AS rb,
+               ROW_NUMBER() OVER (PARTITION BY source
+                   ORDER BY quality_e6x10 ASC, doc_id DESC) AS rw
+        FROM q
+    )
+    SELECT c.source, CAST(c.rb AS BIGINT) AS pair_ix,
+           c.doc_id AS chosen_id, j.doc_id AS rejected_id,
+           CAST(c.quality_e6x10 AS BIGINT) AS chosen_score,
+           CAST(j.quality_e6x10 AS BIGINT) AS rejected_score,
+           CAST(c.quality_e6x10 - j.quality_e6x10 AS BIGINT) AS margin
+    FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
+    WHERE c.rb <= 5 AND j.rw <= 5
+      AND c.quality_e6x10 > j.quality_e6x10
 """
 
 

@@ -538,3 +538,73 @@ def temperature_mixture(
         .filter(draw_e6 < F.col("rate_e6"))
         .select(id_col, group_col, "rate_e6")
     )
+
+
+def preference_pairs(
+    df: DataFrame,
+    score_col: str,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    k: int = 5,
+) -> DataFrame:
+    """RLHF/DPO preference-pair construction: within each group, pair
+    the i-th best-scored row with the i-th worst (i = 1..k), keeping
+    only pairs with a strictly positive score margin — the standard
+    chosen/rejected data prep when preferences come from a scalar
+    reward or quality model rather than human labels.
+
+    Deterministic: ordering is (score desc, id asc), so ties break
+    identically in every engine and every run.  Pairing best-with-
+    worst (not adjacent ranks) maximizes the margin per pair, which
+    is what margin-weighted DPO variants want.
+
+    Plan shape: two row_number windows over the SAME (group) exchange
+    — Catalyst computes both in one Window node after one shuffle;
+    the top-k/bottom-k cut drops everything but 2k rows per group
+    before the self-join, so the join input is tiny regardless of
+    corpus size.  A group's rows are window-partition-bounded; at
+    100 TB the group key must be a real partitioning key (source /
+    domain / prompt-cluster), which is the semantics anyway.
+    """
+    from pyspark.sql import Window as W
+
+    w_desc = W.partitionBy(group_col).orderBy(
+        F.col(score_col).desc(), F.col(id_col).asc()
+    )
+    w_asc = W.partitionBy(group_col).orderBy(
+        F.col(score_col).asc(), F.col(id_col).desc()
+    )
+    ranked = df.select(
+        F.col(group_col),
+        F.col(id_col),
+        F.col(score_col),
+        F.row_number().over(w_desc).alias("_rb"),
+        F.row_number().over(w_asc).alias("_rw"),
+    )
+    chosen = ranked.filter(F.col("_rb") <= k).select(
+        F.col(group_col),
+        F.col("_rb").alias("pair_ix"),
+        F.col(id_col).alias("chosen_id"),
+        F.col(score_col).alias("chosen_score"),
+    )
+    rejected = ranked.filter(F.col("_rw") <= k).select(
+        F.col(group_col),
+        F.col("_rw").alias("pair_ix"),
+        F.col(id_col).alias("rejected_id"),
+        F.col(score_col).alias("rejected_score"),
+    )
+    return (
+        chosen.join(rejected, [group_col, "pair_ix"])
+        .filter(F.col("chosen_score") > F.col("rejected_score"))
+        .select(
+            group_col,
+            F.col("pair_ix").cast("long").alias("pair_ix"),
+            "chosen_id",
+            "rejected_id",
+            "chosen_score",
+            "rejected_score",
+            F.round(
+                F.col("chosen_score") - F.col("rejected_score"), 4
+            ).alias("margin"),
+        )
+    )

@@ -1389,3 +1389,28 @@ def span_corrupt(
         F.sum(F.col("masked").cast("long")).cast("long").alias("n_masked"),
         F.sum("_rs").cast("long").alias("n_spans"),
     )
+
+
+def quality_score_e6(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Integer-exact twin of :func:`quality_score` for engine-parity
+    contexts (ranking, pairing): micro-unit arithmetic on integer
+    counts only, so every engine computes the identical value.
+
+    score_e6x10 = 7 * length_e6 + 3 * stop_e6, where
+    length_e6 = min(n_tokens * 15625, 1e6)      (1e6/64 = 15625 exact)
+    stop_e6   = min(floor(5e6 * n_stop / n_tokens), 1e6)
+
+    The floor of an IEEE quotient of two <2^53 integers is exact, so
+    no rounding-boundary drift is possible (the double-rounding class
+    that bit the float quality_score in cross-engine compares).
+    """
+    n_tok = token_count(text_col)
+    n_stop = stopword_count(text_col)
+    length_e6 = F.least(n_tok.cast("long") * 15625, F.lit(1_000_000).cast("long"))
+    stop_e6 = F.least(
+        F.floor(F.lit(5_000_000) * n_stop.cast("long") / n_tok.cast("long")),
+        F.lit(1_000_000).cast("long"),
+    )
+    return df.withColumn(
+        "quality_e6x10", (7 * length_e6 + 3 * stop_e6).cast("long")
+    )

@@ -128,3 +128,50 @@ def test_span_corrupt_deterministic_across_runs(spark):
         and a[k]["target_text"] == b[k]["target_text"]
         for k in a
     )
+
+
+def test_preference_pairs_best_vs_worst(spark):
+    from cassandra_data_migration_spark.operators.sampling import preference_pairs
+
+    rows = [(i, "g", float(i * 10)) for i in range(1, 7)]  # scores 10..60
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    out = sorted(
+        preference_pairs(df, "score", group_col="grp", k=5).collect(),
+        key=lambda r: r["pair_ix"],
+    )
+    # n=6, k=5: ranks 4,5 from the top pair with ranks 3,2 from the
+    # bottom -> negative margin -> dropped; only 3 real pairs remain
+    assert [(r["chosen_id"], r["rejected_id"]) for r in out] == [
+        (6, 1),
+        (5, 2),
+        (4, 3),
+    ]
+    assert all(r["margin"] > 0 for r in out)
+
+
+def test_preference_pairs_ties_and_self_pairs_dropped(spark):
+    from cassandra_data_migration_spark.operators.sampling import preference_pairs
+
+    rows = [(1, "g", 5.0), (2, "g", 5.0), (3, "g", 5.0)]
+    df = spark.createDataFrame(rows, "doc_id long, grp string, score double")
+    assert preference_pairs(df, "score", group_col="grp", k=5).count() == 0
+
+
+def test_preference_pairs_single_window_exchange(spark):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_CORRECT
+
+    df = entry_mod.queries()["preference_pairs"](spark, SF_CORRECT)
+    df.sparkSession.catalog.clearCache()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # both row_number ranks must come from ONE Window node after one
+    # group-keyed exchange; the self-join joins two 2k-row cuts
+    assert plan.count("Window") >= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
