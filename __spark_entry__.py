@@ -2869,6 +2869,16 @@ def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
 
 
+def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # contrastive hard-negative mining: per query vector the top-3
+    # nearest OTHER-label vectors — knn_join's broadcast shape with
+    # the label-mismatch predicate fused into the join
+    from cassandra_data_migration_spark.operators.similarity import hard_negatives
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
+
+
 def q_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
     # schema drift remediation: reorder + cast + NULL-fill a drifted
     # source back to the target schema (pure projection, zero shuffle)
@@ -3243,6 +3253,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "substring_dup_spans": q_substring_dup_spans,
     "span_corrupt": q_span_corrupt,
     "preference_pairs": q_preference_pairs,
+    "hard_negatives": q_hard_negatives,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6213,6 +6224,32 @@ ORACLES["knn_join"] = f"""
         FROM scored
     )
     SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
+"""
+
+ORACLES["hard_negatives"] = f"""
+    WITH q AS (
+        SELECT vec_id AS query_id, label AS ql,
+               embedding::DOUBLE[] AS a_v
+        FROM embeddings WHERE vec_id < 20
+    ),
+    scored AS (
+        SELECT q.query_id, c.vec_id AS negative_id,
+               c.label AS negative_label,
+               ROUND({_COS_SIM.replace('b_v', 'c.embedding::DOUBLE[]')}, 4)
+                   AS cos_sim
+        FROM embeddings c, q
+        WHERE c.vec_id <> q.query_id AND c.label <> q.ql
+    ),
+    ranked AS (
+        SELECT query_id, negative_id, negative_label, cos_sim,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY cos_sim DESC, negative_id ASC)
+                   AS rank
+        FROM scored
+    )
+    SELECT query_id, negative_id, negative_label, cos_sim,
+           CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 3
 """
 
 ORACLES["conform_schema"] = """

@@ -916,3 +916,61 @@ def semantic_decontaminate(
         f"{id_col} long, nearest_benchmark_id long, "
         "max_benchmark_sim double, contaminated boolean",
     )
+
+
+def hard_negatives(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    label_col: str = "label",
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: for every query
+    vector, the top-k most-similar corpus vectors with a DIFFERENT
+    label — the near-misses that make the best negatives (in-batch
+    random negatives are too easy; the gradient signal lives near the
+    decision boundary).
+
+    Same plan shape as :func:`knn_join` — query side broadcast, one
+    corpus scan, per-query rank shuffling (query, id, score) triples
+    only — with the label-mismatch predicate fused into the join so
+    same-label pairs never materialize.  Corpus-scale query sets
+    should LSH-bucket both sides first (``lsh_bucketed_pairs``).
+    """
+    from pyspark.sql import Window
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(label_col).alias("_ql"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("negative_id"),
+        F.col(label_col).alias("_cl"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    scored = c.join(
+        F.broadcast(q),
+        (F.col("negative_id") != F.col("query_id"))
+        & (F.col("_cl") != F.col("_ql")),
+    ).select(
+        "query_id",
+        "negative_id",
+        F.col("_cl").alias("negative_label"),
+        F.round(cosine(F.col("_cv"), F.col("_qv")), 4).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("negative_id")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= k)
+        .select(
+            "query_id",
+            "negative_id",
+            "negative_label",
+            "cos_sim",
+            F.col("_rk").cast("int").alias("rank"),
+        )
+    )

@@ -175,3 +175,46 @@ def test_preference_pairs_single_window_exchange(spark):
     assert plan.count("Window") >= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_hard_negatives_label_mismatch_and_hardness(spark):
+    """Every mined negative has a different label than its query, and
+    is at least as similar as any other other-label vector below it."""
+    from cassandra_data_migration_spark.operators.similarity import hard_negatives
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    labels = {r["vec_id"]: r["label"] for r in emb.select("vec_id", "label").collect()}
+    out = hard_negatives(emb, emb.filter(F.col("vec_id") < 5), k=3).collect()
+    assert out
+    for r in out:
+        assert labels[r["negative_id"]] == r["negative_label"]
+        assert r["negative_label"] != labels[r["query_id"]]
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append(r)
+    for rs in by_q.values():
+        rs.sort(key=lambda r: r["rank"])
+        sims = [r["cos_sim"] for r in rs]
+        assert sims == sorted(sims, reverse=True)
+
+
+def test_hard_negatives_broadcasts_queries_no_shuffle_of_vectors(spark):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_CORRECT
+
+    df = entry_mod.queries()["hard_negatives"](spark, SF_CORRECT)
+    df.sparkSession.catalog.clearCache()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # the rank exchange carries score triples, not embedding arrays
+    exchange_after = plan.split("Exchange", 1)[1]
+    assert "embedding" not in exchange_after.split("Scan parquet", 1)[0]
