@@ -2671,6 +2671,37 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # custom stateful streaming operator: exact per-window quantiles
+    # (unsupported by streaming aggs) via applyInPandasWithState;
+    # update-mode emissions reduced to the final row per window
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.streaming.quantiles import (
+        windowed_quantiles_stream,
+    )
+
+    qdf = windowed_quantiles_stream(_events_stream(spark, sf_dir))
+    name = f"strq_{_uuid.uuid4().hex[:8]}"
+    q = (
+        qdf.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    w = Window.partitionBy("window_h").orderBy(F.desc("n_events"))
+    return (
+        emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
 def q_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
     # column-level AES (PII-at-rest story beside redaction + DP):
     # encrypt -> decrypt roundtrip over the sensitive column; output
@@ -3254,6 +3285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "span_corrupt": q_span_corrupt,
     "preference_pairs": q_preference_pairs,
     "hard_negatives": q_hard_negatives,
+    "stream_quantiles": q_stream_quantiles,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6251,6 +6283,44 @@ ORACLES["hard_negatives"] = f"""
            CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 3
 """
+
+
+def _stream_quantiles_oracle(percentiles=(0.5, 0.95, 0.99)) -> str:
+    """Exact interpolated quantiles over integer cents, micro-cent
+    output — the precise floor(lo*1e6 + t*(hi-lo)*1e6 + 0.5)
+    expression streaming/quantiles.quantile_ucents computes, so both
+    engines run identical IEEE ops in identical order."""
+
+    def pexpr(p: float) -> str:
+        pos = f"{p} * (n - 1)"
+        idx = f"CAST(floor({pos}) AS INT)"
+        t = f"({pos} - floor({pos}))"
+        lo = f"l[{idx} + 1]"
+        hi = f"l[least({idx} + 2, CAST(n AS INT))]"
+        return (
+            f"CAST(floor({lo} * 1000000 + {t} * ({hi} - {lo}) * 1000000"
+            f" + 0.5) AS BIGINT) AS p{int(p * 100)}_uc"
+        )
+
+    cols = ",\n           ".join(pexpr(p) for p in percentiles)
+    return f"""
+    WITH e AS (
+        SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_h,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
+        FROM events
+    ),
+    g AS (
+        SELECT window_h, list_sort(list(c)) AS l,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM e GROUP BY 1
+    )
+    SELECT window_h, n AS n_events,
+           {cols}
+    FROM g
+"""
+
+
+ORACLES["stream_quantiles"] = _stream_quantiles_oracle()
 
 ORACLES["conform_schema"] = """
     SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS o_orderkey,

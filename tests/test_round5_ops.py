@@ -218,3 +218,65 @@ def test_hard_negatives_broadcasts_queries_no_shuffle_of_vectors(spark):
     # the rank exchange carries score triples, not embedding arrays
     exchange_after = plan.split("Exchange", 1)[1]
     assert "embedding" not in exchange_after.split("Scan parquet", 1)[0]
+
+
+def test_stream_quantiles_multibatch_equals_single_pass(spark, tmp_path):
+    """Replaying the events in 4 micro-batches must converge to the
+    same final per-window exact quantiles as computing them in one
+    pass (the update-mode 'max n_events per window' reduction)."""
+    import uuid as _uuid
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from cassandra_data_migration_spark.streaming.quantiles import (
+        quantile_ucents,
+        windowed_quantiles_stream,
+    )
+    from tests.conftest import SF_SMOKE
+
+    events = load_table(spark, SF_SMOKE, "events").select("ts", "value")
+    src = str(tmp_path / "qsrc")
+    events.repartition(4).write.mode("overwrite").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    name = f"q_{_uuid.uuid4().hex[:8]}"
+    q = (
+        windowed_quantiles_stream(stream)
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    emitted = spark.sql(f"SELECT * FROM {name}")
+    assert emitted.count() > emitted.select("window_h").distinct().count(), \
+        "expected multiple update emissions across micro-batches"
+    w = Window.partitionBy("window_h").orderBy(F.desc("n_events"))
+    final = {
+        r["window_h"]: (r["n_events"], r["p50_uc"], r["p95_uc"], r["p99_uc"])
+        for r in emitted.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    # batch expectation: exact quantiles over all values per window
+    rows = events.collect()
+    by_w = {}
+    for r in rows:
+        h = int(r["ts"].timestamp() * 1_000_000) // 3_600_000_000
+        c = int((r["value"] * 100) + 0.5)
+        by_w.setdefault(h, []).append(c)
+    for h, cs in by_w.items():
+        s = sorted(cs)
+        expect = (
+            len(s),
+            quantile_ucents(s, 0.5),
+            quantile_ucents(s, 0.95),
+            quantile_ucents(s, 0.99),
+        )
+        assert final[h] == expect, h
