@@ -3048,6 +3048,19 @@ def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_value_parts(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # TPC-H Q13 shape: left outer join keeping zero-order customers,
+    # orders pre-aggregated BEFORE the join, histogram of counts after
+    from cassandra_data_migration_spark.operators.olap import (
+        customer_order_distribution,
+    )
+
+    return customer_order_distribution(
+        load_table(spark, sf_dir, "customer"),
+        load_table(spark, sf_dir, "orders"),
+    )
+
+
 def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q18 shape: grouped HAVING first, then broadcast the tiny
     # qualifying-key set through the joins
@@ -3286,6 +3299,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "preference_pairs": q_preference_pairs,
     "hard_negatives": q_hard_negatives,
     "stream_quantiles": q_stream_quantiles,
+    "customer_order_distribution": q_customer_order_distribution,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6321,6 +6335,18 @@ def _stream_quantiles_oracle(percentiles=(0.5, 0.95, 0.99)) -> str:
 
 
 ORACLES["stream_quantiles"] = _stream_quantiles_oracle()
+
+ORACLES["customer_order_distribution"] = """
+    WITH per_cust AS (
+        SELECT c.c_custkey,
+               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+    FROM per_cust GROUP BY c_count
+"""
 
 ORACLES["conform_schema"] = """
     SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS o_orderkey,

@@ -309,3 +309,31 @@ def disjunctive_predicate_revenue(
         .agg(F.sum(rev).cast("double").alias("revenue"),
              F.count(F.lit(1)).alias("n_lines"))
     )
+
+
+def customer_order_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H Q13 shape: the distribution of orders-per-customer
+    INCLUDING zero-order customers — the left-outer-join + two-level
+    aggregation pattern (join, count per key, then histogram of the
+    counts) that no equi/semi/anti query covers.
+
+    Plan: orders pre-aggregate to (custkey, n) BEFORE the join — the
+    join input shrinks from |orders| to |customers-with-orders| and
+    the left join attaches one long per customer; the second groupBy
+    is over at most |distinct order counts| keys (map-combined,
+    O(100) rows out).  At 100 TB both sides shuffle once on custkey;
+    AQE handles the skewed zero-heavy tail of the histogram."""
+    per_cust = orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    counts = (
+        customer.select("c_custkey")
+        .join(per_cust, "c_custkey", "left")
+        .select(F.coalesce("_n", F.lit(0)).cast("long").alias("c_count"))
+    )
+    return (
+        counts.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+    )

@@ -280,3 +280,44 @@ def test_stream_quantiles_multibatch_equals_single_pass(spark, tmp_path):
             quantile_ucents(s, 0.99),
         )
         assert final[h] == expect, h
+
+
+def test_customer_order_distribution_zero_bucket(spark):
+    """Customers with no orders land in the c_count=0 bucket (left
+    join semantics), and the histogram masses sum to |customers|."""
+    from cassandra_data_migration_spark.operators.olap import (
+        customer_order_distribution,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_SMOKE
+
+    cust = load_table(spark, SF_SMOKE, "customer")
+    orders = load_table(spark, SF_SMOKE, "orders")
+    out = {r["c_count"]: r["custdist"] for r in
+           customer_order_distribution(cust, orders).collect()}
+    n_cust = cust.count()
+    with_orders = orders.select("o_custkey").distinct().count()
+    assert sum(out.values()) == n_cust
+    assert out.get(0, 0) == n_cust - with_orders
+
+
+def test_customer_order_distribution_preaggregates_before_join(spark):
+    import contextlib
+    import io
+
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_CORRECT
+
+    df = entry_mod.queries()["customer_order_distribution"](spark, SF_CORRECT)
+    df.sparkSession.catalog.clearCache()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    # the orders aggregate must sit BELOW the join: the join reads the
+    # (custkey, n) table, never the raw orders rows
+    join_pos = max(plan.find("SortMergeJoin"), plan.find("BroadcastHashJoin"),
+                   plan.find("ShuffledHashJoin"))
+    assert join_pos >= 0
+    assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
+    assert "CartesianProduct" not in plan
