@@ -3048,6 +3048,20 @@ def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_value_parts(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mergeable Misra-Gries sketch audit: every true heavy hitter
+    # (count > N div (m+1)) must be covered by the <= m-row-per-task
+    # summary within the N/(m+1) bound — theorems, so the oracle
+    # asserts all-TRUE; a sketch bug flips a boolean
+    from cassandra_data_migration_spark.operators.aggregates import (
+        mg_heavy_hitters_audit,
+    )
+
+    return mg_heavy_hitters_audit(
+        load_table(spark, sf_dir, "documents"), m=256
+    )
+
+
 def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     # TPC-H Q13 shape: left outer join keeping zero-order customers,
     # orders pre-aggregated BEFORE the join, histogram of counts after
@@ -3300,6 +3314,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hard_negatives": q_hard_negatives,
     "stream_quantiles": q_stream_quantiles,
     "customer_order_distribution": q_customer_order_distribution,
+    "mg_heavy_hitters": q_mg_heavy_hitters,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6346,6 +6361,22 @@ ORACLES["customer_order_distribution"] = """
     )
     SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
     FROM per_cust GROUP BY c_count
+"""
+
+# Misra-Gries audit: the truth side (exact counts over the bound) is
+# recomputed in SQL; covered/bound_ok are guarantees of the sketch,
+# so the oracle pins them to TRUE.
+ORACLES["mg_heavy_hitters"] = """
+    WITH t AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
+    exact AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM t GROUP BY 1
+    )
+    SELECT term, true_cnt, TRUE AS covered, TRUE AS bound_ok
+    FROM exact, n WHERE true_cnt > total // 257
 """
 
 ORACLES["conform_schema"] = """

@@ -736,3 +736,96 @@ def growth_accounting(
         ).alias("churned_after"),
     )
     return counts
+
+
+def mg_token_sketch(
+    df: DataFrame, m: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Mergeable Misra-Gries heavy-hitter summary over the corpus
+    token stream: each partition keeps a capacity-``m`` counter set
+    (Arrow-batched `mapInPandas` — per batch, vectorized value_counts
+    merge + trim-to-m, never per-token Python), partial summaries
+    then merge by a plain term-keyed sum.
+
+    The mergeable-summaries guarantee (Agarwal et al., PODS'12): with
+    trim-to-m at every merge, any term's global estimate undercounts
+    its true frequency by at most N/(m+1) (N = total tokens), and any
+    term with true count > N/(m+1) survives into the summary.  The
+    final sum WITHOUT a trim only tightens both bounds.
+
+    100 TB shape: the shuffle carries <= m rows per task (not the
+    vocabulary — cf. the bucket-sketch `text.heavy_hitters`, which
+    still shuffles candidate-bucket tokens); estimates depend on the
+    partitioning, the guarantee does not.
+    """
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    terms = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    out_schema = StructType(
+        [StructField("term", StringType()), StructField("est", LongType())]
+    )
+
+    def summarize(batches):
+        import pandas as pd
+
+        counts: dict[str, int] = {}
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            for t, c in pdf["term"].value_counts().items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > m:
+                # trim-to-m: subtract the (m+1)-th largest count from
+                # everyone, drop the non-positives
+                thr = sorted(counts.values(), reverse=True)[m]
+                counts = {
+                    t: c - thr for t, c in counts.items() if c - thr > 0
+                }
+        if counts:
+            yield pd.DataFrame(
+                {"term": list(counts), "est": list(counts.values())}
+            )
+
+    partials = terms.mapInPandas(summarize, out_schema)
+    return partials.groupBy("term").agg(
+        F.sum("est").cast("long").alias("est")
+    )
+
+
+def mg_heavy_hitters_audit(
+    df: DataFrame, m: int = 256, text_col: str = "text"
+) -> DataFrame:
+    """Audit contract for :func:`mg_token_sketch`: one row per TRUE
+    heavy hitter (exact count > N div (m+1)), with the sketch's
+    coverage and error-bound guarantees evaluated engine-side —
+    `covered` and `bound_ok` are theorems, so an oracle asserts they
+    are all TRUE; a sketch bug flips a boolean and fails the hash.
+
+    (The exact truth side is a vocabulary groupBy — the audit
+    harness, not the scale path; the sketch itself shuffles <= m rows
+    per task.)
+    """
+    sketch = mg_token_sketch(df, m=m, text_col=text_col)
+    terms = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    n_total = terms.count()
+    bound = n_total // (m + 1)
+    truth = exact.filter(F.col("true_cnt") > F.lit(bound))
+    return (
+        truth.join(sketch, "term", "left")
+        .select(
+            "term",
+            "true_cnt",
+            F.col("est").isNotNull().alias("covered"),
+            (
+                (F.col("true_cnt") - F.coalesce("est", F.lit(0)))
+                <= F.lit(bound)
+            ).alias("bound_ok"),
+        )
+    )

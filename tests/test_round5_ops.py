@@ -321,3 +321,38 @@ def test_customer_order_distribution_preaggregates_before_join(spark):
     assert join_pos >= 0
     assert plan.count("HashAggregate") >= 4  # partial+final x 2 levels
     assert "CartesianProduct" not in plan
+
+
+def test_mg_sketch_covers_planted_hitter_within_bound(spark):
+    """A token holding >25% of the stream must survive a capacity-16
+    sketch with estimate within N/(m+1), whatever the partitioning."""
+    from cassandra_data_migration_spark.operators.aggregates import (
+        mg_heavy_hitters_audit,
+        mg_token_sketch,
+    )
+
+    rows = []
+    for i in range(400):
+        # hot token every row, plus per-row noise tokens
+        rows.append((i, f"hot n{i}a n{i}b n{i}c"))
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    sketch = {r["term"]: r["est"] for r in mg_token_sketch(df, m=16).collect()}
+    n_total = 1600
+    assert "hot" in sketch
+    assert 400 - sketch["hot"] <= n_total // 17
+    audit = mg_heavy_hitters_audit(df, m=16).collect()
+    assert audit  # 'hot' is a true heavy hitter at this threshold
+    assert all(r["covered"] and r["bound_ok"] for r in audit)
+
+
+def test_mg_sketch_partial_size_capped(spark):
+    """Each partition's partial summary holds at most m rows even on
+    an all-distinct stream (the <= m-rows-per-task shuffle claim)."""
+    from cassandra_data_migration_spark.operators.aggregates import (
+        mg_token_sketch,
+    )
+
+    rows = [(i, " ".join(f"u{i}_{j}" for j in range(50))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    total = mg_token_sketch(df, m=32).count()
+    assert total <= 32 * 4
