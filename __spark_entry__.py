@@ -3048,6 +3048,59 @@ def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_value_parts(load_table(spark, sf_dir, "lineitem"))
 
 
+def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lake maintenance (OPTIMIZE/rewrite): a 40-file small-file dir
+    # compacts to ceil(bytes/target)=1 file with every row preserved —
+    # the per-file open/footer tax is THE operational cost at 100 TB
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import compact_parquet
+
+    c = load_table(spark, sf_dir, "customer")
+    d = tempfile.mkdtemp(prefix="compact_") + "/customer"
+    c.repartition(40).write.mode("overwrite").parquet(d)
+    import os
+
+    before = sum(
+        1 for f in os.listdir(d) if f.endswith(".parquet")
+    )
+    rows_before = spark.read.parquet(d).count()
+    after = compact_parquet(spark, d, target_mb=128)
+    compacted = spark.read.parquet(d)
+    rows_after = compacted.count()
+    key_sum = compacted.agg(F.sum("c_custkey")).collect()[0][0]
+    return spark.createDataFrame(
+        [(before, after, rows_after, rows_before == rows_after, int(key_sum))],
+        "files_before long, files_after long, rows long, "
+        "rows_match boolean, key_sum long",
+    )
+
+
+def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # schema-on-read evolution: two snapshots written under drifted
+    # schemas (o_orderstatus added later) read back as one union-schema
+    # table; old files surface NULL for the late column
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import parquet_evolved_read
+
+    o = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="evolve_") + "/orders"
+    o.filter(F.pmod("o_orderkey", F.lit(2)) == 0).select(
+        "o_orderkey", "o_totalprice"
+    ).write.mode("overwrite").parquet(d)
+    o.filter(F.pmod("o_orderkey", F.lit(2)) == 1).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.mode("append").parquet(d)
+    merged = parquet_evolved_read(spark, d)
+    return merged.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price"),
+    )
+
+
 def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mergeable Misra-Gries sketch audit: every true heavy hitter
     # (count > N div (m+1)) must be covered by the <= m-row-per-task
@@ -3315,6 +3368,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_quantiles": q_stream_quantiles,
     "customer_order_distribution": q_customer_order_distribution,
     "mg_heavy_hitters": q_mg_heavy_hitters,
+    "compaction_audit": q_compaction_audit,
+    "schema_evolution_read": q_schema_evolution_read,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6377,6 +6432,30 @@ ORACLES["mg_heavy_hitters"] = """
     )
     SELECT term, true_cnt, TRUE AS covered, TRUE AS bound_ok
     FROM exact, n WHERE true_cnt > total // 257
+"""
+
+# Compaction audit: 40 non-empty round-robin partitions -> 40 files
+# before; total bytes << 128 MB -> exactly 1 after; row count and key
+# checksum prove losslessness.
+ORACLES["compaction_audit"] = """
+    SELECT CAST(40 AS BIGINT) AS files_before,
+           CAST(1 AS BIGINT) AS files_after,
+           CAST(COUNT(*) AS BIGINT) AS rows,
+           TRUE AS rows_match,
+           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
+    FROM customer
+"""
+
+# Schema evolution: even keys written pre-evolution surface NULL for
+# the late o_orderstatus column.
+ORACLES["schema_evolution_read"] = """
+    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
+               AS o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total_price
+    FROM orders
+    GROUP BY 1
 """
 
 ORACLES["conform_schema"] = """

@@ -232,3 +232,18 @@ def parquet_rowgroup_stats(spark, path: str):
     return fdf.mapInPandas(
         scan, "file string, row_group int, num_rows long, n_columns int"
     )
+
+
+def parquet_evolved_read(spark: SparkSession, path: str) -> DataFrame:
+    """Read a parquet directory whose files were written under
+    EVOLVING schemas (columns added over time) as one DataFrame with
+    the union schema — old files surface NULL for columns they
+    predate.  ``mergeSchema`` makes the footer reconciliation
+    explicit (Spark's default trusts a single footer, which silently
+    drops late columns when an old file is sampled).
+
+    100 TB note: schema merge reads every file FOOTER (not data) once
+    at planning; for lakes with 10⁶+ files pin the schema explicitly
+    and keep this flag for the reconciliation/audit path.
+    """
+    return spark.read.option("mergeSchema", "true").parquet(path)

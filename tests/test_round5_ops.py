@@ -356,3 +356,16 @@ def test_mg_sketch_partial_size_capped(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
     total = mg_token_sketch(df, m=32).count()
     assert total <= 32 * 4
+
+
+def test_parquet_evolved_read_null_fills_old_files(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.files import parquet_evolved_read
+
+    d = str(tmp_path / "evolve")
+    spark.createDataFrame([(1, 10.0)], "k long, v double").write.parquet(d)
+    spark.createDataFrame(
+        [(2, 20.0, "new")], "k long, v double, tag string"
+    ).write.mode("append").parquet(d)
+    rows = {r["k"]: r for r in parquet_evolved_read(spark, d).collect()}
+    assert set(rows) == {1, 2}
+    assert rows[1]["tag"] is None and rows[2]["tag"] == "new"
