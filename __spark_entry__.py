@@ -2231,6 +2231,16 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(load_table(spark, sf_dir, "documents"), iterations=5)
 
 
+def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # degree-oriented triangle counting (Suri-Vassilvitskii): wedges
+    # generated only at each triangle's min-(degree,id) vertex, closed
+    # by one semi-join — O(m^1.5) wedges, hub-safe; local clustering
+    # coefficient in integer micro-units
+    from cassandra_data_migration_spark.operators.graph import domain_triangles
+
+    return domain_triangles(load_table(spark, sf_dir, "documents"))
+
+
 def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # co-located bucketed join: both fact tables hash-bucketed on the
     # order key, so the join runs with zero Exchange (pinned by
@@ -3370,6 +3380,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mg_heavy_hitters": q_mg_heavy_hitters,
     "compaction_audit": q_compaction_audit,
     "schema_evolution_read": q_schema_evolution_read,
+    "domain_triangles": q_domain_triangles,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6444,6 +6455,55 @@ ORACLES["compaction_audit"] = """
            TRUE AS rows_match,
            CAST(SUM(c_custkey) AS BIGINT) AS key_sum
     FROM customer
+"""
+
+# Triangle counting: same synthesized domain graph as the pagerank
+# oracle; the oracle counts triangles with the plain canonical
+# a<b<c triple join (the engine's degree-oriented wedge plan must
+# produce identical counts).
+ORACLES["domain_triangles"] = f"""
+    WITH u AS ({_URL_CTE}),
+    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
+    idx AS (SELECT domain,
+                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
+                   (SELECT COUNT(*) FROM doms) AS n
+            FROM doms),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
+            UNION SELECT i, (i * 5 + 2) % n FROM idx
+            UNION SELECT i, (i * 7 + 3) % n FROM idx
+        ) WHERE src <> dst
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges),
+    deg AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
+        GROUP BY 1
+    ),
+    tris AS (
+        SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        FROM und e1
+        JOIN und e2 ON e2.a = e1.b
+        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    pv AS (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS t
+        FROM (SELECT x AS v FROM tris UNION ALL
+              SELECT y FROM tris UNION ALL
+              SELECT z FROM tris)
+        GROUP BY 1
+    )
+    SELECT idx.domain, deg.d AS degree,
+           CAST(COALESCE(pv.t, 0) AS BIGINT) AS n_triangles,
+           CAST(CASE WHEN deg.d >= 2
+                THEN (2 * COALESCE(pv.t, 0) * 1000000)
+                     // (deg.d * (deg.d - 1))
+                ELSE 0 END AS BIGINT) AS clustering_e6
+    FROM idx
+    JOIN deg ON deg.v = idx.i
+    LEFT JOIN pv ON pv.v = idx.i
 """
 
 # Schema evolution: even keys written pre-evolution surface NULL for

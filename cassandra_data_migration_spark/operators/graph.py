@@ -292,3 +292,81 @@ def dedup_survivors(
         .filter(F.col("_rn") == 1)
         .select(id_col, "cluster_size", "quality_e4")
     )
+
+
+def triangle_counts(und: DataFrame) -> DataFrame:
+    """Per-vertex triangle participation over an undirected edge set
+    (canonical ``(a, b)`` pairs, a < b) via degree-ordered wedge
+    generation (Suri & Vassilvitskii's MR triangle counting): orient
+    every edge from its lower-(degree, id) endpoint, generate wedges
+    only at each triangle's minimum vertex, close them with one
+    semi-join against the canonical edges.
+
+    Why orientation matters at scale: naive wedge generation at hubs
+    is Σ deg² — a 10⁶-degree hub yields 10¹² wedges.  Ordering by
+    degree bounds every vertex's oriented out-degree by O(√m), so
+    wedges are O(m^1.5) worst case and each triangle is produced
+    exactly once (no /3 dedup pass).
+    """
+    deg = (
+        und.select(F.col("a").alias("v"))
+        .unionAll(und.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    e = und.join(
+        deg.select(F.col("v").alias("a"), F.col("d").alias("_da")), "a"
+    ).join(deg.select(F.col("v").alias("b"), F.col("d").alias("_db")), "b")
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = e.select(
+        F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("w"),
+    )
+    wedges = (
+        o.select("u", F.col("w").alias("v1"))
+        .join(o.select("u", F.col("w").alias("v2")), "u")
+        .filter(F.col("v1") < F.col("v2"))
+    )
+    tris = wedges.join(
+        und,
+        (F.col("v1") == F.col("a")) & (F.col("v2") == F.col("b")),
+        "left_semi",
+    )
+    per_vertex = (
+        tris.select(F.explode(F.array("u", "v1", "v2")).alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_triangles"))
+    )
+    return deg.join(per_vertex, "v", "left").select(
+        "v",
+        F.col("d").alias("degree"),
+        F.coalesce("n_triangles", F.lit(0)).cast("long").alias("n_triangles"),
+    )
+
+
+def domain_triangles(docs: DataFrame) -> DataFrame:
+    """(domain, degree, n_triangles, clustering_e6) over the
+    synthesized domain link graph — local clustering coefficient in
+    integer micro-units (2·t·10⁶ div d(d−1)), the community-density
+    signal beside PageRank authority."""
+    idx, edges = domain_link_graph(docs)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    tc = triangle_counts(und)
+    clustering = F.when(
+        F.col("degree") >= 2,
+        F.expr("(2 * n_triangles * 1000000) div (degree * (degree - 1))"),
+    ).otherwise(F.lit(0))
+    return idx.join(tc, idx["i"] == tc["v"]).select(
+        "domain",
+        "degree",
+        "n_triangles",
+        clustering.cast("long").alias("clustering_e6"),
+    )

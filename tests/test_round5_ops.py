@@ -369,3 +369,30 @@ def test_parquet_evolved_read_null_fills_old_files(spark, tmp_path):
     rows = {r["k"]: r for r in parquet_evolved_read(spark, d).collect()}
     assert set(rows) == {1, 2}
     assert rows[1]["tag"] is None and rows[2]["tag"] == "new"
+
+
+def test_triangle_counts_known_graph(spark):
+    """K4 plus a pendant vertex: each K4 vertex sits in 3 triangles
+    (4 total), the pendant in none; clustering of a K4 vertex is 1."""
+    from cassandra_data_migration_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    edges = k4 + [(3, 9)]
+    und = spark.createDataFrame(edges, "a long, b long")
+    out = {r["v"]: r for r in triangle_counts(und).collect()}
+    for v in range(3):
+        assert out[v]["n_triangles"] == 3 and out[v]["degree"] == 3
+    assert out[3]["n_triangles"] == 3 and out[3]["degree"] == 4
+    assert out[9]["n_triangles"] == 0 and out[9]["degree"] == 1
+
+
+def test_triangle_counts_triangle_free_graph(spark):
+    from cassandra_data_migration_spark.operators.graph import triangle_counts
+
+    # a 6-cycle has no triangles
+    und = spark.createDataFrame(
+        [(i, i + 1) for i in range(5)] + [(0, 5)], "a long, b long"
+    )
+    rows = triangle_counts(und).collect()
+    assert all(r["n_triangles"] == 0 for r in rows)
+    assert all(r["degree"] == 2 for r in rows)
