@@ -2231,6 +2231,24 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(load_table(spark, sf_dir, "documents"), iterations=5)
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # dataset-release versioning: added/removed/changed/unchanged
+    # between two corpus snapshots by fingerprint full-outer join —
+    # ids + 16-byte hashes shuffle, text never does
+    from cassandra_data_migration_spark.operators.setops import snapshot_diff
+
+    docs = load_table(spark, sf_dir, "documents")
+    old = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
+    new = docs.filter(F.pmod("doc_id", F.lit(13)) != 0).withColumn(
+        "text",
+        F.when(
+            F.pmod("doc_id", F.lit(7)) == 0,
+            F.concat(F.col("text"), F.lit(" v2")),
+        ).otherwise(F.col("text")),
+    )
+    return snapshot_diff(old, new)
+
+
 def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # degree-oriented triangle counting (Suri-Vassilvitskii): wedges
     # generated only at each triangle's min-(degree,id) vertex, closed
@@ -3381,6 +3399,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_audit": q_compaction_audit,
     "schema_evolution_read": q_schema_evolution_read,
     "domain_triangles": q_domain_triangles,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6504,6 +6523,27 @@ ORACLES["domain_triangles"] = f"""
     FROM idx
     JOIN deg ON deg.v = idx.i
     LEFT JOIN pv ON pv.v = idx.i
+"""
+
+# Snapshot diff: the old/new membership and the text perturbation are
+# pure functions of doc_id, so the oracle classifies arithmetically
+# (fingerprints only differ where the text was perturbed).
+ORACLES["corpus_snapshot_diff"] = """
+    WITH s AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 10 = 0 AND doc_id % 13 <> 0
+                        THEN 'added'
+                    WHEN doc_id % 13 = 0 AND doc_id % 10 <> 0
+                        THEN 'removed'
+                    WHEN doc_id % 7 = 0 AND doc_id % 10 <> 0
+                         AND doc_id % 13 <> 0 THEN 'changed'
+                    WHEN doc_id % 10 <> 0 AND doc_id % 13 <> 0
+                        THEN 'unchanged'
+               END AS status
+        FROM documents
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s WHERE status IS NOT NULL GROUP BY status
 """
 
 # Schema evolution: even keys written pre-evolution surface NULL for

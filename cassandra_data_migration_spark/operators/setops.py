@@ -84,3 +84,41 @@ def multiset_compare(a: DataFrame, b: DataFrame) -> DataFrame:
         [(only_a, in_both, only_b)],
         "only_origin long, in_both long, only_target long",
     )
+
+
+def snapshot_diff(
+    old: DataFrame,
+    new: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Corpus snapshot diff for training-data versioning: classify
+    every id across two corpus snapshots as added / removed /
+    changed / unchanged by comparing content fingerprints — the
+    what-moved report a dataset release pipeline publishes between
+    versions (and the input to incremental re-tokenization: only
+    added ∪ changed re-process).
+
+    One full outer join on the id key carrying (id, 16-byte md5)
+    pairs — text never shuffles; at 100 TB both sides are one scan
+    plus one id-keyed exchange each, the same shape as the
+    missing/mismatch validators (operators/joins.py), applied to the
+    corpus instead of the migration target."""
+    o = old.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp_old")
+    )
+    n = new.select(
+        F.col(id_col), F.md5(F.col(text_col)).alias("_fp_new")
+    )
+    status = (
+        F.when(F.col("_fp_old").isNull(), F.lit("added"))
+        .when(F.col("_fp_new").isNull(), F.lit("removed"))
+        .when(F.col("_fp_old") != F.col("_fp_new"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        o.join(n, id_col, "full_outer")
+        .select(F.col(id_col), status.alias("status"))
+        .groupBy("status")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    )

@@ -396,3 +396,16 @@ def test_triangle_counts_triangle_free_graph(spark):
     rows = triangle_counts(und).collect()
     assert all(r["n_triangles"] == 0 for r in rows)
     assert all(r["degree"] == 2 for r in rows)
+
+
+def test_snapshot_diff_classifies_all_four_states(spark):
+    from cassandra_data_migration_spark.operators.setops import snapshot_diff
+
+    old = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "doc_id long, text string"
+    )
+    new = spark.createDataFrame(
+        [(1, "a"), (2, "B2"), (4, "d")], "doc_id long, text string"
+    )
+    out = {r["status"]: r["n_docs"] for r in snapshot_diff(old, new).collect()}
+    assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
