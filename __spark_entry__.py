@@ -2231,6 +2231,50 @@ def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return domain_pagerank(load_table(spark, sf_dir, "documents"), iterations=5)
 
 
+def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental materialized-view maintenance: a Debezium-shaped
+    # changelog (I/U/D with before-images) merged into the per-customer
+    # aggregate view by signed deltas — O(|delta|) work, never a base
+    # rescan; must equal the full recompute (the oracle)
+    from cassandra_data_migration_spark.operators.mv import (
+        mv_apply_delta,
+        mv_build,
+    )
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
+    inserts = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_custkey",
+        F.lit("I").alias("op"),
+        F.lit(None).cast("decimal(18,2)").alias("before_v"),
+        price.alias("after_v"),
+    )
+    deletes = base.filter(F.pmod("o_orderkey", F.lit(5)) == 0).select(
+        "o_custkey",
+        F.lit("D").alias("op"),
+        price.alias("before_v"),
+        F.lit(None).cast("decimal(18,2)").alias("after_v"),
+    )
+    updates = base.filter(
+        (F.pmod("o_orderkey", F.lit(5)) != 0)
+        & (F.pmod("o_orderkey", F.lit(7)) == 0)
+    ).select(
+        "o_custkey",
+        F.lit("U").alias("op"),
+        price.alias("before_v"),
+        (price + F.lit(10)).cast("decimal(18,2)").alias("after_v"),
+    )
+    changelog = inserts.unionByName(deletes).unionByName(updates)
+    mv = mv_build(base, "o_custkey", "o_totalprice")
+    out = mv_apply_delta(mv, changelog, "o_custkey")
+    return out.select(
+        "o_custkey",
+        "n_rows",
+        F.col("sum_val").cast("double").alias("sum_val"),
+    )
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset-release versioning: added/removed/changed/unchanged
     # between two corpus snapshots by fingerprint full-outer join —
@@ -3400,6 +3444,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "schema_evolution_read": q_schema_evolution_read,
     "domain_triangles": q_domain_triangles,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
+    "mv_incremental_refresh": q_mv_incremental_refresh,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6523,6 +6568,24 @@ ORACLES["domain_triangles"] = f"""
     FROM idx
     JOIN deg ON deg.v = idx.i
     LEFT JOIN pv ON pv.v = idx.i
+"""
+
+# Incremental MV refresh must equal the full recompute of the final
+# state: survived base rows (with the update applied) plus inserts.
+ORACLES["mv_incremental_refresh"] = """
+    WITH final AS (
+        SELECT o_custkey,
+               CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
+                         AND o_orderkey % 7 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
+                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
+        FROM orders
+        WHERE o_orderkey % 3 = 0
+           OR (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0)
+    )
+    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(v) AS DOUBLE) AS sum_val
+    FROM final GROUP BY o_custkey
 """
 
 # Snapshot diff: the old/new membership and the text perturbation are

@@ -409,3 +409,33 @@ def test_snapshot_diff_classifies_all_four_states(spark):
     )
     out = {r["status"]: r["n_docs"] for r in snapshot_diff(old, new).collect()}
     assert out == {"unchanged": 1, "changed": 1, "removed": 1, "added": 1}
+
+
+def test_mv_apply_delta_equals_recompute(spark):
+    """Signed-delta maintenance must equal rebuilding the view from
+    the post-changelog base, including key disappearance at count 0
+    and new-key appearance."""
+    from cassandra_data_migration_spark.operators.mv import (
+        mv_apply_delta,
+        mv_build,
+    )
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (1, 20.0), (2, 5.0)], "k long, v double"
+    )
+    log = spark.createDataFrame(
+        [
+            (1, "D", 10.0, None),   # k=1 loses a row
+            (2, "D", 5.0, None),    # k=2 empties out -> drops
+            (3, "I", None, 7.0),    # new key appears
+            (1, "U", 20.0, 25.0),   # k=1 value bump
+        ],
+        "k long, op string, before_v double, after_v double",
+    )
+    mv = mv_build(base, "k", "v")
+    out = {
+        r["k"]: (r["n_rows"], float(r["sum_val"]))
+        for r in mv_apply_delta(mv, log, "k").collect()
+    }
+    assert out == {1: (1, 25.0), 3: (1, 7.0)}
+    assert 2 not in out
