@@ -2275,6 +2275,61 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous MV maintenance: the SAME deterministic changelog as
+    # mv_incremental_refresh replayed in 3 micro-batch slices through
+    # foreachBatch signed-delta merges — commutative deltas converge
+    # to the batch answer under any slicing (same oracle)
+    import tempfile
+
+    from cassandra_data_migration_spark.operators.mv import mv_build
+    from cassandra_data_migration_spark.streaming.mv import mv_maintain_stream
+
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(18,2)")
+    base = o.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
+    inserts = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
+        "o_custkey",
+        F.lit("I").alias("op"),
+        F.lit(None).cast("decimal(18,2)").alias("before_v"),
+        price.alias("after_v"),
+    )
+    deletes = base.filter(F.pmod("o_orderkey", F.lit(5)) == 0).select(
+        "o_custkey",
+        F.lit("D").alias("op"),
+        price.alias("before_v"),
+        F.lit(None).cast("decimal(18,2)").alias("after_v"),
+    )
+    updates = base.filter(
+        (F.pmod("o_orderkey", F.lit(5)) != 0)
+        & (F.pmod("o_orderkey", F.lit(7)) == 0)
+    ).select(
+        "o_custkey",
+        F.lit("U").alias("op"),
+        price.alias("before_v"),
+        (price + F.lit(10)).cast("decimal(18,2)").alias("after_v"),
+    )
+    d = tempfile.mkdtemp(prefix="mv_stream_")
+    view, src, ckpt = f"{d}/view", f"{d}/log", f"{d}/ckpt"
+    mv_build(base, "o_custkey", "o_totalprice").write.parquet(view)
+    inserts.repartition(1).write.parquet(src)
+    deletes.repartition(1).write.mode("append").parquet(src)
+    updates.repartition(1).write.mode("append").parquet(src)
+    schema = spark.read.parquet(src).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv_maintain_stream(stream, view, "o_custkey", ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(view).select(
+        "o_custkey",
+        "n_rows",
+        F.col("sum_val").cast("double").alias("sum_val"),
+    )
+
+
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     # dataset-release versioning: added/removed/changed/unchanged
     # between two corpus snapshots by fingerprint full-outer join —
@@ -3445,6 +3500,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_triangles": q_domain_triangles,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
+    "stream_mv_refresh": q_stream_mv_refresh,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6587,6 +6643,10 @@ ORACLES["mv_incremental_refresh"] = """
            CAST(SUM(v) AS DOUBLE) AS sum_val
     FROM final GROUP BY o_custkey
 """
+
+# The streaming twin replays the identical changelog, so it shares
+# the recompute oracle.
+ORACLES["stream_mv_refresh"] = ORACLES["mv_incremental_refresh"]
 
 # Snapshot diff: the old/new membership and the text perturbation are
 # pure functions of doc_id, so the oracle classifies arithmetically

@@ -439,3 +439,54 @@ def test_mv_apply_delta_equals_recompute(spark):
     }
     assert out == {1: (1, 25.0), 3: (1, 7.0)}
     assert 2 not in out
+
+
+def test_stream_mv_converges_regardless_of_slicing(spark, tmp_path):
+    """Signed deltas commute: replaying the changelog in per-file
+    micro-batches (in whatever order the source lists them) must
+    produce the same view as one batch apply."""
+    from cassandra_data_migration_spark.operators.mv import (
+        mv_apply_delta,
+        mv_build,
+    )
+    from cassandra_data_migration_spark.streaming.mv import mv_maintain_stream
+
+    base = spark.createDataFrame(
+        [(1, 10.0), (2, 5.0), (2, 6.0)], "k long, v double"
+    )
+    log_rows = [
+        (1, "U", 10.0, 12.0),
+        (2, "D", 5.0, None),
+        (3, "I", None, 9.0),
+        (1, "I", None, 4.0),
+    ]
+    schema = "k long, op string, before_v double, after_v double"
+    d = str(tmp_path)
+    view, src, ckpt = f"{d}/view", f"{d}/log", f"{d}/ckpt"
+    mv_build(base, "k", "v").write.parquet(view)
+    for i, row in enumerate(log_rows):
+        spark.createDataFrame([row], schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = mv_maintain_stream(stream, view, "k", ckpt)
+    q.awaitTermination(120)
+    streamed = {
+        r["k"]: (r["n_rows"], float(r["sum_val"]))
+        for r in spark.read.parquet(view).collect()
+    }
+    batch = {
+        r["k"]: (r["n_rows"], float(r["sum_val"]))
+        for r in mv_apply_delta(
+            mv_build(base, "k", "v"),
+            spark.createDataFrame(log_rows, schema),
+            "k",
+        ).collect()
+    }
+    assert streamed == batch
+    assert streamed[1] == (2, 16.0) and streamed[3] == (1, 9.0)
+    assert 2 in streamed and streamed[2] == (1, 6.0)
