@@ -287,3 +287,97 @@ def test_html_strip_spark_equals_duckdb_twin(spark, html):
     lit = "'" + html.replace("'", "''") + "'"
     got_duck = duckdb.sql(f"SELECT {html_strip_sql(lit)}").fetchone()[0]
     assert got_spark == got_duck
+
+
+# ---- substring_dup_spans vs a pure-Python suffix-scan reference ----
+
+corpus = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=3),  # tiny alphabet → collisions
+        min_size=1,
+        max_size=12,
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _dup_coverage_reference(docs: list[list[int]], k: int):
+    """Brute-force: every k-gram occurrence counted corpus-wide; the
+    union of duplicated k-gram intervals per doc."""
+    from collections import Counter
+
+    grams = Counter()
+    for toks in docs:
+        for i in range(len(toks) - k + 1):
+            grams[tuple(toks[i : i + k])] += 1
+    out = {}
+    for d, toks in enumerate(docs):
+        hits = [
+            i
+            for i in range(len(toks) - k + 1)
+            if grams[tuple(toks[i : i + k])] >= 2
+        ]
+        spans = []
+        for i in hits:
+            if spans and i <= spans[-1][1] + 1:
+                spans[-1][1] = max(spans[-1][1], i + k - 1)
+            else:
+                spans.append([i, i + k - 1])
+        out[d] = (len(spans), sum(e - s + 1 for s, e in spans))
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(docs=corpus)
+def test_substring_dup_spans_matches_bruteforce(spark, docs):
+    from cassandra_data_migration_spark.operators.dedup import (
+        substring_dup_spans,
+    )
+
+    k = 3
+    rows = [(i, " ".join(f"t{t}" for t in toks)) for i, toks in enumerate(docs)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_dup_spans"], r["dup_tokens"])
+        for r in substring_dup_spans(df, k=k).collect()
+    }
+    assert got == _dup_coverage_reference(docs, k)
+
+
+# ---- triangle_counts vs itertools brute force ----
+
+edge_sets = st.sets(
+    st.tuples(
+        st.integers(min_value=0, max_value=6),
+        st.integers(min_value=0, max_value=6),
+    ).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(raw=edge_sets)
+def test_triangle_counts_matches_bruteforce(spark, raw):
+    from itertools import combinations
+
+    from cassandra_data_migration_spark.operators.graph import triangle_counts
+
+    und = {(min(a, b), max(a, b)) for a, b in raw}
+    df = spark.createDataFrame(sorted(und), "a long, b long")
+    got = {
+        r["v"]: (r["degree"], r["n_triangles"])
+        for r in triangle_counts(df).collect()
+    }
+    verts = sorted({v for e in und for v in e})
+    tri_of = {v: 0 for v in verts}
+    for x, y, z in combinations(verts, 3):
+        if (
+            (x, y) in und and (y, z) in und and (x, z) in und
+        ):
+            tri_of[x] += 1
+            tri_of[y] += 1
+            tri_of[z] += 1
+    deg_of = {v: sum(1 for e in und if v in e) for v in verts}
+    assert got == {v: (deg_of[v], tri_of[v]) for v in verts}
