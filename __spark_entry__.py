@@ -2275,6 +2275,69 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming gap sessionization (F.session_window): finite replay in
+    # complete mode must equal the batch lag->flag->sum sessionizer —
+    # the oracle recomputes sessions with window SQL
+    import uuid as _uuid
+
+    from cassandra_data_migration_spark.streaming.sessions import (
+        sessionize_stream,
+    )
+
+    name = f"sess_{_uuid.uuid4().hex[:8]}"
+    q = (
+        sessionize_stream(
+            _events_stream(spark, sf_dir), gap_seconds=28800, watermark=None
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.sql(f"SELECT * FROM {name}").select(
+        "user_id",
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_start",
+        "session_end",
+        F.col("duration_s").cast("long").alias("duration_s"),
+    )
+
+
+def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming windowed top-k: live per-hour event-type counts with
+    # the rank cut applied sink-side (rank-over-window is not a
+    # streaming operator); finite replay equals the batch computation
+    import uuid as _uuid
+
+    from cassandra_data_migration_spark.streaming.trending import (
+        rank_topk,
+        trending_counts_stream,
+    )
+
+    name = f"trend_{_uuid.uuid4().hex[:8]}"
+    q = (
+        trending_counts_stream(
+            _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
+        )
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    counts = spark.sql(f"SELECT * FROM {name}")
+    return rank_topk(counts, k=3).select(
+        "win_start",
+        "event_type",
+        F.col("n_events").cast("long").alias("n_events"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
 def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous MV maintenance: the SAME deterministic changelog as
     # mv_incremental_refresh replayed in 3 micro-batch slices through
@@ -3501,6 +3564,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "mv_incremental_refresh": q_mv_incremental_refresh,
     "stream_mv_refresh": q_stream_mv_refresh,
+    "stream_sessions": q_stream_sessions,
+    "stream_trending": q_stream_trending,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6647,6 +6712,53 @@ ORACLES["mv_incremental_refresh"] = """
 # The streaming twin replays the identical changelog, so it shares
 # the recompute oracle.
 ORACLES["stream_mv_refresh"] = ORACLES["mv_incremental_refresh"]
+
+# Streaming sessionization: batch lag->flag->running-sum recompute
+# over second-truncated timestamps (the streaming op's session_window
+# merges iff idle <= gap, identical to the strictly-greater new-
+# session rule here).
+ORACLES["stream_sessions"] = """
+    WITH e AS (
+        SELECT user_id, event_id, date_trunc('second', ts) AS sec_ts,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec
+        FROM events
+    ),
+    f AS (
+        SELECT *, CASE WHEN lag(sec) OVER w IS NULL
+                         OR sec - lag(sec) OVER w > 28800
+                       THEN 1 ELSE 0 END AS is_new
+        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
+    ),
+    s AS (
+        SELECT *, SUM(is_new) OVER (
+            PARTITION BY user_id ORDER BY sec, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+        ) AS session_id
+        FROM f
+    )
+    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(sec_ts) AS session_start, MAX(sec_ts) AS session_end,
+           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
+    FROM s GROUP BY user_id, session_id
+"""
+
+# Streaming trending top-k: hourly tumbling counts + rank cut.
+ORACLES["stream_trending"] = """
+    WITH c AS (
+        SELECT date_trunc('hour', ts) AS win_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY win_start
+            ORDER BY n_events DESC, event_type ASC
+        ) AS rnk
+        FROM c
+    )
+    SELECT win_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 3
+"""
 
 # Snapshot diff: the old/new membership and the text perturbation are
 # pure functions of doc_id, so the oracle classifies arithmetically
