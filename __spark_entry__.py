@@ -2275,6 +2275,21 @@ def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CBO stats health check: textbook estimate |A||B|/max(ndv) vs the
+    # actual orders x lineitem join cardinality, integer-exact NDVs
+    from cassandra_data_migration_spark.operators.quality import (
+        join_cardinality_audit,
+    )
+
+    return join_cardinality_audit(
+        load_table(spark, sf_dir, "orders"),
+        load_table(spark, sf_dir, "lineitem"),
+        "o_orderkey",
+        "l_orderkey",
+    )
+
+
 def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # streaming gap sessionization (F.session_window): finite replay in
     # complete mode must equal the batch lag->flag->sum sessionizer —
@@ -3566,6 +3581,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_mv_refresh": q_stream_mv_refresh,
     "stream_sessions": q_stream_sessions,
     "stream_trending": q_stream_trending,
+    "join_cardinality_audit": q_join_cardinality_audit,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6740,6 +6756,30 @@ ORACLES["stream_sessions"] = """
            MIN(sec_ts) AS session_start, MAX(sec_ts) AS session_end,
            CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
     FROM s GROUP BY user_id, session_id
+"""
+
+ORACLES["join_cardinality_audit"] = """
+    WITH sa AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
+               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_a
+        FROM orders
+    ),
+    sb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
+               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_b
+        FROM lineitem
+    ),
+    j AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
+        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT n_a, ndv_a, n_b, ndv_b,
+           CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
+           actual_rows,
+           CAST((actual_rows * 10000)
+                // ((n_a * n_b) // greatest(ndv_a, ndv_b)) AS BIGINT)
+               AS ratio_e4
+    FROM sa, sb, j
 """
 
 # Streaming trending top-k: hourly tumbling counts + rank cut.

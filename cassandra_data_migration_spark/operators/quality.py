@@ -261,3 +261,50 @@ def psi_drift(
         F.round(q, 6).alias("share_b"),
         F.round((p - q) * F.log(p / q), 6).alias("psi_term"),
     )
+
+
+def join_cardinality_audit(
+    a: DataFrame, b: DataFrame, key_a: str, key_b: str
+) -> DataFrame:
+    """Optimizer-stats diagnostics: the textbook equi-join cardinality
+    estimate ``|A|·|B| / max(ndv_A, ndv_B)`` (uniformity + containment
+    assumptions — what every cost-based optimizer, Catalyst's CBO
+    included, computes from table stats) side by side with the ACTUAL
+    join cardinality.  ratio_e4 far from 10000 flags the skewed or
+    correlated keys where the planner's join-order choice goes wrong —
+    the ANALYZE-health check to run before trusting CBO at 100 TB.
+
+    Exact NDVs (countDistinct), not sketches, so both engines agree
+    bit-for-bit; all arithmetic integer `div`.  One aggregation per
+    side + the probe join, O(1) output.
+    """
+    sa = a.select(F.col(key_a).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_a"),
+        F.countDistinct("_k").cast("long").alias("ndv_a"),
+    )
+    sb = b.select(F.col(key_b).alias("_k")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_b"),
+        F.countDistinct("_k").cast("long").alias("ndv_b"),
+    )
+    actual = (
+        a.select(F.col(key_a).alias("_k"))
+        .join(b.select(F.col(key_b).alias("_k")), "_k")
+        .agg(F.count(F.lit(1)).cast("long").alias("actual_rows"))
+    )
+    return (
+        sa.crossJoin(sb)
+        .crossJoin(actual)
+        .select(
+            "n_a",
+            "ndv_a",
+            "n_b",
+            "ndv_b",
+            F.expr("(n_a * n_b) div greatest(ndv_a, ndv_b)").alias(
+                "est_rows"
+            ),
+            "actual_rows",
+            F.expr(
+                "(actual_rows * 10000) div ((n_a * n_b) div greatest(ndv_a, ndv_b))"
+            ).alias("ratio_e4"),
+        )
+    )

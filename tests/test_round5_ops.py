@@ -490,3 +490,33 @@ def test_stream_mv_converges_regardless_of_slicing(spark, tmp_path):
     assert streamed == batch
     assert streamed[1] == (2, 16.0) and streamed[3] == (1, 9.0)
     assert 2 in streamed and streamed[2] == (1, 6.0)
+
+
+def test_join_cardinality_audit_exact_on_fk_join(spark):
+    """On a clean FK join (every lineitem has an order), the estimate
+    equals the actual cardinality exactly — ratio_e4 == 10000."""
+    import __spark_entry__ as entry_mod
+    from tests.conftest import SF_SMOKE
+
+    (r,) = entry_mod.queries()["join_cardinality_audit"](
+        spark, SF_SMOKE
+    ).collect()
+    assert r["ndv_a"] == r["n_a"]  # orderkey is the orders PK
+    assert r["est_rows"] == r["actual_rows"] == r["n_b"]
+    assert r["ratio_e4"] == 10000
+
+
+def test_join_cardinality_audit_flags_skew(spark):
+    """A correlated/skewed key must push ratio_e4 far from 10000 —
+    the signal the audit exists to surface."""
+    from cassandra_data_migration_spark.operators.quality import (
+        join_cardinality_audit,
+    )
+
+    a = spark.createDataFrame(
+        [(1,)] * 90 + [(k,) for k in range(2, 12)], "k long"
+    )
+    b = spark.createDataFrame([(1,)] * 90 + [(99,)] * 10, "k long")
+    (r,) = join_cardinality_audit(a, b, "k", "k").collect()
+    assert r["actual_rows"] == 8100
+    assert r["ratio_e4"] > 80000  # estimate off by >8x under skew
