@@ -3019,6 +3019,30 @@ def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_pixel_stats(df)
 
 
+def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL video container path: deterministic C444 .y4m videos built
+    # driver-side, parsed by the in-repo YUV4MPEG2 codec inside Arrow
+    # mapInPandas, every-2nd-frame luma sums out (integer-exact)
+    from cassandra_data_migration_spark.operators.multimodal import (
+        encode_y4m,
+        video_frame_stats,
+    )
+
+    rows = []
+    for i in range(32):
+        frames = [
+            bytes(
+                [(i * 31 + f * 7 + p) % 256 for p in range(16)]
+                + [(i * 13 + f * 5 + p) % 256 for p in range(16)]
+                + [(i * 17 + f * 3 + p) % 256 for p in range(16)]
+            )
+            for f in range(3 + i % 3)
+        ]
+        rows.append((i, bytearray(encode_y4m(4, 4, frames))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    return video_frame_stats(df, every_n=2)
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC changelog fold: latest op per key wins, deletes vanish -
     # the full I/U/D semantics CDM's never-delete AutoCorrect omits;
@@ -3582,6 +3606,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_sessions": q_stream_sessions,
     "stream_trending": q_stream_trending,
     "join_cardinality_audit": q_join_cardinality_audit,
+    "video_frame_stats": q_video_frame_stats,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6756,6 +6781,22 @@ ORACLES["stream_sessions"] = """
            MIN(sec_ts) AS session_start, MAX(sec_ts) AS session_end,
            CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
     FROM s GROUP BY user_id, session_id
+"""
+
+# Video frame stats: the .y4m payloads are generated from pure
+# integer arithmetic, so the oracle recomputes the sampled luma sums
+# directly from the same formula (the engine must produce identical
+# numbers THROUGH the real container encode/parse roundtrip).
+ORACLES["video_frame_stats"] = """
+    WITH vids AS (SELECT CAST(i AS BIGINT) AS i FROM range(32) t(i)),
+    fr AS (
+        SELECT i, unnest(range(0, 3 + CAST(i % 3 AS INT))) AS f FROM vids
+    )
+    SELECT i AS doc_id, CAST(f AS INT) AS frame_index,
+           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
+           CAST(list_sum(list_transform(range(0, 16),
+                p -> (i * 31 + f * 7 + p) % 256)) AS BIGINT) AS y_sum
+    FROM fr WHERE f % 2 = 0
 """
 
 ORACLES["join_cardinality_audit"] = """

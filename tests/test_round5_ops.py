@@ -520,3 +520,33 @@ def test_join_cardinality_audit_flags_skew(spark):
     (r,) = join_cardinality_audit(a, b, "k", "k").collect()
     assert r["actual_rows"] == 8100
     assert r["ratio_e4"] > 80000  # estimate off by >8x under skew
+
+
+def test_y4m_roundtrip_and_sampling(spark):
+    from cassandra_data_migration_spark.operators.multimodal import (
+        decode_y4m,
+        encode_y4m,
+        video_frame_stats,
+    )
+
+    frames = [bytes((f * 10 + j) % 256 for j in range(48)) for f in range(5)]
+    payload = encode_y4m(4, 4, frames, fps=(30, 1))
+    w, h, out = decode_y4m(payload)
+    assert (w, h) == (4, 4) and out == frames
+    df = spark.createDataFrame(
+        [(7, bytearray(payload))], "doc_id long, payload binary"
+    )
+    rows = {r["frame_index"]: r for r in video_frame_stats(df, every_n=2).collect()}
+    assert set(rows) == {0, 2, 4}  # every 2nd of 5 frames
+    for fi, r in rows.items():
+        assert r["y_sum"] == sum(frames[fi][:16])
+
+
+def test_y4m_unsupported_colorspace_raises(spark):
+    import pytest as _pytest
+
+    from cassandra_data_migration_spark.operators.multimodal import decode_y4m
+
+    bad = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(24)
+    with _pytest.raises(NotImplementedError):
+        decode_y4m(bad)
