@@ -3043,6 +3043,41 @@ def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return video_frame_stats(df, every_n=2)
 
 
+def q_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # REAL audio DSP path: stdlib-WAV-encoded pure tones at exact bin
+    # centers, decoded + rFFT'd engine-side; the dominant bin must hit
+    # the synthesized frequency (theorem for integer-cycle tones), so
+    # the oracle pins match=TRUE — no float spectra cross engines
+    import math
+
+    from cassandra_data_migration_spark.operators.multimodal import (
+        audio_tone_stats,
+        encode_wav,
+    )
+
+    n = 64
+    rows = []
+    for i in range(32):
+        cyc = 1 + i % 8
+        pcm = b"".join(
+            int(round(10000 * math.sin(2 * math.pi * cyc * t / n))).to_bytes(
+                2, "little", signed=True
+            )
+            for t in range(n)
+        )
+        rows.append((i, bytearray(encode_wav(pcm))))
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = audio_tone_stats(df, n_fft=n)
+    expected = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8))).cast("int")
+    return out.select(
+        "doc_id",
+        "n_samples",
+        "dominant_bin",
+        expected.alias("expected_bin"),
+        (F.col("dominant_bin") == expected).alias("match"),
+    )
+
+
 def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CDC changelog fold: latest op per key wins, deletes vanish -
     # the full I/U/D semantics CDM's never-delete AutoCorrect omits;
@@ -3607,6 +3642,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_trending": q_stream_trending,
     "join_cardinality_audit": q_join_cardinality_audit,
     "video_frame_stats": q_video_frame_stats,
+    "audio_tone_detect": q_audio_tone_detect,
 }
 
 # Driver-window rotation (round 3): the driver hash-checks the FIRST
@@ -6797,6 +6833,17 @@ ORACLES["video_frame_stats"] = """
            CAST(list_sum(list_transform(range(0, 16),
                 p -> (i * 31 + f * 7 + p) % 256)) AS BIGINT) AS y_sum
     FROM fr WHERE f % 2 = 0
+"""
+
+# Audio tone detection: integer-cycle tones peak exactly at their
+# bin (DFT orthogonality), so the oracle is pure arithmetic + TRUE.
+ORACLES["audio_tone_detect"] = """
+    SELECT CAST(i AS BIGINT) AS doc_id,
+           CAST(64 AS BIGINT) AS n_samples,
+           CAST(1 + i % 8 AS INT) AS dominant_bin,
+           CAST(1 + i % 8 AS INT) AS expected_bin,
+           TRUE AS match
+    FROM range(32) t(i)
 """
 
 ORACLES["join_cardinality_audit"] = """

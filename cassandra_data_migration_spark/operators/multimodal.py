@@ -620,3 +620,59 @@ def video_frame_stats(
         run,
         f"{id_col} long, frame_index int, width int, height int, y_sum long",
     )
+
+
+def encode_wav(
+    pcm16: bytes, sample_rate: int = 8000, channels: int = 1
+) -> bytes:
+    """Stdlib PCM16 WAV container encode — the write twin of
+    :func:`decode_wav`."""
+    import io  # noqa: PLC0415
+    import wave  # noqa: PLC0415
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(sample_rate)
+        w.writeframes(pcm16)
+    return buf.getvalue()
+
+
+def audio_tone_stats(
+    df: DataFrame,
+    n_fft: int = 64,
+    id_col: str = "doc_id",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Dominant-frequency detection over WAV payloads: decode PCM16
+    with the real stdlib codec, take one ``n_fft``-sample rFFT
+    (numpy, Arrow-batched mapInPandas), emit the dominant non-DC bin —
+    the audio feature-extraction leg of the multimodal path (language/
+    music/silence routing at corpus scale starts exactly here).
+
+    Output: (id, sample_rate?, n/a) kept minimal and integer-exact:
+    (id, n_samples, dominant_bin).  For a pure tone whose frequency is
+    an exact bin center (an integer number of cycles in the window),
+    the FFT peak is mathematically at that bin — the contract query
+    audits that theorem, so no float spectra cross engines."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            out = {id_col: [], "n_samples": [], "dominant_bin": []}
+            for rid, b in zip(pdf[id_col], pdf[payload_col]):
+                pcm = decode_wav(bytes(b))
+                x = np.frombuffer(pcm, dtype="<i2").astype("float64")
+                n = min(n_fft, len(x))
+                spec = np.abs(np.fft.rfft(x[:n]))
+                spec[0] = 0.0  # ignore DC
+                out[id_col].append(rid)
+                out["n_samples"].append(len(x))
+                out["dominant_bin"].append(int(spec.argmax()))
+            yield pd.DataFrame(out)
+
+    return df.select(id_col, payload_col).mapInPandas(
+        run, f"{id_col} long, n_samples long, dominant_bin int"
+    )

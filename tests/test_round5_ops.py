@@ -550,3 +550,30 @@ def test_y4m_unsupported_colorspace_raises(spark):
     bad = b"YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420jpeg\nFRAME\n" + bytes(24)
     with _pytest.raises(NotImplementedError):
         decode_y4m(bad)
+
+
+def test_audio_tone_stats_finds_mixed_tone_bins(spark):
+    """Two tones of different amplitude: the louder one wins the
+    dominant bin; WAV roundtrip through the stdlib codec."""
+    import math
+
+    from cassandra_data_migration_spark.operators.multimodal import (
+        audio_tone_stats,
+        encode_wav,
+    )
+
+    n = 64
+
+    def tone(cyc, amp):
+        return [amp * math.sin(2 * math.pi * cyc * t / n) for t in range(n)]
+
+    mix = [
+        int(round(a + b))
+        for a, b in zip(tone(3, 12000), tone(11, 4000))
+    ]
+    pcm = b"".join(v.to_bytes(2, "little", signed=True) for v in mix)
+    df = spark.createDataFrame(
+        [(1, bytearray(encode_wav(pcm)))], "doc_id long, payload binary"
+    )
+    (r,) = audio_tone_stats(df, n_fft=n).collect()
+    assert r["dominant_bin"] == 3 and r["n_samples"] == n
