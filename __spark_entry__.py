@@ -6526,7 +6526,7 @@ ORACLES["disjunctive_revenue"] = """
            AND l_quantity BETWEEN 10 AND 30)
 """
 
-ORACLES["pmi_collocations"] = """
+ORACLES["pmi_collocations"] = r"""
     WITH toks AS (
         SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
             'g')), ' ') AS ts
@@ -6646,7 +6646,10 @@ def _stream_quantiles_oracle(percentiles=(0.5, 0.95, 0.99)) -> str:
     """Exact interpolated quantiles over integer cents, micro-cent
     output — the precise floor(lo*1e6 + t*(hi-lo)*1e6 + 0.5)
     expression streaming/quantiles.quantile_ucents computes, so both
-    engines run identical IEEE ops in identical order."""
+    engines run identical IEEE ops in identical order.  Column names
+    come from streaming/quantiles.percentile_col so the two schemas
+    cannot drift."""
+    from cassandra_data_migration_spark.streaming.quantiles import percentile_col
 
     def pexpr(p: float) -> str:
         pos = f"{p} * (n - 1)"
@@ -6656,7 +6659,7 @@ def _stream_quantiles_oracle(percentiles=(0.5, 0.95, 0.99)) -> str:
         hi = f"l[least({idx} + 2, CAST(n AS INT))]"
         return (
             f"CAST(floor({lo} * 1000000 + {t} * ({hi} - {lo}) * 1000000"
-            f" + 0.5) AS BIGINT) AS p{int(p * 100)}_uc"
+            f" + 0.5) AS BIGINT) AS {percentile_col(p)}"
         )
 
     cols = ",\n           ".join(pexpr(p) for p in percentiles)
@@ -7040,7 +7043,7 @@ ORACLES["substring_dup_spans"] = """
         SELECT doc_id, CAST(i AS BIGINT) AS pos,
                CAST('0x' || substr(md5(array_to_string(
                    list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4),
-                   ' ')), 1, 8) AS BIGINT) AS gh
+                   ' ')), 1, 15) AS BIGINT) AS gh
         FROM (SELECT doc_id, toks,
                      unnest(range(1, CAST(n_tokens AS INT) - 3)) AS i
               FROM tk WHERE n_tokens >= 5)

@@ -601,7 +601,11 @@ def substring_dup_spans(
 
     Plan shape (100 TB notes):
     1. one scan stages the token array and emits (doc, pos, gram-hash)
-       postings — 8-byte md5-prefix hashes, never text;
+       postings — 60-bit md5-prefix hashes (15 hex chars; birthday
+       50% collision only past ~2^30 ≈ 10^9 distinct grams, and 15
+       hex keeps the value inside signed-int64 range in BOTH engines,
+       so the DuckDB oracle mirrors it without overflow semantics
+       diverging), never text;
     2. groupBy hash counts global occurrences (map-side combined;
        shuffle carries 8-byte keys + partial counts only);
     3. duplicated hashes (count >= 2) left-semi join back onto the
@@ -626,7 +630,7 @@ def substring_dup_spans(
     grams = F.transform(
         F.sequence(F.lit(1), F.col("n_tokens").cast("int") - span),
         lambda i: F.conv(
-            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))), 1, 8),
+            F.substring(F.md5(F.concat_ws(" ", F.slice(F.col("_toks"), i, k))), 1, 15),
             16,
             10,
         ).cast("long"),

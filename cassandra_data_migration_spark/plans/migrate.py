@@ -186,7 +186,15 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
         )
         run_id = tracker.new_run()
         # autoRerun: clip the scan to buckets the previous run did not
-        # complete (docs/04-cdm-approach.md:843-846)
+        # complete (docs/04-cdm-approach.md:843-846).  First close the
+        # crash window where the previous run's write job committed
+        # but its bucket records never landed — otherwise this resume
+        # would re-append those buckets' rows (parquet append is not
+        # an idempotent upsert).
+        if cfg.previous_run_id is not None:
+            tracker.reconcile_with_target(
+                cfg.previous_run_id, cfg.target_path, cfg.track_key_col
+            )
         src = tracker.filter_pending(
             src, cfg.track_key_col, cfg.previous_run_id
         )
@@ -231,8 +239,10 @@ def migrate(spark: SparkSession, cfg: MigrationConfig) -> MigrationResult:
     # write must APPEND next to the completed buckets' rows already in
     # the target — overwrite would delete them (CDM's target is a live
     # Cassandra table; rerun upserts only the pending ranges).  Safe
-    # for parquet because bucket completion is recorded only after the
-    # write job commits: a crashed run leaves no partial bucket data.
+    # for parquet because (a) the write job itself is all-or-nothing
+    # (a crashed run leaves no partial bucket data) and (b) the
+    # committed-but-unrecorded crash window is closed above by
+    # ``reconcile_with_target`` before the scan is clipped.
     resuming = cfg.previous_run_id is not None and tracker is not None
 
     # Rows-written accounting rides the WRITE JOB itself via an

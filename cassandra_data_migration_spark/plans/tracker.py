@@ -83,6 +83,45 @@ class RunTracker:
         done = set(self.completed_buckets(run_id)) if run_id else set()
         return [b for b in range(self.num_buckets) if b not in done]
 
+    def reconcile_with_target(
+        self, run_id: str, target_path: str, key_col: str
+    ) -> list[int]:
+        """Close the crash window between a committed write job and its
+        bucket records: if a run died AFTER ``write.parquet`` committed
+        but BEFORE ``record_bucket`` ran, the target holds every
+        written row yet the tracker shows the buckets pending — a
+        naive resume would re-scan them and APPEND full duplicates
+        (parquet append is not CDM's idempotent upsert).
+
+        Spark's output committer makes the write all-or-nothing, so a
+        pending bucket with ANY rows in the target can only mean a
+        post-commit-pre-record crash; record it PASSED under the
+        crashed run (with its true row count) so ``filter_pending``
+        clips it.  Cost: one column-pruned count-by-bucket over the
+        target, on the resume path only.  Returns the recovered
+        bucket ids.
+        """
+        if not os.path.exists(target_path):
+            return []
+        done = set(self.completed_buckets(run_id))
+        pending = [b for b in range(self.num_buckets) if b not in done]
+        if not pending:
+            return []
+        tgt = self.spark.read.parquet(target_path)
+        bucket = F.pmod(F.col(key_col), F.lit(self.num_buckets))
+        present = (
+            tgt.select(bucket.alias("_b"))
+            .filter(F.col("_b").isin(pending))
+            .groupBy("_b")
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .collect()
+        )
+        recovered = []
+        for r in present:
+            self.record_bucket(run_id, int(r["_b"]), "PASSED", rows=int(r["_n"]))
+            recovered.append(int(r["_b"]))
+        return recovered
+
     def filter_pending(
         self, df: DataFrame, key_col: str, run_id: str | None
     ) -> DataFrame:

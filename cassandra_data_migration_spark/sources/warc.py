@@ -38,11 +38,36 @@ WARC_SCHEMA = (
 )
 
 
-def parse_warc_stream(data: bytes) -> Iterator[dict]:
+def parse_warc_stream(data: bytes, strict: bool = False) -> Iterator[dict]:
     """Parse a decompressed WARC byte stream into record dicts.
-    Streaming single pass; bodies are sliced by Content-Length."""
+    Streaming single pass; bodies are sliced by Content-Length.
+
+    Real Common Crawl files routinely contain quirks (truncated
+    records, stray bytes, missing Content-Length); one bad record must
+    not poison a whole ~1 GB task.  On a malformed header the scan
+    resyncs to the next ``WARC/`` magic and emits a synthetic
+    ``warc_type='__malformed__'`` row covering the skipped bytes, so
+    corruption is counted rather than silently dropped.  ``strict=True``
+    restores raise-on-first-error for writers validating their own
+    output.
+    """
     pos = 0
     n = len(data)
+
+    def _resync(start: int, why: str) -> tuple[int, dict]:
+        nxt = data.find(b"WARC/", start + 1)
+        end = nxt if nxt >= 0 else n
+        rec = {
+            "record_id": "",
+            "warc_type": "__malformed__",
+            "target_uri": why,
+            "warc_date": "",
+            "http_status": None,
+            "http_content_type": None,
+            "payload": data[start:end],
+        }
+        return end, rec
+
     while pos < n:
         # skip inter-record padding
         while pos < n and data[pos : pos + 1] in (b"\r", b"\n"):
@@ -51,16 +76,33 @@ def parse_warc_stream(data: bytes) -> Iterator[dict]:
             break
         head_end = data.find(b"\r\n\r\n", pos)
         if head_end < 0:
-            break
+            if strict:
+                raise ValueError(f"unterminated WARC header at offset {pos}")
+            pos, rec = _resync(pos, f"unterminated header at {pos}")
+            yield rec
+            continue
         head = data[pos:head_end].decode("utf-8", errors="replace")
         lines = head.split("\r\n")
         if not lines or not lines[0].startswith("WARC/"):
-            raise ValueError(f"not a WARC record header at offset {pos}")
+            if strict:
+                raise ValueError(f"not a WARC record header at offset {pos}")
+            pos, rec = _resync(pos, f"bad header magic at {pos}")
+            yield rec
+            continue
         fields: dict[str, str] = {}
         for line in lines[1:]:
             k, _, v = line.partition(":")
             fields[k.strip().lower()] = v.strip()
-        length = int(fields.get("content-length", "0"))
+        try:
+            length = int(fields.get("content-length", ""))
+        except ValueError:
+            # missing/garbled Content-Length desyncs the slice — resync
+            # past this header instead of trusting a guessed body size
+            if strict:
+                raise ValueError(f"missing Content-Length at offset {pos}")
+            pos, rec = _resync(head_end + 4, f"no content-length at {pos}")
+            yield rec
+            continue
         content = data[head_end + 4 : head_end + 4 + length]
         pos = head_end + 4 + length
 

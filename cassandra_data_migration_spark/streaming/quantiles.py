@@ -35,6 +35,17 @@ from pyspark.sql import functions as F
 US_PER_HOUR = 3_600_000_000
 
 
+def percentile_col(p: float) -> str:
+    """Collision-safe output column name for percentile ``p``.
+
+    ``%g`` of p*100 (not int-truncation, which mislabels 0.29 as p28
+    and collapses 0.99/0.999 into one duplicate name): 0.5 → p50_uc,
+    0.95 → p95_uc, 0.999 → p99_9_uc.  The oracle builder imports this
+    same function so both schemas stay in lockstep.
+    """
+    return "p" + f"{p * 100:g}".replace(".", "_") + "_uc"
+
+
 def quantile_ucents(sorted_cents: list[int], p: float) -> int:
     """Exact linear-interpolated p-quantile of integer cents, in
     micro-cents.  pos = p*(n-1); result = lo*1e6 + t*(hi-lo)*1e6,
@@ -77,7 +88,7 @@ def windowed_quantiles_stream(
     keyed = stream.select(hour.alias("window_h"), cents.alias("_cents"))
 
     state_schema = StructType([StructField("vals", ArrayType(LongType()))])
-    pcols = [f"p{int(p * 100)}_uc" for p in percentiles]
+    pcols = [percentile_col(p) for p in percentiles]
     out_schema = StructType(
         [
             StructField("window_h", LongType()),

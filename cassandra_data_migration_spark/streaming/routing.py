@@ -31,6 +31,7 @@ class RouterMetrics:
     reads_origin: int = 0
     reads_target: int = 0
     shadow_reads: int = 0
+    shadow_compared: int = 0
     shadow_mismatches: int = 0
 
 
@@ -38,17 +39,54 @@ class RouterMetrics:
 class ReadRouter:
     """Route a read against (origin, target) DataFrames per proxy
     config.  Shadow reads run the same plan on the secondary and are
-    only compared/metered — never returned."""
+    only compared/metered — never returned.
+
+    The reference proxy's DUAL_ASYNC_ON_SECONDARY shadow reads are
+    fire-and-forget (docs/05-zdm-approach.md:116-121): they must not
+    sit on the response path.  The comparison here is therefore
+
+    - ONE Spark action per compared read (the two ``exceptAll``
+      directions unioned under a single ``isEmpty`` — a LocalLimit(1)
+      probe, not two full counts);
+    - SAMPLED: ``shadow_compare_every=k`` compares 1 read in k
+      (every shadow read is still metered);
+    - optionally ASYNC: pass ``shadow_executor`` (e.g. a
+      ``ThreadPoolExecutor``) and the compare job is submitted off the
+      caller's thread — Spark job submission is thread-safe, so the
+      primary result returns immediately.  ``drain_shadow()`` joins
+      outstanding compares (tests call it for determinism).
+    """
 
     read_mode: ReadMode = ReadMode.PRIMARY_ONLY
     primary_cluster: Cluster = Cluster.ORIGIN
     metrics: RouterMetrics | None = None
+    shadow_compare_every: int = 1
+    shadow_executor: object | None = None  # concurrent.futures.Executor
+
+    def __post_init__(self) -> None:
+        self._pending: list = []
 
     def _primary(self, origin: DataFrame, target: DataFrame) -> DataFrame:
         return origin if self.primary_cluster == Cluster.ORIGIN else target
 
     def _secondary(self, origin: DataFrame, target: DataFrame) -> DataFrame:
         return target if self.primary_cluster == Cluster.ORIGIN else origin
+
+    def _compare(self, result: DataFrame, shadow: DataFrame) -> None:
+        m = self.metrics
+        if m:
+            m.shadow_compared += 1
+            # one action: symmetric difference probed with isEmpty
+            # (LocalLimit 1 — stops at the first differing row)
+            diff = shadow.exceptAll(result).unionAll(result.exceptAll(shadow))
+            if not diff.isEmpty():
+                m.shadow_mismatches += 1
+
+    def drain_shadow(self) -> None:
+        """Join any async shadow compares still in flight."""
+        pending, self._pending = self._pending, []
+        for fut in pending:
+            fut.result()
 
     def route(self, origin: DataFrame, target: DataFrame, query) -> DataFrame:
         """``query`` is a DataFrame→DataFrame callable (the read)."""
@@ -68,9 +106,14 @@ class ReadRouter:
             shadow = query(self._secondary(origin, target))
             if m:
                 m.shadow_reads += 1
-                # metered comparison — results never surface to the caller
-                if shadow.exceptAll(result).count() or result.exceptAll(shadow).count():
-                    m.shadow_mismatches += 1
+                if (m.shadow_reads - 1) % max(1, self.shadow_compare_every):
+                    return result  # metered, not compared this time
+            if self.shadow_executor is not None:
+                self._pending.append(
+                    self.shadow_executor.submit(self._compare, result, shadow)
+                )
+            else:
+                self._compare(result, shadow)
         return result
 
 
