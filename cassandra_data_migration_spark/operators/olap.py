@@ -163,6 +163,50 @@ def top_value_parts(
     )
 
 
+def above_average_parts(
+    lineitem: DataFrame, num: int = 3, den: int = 2
+) -> DataFrame:
+    """Scale-invariant Q11 variant: parts whose revenue exceeds
+    ``num/den`` times the AVERAGE per-part revenue.  Unlike a fixed
+    share-of-total threshold (which every part falls under once the
+    part count grows), the average-relative cut selects a stable tail
+    fraction at any scale factor — non-degenerate at sf0.01 and sf1000
+    alike.
+
+    Revenue is integer-exact: price and discount are money columns
+    with two decimals, so ``round(price*100) * (100 - round(disc*100))``
+    is a lossless BIGINT in 1e-4 currency units, and the filter
+    ``rev * n_parts * den > total * num`` is pure integer arithmetic —
+    bit-identical across engines, no decimal-rounding divergence.
+
+    Plan: one map-combined groupBy persisted (the diamond: it feeds
+    both the filter and the global 1-row total that broadcasts back),
+    so the fact table is scanned exactly once at 100 TB."""
+    from pyspark.storagelevel import StorageLevel
+
+    rev_e4 = F.sum(
+        F.round(F.col("l_extendedprice") * 100).cast("long")
+        * (F.lit(100) - F.round(F.col("l_discount") * 100).cast("long"))
+    )
+    per_part = (
+        lineitem.groupBy("l_partkey")
+        .agg(rev_e4.alias("revenue_e4"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    total = per_part.agg(
+        F.sum("revenue_e4").alias("_total"),
+        F.count(F.lit(1)).alias("_n_parts"),
+    )
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(
+            F.col("revenue_e4") * F.col("_n_parts") * F.lit(den)
+            > F.col("_total") * F.lit(num)
+        )
+        .select("l_partkey", "revenue_e4")
+    )
+
+
 def large_volume_orders(
     orders: DataFrame,
     customer: DataFrame,

@@ -61,6 +61,13 @@ def main() -> None:
     ap.add_argument("--only", default="")
     ap.add_argument("--sf", default="/root/testdata/sf0.01")
     ap.add_argument("--timeout", type=float, default=180.0)
+    ap.add_argument(
+        "--out",
+        default="/tmp/check_all.json",
+        help="artifact path; pass CORRECTNESS_full_r{N}.json at round end "
+        "so every round commits the FULL contract verdict, not the "
+        "driver's 50-query sample",
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="cdm-spark-checkall")
@@ -147,8 +154,15 @@ def main() -> None:
     print(f"\n== {len(results)} queries, {len(fails)} failing, {total}s total ==")
     for k, v in fails.items():
         print(f"  {k}: {v['verdict']} {v['detail']}")
-    with open("/tmp/check_all.json", "w") as f:
-        json.dump(results, f, indent=1)
+    artifact = {
+        "queries": len(results),
+        "failing": len(fails),
+        "total_sec": total,
+        "sf_dir": args.sf,
+        "results": results,
+    }
+    with open(args.out, "w") as f:
+        json.dump(artifact, f, indent=1)
     spark.stop()
     sys.exit(1 if fails else 0)
 
