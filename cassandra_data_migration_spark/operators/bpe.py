@@ -115,12 +115,20 @@ def bpe_train(
 
     ``max_words`` bounds the word table the rounds iterate over (top
     words by count, ties by word — deterministic); at 100 TB this is
-    the Heaps'-law working set, NOT the corpus."""
+    the Heaps'-law working set, NOT the corpus.
+
+    Each round PERSISTS its symbol table and drops the previous one:
+    without that, round j re-runs the corpus scan plus all j-1 earlier
+    folds (quadratic total work); with it, the corpus is scanned once
+    and every round costs exactly one fold over the cached word
+    table."""
+    from pyspark.storagelevel import StorageLevel
+
     words = word_counts(df, text_col)
     top = words.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
     cur = top.select(
         "word", "n", _initial_symbols(F.col("word")).alias("symbols")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs = cur.select(
@@ -149,12 +157,15 @@ def bpe_train(
             break
         a, b = best[0]["p"]["a"], best[0]["p"]["b"]
         merges.append((a, b))
-        cur = cur.select(
+        prev = cur
+        cur = prev.select(
             "word", "n", _merge_pair(F.col("symbols"), a, b).alias("symbols")
-        )
-        # each round nests one more fold expression over short arrays;
-        # checkpoint the lineage via localCheckpoint only if rounds get
-        # deep (plan growth is linear in num_merges and fine to ~50)
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+        # materialize the one-fold increment, then release the parent
+        # cache (the pair aggregation above already ran against prev,
+        # so nothing recomputes)
+        cur.count()
+        prev.unpersist()
     return merges, cur
 
 

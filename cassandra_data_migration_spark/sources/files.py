@@ -207,12 +207,19 @@ def parquet_rowgroup_stats(spark, path: str):
     parallelizes and each executor reads its files' metadata with
     pyarrow (Arrow-batched, no row data touched).  The report is
     O(row groups)."""
+    import math
     from collections.abc import Iterator
 
     import pandas as pd
 
     files = spark.read.parquet(path).inputFiles()
-    fdf = spark.createDataFrame([(f,) for f in files], "file string")
+    # ~64 footers per task: at 10^6 files that is ~16K parallel tasks,
+    # while a local 10-file fixture costs ONE Python worker instead of
+    # defaultParallelism near-empty ones (each worker spawn is ~100 ms,
+    # which dominated the report at small scale)
+    fdf = spark.createDataFrame(
+        [(f,) for f in files], "file string"
+    ).repartition(max(1, math.ceil(len(files) / 64)))
 
     def scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pyarrow.parquet as pq
