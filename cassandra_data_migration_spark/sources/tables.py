@@ -41,9 +41,10 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 TS_COLS: dict[str, list[str]] = {"events": ["ts"]}
 
 
-def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Scan one table. Declarative — Catalyst prunes columns and pushes
-    filters applied downstream into this scan."""
+def _read_fixture(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """The raw fixture parquet scan (timestamp normalization
+    included).  Internal — go through ``load_table`` / a
+    ``connector.TableSource`` instead."""
     ts_cols = TS_COLS.get(name, [])
     if ts_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -59,6 +60,40 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             # type the rest of the engine (and DuckDB's reader) uses
             df = df.withColumn(c, F.col(c).cast("timestamp"))
     return df
+
+
+# the active source factory: sf_dir -> TableSource.  Deployments swap
+# this for a CassandraTableSource factory (sources/connector.py) and
+# every plan in the engine reads from the cluster instead — no
+# operator changes, which is the point of the seam.
+_SOURCE_FACTORY = None
+
+
+def set_source_factory(factory) -> None:
+    """Install a ``sf_dir -> connector.TableSource`` factory that all
+    ``load_table`` calls route through; ``None`` restores the default
+    parquet-fixture source."""
+    global _SOURCE_FACTORY
+    _SOURCE_FACTORY = factory
+
+
+def get_source(sf_dir: str):
+    """The TableSource for ``sf_dir`` under the installed factory."""
+    if _SOURCE_FACTORY is not None:
+        return _SOURCE_FACTORY(sf_dir)
+    from cassandra_data_migration_spark.sources.connector import (
+        ParquetFixtureSource,
+    )
+
+    return ParquetFixtureSource(sf_dir)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Scan one table through the source seam. Declarative — Catalyst
+    prunes columns and pushes filters applied downstream into this
+    scan (or, under a connector-backed source, the backend pushes
+    them server-side)."""
+    return get_source(sf_dir).read(spark, name)
 
 
 def fast_table_stats(

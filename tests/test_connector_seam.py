@@ -1,0 +1,126 @@
+"""The table-source seam (sources/connector.py): prove that
+
+1. the pushdown translation (token ranges, writetime floors, perfops
+   options) is correct as PURE functions — no cluster needed,
+2. ``load_table`` routes through the installed source factory, so a
+   deployment can swap parquet fixtures for a live Cassandra scan
+   without touching any operator or plan,
+3. the fixture source's degraded pushdown (Spark-side filters) keeps
+   the exact semantics the connector would evaluate server-side.
+
+Reference behavior being mirrored: partition-range migration via
+spark.cdm.filter.cassandra.partition.min/max
+(docs/04-cdm-approach.md:290-316) and incremental migration via
+spark.cdm.feature.writetime.filter.min (docs/04-cdm-approach.md:322+).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.sources import tables as tbl
+from cassandra_data_migration_spark.sources.connector import (
+    CASSANDRA_FORMAT,
+    CassandraTableSource,
+    ParquetFixtureSource,
+    cassandra_reader_options,
+    token_range_predicate,
+    writetime_predicate,
+)
+
+from tests.conftest import SF_SMOKE
+
+
+def test_reader_options_translate_perfops_knobs():
+    opts = cassandra_reader_options(
+        "myapp", "users", num_parts=5000, fetch_size_rows=1000,
+        consistency="LOCAL_QUORUM",
+    )
+    assert opts["keyspace"] == "myapp"
+    assert opts["table"] == "users"
+    # fetchSizeInRows -> CQL paging page size, verbatim
+    assert opts["spark.cassandra.input.fetch.sizeInRows"] == "1000"
+    # numParts -> the 10MB/split sizing rule the reference documents
+    assert opts["spark.cassandra.input.split.sizeInMB"] == "10"
+    assert opts["spark.cassandra.input.consistency.level"] == "LOCAL_QUORUM"
+
+
+def test_token_range_predicate_phrasing():
+    assert (
+        token_range_predicate(["user_id"], 0, 25)
+        == "token(user_id) >= 0 AND token(user_id) <= 25"
+    )
+    # composite partition key hashes as a tuple
+    assert (
+        token_range_predicate(["user_id", "activity_date"], None, 7)
+        == "token(user_id, activity_date) <= 7"
+    )
+    assert token_range_predicate(["k"], -9223372036854775808, None) == (
+        "token(k) >= -9223372036854775808"
+    )
+    assert token_range_predicate(["k"], None, None) is None
+
+
+def test_writetime_predicate_phrasing():
+    assert (
+        writetime_predicate("email", 1708099200000000)
+        == "writetime(email) >= 1708099200000000"
+    )
+    assert writetime_predicate("email", None) is None
+
+
+def test_load_table_routes_through_installed_factory(spark):
+    """A recording fake proves every load_table goes through the seam."""
+    calls = []
+
+    class RecordingSource(ParquetFixtureSource):
+        def read(self, spark, table, **kw):
+            calls.append((self.sf_dir, table))
+            return super().read(spark, table, **kw)
+
+    tbl.set_source_factory(lambda sf: RecordingSource(sf))
+    try:
+        df = tbl.load_table(spark, SF_SMOKE, "nation")
+        assert df.count() > 0
+        assert calls == [(SF_SMOKE, "nation")]
+    finally:
+        tbl.set_source_factory(None)
+    # default restored: reads still work
+    assert tbl.load_table(spark, SF_SMOKE, "region").count() > 0
+
+
+def test_fixture_source_token_range_matches_operator(spark):
+    """Degraded pushdown == the engine's token_range_filter semantics."""
+    src = ParquetFixtureSource(SF_SMOKE)
+    sliced = src.read(spark, "orders", token_min=3, token_max=7)
+    direct = tbl.load_table(spark, SF_SMOKE, "orders").filter(
+        F.pmod(F.col("o_orderkey"), F.lit(32)).between(3, 7)
+    )
+    assert sliced.count() == direct.count() > 0
+
+
+def test_fixture_source_writetime_floor(spark):
+    src = ParquetFixtureSource(SF_SMOKE)
+    full = src.read(spark, "events")
+    n_total = full.count()
+    # median-ish event micros as the floor
+    floor_us = full.select(
+        F.unix_micros(F.col("ts")).alias("us")
+    ).agg(F.expr("percentile_approx(us, 0.5)")).first()[0]
+    inc = src.read(spark, "events", writetime_min_us=int(floor_us))
+    n_inc = inc.count()
+    assert 0 < n_inc < n_total
+    assert inc.filter(F.col("_writetime") < int(floor_us)).count() == 0
+
+
+def test_cassandra_source_fails_fast_without_connector(spark):
+    """No connector jar in the sandbox: read() must raise the deploy
+    hint, not a bare ClassNotFoundException."""
+    import pytest
+
+    src = CassandraTableSource(
+        keyspace="myapp", partition_keys={"users": ["user_id"]}
+    )
+    with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
+        src.read(spark, "users", token_min=0, token_max=25)
+    assert CASSANDRA_FORMAT == "org.apache.spark.sql.cassandra"
