@@ -1627,7 +1627,7 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.similarity import kmeans_fit
 
     assigned, _ = kmeans_fit(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2
+        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, tier="arrow"
     )
     return assigned
 
@@ -1800,7 +1800,9 @@ def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.similarity import pq_encode
 
     emb, cb = _pq_inputs(spark, sf_dir)
-    return pq_encode(emb, cb).select(
+    # arrow tier: bit-identical to the SQL fold (tests/test_fast_tiers)
+    # at vectorized-numpy speed; the oracle still mirrors the SQL form
+    return pq_encode(emb, cb, tier="arrow").select(
         "vec_id", F.posexplode("codes").alias("j", "code")
     )
 
