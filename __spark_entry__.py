@@ -1433,6 +1433,7 @@ def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cassandra_data_migration_spark.streaming.dual_write import (
         dual_write_stream,
+        read_sink,
     )
 
     d = tempfile.mkdtemp(prefix="dualwrite_")
@@ -1441,8 +1442,8 @@ def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = dual_write_stream(stream, f"{d}/origin", f"{d}/target", f"{d}/ckpt")
     q.awaitTermination(300)
-    origin = spark.read.parquet(f"{d}/origin")
-    target = spark.read.parquet(f"{d}/target")
+    origin = read_sink(spark, f"{d}/origin")
+    target = read_sink(spark, f"{d}/target")
     # both sinks must agree before we hand the result back
     assert origin.count() == target.count()
     return origin

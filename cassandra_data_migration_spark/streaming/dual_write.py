@@ -70,10 +70,27 @@ def make_dual_writer(
 
 
 def parquet_appender(path: str):
+    """Idempotent batch sink: each micro-batch lands in its own
+    ``batch_id=N`` directory with OVERWRITE semantics, so foreachBatch
+    at-least-once redelivery (failure/restart replays the last
+    un-checkpointed batch) rewrites the same directory instead of
+    appending duplicates — deterministic batch ids + idempotent write
+    = exactly-once, the standard Structured Streaming recipe.  A
+    crash mid-write leaves a partial dir the redelivered batch
+    replaces wholesale.  Read the sink back with :func:`read_sink`
+    (drops the partition-discovery column)."""
+
     def write(batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("append").parquet(path)
+        batch.write.mode("overwrite").parquet(f"{path}/batch_id={batch_id}")
 
     return write
+
+
+def read_sink(spark: SparkSession, path: str) -> DataFrame:
+    """Read a dual-write sink directory: hive partition discovery
+    surfaces ``batch_id``; drop it so the result is exactly the
+    mutation rows."""
+    return spark.read.parquet(path).drop("batch_id")
 
 
 def dual_write_stream(

@@ -388,3 +388,63 @@ def test_substring_gram_hash_is_60_bit(spark):
     got = {r["doc_id"]: r["n_dup_spans"] for r in
            substring_dup_spans(shared, k=5).collect()}
     assert got == {1: 1, 2: 1}
+
+
+# ------------------------------------------------- dual-write exactly-once
+
+
+def test_dual_write_redelivery_is_idempotent(spark, tmp_path):
+    """foreachBatch is at-least-once: re-invoking the SAME batch_id
+    (crash-before-checkpoint replay) must not duplicate origin rows.
+    The parquet sink is batch-id-keyed overwrite, so redelivery
+    rewrites the same directory — exactly-once end to end."""
+    from cassandra_data_migration_spark.streaming.dual_write import (
+        DualWriteMetrics,
+        make_dual_writer,
+        parquet_appender,
+        read_sink,
+    )
+
+    origin = str(tmp_path / "origin")
+    target = str(tmp_path / "target")
+    m = DualWriteMetrics()
+    writer = make_dual_writer(
+        parquet_appender(origin), parquet_appender(target), m
+    )
+    b0 = spark.range(10).withColumn("v", F.col("id") * 2)
+    b1 = spark.range(10, 25).withColumn("v", F.col("id") * 2)
+
+    writer(b0, 0)
+    writer(b1, 1)
+    writer(b1, 1)  # redelivered: same batch id, same data
+    writer(b0, 0)  # out-of-order redelivery of an older batch
+
+    o = read_sink(spark, origin)
+    t = read_sink(spark, target)
+    assert o.count() == 25 and t.count() == 25  # no duplicates
+    assert {r["id"] for r in o.collect()} == set(range(25))
+
+
+def test_dual_write_partial_crash_then_redelivery(spark, tmp_path):
+    """A batch that dies mid-write leaves partial files; the replayed
+    batch must replace them wholesale, not stack on top."""
+    from cassandra_data_migration_spark.streaming.dual_write import (
+        make_dual_writer,
+        parquet_appender,
+        read_sink,
+    )
+
+    origin = str(tmp_path / "origin")
+    target = str(tmp_path / "target")
+    writer = make_dual_writer(parquet_appender(origin), parquet_appender(target))
+
+    # simulate the partial crash: half the batch got committed under
+    # this batch id before the executor died
+    spark.range(5).withColumn("v", F.col("id")).write.mode("overwrite").parquet(
+        f"{origin}/batch_id=7"
+    )
+    full = spark.range(20).withColumn("v", F.col("id"))
+    writer(full, 7)  # redelivery of the complete batch
+
+    assert read_sink(spark, origin).count() == 20
+    assert read_sink(spark, target).count() == 20

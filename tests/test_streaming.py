@@ -11,6 +11,7 @@ from cassandra_data_migration_spark.streaming import lww, metrics, routing, traf
 from cassandra_data_migration_spark.streaming.dual_write import (
     DualWriteMetrics,
     dual_write_stream,
+    read_sink,
     file_mutation_stream,
     make_dual_writer,
     parquet_appender,
@@ -43,8 +44,8 @@ def test_dual_write_both_sinks_get_all_rows(spark, tmp_path, mutation_source):
         metrics=m,
     )
     q.awaitTermination(120)
-    o = spark.read.parquet(str(tmp_path / "origin"))
-    t = spark.read.parquet(str(tmp_path / "target"))
+    o = read_sink(spark, str(tmp_path / "origin"))
+    t = read_sink(spark, str(tmp_path / "target"))
     assert o.count() == 80 and t.count() == 80
     assert sorted(map(str, o.collect())) == sorted(map(str, t.collect()))
     assert m.rows_origin == 80 and m.rows_target == 80
@@ -66,7 +67,7 @@ def test_dual_write_target_failure_is_metered_not_fatal(spark, tmp_path):
     )
     writer(df, 0)  # must NOT raise — target failures are async/metered
     assert m.failed_on == {"origin": 0, "target": 1, "both": 0}
-    assert spark.read.parquet(str(tmp_path / "o")).count() == 10
+    assert read_sink(spark, str(tmp_path / "o")).count() == 10
 
 
 def test_dual_write_origin_failure_raises_and_meters(spark, tmp_path):
