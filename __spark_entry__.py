@@ -6145,7 +6145,7 @@ ORACLES["winsorized_stats"] = """
     GROUP BY 1
 """
 
-ORACLES["code_signals"] = """
+ORACLES["code_signals"] = r"""
     SELECT doc_id,
            len(regexp_extract_all(text, '[{}\[\]();]')) AS n_braces,
            len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))

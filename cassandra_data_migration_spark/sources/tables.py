@@ -128,16 +128,30 @@ def fast_table_stats(
             spark.conf.unset("spark.sql.sources.useV1SourceList")
 
 
-def paged_fetch(df: DataFrame, page_size: int = 1000):
+def paged_fetch(df: DataFrame, page_size: int = 1000, max_rows: int | None = None):
     """S3: paged result fetch (the driver-side analogue of CQL paging /
     ``fetchSizeInRows``, docs/04-cdm-approach.md:461).  Yields lists of
     at most ``page_size`` Rows via ``toLocalIterator``, which streams
     one partition at a time to the driver — bounded memory regardless
-    of table size, unlike ``collect()``.  Use only at the extraction
-    edge (exporting to a row-oriented sink); everything upstream stays
-    distributed."""
+    of table size, unlike ``collect()``.
+
+    DRIVER-PACED BY DESIGN: this is the single-threaded COPY analogue
+    for the extraction edge (row-oriented sinks).  It must never sit
+    inside a distributed pipeline — the migrate path
+    (plans/migrate.py) is executor-side parquet I/O and does not route
+    through here.  ``max_rows`` is the tripwire for accidental misuse:
+    crossing it raises instead of silently serializing a 100 TB table
+    through one driver thread."""
     page: list = []
+    seen = 0
     for row in df.toLocalIterator(prefetchPartitions=True):
+        seen += 1
+        if max_rows is not None and seen > max_rows:
+            raise RuntimeError(
+                f"paged_fetch exceeded max_rows={max_rows}: this is a "
+                "driver-paced extraction-edge API — for bulk movement "
+                "use plans.migrate (distributed writes) instead"
+            )
         page.append(row)
         if len(page) >= page_size:
             yield page

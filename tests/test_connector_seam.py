@@ -124,3 +124,21 @@ def test_cassandra_source_fails_fast_without_connector(spark):
     with pytest.raises(RuntimeError, match="spark-cassandra-connector"):
         src.read(spark, "users", token_min=0, token_max=25)
     assert CASSANDRA_FORMAT == "org.apache.spark.sql.cassandra"
+
+
+def test_paged_fetch_max_rows_tripwire(spark):
+    """paged_fetch is the driver-paced extraction edge; the max_rows
+    guard trips before a bulk table serializes through the driver."""
+    import pytest
+
+    from cassandra_data_migration_spark.sources.tables import paged_fetch
+
+    df = tbl.load_table(spark, SF_SMOKE, "orders")
+    pages = paged_fetch(df, page_size=100, max_rows=150)
+    next(pages)
+    with pytest.raises(RuntimeError, match="plans.migrate"):
+        for _ in pages:
+            pass
+    # unguarded form still streams everything (the COPY analogue)
+    total = sum(len(p) for p in paged_fetch(df.limit(250), page_size=100))
+    assert total == 250
