@@ -45,6 +45,14 @@ def connected_components(
     label among itself and its neighbors until a fixpoint.  The loop
     is driver-side control flow over distributed joins — no data ever
     lands on the driver.
+
+    Min-label moves a label ONE hop per round, so round count is the
+    graph diameter — 2-3 rounds on near-clique dup graphs, but
+    unbounded on adversarial chains.  If ``max_iter`` rounds pass
+    without a fixpoint the result would be silently WRONG (labels not
+    yet fully propagated), so this falls back to
+    :func:`connected_components_star`, whose O(log² n) round bound
+    needs no diameter assumption.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -55,6 +63,7 @@ def connected_components(
         F.col(id_col).alias("a"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=False)
 
+    converged = False
     for _ in range(max_iter):
         msgs = und.join(labels, "a").select(
             F.col("b").alias("a"), F.col("component")
@@ -74,9 +83,106 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
     und.unpersist()
+    if not converged:
+        return connected_components_star(edges, nodes, id_col, src, dst)
     return labels.select(F.col("a").alias(id_col), "component")
+
+
+def connected_components_star(
+    edges: DataFrame,
+    nodes: DataFrame,
+    id_col: str = "id",
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 50,
+) -> DataFrame:
+    """(id, component) via alternating large-star/small-star contraction
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    SoCC'14 — public algorithm).  Same output contract as
+    :func:`connected_components` (component = min reachable id;
+    isolated nodes are singletons), but round count is O(log² n) in the
+    WORST case instead of O(diameter) — the difference between 2-3
+    rounds and thousands on a long-chain graph (substring-chain
+    duplicates A~B~C~… produce exactly that shape).
+
+    Per round, each phase is one groupBy(min) + one join over the
+    current edge set — rows of two 8-byte ids, document width never
+    ships.  ``localCheckpoint`` truncates lineage per round (cluster
+    runs swap in durable ``checkpoint()``).
+
+    - **large-star**: every node u connects its LARGER neighbors to
+      m = min(N(u) ∪ {u}) — hubs shatter toward their minimum.
+    - **small-star**: every node u connects its SMALLER neighbors and
+      itself to m = min(N_<(u) ∪ {u}) — chains telescope.
+
+    The fixpoint is a star forest where every edge points at its
+    component's minimum id; convergence is checked with a one-row
+    ``exceptAll`` probe (edge set unchanged by a full round).
+    """
+    e = (
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def _sym(d: DataFrame) -> DataFrame:
+        return d.union(
+            d.select(F.col("v").alias("u"), F.col("u").alias("v"))
+        )
+
+    for _ in range(max_iter):
+        sym = _sym(e)
+        # large-star: m = min over ALL neighbors and self; attach
+        # strictly-larger neighbors to m
+        mins = sym.groupBy("u").agg(F.min("v").alias("_mn"))
+        big = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(
+                F.col("v").alias("u"),
+                F.least(F.col("_mn"), F.col("u")).alias("v"),
+            )
+        )
+        e1 = (
+            big.filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        # small-star: m = min over smaller neighbors and self; attach
+        # those neighbors AND self to m
+        smaller = _sym(e1).filter(F.col("v") < F.col("u"))
+        smins = smaller.groupBy("u").agg(F.min("v").alias("_mn"))
+        att = smaller.join(smins, "u").select(
+            F.col("v").alias("u"), F.col("_mn").alias("v")
+        )
+        self_att = smins.select("u", F.col("_mn").alias("v"))
+        e2 = (
+            att.union(self_att)
+            .filter(F.col("u") != F.col("v"))
+            .select(F.least("u", "v").alias("u"), F.greatest("u", "v").alias("v"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        changed = e2.exceptAll(e).limit(1).count() + e.exceptAll(e2).limit(
+            1
+        ).count()
+        e = e2
+        if changed == 0:
+            break
+
+    labels = _sym(e).groupBy("u").agg(F.min("v").alias("_mn"))
+    comp = F.coalesce(F.least("_mn", F.col(id_col)), F.col(id_col))
+    return (
+        nodes.select(id_col)
+        .join(labels, nodes[id_col] == labels["u"], "left")
+        .select(F.col(id_col), comp.alias("component"))
+    )
 
 
 E12 = 10**12

@@ -39,6 +39,82 @@ def test_cc_ignores_self_loops_and_direction(spark):
     assert got == {4: 4, 5: 5, 7: 4}
 
 
+def _cc_star(spark, edges, nodes):
+    from cassandra_data_migration_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    e = spark.createDataFrame(edges, "src long, dst long")
+    n = spark.createDataFrame([(x,) for x in nodes], "id long")
+    out = connected_components_star(e, n, "id")
+    return {r["id"]: r["component"] for r in out.collect()}
+
+
+def test_cc_star_matches_label_on_small_graphs(spark):
+    cases = [
+        ([(i, i + 1) for i in range(1, 6)], range(1, 7)),
+        ([(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11, 99]),
+        ([(5, 5), (7, 4)], [4, 5, 7]),
+        # near-clique (the dup-cluster shape)
+        ([(a, b) for a in range(4) for b in range(a + 1, 4)] + [(8, 9)],
+         range(10)),
+    ]
+    for edges, nodes in cases:
+        assert _cc_star(spark, edges, nodes) == _cc(spark, edges, nodes)
+
+
+def test_cc_star_converges_on_long_chain(spark):
+    # a 400-node path has diameter 399: min-label propagation moves
+    # the label ONE hop per round, so any bounded round count returns
+    # unconverged labels — the star contraction telescopes the chain
+    # in O(log^2 n) rounds and must land every node on component 0
+    n = 400
+    got = _cc_star(spark, [(i, i + 1) for i in range(n - 1)], range(n))
+    assert got == {i: 0 for i in range(n)}
+
+
+def test_cc_label_falls_back_to_star_past_max_iter(spark):
+    # 80-node path with max_iter=5: label propagation cannot finish,
+    # so the star fallback must still produce fully-converged labels
+    e = spark.createDataFrame(
+        [(i, i + 1) for i in range(79)], "src long, dst long"
+    )
+    n = spark.createDataFrame([(x,) for x in range(80)], "id long")
+    out = connected_components(e, n, "id", max_iter=5)
+    assert {r["id"]: r["component"] for r in out.collect()} == {
+        i: 0 for i in range(80)
+    }
+
+
+def test_cc_star_random_graph_vs_union_find(spark):
+    import random
+
+    rng = random.Random(42)
+    n = 300
+    edges = [
+        (rng.randrange(n), rng.randrange(n)) for _ in range(260)
+    ]
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonicalize: component = min id reachable
+    comp = {}
+    for v in range(n):
+        r = find(v)
+        comp.setdefault(r, []).append(v)
+    want = {v: min(vs) for r, vs in comp.items() for v in vs}
+    assert _cc_star(spark, edges, range(n)) == want
+
+
 def test_hash_sample_nests_and_is_plan_independent(spark):
     docs = spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
     small = {r["doc_id"] for r in hash_sample(docs, "doc_id", 0.1).collect()}
