@@ -514,16 +514,33 @@ def prefix_filter_pairs(
     candidate (distinct-set) pairs only; qualifying rep pairs expand
     back to member pairs through the fingerprint groups.  Shingle-ID
     arrays ship through the joins, never text.
+
+    Everything past the multiplicity collapse runs on 8-byte
+    ``xxhash64`` shingle ids, not shingle strings: the frequency
+    groupBy, the per-doc ordering, the prefix self-join, and the
+    verification intersection all exchange longs — a ~4× cut in
+    shuffle width for word-3-grams (same collision-acceptance
+    semantics as :func:`ngram_jaccard_pairs`'s hashed posting join,
+    ~2⁻⁶⁴ per pair).  The prefix-filter theorem needs only ONE global
+    total order over tokens, so ordering by (document-frequency,
+    hash) instead of (document-frequency, string) stays lossless.
     """
     sh = shingle_table(df, id_col, text_col, n)
     # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
     # by construction, no verification needed
     members, reps = _set_groups(sh, id_col)
     intra = _intra_group_pairs(members, id_col)
-    rsh = reps.select("_rid", F.explode("_set").alias("shingle"))
-    freq = rsh.groupBy("shingle").agg(F.count(F.lit(1)).alias("_df"))
-    ranked = rsh.join(freq, "shingle").select(
-        "_rid", F.struct(F.col("_df"), F.col("shingle")).alias("_e")
+    hreps = reps.select(
+        "_rid",
+        "_fp",
+        F.array_distinct(
+            F.transform("_set", lambda s: F.xxhash64(s))
+        ).alias("_hset"),
+    )
+    rsh = hreps.select("_rid", F.explode("_hset").alias("_h"))
+    freq = rsh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))
+    ranked = rsh.join(freq, "_h").select(
+        "_rid", F.struct(F.col("_df"), F.col("_h")).alias("_e")
     )
     ordered = ranked.groupBy("_rid").agg(
         F.array_sort(F.collect_list("_e")).alias("_order")
@@ -535,16 +552,16 @@ def prefix_filter_pairs(
         size.alias("_sz"),
         F.explode(
             F.slice(
-                F.transform(F.col("_order"), lambda s: s["shingle"]),
+                F.transform(F.col("_order"), lambda s: s["_h"]),
                 1,
                 prefix_len,
             )
-        ).alias("shingle"),
+        ).alias("_h"),
     )
     # layers 2+3: prefix-token candidates, length-filtered
     pa, pb = pref.alias("pa"), pref.alias("pb")
     cand = (
-        pa.join(pb, "shingle")
+        pa.join(pb, "_h")
         .filter(
             (F.col("pa._rid") < F.col("pb._rid"))
             & (
@@ -558,15 +575,15 @@ def prefix_filter_pairs(
         )
         .distinct()
     )
-    sa = reps.select(
+    sa = hreps.select(
         F.col("_rid").alias("_ra"),
         F.col("_fp").alias("_fpa"),
-        F.col("_set").alias("_sa"),
+        F.col("_hset").alias("_sa"),
     )
-    sb = reps.select(
+    sb = hreps.select(
         F.col("_rid").alias("_rb"),
         F.col("_fp").alias("_fpb"),
-        F.col("_set").alias("_sb"),
+        F.col("_hset").alias("_sb"),
     )
     inter = F.size(F.array_intersect("_sa", "_sb"))
     union = F.size("_sa") + F.size("_sb") - inter

@@ -58,8 +58,10 @@ def test_pricing_summary_has_partial_aggregation(spark):
 
 def test_point_lookup_pushes_both_predicates(spark):
     plan = _plan(entry_mod.queries()["point_lookup"](spark, SF_CORRECT))
-    assert "EqualTo(l_orderkey,7)" in plan
-    assert "EqualTo(l_linenumber,1)" in plan
+    # don't pin the probe key (the fixture picks one present at every
+    # sf) — assert both PK predicates reach the parquet scan
+    assert "EqualTo(l_orderkey," in plan
+    assert "EqualTo(l_linenumber," in plan
 
 
 def test_topk_is_take_ordered_not_global_sort(spark):
