@@ -3419,6 +3419,54 @@ def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_in_transit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Overlapping-interval range join via bin bucketing: for each
+    # March-1995 order date, count the transit windows [l_shipdate,
+    # l_shipdate + (qty % 14 + 2) days] covering it across ALL
+    # lineitem rows — a pure range predicate with no equi key, which
+    # Catalyst alone can only plan as a nested-loop join.  The binned
+    # operator restores a shuffled hash join; the oracle is the plain
+    # quadratic BETWEEN join, proving the binning is lossless.
+    from cassandra_data_migration_spark.operators.joins import (
+        binned_range_join,
+    )
+
+    epoch = F.lit("1970-01-01")
+    pts = (
+        load_table(spark, sf_dir, "orders")
+        .filter(
+            (F.col("o_orderdate") >= "1995-03-01")
+            & (F.col("o_orderdate") < "1995-04-01")
+        )
+        .select(
+            "o_orderkey",
+            F.datediff("o_orderdate", epoch).alias("p_day"),
+        )
+    )
+    lo = F.datediff("l_shipdate", epoch)
+    iv = load_table(spark, sf_dir, "lineitem").select(
+        lo.alias("lo_day"),
+        (lo + (F.col("l_quantity").cast("int") % 14 + 2)).alias("hi_day"),
+    )
+    return (
+        binned_range_join(pts, iv, "p_day", "lo_day", "hi_day", bin_width=16)
+        .groupBy("o_orderkey")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_transit"))
+    )
+
+
+def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Count-min sketch with FULL oracle parity: md5-seeded buckets are
+    # bit-reproducible in SQL, so the oracle rebuilds the identical
+    # sketch and matches est_cnt exactly; over_ok (est >= true) is the
+    # CMS never-undercount theorem and must be all-TRUE on top.
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cms_token_estimates,
+    )
+
+    return cms_token_estimates(load_table(spark, sf_dir, "documents"))
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -3655,6 +3703,8 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_cardinality_audit": q_join_cardinality_audit,
     "video_frame_stats": q_video_frame_stats,
     "audio_tone_detect": q_audio_tone_detect,
+    "in_transit_orders": q_in_transit_orders,
+    "cms_token_counts": q_cms_token_counts,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -6863,6 +6913,71 @@ ORACLES["audio_tone_detect"] = """
            CAST(1 + i % 8 AS INT) AS expected_bin,
            TRUE AS match
     FROM range(32) t(i)
+"""
+
+def _cms_oracle(depth: int = 3, width: int = 4096, floor_ppm: int = 1000) -> str:
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    buck = "\n        UNION ALL ".join(
+        f"SELECT term, {r} AS r, "
+        f"{md5_draw_sql(f'cms{r}', 'term')} % {width} AS bucket FROM toks"
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
+    exact AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
+        FROM toks GROUP BY 1
+    ),
+    buck AS (
+        {buck}
+    ),
+    cms AS (
+        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM buck GROUP BY 1, 2
+    ),
+    probes AS (
+        SELECT e.term, e.true_cnt FROM exact e, tot
+        WHERE e.true_cnt * 1000000 > {floor_ppm} * tot.n
+    ),
+    keyed AS (
+        SELECT DISTINCT p.term, p.true_cnt, b.r, b.bucket
+        FROM probes p JOIN buck b USING (term)
+    )
+    SELECT term, true_cnt, CAST(MIN(cnt) AS BIGINT) AS est_cnt,
+           CAST(MIN(cnt) AS BIGINT) >= true_cnt AS over_ok
+    FROM keyed JOIN cms USING (r, bucket)
+    GROUP BY term, true_cnt
+    """
+
+
+ORACLES["cms_token_counts"] = _cms_oracle()
+
+
+# Overlapping-interval range join: the oracle recomputes the plain
+# quadratic BETWEEN join — the bin-bucketed Spark plan must match it
+# pair for pair (each qualifying pair meets in exactly one bin).
+ORACLES["in_transit_orders"] = """
+    WITH pts AS (
+        SELECT o_orderkey,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(o_orderdate AS DATE)) AS p_day
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1995-03-01'
+          AND o_orderdate < TIMESTAMP '1995-04-01'
+    ), iv AS (
+        SELECT date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE)) AS lo_day,
+               date_diff('day', DATE '1970-01-01',
+                         CAST(l_shipdate AS DATE))
+                 + (CAST(l_quantity AS INTEGER) % 14 + 2) AS hi_day
+        FROM lineitem
+    )
+    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_in_transit
+    FROM pts JOIN iv ON p_day BETWEEN lo_day AND hi_day
+    GROUP BY o_orderkey
 """
 
 ORACLES["join_cardinality_audit"] = """

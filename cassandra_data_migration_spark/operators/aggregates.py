@@ -829,3 +829,118 @@ def mg_heavy_hitters_audit(
             ).alias("bound_ok"),
         )
     )
+
+
+def cms_sketch(
+    items: DataFrame,
+    term_col: str = "term",
+    depth: int = 3,
+    width: int = 4096,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan, 2003 — public
+    algorithm) over an item stream: ``depth`` hash rows × ``width``
+    counters, returned as the (row, bucket, cnt) cell table.
+
+    Each occurrence increments one counter per hash row; a term's
+    estimate is the MIN over its ``depth`` counters — an OVERestimate
+    always (counters only ever absorb extra mass from colliding
+    terms), within ``e·N/width`` of truth with probability
+    ``1 − e^−depth``.
+
+    Scale shape: one explode to ``depth`` (row, bucket) cells per
+    occurrence, then a map-side-combined groupBy — the shuffle
+    carries at most ``depth × width`` partial cells PER TASK no
+    matter how large the stream (cf. the vocabulary groupBy, which
+    shuffles every distinct term).  The cell table merges across
+    corpora by plain (row, bucket) sum, the mergeable-summaries
+    property that makes it incrementally maintainable.
+
+    Buckets come from :func:`~cassandra_data_migration_spark.functions.hashing.md5_draw`
+    (seeded per hash row), so any engine — including the DuckDB
+    oracle — rebuilds the identical sketch: estimates here are
+    deterministic and partitioning-independent, not just bounded.
+    """
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    cells = items.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_draw(f"cms{r}", F.col(term_col)) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell")
+    )
+    return cells.select("_cell.r", "_cell.bucket").groupBy("r", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+
+
+def cms_token_estimates(
+    df: DataFrame,
+    text_col: str = "text",
+    depth: int = 3,
+    width: int = 4096,
+    floor_ppm: int = 1000,
+) -> DataFrame:
+    """Audit-with-parity contract for :func:`cms_sketch` over the
+    corpus token stream: for every term above a scale-free frequency
+    floor (``true_cnt · 10⁶ > floor_ppm · N``), emit the exact count,
+    the sketch estimate, and the never-undercount theorem bit.
+
+    Unlike engine-specific sketches (HLL++), the md5-bucketed CMS is
+    bit-reproducible in SQL, so the oracle matches ``est_cnt``
+    EXACTLY — the strongest form of sketch check — and ``over_ok``
+    (est ≥ true, a theorem) must be all-TRUE on top.
+
+    The exact-count side is the audit harness, not the scale path:
+    production keeps only the ``depth × width``-cell sketch and probes
+    it per term of interest.
+    """
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    terms = df.select(
+        F.explode(F.split(F.col(text_col), " ")).alias("term")
+    )
+    sketch = cms_sketch(terms, "term", depth, width)
+    exact = terms.groupBy("term").agg(
+        F.count(F.lit(1)).cast("long").alias("true_cnt")
+    )
+    n_total = terms.count()
+    probes = exact.filter(
+        F.col("true_cnt") * 1_000_000 > F.lit(floor_ppm * n_total)
+    )
+    keyed = probes.select(
+        "term",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        (md5_draw(f"cms{r}", F.col("term")) % width).alias(
+                            "bucket"
+                        ),
+                    )
+                    for r in range(depth)
+                ]
+            )
+        ).alias("_cell"),
+    ).select("term", "true_cnt", "_cell.r", "_cell.bucket")
+    return (
+        keyed.join(sketch, ["r", "bucket"])
+        .groupBy("term", "true_cnt")
+        .agg(F.min("cnt").cast("long").alias("est_cnt"))
+        .select(
+            "term",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
+        )
+    )

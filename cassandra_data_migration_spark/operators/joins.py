@@ -341,3 +341,53 @@ def null_safe_enrich(
     return left.join(
         F.broadcast(dim), left[left_key].eqNullSafe(dim[dim_key]), "left"
     )
+
+
+def binned_range_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    bin_width: int,
+    on: list[str] | None = None,
+) -> DataFrame:
+    """General point-in-interval join where intervals MAY OVERLAP —
+    the case :func:`interval_join`'s as-of formulation cannot express.
+    Returns every (point row × interval row) pair with
+    ``lo ≤ point ≤ hi`` (plus optional equi-keys ``on``).
+
+    Why not ``points.join(intervals, BETWEEN)``: with no equi-key,
+    Catalyst can only plan a broadcast-nested-loop join — O(|P|·|I|)
+    comparisons and a broadcast of a whole side, the first thing to
+    die at scale.  The bin trick restores a hash join:
+
+    - each interval is exploded to the integer bins its span covers
+      (``floor(lo/w) … floor(hi/w)``, ``w = bin_width``),
+    - each point maps to exactly ONE bin (``floor(p/w)``),
+    - equi-join on (bin, *on) then post-filter the exact range.
+
+    A qualifying pair meets in exactly one bin — the point's — so no
+    dedup pass is needed.  Shuffle is |P| + |I|·(span/w + 1) rows;
+    pick ``w`` near the TYPICAL interval span so most intervals copy
+    to ~2 bins.  Long-tail intervals fatten the explode linearly, and
+    a hot bin (many intervals covering one region) is ordinary join
+    skew that AQE handles — contrast with the nested-loop plan, which
+    has no partial parallelism at all.  ``point_col``/``lo_col``/
+    ``hi_col`` must be integer-like (cast dates to days, timestamps
+    to epoch seconds, at the call site).
+    """
+    on = on or []
+    bins = F.sequence(
+        F.floor(F.col(lo_col) / bin_width).cast("long"),
+        F.floor(F.col(hi_col) / bin_width).cast("long"),
+    )
+    iv = intervals.withColumn("_bin", F.explode(bins))
+    pt = points.withColumn(
+        "_bin", F.floor(F.col(point_col) / bin_width).cast("long")
+    )
+    cond = (
+        (F.col(point_col) >= F.col(lo_col))
+        & (F.col(point_col) <= F.col(hi_col))
+    )
+    return pt.join(iv, ["_bin", *on]).filter(cond).drop("_bin")

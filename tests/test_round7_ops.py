@@ -1,0 +1,138 @@
+"""Round-4 additions: binned overlapping-interval range join and the
+count-min sketch family."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.joins import binned_range_join
+
+
+def _brute_pairs(points, intervals):
+    return sorted(
+        (p_id, i_id)
+        for p_id, p in points
+        for i_id, lo, hi in intervals
+        if lo <= p <= hi
+    )
+
+
+def _spark_pairs(spark, points, intervals, bin_width, on_keys=False):
+    if on_keys:
+        pts = spark.createDataFrame(
+            [(pid, k, p) for pid, k, p in points], "pid long, k long, p long"
+        )
+        iv = spark.createDataFrame(
+            [(iid, k, lo, hi) for iid, k, lo, hi in intervals],
+            "iid long, k long, lo long, hi long",
+        )
+        out = binned_range_join(pts, iv, "p", "lo", "hi", bin_width, on=["k"])
+    else:
+        pts = spark.createDataFrame(points, "pid long, p long")
+        iv = spark.createDataFrame(intervals, "iid long, lo long, hi long")
+        out = binned_range_join(pts, iv, "p", "lo", "hi", bin_width)
+    return sorted((r["pid"], r["iid"]) for r in out.select("pid", "iid").collect())
+
+
+def test_binned_range_join_matches_brute_force_overlapping(spark):
+    import random
+
+    rng = random.Random(7)
+    points = [(i, rng.randrange(0, 200)) for i in range(60)]
+    # heavily overlapping intervals, spans 0..40
+    intervals = [
+        (i, lo, lo + rng.randrange(0, 40))
+        for i, lo in ((i, rng.randrange(0, 200)) for i in range(80))
+    ]
+    want = _brute_pairs(
+        [(p, v) for p, v in points], [(i, lo, hi) for i, lo, hi in intervals]
+    )
+    # the pair set must be identical at ANY bin width (losslessness
+    # does not depend on tuning)
+    for w in (1, 7, 16, 1000):
+        assert _spark_pairs(spark, points, intervals, w) == want
+
+
+def test_binned_range_join_no_duplicate_pairs(spark):
+    # an interval spanning many bins must still match a point once
+    points = [(1, 50)]
+    intervals = [(9, 0, 100)]
+    got = _spark_pairs(spark, points, intervals, bin_width=4)
+    assert got == [(1, 9)]
+
+
+def test_binned_range_join_boundaries_inclusive(spark):
+    points = [(1, 10), (2, 20), (3, 9), (4, 21)]
+    intervals = [(5, 10, 20)]
+    got = _spark_pairs(spark, points, intervals, bin_width=8)
+    assert got == [(1, 5), (2, 5)]
+
+
+def test_binned_range_join_negative_values(spark):
+    # floor-division binning must stay consistent below zero
+    points = [(1, -5), (2, -17), (3, 0)]
+    intervals = [(7, -20, -4), (8, -3, 2)]
+    got = _spark_pairs(spark, points, intervals, bin_width=8)
+    assert got == [(1, 7), (2, 7), (3, 8)]
+
+
+def test_binned_range_join_with_equi_key(spark):
+    points = [(1, 100, 5), (2, 200, 5)]
+    intervals = [(7, 100, 0, 10), (8, 200, 6, 10), (9, 100, 5, 5)]
+    got = _spark_pairs(spark, points, intervals, 4, on_keys=True)
+    assert got == [(1, 7), (1, 9)]
+
+
+def test_cms_never_undercounts_any_term(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cms_sketch,
+        cms_token_estimates,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(100)
+    # floor_ppm=0: audit EVERY term, not only heavy ones
+    # depth=1/width=64: every bucket collides, so the theorem is
+    # exercised where estimates genuinely exceed truth
+    out = cms_token_estimates(docs, depth=1, width=64, floor_ppm=0).collect()
+    assert out
+    assert all(r["over_ok"] for r in out)
+    assert all(r["est_cnt"] >= r["true_cnt"] for r in out)
+    # the estimate is not a disguised exact count
+    assert any(r["est_cnt"] > r["true_cnt"] for r in out)
+
+
+def test_cms_sketch_merges_by_cell_sum(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.aggregates import cms_sketch
+
+    a = spark.createDataFrame([("x",), ("y",), ("x",)], "term string")
+    b = spark.createDataFrame([("y",), ("z",)], "term string")
+    both = a.union(b)
+    merged = (
+        cms_sketch(a, width=64)
+        .unionByName(cms_sketch(b, width=64))
+        .groupBy("r", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+    whole = cms_sketch(both, width=64)
+    assert sorted(map(tuple, merged.collect())) == sorted(
+        map(tuple, whole.collect())
+    )
+
+
+def test_cms_estimates_partitioning_invariant(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        cms_token_estimates,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    docs = load_table(spark, SF_CORRECT, "documents").limit(60)
+    one = cms_token_estimates(docs.coalesce(1), width=256)
+    many = cms_token_estimates(docs.repartition(13), width=256)
+    assert sorted(map(tuple, one.collect())) == sorted(
+        map(tuple, many.collect())
+    )
