@@ -3467,6 +3467,18 @@ def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cms_token_estimates(load_table(spark, sf_dir, "documents"))
 
 
+def q_mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Greedy MMR coreset selection in integer-exact arithmetic; the
+    # oracle replays the greedy loop as unrolled CTE stages over the
+    # full integer similarity matrix, so the SELECTION ORDER itself
+    # is hash-checked, not just the member set.
+    from cassandra_data_migration_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    return mmr_select(load_table(spark, sf_dir, "embeddings"), k=8)
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -3705,6 +3717,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "audio_tone_detect": q_audio_tone_detect,
     "in_transit_orders": q_in_transit_orders,
     "cms_token_counts": q_cms_token_counts,
+    "mmr_diverse_select": q_mmr_diverse_select,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -6954,6 +6967,17 @@ def _cms_oracle(depth: int = 3, width: int = 4096, floor_ppm: int = 1000) -> str
 
 
 ORACLES["cms_token_counts"] = _cms_oracle()
+
+
+def _mmr_oracle() -> str:
+    from cassandra_data_migration_spark.operators.similarity import (
+        mmr_select_sql,
+    )
+
+    return mmr_select_sql(k=8)
+
+
+ORACLES["mmr_diverse_select"] = _mmr_oracle()
 
 
 # Overlapping-interval range join: the oracle recomputes the plain

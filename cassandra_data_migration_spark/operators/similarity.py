@@ -1119,3 +1119,160 @@ def hard_negatives(
             F.col("_rk").cast("int").alias("rank"),
         )
     )
+
+
+def mmr_select(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    lambda_ppm: int = 700_000,
+    scale: int = 1000,
+    query_id: int | None = None,
+) -> DataFrame:
+    """Greedy maximal-marginal-relevance selection (Carbonell &
+    Goldstein, SIGIR'98 — public algorithm): pick ``k`` vectors that
+    balance relevance to a query against redundancy with what is
+    already picked — the diverse-coreset selector a training-data
+    pipeline uses to subsample near-duplicate-rich embedding
+    neighborhoods.
+
+    Step 1 picks the max-relevance vector; each later step picks
+    ``argmax λ·rel(i) − (1−λ)·max_{j∈S} sim(i, j)``.  All scoring is
+    INTEGER: vectors quantize to ``floor(x·scale + 0.5)`` longs,
+    similarities are exact integer inner products, λ is parts-per-
+    million — the argmax ordering (and so the selection itself) is
+    deterministic and bit-identical in any engine, which is what lets
+    a SQL oracle replay the greedy loop as unrolled CTE stages.
+    (``scale`` defaults to e3, not e6, so λ·rel stays far inside
+    int64: 64 dims × (10³)² × 10⁶ ≈ 6·10¹³.)
+
+    Scale shape: k driver rounds, each ONE distributed pass — the
+    candidate scan joins a ≤k-row broadcast of the picked vectors
+    (never candidate×candidate), takes ``max`` per candidate, and a
+    TakeOrdered(1) returns a single row to the driver.  O(k·dim)
+    driver state, same budget class as the k-means centroid loop.
+    The query defaults to the min-id vector; pass ``query_id`` to
+    anchor relevance elsewhere.
+    """
+    base = df.select(
+        F.col(id_col).alias("rid"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * scale + F.lit(0.5)).cast("long"),
+        ).alias("_qv"),
+    )
+    if query_id is None:
+        query_id = base.agg(F.min("rid")).first()[0]
+    qvec = base.filter(F.col("rid") == query_id).select("_qv").first()[0]
+    qlit = F.array(*[F.lit(int(v)) for v in qvec])
+    scored = base.select(
+        "rid",
+        "_qv",
+        F.aggregate(
+            F.zip_with(F.col("_qv"), qlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        ).alias("rel"),
+    ).persist()
+
+    first = scored.orderBy(F.desc("rel"), "rid").limit(1).first()
+    picked = [(1, first["rid"], first["rel"], list(first["_qv"]))]
+    inv = 1_000_000 - lambda_ppm
+    for step in range(2, k + 1):
+        sel = df.sparkSession.createDataFrame(
+            [(p[1], p[3]) for p in picked], "sid long, _sv array<long>"
+        )
+        nxt = (
+            scored.filter(
+                ~F.col("rid").isin([p[1] for p in picked])
+            )
+            .crossJoin(F.broadcast(sel))
+            .withColumn(
+                "_dot",
+                F.aggregate(
+                    F.zip_with("_qv", "_sv", lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ),
+            )
+            .groupBy("rid", "rel")
+            .agg(F.max("_dot").alias("_maxsim"))
+            .withColumn(
+                "_score",
+                F.lit(lambda_ppm) * F.col("rel")
+                - F.lit(inv) * F.col("_maxsim"),
+            )
+            .orderBy(F.desc("_score"), "rid")
+            .limit(1)
+            .join(scored.select("rid", "_qv"), "rid")
+            .first()
+        )
+        if nxt is None:
+            break
+        picked.append((step, nxt["rid"], nxt["rel"], list(nxt["_qv"])))
+    scored.unpersist()
+    return df.sparkSession.createDataFrame(
+        [(s, r, rel) for s, r, rel, _ in picked],
+        "step int, vec_id long, rel long",
+    )
+
+
+def mmr_select_sql(
+    table: str = "embeddings",
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    lambda_ppm: int = 700_000,
+    scale: int = 1000,
+) -> str:
+    """DuckDB twin of :func:`mmr_select`, kept beside it so the two
+    greedy definitions cannot drift: the selection loop unrolls to
+    ``k`` CTE stages (the BPE-oracle technique), each re-deriving the
+    argmax from the full integer pair-similarity matrix."""
+    inv = 1_000_000 - lambda_ppm
+    stages = [
+        """
+    sel1 AS MATERIALIZED (SELECT 1 AS step, rid FROM rel ORDER BY rel DESC, rid LIMIT 1),
+    selall1 AS MATERIALIZED (SELECT * FROM sel1)"""
+    ]
+    for s in range(2, k + 1):
+        stages.append(f"""
+    sel{s} AS MATERIALIZED (
+        SELECT {s} AS step, r.rid
+        FROM rel r
+        JOIN dots d ON d.ra = r.rid
+                   AND d.rb IN (SELECT rid FROM selall{s - 1})
+        WHERE r.rid NOT IN (SELECT rid FROM selall{s - 1})
+        GROUP BY r.rid, r.rel
+        ORDER BY {lambda_ppm} * r.rel - {inv} * MAX(d.dot) DESC, r.rid
+        LIMIT 1
+    ),
+    selall{s} AS MATERIALIZED (SELECT * FROM selall{s - 1} UNION ALL SELECT * FROM sel{s})""")
+    return f"""
+    WITH q AS (
+        SELECT {id_col} AS rid,
+               list_transform({vec_col}::DOUBLE[],
+                   x -> CAST(floor(x * {scale}.0 + 0.5) AS BIGINT)) AS qv
+        FROM {table}
+    ),
+    ux AS MATERIALIZED (
+        SELECT rid, unnest(qv) AS x, generate_subscripts(qv, 1) AS i
+        FROM q
+    ),
+    uq AS (
+        SELECT unnest(qv) AS x, generate_subscripts(qv, 1) AS i
+        FROM q WHERE rid = (SELECT MIN(rid) FROM q)
+    ),
+    rel AS MATERIALIZED (
+        SELECT ux.rid, CAST(SUM(ux.x * uq.x) AS BIGINT) AS rel
+        FROM ux JOIN uq USING (i) GROUP BY 1
+    ),
+    dots AS MATERIALIZED (
+        SELECT a.rid AS ra, b.rid AS rb, CAST(SUM(a.x * b.x) AS BIGINT) AS dot
+        FROM ux a JOIN ux b USING (i) GROUP BY 1, 2
+    ),{','.join(stages)}
+    SELECT CAST(s.step AS INT) AS step, CAST(s.rid AS BIGINT) AS vec_id,
+           CAST(r.rel AS BIGINT) AS rel
+    FROM selall{k} s JOIN rel r ON r.rid = s.rid
+    """

@@ -136,3 +136,67 @@ def test_cms_estimates_partitioning_invariant(spark):
     assert sorted(map(tuple, one.collect())) == sorted(
         map(tuple, many.collect())
     )
+
+
+def _mmr_brute(vecs, k, lam=700_000, scale=1000):
+    q = [int(__import__("math").floor(x * scale + 0.5)) for x in vecs[min(vecs)]]
+    qv = {
+        i: [int(__import__("math").floor(x * scale + 0.5)) for x in v]
+        for i, v in vecs.items()
+    }
+    rel = {i: sum(a * b for a, b in zip(v, q)) for i, v in qv.items()}
+    inv = 1_000_000 - lam
+    first = max(rel, key=lambda i: (rel[i], -i))
+    picked = [(1, first, rel[first])]
+    while len(picked) < k and len(picked) < len(vecs):
+        chosen = {p[1] for p in picked}
+        best = None
+        for i in qv:
+            if i in chosen:
+                continue
+            maxsim = max(
+                sum(a * b for a, b in zip(qv[i], qv[j])) for j in chosen
+            )
+            score = lam * rel[i] - inv * maxsim
+            if best is None or (score, -i) > best[0]:
+                best = ((score, -i), i)
+        picked.append((len(picked) + 1, best[1], rel[best[1]]))
+    return picked
+
+
+def test_mmr_select_matches_greedy_brute_force(spark):
+    import random
+
+    from cassandra_data_migration_spark.operators.similarity import mmr_select
+
+    rng = random.Random(11)
+    vecs = {
+        i: [rng.uniform(-1, 1) for _ in range(8)] for i in range(30)
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, v in vecs.items()], "vec_id long, embedding array<float>"
+    )
+    # quantize through float32 exactly as the Spark column does
+    import numpy as np
+
+    vecs32 = {i: [float(np.float32(x)) for x in v] for i, v in vecs.items()}
+    want = _mmr_brute(vecs32, k=6)
+    got = sorted(
+        (r["step"], r["vec_id"], r["rel"])
+        for r in mmr_select(df, k=6).collect()
+    )
+    assert got == sorted(want)
+
+
+def test_mmr_select_partitioning_invariant_and_k_capped(spark):
+    from cassandra_data_migration_spark.operators.similarity import mmr_select
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings").limit(40)
+    a = sorted(map(tuple, mmr_select(emb.coalesce(1), k=5).collect()))
+    b = sorted(map(tuple, mmr_select(emb.repartition(17), k=5).collect()))
+    assert a == b and len(a) == 5
+    # k larger than the corpus: selection stops at the corpus size
+    tiny = emb.limit(3)
+    assert mmr_select(tiny, k=10).count() == 3
