@@ -3479,6 +3479,39 @@ def q_mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mmr_select(load_table(spark, sf_dir, "embeddings"), k=8)
 
 
+def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous count-min maintenance: the documents token stream
+    # replayed in micro-batch slices through foreachBatch cell-sum
+    # merges — mergeable-summary algebra converges to the one-shot
+    # batch sketch under any slicing, so the BATCH oracle checks the
+    # STREAMED state exactly
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.cms import (
+        cms_maintain_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    terms = docs.select(
+        F.explode(F.split(F.col("text"), " ")).alias("term"),
+        F.pmod("doc_id", F.lit(3)).alias("_slice"),
+    )
+    d = tempfile.mkdtemp(prefix="cms_stream_")
+    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
+    for s in range(3):
+        terms.filter(F.col("_slice") == s).select("term").repartition(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = cms_maintain_stream(stream, sk, checkpoint=ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(sk)
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -3718,6 +3751,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "in_transit_orders": q_in_transit_orders,
     "cms_token_counts": q_cms_token_counts,
     "mmr_diverse_select": q_mmr_diverse_select,
+    "stream_cms": q_stream_cms,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -6978,6 +7012,31 @@ def _mmr_oracle() -> str:
 
 
 ORACLES["mmr_diverse_select"] = _mmr_oracle()
+
+
+def _stream_cms_oracle(depth: int = 3, width: int = 4096) -> str:
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    buck = "\n        UNION ALL ".join(
+        f"SELECT CAST({r} AS INTEGER) AS r, "
+        f"{md5_draw_sql(f'cms{r}', 'term')} % {width} AS bucket FROM toks"
+        for r in range(depth)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT unnest(string_split(text, ' ')) AS term FROM documents
+    ),
+    buck AS (
+        {buck}
+    )
+    SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+    FROM buck GROUP BY 1, 2
+    """
+
+
+# stream-equals-batch: the streamed sketch state must equal the batch
+# sketch cell for cell, so the batch SQL twin checks the stream sink
+ORACLES["stream_cms"] = _stream_cms_oracle()
 
 
 # Overlapping-interval range join: the oracle recomputes the plain

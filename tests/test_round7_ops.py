@@ -200,3 +200,51 @@ def test_mmr_select_partitioning_invariant_and_k_capped(spark):
     # k larger than the corpus: selection stops at the corpus size
     tiny = emb.limit(3)
     assert mmr_select(tiny, k=10).count() == 3
+
+
+def test_stream_cms_equals_batch_and_survives_redelivery(spark, tmp_path):
+    """Mergeable-summary property under streaming: folding per-file
+    micro-batches of the token stream into the persisted sketch must
+    equal the one-shot batch sketch, and re-running the same stream
+    over the same checkpointed state (or a redelivered batch id) must
+    not double-count."""
+    from cassandra_data_migration_spark.operators.aggregates import cms_sketch
+    from cassandra_data_migration_spark.streaming.cms import (
+        cms_maintain_stream,
+    )
+
+    rows = [("a",), ("b",), ("a",), ("c",), ("b",), ("a",)]
+    d = str(tmp_path)
+    src, sk = f"{d}/src", f"{d}/sketch"
+    for row in rows:
+        spark.createDataFrame([row], "term string").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src)
+    )
+    q = cms_maintain_stream(stream, sk, width=64, checkpoint=f"{d}/ckpt")
+    q.awaitTermination(120)
+    batch = cms_sketch(
+        spark.createDataFrame(rows, "term string"), width=64
+    )
+    streamed = spark.read.parquet(sk)
+    assert sorted(map(tuple, streamed.collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # redelivery: restart the same stream from a FRESH checkpoint so
+    # every batch id replays — the marker protocol must skip them all
+    q2 = cms_maintain_stream(
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src),
+        sk,
+        width=64,
+        checkpoint=f"{d}/ckpt2",
+    )
+    q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(sk).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
