@@ -1197,7 +1197,12 @@ def mmr_select(
                 ),
             )
             .groupBy("rid", "rel")
-            .agg(F.max("_dot").alias("_maxsim"))
+            # _qv is functionally determined by rid; carrying it via
+            # any_value saves the re-join (one job per greedy round)
+            .agg(
+                F.max("_dot").alias("_maxsim"),
+                F.any_value("_qv").alias("_qv"),
+            )
             .withColumn(
                 "_score",
                 F.lit(lambda_ppm) * F.col("rel")
@@ -1205,7 +1210,6 @@ def mmr_select(
             )
             .orderBy(F.desc("_score"), "rid")
             .limit(1)
-            .join(scored.select("rid", "_qv"), "rid")
             .first()
         )
         if nxt is None:
