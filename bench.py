@@ -18,10 +18,31 @@ import __spark_entry__ as entry_mod  # noqa: E402
 from cassandra_data_migration_spark.session import get_spark  # noqa: E402
 
 
+def _total_shuffle(spark) -> int:
+    """Completed-stage shuffle-read bytes so far (status API); -1 when
+    the UI is unavailable.  Deltas around each query give a per-query
+    shuffle figure — the efficiency metric wall time can't show."""
+    import urllib.request
+
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete",
+            timeout=10,
+        ) as r:
+            stages = json.loads(r.read())
+        return sum(s.get("shuffleReadBytes", 0) for s in stages)
+    except Exception:
+        return -1
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    spark = get_spark(app_name="cdm-spark-bench")
+    spark = get_spark(
+        app_name="cdm-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = entry_mod.queries()
@@ -37,6 +58,7 @@ def main() -> None:
     timings: dict[str, float] = {}
     rows: dict[str, int] = {}
     errors: dict[str, str] = {}
+    shuffle_mb: dict[str, float] = {}
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     sc = spark.sparkContext
     for name, fn in queries.items():
@@ -47,6 +69,7 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass
+        shuf_before = _total_shuffle(spark)
         t0 = time.perf_counter()
         # watchdog: cancel this query's Spark jobs if it runs away —
         # count() then raises and we record the error instead of hanging
@@ -65,6 +88,9 @@ def main() -> None:
         finally:
             watchdog.cancel()
             sc.setJobGroup("", "")
+        shuf_after = _total_shuffle(spark)
+        if shuf_before >= 0 and shuf_after >= 0:
+            shuffle_mb[name] = round((shuf_after - shuf_before) / 1e6, 2)
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The full per-query map (199 entries, ~5.4 KB as JSON) exceeds the
@@ -76,6 +102,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "rows": rows,
+        "shuffle_read_mb": shuffle_mb,
         "sf": sf_val,
     }
     if errors:
