@@ -3512,6 +3512,46 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk)
 
 
+def q_throttled_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # T6 throttled streams, oracle-checked: maxFilesPerTrigger=1 over
+    # a 6-file source MUST pace into exactly 6 micro-batches (the
+    # deterministic pacing contract), every batch must respect the cap,
+    # and no rows may be lost or duplicated by the slicing
+    import tempfile
+
+    events = load_table(spark, sf_dir, "events").select("event_id")
+    d = tempfile.mkdtemp(prefix="throttle_stream_")
+    src, ckpt = f"{d}/src", f"{d}/ckpt"
+    events.repartition(6).write.parquet(src)
+    seen: dict[str, int] = {"batches": 0, "rows": 0}
+    n_files = len(
+        [
+            f
+            for f in os.listdir(src)
+            if f.endswith(".parquet") and not f.startswith("_")
+        ]
+    )
+
+    def count_batch(batch_df: DataFrame, batch_id: int) -> None:
+        seen["batches"] += 1
+        seen["rows"] += batch_df.count()
+
+    q = (
+        spark.readStream.schema("event_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .writeStream.foreachBatch(count_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    return spark.createDataFrame(
+        [(n_files, seen["batches"], seen["rows"])],
+        "n_files long, n_batches long, n_rows long",
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -3752,6 +3792,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cms_token_counts": q_cms_token_counts,
     "mmr_diverse_select": q_mmr_diverse_select,
     "stream_cms": q_stream_cms,
+    "throttled_stream_pacing": q_throttled_stream_pacing,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7037,6 +7078,15 @@ def _stream_cms_oracle(depth: int = 3, width: int = 4096) -> str:
 # stream-equals-batch: the streamed sketch state must equal the batch
 # sketch cell for cell, so the batch SQL twin checks the stream sink
 ORACLES["stream_cms"] = _stream_cms_oracle()
+
+# T6 pacing: 6 files at maxFilesPerTrigger=1 is exactly 6 batches,
+# and the slicing must conserve the row count
+ORACLES["throttled_stream_pacing"] = """
+    SELECT CAST(6 AS BIGINT) AS n_files,
+           CAST(6 AS BIGINT) AS n_batches,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+"""
 
 
 # Overlapping-interval range join: the oracle recomputes the plain
