@@ -248,3 +248,30 @@ def test_stream_cms_equals_batch_and_survives_redelivery(spark, tmp_path):
     assert sorted(map(tuple, spark.read.parquet(sk).collect())) == sorted(
         map(tuple, batch.collect())
     )
+
+
+def test_binned_range_join_property_random_widths(spark):
+    """Hypothesis sweep: for arbitrary integer points/intervals (any
+    sign, inverted spans allowed) and any bin width, the pair set must
+    equal the brute-force BETWEEN join."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    vals = st.integers(min_value=-1000, max_value=1000)
+
+    @settings(max_examples=12, deadline=None)
+    @given(
+        pts=st.lists(vals, min_size=1, max_size=12),
+        ivs=st.lists(st.tuples(vals, vals), min_size=1, max_size=12),
+        w=st.integers(min_value=1, max_value=500),
+    )
+    def check(pts, ivs, w):
+        points = [(i, p) for i, p in enumerate(pts)]
+        intervals = [
+            (100 + j, min(a, b), max(a, b)) for j, (a, b) in enumerate(ivs)
+        ]
+        assert _spark_pairs(spark, points, intervals, w) == _brute_pairs(
+            points, intervals
+        )
+
+    check()
