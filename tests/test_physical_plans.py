@@ -492,3 +492,21 @@ def test_substring_dup_spans_shuffles_hashes_never_text(spark):
     assert "text" not in exchange_after.split("(1) Scan parquet", 1)[0]
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_binned_range_join_avoids_nested_loop(spark):
+    # the whole point of the bin trick: a pure-range predicate must
+    # plan as an equi-join on the bin key, never a nested-loop join
+    plan = _plan(entry_mod.queries()["in_transit_orders"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
+        "BroadcastHashJoin" in plan
+    )
+
+
+def test_cms_sketch_has_partial_aggregation(spark):
+    # cell counts must map-side combine: the shuffle carries at most
+    # depth*width partial cells per task, not one row per token
+    plan = _plan(entry_mod.queries()["cms_token_counts"](spark, SF_CORRECT))
+    assert "partial_count" in plan
