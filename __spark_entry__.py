@@ -3552,6 +3552,78 @@ def q_throttled_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S4/S6-adjacent: XML staging (Spark 4's native xml source — the
+    # legacy-enterprise interchange format next to CSV/JSON/ORC).
+    # Export then re-import with the origin schema pinned must be
+    # lossless, XML entity escaping and all.
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import (
+        xml_export,
+        xml_import,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    d = tempfile.mkdtemp(prefix="xml_rt_")
+    xml_export(s, f"{d}/supplier_xml", row_tag="supplier")
+    return xml_import(
+        spark, f"{d}/supplier_xml", schema=s.schema, row_tag="supplier"
+    )
+
+
+def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous distinct-counting: the orders custkey stream replayed
+    # in micro-batch slices through foreachBatch register max-merges.
+    # Max is idempotent AND commutative, so the streamed registers
+    # equal the one-shot batch registers under any slicing AND any
+    # redelivery — the batch oracle checks the streamed state exactly,
+    # with no batch-id dedup needed (contrast stream_cms).
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.hll import (
+        hll_maintain_stream,
+    )
+
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.col("o_custkey").cast("string").alias("v"),
+        F.pmod("o_orderkey", F.lit(3)).alias("_slice"),
+    )
+    d = tempfile.mkdtemp(prefix="hll_stream_")
+    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
+    for s in range(3):
+        vals.filter(F.col("_slice") == s).select("grp", "v").repartition(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("grp string, v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = hll_maintain_stream(stream, sk, "v", ["grp"], checkpoint=ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(sk).select("grp", "j", "m_rank")
+
+
+def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # HyperLogLog with FULL oracle parity: md5-derived registers are
+    # bit-reproducible in SQL (leading-zero ranks via string ops, the
+    # register sum kept integer-exact), so the oracle rebuilds the
+    # identical sketch and matches est_distinct exactly; within_3sigma
+    # audits the 1.04/sqrt(m) accuracy bound on top.  Completes the
+    # mergeable-sketch family: CMS (sum-merge), Misra-Gries
+    # (trim-merge), Bloom (or-merge), HLL (max-merge — idempotent, so
+    # replay-safe without batch-id dedup).
+    from cassandra_data_migration_spark.operators.aggregates import (
+        hll_distinct_audit,
+    )
+
+    return hll_distinct_audit(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    )
+
+
 # Ordered so a budget-capped driver run still yields verdicts for the
 # highest-value entries first: (A) the flagship + every SURVEY §2
 # migrate/validate/streaming/throttle operator that round 1's driver
@@ -3793,6 +3865,9 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "mmr_diverse_select": q_mmr_diverse_select,
     "stream_cms": q_stream_cms,
     "throttled_stream_pacing": q_throttled_stream_pacing,
+    "xml_roundtrip": q_xml_roundtrip,
+    "hll_distinct": q_hll_distinct,
+    "stream_hll": q_stream_hll,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7087,6 +7162,103 @@ ORACLES["throttled_stream_pacing"] = """
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events
 """
+
+
+ORACLES["xml_roundtrip"] = "SELECT * FROM supplier"
+
+
+# HLL rank of the 60-bit window (md5 hex chars 1-15): leading-zero
+# run in hex × 4, plus the first significant nibble's internal zeros
+_HLL_RANK_SQL = """
+        CASE WHEN ltrim(substr(h, 1, 15), '0') = '' THEN 61
+             ELSE (15 - length(ltrim(substr(h, 1, 15), '0'))) * 4
+                + CASE WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1) = '1'
+                       THEN 3
+                       WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1)
+                            IN ('2', '3') THEN 2
+                       WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1)
+                            IN ('4', '5', '6', '7') THEN 1
+                       ELSE 0 END + 1
+        END"""
+
+
+def _hll_regs_sql(m: int, seed: str) -> str:
+    """Shared CTE chain vals→regs: DuckDB twin of
+    ``operators/aggregates.hll_registers`` over (grp, v) pairs."""
+    return f"""
+    WITH vals AS (
+        SELECT DISTINCT o_orderpriority AS grp,
+               CAST(o_custkey AS VARCHAR) AS v
+        FROM orders
+    ),
+    hashed AS (
+        SELECT grp, md5(concat_ws(':', '{seed}', v)) AS h FROM vals
+    ),
+    cells AS (
+        SELECT grp,
+               CAST('0x' || substr(h, 16, 8) AS BIGINT) % {m} AS j,
+               {_HLL_RANK_SQL} AS p
+        FROM hashed
+    ),
+    regs AS (SELECT grp, j, MAX(p) AS m_rank FROM cells GROUP BY 1, 2)"""
+
+
+def _hll_oracle(b: int = 8, seed: str = "hll") -> str:
+    from cassandra_data_migration_spark.operators.aggregates import (
+        hll_constants,
+    )
+
+    m, _alpha, c_num = hll_constants(b)
+    bound = round(3 * 1.04 / (m**0.5) * 1000)
+    return f"""
+    {_hll_regs_sql(m, seed)},
+    summed AS (
+        SELECT grp,
+               SUM(CAST(POWER(2, 61 - m_rank) AS HUGEINT)) AS s_present,
+               CAST(COUNT(*) AS BIGINT) AS n_present
+        FROM regs GROUP BY 1
+    ),
+    folded AS (
+        SELECT grp, n_present,
+               {c_num!r} / CAST(s_present
+                   + CAST(POWER(2, 61) AS HUGEINT) * ({m} - n_present)
+                   AS DOUBLE) AS est_raw
+        FROM summed
+    ),
+    corrected AS (
+        SELECT grp, est_raw,
+               ({m} - n_present) > 0 AND est_raw <= {2.5 * m!r}
+                   AS used_linear_counting,
+               CASE WHEN ({m} - n_present) > 0 AND est_raw <= {2.5 * m!r}
+                    THEN {float(m)!r}
+                         * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
+                    ELSE est_raw END AS est
+        FROM folded
+    ),
+    exact AS (
+        SELECT o_orderpriority AS grp,
+               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct
+        FROM orders GROUP BY 1
+    )
+    SELECT e.grp AS o_orderpriority,
+           e.true_distinct,
+           CAST(FLOOR(est + 0.5) AS BIGINT) AS est_distinct,
+           c.used_linear_counting,
+           ABS(CAST(FLOOR(est + 0.5) AS BIGINT) - e.true_distinct) * 1000
+               <= {bound} * e.true_distinct AS within_3sigma
+    FROM exact e JOIN corrected c ON e.grp = c.grp
+    """
+
+
+ORACLES["hll_distinct"] = _hll_oracle()
+
+# stream-equals-batch: max-merge is idempotent and commutative, so
+# the streamed register state must equal the one-shot batch registers
+# exactly, cell for cell
+ORACLES["stream_hll"] = (
+    _hll_regs_sql(256, "hll")
+    + "\n    SELECT grp, j, CAST(m_rank AS INTEGER) AS m_rank FROM regs"
+)
 
 
 # Overlapping-interval range join: the oracle recomputes the plain

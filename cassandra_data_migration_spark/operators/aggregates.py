@@ -944,3 +944,147 @@ def cms_token_estimates(
             (F.col("est_cnt") >= F.col("true_cnt")).alias("over_ok"),
         )
     )
+
+
+# ---------------------------------------------------------------- HLL
+
+_HLL_RANK_CAP = 61  # 60 rank bits (15 md5 hex chars) + 1
+
+
+def hll_constants(b: int) -> tuple[int, float, float]:
+    """Shared constants for the md5-bucketed HyperLogLog (Flajolet et
+    al. 2007, public algorithm): ``(m, alpha_m, C)`` where ``m = 2^b``
+    registers and ``C = alpha_m · m² · 2^cap`` is the raw-estimate
+    numerator pre-multiplied by the integer scale the register sum is
+    kept in (each ``2^−M`` term is stored as ``2^(cap−M)``).  Exposed
+    so the DuckDB oracle embeds the bit-identical Python double via
+    ``repr(C)`` — estimate parity by construction, not by luck."""
+    m = 1 << b
+    alpha = {4: 0.673, 5: 0.697, 6: 0.709}.get(b, 0.7213 / (1 + 1.079 / m))
+    return m, alpha, alpha * m * m * float(1 << _HLL_RANK_CAP)
+
+
+_W_HEX_ALIAS = "_hll_w"
+
+
+def _hll_rank() -> Column:
+    """Leftmost-1 position (1-indexed) of the 60-bit value written as
+    15 md5 hex chars (column ``_hll_w``) — pure string ops
+    (leading-zero run + a CASE on the first significant nibble), so
+    any engine reproduces the identical rank.  All-zero ⇒ the cap."""
+    trimmed = F.expr(f"TRIM(LEADING '0' FROM {_W_HEX_ALIAS})")
+    d = F.substring(trimmed, 1, 1)
+    extra = (
+        F.when(d == "1", F.lit(3))
+        .when(d.isin("2", "3"), F.lit(2))
+        .when(d.isin("4", "5", "6", "7"), F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return F.when(trimmed == "", F.lit(_HLL_RANK_CAP)).otherwise(
+        (F.lit(15) - F.length(trimmed)) * 4 + extra + 1
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    b: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """HyperLogLog register table: per group, ``(j, m_rank)`` with
+    ``j`` from md5 hex chars 16-23 (32 independent bits, mod m) and
+    ``m_rank`` the max leftmost-1 rank of chars 1-15 (60 bits).
+
+    This IS the mergeable summary: registers from any corpus split
+    union-merge by ``MAX(m_rank)`` per ``(group, j)`` — max is
+    idempotent AND commutative, so unlike the count-min cell table
+    (sums — needs batch-id dedup under at-least-once delivery) an HLL
+    merge is safe to replay.  Scale shape: one md5 per row, map-side
+    partial max, shuffle carries ≤ m rows per task per group.
+    """
+    groups = list(group_cols or [])
+    h = F.md5(
+        F.concat_ws(":", F.lit(seed), F.col(value_col).cast("string"))
+    )
+    m = 1 << b
+    cells = df.select(
+        *groups,
+        (F.conv(F.substring(h, 16, 8), 16, 10).cast("long") % m).alias("j"),
+        F.substring(h, 1, 15).alias(_W_HEX_ALIAS),
+    ).withColumn("p", _hll_rank())
+    return (
+        cells.groupBy(*groups, "j")
+        .agg(F.max("p").cast("int").alias("m_rank"))
+    )
+
+
+def hll_distinct_audit(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    b: int = 8,
+    seed: str = "hll",
+) -> DataFrame:
+    """Audit-with-parity contract for :func:`hll_registers`: per
+    group, the exact distinct count next to the HLL estimate and the
+    3σ accuracy bit (σ = 1.04/√m — probabilistic, unlike the CMS
+    never-undercount theorem, hence checked at 3σ).
+
+    Estimate parity across engines without float-order hazards: the
+    register sum ``Σ 2^(cap−m_rank)`` is kept as an exact integer
+    (decimal here, HUGEINT in the oracle), the numerator is ONE
+    Python-computed double literal (:func:`hll_constants`), and the
+    only float ops are a single divide — plus ``m·ln(m/V)`` linear
+    counting on the small-range branch — followed by round-half-up to
+    BIGINT.  The exact-distinct side is the audit harness; production
+    keeps only the m-register table per group.
+    """
+    m, _alpha, c_num = hll_constants(b)
+    regs = hll_registers(
+        df.select(group_col, value_col).distinct(),
+        value_col,
+        [group_col],
+        b,
+        seed,
+    )
+    summed = regs.groupBy(group_col).agg(
+        F.sum(
+            F.expr(
+                f"CAST(shiftleft(CAST(1 AS BIGINT), "
+                f"{_HLL_RANK_CAP} - m_rank) AS DECIMAL(38,0))"
+            )
+        ).alias("s_present"),
+        F.count(F.lit(1)).cast("long").alias("n_present"),
+    )
+    scale = F.lit(1 << _HLL_RANK_CAP).cast("decimal(38,0)")
+    v_zero = F.lit(m) - F.col("n_present")
+    s_total = (F.col("s_present") + scale * v_zero.cast("decimal(38,0)")).cast(
+        "double"
+    )
+    est_raw = F.lit(c_num) / s_total
+    est = F.when(
+        (est_raw <= F.lit(2.5 * m)) & (v_zero > 0),
+        F.lit(float(m)) * F.log(F.lit(float(m)) / v_zero.cast("double")),
+    ).otherwise(est_raw)
+    exact = (
+        df.groupBy(group_col)
+        .agg(F.count_distinct(F.col(value_col)).alias("true_distinct"))
+    )
+    return (
+        exact.join(summed, group_col)
+        .select(
+            group_col,
+            "true_distinct",
+            F.floor(est + F.lit(0.5)).cast("long").alias("est_distinct"),
+            ((est_raw <= F.lit(2.5 * m)) & (v_zero > 0)).alias(
+                "used_linear_counting"
+            ),
+            (
+                F.abs(F.floor(est + F.lit(0.5)).cast("long") - F.col("true_distinct"))
+                * 1000
+                <= F.lit(round(3 * 1.04 / (m**0.5) * 1000))
+                * F.col("true_distinct")
+            ).alias("within_3sigma"),
+        )
+    )

@@ -137,6 +137,44 @@ def orc_import(
     return r.orc(path)
 
 
+def xml_export(
+    df: DataFrame,
+    path: str,
+    row_tag: str = "row",
+    root_tag: str = "rows",
+    compression: str | None = None,
+) -> None:
+    """XML staging — the third interchange format legacy enterprise
+    pipelines expect next to CSV/JSON (dsbulk has no XML connector;
+    COPY-era tooling round-trips through ad-hoc XML dumps instead).
+    Spark 4 ships the ``xml`` source natively (the former
+    databricks/spark-xml, merged upstream), so the unload keeps the
+    same parallel one-file-per-task shape as S4/S6."""
+    w = (
+        df.write.mode("overwrite")
+        .option("rowTag", row_tag)
+        .option("rootTag", root_tag)
+    )
+    if compression:
+        w = w.option("compression", compression)
+    w.format("xml").save(path)
+
+
+def xml_import(
+    spark: SparkSession,
+    path: str,
+    schema: StructType | None = None,
+    row_tag: str = "row",
+) -> DataFrame:
+    """Read back an XML staging dir.  An explicit schema both skips
+    the inference pass and pins element types (XML carries no type
+    metadata, so inference alone would widen e.g. DECIMAL to DOUBLE)."""
+    r = spark.read.option("rowTag", row_tag)
+    if schema is not None:
+        r = r.schema(schema)
+    return r.format("xml").load(path)
+
+
 def binary_import(
     spark: SparkSession,
     path: str,
