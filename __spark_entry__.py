@@ -3606,6 +3606,41 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # KMV sketch set algebra with FULL oracle parity: char-10-gram
+    # shingle overlap between the two halves of the corpus (sources
+    # src0-9 vs src10-19) — distinct, union AND intersection/Jaccard
+    # estimates from O(k) state.  Char shingles (not words — the
+    # synthetic vocabulary is ~31 words) push distinct counts far past
+    # k, so the k-th-minimum path is genuinely exercised at every sf.
+    # The estimator is a pure function of the value sets, so the
+    # oracle matches every estimate exactly; within_3sigma audits the
+    # ~1/sqrt(k-2) bound on top.
+    from cassandra_data_migration_spark.operators.aggregates import (
+        kmv_set_ops_audit,
+    )
+
+    t = F.col("text")
+    n = F.length(t) - 9
+    grams = load_table(spark, sf_dir, "documents").select(
+        F.substring("source", 4, 10).cast("int").alias("sid"),
+        F.explode(
+            F.when(
+                n >= 1,
+                F.transform(
+                    F.sequence(F.lit(1), n),
+                    lambda i: F.substring(t, i, 10),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("v"),
+    )
+    return kmv_set_ops_audit(
+        grams.filter(F.col("sid") < 10).select("v"),
+        grams.filter(F.col("sid") >= 10).select("v"),
+        "v",
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog with FULL oracle parity: md5-derived registers are
     # bit-reproducible in SQL (leading-zero ranks via string ops, the
@@ -3868,6 +3903,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "xml_roundtrip": q_xml_roundtrip,
     "hll_distinct": q_hll_distinct,
     "stream_hll": q_stream_hll,
+    "kmv_set_ops": q_kmv_set_ops,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7251,6 +7287,69 @@ def _hll_oracle(b: int = 8, seed: str = "hll") -> str:
 
 
 ORACLES["hll_distinct"] = _hll_oracle()
+
+def _kmv_oracle(k: int = 256, seed: str = "kmv") -> str:
+    est_num = repr(float((k - 1) * (1 << 60)))
+    bound_ppm = round(3 * 1000000 / (k - 2) ** 0.5)
+    h = _md5_draw_sql(seed, "v")
+
+    def est(sk: str) -> str:
+        return f"""(
+        SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
+                    ELSE {est_num} / CAST(MAX(h) AS DOUBLE) END
+        FROM {sk})"""
+
+    return f"""
+    WITH grams AS (
+        SELECT CAST(substr(source, 4, 10) AS INTEGER) AS sid,
+               unnest(list_transform(
+                   range(1, greatest(length(text) - 9, 0) + 1),
+                   i -> substr(text, CAST(i AS INT), 10))) AS v
+        FROM documents
+    ),
+    av AS (SELECT v FROM grams WHERE sid < 10),
+    bv AS (SELECT v FROM grams WHERE sid >= 10),
+    sa AS (SELECT DISTINCT {h} AS h FROM av ORDER BY h LIMIT {k}),
+    sb AS (SELECT DISTINCT {h} AS h FROM bv ORDER BY h LIMIT {k}),
+    su AS (
+        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
+        ORDER BY h LIMIT {k}
+    ),
+    jn AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS j_num FROM su
+        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
+    ),
+    ests AS (
+        SELECT {est('sa')} AS est_a_raw,
+               {est('sb')} AS est_b_raw,
+               {est('su')} AS est_union_raw,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS u_sz
+    ),
+    exact AS (
+        SELECT (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM av) AS true_a,
+               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM bv) AS true_b,
+               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
+                FROM (SELECT v FROM av UNION ALL SELECT v FROM bv)) AS true_union
+    )
+    SELECT true_a,
+           CAST(FLOOR(est_a_raw + 0.5) AS BIGINT) AS est_a,
+           true_b,
+           CAST(FLOOR(est_b_raw + 0.5) AS BIGINT) AS est_b,
+           true_union,
+           CAST(FLOOR(est_union_raw + 0.5) AS BIGINT) AS est_union,
+           CAST(FLOOR(true_a + true_b - true_union) AS BIGINT)
+               AS true_intersection,
+           CAST(FLOOR(CAST(j_num AS DOUBLE) / CAST(u_sz AS DOUBLE)
+                      * est_union_raw + 0.5) AS BIGINT) AS est_intersection,
+           CAST(FLOOR(j_num * 1000000 / u_sz) AS BIGINT) AS est_jaccard_ppm,
+           ABS(CAST(FLOOR(est_union_raw + 0.5) AS BIGINT) - true_union)
+               * 1000000 <= {bound_ppm} * true_union AS within_3sigma
+    FROM exact, ests, jn
+    """
+
+
+ORACLES["kmv_set_ops"] = _kmv_oracle()
+
 
 # stream-equals-batch: max-merge is idempotent and commutative, so
 # the streamed register state must equal the one-shot batch registers

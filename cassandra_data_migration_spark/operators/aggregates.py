@@ -1088,3 +1088,131 @@ def hll_distinct_audit(
             ).alias("within_3sigma"),
         )
     )
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def kmv_sketch(
+    df: DataFrame, value_col: str, k: int = 256, seed: str = "kmv"
+) -> DataFrame:
+    """K-Minimum-Values sketch (Bar-Yossef et al., RANDOM'02; Beyer et
+    al., SIGMOD'07): the ``k`` smallest ``md5_draw`` hashes of the
+    column's distinct values, as a ``(h)`` table.
+
+    The one sketch in the family that supports SET OPERATIONS: the
+    union sketch is the k smallest of the merged sketches (min-union —
+    idempotent like HLL's max-merge, so replay-safe), and because a
+    KMV is a uniform sample of the distinct-value hash space,
+    ``|S(A∪B) ∩ S(A) ∩ S(B)| / k`` estimates Jaccard directly —
+    intersections HLL structurally cannot do.
+
+    Physical shape: one md5 per row, then distributed top-k
+    (``TakeOrderedAndProject``: per-partition heads merged on the
+    driver — O(k) driver memory, no global sort).  Deterministic:
+    any engine rebuilds the identical sketch from the same rows.
+    """
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+
+    return (
+        df.select(md5_draw(seed, F.col(value_col)).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_set_ops_audit(
+    a: DataFrame,
+    b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    seed: str = "kmv",
+) -> DataFrame:
+    """Audit-with-parity contract for :func:`kmv_sketch` set algebra
+    over two corpora: exact distinct / union / Jaccard next to the
+    sketch estimates, one row out.
+
+    Estimates are deterministic — the k-th minimum of md5 draws is a
+    pure function of the value sets — so the oracle matches them
+    EXACTLY; ``within_3sigma`` audits the ~1/√(k−2) accuracy bound on
+    the union estimate on top.  Estimator: ``(k−1)·2⁶⁰ / h_k`` (60-bit
+    draw space), exact-count fallback when a side has fewer than k
+    distinct values; Jaccard from the three-way sketch intersection
+    over the union-sketch SIZE (= k when full, the whole union when
+    smaller — using k unconditionally silently deflates J on small
+    sets).  The exact side is the audit harness: production keeps
+    only the O(k) sketches, merged by min-union.
+    """
+    sa, sb = kmv_sketch(a, value_col, k, seed), kmv_sketch(b, value_col, k, seed)
+    su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
+
+    def est(sketch: DataFrame):
+        # (size, kth-min) -> estimate; exact when size < k
+        agg = sketch.agg(
+            F.count(F.lit(1)).alias("sz"), F.max("h").alias("hk")
+        )
+        return agg.select(
+            F.when(
+                F.col("sz") < k, F.col("sz").cast("double")
+            ).otherwise(
+                F.lit(float((k - 1) * (1 << 60))) / F.col("hk").cast("double")
+            ).alias("est"),
+            "sz",
+        )
+
+    # three-way membership: union-sketch hashes present in BOTH side
+    # sketches (k-row broadcast semi-joins)
+    j_num = (
+        su.join(F.broadcast(sa), "h", "left_semi")
+        .join(F.broadcast(sb), "h", "left_semi")
+        .agg(F.count(F.lit(1)).cast("long").alias("j_num"))
+    )
+    exact_a = a.agg(F.count_distinct(F.col(value_col)).alias("true_a"))
+    exact_b = b.agg(F.count_distinct(F.col(value_col)).alias("true_b"))
+    exact_u = (
+        a.select(F.col(value_col).alias("v"))
+        .unionByName(b.select(F.col(value_col).alias("v")))
+        .agg(F.count_distinct("v").alias("true_union"))
+    )
+    ea = est(sa).select(F.col("est").alias("est_a_raw"))
+    eb = est(sb).select(F.col("est").alias("est_b_raw"))
+    eu = est(su).select(F.col("est").alias("est_union_raw"), F.col("sz").alias("u_sz"))
+    row = (
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_u)
+        .crossJoin(ea)
+        .crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(j_num)
+    )
+    rnd = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
+    bound_ppm = round(3 * 1000000 / (k - 2) ** 0.5)
+    est_union = rnd(F.col("est_union_raw"))
+    return row.select(
+        "true_a",
+        rnd(F.col("est_a_raw")).alias("est_a"),
+        "true_b",
+        rnd(F.col("est_b_raw")).alias("est_b"),
+        "true_union",
+        est_union.alias("est_union"),
+        (
+            F.floor(
+                F.col("true_a") + F.col("true_b") - F.col("true_union")
+            ).cast("long")
+        ).alias("true_intersection"),
+        rnd(
+            F.col("j_num").cast("double")
+            / F.col("u_sz").cast("double")
+            * F.col("est_union_raw")
+        ).alias("est_intersection"),
+        # floor, not bare cast: DuckDB rounds double→BIGINT casts while
+        # Spark truncates, so the oracle twin must floor explicitly too
+        F.floor(F.col("j_num") * F.lit(1_000_000) / F.col("u_sz"))
+        .cast("long")
+        .alias("est_jaccard_ppm"),
+        (
+            F.abs(est_union - F.col("true_union")) * 1_000_000
+            <= F.lit(bound_ppm) * F.col("true_union")
+        ).alias("within_3sigma"),
+    )

@@ -411,3 +411,63 @@ def test_stream_hll_equals_batch_and_redelivery_is_noop(spark, tmp_path):
     q2 = start(f"{d}/ckpt2")  # full redelivery
     q2.awaitTermination(120)
     assert sorted(map(tuple, spark.read.parquet(sk).collect())) == expect
+
+
+# ---------------------------------------------------------------- KMV
+
+
+def test_kmv_min_union_merge_is_idempotent(spark):
+    # the sketch of A∪B equals the k smallest of sketch(A) ∪ sketch(B),
+    # and re-merging either side again changes nothing (min-union is
+    # idempotent like HLL's max-merge)
+    from cassandra_data_migration_spark.operators.aggregates import (
+        kmv_sketch,
+    )
+
+    a = spark.range(0, 800).selectExpr("concat('a', id) as v")
+    b = spark.range(0, 900).selectExpr(
+        "concat(if(id % 3 = 0, 'a', 'b'), id) as v"
+    )
+    k = 64
+    whole = sorted(
+        r["h"] for r in kmv_sketch(a.unionByName(b), "v", k).collect()
+    )
+    sa, sb = kmv_sketch(a, "v", k), kmv_sketch(b, "v", k)
+    merged = sa.unionByName(sb).unionByName(sb).distinct().orderBy("h").limit(k)
+    assert sorted(r["h"] for r in merged.collect()) == whole
+
+
+def test_kmv_estimates_are_accurate(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        kmv_set_ops_audit,
+    )
+
+    # |A|=3000, |B|=2500, |A∩B|=1500 exactly
+    a = spark.range(0, 3000).selectExpr("concat('x', id) as v")
+    b = spark.range(1500, 4000).selectExpr("concat('x', id) as v")
+    r = kmv_set_ops_audit(a, b, "v", k=256).first()
+    assert r["true_a"] == 3000 and r["true_b"] == 2500
+    assert r["true_union"] == 4000 and r["true_intersection"] == 1500
+    assert r["within_3sigma"]
+    for est, true in (
+        (r["est_a"], 3000),
+        (r["est_b"], 2500),
+        (r["est_union"], 4000),
+        (r["est_intersection"], 1500),
+    ):
+        assert abs(est - true) <= 0.25 * true, (est, true)
+    assert abs(r["est_jaccard_ppm"] - 375000) <= 95000  # J = 1500/4000
+
+
+def test_kmv_exact_branch_below_k(spark):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        kmv_set_ops_audit,
+    )
+
+    a = spark.range(0, 40).selectExpr("concat('x', id) as v")
+    b = spark.range(20, 60).selectExpr("concat('x', id) as v")
+    r = kmv_set_ops_audit(a, b, "v", k=256).first()
+    # everything fits in the sketches: all answers exact
+    assert (r["est_a"], r["est_b"], r["est_union"]) == (40, 40, 60)
+    assert r["est_intersection"] == 20
+    assert r["est_jaccard_ppm"] == 333333  # floor(20/60 * 1e6)
