@@ -3606,6 +3606,39 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous weighted sampling: the documents stream replayed in
+    # micro-batch slices through foreachBatch min-k merges of A-ES
+    # keys.  Content-hash keys make the reservoir a mergeable summary:
+    # the streamed state must equal the one-shot batch sample exactly,
+    # so the BATCH A-ES oracle checks the STREAMED winners.
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.reservoir import (
+        weighted_reservoir_stream,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", "n_chars", F.pmod("doc_id", F.lit(3)).alias("_s")
+    )
+    d = tempfile.mkdtemp(prefix="reservoir_stream_")
+    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    for s in range(3):
+        docs.filter(F.col("_s") == s).drop("_s").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("lang string, doc_id long, n_chars long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = weighted_reservoir_stream(
+        stream, st, "lang", "doc_id", "n_chars", k=5, checkpoint=ckpt
+    )
+    q.awaitTermination(300)
+    return spark.read.parquet(st).select("lang", "doc_id", "n_chars")
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV sketch set algebra with FULL oracle parity: char-10-gram
     # shingle overlap between the two halves of the corpus (sources
@@ -3904,6 +3937,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hll_distinct": q_hll_distinct,
     "stream_hll": q_stream_hll,
     "kmv_set_ops": q_kmv_set_ops,
+    "stream_reservoir": q_stream_reservoir,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7511,6 +7545,11 @@ ORACLES["weighted_sample"] = """
     )
     SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 5
 """
+
+# stream-equals-batch: min-k merge of content-hash A-ES keys is
+# idempotent and commutative, so the streamed reservoir must equal
+# the one-shot batch weighted sample row for row
+ORACLES["stream_reservoir"] = ORACLES["weighted_sample"]
 
 ORACLES["stream_attribution"] = """
     SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,

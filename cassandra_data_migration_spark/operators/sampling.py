@@ -357,6 +357,30 @@ def token_budget_select(
     return kept_hi.select(*out_cols).unionByName(kept_edge.select(*out_cols))
 
 
+def aes_key(
+    group_col: str, id_col: str, weight_col: str, salt: str = "wsample"
+) -> Column:
+    """The Efraimidis–Spirakis sort key ``−ln(u)/w`` with ``u`` drawn
+    from the portable md5 hash of (salt, group, id) — shared by the
+    batch sampler and the streaming reservoir so the two can never
+    disagree about which rows win."""
+    draw32 = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt),
+                    F.col(group_col).cast("string"),
+                    F.col(id_col).cast("string"),
+                )
+            ),
+            1, 8,
+        ),
+        16, 10,
+    ).cast("long")
+    u = (draw32 + 1) / F.lit(float(1 << 32))
+    return -F.log(u) / F.col(weight_col)
+
+
 def weighted_sample_per_group(
     df: DataFrame,
     group_col: str,
@@ -380,21 +404,7 @@ def weighted_sample_per_group(
     the window if profiling demands it."""
     from pyspark.sql import Window
 
-    draw32 = F.conv(
-        F.substring(
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(salt),
-                    F.col(group_col).cast("string"),
-                    F.col(id_col).cast("string"),
-                )
-            ),
-            1, 8,
-        ),
-        16, 10,
-    ).cast("long")
-    u = (draw32 + 1) / F.lit(float(1 << 32))
-    key = -F.log(u) / F.col(weight_col)
+    key = aes_key(group_col, id_col, weight_col, salt)
     w = Window.partitionBy(group_col).orderBy(F.asc("_akey"), F.asc(id_col))
     # A-ES is defined for w > 0: a zero/NULL weight makes the key NULL
     # (non-ANSI division), and NULLs sort FIRST ascending — such rows

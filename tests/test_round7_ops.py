@@ -471,3 +471,58 @@ def test_kmv_exact_branch_below_k(spark):
     assert (r["est_a"], r["est_b"], r["est_union"]) == (40, 40, 60)
     assert r["est_intersection"] == 20
     assert r["est_jaccard_ppm"] == 333333  # floor(20/60 * 1e6)
+
+
+def test_stream_reservoir_equals_batch_and_redelivery_is_noop(spark, tmp_path):
+    """Streamed A-ES reservoir must equal the batch weighted sample
+    under any slicing, and a full replay from a fresh checkpoint must
+    leave the winners bit-identical (min-k merge of content-hash keys
+    is idempotent)."""
+    from cassandra_data_migration_spark.operators.sampling import (
+        weighted_sample_per_group,
+    )
+    from cassandra_data_migration_spark.streaming.reservoir import (
+        weighted_reservoir_stream,
+    )
+
+    rows = [(f"g{i % 4}", i, 1 + (i * 7) % 50) for i in range(120)]
+    d = str(tmp_path)
+    src, st = f"{d}/src", f"{d}/state"
+    for i in range(0, len(rows), 40):
+        spark.createDataFrame(
+            rows[i : i + 40], "grp string, id long, wt long"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def start(ckpt):
+        return weighted_reservoir_stream(
+            spark.readStream.schema("grp string, id long, wt long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            st,
+            "grp",
+            "id",
+            "wt",
+            k=3,
+            checkpoint=ckpt,
+        )
+
+    q = start(f"{d}/ckpt")
+    q.awaitTermination(120)
+    batch = weighted_sample_per_group(
+        spark.createDataFrame(rows, "grp string, id long, wt long"),
+        "grp",
+        "id",
+        "wt",
+        k=3,
+    )
+    expect = sorted(map(tuple, batch.collect()))
+    got = sorted(
+        map(tuple, spark.read.parquet(st).select("grp", "id", "wt").collect())
+    )
+    assert got == expect and len(expect) == 12
+    q2 = start(f"{d}/ckpt2")  # full redelivery
+    q2.awaitTermination(120)
+    got2 = sorted(
+        map(tuple, spark.read.parquet(st).select("grp", "id", "wt").collect())
+    )
+    assert got2 == expect
