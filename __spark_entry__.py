@@ -3606,6 +3606,56 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # point-in-time SCD2 enrichment: every order joins the customer
+    # dimension VERSION valid at its order date (key equal + validity
+    # range).  The 3-version dimension is synthesized with md5 draws,
+    # so the oracle rebuilds it bit-identically; version boundaries
+    # are strictly increasing by construction (v*800 + draw%400), so
+    # intervals partition time with an exclusive upper bound.
+    from cassandra_data_migration_spark.functions.hashing import md5_draw
+    from cassandra_data_migration_spark.operators.joins import (
+        pit_dimension_join,
+    )
+
+    versions = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
+    )
+    vf = F.col("v") * 800 + md5_draw("scdv", F.col("o_custkey"), F.col("v")) % 400
+    vt = F.when(
+        F.col("v") < 2,
+        (F.col("v") + 1) * 800
+        + md5_draw("scdv", F.col("o_custkey"), F.col("v") + 1) % 400,
+    ).otherwise(F.lit(9_999_999))
+    dim = versions.select(
+        "o_custkey",
+        F.col("v").alias("ver"),
+        (md5_draw("seg", F.col("o_custkey"), F.col("v")) % 5).alias("segment"),
+        vf.alias("vf_day"),
+        vt.alias("vt_day"),
+    )
+    fact = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("day"),
+        "o_totalprice",
+    )
+    return (
+        pit_dimension_join(
+            fact, dim, ["o_custkey"], "day", "vf_day", "vt_day"
+        )
+        .groupBy("segment", "ver")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.round(
+                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
+            )
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous weighted sampling: the documents stream replayed in
     # micro-batch slices through foreachBatch min-k merges of A-ES
@@ -3938,6 +3988,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_hll": q_stream_hll,
     "kmv_set_ops": q_kmv_set_ops,
     "stream_reservoir": q_stream_reservoir,
+    "pit_enrich": q_pit_enrich,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7383,6 +7434,43 @@ def _kmv_oracle(k: int = 256, seed: str = "kmv") -> str:
 
 
 ORACLES["kmv_set_ops"] = _kmv_oracle()
+
+
+def _pit_oracle() -> str:
+    vf = f"v * 800 + {_md5_draw_sql('scdv', 'c_custkey', 'v')} % 400"
+    vt = (
+        f"CASE WHEN v < 2 THEN (v + 1) * 800 + "
+        f"{_md5_draw_sql('scdv', 'c_custkey', 'v + 1')} % 400 "
+        f"ELSE 9999999 END"
+    )
+    seg = f"{_md5_draw_sql('seg', 'c_custkey', 'v')} % 5"
+    return f"""
+    WITH dim AS (
+        SELECT c_custkey, v,
+               {seg} AS segment,
+               {vf} AS vf_day,
+               {vt} AS vt_day
+        FROM customer, (SELECT unnest([0, 1, 2]) AS v)
+    ),
+    fact AS (
+        SELECT o_custkey,
+               date_diff('day', DATE '1992-01-01',
+                         CAST(o_orderdate AS DATE)) AS day,
+               o_totalprice
+        FROM orders
+    )
+    SELECT segment, v AS ver,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
+                AS DOUBLE) AS sum_price
+    FROM fact f
+    JOIN dim d ON f.o_custkey = d.c_custkey
+              AND f.day >= d.vf_day AND f.day < d.vt_day
+    GROUP BY 1, 2
+    """
+
+
+ORACLES["pit_enrich"] = _pit_oracle()
 
 
 # stream-equals-batch: max-merge is idempotent and commutative, so

@@ -391,3 +391,44 @@ def binned_range_join(
         & (F.col(point_col) <= F.col(hi_col))
     )
     return pt.join(iv, ["_bin", *on]).filter(cond).drop("_bin")
+
+
+def pit_dimension_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    valid_from_col: str = "valid_from",
+    valid_to_col: str = "valid_to",
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-time (SCD2) dimension enrichment: each fact row joins
+    the dimension version whose validity interval covers the fact's
+    timestamp — ``key equal AND valid_from <= ts < valid_to``, the
+    canonical temporal-warehouse join the reference's static FK
+    broadcast (J4) cannot express.
+
+    Physical shape: because an EQUI key is present, Catalyst plans a
+    plain shuffled/sort-merge join on the key with the range as a
+    post-join filter — per-key work is |versions per key| (~a handful
+    in any SCD2 dim), NEVER a nested loop over the whole dimension
+    (plan-pinned in tests/test_physical_plans.py).  Contrast
+    ``binned_range_join``, which exists for the keyless pure-range
+    case.  At 100 TB the join shuffles on the key like any FK join;
+    a small dimension can be broadcast by Spark's usual size rule.
+
+    SCD2 convention: ``valid_to`` is EXCLUSIVE (a version ends the
+    instant the next begins — no double-match on the boundary), and
+    an open-ended current version uses a far-future sentinel rather
+    than NULL so the predicate stays null-safe.
+    """
+    cond = None
+    for k in key_cols:
+        c = fact[k] == dim[k]
+        cond = c if cond is None else cond & c
+    cond = (
+        cond
+        & (fact[ts_col] >= dim[valid_from_col])
+        & (fact[ts_col] < dim[valid_to_col])
+    )
+    return fact.join(dim, cond, how)

@@ -510,3 +510,17 @@ def test_cms_sketch_has_partial_aggregation(spark):
     # depth*width partial cells per task, not one row per token
     plan = _plan(entry_mod.queries()["cms_token_counts"](spark, SF_CORRECT))
     assert "partial_count" in plan
+
+
+def test_pit_dimension_join_uses_equi_join_not_nested_loop(spark):
+    # SCD2 enrichment has an equi key: the validity range must ride as
+    # a post-join condition on a hash/sort-merge join, never force a
+    # nested loop over the dimension
+    plan = _plan(entry_mod.queries()["pit_enrich"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert (
+        "SortMergeJoin" in plan
+        or "ShuffledHashJoin" in plan
+        or "BroadcastHashJoin" in plan
+    )

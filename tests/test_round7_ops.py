@@ -526,3 +526,25 @@ def test_stream_reservoir_equals_batch_and_redelivery_is_noop(spark, tmp_path):
         map(tuple, spark.read.parquet(st).select("grp", "id", "wt").collect())
     )
     assert got2 == expect
+
+
+def test_pit_join_boundaries_are_exclusive_and_total(spark):
+    # a fact ON a version boundary joins the NEWER version only, and
+    # every fact inside the covered span joins exactly one version
+    from cassandra_data_migration_spark.operators.joins import (
+        pit_dimension_join,
+    )
+
+    dim = spark.createDataFrame(
+        [(1, 0, 0, 10), (1, 1, 10, 20), (1, 2, 20, 999)],
+        "k long, ver int, valid_from long, valid_to long",
+    )
+    fact = spark.createDataFrame(
+        [(1, 5), (1, 10), (1, 19), (1, 20), (1, 500), (1, 0)],
+        "k long, ts long",
+    )
+    out = pit_dimension_join(fact, dim, ["k"], "ts").select(
+        fact["ts"], dim["ver"]
+    )
+    got = sorted(map(tuple, out.collect()))
+    assert got == [(0, 0), (5, 0), (10, 1), (19, 1), (20, 2), (500, 2)]
