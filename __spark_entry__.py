@@ -3606,6 +3606,17 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_domain_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # k-core peeling over the synthesized domain graph: iterative
+    # delete-below-degree-k until fixpoint (driver loop, data stays
+    # on executors).  The oracle unrolls 6 MATERIALIZED peel rounds —
+    # more than the measured depth, and converged rounds are no-ops,
+    # so the unroll is exact, the same trick as the MMR oracle.
+    from cassandra_data_migration_spark.operators.graph import domain_k_core
+
+    return domain_k_core(load_table(spark, sf_dir, "documents"), k=5)
+
+
 def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
     # point-in-time SCD2 enrichment: every order joins the customer
     # dimension VERSION valid at its order date (key equal + validity
@@ -3989,6 +4000,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "kmv_set_ops": q_kmv_set_ops,
     "stream_reservoir": q_stream_reservoir,
     "pit_enrich": q_pit_enrich,
+    "domain_k_core": q_domain_k_core,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7471,6 +7483,55 @@ def _pit_oracle() -> str:
 
 
 ORACLES["pit_enrich"] = _pit_oracle()
+
+
+def _k_core_oracle(k: int = 5, rounds: int = 6) -> str:
+    # same synthesized domain graph as the triangle/pagerank oracles;
+    # each peel round MATERIALIZED (chained CTEs that reference the
+    # previous stage twice re-evaluate exponentially otherwise)
+    stages = []
+    for r in range(rounds):
+        prev = "und" if r == 0 else f"e{r - 1}"
+        stages.append(
+            f"""d{r} AS MATERIALIZED (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev})
+        GROUP BY 1
+    ),
+    e{r} AS MATERIALIZED (
+        SELECT a, b FROM {prev}
+        WHERE a NOT IN (SELECT v FROM d{r} WHERE degree < {k})
+          AND b NOT IN (SELECT v FROM d{r} WHERE degree < {k})
+    )"""
+        )
+    last = f"e{rounds - 1}"
+    return f"""
+    WITH u AS ({_URL_CTE}),
+    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
+    idx AS (SELECT domain,
+                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
+                   (SELECT COUNT(*) FROM doms) AS n
+            FROM doms),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
+            UNION SELECT i, (i * 5 + 2) % n FROM idx
+            UNION SELECT i, (i * 7 + 3) % n FROM idx
+        ) WHERE src <> dst
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges),
+    {','.join(stages)}
+    SELECT idx.domain, f.degree
+    FROM (
+        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
+        FROM (SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last})
+        GROUP BY 1
+    ) f JOIN idx ON f.v = idx.i
+    """
+
+
+ORACLES["domain_k_core"] = _k_core_oracle()
 
 
 # stream-equals-batch: max-merge is idempotent and commutative, so

@@ -486,3 +486,66 @@ def domain_triangles(docs: DataFrame) -> DataFrame:
         "n_triangles",
         clustering.cast("long").alias("clustering_e6"),
     )
+
+
+def k_core(und: DataFrame, k: int, max_iter: int = 40) -> DataFrame:
+    """k-core decomposition by iterative peeling (Seidman 1983;
+    distributed form as in Montresor et al.): repeatedly delete every
+    vertex whose degree in the REMAINING graph is < k until none is —
+    what survives is the maximal subgraph with min-degree ≥ k, the
+    standard community-density filter a web/domain graph pipeline
+    runs before expensive per-community work.
+
+    ``und`` is the canonical undirected edge table (a < b, distinct).
+    Returns ``(v, degree)`` — surviving vertices with their k-core
+    degree.
+
+    Scale shape: each round is one degree aggregation plus an
+    anti-join of the edge table against the (usually small) doomed
+    set — driver-side control flow only, data never leaves executors;
+    ``localCheckpoint`` truncates lineage per round like the CC
+    loops.  Round count is bounded by the peeling depth (the graph's
+    degeneracy ordering collapses expander-ish graphs in a handful of
+    rounds); ``max_iter`` is a guard, and exhausting it raises rather
+    than returning a superset that silently isn't a k-core.
+    """
+    edges = und.select(
+        F.col("a").cast("long").alias("a"), F.col("b").cast("long").alias("b")
+    ).localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        deg = (
+            edges.select(F.col("a").alias("v"))
+            .unionAll(edges.select(F.col("b").alias("v")))
+            .groupBy("v")
+            .agg(F.count(F.lit(1)).cast("long").alias("degree"))
+        )
+        doomed = deg.filter(F.col("degree") < k).select("v")
+        if doomed.isEmpty():
+            return deg
+        edges = (
+            edges.join(
+                doomed.withColumnRenamed("v", "a"), "a", "left_anti"
+            )
+            .join(doomed.withColumnRenamed("v", "b"), "b", "left_anti")
+            .select("a", "b")
+            .localCheckpoint(eager=True)
+        )
+    raise RuntimeError(
+        f"k_core did not converge within {max_iter} peeling rounds"
+    )
+
+
+def domain_k_core(docs: DataFrame, k: int = 5) -> DataFrame:
+    """(domain, degree) of the domains surviving in the k-core of the
+    synthesized domain link graph — the dense-community slice of the
+    corpus's domain neighborhood."""
+    idx, edges = domain_link_graph(docs)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    core = k_core(und, k)
+    return idx.join(core, idx["i"] == core["v"]).select("domain", "degree")

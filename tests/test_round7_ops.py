@@ -548,3 +548,55 @@ def test_pit_join_boundaries_are_exclusive_and_total(spark):
     )
     got = sorted(map(tuple, out.collect()))
     assert got == [(0, 0), (5, 0), (10, 1), (19, 1), (20, 2), (500, 2)]
+
+
+# ---------------------------------------------------------------- k-core
+
+
+def _brute_k_core(edges, k):
+    edges = {tuple(sorted(e)) for e in edges if e[0] != e[1]}
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        doomed = {v for v, d in deg.items() if d < k}
+        if not doomed:
+            return sorted(deg.items())
+        edges = {e for e in edges if e[0] not in doomed and e[1] not in doomed}
+
+
+def test_k_core_matches_brute_force_peeling(spark):
+    import random
+
+    from cassandra_data_migration_spark.operators.graph import k_core
+
+    rng = random.Random(11)
+    for trial in range(3):
+        raw = {
+            tuple(sorted((rng.randrange(30), rng.randrange(30))))
+            for _ in range(70)
+        }
+        edges = [(a, b) for a, b in raw if a != b]
+        und = spark.createDataFrame(edges, "a long, b long")
+        for k in (2, 3, 4):
+            got = sorted(
+                (r["v"], r["degree"]) for r in k_core(und, k).collect()
+            )
+            assert got == _brute_k_core(edges, k), (trial, k)
+
+
+def test_k_core_raises_instead_of_returning_non_core(spark):
+    import pytest
+
+    from cassandra_data_migration_spark.operators.graph import k_core
+
+    # a path graph peels one layer per round from each end: max_iter=1
+    # cannot converge for k=2, and the guard must raise, not return
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "a long, b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        k_core(path, 2, max_iter=1)
+    # the full 2-core of a path is empty: convergence returns 0 rows
+    assert k_core(path, 2).count() == 0
