@@ -1816,7 +1816,9 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb, cb = _pq_inputs(spark, sf_dir)
     qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0])
+    # arrow encode tier: bit-identical to the SQL fold
+    # (tests/test_fast_tiers) at vectorized-numpy speed
+    return pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0], tier="arrow")
 
 
 def q_throttle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3606,6 +3608,22 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # first-order Markov matrix of user behavior: one lead window on
+    # the (ts, event_id)-totally-ordered per-user stream, then
+    # state-pair counts + row-normalized ppm probabilities
+    from cassandra_data_migration_spark.operators.windows import (
+        transition_matrix,
+    )
+
+    return transition_matrix(
+        load_table(spark, sf_dir, "events"),
+        "user_id",
+        ["ts", "event_id"],
+        "event_type",
+    )
+
+
 def q_domain_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
     # k-core peeling over the synthesized domain graph: iterative
     # delete-below-degree-k until fixpoint (driver loop, data stays
@@ -4001,6 +4019,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stream_reservoir": q_stream_reservoir,
     "pit_enrich": q_pit_enrich,
     "domain_k_core": q_domain_k_core,
+    "event_transitions": q_event_transitions,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7532,6 +7551,29 @@ def _k_core_oracle(k: int = 5, rounds: int = 6) -> str:
 
 
 ORACLES["domain_k_core"] = _k_core_oracle()
+
+ORACLES["event_transitions"] = """
+    WITH seq AS (
+        SELECT event_type,
+               LEAD(event_type) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+               ) AS next_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type AS from_state, next_type AS to_state,
+               CAST(COUNT(*) AS BIGINT) AS n_transitions
+        FROM seq WHERE next_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS t
+        FROM cnt GROUP BY 1
+    )
+    SELECT from_state, to_state, n_transitions,
+           CAST(FLOOR(n_transitions * 1000000 / t) AS BIGINT) AS prob_ppm
+    FROM cnt JOIN tot USING (from_state)
+"""
 
 
 # stream-equals-batch: max-merge is idempotent and commutative, so

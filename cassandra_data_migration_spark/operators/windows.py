@@ -533,3 +533,57 @@ def merge_intervals(
         )
         .select(key_col, "span_start", "span_end", "n_merged")
     )
+
+
+def transition_matrix(
+    df: DataFrame,
+    seq_col: str,
+    order_cols: list[str],
+    state_col: str,
+) -> DataFrame:
+    """First-order Markov transition matrix over per-entity event
+    sequences: for every observed (from_state → to_state) pair, the
+    transition count and row-normalized probability in integer ppm —
+    the behavioral-model summary (next-action prediction, anomaly
+    scoring of improbable jumps) a product-analytics pipeline derives
+    from its event log.
+
+    ``order_cols`` must make the per-entity order TOTAL (include a
+    tiebreaker id next to the timestamp), or adjacent-pair extraction
+    is nondeterministic under repartitioning.
+
+    Plan: ONE ``lead`` window (single shuffle on the entity key,
+    per-entity sort bounded by session length), then two tiny
+    aggregates over (state, state) pairs — state-count² rows at most.
+    Integer ppm via explicit FLOOR: DuckDB rounds double→BIGINT casts
+    while Spark truncates, so the normalization floors on both sides.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(seq_col).orderBy(*order_cols)
+    pairs = (
+        df.select(
+            F.col(state_col).alias("from_state"),
+            F.lead(F.col(state_col)).over(w).alias("to_state"),
+        )
+        .filter(F.col("to_state").isNotNull())
+    )
+    counts = pairs.groupBy("from_state", "to_state").agg(
+        F.count(F.lit(1)).cast("long").alias("n_transitions")
+    )
+    totals = counts.groupBy("from_state").agg(
+        F.sum("n_transitions").cast("long").alias("_row_total")
+    )
+    return (
+        counts.join(totals, "from_state")
+        .select(
+            "from_state",
+            "to_state",
+            "n_transitions",
+            F.floor(
+                F.col("n_transitions") * F.lit(1_000_000) / F.col("_row_total")
+            )
+            .cast("long")
+            .alias("prob_ppm"),
+        )
+    )

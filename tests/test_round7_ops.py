@@ -600,3 +600,31 @@ def test_k_core_raises_instead_of_returning_non_core(spark):
         k_core(path, 2, max_iter=1)
     # the full 2-core of a path is empty: convergence returns 0 rows
     assert k_core(path, 2).count() == 0
+
+
+def test_transition_matrix_counts_and_ppm(spark):
+    from cassandra_data_migration_spark.operators.windows import (
+        transition_matrix,
+    )
+
+    # user 1: a->b->a->c ; user 2: b->b ; order by (ts, id) with a tie
+    rows = [
+        (1, 10, 0, "a"), (1, 20, 1, "b"), (1, 30, 2, "a"), (1, 40, 3, "c"),
+        (2, 10, 4, "b"), (2, 10, 5, "b"),
+    ]
+    df = spark.createDataFrame(rows, "u long, ts long, id long, s string")
+    out = {
+        (r["from_state"], r["to_state"]): (r["n_transitions"], r["prob_ppm"])
+        for r in transition_matrix(df, "u", ["ts", "id"], "s").collect()
+    }
+    assert out == {
+        ("a", "b"): (1, 500000),
+        ("a", "c"): (1, 500000),
+        ("b", "a"): (1, 500000),
+        ("b", "b"): (1, 500000),
+    }
+    # per-row ppm sums to <= 1e6 (floor) and > 1e6 - n_states
+    sums = {}
+    for (f, _t), (_n, p) in out.items():
+        sums[f] = sums.get(f, 0) + p
+    assert all(1_000_000 - 4 <= s <= 1_000_000 for s in sums.values())

@@ -79,6 +79,10 @@ def run_probe() -> None:
     if "--skip-build" not in sys.argv:
         build_corpora(spark)
 
+    from cassandra_data_migration_spark.operators.aggregates import (
+        hll_distinct_audit,
+        kmv_set_ops_audit,
+    )
     from cassandra_data_migration_spark.operators.dedup import (
         minhash_lsh_dedup,
         prefix_filter_pairs,
@@ -100,6 +104,34 @@ def run_probe() -> None:
         ),
         "substring_dup_spans": lambda d: substring_dup_spans(d, k=5),
         "dup_clusters": lambda d: dup_clusters(d, n=3, threshold=0.5),
+        # sketches: O(m)/O(k) state — estimates over TEXT values must be
+        # IDENTICAL at 1x vs 10x duplication (distinct sets unchanged),
+        # while wall/shuffle grow only with the scan
+        "hll_distinct_text": lambda d: hll_distinct_audit(d, "lang", "text"),
+        "kmv_gram_overlap": lambda d: kmv_set_ops_audit(
+            *(
+                lambda g: (
+                    g.filter(F.col("sid") < 10).select("v"),
+                    g.filter(F.col("sid") >= 10).select("v"),
+                )
+            )(
+                d.select(
+                    F.substring("source", 4, 10).cast("int").alias("sid"),
+                    F.explode(
+                        F.when(
+                            F.length("text") - 9 >= 1,
+                            F.transform(
+                                F.sequence(
+                                    F.lit(1), F.length("text") - 9
+                                ),
+                                lambda i: F.substring(F.col("text"), i, 10),
+                            ),
+                        ).otherwise(F.array().cast("array<string>"))
+                    ).alias("v"),
+                )
+            ),
+            "v",
+        ),
     }
 
     results: dict[str, dict[str, dict[str, float]]] = {}
