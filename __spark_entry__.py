@@ -1821,6 +1821,24 @@ def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0], tier="arrow")
 
 
+def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # FAISS-style IVF-PQ: integer-exact coarse routing (4 of 16 lists
+    # probed) + oracle-exact PQ-ADC ranking of the probed lists only.
+    # The full search — routing, assignment, shortlist, ADC order —
+    # is deterministic, so the oracle replays it EXACTLY (approximate
+    # vs brute force, but never approximate vs its own spec).
+    from cassandra_data_migration_spark.operators.similarity import (
+        ivf_pq_topk,
+    )
+
+    emb, cb = _pq_inputs(spark, sf_dir)
+    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_pq_topk(
+        emb, qv, cb, k=10, n_coarse=16, n_probe=4,
+        exclude_ids=[0], tier="arrow",
+    )
+
+
 def q_throttle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
     # T1 rate limiting, declarative form: the per-worker admission
     # schedule (worker = PK hash, send_second = rank DIV per-worker
@@ -4020,6 +4038,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "pit_enrich": q_pit_enrich,
     "domain_k_core": q_domain_k_core,
     "event_transitions": q_event_transitions,
+    "ivf_pq_topk": q_ivf_pq_topk,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7551,6 +7570,61 @@ def _k_core_oracle(k: int = 5, rounds: int = 6) -> str:
 
 
 ORACLES["domain_k_core"] = _k_core_oracle()
+
+ORACLES["ivf_pq_topk"] = f"""
+    WITH {_PQ_CTES},
+    icb AS (
+        SELECT ROW_NUMBER() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS lid,
+               embedding::DOUBLE[] AS cv
+        FROM (SELECT vec_id, embedding FROM embeddings
+              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
+    ),
+    asn AS (
+        SELECT vec_id, lid FROM (
+            SELECT e.vec_id, icb.lid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY CAST(floor((list_dot_product(cv, cv)
+                           - 2.0 * list_dot_product(e.embedding::DOUBLE[], cv))
+                           * 10000.0 + 0.5) AS BIGINT), icb.lid) AS rk
+            FROM embeddings e, icb
+        ) WHERE rk = 1
+    ),
+    qroute AS (
+        SELECT lid FROM (
+            SELECT icb.lid,
+                   CAST(floor((list_dot_product(cv, cv)
+                       - 2.0 * list_dot_product(qq.qv, cv))
+                       * 10000.0 + 0.5) AS BIGINT) AS d2
+            FROM icb, (SELECT embedding::DOUBLE[] AS qv
+                       FROM embeddings WHERE vec_id = 0) qq
+        ) ORDER BY d2, lid LIMIT 4
+    ),
+    short AS (
+        SELECT vec_id FROM asn WHERE lid IN (SELECT lid FROM qroute)
+    ),
+    q AS (
+        SELECT j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS qx
+        FROM embeddings, subs WHERE vec_id = 0
+    ),
+    lut AS (
+        SELECT csl.j, csl.cid,
+               CAST(floor(list_dot_product(q.qx, csl.c) * 10000.0 + 0.5)
+                    AS BIGINT) AS w
+        FROM csl JOIN q ON q.j = csl.j
+    ),
+    scored AS (
+        SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS adc_score_e4
+        FROM codes c
+        JOIN short s ON s.vec_id = c.vec_id
+        JOIN lut l ON l.j = c.j AND l.cid = c.code
+        WHERE c.vec_id <> 0
+        GROUP BY c.vec_id
+    )
+    SELECT vec_id, adc_score_e4 FROM scored
+    ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
+"""
 
 ORACLES["event_transitions"] = """
     WITH seq AS (

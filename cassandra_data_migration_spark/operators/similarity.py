@@ -1280,3 +1280,79 @@ def mmr_select_sql(
            CAST(r.rel AS BIGINT) AS rel
     FROM selall{k} s JOIN rel r ON r.rid = s.rid
     """
+
+
+def ivf_pq_topk(
+    df: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[float]],
+    k: int = 10,
+    n_coarse: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list | None = None,
+    tier: str = "sql",
+) -> DataFrame:
+    """FAISS-style IVF-PQ two-stage retrieval (Jégou et al., PAMI'11)
+    — the production ANN shape that combines the two tiers this module
+    already ships separately: an IVF coarse quantizer routes the query
+    to ``n_probe`` of ``n_coarse`` inverted lists, then PQ
+    asymmetric-distance scoring ranks ONLY the probed lists from their
+    8-byte codes.
+
+    Scanned fraction ≈ n_probe/n_coarse of the corpus, and the scan
+    reads codes at 1/32 the float bandwidth — at 100 TB the inverted
+    lists are written ``partitionBy(list_id)`` so routing prunes whole
+    files before any task launches.
+
+    Deterministic end to end, so the DuckDB oracle replays the EXACT
+    search: coarse centroids are the md5-smallest corpus vectors (the
+    ``kmeans_fit`` seed rule), list assignment is the e4 fixed-point
+    argmin of ``_nearest_centroid`` (ties to the smallest list), query
+    routing applies the identical integer metric driver-side, and the
+    ADC stage is the oracle-exact integer LUT of :func:`pq_adc_topk`.
+    Recall tunes with ``n_probe`` (= ``n_coarse`` is exact-ADC); the
+    recall-floor property is asserted in tests, the search itself in
+    the oracle gate.
+    """
+    import math
+
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_coarse)
+        .collect()
+    )
+    coarse = [[float(x) for x in r[vec_col]] for r in rows]
+    v = F.col(vec_col).cast("array<double>")
+    assigned = df.select(
+        F.col(id_col),
+        F.col(vec_col),
+        _nearest_centroid(v, coarse).alias("list_id"),
+    )
+
+    def d2_e4(c: list[float]) -> int:
+        cc = 0.0
+        for x in c:
+            cc = cc + x * x  # sequential, mirroring the SQL fold
+        d = 0.0
+        for a, b in zip(query_vec, c):
+            d = d + a * b
+        return int(math.floor((cc - 2.0 * d) * 10000.0 + 0.5))
+
+    order = sorted(range(len(coarse)), key=lambda i: (d2_e4(coarse[i]), i))
+    probe = [int(i) for i in order[:n_probe]]
+    shortlist = assigned.filter(F.col("list_id").isin(probe)).select(
+        id_col, vec_col
+    )
+    return pq_adc_topk(
+        shortlist,
+        query_vec,
+        codebook,
+        k=k,
+        id_col=id_col,
+        vec_col=vec_col,
+        exclude_ids=exclude_ids,
+        tier=tier,
+    )

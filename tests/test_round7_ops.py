@@ -628,3 +628,41 @@ def test_transition_matrix_counts_and_ppm(spark):
     for (f, _t), (_n, p) in out.items():
         sums[f] = sums.get(f, 0) + p
     assert all(1_000_000 - 4 <= s <= 1_000_000 for s in sums.values())
+
+
+def test_ivf_pq_full_probe_equals_exact_adc_and_recall_floor(spark):
+    from cassandra_data_migration_spark.operators.similarity import (
+        ivf_pq_topk,
+        pq_adc_topk,
+        pq_codebook,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+    from tests.conftest import SF_CORRECT
+
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    cb = pq_codebook(emb, n_centroids=32)
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    exact = [
+        r["vec_id"]
+        for r in pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0]).collect()
+    ]
+    # probing every list IS exact ADC — order included
+    full = [
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            emb, qv, cb, k=10, n_probe=16, exclude_ids=[0]
+        ).collect()
+    ]
+    assert full == exact
+    # 4/16 lists: a real shortlist (approximate), but recall holds a floor
+    part = [
+        r["vec_id"]
+        for r in ivf_pq_topk(
+            emb, qv, cb, k=10, n_probe=4, exclude_ids=[0]
+        ).collect()
+    ]
+    assert len(part) == 10
+    assert len(set(part) & set(exact)) >= 3  # measured 5/10 on the fixture
