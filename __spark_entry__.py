@@ -3736,6 +3736,39 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(st).select("lang", "doc_id", "n_chars")
 
 
+def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous KMV maintenance: the orders custkey stream in
+    # micro-batch slices through foreachBatch min-union merges — like
+    # HLL's max-merge (and unlike CMS's sum), min-union is idempotent,
+    # so the streamed ≤k-row state equals the one-shot batch sketch
+    # under any slicing AND any redelivery; the batch oracle checks it
+    # hash for hash.
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.kmv import (
+        kmv_maintain_stream,
+    )
+
+    vals = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").cast("string").alias("v"),
+        F.pmod("o_orderkey", F.lit(3)).alias("_s"),
+    )
+    d = tempfile.mkdtemp(prefix="kmv_stream_")
+    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
+    for s in range(3):
+        vals.filter(F.col("_s") == s).select("v").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("v string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = kmv_maintain_stream(stream, sk, "v", k=256, checkpoint=ckpt)
+    q.awaitTermination(300)
+    return spark.read.parquet(sk).select("h")
+
+
 def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     # KMV sketch set algebra with FULL oracle parity: char-10-gram
     # shingle overlap between the two halves of the corpus (sources
@@ -4039,6 +4072,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "domain_k_core": q_domain_k_core,
     "event_transitions": q_event_transitions,
     "ivf_pq_topk": q_ivf_pq_topk,
+    "stream_kmv": q_stream_kmv,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7484,6 +7518,17 @@ def _kmv_oracle(k: int = 256, seed: str = "kmv") -> str:
 
 
 ORACLES["kmv_set_ops"] = _kmv_oracle()
+
+# stream-equals-batch: min-union is idempotent and commutative, so
+# the streamed KMV state must equal the one-shot batch sketch hash
+# for hash
+ORACLES["stream_kmv"] = f"""
+    WITH vals AS (
+        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
+    )
+    SELECT DISTINCT {_md5_draw_sql('kmv', 'v')} AS h FROM vals
+    ORDER BY h LIMIT 256
+"""
 
 
 def _pit_oracle() -> str:

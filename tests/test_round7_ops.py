@@ -666,3 +666,45 @@ def test_ivf_pq_full_probe_equals_exact_adc_and_recall_floor(spark):
     ]
     assert len(part) == 10
     assert len(set(part) & set(exact)) >= 3  # measured 5/10 on the fixture
+
+
+def test_stream_kmv_equals_batch_and_redelivery_is_noop(spark, tmp_path):
+    from cassandra_data_migration_spark.operators.aggregates import (
+        kmv_sketch,
+    )
+    from cassandra_data_migration_spark.streaming.kmv import (
+        kmv_maintain_stream,
+    )
+
+    rows = [(f"v{i}",) for i in range(300)]
+    d = str(tmp_path)
+    src, sk = f"{d}/src", f"{d}/sketch"
+    for i in range(0, 300, 100):
+        spark.createDataFrame(rows[i : i + 100], "v string").repartition(
+            1
+        ).write.mode("append").parquet(src)
+
+    def start(ckpt):
+        return kmv_maintain_stream(
+            spark.readStream.schema("v string")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            sk,
+            "v",
+            k=64,
+            checkpoint=ckpt,
+        )
+
+    q = start(f"{d}/ckpt")
+    q.awaitTermination(120)
+    expect = sorted(
+        r["h"]
+        for r in kmv_sketch(
+            spark.createDataFrame(rows, "v string"), "v", k=64
+        ).collect()
+    )
+    assert sorted(r["h"] for r in spark.read.parquet(sk).collect()) == expect
+    assert len(expect) == 64
+    q2 = start(f"{d}/ckpt2")  # full redelivery
+    q2.awaitTermination(120)
+    assert sorted(r["h"] for r in spark.read.parquet(sk).collect()) == expect
