@@ -3626,6 +3626,18 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
+def q_domain_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # single-source BFS over the synthesized domain graph: driver-
+    # looped min-propagation to the fixed point (stamp-detected), the
+    # oracle unrolls 8 MATERIALIZED relax rounds — past the measured
+    # eccentricity, and converged rounds are no-ops.
+    from cassandra_data_migration_spark.operators.graph import (
+        domain_bfs_hops,
+    )
+
+    return domain_bfs_hops(load_table(spark, sf_dir, "documents"), seed=0)
+
+
 def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     # first-order Markov matrix of user behavior: one lead window on
     # the (ts, event_id)-totally-ordered per-user stream, then
@@ -4073,6 +4085,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "event_transitions": q_event_transitions,
     "ivf_pq_topk": q_ivf_pq_topk,
     "stream_kmv": q_stream_kmv,
+    "domain_bfs_hops": q_domain_bfs_hops,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7670,6 +7683,48 @@ ORACLES["ivf_pq_topk"] = f"""
     SELECT vec_id, adc_score_e4 FROM scored
     ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
 """
+
+def _bfs_oracle(seed: int = 0, rounds: int = 8) -> str:
+    stages = []
+    for r in range(rounds):
+        prev = "d0" if r == 0 else f"d{r}"
+        stages.append(
+            f"""d{r + 1} AS MATERIALIZED (
+        SELECT v, MIN(hops) AS hops FROM (
+            SELECT v, hops FROM {prev}
+            UNION ALL
+            SELECT e.b AS v, {prev}.hops + 1 AS hops
+            FROM {prev} JOIN bidir e ON e.a = {prev}.v
+        ) GROUP BY v
+    )"""
+        )
+    return f"""
+    WITH u AS ({_URL_CTE}),
+    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
+    idx AS (SELECT domain,
+                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
+                   (SELECT COUNT(*) FROM doms) AS n
+            FROM doms),
+    edges AS (
+        SELECT src, dst FROM (
+            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
+            UNION SELECT i, (i * 5 + 2) % n FROM idx
+            UNION SELECT i, (i * 7 + 3) % n FROM idx
+        ) WHERE src <> dst
+    ),
+    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
+            FROM edges),
+    bidir AS (
+        SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
+    ),
+    d0 AS (SELECT CAST({seed} AS BIGINT) AS v, CAST(0 AS BIGINT) AS hops),
+    {','.join(stages)}
+    SELECT idx.domain, CAST(f.hops AS BIGINT) AS hops
+    FROM d{rounds} f JOIN idx ON f.v = idx.i
+    """
+
+
+ORACLES["domain_bfs_hops"] = _bfs_oracle()
 
 ORACLES["event_transitions"] = """
     WITH seq AS (

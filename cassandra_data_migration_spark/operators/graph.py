@@ -549,3 +549,68 @@ def domain_k_core(docs: DataFrame, k: int = 5) -> DataFrame:
     )
     core = k_core(und, k)
     return idx.join(core, idx["i"] == core["v"]).select("domain", "degree")
+
+
+def bfs_hops(und: DataFrame, seed: int, max_iter: int = 20) -> DataFrame:
+    """Single-source BFS hop distances by min-propagation: the
+    distance table starts as {seed: 0} and each round relaxes every
+    edge once (``min(dist[v], dist[neighbor] + 1)``) until a fixed
+    point — the traversal primitive under reachability, radius, and
+    link-distance features.
+
+    ``und`` is the canonical undirected edge table (a < b); both
+    directions are relaxed.  Returns ``(v, hops)`` for REACHABLE
+    vertices only.
+
+    Fixed-point detection without diffing tables: per round track
+    ``(count, sum(hops))`` — vertices only get added and distances
+    only shrink, so equality of both is exactly convergence.  Round
+    count is the eccentricity of the seed (graph diameter at worst),
+    each round one join + one min-aggregate over (v, hop) pairs;
+    ``localCheckpoint`` truncates lineage like the CC/k-core loops.
+    Exhausting ``max_iter`` raises — a truncated BFS silently reports
+    wrong distances (the k_core/star-CC lesson).
+    """
+    spark = und.sparkSession
+    edges = (
+        und.select("a", "b")
+        .unionAll(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .localCheckpoint(eager=True)
+    )
+    dist = spark.createDataFrame([(int(seed), 0)], "v long, hops long")
+    stamp = (1, 0)
+    for _ in range(max_iter):
+        relaxed = (
+            dist.join(edges, dist["v"] == edges["a"])
+            .select(F.col("b").alias("v"), (F.col("hops") + 1).alias("hops"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("v")
+            .agg(F.min("hops").cast("long").alias("hops"))
+            .localCheckpoint(eager=True)
+        )
+        row = dist.agg(
+            F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
+        ).first()
+        new_stamp = (row["n"], row["s"] or 0)
+        if new_stamp == stamp:
+            return dist
+        stamp = new_stamp
+    raise RuntimeError(f"bfs_hops did not converge within {max_iter} rounds")
+
+
+def domain_bfs_hops(docs: DataFrame, seed: int = 0) -> DataFrame:
+    """(domain, hops) from the seed domain over the synthesized
+    domain link graph — link-distance features for the corpus's
+    domain neighborhood."""
+    idx, edges = domain_link_graph(docs)
+    und = (
+        edges.select(
+            F.least("src", "dst").alias("a"),
+            F.greatest("src", "dst").alias("b"),
+        )
+        .distinct()
+    )
+    hops = bfs_hops(und, seed)
+    return idx.join(hops, idx["i"] == hops["v"]).select("domain", "hops")

@@ -708,3 +708,53 @@ def test_stream_kmv_equals_batch_and_redelivery_is_noop(spark, tmp_path):
     q2 = start(f"{d}/ckpt2")  # full redelivery
     q2.awaitTermination(120)
     assert sorted(r["h"] for r in spark.read.parquet(sk).collect()) == expect
+
+
+def _brute_bfs(edges, seed):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    dist, frontier, d = {seed: 0}, {seed}, 0
+    while frontier:
+        d += 1
+        frontier = {
+            w for v in frontier for w in adj.get(v, ()) if w not in dist
+        }
+        for w in frontier:
+            dist[w] = d
+    return sorted(dist.items())
+
+
+def test_bfs_hops_matches_brute_force(spark):
+    import random
+
+    from cassandra_data_migration_spark.operators.graph import bfs_hops
+
+    rng = random.Random(13)
+    for trial in range(3):
+        raw = {
+            tuple(sorted((rng.randrange(25), rng.randrange(25))))
+            for _ in range(35)
+        }
+        edges = [(a, b) for a, b in raw if a != b]
+        und = spark.createDataFrame(edges, "a long, b long")
+        seed = edges[0][0]
+        got = sorted(
+            (r["v"], r["hops"]) for r in bfs_hops(und, seed).collect()
+        )
+        assert got == _brute_bfs(edges, seed), trial
+
+
+def test_bfs_hops_raises_on_max_iter_and_handles_chains(spark):
+    import pytest
+
+    from cassandra_data_migration_spark.operators.graph import bfs_hops
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(10)], "a long, b long"
+    )
+    got = sorted((r["v"], r["hops"]) for r in bfs_hops(chain, 0).collect())
+    assert got == [(i, i) for i in range(11)]
+    with pytest.raises(RuntimeError, match="did not converge"):
+        bfs_hops(chain, 0, max_iter=3)
