@@ -3816,6 +3816,38 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # mainframe/copybook staging: export supplier as fixed-width text
+    # (printf layout, no delimiter) and parse it back by byte range —
+    # substring+trim+cast, fully codegen'd.  Roundtrip must be
+    # lossless including the %.2f money column.
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.files import (
+        fixed_width_export,
+        fixed_width_import,
+    )
+
+    s = load_table(spark, sf_dir, "supplier")
+    d = tempfile.mkdtemp(prefix="fw_rt_")
+    fixed_width_export(
+        s,
+        f"{d}/supplier_fw",
+        "%10d%-25s%5d%14.2f",
+        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+    )
+    return fixed_width_import(
+        spark,
+        f"{d}/supplier_fw",
+        [
+            ("s_suppkey", 1, 10, "bigint"),
+            ("s_name", 11, 25, "string"),
+            ("s_nationkey", 36, 5, "bigint"),
+            ("s_acctbal", 41, 14, "double"),
+        ],
+    )
+
+
 def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     # HyperLogLog with FULL oracle parity: md5-derived registers are
     # bit-reproducible in SQL (leading-zero ranks via string ops, the
@@ -4086,6 +4118,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "ivf_pq_topk": q_ivf_pq_topk,
     "stream_kmv": q_stream_kmv,
     "domain_bfs_hops": q_domain_bfs_hops,
+    "fixed_width_roundtrip": q_fixed_width_roundtrip,
 }
 
 # Driver-window rotation (round 4): the driver hash-checks the FIRST
@@ -7383,6 +7416,12 @@ ORACLES["throttled_stream_pacing"] = """
 
 
 ORACLES["xml_roundtrip"] = "SELECT * FROM supplier"
+
+ORACLES["fixed_width_roundtrip"] = """
+    SELECT s_suppkey, s_name, s_nationkey,
+           CAST(s_acctbal AS DOUBLE) AS s_acctbal
+    FROM supplier
+"""
 
 
 # HLL rank of the 60-bit window (md5 hex chars 1-15): leading-zero

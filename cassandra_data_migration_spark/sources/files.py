@@ -292,3 +292,41 @@ def parquet_evolved_read(spark: SparkSession, path: str) -> DataFrame:
     and keep this flag for the reconciliation/audit path.
     """
     return spark.read.option("mergeSchema", "true").parquet(path)
+
+
+def fixed_width_export(
+    df: DataFrame, path: str, fmt: str, cols: list[str]
+) -> None:
+    """Fixed-width text staging — the mainframe/COBOL copybook
+    interchange format legacy feeds still arrive in (no delimiter, no
+    quoting: every column is a byte range).  ``fmt`` is a printf
+    layout (e.g. ``%10d%-25s%5d%14.2f``) applied row-wise JVM-side;
+    same parallel one-file-per-task unload shape as S4."""
+    from pyspark.sql import functions as F
+
+    df.select(
+        F.format_string(fmt, *[F.col(c) for c in cols]).alias("value")
+    ).write.mode("overwrite").text(path)
+
+
+def fixed_width_import(
+    spark: SparkSession,
+    path: str,
+    colspecs: list[tuple[str, int, int, str]],
+) -> DataFrame:
+    """Parse a fixed-width file back into typed columns.  ``colspecs``
+    is ``(name, start_1_indexed, width, spark_type)`` per column —
+    the copybook.  Parsing is substring+trim+cast, fully codegen'd
+    (no UDF); a malformed row surfaces as NULLs from the cast, the
+    PERMISSIVE-mode analogue."""
+    from pyspark.sql import functions as F
+
+    raw = spark.read.text(path)
+    return raw.select(
+        *[
+            F.trim(F.substring(F.col("value"), start, width))
+            .cast(typ)
+            .alias(name)
+            for name, start, width, typ in colspecs
+        ]
+    )

@@ -107,3 +107,27 @@ def test_paged_fetch_streams_bounded_pages(spark):
     fetched = sorted(r.o_orderkey for p in pages for r in p)
     expected = sorted(r.o_orderkey for r in orders.collect())
     assert fetched == expected
+
+
+def test_fixed_width_roundtrip_types_and_negative_money(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.files import (
+        fixed_width_export,
+        fixed_width_import,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "alpha", -12.5), (42, "name with spaces", 0.0), (7, "b", 9.99)],
+        "id long, name string, bal double",
+    )
+    p = str(tmp_path / "fw")
+    fixed_width_export(df, p, "%6d%-20s%12.2f", ["id", "name", "bal"])
+    back = fixed_width_import(
+        spark,
+        p,
+        [
+            ("id", 1, 6, "bigint"),
+            ("name", 7, 20, "string"),
+            ("bal", 27, 12, "double"),
+        ],
+    )
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
