@@ -6409,7 +6409,10 @@ ORACLES["inverted_postings"] = """
         FROM tf
     )
     SELECT term, COUNT(*) AS doc_freq,
-           list(doc_id ORDER BY rnk) FILTER (WHERE rnk <= 5) AS postings
+           array_to_string(
+               list(CAST(doc_id AS VARCHAR) ORDER BY rnk)
+                   FILTER (WHERE rnk <= 5),
+               ' ') AS postings
     FROM r GROUP BY term
 """
 

@@ -1068,6 +1068,10 @@ def inverted_postings(
     Determinism: postings are collected as (rank, doc) structs and
     ``array_sort``-ed, so the list order is a pure function of the
     data (collect_list alone is arrival-ordered — never comparable).
+    The posting list is emitted as a space-joined STRING, not an
+    array: every contract query's output columns must be scalar so
+    downstream row-canonicalizers (pandas sort/hash harnesses) can
+    order them — array cells are unhashable there.
 
     Scale: explode → per-(term,doc) count (map-side combine) → rank
     window per term → one grouped collect of ≤k structs.  The cap
@@ -1089,16 +1093,21 @@ def inverted_postings(
         ranked.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("doc_freq"),
-            F.transform(
-                F.array_sort(
-                    F.collect_list(
-                        F.when(
-                            F.col("rnk") <= k,
-                            F.struct(F.col("rnk"), F.col(id_col).alias("d")),
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("rnk") <= k,
+                                F.struct(
+                                    F.col("rnk"), F.col(id_col).alias("d")
+                                ),
+                            )
                         )
-                    )
+                    ),
+                    lambda s: s["d"].cast("string"),
                 ),
-                lambda s: s["d"],
+                " ",
             ).alias("postings"),
         )
     )

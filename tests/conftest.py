@@ -41,11 +41,29 @@ def duck():
     con.close()
 
 
+def assert_scalar_only_schema(spark_df, name: str = "<query>"):
+    """Every contract query must emit SCALAR columns only: the driver's
+    canonicalizer pandas-sorts rows by value, and array/map/struct cells
+    are unhashable there (the r4 `inverted_postings` driver ERR).  This
+    gate makes that failure class impossible to reintroduce."""
+    complex_types = {"array", "map", "struct"}
+    bad = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in complex_types
+    ]
+    assert not bad, (
+        f"{name}: non-scalar output columns {bad} — flatten with "
+        "array_join/to_json so the harness canonicalizer can sort them"
+    )
+
+
 def assert_df_matches_oracle(spark_df, duck_con, sql: str, sort_cols=None):
     """Order-insensitive value compare between a Spark DataFrame and a
     DuckDB result — a local twin of the driver's correctness gate."""
     import math
 
+    assert_scalar_only_schema(spark_df)
     sdf = spark_df.toPandas()
     ddf = duck_con.execute(sql).fetchdf()
     assert sorted(sdf.columns) == sorted(ddf.columns), (

@@ -24,6 +24,19 @@ def test_every_query_has_callable_and_oracle_keys_align(spark):
         assert name in qs, f"oracle {name} has no query"
 
 
+def test_nonoracle_queries_emit_scalar_only_schemas(spark):
+    """Queries WITHOUT an oracle never pass through
+    assert_df_matches_oracle's scalar gate — walk them here so no
+    contract query can ever emit an array/map/struct column the
+    driver's canonicalizer would choke on."""
+    from tests.conftest import SF_SMOKE, assert_scalar_only_schema
+
+    qs = entry_mod.queries()
+    uncovered = sorted(set(qs) - set(entry_mod.oracle_sql()))
+    for name in uncovered:
+        assert_scalar_only_schema(qs[name](spark, SF_SMOKE), name)
+
+
 @pytest.mark.parametrize("name", sorted(entry_mod.oracle_sql().keys()))
 def test_query_matches_oracle(spark, duck, name):
     df = entry_mod.queries()[name](spark, SF_CORRECT)

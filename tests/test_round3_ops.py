@@ -264,11 +264,14 @@ def test_inverted_postings_cap_and_order(spark):
         ],
         ["doc_id", "text"],
     )
-    got = {r["term"]: r for r in inverted_postings(df, k=3).collect()}
+    res = inverted_postings(df, k=3)
+    # output must be scalar-only (harness canonicalizers sort by value)
+    assert res.schema["postings"].dataType.typeName() == "string"
+    got = {r["term"]: r for r in res.collect()}
     assert got["x"]["doc_freq"] == 7
-    # ranked by tf desc then doc_id, capped at 3
-    assert got["x"]["postings"] == [1, 2, 3]
-    assert got["y"]["postings"] == [1, 2, 3]
+    # ranked by tf desc then doc_id, capped at 3, space-joined
+    assert got["x"]["postings"] == "1 2 3"
+    assert got["y"]["postings"] == "1 2 3"
 
 
 def test_ring_ownership_total_and_balance(spark):
