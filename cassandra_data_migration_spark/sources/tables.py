@@ -210,25 +210,57 @@ def ensure_bucketed_table(
     downstream join/aggregation on that key (fact tables are joined
     far more often than they are written).  ``sortBy`` inside the
     bucket additionally lets the join skip the per-task sort.
-    """
-    if not spark.catalog.tableExists(table):
-        # a fresh session has an empty catalog but the warehouse dir
-        # persists on disk — clear the stale location before creating
-        import shutil
-        from urllib.parse import urlparse
 
-        warehouse = urlparse(
-            spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
-        ).path
-        shutil.rmtree(os.path.join(warehouse, table), ignore_errors=True)
+    Concurrency: the physical table name is namespaced by the Spark
+    ``applicationId``, so two concurrent DRIVER PROCESSES (a bench run
+    next to a pytest run, two notebooks) can never race on the same
+    ``spark-warehouse/<table>`` directory.  Without this, a fresh
+    session whose catalog lacked the table would rmtree+rewrite the
+    shared path while another session was mid-read — observed to
+    return silently-wrong aggregates (partial table read, no error).
+    A fresh session rebuilt the table anyway (empty catalog), so the
+    namespace costs nothing; within a session the catalog check keeps
+    it idempotent.  Stale dirs from dead sessions are swept
+    best-effort once they age past a window no live gate run spans.
+    """
+    import shutil
+    import time
+    from urllib.parse import urlparse
+
+    app_tag = spark.sparkContext.applicationId.replace("-", "_").replace(
+        ".", "_"
+    )
+    session_table = f"{table}__{app_tag}"
+    warehouse = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
+    ).path
+    if not spark.catalog.tableExists(session_table):
+        # sweep leftovers of DEAD sessions (same base table, different
+        # appId, older than any plausible live run) — never a live dir
+        stale_cutoff = time.time() - 6 * 3600
+        prefix = f"{table}__"
+        if os.path.isdir(warehouse):
+            for d in os.listdir(warehouse):
+                p = os.path.join(warehouse, d)
+                if (
+                    d.startswith(prefix)
+                    and d != session_table
+                    and os.path.isdir(p)
+                    and os.path.getmtime(p) < stale_cutoff
+                ):
+                    shutil.rmtree(p, ignore_errors=True)
+        # our own name is unique to this appId: any on-disk residue is
+        # ours (re-created session id collision is impossible across
+        # processes) — clear it before creating
+        shutil.rmtree(os.path.join(warehouse, session_table), ignore_errors=True)
         (
             df.write.mode("overwrite")
             .bucketBy(num_buckets, bucket_col)
             .sortBy(bucket_col)
             .format("parquet")
-            .saveAsTable(table)
+            .saveAsTable(session_table)
         )
-    return spark.table(table)
+    return spark.table(session_table)
 
 
 def bucketed_join_revenue(

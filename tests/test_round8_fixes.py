@@ -1,0 +1,83 @@
+"""Round-5-session fixes: bucketed-table cross-process safety, output
+schema gates, and harness-robustness regressions from VERDICT.md r4."""
+
+from __future__ import annotations
+
+import os
+import subprocess
+import sys
+import textwrap
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+_WORKER = textwrap.dedent(
+    """
+    import json, sys
+    sys.path.insert(0, {repo!r})
+    from cassandra_data_migration_spark.session import get_spark
+    from cassandra_data_migration_spark.sources.tables import (
+        bucketed_join_revenue,
+    )
+
+    spark = get_spark(app_name="bkt-race-" + sys.argv[1],
+                      shuffle_partitions=4)
+    rows = {{}}
+    # two rebuild+read cycles per process widens the race window the
+    # old shared-path code lost to (rmtree under a concurrent reader)
+    for _ in range(2):
+        got = {{r["o_orderstatus"]: (r["sum_price"], r["sum_qty"], r["n_items"])
+               for r in bucketed_join_revenue(
+                   spark, "/root/testdata/sf0.001").collect()}}
+        rows = got
+    print("RESULT:" + json.dumps(sorted(
+        (k, v[2]) for k, v in rows.items())))
+    spark.stop()
+    """
+)
+
+
+def test_bucketed_table_concurrent_sessions_read_consistent(tmp_path):
+    """r4 VERDICT 'What's wrong #2': two concurrent driver processes
+    racing on spark-warehouse/<table> returned silently-wrong
+    aggregates.  With appId-namespaced physical tables, both processes
+    must produce identical, oracle-consistent counts."""
+    script = _WORKER.format(repo=REPO)
+    env = dict(os.environ)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, "-c", script, str(i)],
+            stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE,
+            cwd=REPO,
+            env=env,
+            text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        out, err = p.communicate(timeout=600)
+        assert p.returncode == 0, f"worker failed:\n{err[-3000:]}"
+        line = [ln for ln in out.splitlines() if ln.startswith("RESULT:")]
+        assert line, f"no RESULT line in:\n{out[-2000:]}"
+        outs.append(line[0])
+    assert outs[0] == outs[1], f"divergent results: {outs}"
+    # oracle: plain (non-bucketed) join in THIS session's DuckDB twin
+    import duckdb
+
+    con = duckdb.connect()
+    exp = con.execute(
+        """
+        SELECT o.o_orderstatus, COUNT(*) AS n
+        FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet') l
+        JOIN read_parquet('/root/testdata/sf0.001/orders.parquet') o
+          ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1 ORDER BY 1
+        """
+    ).fetchall()
+    import json
+
+    got = json.loads(outs[0][len("RESULT:") :])
+    assert [(k, n) for k, n in got] == [(k, n) for k, n in exp]
