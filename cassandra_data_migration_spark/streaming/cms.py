@@ -30,9 +30,9 @@ from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.aggregates import cms_sketch
 from cassandra_data_migration_spark.streaming.mv import (
-    MARKER,
-    _read_marker,
     _recover,
+    _replay_gate,
+    _write_marker,
 )
 
 
@@ -47,11 +47,17 @@ def cms_maintain_stream(
     """Start a foreachBatch query folding item micro-batches into the
     parquet CMS cell table at ``sketch_path`` (created empty on the
     first batch).  Returns the StreamingQuery."""
+    ckpt = checkpoint or sketch_path.rstrip("/") + "_ckpt"
 
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover(sketch_path)
-        if batch_id <= _read_marker(sketch_path):
+        # lineage-keyed gate: batch ids restart at 0 under a fresh
+        # checkpoint, so a bare id compare against an existing sketch
+        # would DROP new batches as replays — _replay_gate raises on
+        # that lineage mismatch instead of undercounting.
+        skip, lineage = _replay_gate(sketch_path, ckpt, batch_id)
+        if skip:
             return  # at-least-once redelivery of an applied batch
         delta = cms_sketch(batch_df, term_col, depth, width)
         if os.path.exists(sketch_path):
@@ -65,8 +71,7 @@ def cms_maintain_stream(
             merged = delta
         tmp = sketch_path.rstrip("/") + "_updating"
         merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, MARKER), "w") as fh:
-            fh.write(str(batch_id))
+        _write_marker(tmp, batch_id, lineage)
         if os.path.exists(sketch_path):
             prev = sketch_path.rstrip("/") + "_prev"
             os.rename(sketch_path, prev)
@@ -77,10 +82,7 @@ def cms_maintain_stream(
 
     return (
         items.writeStream.foreachBatch(apply_batch)
-        .option(
-            "checkpointLocation",
-            checkpoint or sketch_path.rstrip("/") + "_ckpt",
-        )
+        .option("checkpointLocation", ckpt)
         .trigger(availableNow=True)
         .start()
     )

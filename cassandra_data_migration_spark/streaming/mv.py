@@ -20,6 +20,16 @@ atomically with the data it describes: a replayed batch whose id is
 <= the marker is skipped.  No separate meta store that could fall out
 of sync with the view.
 
+Lineage safety: batch ids are monotonic only WITHIN one checkpoint
+lineage — a stream restarted with a FRESH checkpoint restarts at 0,
+and comparing its ids against a marker left by a previous lineage
+would silently drop genuinely new batches as "replays".  The marker
+therefore records ``<query_id>:<batch_id>`` (the query id is stable
+across restarts from the same checkpoint and fresh for a new one);
+a lineage mismatch against existing state FAILS FAST instead of
+undercounting — point the stream at the original checkpoint to
+resume, or at empty state to start over.
+
 Crash-safe swap: the view is replaced via two renames
 (view → view_prev, tmp → view) with a recovery preamble instead of
 rmtree-then-move (which loses the view entirely if the process dies
@@ -45,12 +55,69 @@ from cassandra_data_migration_spark.operators.mv import mv_apply_delta
 MARKER = "_applied_batch"
 
 
-def _read_marker(view_path: str) -> int:
+def _read_marker(view_path: str) -> tuple[str | None, int]:
+    """Return ``(lineage, batch_id)`` from the marker file —
+    ``lineage`` is the streaming query id that wrote it (None for a
+    pre-lineage legacy marker), ``batch_id`` is -1 when no state
+    exists yet."""
     p = os.path.join(view_path, MARKER)
     if os.path.exists(p):
         with open(p) as fh:
-            return int(fh.read().strip())
-    return -1
+            raw = fh.read().strip()
+        if ":" in raw:
+            lineage, _, bid = raw.rpartition(":")
+            return lineage, int(bid)
+        return None, int(raw)
+    return None, -1
+
+
+def _write_marker(dir_path: str, batch_id: int, lineage: str | None) -> None:
+    with open(os.path.join(dir_path, MARKER), "w") as fh:
+        fh.write(f"{lineage}:{batch_id}" if lineage else str(batch_id))
+
+
+def _query_lineage(checkpoint: str) -> str | None:
+    """The streaming query id from the checkpoint's metadata file —
+    Spark writes ``{"id": "<uuid>"}`` there at query start, so by the
+    time foreachBatch runs it exists.  The id survives restarts from
+    the SAME checkpoint and differs for a fresh one: exactly the
+    lineage within which batch ids are monotonic."""
+    import json
+
+    p = os.path.join(checkpoint, "metadata")
+    try:
+        with open(p) as fh:
+            return json.load(fh)["id"]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def _replay_gate(
+    state_path: str, checkpoint: str, batch_id: int
+) -> tuple[bool, str | None]:
+    """Shared redelivery gate for non-idempotent (sum-merge) sinks.
+    Returns ``(skip, lineage)``: skip=True for a same-lineage replay;
+    raises on a lineage mismatch against existing state (a fresh
+    checkpoint pointed at a sketch/view built by another query would
+    otherwise silently drop new batches whose restarted ids fall
+    under the old marker)."""
+    marker_lineage, applied = _read_marker(state_path)
+    lineage = _query_lineage(checkpoint)
+    if (
+        applied >= 0
+        and marker_lineage is not None
+        and lineage is not None
+        and marker_lineage != lineage
+    ):
+        raise RuntimeError(
+            f"state at {state_path} was written by streaming query "
+            f"{marker_lineage}, but this query is {lineage} (fresh "
+            "checkpoint?). Batch ids are only monotonic per "
+            "checkpoint lineage, so resuming here would silently "
+            "drop new batches as replays. Point the stream at the "
+            "original checkpoint, or at empty state to start over."
+        )
+    return batch_id <= applied, lineage
 
 
 def _recover(view_path: str) -> None:
@@ -78,15 +145,15 @@ def mv_maintain_stream(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         spark = batch_df.sparkSession
         _recover(view_path)
-        if batch_id <= _read_marker(view_path):
+        skip, lineage = _replay_gate(view_path, checkpoint, batch_id)
+        if skip:
             return  # at-least-once redelivery of an applied batch
         mv = spark.read.parquet(view_path)
         merged = mv_apply_delta(mv, batch_df, key_col)
         tmp = view_path.rstrip("/") + "_updating"
         merged.write.mode("overwrite").parquet(tmp)
         # marker rides inside the same directory the rename publishes
-        with open(os.path.join(tmp, MARKER), "w") as fh:
-            fh.write(str(batch_id))
+        _write_marker(tmp, batch_id, lineage)
         prev = view_path.rstrip("/") + "_prev"
         os.rename(view_path, prev)
         os.rename(tmp, view_path)

@@ -3,6 +3,7 @@ count-min sketch family."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.joins import binned_range_join
@@ -234,17 +235,50 @@ def test_stream_cms_equals_batch_and_survives_redelivery(spark, tmp_path):
     assert sorted(map(tuple, streamed.collect())) == sorted(
         map(tuple, batch.collect())
     )
-    # redelivery: restart the same stream from a FRESH checkpoint so
-    # every batch id replays — the marker protocol must skip them all
+    # TRUE at-least-once redelivery: delete the LAST checkpoint commit
+    # so Spark re-runs that batch id under the SAME lineage — the
+    # marker gate must skip it (no double count).
+    import os
+
+    commits = sorted(os.listdir(f"{d}/ckpt/commits"))
+    last = [c for c in commits if not c.startswith(".")][-1]
+    os.remove(f"{d}/ckpt/commits/{last}")
+    # the local ChecksumFileSystem keeps a shadow CRC that would block
+    # the re-run batch's commit rename
+    crc = f"{d}/ckpt/commits/.{last}.crc"
+    if os.path.exists(crc):
+        os.remove(crc)
     q2 = cms_maintain_stream(
         spark.readStream.schema("term string")
         .option("maxFilesPerTrigger", "2")
         .parquet(src),
         sk,
         width=64,
-        checkpoint=f"{d}/ckpt2",
+        checkpoint=f"{d}/ckpt",
     )
     q2.awaitTermination(120)
+    assert sorted(map(tuple, spark.read.parquet(sk).collect())) == sorted(
+        map(tuple, batch.collect())
+    )
+    # FRESH checkpoint against existing sketch: batch ids restart at 0,
+    # so a bare id compare would drop genuinely new batches as replays
+    # — the lineage gate must FAIL FAST instead (silent undercount is
+    # the failure mode this guards).
+    import pyspark.errors
+
+    q3 = cms_maintain_stream(
+        spark.readStream.schema("term string")
+        .option("maxFilesPerTrigger", "2")
+        .parquet(src),
+        sk,
+        width=64,
+        checkpoint=f"{d}/ckpt_fresh",
+    )
+    with pytest.raises(pyspark.errors.exceptions.base.PySparkException):
+        q3.awaitTermination(120)
+        if q3.exception() is not None:
+            raise q3.exception()
+    # sketch untouched by the failed lineage
     assert sorted(map(tuple, spark.read.parquet(sk).collect())) == sorted(
         map(tuple, batch.collect())
     )

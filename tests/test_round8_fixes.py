@@ -81,3 +81,49 @@ def test_bucketed_table_concurrent_sessions_read_consistent(tmp_path):
 
     got = json.loads(outs[0][len("RESULT:") :])
     assert [(k, n) for k, n in got] == [(k, n) for k, n in exp]
+
+
+def _mk_state(tmp_path, marker: str | None, ckpt_qid: str | None):
+    import json
+
+    state = tmp_path / "state"
+    state.mkdir(parents=True, exist_ok=True)
+    if marker is not None:
+        (state / "_applied_batch").write_text(marker)
+    ckpt = tmp_path / "ckpt"
+    ckpt.mkdir(parents=True, exist_ok=True)
+    if ckpt_qid is not None:
+        (ckpt / "metadata").write_text(json.dumps({"id": ckpt_qid}))
+    return str(state), str(ckpt)
+
+
+def test_replay_gate_same_lineage_skips_applied_batches(tmp_path):
+    from cassandra_data_migration_spark.streaming.mv import _replay_gate
+
+    state, ckpt = _mk_state(tmp_path, "qid1:3", "qid1")
+    assert _replay_gate(state, ckpt, 3) == (True, "qid1")
+    assert _replay_gate(state, ckpt, 2) == (True, "qid1")
+    assert _replay_gate(state, ckpt, 4) == (False, "qid1")
+
+
+def test_replay_gate_fresh_lineage_on_existing_state_raises(tmp_path):
+    """ADVICE r4 (medium): a fresh checkpoint restarts batch ids at 0;
+    comparing them against another lineage's marker silently DROPS new
+    batches.  The gate must raise, not undercount."""
+    from cassandra_data_migration_spark.streaming.mv import _replay_gate
+
+    state, ckpt = _mk_state(tmp_path, "qid1:3", "qid2")
+    with pytest.raises(RuntimeError, match="lineage|checkpoint"):
+        _replay_gate(state, ckpt, 0)
+
+
+def test_replay_gate_fresh_state_and_legacy_marker_tolerated(tmp_path):
+    from cassandra_data_migration_spark.streaming.mv import _replay_gate
+
+    # no marker yet: first batch of a new sink proceeds
+    state, ckpt = _mk_state(tmp_path, None, "qid9")
+    assert _replay_gate(state, ckpt, 0) == (False, "qid9")
+    # legacy (pre-lineage) marker: id compare still applies, no raise
+    state2, ckpt2 = _mk_state(tmp_path / "b", "5", "qid9")
+    assert _replay_gate(state2, ckpt2, 5) == (True, "qid9")
+    assert _replay_gate(state2, ckpt2, 6) == (False, "qid9")
