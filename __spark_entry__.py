@@ -3835,6 +3835,7 @@ def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{d}/supplier_fw",
         "%10d%-25s%5d%14.2f",
         ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
+        line_width=54,
     )
     return fixed_width_import(
         spark,

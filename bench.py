@@ -41,7 +41,14 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark(
-        app_name="cdm-spark-bench", extra_conf={"spark.ui.enabled": "true"}
+        app_name="cdm-spark-bench",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # a full run creates far more than the default 1,000
+            # retained stages; eviction makes the cumulative shuffle
+            # total SHRINK and late per-query deltas go negative
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -52,6 +59,22 @@ def main() -> None:
         queries["pricing_summary"](spark, sf_dir).count()
     except Exception:
         pass
+
+    # host-speed calibration: a FIXED workload (3× the warm headline
+    # query + a CPU-bound spin) whose wall time tracks the host, not
+    # the code under test.  Cross-round comparisons should divide
+    # per-query times by this — r4's apparent "regressions" were a
+    # ~25-50% host slowdown, untangled only by a worktree A/B.
+    t_cal = time.perf_counter()
+    try:
+        for _ in range(3):
+            queries["pricing_summary"](spark, sf_dir).count()
+    except Exception:
+        pass
+    acc = 0
+    for i in range(2_000_000):
+        acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+    calibration_sec = round(time.perf_counter() - t_cal, 4)
 
     # fault-isolated: one broken query must never take down the whole
     # bench artifact — record its error and keep timing the rest
@@ -90,7 +113,13 @@ def main() -> None:
             sc.setJobGroup("", "")
         shuf_after = _total_shuffle(spark)
         if shuf_before >= 0 and shuf_after >= 0:
-            shuffle_mb[name] = round((shuf_after - shuf_before) / 1e6, 2)
+            delta = shuf_after - shuf_before
+            # a negative delta means the UI evicted retained stages
+            # mid-run (cumulative total shrank) — flag, don't record a
+            # wrong number
+            shuffle_mb[name] = (
+                round(delta / 1e6, 2) if delta >= 0 else None
+            )
     total = round(sum(timings.values()), 4)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The full per-query map (199 entries, ~5.4 KB as JSON) exceeds the
@@ -100,6 +129,7 @@ def main() -> None:
         "metric": "total_query_wall_sec",
         "value": total,
         "unit": "sec",
+        "calibration_sec": calibration_sec,
         "queries": timings,
         "rows": rows,
         "shuffle_read_mb": shuffle_mb,
@@ -121,6 +151,7 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "sf": sf_val,
+        "calibration_sec": calibration_sec,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "queries": slowest,  # slowest 10; full map in BENCH_FULL.json

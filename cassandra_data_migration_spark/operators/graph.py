@@ -120,7 +120,11 @@ def connected_components_star(
 
     The fixpoint is a star forest where every edge points at its
     component's minimum id; convergence is checked with a one-row
-    ``exceptAll`` probe (edge set unchanged by a full round).
+    ``exceptAll`` probe (edge set unchanged by a full round).  If
+    ``max_iter`` rounds pass without reaching the fixpoint the
+    function RAISES — unconverged labels are silently wrong, and the
+    repo convention (k_core, bfs_hops) is to fail loudly, never to
+    return a best-effort answer.
     """
     e = (
         edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
@@ -175,6 +179,12 @@ def connected_components_star(
         e = e2
         if changed == 0:
             break
+    else:
+        raise RuntimeError(
+            f"connected_components_star did not reach the star-forest "
+            f"fixpoint in max_iter={max_iter} rounds; labels would be "
+            "silently wrong. Raise max_iter (rounds are O(log² n))."
+        )
 
     labels = _sym(e).groupBy("u").agg(F.min("v").alias("_mn"))
     comp = F.coalesce(F.least("_mn", F.col(id_col)), F.col(id_col))

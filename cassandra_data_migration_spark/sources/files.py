@@ -295,18 +295,40 @@ def parquet_evolved_read(spark: SparkSession, path: str) -> DataFrame:
 
 
 def fixed_width_export(
-    df: DataFrame, path: str, fmt: str, cols: list[str]
+    df: DataFrame,
+    path: str,
+    fmt: str,
+    cols: list[str],
+    line_width: int | None = None,
 ) -> None:
     """Fixed-width text staging — the mainframe/COBOL copybook
     interchange format legacy feeds still arrive in (no delimiter, no
     quoting: every column is a byte range).  ``fmt`` is a printf
     layout (e.g. ``%10d%-25s%5d%14.2f``) applied row-wise JVM-side;
-    same parallel one-file-per-task unload shape as S4."""
+    same parallel one-file-per-task unload shape as S4.
+
+    ``line_width`` (the copybook's total record width) arms an
+    overflow tripwire: printf WIDENS a field whose value exceeds its
+    width, silently shifting every later byte range so the importer
+    reads wrong/NULL columns.  With the width pinned, any overflowing
+    row fails the job loudly instead."""
     from pyspark.sql import functions as F
 
-    df.select(
-        F.format_string(fmt, *[F.col(c) for c in cols]).alias("value")
-    ).write.mode("overwrite").text(path)
+    line = F.format_string(fmt, *[F.col(c) for c in cols])
+    if line_width is not None:
+        line = F.when(F.length(line) == line_width, line).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"fixed-width overflow: rendered line length "
+                    ),
+                    F.length(line).cast("string"),
+                    F.lit(f" != copybook width {line_width}: "),
+                    line,
+                )
+            )
+        )
+    df.select(line.alias("value")).write.mode("overwrite").text(path)
 
 
 def fixed_width_import(
@@ -318,15 +340,22 @@ def fixed_width_import(
     is ``(name, start_1_indexed, width, spark_type)`` per column —
     the copybook.  Parsing is substring+trim+cast, fully codegen'd
     (no UDF); a malformed row surfaces as NULLs from the cast, the
-    PERMISSIVE-mode analogue."""
+    PERMISSIVE-mode analogue.
+
+    Trim rule: STRING fields are left-aligned in copybook convention,
+    so only the right-side padding is stripped (``rtrim``) — a full
+    trim would eat significant leading spaces in the data.  Numeric
+    fields are right-aligned (space-padded on the left) and trim on
+    both edges before the cast."""
     from pyspark.sql import functions as F
 
     raw = spark.read.text(path)
+
+    def _field(name, start, width, typ):
+        sub = F.substring(F.col("value"), start, width)
+        cleaned = F.rtrim(sub) if typ == "string" else F.trim(sub)
+        return cleaned.cast(typ).alias(name)
+
     return raw.select(
-        *[
-            F.trim(F.substring(F.col("value"), start, width))
-            .cast(typ)
-            .alias(name)
-            for name, start, width, typ in colspecs
-        ]
+        *[_field(*spec) for spec in colspecs]
     )

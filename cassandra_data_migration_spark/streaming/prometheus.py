@@ -22,12 +22,23 @@ import threading
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
 
+def _escape_label(v: object) -> str:
+    """Prometheus text exposition label escaping: backslash, double
+    quote AND newline (an unescaped newline breaks the whole /metrics
+    scrape, not just one sample)."""
+    return (
+        str(v)
+        .replace("\\", "\\\\")
+        .replace('"', '\\"')
+        .replace("\n", "\\n")
+    )
+
+
 def _fmt_labels(labels: dict[str, str] | None) -> str:
     if not labels:
         return ""
     inner = ",".join(
-        f'{k}="{str(v).replace(chr(92), chr(92) * 2).replace(chr(34), chr(92) + chr(34))}"'
-        for k, v in sorted(labels.items())
+        f'{k}="{_escape_label(v)}"' for k, v in sorted(labels.items())
     )
     return "{" + inner + "}"
 

@@ -117,6 +117,37 @@ def test_replay_gate_fresh_lineage_on_existing_state_raises(tmp_path):
         _replay_gate(state, ckpt, 0)
 
 
+def test_cc_star_raises_when_unconverged(spark):
+    """ADVICE r4: unconverged CC labels are silently wrong — the star
+    algorithm must raise when max_iter is exhausted, matching the
+    k_core/bfs_hops convention."""
+    from cassandra_data_migration_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], "src long, dst long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in range(9)], "id long")
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components_star(edges, nodes, max_iter=0)
+    # and converges fine with the default budget
+    got = connected_components_star(edges, nodes).collect()
+    assert {r["component"] for r in got} == {0}
+
+
+def test_prometheus_label_newline_escaped():
+    """An unescaped newline in a label value breaks the whole /metrics
+    scrape (exposition format requires \\n escaping)."""
+    from cassandra_data_migration_spark.streaming.prometheus import (
+        _fmt_labels,
+    )
+
+    out = _fmt_labels({"q": 'a\nb"c\\d'})
+    assert "\n" not in out
+    assert out == '{q="a\\nb\\"c\\\\d"}'
+
+
 def test_replay_gate_fresh_state_and_legacy_marker_tolerated(tmp_path):
     from cassandra_data_migration_spark.streaming.mv import _replay_gate
 

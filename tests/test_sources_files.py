@@ -120,7 +120,9 @@ def test_fixed_width_roundtrip_types_and_negative_money(spark, tmp_path):
         "id long, name string, bal double",
     )
     p = str(tmp_path / "fw")
-    fixed_width_export(df, p, "%6d%-20s%12.2f", ["id", "name", "bal"])
+    fixed_width_export(
+        df, p, "%6d%-20s%12.2f", ["id", "name", "bal"], line_width=38
+    )
     back = fixed_width_import(
         spark,
         p,
@@ -131,3 +133,58 @@ def test_fixed_width_roundtrip_types_and_negative_money(spark, tmp_path):
         ],
     )
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_fixed_width_overflow_fails_loudly(spark, tmp_path):
+    """printf WIDENS an overflowing field, shifting every later byte
+    range — with line_width pinned the export must fail, not emit a
+    silently mis-aligned file (ADVICE r4)."""
+    import pytest
+
+    from cassandra_data_migration_spark.sources.files import (
+        fixed_width_export,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "ok", 1.0), (2, "this name is far too long for field", 2.0)],
+        "id long, name string, bal double",
+    )
+    with pytest.raises(Exception, match="fixed-width overflow"):
+        fixed_width_export(
+            df,
+            str(tmp_path / "fw_bad"),
+            "%6d%-20s%12.2f",
+            ["id", "name", "bal"],
+            line_width=38,
+        )
+
+
+def test_fixed_width_import_preserves_leading_spaces(spark, tmp_path):
+    """String fields are left-aligned: only right padding is stripped,
+    so data-significant LEADING spaces survive the roundtrip; numeric
+    fields still trim both edges before the cast (ADVICE r4)."""
+    from cassandra_data_migration_spark.sources.files import (
+        fixed_width_export,
+        fixed_width_import,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "  indented", 5.0), (2, "plain", -1.25)],
+        "id long, name string, bal double",
+    )
+    p = str(tmp_path / "fw_lead")
+    fixed_width_export(
+        df, p, "%6d%-20s%12.2f", ["id", "name", "bal"], line_width=38
+    )
+    back = fixed_width_import(
+        spark,
+        p,
+        [
+            ("id", 1, 6, "bigint"),
+            ("name", 7, 20, "string"),
+            ("bal", 27, 12, "double"),
+        ],
+    )
+    got = {r["id"]: (r["name"], r["bal"]) for r in back.collect()}
+    assert got[1] == ("  indented", 5.0)
+    assert got[2] == ("plain", -1.25)

@@ -73,7 +73,13 @@ def build_corpora(spark) -> None:
 
 def run_probe() -> None:
     spark = get_spark(
-        app_name="cdm-scale-probe", extra_conf={"spark.ui.enabled": "true"}
+        app_name="cdm-scale-probe",
+        extra_conf={
+            "spark.ui.enabled": "true",
+            # stage eviction shrinks the cumulative shuffle total and
+            # sends deltas negative (see bench.py)
+            "spark.ui.retainedStages": "100000",
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     if "--skip-build" not in sys.argv:
@@ -149,7 +155,7 @@ def run_probe() -> None:
                 "wall_s": wall,
                 "rows": n_rows,
                 "shuffle_read_mb": round((after - before) / 1e6, 1)
-                if after >= 0 and before >= 0
+                if after >= 0 and before >= 0 and after >= before
                 else -1,
             }
             print(f"{group:36s} {wall:8.2f}s  {n_rows:>9} rows", flush=True)
