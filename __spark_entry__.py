@@ -96,6 +96,38 @@ def q_token_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_connector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # S10/P4 through the LIVE connector code path: the fake Cassandra
+    # DataSource (sources/fake_cassandra.py) registers under the real
+    # org.apache.spark.sql.cassandra format name, so
+    # CassandraTableSource.read() — option translation, token() CQL
+    # pushdown string, paged Arrow batches sized by fetchSizeInRows —
+    # executes end-to-end instead of being declared-only.
+    from cassandra_data_migration_spark.sources.connector import (
+        CassandraTableSource,
+    )
+    from cassandra_data_migration_spark.sources.fake_cassandra import (
+        register_fake_cassandra,
+    )
+
+    register_fake_cassandra(spark)
+    src = CassandraTableSource(
+        keyspace=sf_dir,
+        partition_keys={"orders": ["o_orderkey"]},
+        fetch_size_rows=1000,
+    )
+    orders = src.read(spark, "orders", token_min=3, token_max=7)
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("sum_price"),
+        )
+    )
+
+
 def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # P6
     # key chosen to exist at every fixture scale factor (sf0.001-sf0.1)
@@ -3928,6 +3960,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "column_exclude": q_column_exclude,
     "filter_eq": q_filter_eq,
     "token_range_filter": q_token_range_filter,
+    "connector_scan": q_connector_scan,
     "point_lookup": q_point_lookup,
     "grouped_count": q_grouped_count,
     "writetime_filter": q_writetime_filter,
@@ -4515,6 +4548,13 @@ ORACLES: dict[str, str] = {
     "column_exclude": "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer",
     "filter_eq": "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
     "token_range_filter": "SELECT * FROM orders WHERE (o_orderkey % 32) BETWEEN 3 AND 7",
+    "connector_scan": """
+        SELECT o_orderstatus, COUNT(*) AS n_orders,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+                   AS sum_price
+        FROM orders WHERE (o_orderkey % 32) BETWEEN 3 AND 7
+        GROUP BY o_orderstatus
+    """,
     "point_lookup": "SELECT * FROM lineitem WHERE l_orderkey = 0 AND l_linenumber = 4",
     "grouped_count": (
         "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"

@@ -141,6 +141,10 @@ class CassandraTableSource(TableSource):
     writetime_cols: dict[str, str] = field(default_factory=dict)
     num_parts: int | None = None
     fetch_size_rows: int | None = None
+    # the DataSource format to resolve — CASSANDRA_FORMAT in deployment;
+    # tests register sources.fake_cassandra under that same name so
+    # read()/write() execute end-to-end without a cluster
+    format: str = CASSANDRA_FORMAT
 
     def read(
         self,
@@ -157,13 +161,13 @@ class CassandraTableSource(TableSource):
             num_parts=self.num_parts,
             fetch_size_rows=self.fetch_size_rows,
         )
-        reader = spark.read.format(CASSANDRA_FORMAT).options(**opts)
+        reader = spark.read.format(self.format).options(**opts)
         try:
             df = reader.load()
         except Exception as exc:  # noqa: BLE001 — translate to a deploy hint
             raise RuntimeError(
                 "Cassandra connector format "
-                f"'{CASSANDRA_FORMAT}' unavailable: add the "
+                f"'{self.format}' unavailable: add the "
                 "spark-cassandra-connector jar (--packages "
                 "com.datastax.spark:spark-cassandra-connector_2.13) "
                 "and spark.cassandra.connection.host to the session"
@@ -185,7 +189,7 @@ class CassandraTableSource(TableSource):
 
     def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
         (
-            df.write.format(CASSANDRA_FORMAT)
+            df.write.format(self.format)
             .options(keyspace=self.keyspace, table=table)
             .mode(mode)
             .save()
