@@ -11,9 +11,11 @@ buffered rows — with a measurement, not an argument: the driver reads
 micro-batch.
 
 Provider note: eviction semantics are state-store-provider
-independent; this runs on the default HDFS-backed provider.  At
-production scale switch to RocksDB (SPARK_GRAFT_STATE_STORE=rocksdb,
-session.py) so the bounded-but-large state lives off-heap.
+independent, and the plateau test runs on BOTH — the default
+HDFS-backed provider and RocksDB (the configuration production
+actually runs: SPARK_GRAFT_STATE_STORE=rocksdb, session.py), with the
+rocksdb* custom metrics asserted so a silently-ignored conf can't
+fake coverage.
 """
 
 from __future__ import annotations
@@ -62,33 +64,70 @@ def _write_slices(spark, src_dir):
     return spark.read.parquet(src_dir).schema
 
 
-def test_interval_join_state_plateaus(spark, tmp_path):
+ROCKSDB_PROVIDER = (
+    "org.apache.spark.sql.execution.streaming.state."
+    "RocksDBStateStoreProvider"
+)
+
+
+import pytest  # noqa: E402
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_interval_join_state_plateaus(spark, tmp_path, provider):
+    """Parameterized over BOTH state-store providers: at 100 TB the
+    RocksDB provider is the configuration that actually runs
+    (session.py SPARK_GRAFT_STATE_STORE=rocksdb), so the bound is
+    proven where it matters, not only on the test-default provider."""
     src = str(tmp_path / "events_src")
     ckpt = str(tmp_path / "ckpt")
     out = str(tmp_path / "out")
     schema = _write_slices(spark, src)
 
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", 1)  # one slice per micro-batch
-        .parquet(src)
-    )
-    joined = attribution_join_stream(
-        stream, attribution_window="10 minutes", watermark="10 minutes"
-    )
-    q = (
-        joined.writeStream.format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination(300)
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    if provider == "rocksdb":
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)  # one slice per micro-batch
+            .parquet(src)
+        )
+        joined = attribution_join_stream(
+            stream, attribution_window="10 minutes", watermark="10 minutes"
+        )
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+    finally:
+        if provider == "rocksdb":
+            spark.conf.unset(conf_key)
+
+    progresses = [
+        __import__("json").loads(j.json) for j in q.recentProgress
+    ]
+    if provider == "rocksdb":
+        # prove the provider actually engaged: RocksDB emits its own
+        # custom state metrics in the progress telemetry
+        metrics = [
+            m
+            for p in progresses
+            for op in p.get("stateOperators", [])
+            for m in op.get("customMetrics", {})
+        ]
+        assert any(m.startswith("rocksdb") for m in metrics), (
+            f"no rocksdb custom metrics in progress: {sorted(set(metrics))[:10]}"
+        )
 
     # recentProgress is the public per-batch telemetry
     state_rows = [
         sum(op["numRowsTotal"] for op in p["stateOperators"])
-        for p in (__import__("json").loads(j.json) for j in q.recentProgress)
+        for p in progresses
         if p["stateOperators"]
     ]
     assert len(state_rows) >= N_SLICES - 2, "expected ~one batch per slice"
