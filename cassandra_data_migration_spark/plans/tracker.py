@@ -20,6 +20,27 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _has_committed_files(path: str) -> bool:
+    """True iff ``path`` holds at least one COMMITTED data file.
+
+    Hidden entries (``_temporary/``, ``_SUCCESS``, ``.``-prefixed
+    task-attempt files) are exactly what a killed-mid-write job leaves
+    behind; Spark's readers skip them, and so must the resume check —
+    otherwise ``spark.read.parquet`` on a _temporary-only directory
+    raises instead of resuming from zero.
+    """
+    if not os.path.exists(path):
+        return False
+    for root, dirs, files in os.walk(path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in files:
+            if not f.startswith(("_", ".")) and os.path.getsize(
+                os.path.join(root, f)
+            ):
+                return True
+    return False
+
+
 class RunTracker:
     def __init__(self, spark: SparkSession, track_dir: str, num_buckets: int = 32):
         self.spark = spark
@@ -101,7 +122,13 @@ class RunTracker:
         target, on the resume path only.  Returns the recovered
         bucket ids.
         """
-        if not os.path.exists(target_path):
+        if not _has_committed_files(target_path):
+            # Nothing visible in the target: either the previous run
+            # died before its write, or mid-write (only _temporary/
+            # task-attempt debris — committer v1 never exposes those
+            # rows, and the next job's commit cycle clears them).
+            # Every pending bucket is genuinely pending; reading the
+            # path here would crash on "unable to infer schema".
             return []
         done = set(self.completed_buckets(run_id))
         pending = [b for b in range(self.num_buckets) if b not in done]

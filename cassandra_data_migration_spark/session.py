@@ -59,6 +59,19 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=512m",
         )
         .config("spark.ui.enabled", "false")
+        # Resume safety (plans/tracker.py reconcile_with_target)
+        # depends on file commits being all-or-nothing PER JOB: a
+        # killed write must leave zero visible rows, so "any rows in a
+        # pending bucket" can only mean post-commit-pre-record crash.
+        # Committer algorithm v2 moves task output into the
+        # destination as EACH task commits — a killed v2 job leaves
+        # partial bucket data and reconcile would mark the bucket
+        # PASSED with missing rows.  Pin v1 regardless of the Hadoop
+        # profile's default.
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.algorithm.version",
+            "1",
+        )
     )
     # Streaming state backend: at production scale (stream-stream
     # joins, large keyed state) the in-memory HDFS-backed provider

@@ -158,3 +158,128 @@ def test_replay_gate_fresh_state_and_legacy_marker_tolerated(tmp_path):
     state2, ckpt2 = _mk_state(tmp_path / "b", "5", "qid9")
     assert _replay_gate(state2, ckpt2, 5) == (True, "qid9")
     assert _replay_gate(state2, ckpt2, 6) == (False, "qid9")
+
+
+# ---------------------------------------------------------------------------
+# VERDICT r4 item 8: chaos-matrix for the trackRun resume path.  Three
+# crash points, one invariant: resume never duplicates and never drops
+# a row (docs/04-cdm-approach.md:843-846 autoRerun semantics).
+# ---------------------------------------------------------------------------
+
+def _migrate_cfg(origin, target, track_dir, prev=None):
+    from cassandra_data_migration_spark.plans.migrate import MigrationConfig
+
+    return MigrationConfig(
+        origin_path=origin,
+        target_path=target,
+        track_run=True,
+        track_key_col="o_orderkey",
+        track_dir=track_dir,
+        previous_run_id=prev,
+    )
+
+
+def _assert_exactly_once(spark, origin, target):
+    src = spark.read.parquet(origin)
+    tgt = spark.read.parquet(target)
+    assert tgt.count() == src.count()  # no drop, no duplicate
+    assert (
+        tgt.select("o_orderkey").distinct().count()
+        == src.select("o_orderkey").distinct().count()
+    )
+
+
+def test_has_committed_files_ignores_uncommitted_debris(tmp_path):
+    from cassandra_data_migration_spark.plans.tracker import (
+        _has_committed_files,
+    )
+
+    t = tmp_path / "tgt"
+    assert not _has_committed_files(str(t))  # absent
+    t.mkdir()
+    assert not _has_committed_files(str(t))  # empty
+    # killed-mid-write debris: committer scratch + markers + crc only
+    attempt = t / "_temporary" / "0" / "_temporary" / "attempt_x_0"
+    attempt.mkdir(parents=True)
+    (attempt / "part-00000.parquet").write_bytes(b"PAR1partial")
+    (t / "_SUCCESS").write_bytes(b"")
+    (t / ".part-0.crc").write_bytes(b"x")
+    assert not _has_committed_files(str(t))
+    (t / "part-00000.parquet").write_bytes(b"PAR1")
+    assert _has_committed_files(str(t))
+
+
+def test_resume_after_crash_mid_write(spark, tmp_path):
+    """Killed DURING the write job: target holds only _temporary
+    debris, tracker holds nothing.  Resume must treat it as
+    from-scratch (old code crashed on schema inference here)."""
+    from cassandra_data_migration_spark.plans.migrate import migrate
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    origin = "/root/testdata/sf0.001/orders.parquet"
+    target = str(tmp_path / "tgt")
+    track = str(tmp_path / "runinfo")
+    crashed = RunTracker(spark, track).new_run()
+    debris = os.path.join(target, "_temporary", "0", "_temporary", "a_0")
+    os.makedirs(debris)
+    with open(os.path.join(debris, "part-00000.parquet"), "wb") as f:
+        f.write(b"PAR1partial")
+
+    res = migrate(spark, _migrate_cfg(origin, target, track, prev=crashed))
+    src = spark.read.parquet(origin)
+    assert res.rows_written == src.count()
+    _assert_exactly_once(spark, origin, target)
+
+
+def test_resume_after_crash_post_commit_pre_record(spark, tmp_path):
+    """Killed AFTER the write committed but BEFORE any bucket record
+    landed: the target is complete, the tracker says nothing is.  A
+    naive resume would re-append the whole table; reconcile must
+    recover every bucket and the resume write zero new rows."""
+    from cassandra_data_migration_spark.plans.migrate import migrate
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    origin = "/root/testdata/sf0.001/orders.parquet"
+    target = str(tmp_path / "tgt")
+    track = str(tmp_path / "runinfo")
+    spark.read.parquet(origin).write.parquet(target)  # the committed write
+    crashed = RunTracker(spark, track).new_run()  # died before records
+
+    res = migrate(spark, _migrate_cfg(origin, target, track, prev=crashed))
+    assert res.rows_written == 0
+    _assert_exactly_once(spark, origin, target)
+
+
+def test_resume_after_crash_between_record_batches(spark, tmp_path):
+    """Killed mid-RECORDING: buckets 0..15 committed to the target,
+    but only 0..7 got tracker records.  Reconcile recovers 8..15 from
+    the target itself; resume appends exactly buckets 16..31."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.plans.migrate import migrate
+    from cassandra_data_migration_spark.plans.tracker import RunTracker
+
+    origin = "/root/testdata/sf0.001/orders.parquet"
+    target = str(tmp_path / "tgt")
+    track = str(tmp_path / "runinfo")
+    tr = RunTracker(spark, track)
+    crashed = tr.new_run()
+    src = spark.read.parquet(origin)
+    bucket = F.pmod("o_orderkey", F.lit(tr.num_buckets))
+    committed = list(range(16))
+    src.filter(bucket.isin(committed)).write.parquet(target)
+    for b in range(8):  # records landed for only half the committed set
+        n = src.filter(bucket == b).count()
+        tr.record_bucket(crashed, b, "PASSED", rows=n)
+
+    res = migrate(spark, _migrate_cfg(origin, target, track, prev=crashed))
+    remaining = src.filter(~bucket.isin(committed)).count()
+    assert res.rows_written == remaining
+    _assert_exactly_once(spark, origin, target)
+    # this run's details are self-contained: a THIRD resume off this
+    # run id re-scans nothing
+    res3 = migrate(
+        spark, _migrate_cfg(origin, target, track, prev=res.run_id)
+    )
+    assert res3.rows_written == 0
+    _assert_exactly_once(spark, origin, target)
