@@ -35,7 +35,8 @@ def connected_components(
     id_col: str = "id",
     src: str = "src",
     dst: str = "dst",
-    max_iter: int = 25,
+    max_iter: int = 10,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) where component = min node id reachable from
     ``id`` over the undirected ``edges``.  Isolated nodes (present in
@@ -53,6 +54,15 @@ def connected_components(
     yet fully propagated), so this falls back to
     :func:`connected_components_star`, whose O(log² n) round bound
     needs no diameter assumption.
+
+    ``max_iter`` default is tuned from the graph scale probe
+    (SCALE_PROBE_r05.json): real dup graphs (near-clique clusters,
+    1x and 10x tiers) converge in 2 rounds, while on the adversarial
+    chain shape every label round before the fallback is pure waste
+    (25 wasted rounds cost +69% over calling star directly; 10 cap
+    that at roughly +28%).  Any graph with diameter in (10, 50] that
+    label-prop could still have finished lands in the star path
+    instead — identical labels, bounded rounds either way.
     """
     fwd = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
     rev = edges.select(F.col(dst).alias("a"), F.col(src).alias("b"))
@@ -64,7 +74,9 @@ def connected_components(
     ).localCheckpoint(eager=False)
 
     converged = False
+    rounds = 0
     for _ in range(max_iter):
+        rounds += 1
         msgs = und.join(labels, "a").select(
             F.col("b").alias("a"), F.col("component")
         )
@@ -86,8 +98,13 @@ def connected_components(
             converged = True
             break
     und.unpersist()
+    if stats is not None:
+        stats["label_rounds"] = rounds
+        stats["fell_back_to_star"] = not converged
     if not converged:
-        return connected_components_star(edges, nodes, id_col, src, dst)
+        return connected_components_star(
+            edges, nodes, id_col, src, dst, stats=stats
+        )
     return labels.select(F.col("a").alias(id_col), "component")
 
 
@@ -98,6 +115,7 @@ def connected_components_star(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 50,
+    stats: dict | None = None,
 ) -> DataFrame:
     """(id, component) via alternating large-star/small-star contraction
     (Kiveris et al., "Connected Components in MapReduce and Beyond",
@@ -139,7 +157,9 @@ def connected_components_star(
             d.select(F.col("v").alias("u"), F.col("u").alias("v"))
         )
 
+    star_rounds = 0
     for _ in range(max_iter):
+        star_rounds += 1
         sym = _sym(e)
         # large-star: m = min over ALL neighbors and self; attach
         # strictly-larger neighbors to m
@@ -178,6 +198,8 @@ def connected_components_star(
         ).count()
         e = e2
         if changed == 0:
+            if stats is not None:
+                stats["star_rounds"] = star_rounds
             break
     else:
         raise RuntimeError(
