@@ -2113,6 +2113,37 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
+
+
+def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # CCNet/RefinedWeb LINE-wise dedup (natural-line granularity; the
+    # token-chunk twin is strip_boilerplate): synthesize multi-line
+    # pages from the fixture — own text + a cyclically-donated line
+    # for doc_id%5==0 + a shared boilerplate line for doc_id%3==0 —
+    # then drop lines whose md5 recurs in >=2 distinct docs and
+    # reassemble survivors in order
+    from cassandra_data_migration_spark.operators.text import line_dedup_docs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = docs.count()
+    donor = docs.select(F.col("doc_id").alias("_j"), F.col("text").alias("_t2"))
+    pages = (
+        docs.withColumn("_j", F.pmod(F.col("doc_id") + 17, F.lit(n)))
+        .join(donor, "_j")
+        .select(
+            "doc_id",
+            F.concat_ws(
+                "\n",
+                F.col("text"),
+                F.when(F.col("doc_id") % 5 == 0, F.col("_t2")),
+                F.when(F.col("doc_id") % 3 == 0, F.lit(_LINE_BOILER)),
+            ).alias("text"),
+        )
+    )
+    return line_dedup_docs(pages, min_docs=2, min_chars=10)
+
+
 def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     # entity resolution over the distinct-name dictionary: part-name
     # variants within 2 edits, blocked on the noun token, length-bound
@@ -4045,6 +4076,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dsir_select": q_dsir_select,
     "perplexity_buckets": q_perplexity_buckets,
     "strip_boilerplate": q_strip_boilerplate,
+    "line_dedup_docs": q_line_dedup_docs,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8196,6 +8228,48 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# Line-wise dedup: same synthetic page construction, same md5-keyed
+# >=2-distinct-doc rule, survivors re-joined in line order.
+ORACLES["line_dedup_docs"] = f"""
+    WITH pages AS (
+        SELECT d.doc_id,
+               concat_ws(chr(10), d.text,
+                   CASE WHEN d.doc_id % 5 = 0 THEN b.text END,
+                   CASE WHEN d.doc_id % 3 = 0 THEN '{_LINE_BOILER}' END
+               ) AS text
+        FROM documents d
+        JOIN documents b
+          ON b.doc_id = (d.doc_id + 17) % (SELECT COUNT(*) FROM documents)
+    ),
+    lines AS (
+        SELECT doc_id,
+               unnest(string_split(text, chr(10))) AS line,
+               unnest(generate_series(1,
+                   len(string_split(text, chr(10))))) AS pos
+        FROM pages
+    ),
+    hashed AS (SELECT doc_id, pos, line, md5(line) AS h FROM lines),
+    common AS (
+        SELECT h FROM (
+            SELECT h, COUNT(DISTINCT doc_id) AS c FROM hashed
+            WHERE length(line) >= 10 GROUP BY h
+        ) WHERE c >= 2
+    ),
+    kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM common)),
+    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM hashed GROUP BY doc_id),
+    agg AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+               COUNT(*) AS n_kept
+        FROM kept GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           COALESCE(a.clean_text, '') AS clean_text,
+           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
+           CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
+    FROM tot t LEFT JOIN agg a USING (doc_id)
 """
 
 

@@ -1423,3 +1423,76 @@ def quality_score_e6(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn(
         "quality_e6x10", (7 * length_e6 + 3 * stop_e6).cast("long")
     )
+
+
+def line_dedup_docs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_docs: int = 2,
+    min_chars: int = 10,
+    sep: str = "\n",
+) -> DataFrame:
+    """Cross-document line-level dedup with document reassembly — the
+    CCNet / RefinedWeb cleaning pass (Wenzek et al. 2019 dedup lines
+    by hash across shards; Penedo et al. 2023 §line-wise filtering):
+    a line whose md5 occurs in >= ``min_docs`` DISTINCT documents is
+    boilerplate (nav bars, cookie banners, licence blocks) and is
+    removed from EVERY document; what survives is re-joined in
+    original line order.
+
+    Lines shorter than ``min_chars`` are exempt — empty/near-empty
+    lines are legitimately common and removing them would shred
+    formatting (same carve-out CCNet applies).
+
+    Output: one row per input document —
+    ``(id, clean_text, n_kept, n_removed)``; a fully-boilerplate
+    document stays present with ``clean_text = ''``.
+
+    Scale shape (100 TB): the frequency pass ships (md5, doc_id)
+    pairs — 40 bytes/line, never the text — through one distinct +
+    one partial-aggregated groupBy; the removal step anti-joins the
+    exploded lines against the common-hash set on the 32-byte md5 key
+    (typically tiny: the corpus' boilerplate catalogue — AQE
+    broadcasts it when it fits).  Line text crosses the wire only in
+    the final reassembly shuffle, which is keyed by ``id`` and
+    carries exactly the surviving corpus once.  Matching on md5 makes
+    the semantics engine-portable (DuckDB ``md5``) and is the same
+    collision tolerance CCNet accepts.
+    """
+    lines = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+    ).withColumn("h", F.md5("line"))
+    common = (
+        lines.filter(F.length("line") >= min_chars)
+        .select("h", id_col)
+        .distinct()
+        .groupBy("h")
+        .agg(F.count(F.lit(1)).alias("_docs"))
+        .filter(F.col("_docs") >= min_docs)
+        .select("h")
+    )
+    kept = lines.join(common, "h", "left_anti")
+    totals = lines.groupBy(id_col).agg(F.count(F.lit(1)).alias("_n_lines"))
+    reassembled = kept.groupBy(id_col).agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+            sep,
+        ).alias("clean_text"),
+        F.count(F.lit(1)).alias("n_kept"),
+    )
+    return (
+        totals.join(reassembled, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("_n_lines") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+        )
+    )
