@@ -2116,6 +2116,25 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous-crawl near-dup: first half of the corpus is the
+    # ingested "seen" side, persisted as an LSH band index; the second
+    # half probes it — band collisions nominate, exact Jaccard on the
+    # TOUCHED seen docs only verifies, each new doc reports its best
+    # match or is_novel
+    from cassandra_data_migration_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_probe,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    half = docs.count() // 2
+    seen = docs.filter(F.col("doc_id") < half)
+    new = docs.filter(F.col("doc_id") >= half)
+    index = lsh_index_build(seen)
+    return lsh_index_probe(new, index, seen)
+
+
 def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # CCNet/RefinedWeb LINE-wise dedup (natural-line granularity; the
     # token-chunk twin is strip_boilerplate): synthesize multi-line
@@ -4077,6 +4096,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "perplexity_buckets": q_perplexity_buckets,
     "strip_boilerplate": q_strip_boilerplate,
     "line_dedup_docs": q_line_dedup_docs,
+    "lsh_index_incremental": q_lsh_index_incremental,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8228,6 +8248,51 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# Incremental LSH probe: same 4-hash/2-band md5 MinHash as the batch
+# dedup oracle, seen = first half of the corpus by doc_id, candidates
+# from band agreement, exact-Jaccard verify, best match per new doc.
+ORACLES["lsh_index_incremental"] = f"""
+    WITH {_SIGS_CTE},
+    half AS (SELECT COUNT(*) // 2 AS h FROM documents),
+    cands AS (
+        SELECT DISTINCT nw.doc_id AS new_id, sn.doc_id AS seen_id
+        FROM sigs nw, sigs sn, half
+        WHERE nw.doc_id >= half.h AND sn.doc_id < half.h
+          AND ((nw.sig0 = sn.sig0 AND nw.sig1 = sn.sig1)
+            OR (nw.sig2 = sn.sig2 AND nw.sig3 = sn.sig3))
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
+    inter AS (
+        SELECT c.new_id, c.seen_id, COUNT(*) AS i
+        FROM cands c
+        JOIN sh a ON a.doc_id = c.new_id
+        JOIN sh b ON b.doc_id = c.seen_id AND b.shingle = a.shingle
+        GROUP BY 1, 2
+    ),
+    scored AS (
+        SELECT new_id, seen_id,
+               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = new_id
+        JOIN sizes sb ON sb.doc_id = seen_id
+        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
+    ),
+    best AS (
+        SELECT new_id, seen_id, j,
+               ROW_NUMBER() OVER (PARTITION BY new_id
+                   ORDER BY j DESC, seen_id ASC) AS rn
+        FROM scored
+    )
+    SELECT d.doc_id,
+           CAST(b.seen_id AS BIGINT) AS match_id,
+           b.j AS jaccard,
+           CAST(CASE WHEN b.seen_id IS NULL THEN 1 ELSE 0 END
+               AS BIGINT) AS is_novel
+    FROM (SELECT doc_id FROM documents, half WHERE doc_id >= half.h) d
+    LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
 """
 
 

@@ -694,3 +694,132 @@ def substring_dup_spans(
             ).alias("dup_frac"),
         )
     )
+
+
+def _band_key_array(num_hashes: int, band_size: int) -> Column:
+    bands = [
+        [f"sig{i}" for i in range(b, min(b + band_size, num_hashes))]
+        for b in range(0, num_hashes, band_size)
+    ]
+    return F.array(
+        *[F.xxhash64(F.lit(i), *cols) for i, cols in enumerate(bands)]
+    )
+
+
+def lsh_index_build(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 4,
+    band_size: int = 2,
+) -> DataFrame:
+    """Persistable LSH band index of a corpus: one ``(band_key, id)``
+    row per band per document (band_key = xxhash64 of the band's
+    MinHash slots, 8 bytes).  This is the artifact a continuous-crawl
+    pipeline keeps BETWEEN ingests so each new batch probes an index
+    instead of re-scanning the corpus — the near-dup analogue of
+    :func:`incremental_dedup`'s fingerprint store.
+
+    Size: bands × |corpus| rows of 16 bytes — ~0.1% of a text corpus;
+    write it bucketed by ``band_key`` and every probe join is
+    shuffle-free on the index side."""
+    sigs = minhash_signatures(df, id_col, text_col, n, num_hashes)
+    return sigs.select(
+        F.col(id_col),
+        F.explode(_band_key_array(num_hashes, band_size)).alias("band_key"),
+    )
+
+
+def lsh_index_probe(
+    new_df: DataFrame,
+    index: DataFrame,
+    seen_df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 4,
+    band_size: int = 2,
+    jaccard_threshold: float = 0.5,
+) -> DataFrame:
+    """Incremental near-dup check of a new batch against an ingested
+    corpus via its persisted :func:`lsh_index_build` index: band
+    collisions nominate candidate (new, seen) pairs, exact n-gram
+    Jaccard verifies them, and each new doc reports its best match —
+    ``(id, match_id, jaccard, is_novel)``, one row per new doc,
+    ``match_id``/``jaccard`` NULL for novel docs.
+
+    Scale shape: the batch's band keys join the index on the 8-byte
+    key (batch side is small → broadcast); the expensive exact-verify
+    step re-shingles ONLY the candidate seen docs (a semi-join pulls
+    them from the corpus), so probe cost tracks the batch's collision
+    footprint, not corpus size.  Candidate verification is the same
+    intersect-count plan as :func:`minhash_lsh_dedup` — exchanges
+    carry (hash, id) longs, never text."""
+    from pyspark.sql import Window
+
+    new_keys = lsh_index_build(
+        new_df, id_col, text_col, n, num_hashes, band_size
+    )
+    cands = (
+        new_keys.select(F.col(id_col).alias("_new_id"), "band_key")
+        .join(
+            index.select(F.col(id_col).alias("_seen_id"), "band_key"),
+            "band_key",
+        )
+        .select("_new_id", "_seen_id")
+        .distinct()
+    )
+    touched = seen_df.join(
+        cands.select(F.col("_seen_id").alias(id_col)).distinct(),
+        id_col,
+        "left_semi",
+    )
+    sh_new = shingle_table(new_df, id_col, text_col, n).select(
+        F.col(id_col).alias("_new_id"), F.xxhash64("shingle").alias("_hs")
+    )
+    sh_seen = shingle_table(touched, id_col, text_col, n).select(
+        F.col(id_col).alias("_seen_id"), F.xxhash64("shingle").alias("_hs")
+    )
+    size_new = sh_new.groupBy("_new_id").agg(F.count(F.lit(1)).alias("_sa"))
+    size_seen = sh_seen.groupBy("_seen_id").agg(
+        F.count(F.lit(1)).alias("_sb")
+    )
+    inter = (
+        cands.join(sh_new, "_new_id")
+        .join(sh_seen, ["_seen_id", "_hs"])
+        .groupBy("_new_id", "_seen_id")
+        .agg(F.count(F.lit(1)).alias("_i"))
+    )
+    scored = (
+        inter.join(size_new, "_new_id")
+        .join(size_seen, "_seen_id")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+    )
+    w = Window.partitionBy("_new_id").orderBy(
+        F.col("jaccard").desc(), F.col("_seen_id").asc()
+    )
+    best = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("_new_id", F.col("_seen_id").alias("match_id"), "jaccard")
+    )
+    return (
+        new_df.select(id_col)
+        .join(best, new_df[id_col] == best["_new_id"], "left")
+        .select(
+            F.col(id_col),
+            F.col("match_id").cast("long"),
+            "jaccard",
+            F.when(F.col("match_id").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("is_novel"),
+        )
+    )

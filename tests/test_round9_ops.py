@@ -63,3 +63,76 @@ def test_line_dedup_docs_oracle(spark, duck):
         duck,
         m.oracle_sql()["line_dedup_docs"],
     )
+
+
+def test_lsh_index_probe_semantics(spark):
+    from cassandra_data_migration_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_probe,
+    )
+
+    seen = spark.createDataFrame(
+        [
+            (0, "the quick brown fox jumps over the lazy dog today"),
+            (1, "completely different corpus entry about spark plans"),
+        ],
+        "doc_id long, text string",
+    )
+    new = spark.createDataFrame(
+        [
+            # near-copy of doc 0 (one word changed; this variant's
+            # bands verifiably collide — LSH recall is probabilistic,
+            # not every 1-edit copy lands in a shared bucket) -> match
+            (10, "a quick brown fox jumps over the lazy dog today"),
+            # unrelated -> novel
+            (11, "unrelated text with entirely fresh tokens galore"),
+        ],
+        "doc_id long, text string",
+    )
+    index = lsh_index_build(seen)
+    out = {r["doc_id"]: r for r in lsh_index_probe(new, index, seen).collect()}
+    assert out[10]["match_id"] == 0 and out[10]["is_novel"] == 0
+    assert out[10]["jaccard"] >= 0.5
+    assert out[11]["match_id"] is None and out[11]["is_novel"] == 1
+
+
+def test_lsh_index_probe_matches_batch_dedup(spark):
+    """Splitting the corpus and probing incrementally must find every
+    cross-half pair the one-shot batch dedup finds (same bands, same
+    verify threshold)."""
+    from cassandra_data_migration_spark.operators.dedup import (
+        lsh_index_build,
+        lsh_index_probe,
+        minhash_lsh_dedup,
+    )
+
+    docs = (
+        spark.read.parquet(f"{SF_CORRECT}/documents.parquet")
+        .select("doc_id", "text")
+    )
+    half = docs.count() // 2
+    seen = docs.filter(F.col("doc_id") < half)
+    new = docs.filter(F.col("doc_id") >= half)
+    batch_pairs = {
+        (r["id_a"], r["id_b"])
+        for r in minhash_lsh_dedup(
+            docs, n=3, num_hashes=4, band_size=2, jaccard_threshold=0.5
+        ).collect()
+        if r["id_a"] < half <= r["id_b"]
+    }
+    probed = lsh_index_probe(new, lsh_index_build(seen), seen).collect()
+    matched = {(r["match_id"], r["doc_id"]) for r in probed if r["match_id"] is not None}
+    # every batch cross-pair's new-side doc must be flagged non-novel
+    batch_new_ids = {b for _, b in batch_pairs}
+    flagged_new_ids = {b for _, b in matched}
+    assert batch_new_ids <= flagged_new_ids
+
+
+def test_lsh_index_incremental_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["lsh_index_incremental"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["lsh_index_incremental"],
+    )
