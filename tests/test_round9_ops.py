@@ -136,3 +136,66 @@ def test_lsh_index_incremental_oracle(spark, duck):
         duck,
         m.oracle_sql()["lsh_index_incremental"],
     )
+
+
+def test_tws_running_totals_stream_equals_batch(spark, tmp_path):
+    """State API v2 (transformWithStateInPandas) twin: per-key running
+    totals across 3 micro-batches must equal the one-shot batch
+    aggregate (all-integer accumulators -> slicing-invariant)."""
+    import pytest
+
+    from cassandra_data_migration_spark.streaming.tws import (
+        run_tws_totals,
+        tws_available,
+    )
+
+    if not tws_available():
+        pytest.skip("protobuf unavailable: transformWithState runner "
+                    "cannot start in this image (see tws.tws_available)")
+
+    src = str(tmp_path / "src")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .select("user_id", "ts", "value",
+                F.pmod("event_id", F.lit(3)).alias("_slice"))
+    )
+    for s in range(3):
+        ev.filter(F.col("_slice") == s).drop("_slice").repartition(1) \
+            .write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = run_tws_totals(
+        spark, stream, str(tmp_path / "sink"), str(tmp_path / "ckpt")
+    )
+    got = {r["user_id"]: (r["n_events"], r["sum_cents"], r["last_ts_us"])
+           for r in out.collect()}
+    exp = {
+        r["user_id"]: (r["n"], r["s"], r["m"])
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/events.parquet"
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.floor(F.col("value") * 100).cast("long")).alias("s"),
+            F.max(F.unix_micros("ts")).alias("m"),
+        )
+        .collect()
+    }
+    assert got == exp
+
+
+def test_tws_module_importable_and_gated():
+    """The v2-state module must import cleanly and report the runner
+    capability without raising, whatever the image has."""
+    from cassandra_data_migration_spark.streaming.tws import (
+        RunningTotalsProcessor,
+        tws_available,
+    )
+
+    assert isinstance(tws_available(), bool)
+    p = RunningTotalsProcessor("user_id")
+    assert p._key_col == "user_id"
