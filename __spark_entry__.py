@@ -2116,6 +2116,45 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_cow_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # lakehouse MERGE INTO on plain parquet: orders staged range-
+    # partitioned on the key (8 files), updates confined to the lowest
+    # eighth of the key range (+100 price) plus 20 inserted rows above
+    # the max key; copy-on-write rewrites only the touched files,
+    # stats-pruned via footers.  Returns the merged table projection.
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="cow_") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(d)
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    threshold = lo + (hi - lo) // 8
+    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    rn = F.row_number().over(Window.orderBy("o_orderkey"))
+    ins = (
+        orders.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi + 1))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    )
+    cow_merge(spark, d, upd.unionByName(ins), "o_orderkey")
+    return spark.read.parquet(d).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous-crawl near-dup: first half of the corpus is the
     # ingested "seen" side, persisted as an LSH band index; the second
@@ -4097,6 +4136,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "strip_boilerplate": q_strip_boilerplate,
     "line_dedup_docs": q_line_dedup_docs,
     "lsh_index_incremental": q_lsh_index_incremental,
+    "cow_merge_upsert": q_cow_merge_upsert,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8248,6 +8288,37 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# COW merge: expected table = orders with the low-eighth price bump
+# applied, plus the 20 shifted insert rows.
+ORACLES["cow_merge_upsert"] = """
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    upd AS (
+        SELECT o_orderkey, o_totalprice + 100.0 AS p
+        FROM orders, b
+        WHERE o_orderkey <= b.lo + (b.hi - b.lo) // 8
+    ),
+    ins AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus
+        FROM (
+            SELECT o_orderkey, o_totalprice, o_orderstatus,
+                   ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+            FROM orders
+        ) WHERE rn <= 20
+    )
+    SELECT o.o_orderkey,
+           COALESCE(u.p, o.o_totalprice) AS o_totalprice,
+           o.o_orderstatus
+    FROM orders o LEFT JOIN upd u USING (o_orderkey)
+    UNION ALL
+    SELECT i.o_orderkey + b.hi + 1 AS o_orderkey,
+           i.o_totalprice + 5.0 AS o_totalprice,
+           i.o_orderstatus
+    FROM ins i, b
 """
 
 

@@ -199,3 +199,82 @@ def test_tws_module_importable_and_gated():
     assert isinstance(tws_available(), bool)
     p = RunningTotalsProcessor("user_id")
     assert p._key_col == "user_id"
+
+
+def test_cow_merge_prunes_untouched_files(spark, tmp_path):
+    """Updates confined to one key range must rewrite ONLY the files
+    that range intersects; every other file stays byte-identical."""
+    import hashlib
+    import os
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 8000).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    ).repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+
+    def file_hashes():
+        return {
+            f: hashlib.md5(
+                open(os.path.join(target, f), "rb").read()
+            ).hexdigest()
+            for f in os.listdir(target)
+            if f.endswith(".parquet")
+        }
+
+    before = file_hashes()
+    # update keys 0..99 (lowest range) + insert keys 9000..9009
+    upd = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    ins = spark.range(9000, 9010).select(
+        F.col("id").alias("k"), F.lit(-2).cast("long").alias("v")
+    )
+    stats = cow_merge(spark, target, upd.unionByName(ins), "k")
+    assert stats.files_total == 8
+    assert 1 <= stats.files_rewritten < stats.files_total
+    assert stats.rows_written >= 110  # survivors of touched + updates
+
+    after = file_hashes()
+    untouched_before = set(before) & set(after)
+    assert len(untouched_before) >= 8 - stats.files_rewritten
+    for f in untouched_before:
+        assert before[f] == after[f]  # byte-identical, never rewritten
+
+    got = {
+        r["k"]: r["v"]
+        for r in spark.read.parquet(target).collect()
+    }
+    assert len(got) == 8010
+    assert all(got[k] == -1 for k in range(100))
+    assert all(got[k] == -2 for k in range(9000, 9010))
+    assert got[4000] == 12000  # untouched row intact
+
+
+def test_cow_merge_all_inserts_touches_nothing(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").write.parquet(target)
+    ins = spark.range(500, 520).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    stats = cow_merge(spark, target, ins, "k")
+    assert stats.files_rewritten == 0
+    assert stats.rows_written == 20
+    assert spark.read.parquet(target).count() == 120
+
+
+def test_cow_merge_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["cow_merge_upsert"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["cow_merge_upsert"],
+    )
