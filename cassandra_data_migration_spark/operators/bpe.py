@@ -117,18 +117,21 @@ def bpe_train(
     words by count, ties by word — deterministic); at 100 TB this is
     the Heaps'-law working set, NOT the corpus.
 
-    Each round PERSISTS its symbol table and drops the previous one:
-    without that, round j re-runs the corpus scan plus all j-1 earlier
-    folds (quadratic total work); with it, the corpus is scanned once
-    and every round costs exactly one fold over the cached word
-    table."""
-    from pyspark.storagelevel import StorageLevel
-
+    Each round CHECKPOINTS its symbol table (``localCheckpoint`` —
+    materialize + truncate lineage, the same per-round discipline as
+    the graph loops; a cluster run swaps in durable ``checkpoint``):
+    materialization keeps every round one fold over the previous
+    table instead of re-running the corpus scan plus all earlier
+    folds, and the lineage CUT is what keeps the plan tree constant
+    per round — measured with persist()-only rounds, the retained
+    plan DOUBLED per merge (4→8→16→32 Exchange nodes for 1→4
+    merges, 2^k growth): a 40-merge vocabulary would hand the driver
+    a ~2^40-node plan at the first post-training action."""
     words = word_counts(df, text_col)
     top = words.orderBy(F.desc("n"), F.asc("word")).limit(max_words)
     cur = top.select(
         "word", "n", _initial_symbols(F.col("word")).alias("symbols")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ).localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []
     for _ in range(num_merges):
         pairs = cur.select(
@@ -157,15 +160,12 @@ def bpe_train(
             break
         a, b = best[0]["p"]["a"], best[0]["p"]["b"]
         merges.append((a, b))
-        prev = cur
-        cur = prev.select(
+        # eager localCheckpoint = materialize the one-fold increment
+        # AND cut the lineage; the parent round's blocks are released
+        # by the ContextCleaner once unreferenced
+        cur = cur.select(
             "word", "n", _merge_pair(F.col("symbols"), a, b).alias("symbols")
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-        # materialize the one-fold increment, then release the parent
-        # cache (the pair aggregation above already ran against prev,
-        # so nothing recomputes)
-        cur.count()
-        prev.unpersist()
+        ).localCheckpoint(eager=True)
     return merges, cur
 
 
