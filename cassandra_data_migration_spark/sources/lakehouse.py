@@ -108,6 +108,15 @@ def cow_merge(
     Only key-range-intersecting files are read/rewritten; the rest of
     the table is untouched on disk (byte-identical files, pinned by
     tests)."""
+    # sweep temp dirs a crashed earlier merge left behind (never
+    # referenced by readers; single-writer contract as documented)
+    import shutil as _shutil
+
+    parent = os.path.dirname(target_path.rstrip("/"))
+    for d in os.listdir(parent):
+        if d.startswith("_cow_"):
+            _shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+
     ranges = parquet_key_ranges(spark, target_path, key_col)
     keys = updates.select(F.col(key_col).alias("_k")).distinct()
     touched_rows = (
@@ -124,7 +133,32 @@ def cow_merge(
         .distinct()
         .collect()
     )
-    touched = [r["file"] for r in touched_rows]
+    touched = {r["file"] for r in touched_rows}
+    # OVERLAP CLOSURE: any file whose key range overlaps a touched
+    # file joins the rewrite.  On a disjoint range layout (the COW
+    # norm — repartitionByRange + sort, restored by compaction) this
+    # is the identity and costs one driver pass over O(files) ranges.
+    # It exists for the crash-repair rerun: the crashed merge's new
+    # files hold survivor COPIES of the old touched file but may
+    # contain no update key, so key pruning alone would leave the
+    # duplicate halves on disk forever.  Driver-side fixpoint over
+    # footer ranges only — no data moves.
+    ivals = {
+        r["file"]: (r["key_min"], r["key_max"]) for r in ranges.collect()
+    }
+    changed = True
+    while changed:
+        changed = False
+        spans = [
+            ivals[f] for f in touched if ivals.get(f, (None, None))[0] is not None
+        ]
+        for f, (lo, hi) in ivals.items():
+            if f in touched:
+                continue
+            if lo is None or any(lo <= h and l <= hi for l, h in spans):
+                touched.add(f)
+                changed = True
+    touched = sorted(touched)
     n_files = len(spark.read.parquet(target_path).inputFiles())
 
     base = (
@@ -132,8 +166,26 @@ def cow_merge(
         if touched
         else spark.read.parquet(target_path).limit(0)
     )
-    survivors = base.join(
-        F.broadcast(keys), base[key_col] == F.col("_k"), "left_anti"
+    # key-dedup the touched rows before the anti-join: a MERGE target
+    # is unique-keyed, so under normal operation this drops nothing —
+    # it exists for the crash window where new files landed but the
+    # originals weren't yet removed.  Rerunning the SAME merge then
+    # reads both copies of each row; survivor copies are identical
+    # (arbitrary pick is safe) and update-key rows are replaced by the
+    # update batch regardless, so the rerun converges to exactly-once.
+    # (A DIFFERENT merge must not run between crash and repair — the
+    # stale/updated copies of the crashed merge's keys are ambiguous
+    # to it; the run-tracker discipline in plans/tracker.py is the
+    # re-run-same-work contract this mirrors.)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(key_col).orderBy(F.col("__file"))
+    survivors = (
+        base.withColumn("__file", F.input_file_name())
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__file", "__rn")
+        .join(F.broadcast(keys), base[key_col] == F.col("_k"), "left_anti")
     )
     merged = survivors.unionByName(updates.select(*base.columns))
 

@@ -278,3 +278,46 @@ def test_cow_merge_oracle(spark, duck):
         duck,
         m.oracle_sql()["cow_merge_upsert"],
     )
+
+
+def test_cow_merge_rerun_after_crash_converges(spark, tmp_path):
+    """Crash window: new files landed, a touched original was NOT yet
+    removed (duplicate survivor + stale-updated rows on disk).
+    Rerunning the SAME merge must converge to exactly-once."""
+    import os
+    import shutil
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 1000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    upd = spark.range(0, 50).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    # snapshot the file the merge will rewrite, then merge, then put
+    # the original BACK -> exactly the crashed-mid-removal state
+    files_before = {
+        f for f in os.listdir(target) if f.endswith(".parquet")
+    }
+    stash = str(tmp_path / "stash")
+    os.makedirs(stash)
+    for f in files_before:
+        shutil.copy(os.path.join(target, f), os.path.join(stash, f))
+    stats1 = cow_merge(spark, target, upd, "k")
+    assert stats1.files_rewritten >= 1
+    rewritten = files_before - set(os.listdir(target))
+    for f in rewritten:
+        shutil.copy(os.path.join(stash, f), os.path.join(target, f))
+    # duplicates now on disk
+    assert spark.read.parquet(target).count() > 1000
+
+    stats2 = cow_merge(spark, target, upd, "k")  # the repair rerun
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert len(got) == 1000
+    assert spark.read.parquet(target).count() == 1000  # no dup rows
+    assert all(got[k] == -1 for k in range(50))
+    assert all(got[k] == k for k in range(50, 1000))
