@@ -769,17 +769,29 @@ def lsh_index_probe(
         )
         .select("_new_id", "_seen_id")
         .distinct()
+        .persist()  # consumed by the semi-join AND the verify join
     )
     touched = seen_df.join(
         cands.select(F.col("_seen_id").alias(id_col)).distinct(),
         id_col,
         "left_semi",
     )
-    sh_new = shingle_table(new_df, id_col, text_col, n).select(
-        F.col(id_col).alias("_new_id"), F.xxhash64("shingle").alias("_hs")
+    # each shingle table feeds two consumers (set sizes + the
+    # intersect join) — persist so the corpus explodes once per side,
+    # the same materialize-the-shingle-table step as minhash_lsh_dedup
+    sh_new = (
+        shingle_table(new_df, id_col, text_col, n)
+        .select(
+            F.col(id_col).alias("_new_id"), F.xxhash64("shingle").alias("_hs")
+        )
+        .persist()
     )
-    sh_seen = shingle_table(touched, id_col, text_col, n).select(
-        F.col(id_col).alias("_seen_id"), F.xxhash64("shingle").alias("_hs")
+    sh_seen = (
+        shingle_table(touched, id_col, text_col, n)
+        .select(
+            F.col(id_col).alias("_seen_id"), F.xxhash64("shingle").alias("_hs")
+        )
+        .persist()
     )
     size_new = sh_new.groupBy("_new_id").agg(F.count(F.lit(1)).alias("_sa"))
     size_seen = sh_seen.groupBy("_seen_id").agg(
