@@ -2116,6 +2116,35 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Cassandra 2i/SAI analogue: narrow (value, pk) index partitioned
+    # by value-hash bucket; the probe prunes to ONE index directory,
+    # then broadcast-semi-joins the matching PKs into the base scan —
+    # no full scan of the wide table for a non-key predicate
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.secondary_index import (
+        build_secondary_index,
+        index_lookup,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    # probe: the customer of the lowest-keyed order (exists by
+    # construction; lineitem's fixture keys are not unique, orders'
+    # o_orderkey is — semi-join keys must identify rows)
+    probe = int(
+        orders.orderBy("o_orderkey")
+        .select("o_custkey")
+        .limit(1)
+        .collect()[0]["o_custkey"]
+    )
+    idx = tempfile.mkdtemp(prefix="sidx_") + "/o_custkey_idx"
+    build_secondary_index(orders, idx, "o_custkey", ["o_orderkey"])
+    return index_lookup(
+        spark, orders, idx, "o_custkey", ["o_orderkey"], probe
+    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
+
+
 def q_cow_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lakehouse MERGE INTO on plain parquet: orders staged range-
     # partitioned on the key (8 files), updates confined to the lowest
@@ -4137,6 +4166,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "line_dedup_docs": q_line_dedup_docs,
     "lsh_index_incremental": q_lsh_index_incremental,
     "cow_merge_upsert": q_cow_merge_upsert,
+    "secondary_index_lookup": q_secondary_index_lookup,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8288,6 +8318,18 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# Secondary index: the index path must return exactly the base rows
+# a direct predicate returns.
+ORACLES["secondary_index_lookup"] = """
+    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
+    FROM orders
+    WHERE o_custkey = (
+        SELECT o_custkey FROM orders
+        WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
+    )
 """
 
 

@@ -321,3 +321,49 @@ def test_cow_merge_rerun_after_crash_converges(spark, tmp_path):
     assert spark.read.parquet(target).count() == 1000  # no dup rows
     assert all(got[k] == -1 for k in range(50))
     assert all(got[k] == k for k in range(50, 1000))
+
+
+def test_secondary_index_prunes_partitions(spark, tmp_path):
+    """The index read must touch only the probe bucket's directory
+    (PartitionFilters on idx_bucket) and return exactly the rows a
+    direct predicate returns."""
+    from cassandra_data_migration_spark.sources.secondary_index import (
+        build_secondary_index,
+        index_lookup,
+    )
+
+    base = spark.range(0, 5000).select(
+        F.col("id").alias("pk"),
+        F.pmod("id", F.lit(37)).alias("val"),
+        (F.col("id") * 2).alias("payload"),
+    )
+    idx = str(tmp_path / "idx")
+    build_secondary_index(base, idx, "val", ["pk"], num_buckets=16)
+
+    got = index_lookup(spark, base, idx, "val", ["pk"], 11, num_buckets=16)
+    expect = base.filter(F.col("val") == 11)
+    assert got.count() == expect.count() == len(range(11, 5000, 37))
+    assert {r["pk"] for r in got.collect()} == {
+        r["pk"] for r in expect.collect()
+    }
+
+    # plan pin: the index scan carries a partition filter on the
+    # bucket column, so only one of 16 directories is read
+    probe_bucket_df = spark.read.parquet(idx).filter(
+        F.col("idx_bucket")
+        == spark.range(1)
+        .select(F.pmod(F.xxhash64(F.lit(11)), F.lit(16)).alias("b"))
+        .collect()[0]["b"]
+    )
+    plan = probe_bucket_df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan and "idx_bucket" in plan
+
+
+def test_secondary_index_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["secondary_index_lookup"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["secondary_index_lookup"],
+    )
