@@ -2116,6 +2116,37 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # versioned COW table: commit v0, merge a price bump (v1 committed
+    # by the merge, nothing deleted), then read AS OF v0 — time travel
+    # must return the pre-merge table bit for bit
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_merge,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="cow_tt_") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(d)
+    snapshot_commit(d)
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
+    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    cow_merge(spark, d, upd, "o_orderkey")
+    return read_snapshot(spark, d, 0).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Cassandra 2i/SAI analogue: narrow (value, pk) index partitioned
     # by value-hash bucket; the probe prunes to ONE index directory,
@@ -4167,6 +4198,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lsh_index_incremental": q_lsh_index_incremental,
     "cow_merge_upsert": q_cow_merge_upsert,
     "secondary_index_lookup": q_secondary_index_lookup,
+    "cow_time_travel": q_cow_time_travel,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8318,6 +8350,12 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# Time travel: reading AS OF v0 after a merge equals the raw table.
+ORACLES["cow_time_travel"] = """
+    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
 """
 
 

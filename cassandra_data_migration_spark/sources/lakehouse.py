@@ -53,10 +53,17 @@ class MergeStats:
     rows_written: int
 
 
-def parquet_key_ranges(spark: SparkSession, path: str, key_col: str) -> DataFrame:
+def parquet_key_ranges(
+    spark: SparkSession,
+    path: str,
+    key_col: str,
+    files: list[str] | None = None,
+) -> DataFrame:
     """(file, key_min, key_max) per data file from row-group footer
-    statistics — distributed, metadata-only."""
-    files = spark.read.parquet(path).inputFiles()
+    statistics — distributed, metadata-only.  ``files`` restricts the
+    scan to an explicit list (a snapshot manifest's view)."""
+    if files is None:
+        files = spark.read.parquet(path).inputFiles()
     fdf = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(max(1, math.ceil(len(files) / 64)))
@@ -117,7 +124,29 @@ def cow_merge(
         if d.startswith("_cow_"):
             _shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
 
-    ranges = parquet_key_ranges(spark, target_path, key_col)
+    # MANIFEST MODE: when the table has committed snapshots, the
+    # merge's view is the LATEST version's file list (stale files a
+    # past merge superseded are invisible), the new version is
+    # committed atomically at the end, and NOTHING is deleted — old
+    # versions stay readable (time travel) until vacuum_snapshots
+    # reclaims them.  Without manifests the original single-writer
+    # land-then-remove protocol applies.
+    versions = snapshot_versions(target_path)
+    manifest_files = None
+    if versions:
+        import json as _json
+
+        with open(
+            os.path.join(_manifest_dir(target_path), f"v{versions[-1]}.json")
+        ) as fh:
+            manifest_files = [
+                os.path.join(target_path, f)
+                for f in _json.load(fh)["files"]
+            ]
+
+    ranges = parquet_key_ranges(
+        spark, target_path, key_col, files=manifest_files
+    )
     keys = updates.select(F.col(key_col).alias("_k")).distinct()
     touched_rows = (
         keys.join(
@@ -159,7 +188,12 @@ def cow_merge(
                 touched.add(f)
                 changed = True
     touched = sorted(touched)
-    n_files = len(spark.read.parquet(target_path).inputFiles())
+    current_files = (
+        manifest_files
+        if manifest_files is not None
+        else spark.read.parquet(target_path).inputFiles()
+    )
+    n_files = len(current_files)
 
     base = (
         spark.read.parquet(*touched)
@@ -206,17 +240,155 @@ def cow_merge(
 
     # new files land first, originals are removed last: a crash in
     # between leaves re-runnable duplicates, never lost rows
+    moved = []
     for f in os.listdir(out_tmp):
         if f.endswith(".parquet"):
+            name = f"cow-{uuid.uuid4().hex}.parquet"
             shutil.move(
-                os.path.join(out_tmp, f),
-                os.path.join(target_path, f"cow-{uuid.uuid4().hex}.parquet"),
+                os.path.join(out_tmp, f), os.path.join(target_path, name)
             )
+            moved.append(name)
     shutil.rmtree(out_tmp, ignore_errors=True)
-    for f in touched:
-        os.remove(f)
+    if manifest_files is not None:
+        # versioned table: publish the new file list atomically, keep
+        # the old files for time travel (vacuum reclaims them later)
+        touched_names = {
+            os.path.basename(f.replace("file:", "")) for f in touched
+        }
+        new_files = sorted(
+            (
+                {os.path.basename(f.replace("file:", "")) for f in current_files}
+                - touched_names
+            )
+            | set(moved)
+        )
+        snapshot_commit(target_path, files=new_files)
+    else:
+        for f in touched:
+            os.remove(f)
     return MergeStats(
         files_total=n_files,
         files_rewritten=len(touched),
         rows_written=rows_written,
     )
+
+
+# ---------------------------------------------------------------------------
+# Snapshot manifests: the minimal transaction log that upgrades the
+# COW table to versioned reads (time travel) and closes the
+# concurrent-reader window the module docstring flags — a manifest
+# reader never sees the land-new-files/remove-old gap, because a
+# version IS its file list and versions are published by atomic
+# rename.  This is the Delta/Iceberg core idea with none of the
+# format machinery: one JSON per version under _manifests/.
+# ---------------------------------------------------------------------------
+
+
+def _manifest_dir(target_path: str) -> str:
+    return os.path.join(target_path, "_manifests")
+
+
+def snapshot_versions(target_path: str) -> list[int]:
+    d = _manifest_dir(target_path)
+    if not os.path.isdir(d):
+        return []
+    return sorted(
+        int(f[1:-5])
+        for f in os.listdir(d)
+        if f.startswith("v") and f.endswith(".json")
+    )
+
+
+def snapshot_commit(target_path: str, files: list[str] | None = None) -> int:
+    """Publish a file list as the next version.  Atomic: written to a
+    temp name, then renamed — readers see either the old latest
+    version or the new one, never a partial list.
+
+    Without ``files``, the directory's current data files are used —
+    valid only for the INITIAL commit (after a plain write); once
+    merges have run under manifests, stale superseded files coexist
+    on disk and only the merge (which knows the survivor set) may
+    commit."""
+    import json
+
+    if files is None:
+        if snapshot_versions(target_path):
+            raise ValueError(
+                "directory-listing commit is only valid for the initial "
+                "version; later versions are committed by cow_merge"
+            )
+        files = sorted(
+            f
+            for f in os.listdir(target_path)
+            if f.endswith(".parquet") and not f.startswith(("_", "."))
+        )
+    d = _manifest_dir(target_path)
+    os.makedirs(d, exist_ok=True)
+    versions = snapshot_versions(target_path)
+    v = (versions[-1] + 1) if versions else 0
+    tmp = os.path.join(d, f".v{v}.json.tmp")
+    with open(tmp, "w") as fh:
+        json.dump({"version": v, "files": files}, fh)
+    os.rename(tmp, os.path.join(d, f"v{v}.json"))
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, target_path: str, version: int | None = None
+) -> DataFrame:
+    """Read the table AS OF a version (default: latest).  Files added
+    by later merges are invisible; files a later merge removed must
+    still exist — vacuum respects the retained version horizon."""
+    import json
+
+    versions = snapshot_versions(target_path)
+    if not versions:
+        raise ValueError(f"no snapshots committed under {target_path}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    with open(os.path.join(_manifest_dir(target_path), f"v{v}.json")) as fh:
+        manifest = json.load(fh)
+    paths = [os.path.join(target_path, f) for f in manifest["files"]]
+    missing = [p for p in paths if not os.path.exists(p)]
+    if missing:
+        raise ValueError(
+            f"version {v} references vacuumed files: {missing[:3]}"
+        )
+    return spark.read.parquet(*paths)
+
+
+def vacuum_snapshots(target_path: str, keep_versions: int = 2) -> list[str]:
+    """Delete data files referenced ONLY by versions older than the
+    retained horizon (plus their manifests).  Returns removed files.
+    The current files on disk are always retained."""
+    import json
+
+    versions = snapshot_versions(target_path)
+    if not versions:
+        return []
+    kept = set(versions[-keep_versions:]) if keep_versions else set()
+    live: set[str] = set()
+    for v in kept:
+        with open(
+            os.path.join(_manifest_dir(target_path), f"v{v}.json")
+        ) as fh:
+            live |= set(json.load(fh)["files"])
+    removed = []
+    for v in versions:
+        if v in kept:
+            continue
+        os.remove(os.path.join(_manifest_dir(target_path), f"v{v}.json"))
+    # remove every data file no RETAINED version references — covers
+    # expired versions' files AND orphans from a merge that crashed
+    # between landing files and committing (single-writer contract:
+    # no in-flight merge can be racing this)
+    for f in os.listdir(target_path):
+        if (
+            f.endswith(".parquet")
+            and not f.startswith(("_", "."))
+            and f not in live
+        ):
+            os.remove(os.path.join(target_path, f))
+            removed.append(f)
+    return removed

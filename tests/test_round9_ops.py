@@ -367,3 +367,79 @@ def test_secondary_index_oracle(spark, duck):
         duck,
         m.oracle_sql()["secondary_index_lookup"],
     )
+
+
+def test_snapshot_time_travel_and_vacuum(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_merge,
+        read_snapshot,
+        snapshot_commit,
+        snapshot_versions,
+        vacuum_snapshots,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(0, 400).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    assert snapshot_commit(target) == 0
+    upd = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    # in manifest mode the merge commits the next version itself and
+    # deletes NOTHING (vacuum owns reclamation)
+    cow_merge(spark, target, upd, "k")
+    assert snapshot_versions(target) == [0, 1]
+
+    v1 = {r["k"]: r["v"] for r in read_snapshot(spark, target, 1).collect()}
+    assert all(v1[k] == -1 for k in range(30))
+    assert len(v1) == 400
+
+    removed = vacuum_snapshots(target, keep_versions=1)
+    assert snapshot_versions(target) == [1]
+    # latest version still reads fine after vacuum
+    assert read_snapshot(spark, target).count() == 400
+    import pytest
+
+    with pytest.raises(ValueError):
+        read_snapshot(spark, target, 0)
+
+
+def test_snapshot_v0_readable_before_vacuum(spark, tmp_path):
+    """The merge deletes touched originals, so v0 is only fully
+    readable if its files survive — this is why vacuum (not merge)
+    owns deletion in manifest mode.  Pin the contract: with manifests
+    committed, merge must NOT delete files a retained version needs.
+    """
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_merge,
+        read_snapshot,
+        snapshot_commit,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(0, 400).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    snapshot_commit(target)
+    upd = spark.range(0, 30).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    cow_merge(spark, target, upd, "k")  # commits v1 itself
+    v0 = {r["k"]: r["v"] for r in read_snapshot(spark, target, 0).collect()}
+    assert len(v0) == 400
+    assert all(v0[k] == k for k in range(400))  # pre-merge values
+
+
+def test_cow_time_travel_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["cow_time_travel"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["cow_time_travel"],
+    )
