@@ -25,13 +25,20 @@ Protocol (same shape as Delta's COW path):
    unmatched keys inserted), write as NEW files into the table
    directory, then delete the touched originals.
 
-Durability note: plain parquet has no transaction log, so step 3 is
-not atomic under concurrent readers — a real deployment puts a
-manifest (or the run tracker's record/reconcile discipline,
-``plans/tracker.py``) around it; single-writer batch pipelines (the
-CDM migration shape) are safe as-is because the new files land
-before the old ones are removed (a crash in between leaves duplicate
-rows that a rerun of the SAME merge removes, never lost rows).
+Durability: two modes.
+
+- **Bare mode** (no snapshots committed): single-writer land-then-
+  remove.  Not atomic under concurrent readers; a crash between
+  landing and removal leaves duplicate rows that a rerun of the SAME
+  merge removes (key-dedup + range-overlap closure), never lost rows.
+- **Manifest mode** (``snapshot_commit`` has published a version):
+  the merge reads the latest manifest's file view, deletes NOTHING,
+  and publishes the next version by atomic rename — concurrent
+  manifest readers see a consistent version at every instant, old
+  versions stay readable (``read_snapshot`` time travel) until
+  ``vacuum_snapshots`` reclaims them (orphans from a crashed merge
+  included).  This is the Delta/Iceberg core protocol with one JSON
+  per version and none of the format machinery.
 """
 
 from __future__ import annotations
