@@ -2116,6 +2116,31 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_cow_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # MERGE WHEN MATCHED DELETE: purge the lowest-eighth key range
+    # from the staged COW table; only the touched files are rewritten
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_delete
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="cow_del_") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(d)
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
+    keys = orders.filter(F.col("o_orderkey") <= threshold).select(
+        "o_orderkey"
+    )
+    cow_delete(spark, d, keys, "o_orderkey")
+    return spark.read.parquet(d).select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    )
+
+
 def q_cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     # versioned COW table: commit v0, merge a price bump (v1 committed
     # by the merge, nothing deleted), then read AS OF v0 — time travel
@@ -4199,6 +4224,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_merge_upsert": q_cow_merge_upsert,
     "secondary_index_lookup": q_secondary_index_lookup,
     "cow_time_travel": q_cow_time_travel,
+    "cow_delete_purge": q_cow_delete_purge,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8350,6 +8376,17 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# COW delete: remaining table = orders above the purge threshold.
+ORACLES["cow_delete_purge"] = """
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus
+    FROM orders, b
+    WHERE o_orderkey > b.lo + (b.hi - b.lo) // 8
 """
 
 

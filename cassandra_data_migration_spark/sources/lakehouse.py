@@ -113,11 +113,14 @@ def cow_merge(
     target_path: str,
     updates: DataFrame,
     key_col: str,
+    delete_keys: DataFrame | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``target_path`` on
     ``key_col``: matched keys are REPLACED by the update row, unmatched
-    keys are INSERTED.  Update keys must be unique (the caller dedups;
-    an ambiguous multi-row update has no MERGE semantics).
+    keys are INSERTED, and keys in ``delete_keys`` (one column, the
+    key) are REMOVED — the full WHEN MATCHED UPDATE/DELETE + WHEN NOT
+    MATCHED INSERT triad.  Update keys must be unique (the caller
+    dedups; an ambiguous multi-row update has no MERGE semantics).
 
     Only key-range-intersecting files are read/rewritten; the rest of
     the table is untouched on disk (byte-identical files, pinned by
@@ -155,6 +158,11 @@ def cow_merge(
         spark, target_path, key_col, files=manifest_files
     )
     keys = updates.select(F.col(key_col).alias("_k")).distinct()
+    if delete_keys is not None:
+        first = delete_keys.columns[0]
+        keys = keys.unionByName(
+            delete_keys.select(F.col(first).alias("_k")).distinct()
+        ).distinct()
     touched_rows = (
         keys.join(
             F.broadcast(ranges),
@@ -277,6 +285,21 @@ def cow_merge(
         files_total=n_files,
         files_rewritten=len(touched),
         rows_written=rows_written,
+    )
+
+
+def cow_delete(
+    spark: SparkSession,
+    target_path: str,
+    delete_keys: DataFrame,
+    key_col: str,
+) -> MergeStats:
+    """DELETE by key — the merge with an empty replacement set: same
+    footer pruning, same rewrite/manifest protocol, matched rows
+    simply not rewritten."""
+    empty_updates = spark.read.parquet(target_path).limit(0)
+    return cow_merge(
+        spark, target_path, empty_updates, key_col, delete_keys=delete_keys
     )
 
 

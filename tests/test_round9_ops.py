@@ -443,3 +443,31 @@ def test_cow_time_travel_oracle(spark, duck):
         duck,
         m.oracle_sql()["cow_time_travel"],
     )
+
+
+def test_cow_delete_semantics_and_pruning(spark, tmp_path):
+    import os
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_delete
+
+    target = str(tmp_path / "t")
+    spark.range(0, 800).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    keys = spark.range(0, 60).select(F.col("id").alias("k"))
+    stats = cow_delete(spark, target, keys, "k")
+    assert 1 <= stats.files_rewritten < stats.files_total
+    got = {r["k"] for r in spark.read.parquet(target).collect()}
+    assert got == set(range(60, 800))
+
+
+def test_cow_delete_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["cow_delete_purge"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["cow_delete_purge"],
+    )
