@@ -229,11 +229,18 @@ def _run_mv(spark, view, src, schema, ckpt):
     q.awaitTermination(120)
 
 
-def test_mv_full_redelivery_is_idempotent(spark, tmp_path):
+def test_mv_fresh_lineage_redelivery_fails_loud(spark, tmp_path):
     """foreachBatch is at-least-once and signed deltas are NOT
-    idempotent: replaying the whole changelog under a FRESH checkpoint
-    (batch ids 0..n again) must leave the view untouched because each
-    batch id is committed inside the view directory itself."""
+    idempotent.  Replay markers are keyed on checkpoint LINEAGE
+    (r4 ADVICE: bare batch-id gates silently DROP new batches when a
+    fresh checkpoint restarts ids at 0), so pointing a fresh-
+    checkpoint stream at existing view state cannot be distinguished
+    from data loss and must FAIL FAST — and the failed run must leave
+    the view exactly as the first run published it.  Same-lineage
+    replay no-op semantics are pinned separately by the shared
+    replay-gate tests in test_round8_fixes."""
+    import pyspark.errors
+
     d = str(tmp_path)
     view, src, schema = _mv_fixture(spark, d)
     _run_mv(spark, view, src, schema, f"{d}/ckpt1")
@@ -241,16 +248,18 @@ def test_mv_full_redelivery_is_idempotent(spark, tmp_path):
         r["k"]: (r["n_rows"], float(r["sum_val"]))
         for r in spark.read.parquet(view).collect()
     }
-    # full redelivery: same files, fresh checkpoint -> same batch ids
-    _run_mv(spark, view, src, schema, f"{d}/ckpt2")
+    assert first[1] == (1, 12.0)  # U applied exactly once
+    assert 2 in first and first[2] == (1, 6.0)  # D applied exactly once
+    assert first[3] == (1, 9.0)  # I applied exactly once
+    # full redelivery attempt: same files, FRESH checkpoint -> loud
+    # lineage-mismatch failure, not a silent (and wrong) re-fold
+    with pytest.raises(pyspark.errors.StreamingQueryException):
+        _run_mv(spark, view, src, schema, f"{d}/ckpt2")
     second = {
         r["k"]: (r["n_rows"], float(r["sum_val"]))
         for r in spark.read.parquet(view).collect()
     }
-    assert second == first
-    assert second[1] == (1, 12.0)  # U applied exactly once
-    assert 2 in second and second[2] == (1, 6.0)  # D applied exactly once
-    assert second[3] == (1, 9.0)  # I applied exactly once
+    assert second == first  # view untouched by the rejected rerun
 
 
 def test_mv_recover_restores_view_after_swap_crash(spark, tmp_path):
