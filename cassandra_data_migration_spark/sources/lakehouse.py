@@ -422,3 +422,43 @@ def vacuum_snapshots(target_path: str, keep_versions: int = 2) -> list[str]:
             os.remove(os.path.join(target_path, f))
             removed.append(f)
     return removed
+
+
+def optimize_snapshot(
+    spark: SparkSession,
+    target_path: str,
+    key_col: str,
+    num_files: int = 8,
+) -> int:
+    """OPTIMIZE for the versioned COW table: rewrite the LATEST
+    snapshot range-partitioned + sorted on the merge key and publish
+    it as the next version.  Merges widen file key-ranges over time
+    (each rewrite spans touched-∪-update keys), which erodes the
+    pruning that keeps merge cost ∝ update size; this restores
+    disjoint ranges, exactly like Delta's OPTIMIZE restores its
+    clustering.  Old versions stay readable until vacuum.  Returns
+    the new version number."""
+    if not snapshot_versions(target_path):
+        raise ValueError("optimize_snapshot requires a committed snapshot")
+    cur = read_snapshot(spark, target_path)
+    out_tmp = os.path.join(
+        os.path.dirname(target_path.rstrip("/")),
+        f"_cow_{uuid.uuid4().hex}",
+    )
+    (
+        cur.repartitionByRange(num_files, key_col)
+        .sortWithinPartitions(key_col)
+        .write.parquet(out_tmp)
+    )
+    import shutil
+
+    moved = []
+    for f in os.listdir(out_tmp):
+        if f.endswith(".parquet"):
+            name = f"opt-{uuid.uuid4().hex}.parquet"
+            shutil.move(
+                os.path.join(out_tmp, f), os.path.join(target_path, name)
+            )
+            moved.append(name)
+    shutil.rmtree(out_tmp, ignore_errors=True)
+    return snapshot_commit(target_path, files=sorted(moved))

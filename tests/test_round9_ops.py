@@ -471,3 +471,54 @@ def test_cow_delete_oracle(spark, duck):
         duck,
         m.oracle_sql()["cow_delete_purge"],
     )
+
+
+def test_optimize_snapshot_restores_disjoint_ranges(spark, tmp_path):
+    """After merges widen file ranges, OPTIMIZE publishes a version
+    whose files are range-disjoint again — and time travel across the
+    optimize boundary still reads every version."""
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_merge,
+        optimize_snapshot,
+        parquet_key_ranges,
+        read_snapshot,
+        snapshot_commit,
+        snapshot_versions,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(0, 2000).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(8, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    snapshot_commit(target)  # v0
+    # two merges at opposite ends widen the rewritten files' ranges
+    for lo, hi in ((0, 40), (1900, 1960)):
+        upd = spark.range(lo, hi).select(
+            F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+        )
+        cow_merge(spark, target, upd, "k")  # v1, v2
+    v = optimize_snapshot(spark, target, "k", num_files=8)  # v3
+    assert snapshot_versions(target) == [0, 1, 2, 3]
+
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(target, "_manifests", f"v{v}.json")) as fh:
+        files = [
+            _os.path.join(target, f) for f in _json.load(fh)["files"]
+        ]
+    spans = sorted(
+        (r["key_min"], r["key_max"])
+        for r in parquet_key_ranges(spark, target, "k", files=files).collect()
+    )
+    for (_, h1), (l2, _) in zip(spans, spans[1:]):
+        assert h1 < l2  # disjoint again
+    # optimized view is value-identical to the pre-optimize version
+    a = {(r["k"], r["v"]) for r in read_snapshot(spark, target, 2).collect()}
+    b = {(r["k"], r["v"]) for r in read_snapshot(spark, target, 3).collect()}
+    assert a == b and len(b) == 2000
+    # v0 time travel still intact
+    v0 = {r["k"]: r["v"] for r in read_snapshot(spark, target, 0).collect()}
+    assert all(v0[k] == k for k in range(2000))
