@@ -2116,6 +2116,66 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Delta-style streaming MERGE: the events changelog, sliced in
+    # (ts, event_id) order into micro-batches, is folded into the
+    # versioned COW table by per-batch collapse + cow_merge.  MERGE
+    # is idempotent per batch, so no replay gate is needed (contrast
+    # the signed-delta MV).  Final table == one-shot cdc_apply.
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.operators.windows import cdc_apply
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        read_snapshot,
+        snapshot_commit,
+    )
+    from cassandra_data_migration_spark.streaming.cow_stream import (
+        cow_apply_changes_stream,
+    )
+
+    log = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "value",
+        F.when(F.col("event_type") == "error", "D")
+        .when(F.col("event_type") == "signup", "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    ranked = log.withColumn(
+        "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
+    )
+    n = ranked.count()
+    d = tempfile.mkdtemp(prefix="cow_stream_")
+    target, src, ckpt = f"{d}/table", f"{d}/log", f"{d}/ckpt"
+    # batch 0 seeds the table (the initial-snapshot fold)
+    s0 = ranked.filter(F.col("_rk") <= n // 3).drop("_rk")
+    cdc_apply(s0, ["user_id"], ts_col="ts", tiebreak_col="event_id").drop(
+        "op"
+    ).write.parquet(target)
+    snapshot_commit(target)
+    # the tail arrives as two ordered micro-batches
+    for lo, hi in ((n // 3, 2 * n // 3), (2 * n // 3, n)):
+        ranked.filter(
+            (F.col("_rk") > lo) & (F.col("_rk") <= hi)
+        ).drop("_rk").repartition(1).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, value double, "
+            "op string"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = cow_apply_changes_stream(
+        stream, target, "user_id", ckpt, ts_col="ts", seq_col="event_id"
+    )
+    q.awaitTermination(300)
+    return read_snapshot(spark, target).select(
+        "user_id", "ts", "event_id", "value"
+    )
+
+
 def q_cow_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
     # MERGE WHEN MATCHED DELETE: purge the lowest-eighth key range
     # from the staged COW table; only the touched files are rewritten
@@ -4225,6 +4285,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "secondary_index_lookup": q_secondary_index_lookup,
     "cow_time_travel": q_cow_time_travel,
     "cow_delete_purge": q_cow_delete_purge,
+    "stream_cow_upsert": q_stream_cow_upsert,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8376,6 +8437,26 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# Streaming COW upserts: the ordered-sliced streamed fold equals the
+# one-shot changelog collapse (cdc_apply semantics, D keys absent).
+ORACLES["stream_cow_upsert"] = """
+    WITH log AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'error' THEN 'D'
+                    WHEN event_type = 'signup' THEN 'I'
+                    ELSE 'U' END AS op
+        FROM events
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM log
+    )
+    SELECT user_id, ts, event_id, value
+    FROM ranked WHERE rn = 1 AND op <> 'D'
 """
 
 
