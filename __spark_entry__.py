@@ -2135,12 +2135,18 @@ def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         cow_apply_changes_stream,
     )
 
-    log = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value",
-        F.when(F.col("event_type") == "error", "D")
-        .when(F.col("event_type") == "signup", "I")
-        .otherwise("U")
-        .alias("op"),
+    log = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.pmod("user_id", F.lit(3)) == 0)  # 1/3 of the log:
+        # the stream machinery, not data volume, is what this query
+        # exercises; the oracle applies the identical filter
+        .select(
+            "user_id", "ts", "event_id", "value",
+            F.when(F.col("event_type") == "error", "D")
+            .when(F.col("event_type") == "signup", "I")
+            .otherwise("U")
+            .alias("op"),
+        )
     )
     ranked = log.withColumn(
         "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
@@ -8449,6 +8455,7 @@ ORACLES["stream_cow_upsert"] = """
                     WHEN event_type = 'signup' THEN 'I'
                     ELSE 'U' END AS op
         FROM events
+        WHERE user_id % 3 = 0
     ),
     ranked AS (
         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id

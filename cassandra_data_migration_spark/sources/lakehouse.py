@@ -154,8 +154,16 @@ def cow_merge(
                 for f in _json.load(fh)["files"]
             ]
 
-    ranges = parquet_key_ranges(
+    # ONE footer-scan job: the collected (file, lo, hi) rows feed both
+    # the distributed touch test (rebuilt as a local DataFrame — it is
+    # O(files) driver memory either way, same as inputFiles()) and the
+    # driver-side overlap closure
+    range_rows = parquet_key_ranges(
         spark, target_path, key_col, files=manifest_files
+    ).collect()
+    ranges = spark.createDataFrame(
+        [(r["file"], r["key_min"], r["key_max"]) for r in range_rows],
+        "file string, key_min long, key_max long",
     )
     keys = updates.select(F.col(key_col).alias("_k")).distinct()
     if delete_keys is not None:
@@ -188,7 +196,7 @@ def cow_merge(
     # duplicate halves on disk forever.  Driver-side fixpoint over
     # footer ranges only — no data moves.
     ivals = {
-        r["file"]: (r["key_min"], r["key_max"]) for r in ranges.collect()
+        r["file"]: (r["key_min"], r["key_max"]) for r in range_rows
     }
     changed = True
     while changed:
