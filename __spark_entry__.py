@@ -2116,6 +2116,51 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # change data feed between table versions: commit v0, merge the
+    # usual low-eighth price bump + 20 inserts (v1), then diff v0→v1
+    # — one full-outer join of the two snapshots, struct-packed rows
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_merge,
+        snapshot_changes,
+        snapshot_commit,
+    )
+
+    orders = load_table(spark, sf_dir, "orders")
+    d = tempfile.mkdtemp(prefix="cow_cdf_") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(d)
+    snapshot_commit(d)
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    lo, hi = int(b["lo"]), int(b["hi"])
+    threshold = lo + (hi - lo) // 8
+    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
+        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
+    )
+    rn = F.row_number().over(Window.orderBy("o_orderkey"))
+    ins = (
+        orders.withColumn("_rn", rn)
+        .filter(F.col("_rn") <= 20)
+        .drop("_rn")
+        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi + 1))
+        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
+    )
+    cow_merge(spark, d, upd.unionByName(ins), "o_orderkey")  # commits v1
+    return snapshot_changes(spark, d, 0, 1, "o_orderkey").select(
+        "o_orderkey",
+        "change_type",
+        F.col("_old.o_totalprice").alias("old_price"),
+        F.col("_new.o_totalprice").alias("new_price"),
+    )
+
+
 def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Delta-style streaming MERGE: the events changelog, sliced in
     # (ts, event_id) order into micro-batches, is folded into the
@@ -4292,6 +4337,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_time_travel": q_cow_time_travel,
     "cow_delete_purge": q_cow_delete_purge,
     "stream_cow_upsert": q_stream_cow_upsert,
+    "snapshot_changes_feed": q_snapshot_changes_feed,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8443,6 +8489,30 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# CDF: the diff is exactly the update batch — bumped rows as updates
+# (old/new price), shifted rows as inserts, nothing else.
+ORACLES["snapshot_changes_feed"] = """
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    )
+    SELECT o.o_orderkey, 'update' AS change_type,
+           o.o_totalprice AS old_price,
+           o.o_totalprice + 100.0 AS new_price
+    FROM orders o, b
+    WHERE o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
+    UNION ALL
+    SELECT i.o_orderkey + b.hi + 1 AS o_orderkey, 'insert' AS change_type,
+           CAST(NULL AS DOUBLE) AS old_price,
+           i.o_totalprice + 5.0 AS new_price
+    FROM (
+        SELECT o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
+        FROM orders
+    ) i, b
+    WHERE i.rn <= 20
 """
 
 

@@ -470,3 +470,40 @@ def optimize_snapshot(
             moved.append(name)
     shutil.rmtree(out_tmp, ignore_errors=True)
     return snapshot_commit(target_path, files=sorted(moved))
+
+
+def snapshot_changes(
+    spark: SparkSession,
+    target_path: str,
+    v_from: int,
+    v_to: int,
+    key_col: str,
+) -> DataFrame:
+    """Change data feed between two versions: one row per key whose
+    state differs — ``change_type`` ∈ insert/delete/update, with the
+    full old/new row as structs (callers project the columns they
+    care about).  Unchanged keys are dropped.
+
+    Plan: two manifest reads full-outer-joined on the key; the struct
+    comparison is one null-safe equality over packed columns, so the
+    diff costs a single co-partitioned join of the two snapshots —
+    no per-column join fan-out.  At 100 TB diff two versions that
+    share most files by first removing the INTERSECTION of their
+    manifests' file lists from both sides (identical files cannot
+    produce changes); this fixture-scale implementation reads both
+    snapshots whole."""
+    a = read_snapshot(spark, target_path, v_from)
+    b = read_snapshot(spark, target_path, v_to)
+    others = [c for c in a.columns if c != key_col]
+    a2 = a.select(key_col, F.struct(*others).alias("_old"))
+    b2 = b.select(key_col, F.struct(*others).alias("_new"))
+    j = a2.join(b2, key_col, "full_outer")
+    change = (
+        F.when(F.col("_old").isNull(), F.lit("insert"))
+        .when(F.col("_new").isNull(), F.lit("delete"))
+        .when(~F.col("_old").eqNullSafe(F.col("_new")), F.lit("update"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return j.select(
+        F.col(key_col), change.alias("change_type"), "_old", "_new"
+    ).filter(F.col("change_type") != "unchanged")

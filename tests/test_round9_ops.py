@@ -586,3 +586,54 @@ def test_cow_stream_replay_is_idempotent(spark, tmp_path):
         for r in read_snapshot(spark, target).collect()
     }
     assert second == first
+
+
+def test_snapshot_changes_classifies_and_drops_unchanged(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        cow_delete,
+        cow_merge,
+        snapshot_changes,
+        snapshot_commit,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    snapshot_commit(target)  # v0
+    upd = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    ins = spark.range(200, 203).select(
+        F.col("id").alias("k"), F.lit(0).cast("long").alias("v")
+    )
+    cow_merge(spark, target, upd.unionByName(ins), "k")  # v1
+    cow_delete(spark, target, spark.range(50, 53).select(
+        F.col("id").alias("k")), "k")  # v2
+
+    ch01 = {
+        (r["k"], r["change_type"])
+        for r in snapshot_changes(spark, target, 0, 1, "k").collect()
+    }
+    assert ch01 == {(k, "update") for k in range(10)} | {
+        (k, "insert") for k in (200, 201, 202)
+    }
+    ch12 = {
+        (r["k"], r["change_type"])
+        for r in snapshot_changes(spark, target, 1, 2, "k").collect()
+    }
+    assert ch12 == {(k, "delete") for k in (50, 51, 52)}
+    # diff of a version with itself is empty
+    assert snapshot_changes(spark, target, 1, 1, "k").count() == 0
+
+
+def test_snapshot_changes_feed_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["snapshot_changes_feed"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["snapshot_changes_feed"],
+    )
