@@ -65,10 +65,21 @@ def parquet_key_ranges(
     path: str,
     key_col: str,
     files: list[str] | None = None,
+    key_type: str = "long",
 ) -> DataFrame:
     """(file, key_min, key_max) per data file from row-group footer
     statistics — distributed, metadata-only.  ``files`` restricts the
-    scan to an explicit list (a snapshot manifest's view)."""
+    scan to an explicit list (a snapshot manifest's view);
+    ``key_type`` is the key column's Spark DDL type (long and string
+    keys are supported — the TPC-H/CDM PK shapes).
+
+    String caveat: parquet may store TRUNCATED min/max for long
+    strings, and a truncated max can understate the true bound —
+    pruning on it would silently skip a file that holds a matching
+    key.  Where pyarrow exposes exactness flags they are honored;
+    inexact (or flag-less non-exact-typed) stats degrade the file to
+    an unbounded range, i.e. always touched — correct, never fast at
+    the expense of right."""
     if files is None:
         files = spark.read.parquet(path).inputFiles()
     fdf = spark.createDataFrame(
@@ -91,21 +102,36 @@ def parquet_key_ranges(
                 lo = hi = None
                 for i in range(md.num_row_groups):
                     st = md.row_group(i).column(idx).statistics
-                    if st is None or not st.has_min_max:
-                        # stats missing -> must treat file as touched;
-                        # surface that as an unbounded range
+                    exact = st is not None and st.has_min_max and (
+                        getattr(st, "is_min_value_exact", True) is not False
+                        and getattr(st, "is_max_value_exact", True)
+                        is not False
+                    )
+                    if not exact:
+                        # stats missing/truncated -> file must be
+                        # treated as touched; surface an unbounded range
                         lo, hi = None, None
                         break
-                    lo = st.min if lo is None else min(lo, st.min)
-                    hi = st.max if hi is None else max(hi, st.max)
+                    mn = (
+                        st.min.decode()
+                        if isinstance(st.min, bytes)
+                        else st.min
+                    )
+                    mx = (
+                        st.max.decode()
+                        if isinstance(st.max, bytes)
+                        else st.max
+                    )
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
                 out["file"].append(local)
                 out["key_min"].append(lo)
                 out["key_max"].append(hi)
             yield pd.DataFrame(out)
 
-    # integer merge keys only (the TPC-H/CDM PK shape); widening to
-    # string/date keys is a schema parameter, not a design change
-    return fdf.mapInPandas(scan, "file string, key_min long, key_max long")
+    return fdf.mapInPandas(
+        scan, f"file string, key_min {key_type}, key_max {key_type}"
+    )
 
 
 def cow_merge(
@@ -158,12 +184,19 @@ def cow_merge(
     # the distributed touch test (rebuilt as a local DataFrame — it is
     # O(files) driver memory either way, same as inputFiles()) and the
     # driver-side overlap closure
+    key_type = dict(updates.dtypes).get(key_col, "long")
+    if key_type not in ("bigint", "long", "int", "string"):
+        raise ValueError(
+            f"cow_merge supports long/int/string merge keys, got "
+            f"{key_type} for {key_col}"
+        )
+    ddl_type = "string" if key_type == "string" else "long"
     range_rows = parquet_key_ranges(
-        spark, target_path, key_col, files=manifest_files
+        spark, target_path, key_col, files=manifest_files, key_type=ddl_type
     ).collect()
     ranges = spark.createDataFrame(
         [(r["file"], r["key_min"], r["key_max"]) for r in range_rows],
-        "file string, key_min long, key_max long",
+        f"file string, key_min {ddl_type}, key_max {ddl_type}",
     )
     keys = updates.select(F.col(key_col).alias("_k")).distinct()
     if delete_keys is not None:

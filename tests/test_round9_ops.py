@@ -637,3 +637,47 @@ def test_snapshot_changes_feed_oracle(spark, duck):
         duck,
         m.oracle_sql()["snapshot_changes_feed"],
     )
+
+
+def test_cow_merge_string_keys(spark, tmp_path):
+    """String merge keys: footer min/max prune lexicographically
+    (zero-padded ids give clean disjoint ranges); semantics identical
+    to the integer path."""
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 1000).select(
+        F.format_string("k%04d", F.col("id")).alias("k"),
+        F.col("id").alias("v"),
+    ).repartitionByRange(4, "k").sortWithinPartitions("k").write.parquet(
+        target
+    )
+    upd = spark.range(0, 50).select(
+        F.format_string("k%04d", F.col("id")).alias("k"),
+        F.lit(-1).cast("long").alias("v"),
+    )
+    ins = spark.createDataFrame(
+        [("z9998", -2), ("z9999", -2)], "k string, v long"
+    )
+    stats = cow_merge(spark, target, upd.unionByName(ins), "k")
+    assert 1 <= stats.files_rewritten < stats.files_total == 4
+    got = {r["k"]: r["v"] for r in spark.read.parquet(target).collect()}
+    assert len(got) == 1002
+    assert all(got[f"k{i:04d}"] == -1 for i in range(50))
+    assert got["k0500"] == 500 and got["z9999"] == -2
+
+
+def test_cow_merge_rejects_unsupported_key_type(spark, tmp_path):
+    import pytest
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 10).select(
+        (F.col("id") / 2.0).alias("k"), F.col("id").alias("v")
+    ).write.parquet(target)
+    upd = spark.range(0, 2).select(
+        (F.col("id") / 2.0).alias("k"), F.lit(-1).cast("long").alias("v")
+    )
+    with pytest.raises(ValueError, match="merge keys"):
+        cow_merge(spark, target, upd, "k")
