@@ -2116,6 +2116,38 @@ def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
 
 
+def q_cow_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # AutoCorrect onto the lake: LWW merge where the newer writetime
+    # wins per key (ties favor the update).  Base writetime =
+    # o_orderkey % 1000; updates carry writetime 500 over the
+    # low-eighth keys, so roughly half win (+100 price, wt 500) and
+    # half are STALE and must leave the base row untouched.
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.pmod("o_orderkey", F.lit(1000)).alias("wt"),
+    )
+    d = tempfile.mkdtemp(prefix="cow_lww_") + "/orders"
+    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
+        "o_orderkey"
+    ).write.parquet(d)
+    b = orders.agg(
+        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
+    ).collect()[0]
+    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
+    upd = orders.filter(F.col("o_orderkey") <= threshold).select(
+        "o_orderkey",
+        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
+        F.lit(500).cast("long").alias("wt"),
+    )
+    cow_merge(spark, d, upd, "o_orderkey", writetime_col="wt")
+    return spark.read.parquet(d).select("o_orderkey", "o_totalprice", "wt")
+
+
 def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
     # change data feed between table versions: commit v0, merge the
     # usual low-eighth price bump + 20 inserts (v1), then diff v0→v1
@@ -4338,6 +4370,7 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cow_delete_purge": q_cow_delete_purge,
     "stream_cow_upsert": q_stream_cow_upsert,
     "snapshot_changes_feed": q_snapshot_changes_feed,
+    "cow_merge_lww": q_cow_merge_lww,
     "winnow_fingerprints": q_winnow_fingerprints,
     "zipf_head_coverage": q_zipf_head_coverage,
     "dup_ngram_fraction": q_dup_ngram_fraction,
@@ -8489,6 +8522,30 @@ ORACLES["preference_pairs"] = """
     FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
     WHERE c.rb <= 5 AND j.rw <= 5
       AND c.quality_e6x10 > j.quality_e6x10
+"""
+
+
+# LWW merge: update wins iff its writetime (500) >= the base row's
+# (ties favor the update); stale updates leave the base row intact.
+ORACLES["cow_merge_lww"] = """
+    WITH b AS (
+        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
+    ),
+    base AS (
+        SELECT o_orderkey, o_totalprice,
+               CAST(o_orderkey % 1000 AS BIGINT) AS wt
+        FROM orders
+    )
+    SELECT o.o_orderkey,
+           CASE WHEN o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
+                     AND o.wt <= 500
+                THEN o.o_totalprice + 100.0 ELSE o.o_totalprice
+           END AS o_totalprice,
+           CASE WHEN o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
+                     AND o.wt <= 500
+                THEN CAST(500 AS BIGINT) ELSE o.wt
+           END AS wt
+    FROM base o, b
 """
 
 

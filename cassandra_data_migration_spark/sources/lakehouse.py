@@ -140,6 +140,7 @@ def cow_merge(
     updates: DataFrame,
     key_col: str,
     delete_keys: DataFrame | None = None,
+    writetime_col: str | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``target_path`` on
     ``key_col``: matched keys are REPLACED by the update row, unmatched
@@ -147,6 +148,12 @@ def cow_merge(
     key) are REMOVED — the full WHEN MATCHED UPDATE/DELETE + WHEN NOT
     MATCHED INSERT triad.  Update keys must be unique (the caller
     dedups; an ambiguous multi-row update has no MERGE semantics).
+
+    With ``writetime_col``, matched keys resolve last-write-wins
+    instead of unconditionally replacing: the newer writetime survives
+    (ties favor the update) — CDM's AutoCorrect reconciliation rule
+    (docs/04-cdm-approach.md autocorrect) applied at the table layer,
+    so replaying an old extract over a fresher table is harmless.
 
     Only key-range-intersecting files are read/rewritten; the rest of
     the table is untouched on disk (byte-identical files, pinned by
@@ -270,14 +277,40 @@ def cow_merge(
     from pyspark.sql import Window
 
     w = Window.partitionBy(key_col).orderBy(F.col("__file"))
-    survivors = (
+    deduped = (
         base.withColumn("__file", F.input_file_name())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__file", "__rn")
-        .join(F.broadcast(keys), base[key_col] == F.col("_k"), "left_anti")
     )
-    merged = survivors.unionByName(updates.select(*base.columns))
+    if writetime_col is None:
+        survivors = deduped.join(
+            F.broadcast(keys), deduped[key_col] == F.col("_k"), "left_anti"
+        )
+        merged = survivors.unionByName(updates.select(*base.columns))
+    else:
+        # LWW mode — CDM AutoCorrect onto the lake: per matched key
+        # the NEWER writetime wins (ties favor the update, so a
+        # redelivered batch overwrites itself idempotently); a STALE
+        # update loses and the base row stays.  Same winner rule as
+        # streaming/lww.lww_merge, which resolves it.
+        from cassandra_data_migration_spark.streaming.lww import lww_merge
+
+        merged = lww_merge(
+            deduped,
+            updates.select(*base.columns),
+            [key_col],
+            writetime_col,
+        )
+        if delete_keys is not None:
+            first = delete_keys.columns[0]
+            merged = merged.join(
+                F.broadcast(
+                    delete_keys.select(F.col(first).alias("_dk")).distinct()
+                ),
+                merged[key_col] == F.col("_dk"),
+                "left_anti",
+            )
 
     # rows-written rides the write job itself (Observation — no second
     # scan, same discipline as plans/migrate.py)

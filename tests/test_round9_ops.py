@@ -681,3 +681,56 @@ def test_cow_merge_rejects_unsupported_key_type(spark, tmp_path):
     )
     with pytest.raises(ValueError, match="merge keys"):
         cow_merge(spark, target, upd, "k")
+
+
+def test_cow_merge_lww_stale_updates_lose(spark, tmp_path):
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.createDataFrame(
+        [(1, 10.0, 100), (2, 20.0, 900), (3, 30.0, 500)],
+        "k long, v double, wt long",
+    ).write.parquet(target)
+    upd = spark.createDataFrame(
+        # newer than 1, STALE vs 2, TIE with 3 (update wins), new key 4
+        [(1, -1.0, 500), (2, -2.0, 500), (3, -3.0, 500), (4, -4.0, 500)],
+        "k long, v double, wt long",
+    )
+    cow_merge(spark, target, upd, "k", writetime_col="wt")
+    got = {r["k"]: (r["v"], r["wt"]) for r in spark.read.parquet(target).collect()}
+    assert got[1] == (-1.0, 500)   # newer update won
+    assert got[2] == (20.0, 900)   # stale update lost, base intact
+    assert got[3] == (-3.0, 500)   # tie favors the update (idempotent)
+    assert got[4] == (-4.0, 500)   # insert
+
+
+def test_cow_merge_lww_replay_idempotent(spark, tmp_path):
+    """Re-running the SAME LWW merge is a no-op table-value-wise (ties
+    favor the update, which equals what's already there)."""
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 100).select(
+        F.col("id").alias("k"), F.col("id").cast("double").alias("v"),
+        F.lit(100).cast("long").alias("wt"),
+    ).repartitionByRange(4, "k").write.parquet(target)
+    upd = spark.range(0, 10).select(
+        F.col("id").alias("k"), F.lit(-1.0).alias("v"),
+        F.lit(200).cast("long").alias("wt"),
+    )
+    cow_merge(spark, target, upd, "k", writetime_col="wt")
+    first = {(r["k"], r["v"], r["wt"]) for r in spark.read.parquet(target).collect()}
+    cow_merge(spark, target, upd, "k", writetime_col="wt")  # replay
+    second = {(r["k"], r["v"], r["wt"]) for r in spark.read.parquet(target).collect()}
+    assert second == first
+    assert (0, -1.0, 200) in first and (50, 50.0, 100) in first
+
+
+def test_cow_merge_lww_oracle(spark, duck):
+    import __spark_entry__ as m
+
+    assert_df_matches_oracle(
+        m.queries()["cow_merge_lww"](spark, SF_CORRECT),
+        duck,
+        m.oracle_sql()["cow_merge_lww"],
+    )
