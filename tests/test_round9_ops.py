@@ -734,3 +734,51 @@ def test_cow_merge_lww_oracle(spark, duck):
         duck,
         m.oracle_sql()["cow_merge_lww"],
     )
+
+
+def test_cow_merge_property_vs_dict_model(spark, tmp_path):
+    """Property check: for md5-seeded update/delete batches, the COW
+    table after a merge chain equals a plain dict fold of the same
+    operations (the executable spec)."""
+    import hashlib
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    target = str(tmp_path / "t")
+    n = 500
+    rows = [(k, h(k, "v0") % 1000) for k in range(n)]
+    spark.createDataFrame(rows, "k long, v long").repartitionByRange(
+        4, "k"
+    ).sortWithinPartitions("k").write.parquet(target)
+    model = dict(rows)
+
+    for rnd in range(3):
+        upd = [
+            (k, h(k, f"u{rnd}") % 1000)
+            for k in range(n + 100)
+            if h(k, f"pick{rnd}") % 7 == 0
+        ]
+        dels = [
+            (k,)
+            for k in range(n)
+            if h(k, f"del{rnd}") % 11 == 0
+            and all(k != u[0] for u in upd)
+        ]
+        cow_merge(
+            spark,
+            target,
+            spark.createDataFrame(upd, "k long, v long"),
+            "k",
+            delete_keys=spark.createDataFrame(dels, "k long"),
+        )
+        for k, v in upd:
+            model[k] = v
+        for (k,) in dels:
+            model.pop(k, None)
+        got = {
+            r["k"]: r["v"] for r in spark.read.parquet(target).collect()
+        }
+        assert got == model, f"round {rnd}: diverged from the dict model"
