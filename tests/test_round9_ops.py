@@ -782,3 +782,44 @@ def test_cow_merge_property_vs_dict_model(spark, tmp_path):
             r["k"]: r["v"] for r in spark.read.parquet(target).collect()
         }
         assert got == model, f"round {rnd}: diverged from the dict model"
+
+
+def test_cow_merge_lww_property_vs_dict_model(spark, tmp_path):
+    """LWW-mode twin of the dict-model property: an update lands iff
+    its writetime >= the held row's (tie favors the update)."""
+    import hashlib
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    def h(i, salt):
+        return int(hashlib.md5(f"{salt}:{i}".encode()).hexdigest()[:8], 16)
+
+    target = str(tmp_path / "t")
+    n = 400
+    rows = [(k, h(k, "v0") % 1000, h(k, "w0") % 100) for k in range(n)]
+    spark.createDataFrame(rows, "k long, v long, wt long").repartitionByRange(
+        4, "k"
+    ).sortWithinPartitions("k").write.parquet(target)
+    model = {k: (v, w) for k, v, w in rows}
+
+    for rnd in range(3):
+        upd = [
+            (k, h(k, f"u{rnd}") % 1000, h(k, f"w{rnd}") % 100)
+            for k in range(n + 50)
+            if h(k, f"pick{rnd}") % 5 == 0
+        ]
+        cow_merge(
+            spark,
+            target,
+            spark.createDataFrame(upd, "k long, v long, wt long"),
+            "k",
+            writetime_col="wt",
+        )
+        for k, v, w in upd:
+            if k not in model or w >= model[k][1]:
+                model[k] = (v, w)
+        got = {
+            r["k"]: (r["v"], r["wt"])
+            for r in spark.read.parquet(target).collect()
+        }
+        assert got == model, f"round {rnd}: LWW diverged from the model"
