@@ -138,16 +138,22 @@ def cow_merge(
     spark: SparkSession,
     target_path: str,
     updates: DataFrame,
-    key_col: str,
+    key_col: str | list[str],
     delete_keys: DataFrame | None = None,
     writetime_col: str | None = None,
 ) -> MergeStats:
     """MERGE ``updates`` into the parquet table at ``target_path`` on
     ``key_col``: matched keys are REPLACED by the update row, unmatched
-    keys are INSERTED, and keys in ``delete_keys`` (one column, the
-    key) are REMOVED — the full WHEN MATCHED UPDATE/DELETE + WHEN NOT
-    MATCHED INSERT triad.  Update keys must be unique (the caller
+    keys are INSERTED, and keys in ``delete_keys`` (columns matching
+    the key) are REMOVED — the full WHEN MATCHED UPDATE/DELETE + WHEN
+    NOT MATCHED INSERT triad.  Update keys must be unique (the caller
     dedups; an ambiguous multi-row update has no MERGE semantics).
+
+    ``key_col`` may be a LIST — the Cassandra partition+clustering PK
+    shape.  Row matching uses the full composite; file pruning uses
+    footer stats of the LEADING key only (lay the table out
+    range-partitioned on it), so a composite merge touches every file
+    whose leading-key range intersects — conservative, never wrong.
 
     With ``writetime_col``, matched keys resolve last-write-wins
     instead of unconditionally replacing: the newer writetime survives
@@ -191,25 +197,36 @@ def cow_merge(
     # the distributed touch test (rebuilt as a local DataFrame — it is
     # O(files) driver memory either way, same as inputFiles()) and the
     # driver-side overlap closure
-    key_type = dict(updates.dtypes).get(key_col, "long")
+    key_cols = [key_col] if isinstance(key_col, str) else list(key_col)
+    lead = key_cols[0]
+    key_type = dict(updates.dtypes).get(lead, "long")
     if key_type not in ("bigint", "long", "int", "string"):
         raise ValueError(
             f"cow_merge supports long/int/string merge keys, got "
-            f"{key_type} for {key_col}"
+            f"{key_type} for {lead}"
         )
     ddl_type = "string" if key_type == "string" else "long"
     range_rows = parquet_key_ranges(
-        spark, target_path, key_col, files=manifest_files, key_type=ddl_type
+        spark, target_path, lead, files=manifest_files, key_type=ddl_type
     ).collect()
     ranges = spark.createDataFrame(
         [(r["file"], r["key_min"], r["key_max"]) for r in range_rows],
         f"file string, key_min {ddl_type}, key_max {ddl_type}",
     )
-    keys = updates.select(F.col(key_col).alias("_k")).distinct()
+    if delete_keys is not None and len(delete_keys.columns) != len(
+        key_cols
+    ):
+        raise ValueError(
+            f"delete_keys must have {len(key_cols)} column(s) matching "
+            f"the merge key {key_cols}, got {delete_keys.columns}"
+        )
+    # pruning works on the LEADING key; matching uses the composite
+    keys = updates.select(F.col(lead).alias("_k")).distinct()
     if delete_keys is not None:
-        first = delete_keys.columns[0]
         keys = keys.unionByName(
-            delete_keys.select(F.col(first).alias("_k")).distinct()
+            delete_keys.toDF(*key_cols)
+            .select(F.col(lead).alias("_k"))
+            .distinct()
         ).distinct()
     touched_rows = (
         keys.join(
@@ -276,16 +293,22 @@ def cow_merge(
     # re-run-same-work contract this mirrors.)
     from pyspark.sql import Window
 
-    w = Window.partitionBy(key_col).orderBy(F.col("__file"))
+    w = Window.partitionBy(*key_cols).orderBy(F.col("__file"))
     deduped = (
         base.withColumn("__file", F.input_file_name())
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__file", "__rn")
     )
+    # composite-exact match set (name-aligned broadcast anti-joins)
+    match_keys = updates.select(*key_cols).distinct()
+    if delete_keys is not None:
+        match_keys = match_keys.unionByName(
+            delete_keys.toDF(*key_cols).distinct()
+        ).distinct()
     if writetime_col is None:
         survivors = deduped.join(
-            F.broadcast(keys), deduped[key_col] == F.col("_k"), "left_anti"
+            F.broadcast(match_keys), key_cols, "left_anti"
         )
         merged = survivors.unionByName(updates.select(*base.columns))
     else:
@@ -299,16 +322,13 @@ def cow_merge(
         merged = lww_merge(
             deduped,
             updates.select(*base.columns),
-            [key_col],
+            key_cols,
             writetime_col,
         )
         if delete_keys is not None:
-            first = delete_keys.columns[0]
             merged = merged.join(
-                F.broadcast(
-                    delete_keys.select(F.col(first).alias("_dk")).distinct()
-                ),
-                merged[key_col] == F.col("_dk"),
+                F.broadcast(delete_keys.toDF(*key_cols).distinct()),
+                key_cols,
                 "left_anti",
             )
 

@@ -823,3 +823,51 @@ def test_cow_merge_lww_property_vs_dict_model(spark, tmp_path):
             for r in spark.read.parquet(target).collect()
         }
         assert got == model, f"round {rnd}: LWW diverged from the model"
+
+
+def test_cow_merge_composite_key(spark, tmp_path):
+    """Cassandra PK shape: (partition key, clustering key).  Matching
+    is composite-exact — updating (grp=5, seq=2) must not touch
+    (grp=5, seq=3) — while pruning runs on the leading key's ranges."""
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    base = spark.range(0, 200).select(
+        (F.col("id") % 50).alias("grp"),
+        (F.col("id") / 50).cast("long").alias("seq"),
+        F.col("id").alias("v"),
+    )
+    base.repartitionByRange(4, "grp").sortWithinPartitions(
+        "grp", "seq"
+    ).write.parquet(target)
+
+    upd = spark.createDataFrame(
+        [(5, 2, -1), (5, 3, -2), (60, 0, -3)],  # two cells + one insert
+        "grp long, seq long, v long",
+    )
+    dels = spark.createDataFrame([(7, 1)], "grp long, seq long")
+    stats = cow_merge(spark, target, upd, ["grp", "seq"], delete_keys=dels)
+    assert 1 <= stats.files_rewritten <= stats.files_total
+    got = {(r["grp"], r["seq"]): r["v"]
+           for r in spark.read.parquet(target).collect()}
+    assert got[(5, 2)] == -1 and got[(5, 3)] == -2
+    assert got[(5, 0)] == 5 and got[(5, 1)] == 55  # same-grp cells intact
+    assert (7, 1) not in got and got[(7, 0)] == 7  # composite delete
+    assert got[(60, 0)] == -3  # insert
+    assert len(got) == 200 + 1 - 1
+
+
+def test_cow_merge_delete_keys_arity_checked(spark, tmp_path):
+    import pytest
+
+    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
+
+    target = str(tmp_path / "t")
+    spark.range(0, 10).select(
+        F.col("id").alias("grp"), F.lit(0).cast("long").alias("seq"),
+        F.col("id").alias("v"),
+    ).write.parquet(target)
+    upd = spark.createDataFrame([(1, 0, -1)], "grp long, seq long, v long")
+    bad = spark.createDataFrame([(1,)], "grp long")  # missing seq
+    with pytest.raises(ValueError, match="delete_keys"):
+        cow_merge(spark, target, upd, ["grp", "seq"], delete_keys=bad)
