@@ -491,7 +491,9 @@ def vacuum_snapshots(target_path: str, keep_versions: int = 2) -> list[str]:
     versions = snapshot_versions(target_path)
     if not versions:
         return []
-    kept = set(versions[-keep_versions:]) if keep_versions else set()
+    # the latest version is NEVER reclaimable — keep_versions < 1
+    # would otherwise delete every data file of a live table
+    kept = set(versions[-max(1, keep_versions):])
     live: set[str] = set()
     for v in kept:
         with open(

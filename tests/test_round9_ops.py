@@ -871,3 +871,21 @@ def test_cow_merge_delete_keys_arity_checked(spark, tmp_path):
     bad = spark.createDataFrame([(1,)], "grp long")  # missing seq
     with pytest.raises(ValueError, match="delete_keys"):
         cow_merge(spark, target, upd, ["grp", "seq"], delete_keys=bad)
+
+
+def test_vacuum_never_reclaims_latest_version(spark, tmp_path):
+    """keep_versions=0 must clamp to 1 — the latest version's files
+    are never reclaimable on a live table."""
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        read_snapshot,
+        snapshot_commit,
+        vacuum_snapshots,
+    )
+
+    target = str(tmp_path / "t")
+    spark.range(0, 50).select(
+        F.col("id").alias("k"), F.col("id").alias("v")
+    ).write.parquet(target)
+    snapshot_commit(target)
+    vacuum_snapshots(target, keep_versions=0)
+    assert read_snapshot(spark, target).count() == 50
