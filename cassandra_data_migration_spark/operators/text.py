@@ -1460,9 +1460,15 @@ def line_dedup_docs(
     the semantics engine-portable (DuckDB ``md5``) and is the same
     collision tolerance CCNet accepts.
     """
+    import re as _re
+
+    # F.split takes a REGEX; escape so `sep` is always a literal
+    # separator (a caller passing "|" or "." must not fan out per char)
     lines = df.select(
         F.col(id_col),
-        F.posexplode(F.split(F.col(text_col), sep, -1)).alias("pos", "line"),
+        F.posexplode(
+            F.split(F.col(text_col), _re.escape(sep), -1)
+        ).alias("pos", "line"),
     ).withColumn("h", F.md5("line"))
     common = (
         lines.filter(F.length("line") >= min_chars)

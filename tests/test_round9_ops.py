@@ -889,3 +889,17 @@ def test_vacuum_never_reclaims_latest_version(spark, tmp_path):
     snapshot_commit(target)
     vacuum_snapshots(target, keep_versions=0)
     assert read_snapshot(spark, target).count() == 50
+
+
+def test_line_dedup_separator_is_literal(spark):
+    """A regex metacharacter separator must split literally, not
+    per-character."""
+    from cassandra_data_migration_spark.operators.text import line_dedup_docs
+
+    df = spark.createDataFrame(
+        [(0, "alpha beta gamma|delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    out = line_dedup_docs(df, sep="|").collect()[0]
+    assert out["n_kept"] == 2
+    assert out["clean_text"] == "alpha beta gamma|delta epsilon zeta"
