@@ -27,6 +27,7 @@ from cassandra_data_migration_spark.operators import filters as flt
 from cassandra_data_migration_spark.operators import joins as jn
 from cassandra_data_migration_spark.operators.sampling import bucket_sql
 from cassandra_data_migration_spark.sources.tables import load_table
+from cassandra_data_migration_spark.streaming import await_or_raise
 
 # ---------------------------------------------------------------------------
 # deterministic origin/target pair for validation operators
@@ -1473,7 +1474,7 @@ def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id", "user_id", "event_type", "value"
     )
     q = dual_write_stream(stream, f"{d}/origin", f"{d}/target", f"{d}/ckpt")
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     origin = read_sink(spark, f"{d}/origin")
     target = read_sink(spark, f"{d}/target")
     # both sinks must agree before we hand the result back
@@ -1497,7 +1498,7 @@ def q_stream_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -2253,7 +2254,7 @@ def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = cow_apply_changes_stream(
         stream, target, "user_id", ckpt, ts_col="ts", seq_col="event_id"
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return read_snapshot(spark, target).select(
         "user_id", "ts", "event_id", "value"
     )
@@ -2685,7 +2686,7 @@ def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}").select(
         "user_id",
         F.col("n_events").cast("long").alias("n_events"),
@@ -2717,7 +2718,7 @@ def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     counts = spark.sql(f"SELECT * FROM {name}")
     return rank_topk(counts, k=3).select(
         "win_start",
@@ -2774,7 +2775,7 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = mv_maintain_stream(stream, view, "o_custkey", ckpt)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(view).select(
         "o_custkey",
         "n_rows",
@@ -2862,7 +2863,7 @@ def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(f"{d}/out")
 
 
@@ -3049,7 +3050,7 @@ def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -3240,7 +3241,7 @@ def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     emitted = spark.sql(f"SELECT * FROM {name}")
     w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("seq"))
     return (
@@ -3271,7 +3272,7 @@ def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     emitted = spark.sql(f"SELECT * FROM {name}")
     w = Window.partitionBy("window_h").orderBy(F.desc("n_events"))
     return (
@@ -3638,7 +3639,7 @@ def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.sql(f"SELECT * FROM {name}")
 
 
@@ -3877,7 +3878,7 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = cms_maintain_stream(stream, sk, checkpoint=ckpt)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(sk)
 
 
@@ -3914,7 +3915,7 @@ def q_throttled_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.createDataFrame(
         [(n_files, seen["batches"], seen["rows"])],
         "n_files long, n_batches long, n_rows long",
@@ -3971,7 +3972,7 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = hll_maintain_stream(stream, sk, "v", ["grp"], checkpoint=ckpt)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(sk).select("grp", "j", "m_rank")
 
 
@@ -4093,7 +4094,7 @@ def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = weighted_reservoir_stream(
         stream, st, "lang", "doc_id", "n_chars", k=5, checkpoint=ckpt
     )
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(st).select("lang", "doc_id", "n_chars")
 
 
@@ -4126,7 +4127,7 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(src)
     )
     q = kmv_maintain_stream(stream, sk, "v", k=256, checkpoint=ckpt)
-    q.awaitTermination(300)
+    await_or_raise(q, 300)
     return spark.read.parquet(sk).select("h")
 
 

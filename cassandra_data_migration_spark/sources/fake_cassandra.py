@@ -168,6 +168,17 @@ class FakeCassandraDataSource(DataSource):
         return _FakeCassandraReader(self.options)
 
     def writer(self, schema, overwrite):
+        if overwrite:
+            # honor mode("overwrite"): clear the table's existing parts
+            # up front (this runs once, driver-side, before any task
+            # writes) — silently appending under overwrite would
+            # duplicate every pre-existing row
+            import glob
+
+            p = _table_path(self.options)
+            if os.path.isdir(p):
+                for f in glob.glob(os.path.join(p, "*.parquet")):
+                    os.remove(f)
         return _FakeCassandraWriter(schema, self.options)
 
 

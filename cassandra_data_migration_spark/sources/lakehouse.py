@@ -165,13 +165,16 @@ def cow_merge(
     the table is untouched on disk (byte-identical files, pinned by
     tests)."""
     # sweep temp dirs a crashed earlier merge left behind (never
-    # referenced by readers; single-writer contract as documented)
+    # referenced by readers; single-writer contract as documented).
+    # Temps are staged INSIDE target_path (underscore-prefixed, so
+    # Spark's listing ignores them) — sweeping here can only ever
+    # touch THIS table's debris, never a sibling table's in-flight
+    # merge output sharing the same parent directory.
     import shutil as _shutil
 
-    parent = os.path.dirname(target_path.rstrip("/"))
-    for d in os.listdir(parent):
+    for d in os.listdir(target_path):
         if d.startswith("_cow_"):
-            _shutil.rmtree(os.path.join(parent, d), ignore_errors=True)
+            _shutil.rmtree(os.path.join(target_path, d), ignore_errors=True)
 
     # MANIFEST MODE: when the table has committed snapshots, the
     # merge's view is the LATEST version's file list (stale files a
@@ -339,7 +342,7 @@ def cow_merge(
     obs = Observation()
     merged = merged.observe(obs, F.count(F.lit(1)).alias("rows"))
     out_tmp = os.path.join(
-        os.path.dirname(target_path.rstrip("/")),
+        target_path.rstrip("/"),
         f"_cow_{uuid.uuid4().hex}",
     )
     merged.write.parquet(out_tmp)
@@ -371,7 +374,11 @@ def cow_merge(
             )
             | set(moved)
         )
-        snapshot_commit(target_path, files=new_files)
+        snapshot_commit(
+            target_path,
+            files=new_files,
+            schema_json=merged.schema.json(),
+        )
     else:
         for f in touched:
             os.remove(f)
@@ -412,6 +419,15 @@ def _manifest_dir(target_path: str) -> str:
     return os.path.join(target_path, "_manifests")
 
 
+def _manifest_files(target_path: str, version: int) -> list[str]:
+    import json
+
+    with open(
+        os.path.join(_manifest_dir(target_path), f"v{version}.json")
+    ) as fh:
+        return json.load(fh)["files"]
+
+
 def snapshot_versions(target_path: str) -> list[int]:
     d = _manifest_dir(target_path)
     if not os.path.isdir(d):
@@ -423,7 +439,11 @@ def snapshot_versions(target_path: str) -> list[int]:
     )
 
 
-def snapshot_commit(target_path: str, files: list[str] | None = None) -> int:
+def snapshot_commit(
+    target_path: str,
+    files: list[str] | None = None,
+    schema_json: str | None = None,
+) -> int:
     """Publish a file list as the next version.  Atomic: written to a
     temp name, then renamed — readers see either the old latest
     version or the new one, never a partial list.
@@ -451,8 +471,14 @@ def snapshot_commit(target_path: str, files: list[str] | None = None) -> int:
     versions = snapshot_versions(target_path)
     v = (versions[-1] + 1) if versions else 0
     tmp = os.path.join(d, f".v{v}.json.tmp")
+    manifest = {"version": v, "files": files}
+    if schema_json is not None:
+        # carried so an all-rows-deleted version (empty file list)
+        # stays READABLE as an empty typed DataFrame — without it the
+        # table's latest version would raise on read
+        manifest["schema"] = schema_json
     with open(tmp, "w") as fh:
-        json.dump({"version": v, "files": files}, fh)
+        json.dump(manifest, fh)
     os.rename(tmp, os.path.join(d, f"v{v}.json"))
     return v
 
@@ -474,6 +500,27 @@ def read_snapshot(
     with open(os.path.join(_manifest_dir(target_path), f"v{v}.json")) as fh:
         manifest = json.load(fh)
     paths = [os.path.join(target_path, f) for f in manifest["files"]]
+    if not paths:
+        # a merge/delete can legitimately commit a zero-file version
+        # (every key deleted) — the version must stay readable as an
+        # empty typed DataFrame, not raise on an empty path list
+        from pyspark.sql.types import StructType
+
+        if "schema" in manifest:
+            schema = StructType.fromJson(json.loads(manifest["schema"]))
+        else:
+            donors = [
+                u
+                for u in versions
+                if _manifest_files(target_path, u)
+            ]
+            if not donors:
+                raise ValueError(
+                    f"version {v} is empty and no version carries a "
+                    f"schema to type it"
+                )
+            schema = read_snapshot(spark, target_path, donors[-1]).schema
+        return spark.createDataFrame([], schema)
     missing = [p for p in paths if not os.path.exists(p)]
     if missing:
         raise ValueError(
@@ -538,7 +585,7 @@ def optimize_snapshot(
         raise ValueError("optimize_snapshot requires a committed snapshot")
     cur = read_snapshot(spark, target_path)
     out_tmp = os.path.join(
-        os.path.dirname(target_path.rstrip("/")),
+        target_path.rstrip("/"),
         f"_cow_{uuid.uuid4().hex}",
     )
     (
@@ -557,7 +604,9 @@ def optimize_snapshot(
             )
             moved.append(name)
     shutil.rmtree(out_tmp, ignore_errors=True)
-    return snapshot_commit(target_path, files=sorted(moved))
+    return snapshot_commit(
+        target_path, files=sorted(moved), schema_json=cur.schema.json()
+    )
 
 
 def snapshot_changes(

@@ -221,7 +221,14 @@ def ensure_bucketed_table(
     A fresh session rebuilt the table anyway (empty catalog), so the
     namespace costs nothing; within a session the catalog check keeps
     it idempotent.  Stale dirs from dead sessions are swept
-    best-effort once they age past a window no live gate run spans.
+    best-effort once they age past a window no live gate run spans;
+    the age signal is a HEARTBEAT file the owning session re-touches
+    on every ``ensure_bucketed_table`` call (not the dir mtime, which
+    goes stale the moment the write finishes) — a session alive for
+    days keeps its table alive just by using it, so the sweep can
+    never delete a table out from under a live reader that is still
+    issuing queries.  Cutoff hours via
+    ``SPARK_GRAFT_BUCKETED_SWEEP_HOURS`` (default 24).
     """
     import shutil
     import time
@@ -234,20 +241,38 @@ def ensure_bucketed_table(
     warehouse = urlparse(
         spark.conf.get("spark.sql.warehouse.dir", "spark-warehouse")
     ).path
+    hb_name = "_graft_heartbeat"
+
+    def _touch_heartbeat() -> None:
+        p = os.path.join(warehouse, session_table, hb_name)
+        try:
+            with open(p, "a"):
+                os.utime(p, None)
+        except OSError:
+            pass
+
     if not spark.catalog.tableExists(session_table):
         # sweep leftovers of DEAD sessions (same base table, different
-        # appId, older than any plausible live run) — never a live dir
-        stale_cutoff = time.time() - 6 * 3600
+        # appId, heartbeat older than any plausible live run) — a live
+        # session's heartbeat is re-touched on every call, so age here
+        # really means "no session has used this dir for the window"
+        sweep_hours = float(
+            os.environ.get("SPARK_GRAFT_BUCKETED_SWEEP_HOURS", "24")
+        )
+        stale_cutoff = time.time() - sweep_hours * 3600
         prefix = f"{table}__"
         if os.path.isdir(warehouse):
             for d in os.listdir(warehouse):
                 p = os.path.join(warehouse, d)
-                if (
+                if not (
                     d.startswith(prefix)
                     and d != session_table
                     and os.path.isdir(p)
-                    and os.path.getmtime(p) < stale_cutoff
                 ):
+                    continue
+                hb = os.path.join(p, hb_name)
+                age_src = hb if os.path.exists(hb) else p
+                if os.path.getmtime(age_src) < stale_cutoff:
                     shutil.rmtree(p, ignore_errors=True)
         # our own name is unique to this appId: any on-disk residue is
         # ours (re-created session id collision is impossible across
@@ -260,6 +285,7 @@ def ensure_bucketed_table(
             .format("parquet")
             .saveAsTable(session_table)
         )
+    _touch_heartbeat()
     return spark.table(session_table)
 
 

@@ -155,7 +155,9 @@ def run_tws_totals(
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(600)
+        from cassandra_data_migration_spark.streaming import await_or_raise
+
+        await_or_raise(q, 600)
     finally:
         if prev is None:
             spark.conf.unset(_PROVIDER_CONF)
