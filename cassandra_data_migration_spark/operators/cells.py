@@ -1,0 +1,222 @@
+"""Cell-level Cassandra semantics: sstable-merge compaction, quorum
+read repair, and lightweight-transaction (CAS) replay.
+
+The row-level operators elsewhere (joins.reconcile, streaming.lww)
+resolve conflicts per ROW; Cassandra actually reconciles per CELL —
+every (partition key, column) carries its own writetime, deletes are
+tombstone cells, and a compaction/read merges cell versions across
+sstables by the rule: highest writetime wins, a tombstone beats a
+live cell on a timestamp tie, and equal-timestamp live cells fall
+back to the lexically greater value (the public reconciliation
+order; see e.g. the Cassandra docs on "conflict resolution" and
+docs/04-cdm-approach.md:401-434's writetime treatment in the
+reference).  These operators make that granularity first-class so a
+migration can reason about per-cell divergence, not just per-row.
+
+Scale shapes (100 TB):
+
+- :func:`cell_lww_compact` — ONE hash shuffle on (key, column) for
+  the cell argmax plus a key-aligned aggregate for row tombstones;
+  no window over the full cell set, no driver state.  Cell count is
+  rows × columns, so the shuffle is wide but embarrassingly
+  partitionable; AQE coalesces the two same-keyed exchanges.
+- :func:`quorum_read_repair` — union of N replica scans (N is the
+  replication factor, 3 in practice) then one groupBy(key) argmax;
+  state per key is one struct, never a list.
+- :func:`cas_replay` — per-key ordered fold via ``collect_list`` +
+  ``F.aggregate``: the op list for ONE key must fit in a task (LWT
+  history per partition is short by design — Paxos rounds serialize
+  on the partition), while keys distribute freely.  No iterative
+  jobs, no driver loop: the whole replay is one shuffle + one
+  scan-side fold inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+ROW_TOMBSTONE = "__row__"
+
+
+def cell_lww_compact(
+    cells: DataFrame,
+    key_col: str = "pk",
+    column_col: str = "column_name",
+    value_col: str = "value",
+    writetime_col: str = "writetime_us",
+    tombstone_col: str = "is_tombstone",
+) -> DataFrame:
+    """Merge cell versions across generations into the live view —
+    what a major compaction (or a CL=ALL read) produces.
+
+    Input: one row per CELL VERSION: (key, column, value, writetime,
+    is_tombstone).  A row tombstone is a cell whose column is
+    :data:`ROW_TOMBSTONE`; it shadows every cell of that key with
+    ``writetime <= row tombstone writetime`` (Cassandra range/row
+    deletion semantics).
+
+    Winner per (key, column): max (writetime, is_tombstone, value) —
+    exactly the public reconciliation order (tombstone beats live on
+    a tie, then greater value).  Output: live cells only —
+    (key, column, value, writetime) — i.e. winners that are not
+    tombstones and not shadowed by the key's row tombstone.
+    """
+    k, c, v, w, t = key_col, column_col, value_col, writetime_col, tombstone_col
+    winner = (
+        cells.filter(F.col(c) != F.lit(ROW_TOMBSTONE))
+        .groupBy(k, c)
+        .agg(
+            F.max(
+                F.struct(
+                    F.col(w).alias("wt"),
+                    F.col(t).cast("int").alias("tomb"),
+                    F.col(v).alias("val"),
+                )
+            ).alias("_win")
+        )
+    )
+    row_tombs = (
+        cells.filter(F.col(c) == F.lit(ROW_TOMBSTONE))
+        .groupBy(k)
+        .agg(F.max(w).alias("_row_tomb_wt"))
+    )
+    return (
+        winner.join(row_tombs, k, "left")
+        .filter(
+            (F.col("_win.tomb") == 0)
+            & (
+                F.col("_row_tomb_wt").isNull()
+                | (F.col("_win.wt") > F.col("_row_tomb_wt"))
+            )
+        )
+        .select(
+            F.col(k),
+            F.col(c),
+            F.col("_win.val").alias(v),
+            F.col("_win.wt").alias(w),
+        )
+    )
+
+
+def quorum_read_repair(
+    replicas: list[DataFrame],
+    key_col: str,
+    value_col: str,
+    writetime_col: str,
+) -> DataFrame:
+    """Read-repair report across N replicas: per key, the winning
+    (writetime, value) under LWW and how many replicas need repair.
+
+    A replica "needs repair" when it misses the key entirely or holds
+    a (writetime, value) different from the winner — the rows a
+    coordinator at CL=QUORUM/ALL would write back.  Output one row
+    per key needing ANY repair: (key, winner value/writetime,
+    n_replicas_present, n_stale) — keys already consistent everywhere
+    are dropped (the overwhelmingly common case at 100 TB, so the
+    result is small even when the scan is not).
+    """
+    n = len(replicas)
+    k, v, w = key_col, value_col, writetime_col
+    tagged = None
+    for i, r in enumerate(replicas):
+        t = r.select(
+            F.col(k), F.col(v).alias("_v"), F.col(w).alias("_w")
+        ).withColumn("_replica", F.lit(i))
+        tagged = t if tagged is None else tagged.unionByName(t)
+    per_key = tagged.groupBy(k).agg(
+        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
+            "_win"
+        ),
+        F.count(F.lit(1)).alias("n_replicas_present"),
+    )
+    # a replica is CURRENT iff it holds exactly the winner pair; stale
+    # count = N - current copies (missing rows are stale by absence)
+    current = tagged.join(per_key.select(k, "_win"), k).filter(
+        (F.col("_w") == F.col("_win.wt")) & (F.col("_v") == F.col("_win.val"))
+    ).groupBy(k).agg(F.count(F.lit(1)).alias("_n_current"))
+    return (
+        per_key.join(current, k, "left")
+        .select(
+            F.col(k),
+            F.col("_win.val").alias("winner_" + v),
+            F.col("_win.wt").alias("winner_" + w),
+            "n_replicas_present",
+            (F.lit(n) - F.coalesce(F.col("_n_current"), F.lit(0)))
+            .cast("long")
+            .alias("n_stale"),
+        )
+        .filter(F.col("n_stale") > 0)
+    )
+
+
+def cas_replay(
+    ops: DataFrame,
+    key_col: str,
+    ts_col: str,
+    seq_col: str,
+    expected_col: str,
+    new_col: str,
+    init_value: Column | None = None,
+) -> DataFrame:
+    """Replay lightweight transactions (``UPDATE ... IF value = ?``)
+    per key in (ts, seq) order and report the outcome.
+
+    Each op carries ``expected`` (NULL = unconditional write, i.e. a
+    plain UPDATE) and ``new``.  An op APPLIES when unconditional or
+    when ``expected`` equals the current value; otherwise it is
+    REJECTED and the state is unchanged — Cassandra's Paxos CAS
+    outcome, folded deterministically from the op log.  Output:
+    (key, final_value, n_applied, n_rejected).
+
+    The fold is ``F.aggregate`` over the key's time-ordered op array:
+    scan-side, codegen'd, zero Python.  Op arrays are bounded by LWT
+    history per partition (short by construction); keys distribute
+    across the cluster like any groupBy.
+    """
+    k = key_col
+    packed = ops.groupBy(k).agg(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(seq_col).alias("seq"),
+                    F.col(expected_col).alias("exp"),
+                    F.col(new_col).alias("new"),
+                )
+            )
+        ).alias("_ops")
+    )
+    init = F.lit(None).cast("long") if init_value is None else init_value
+    zero = F.struct(
+        init.alias("cur"),
+        F.lit(0).cast("long").alias("applied"),
+        F.lit(0).cast("long").alias("rejected"),
+    )
+    folded = packed.select(
+        F.col(k),
+        F.aggregate(
+            "_ops",
+            zero,
+            lambda acc, x: F.when(
+                x["exp"].isNull() | (x["exp"] == acc["cur"]),
+                F.struct(
+                    x["new"].alias("cur"),
+                    (acc["applied"] + 1).alias("applied"),
+                    acc["rejected"].alias("rejected"),
+                ),
+            ).otherwise(
+                F.struct(
+                    acc["cur"].alias("cur"),
+                    acc["applied"].alias("applied"),
+                    (acc["rejected"] + 1).alias("rejected"),
+                )
+            ),
+        ).alias("_f"),
+    )
+    return folded.select(
+        F.col(k),
+        F.col("_f.cur").alias("final_value"),
+        F.col("_f.applied").alias("n_applied"),
+        F.col("_f.rejected").alias("n_rejected"),
+    )
