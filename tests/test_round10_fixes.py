@@ -199,3 +199,31 @@ def test_fake_cassandra_overwrite_replaces_rows(spark, tmp_path):
     )
     rows = sorted(map(tuple, src.read(spark, "users").collect()))
     assert rows == [(3, "c")], f"overwrite appended instead: {rows}"
+
+
+def test_state_scaled_shuffle_sizing_and_restore(spark):
+    from cassandra_data_migration_spark.streaming import (
+        state_scaled_shuffle,
+    )
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    # tiny input -> floor
+    with state_scaled_shuffle(spark, 1 << 20) as n:
+        assert n == 8
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # big input -> capped at 2x parallelism, never unbounded
+    cap = 2 * spark.sparkContext.defaultParallelism
+    with state_scaled_shuffle(spark, 10 << 40) as n:
+        assert n == max(8, cap)
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+    # mid-size: one partition per 32 MB
+    with state_scaled_shuffle(spark, 320 << 20) as n:
+        assert n == max(8, min(max(8, cap), 10))
+    # conf restored even when the body raises
+    try:
+        with state_scaled_shuffle(spark, 1 << 20):
+            raise RuntimeError("boom")
+    except RuntimeError:
+        pass
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
