@@ -9214,3 +9214,77 @@ def _with_state_scaled(fn: Callable) -> Callable:
 
 for _sq in _STREAM_STATE_QUERIES:
     QUERIES[_sq] = _with_state_scaled(QUERIES[_sq])
+
+
+def q_stream_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming twin of cell_compaction's merge rule: the cell-version
+    # log replayed in 3 micro-batch slices through ONE stateful
+    # max(struct) aggregation; the maintained view equals the batch
+    # argmax over the full log (max is idempotent + commutative, so
+    # slicing and redelivery cannot change it). Row tombstones surface
+    # as their own column rows with is_deleted, read-path shadowing
+    # being a stateless filter on top (exactly like the batch op).
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from cassandra_data_migration_spark.streaming.cells import (
+        cell_lww_view_stream,
+    )
+
+    cells = _event_cells(spark, sf_dir).withColumn(
+        "_slice", F.pmod("pk", F.lit(3))
+    )
+    d = tempfile.mkdtemp(prefix="cell_lww_")
+    src, sink_dir, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
+    for s in range(3):
+        cells.filter(F.col("_slice") == s).drop("_slice").repartition(
+            1
+        ).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(
+        "pk bigint, column_name string, value_cents bigint, "
+        "writetime_us bigint, is_tombstone boolean"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    view = cell_lww_view_stream(stream, value_col="value_cents")
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.withColumn("_bid", F.lit(batch_id)).write.mode(
+            "append"
+        ).parquet(sink_dir)
+
+    q = (
+        view.writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 300)
+    w = Window.partitionBy("pk", "column_name").orderBy(F.desc("_bid"))
+    return (
+        spark.read.parquet(sink_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "pk", "column_name", "value_cents", "writetime_us", "is_deleted"
+        )
+    )
+
+
+ORACLES_STREAM_CELL_LWW = f"""
+    WITH cells AS ({_CELLS_SQL}),
+    win AS (
+        SELECT pk, column_name, value_cents, writetime_us, is_tombstone,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pk, column_name
+                   ORDER BY writetime_us DESC, is_tombstone DESC,
+                            value_cents DESC) AS rn
+        FROM cells
+    )
+    SELECT pk, column_name, value_cents, writetime_us,
+           is_tombstone AS is_deleted
+    FROM win WHERE rn = 1
+"""
+
+QUERIES["stream_cell_lww"] = _with_state_scaled(q_stream_cell_lww)
+ORACLES["stream_cell_lww"] = ORACLES_STREAM_CELL_LWW

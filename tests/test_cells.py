@@ -158,3 +158,72 @@ def test_new_queries_scalar_only_schema(spark):
     for name in ("cell_compaction", "quorum_read_repair", "cas_replay"):
         df = m.queries()[name](spark, "/root/testdata/sf0.001")
         assert_scalar_only_schema(df, name)
+
+
+def test_cell_lww_view_stream_equals_batch(spark, tmp_path):
+    """The streamed view over micro-batch slices must equal the batch
+    argmax over the full log — including a cross-batch conflict where
+    the OLDER write arrives in a LATER batch and must lose."""
+    from cassandra_data_migration_spark.streaming import await_or_raise
+    from cassandra_data_migration_spark.streaming.cells import (
+        cell_lww_view_stream,
+    )
+
+    schema = (
+        "pk long, column_name string, value_cents long, "
+        "writetime_us long, is_tombstone boolean"
+    )
+    batch1 = [(1, "a", 10, 200, False), (2, "a", 5, 100, False)]
+    # batch 2: stale write for (1,a) — must NOT displace wt=200;
+    # newer tombstone for (2,a) — must win and flag deleted
+    batch2 = [(1, "a", 99, 150, False), (2, "a", 0, 300, True)]
+    src = str(tmp_path / "src")
+    for i, rows in enumerate([batch1, batch2]):
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    sink_dir, ckpt = str(tmp_path / "sink"), str(tmp_path / "ckpt")
+
+    def sink(b, bid):
+        b.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(
+            sink_dir
+        )
+
+    q = (
+        cell_lww_view_stream(stream, value_col="value_cents")
+        .writeStream.foreachBatch(sink)
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 120)
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("pk", "column_name").orderBy(F.desc("_bid"))
+    final = (
+        spark.read.parquet(sink_dir)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+    )
+    got = {
+        (r["pk"], r["column_name"]): (
+            r["value_cents"],
+            r["writetime_us"],
+            r["is_deleted"],
+        )
+        for r in final.collect()
+    }
+    assert got == {
+        (1, "a"): (10, 200, False),  # stale later-batch write lost
+        (2, "a"): (0, 300, True),  # newer tombstone won, flagged
+    }, got
+
+
+def test_stream_cell_lww_oracle(spark, duck):
+    assert _oracle_match(spark, duck, "stream_cell_lww") > 0
