@@ -9288,3 +9288,72 @@ ORACLES_STREAM_CELL_LWW = f"""
 
 QUERIES["stream_cell_lww"] = _with_state_scaled(q_stream_cell_lww)
 ORACLES["stream_cell_lww"] = ORACLES_STREAM_CELL_LWW
+
+
+def q_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # compaction-savings estimate under gc_grace: per column, versions
+    # a major compaction drops now (superseded / shadowed / purgeable
+    # tombstones) vs must retain (live cells, in-grace tombstones).
+    # "now" is pinned to the table's max writetime so the report is
+    # deterministic; grace = 10 days in µs.
+    from cassandra_data_migration_spark.operators.cells import (
+        tombstone_gc_report,
+    )
+
+    cells = _event_cells(spark, sf_dir)
+    now_us = cells.agg(F.max("writetime_us")).collect()[0][0]
+    return tombstone_gc_report(
+        cells,
+        F.lit(now_us),
+        gc_grace_us=10 * 86400 * 1_000_000,
+        value_col="value_cents",
+    )
+
+
+ORACLES_TOMBSTONE_GC = f"""
+    WITH cells AS ({_CELLS_SQL}),
+    now_t AS (SELECT MAX(writetime_us) AS now_us FROM cells),
+    per_cell AS (
+        SELECT pk, column_name,
+               MAX(struct_pack(wt := writetime_us,
+                               tomb := CAST(is_tombstone AS INT),
+                               val := value_cents)) AS win,
+               COUNT(*) AS n_versions
+        FROM cells GROUP BY pk, column_name
+    ),
+    row_tombs AS (
+        SELECT pk, MAX(writetime_us) AS row_tomb_wt
+        FROM cells WHERE column_name = '__row__' GROUP BY pk
+    ),
+    classified AS (
+        SELECT p.column_name, p.n_versions,
+               p.n_versions - 1 AS superseded,
+               CASE WHEN p.win.tomb = 0 AND NOT (
+                        p.column_name <> '__row__'
+                        AND r.row_tomb_wt IS NOT NULL
+                        AND p.win.wt <= r.row_tomb_wt)
+                    THEN 1 ELSE 0 END AS live,
+               CASE WHEN p.column_name <> '__row__' AND p.win.tomb = 0
+                        AND r.row_tomb_wt IS NOT NULL
+                        AND p.win.wt <= r.row_tomb_wt
+                    THEN 1 ELSE 0 END AS shadowed,
+               CASE WHEN p.win.tomb = 1 AND p.win.wt >=
+                        (SELECT now_us FROM now_t) - 864000000000
+                    THEN 1 ELSE 0 END AS retained,
+               CASE WHEN p.win.tomb = 1 AND p.win.wt <
+                        (SELECT now_us FROM now_t) - 864000000000
+                    THEN 1 ELSE 0 END AS purgeable
+        FROM per_cell p LEFT JOIN row_tombs r USING (pk)
+    )
+    SELECT column_name,
+           CAST(SUM(n_versions) AS BIGINT) AS n_versions,
+           CAST(SUM(superseded) AS BIGINT) AS n_superseded,
+           CAST(SUM(live) AS BIGINT) AS n_live,
+           CAST(SUM(shadowed) AS BIGINT) AS n_shadowed,
+           CAST(SUM(retained) AS BIGINT) AS n_tomb_retained,
+           CAST(SUM(purgeable) AS BIGINT) AS n_tomb_purgeable
+    FROM classified GROUP BY column_name
+"""
+
+QUERIES["tombstone_gc"] = q_tombstone_gc
+ORACLES["tombstone_gc"] = ORACLES_TOMBSTONE_GC

@@ -220,3 +220,77 @@ def cas_replay(
         F.col("_f.applied").alias("n_applied"),
         F.col("_f.rejected").alias("n_rejected"),
     )
+
+
+def tombstone_gc_report(
+    cells: DataFrame,
+    now_us: Column,
+    gc_grace_us: int,
+    key_col: str = "pk",
+    column_col: str = "column_name",
+    value_col: str = "value",
+    writetime_col: str = "writetime_us",
+    tombstone_col: str = "is_tombstone",
+) -> DataFrame:
+    """Compaction-savings estimate per column: what a major compaction
+    with ``gc_grace`` could drop vs must retain.
+
+    Versions per (key, column) beyond the winner are SUPERSEDED
+    (droppable immediately — cell reconciliation keeps one).  A
+    tombstone winner is PURGEABLE once older than ``now - gc_grace``
+    (its deletion has had the grace window to reach every replica —
+    the public gc_grace_seconds rule; dropping it earlier risks
+    resurrecting the cell from a replica that missed the delete) and
+    RETAINED otherwise.  A live winner at or below its key's row
+    tombstone is SHADOWED (dropped with the row delete).  Output one
+    row per column: n_versions, n_superseded, n_live, n_shadowed,
+    n_tomb_retained, n_tomb_purgeable — the row-tombstone marker
+    column reports its own retention like any other.
+
+    Plan: the same single (key, column) shuffle as
+    :func:`cell_lww_compact` with a count riding the argmax, a
+    broadcast row-tombstone join, then an O(columns) rollup.
+    ``now_us`` is a Column so callers pin it deterministically (e.g.
+    the table's max writetime) rather than wall-clock.
+    """
+    k, c, v, w, t = key_col, column_col, value_col, writetime_col, tombstone_col
+    per_cell = cells.groupBy(k, c).agg(
+        F.max(
+            F.struct(
+                F.col(w).alias("wt"),
+                F.col(t).cast("int").alias("tomb"),
+                F.col(v).alias("val"),
+            )
+        ).alias("_win"),
+        F.count(F.lit(1)).alias("_n_versions"),
+    )
+    row_tombs = (
+        cells.filter(F.col(c) == F.lit(ROW_TOMBSTONE))
+        .groupBy(k)
+        .agg(F.max(w).alias("_row_tomb_wt"))
+    )
+    cutoff = now_us - F.lit(gc_grace_us)
+    is_tomb = F.col("_win.tomb") == 1
+    shadowed = (
+        (F.col(c) != F.lit(ROW_TOMBSTONE))
+        & ~is_tomb
+        & F.col("_row_tomb_wt").isNotNull()
+        & (F.col("_win.wt") <= F.col("_row_tomb_wt"))
+    )
+    classified = per_cell.join(F.broadcast(row_tombs), k, "left").select(
+        F.col(c),
+        F.col("_n_versions"),
+        (F.col("_n_versions") - 1).alias("_superseded"),
+        (~is_tomb & ~shadowed).cast("int").alias("_live"),
+        shadowed.cast("int").alias("_shadowed"),
+        (is_tomb & (F.col("_win.wt") >= cutoff)).cast("int").alias("_retained"),
+        (is_tomb & (F.col("_win.wt") < cutoff)).cast("int").alias("_purgeable"),
+    )
+    return classified.groupBy(c).agg(
+        F.sum("_n_versions").alias("n_versions"),
+        F.sum("_superseded").alias("n_superseded"),
+        F.sum("_live").cast("long").alias("n_live"),
+        F.sum("_shadowed").cast("long").alias("n_shadowed"),
+        F.sum("_retained").cast("long").alias("n_tomb_retained"),
+        F.sum("_purgeable").cast("long").alias("n_tomb_purgeable"),
+    )

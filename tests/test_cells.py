@@ -227,3 +227,48 @@ def test_cell_lww_view_stream_equals_batch(spark, tmp_path):
 
 def test_stream_cell_lww_oracle(spark, duck):
     assert _oracle_match(spark, duck, "stream_cell_lww") > 0
+
+
+def test_tombstone_gc_report_semantics(spark):
+    from cassandra_data_migration_spark.operators.cells import (
+        tombstone_gc_report,
+    )
+
+    cells = _cells(
+        spark,
+        [
+            # col a, key 1: two versions -> 1 superseded; winner live
+            (1, "a", 10, 100, False),
+            (1, "a", 20, 200, False),
+            # col a, key 2: tombstone winner INSIDE grace -> retained
+            (2, "a", 0, 950, True),
+            # col a, key 3: tombstone winner OUTSIDE grace -> purgeable
+            (3, "a", 0, 100, True),
+            # col b, key 4: live winner shadowed by row tombstone
+            (4, "b", 7, 100, False),
+            (4, ROW_TOMBSTONE, 0, 150, True),
+        ],
+    )
+    out = tombstone_gc_report(
+        cells, F.lit(1000), gc_grace_us=500, value_col="value_cents"
+    ).collect()
+    got = {
+        r["column_name"]: (
+            r["n_versions"],
+            r["n_superseded"],
+            r["n_live"],
+            r["n_shadowed"],
+            r["n_tomb_retained"],
+            r["n_tomb_purgeable"],
+        )
+        for r in out
+    }
+    assert got["a"] == (4, 1, 1, 0, 1, 1), got
+    assert got["b"] == (1, 0, 0, 1, 0, 0), got
+    # the row-tombstone marker column reports its own retention:
+    # wt=150 < 1000-500 -> purgeable
+    assert got[ROW_TOMBSTONE] == (1, 0, 0, 0, 0, 1), got
+
+
+def test_tombstone_gc_oracle(spark, duck):
+    assert _oracle_match(spark, duck, "tombstone_gc") > 0
