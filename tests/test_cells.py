@@ -272,3 +272,117 @@ def test_tombstone_gc_report_semantics(spark):
 
 def test_tombstone_gc_oracle(spark, duck):
     assert _oracle_match(spark, duck, "tombstone_gc") > 0
+
+
+# --- property checks vs executable Python models ---------------------------
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+cell_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),  # pk — few keys, collisions
+        st.sampled_from(["a", "b", ROW_TOMBSTONE]),
+        st.integers(min_value=0, max_value=5),  # value
+        st.integers(min_value=0, max_value=10),  # writetime
+        st.booleans(),  # tombstone
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(log=cell_logs)
+def test_cell_lww_compact_matches_dict_model(spark, log):
+    got = {
+        (r["pk"], r["column_name"]): (r["value_cents"], r["writetime_us"])
+        for r in cell_lww_compact(
+            _cells(spark, log), value_col="value_cents"
+        ).collect()
+    }
+    # model: winner per (pk,col) = max (wt, tomb, val); row tombstone =
+    # max wt of the marker column; live = non-tomb winner above it
+    win: dict = {}
+    row_wt: dict = {}
+    for pk, col, val, wt, tomb in log:
+        if col == ROW_TOMBSTONE:
+            row_wt[pk] = max(row_wt.get(pk, -1), wt)
+        else:
+            cand = (wt, int(tomb), val)
+            if cand > win.get((pk, col), (-1, -1, -1)):
+                win[(pk, col)] = cand
+    expect = {
+        (pk, col): (val, wt)
+        for (pk, col), (wt, tomb, val) in win.items()
+        if tomb == 0 and wt > row_wt.get(pk, -1)
+    }
+    assert got == expect, (got, expect, log)
+
+
+cas_logs = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=2),  # key
+        st.integers(min_value=0, max_value=20),  # ts (collisions likely)
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),  # exp
+        st.integers(min_value=0, max_value=3),  # new
+    ),
+    min_size=1,
+    max_size=16,
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(log=cas_logs)
+def test_cas_replay_matches_python_fold(spark, log):
+    rows = [(k, ts, seq, exp, new) for seq, (k, ts, exp, new) in enumerate(log)]
+    df = spark.createDataFrame(
+        rows, "k long, ts long, seq long, expected long, new_value long"
+    )
+    got = {
+        r["k"]: (r["final_value"], r["n_applied"], r["n_rejected"])
+        for r in cas_replay(
+            df, "k", "ts", "seq", "expected", "new_value"
+        ).collect()
+    }
+    model: dict = {}
+    for k, ts, seq, exp, new in sorted(rows, key=lambda r: (r[0], r[1], r[2])):
+        cur, ap, rej = model.get(k, (None, 0, 0))
+        if exp is None or (cur is not None and exp == cur):
+            model[k] = (new, ap + 1, rej)
+        else:
+            model[k] = (cur, ap, rej + 1)
+    assert got == model, (got, model, rows)
+
+
+@settings(max_examples=6, deadline=None)
+@given(log=cell_logs)
+def test_stream_view_equals_batch_view_any_log(spark, log):
+    """cell_lww_view_stream's aggregation evaluated as a BATCH plan
+    (identical operator tree) equals the dict-model winner — the
+    stream-vs-batch equivalence then follows from max's idempotence
+    and commutativity (pinned end-to-end in the slice test above)."""
+    from cassandra_data_migration_spark.streaming.cells import (
+        cell_lww_view_stream,
+    )
+
+    got = {
+        (r["pk"], r["column_name"]): (
+            r["value_cents"],
+            r["writetime_us"],
+            r["is_deleted"],
+        )
+        for r in cell_lww_view_stream(
+            _cells(spark, log), value_col="value_cents"
+        ).collect()
+    }
+    win: dict = {}
+    for pk, col, val, wt, tomb in log:
+        cand = (wt, int(tomb), val)
+        if cand > win.get((pk, col), (-1, -1, -1)):
+            win[(pk, col)] = cand
+    expect = {
+        (pk, col): (val, wt, tomb == 1)
+        for (pk, col), (wt, tomb, val) in win.items()
+    }
+    assert got == expect, (got, expect, log)
