@@ -9357,3 +9357,112 @@ ORACLES_TOMBSTONE_GC = f"""
 
 QUERIES["tombstone_gc"] = q_tombstone_gc
 ORACLES["tombstone_gc"] = ORACLES_TOMBSTONE_GC
+
+
+def q_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the full anti-entropy scenario as ONE lazy plan: Merkle leaf diff
+    # names the divergent token ranges, row-level missing/mismatch work
+    # is scoped to those ranges (broadcast semi-join on <=64 buckets),
+    # origin-wins AutoCorrect repairs, and revalidation proves
+    # convergence (post_missing = post_mismatched = 0).  Divergence is
+    # deliberately SPARSE (~45 of 15K keys) so the scoping is visible:
+    # only the leaves those keys hash into get row-level work, the
+    # healthy remainder of the table is never row-compared — the
+    # at-scale operating point of repair.
+    from cassandra_data_migration_spark.plans.repair import (
+        merkle_scoped_repair,
+    )
+
+    cols = [
+        "o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority",
+    ]
+    origin = _origin(spark, sf_dir)
+    target = origin.filter(F.pmod("o_orderkey", F.lit(499)) != 0).withColumn(
+        "o_totalprice",
+        F.when(
+            F.pmod("o_orderkey", F.lit(997)) == 0, F.col("o_totalprice") + 1
+        ).otherwise(F.col("o_totalprice")),
+    )
+    return merkle_scoped_repair(origin, target, "o_orderkey", cols)
+
+
+def _repair_oracle_sql() -> str:
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+    from cassandra_data_migration_spark.operators.merkle import (
+        TOKEN_SPACE,
+        merkle_digest_sql,
+    )
+
+    leaves = 64
+    width = -(-TOKEN_SPACE // leaves)
+    tok = md5_draw_sql("merkle:tok", "o_orderkey")
+    canon = "concat_ws('|', " + ", ".join(_ORDERS_DIGEST_EXPRS) + ")"
+    target_sql = """
+        SELECT o_orderkey, o_custkey, o_orderstatus,
+               CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1
+                    ELSE o_totalprice END AS o_totalprice,
+               o_orderdate, o_orderpriority
+        FROM orders WHERE o_orderkey % 499 <> 0
+    """
+    return f"""
+    WITH od AS ({merkle_digest_sql("SELECT * FROM orders", "o_orderkey", _ORDERS_DIGEST_EXPRS)}),
+    td AS ({merkle_digest_sql(target_sql, "o_orderkey", _ORDERS_DIGEST_EXPRS)}),
+    flagged AS (
+        SELECT COALESCE(od.bucket, td.bucket) AS bucket
+        FROM od FULL OUTER JOIN td ON od.bucket = td.bucket
+        WHERE od.n_rows IS NULL OR td.n_rows IS NULL
+           OR od.n_rows <> td.n_rows OR od.digest <> td.digest
+    ),
+    ob AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR({tok} / {width}) AS BIGINT) AS b,
+               {canon} AS canon
+        FROM orders
+    ),
+    tb AS (
+        SELECT o_orderkey AS k,
+               CAST(FLOOR({tok} / {width}) AS BIGINT) AS b,
+               {canon} AS canon
+        FROM ({target_sql})
+    ),
+    os AS (SELECT * FROM ob WHERE b IN (SELECT bucket FROM flagged)),
+    ts AS (SELECT * FROM tb WHERE b IN (SELECT bucket FROM flagged)),
+    missing AS (
+        SELECT os.k FROM os LEFT JOIN ts ON os.k = ts.k WHERE ts.k IS NULL
+    ),
+    mismatched AS (
+        SELECT os.k FROM os JOIN ts ON os.k = ts.k
+        WHERE os.canon <> ts.canon
+    ),
+    repair AS (SELECT k FROM missing UNION SELECT k FROM mismatched),
+    repaired AS (
+        SELECT k, canon FROM tb WHERE k NOT IN (SELECT k FROM repair)
+        UNION ALL
+        SELECT k, canon FROM ob WHERE k IN (SELECT k FROM repair)
+    ),
+    post_missing AS (
+        SELECT ob.k FROM ob LEFT JOIN repaired r ON ob.k = r.k
+        WHERE r.k IS NULL
+    ),
+    post_mismatched AS (
+        SELECT ob.k FROM ob JOIN repaired r ON ob.k = r.k
+        WHERE ob.canon <> r.canon
+    )
+    SELECT 'divergent_leaves' AS metric,
+           CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS value
+    UNION ALL SELECT 'scoped_origin_rows',
+           CAST((SELECT COUNT(*) FROM os) AS BIGINT)
+    UNION ALL SELECT 'missing_repaired',
+           CAST((SELECT COUNT(*) FROM missing) AS BIGINT)
+    UNION ALL SELECT 'mismatched_repaired',
+           CAST((SELECT COUNT(*) FROM mismatched) AS BIGINT)
+    UNION ALL SELECT 'post_missing',
+           CAST((SELECT COUNT(*) FROM post_missing) AS BIGINT)
+    UNION ALL SELECT 'post_mismatched',
+           CAST((SELECT COUNT(*) FROM post_mismatched) AS BIGINT)
+    """
+
+
+QUERIES["repair_pipeline"] = q_repair_pipeline
+ORACLES["repair_pipeline"] = _repair_oracle_sql()

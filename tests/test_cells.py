@@ -386,3 +386,20 @@ def test_stream_view_equals_batch_view_any_log(spark, log):
         for (pk, col), (wt, tomb, val) in win.items()
     }
     assert got == expect, (got, expect, log)
+
+
+def test_repair_pipeline_scopes_and_converges(spark, duck):
+    """The anti-entropy composite: sparse divergence must flag only a
+    subset of leaves, scope row work to those ranges, and converge in
+    one pass (post counts 0). Then the full oracle parity check."""
+    import __spark_entry__ as m
+
+    got = {
+        r["metric"]: r["value"]
+        for r in m.queries()["repair_pipeline"](spark, SF_CORRECT).collect()
+    }
+    assert 0 < got["divergent_leaves"] < 64  # scoping is real
+    assert got["scoped_origin_rows"] < 15000  # healthy ranges skipped
+    assert got["missing_repaired"] > 0 and got["mismatched_repaired"] > 0
+    assert got["post_missing"] == 0 and got["post_mismatched"] == 0
+    assert _oracle_match(spark, duck, "repair_pipeline") == 6
