@@ -227,3 +227,71 @@ def test_state_scaled_shuffle_sizing_and_restore(spark):
     except RuntimeError:
         pass
     assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_state_partitions_survive_resume_with_different_session_conf(
+    spark, tmp_path
+):
+    """The premise of state_scaled_shuffle: state-store partitioning is
+    fixed by the FIRST checkpoint and later runs keep it even when the
+    session's shuffle-partition setting differs — so results stay
+    correct across resume, and the helper's choice is a one-time,
+    per-stream decision."""
+    from cassandra_data_migration_spark.streaming import (
+        await_or_raise,
+        state_scaled_shuffle,
+    )
+
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "k long, v long"
+    spark.createDataFrame(
+        [(1, 10), (2, 20)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = stream.groupBy("k").agg(F.sum("v").alias("total"))
+
+        def s(b, bid):
+            b.withColumn("_bid", F.lit(bid)).write.mode("append").parquet(
+                sink
+            )
+
+        q = (
+            agg.writeStream.foreachBatch(s)
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 120)
+
+    # first run under the scaled (8-partition) state layout
+    with state_scaled_shuffle(spark, 1 << 20) as n:
+        assert n == 8
+        run_once()
+    # resume under a DIFFERENT shuffle setting with new data — the
+    # checkpointed state layout must win, results stay correct
+    spark.createDataFrame(
+        [(1, 5), (3, 7)], schema
+    ).repartition(1).write.mode("append").parquet(src)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "16")
+    try:
+        run_once()
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("k").orderBy(F.desc("_bid"))
+    final = {
+        r["k"]: r["total"]
+        for r in spark.read.parquet(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .collect()
+    }
+    assert final == {1: 15, 2: 20, 3: 7}, final
