@@ -403,3 +403,42 @@ def test_repair_pipeline_scopes_and_converges(spark, duck):
     assert got["missing_repaired"] > 0 and got["mismatched_repaired"] > 0
     assert got["post_missing"] == 0 and got["post_mismatched"] == 0
     assert _oracle_match(spark, duck, "repair_pipeline") == 6
+
+
+repair_divergence = st.tuples(
+    st.sets(st.integers(min_value=0, max_value=199), max_size=20),  # missing
+    st.sets(st.integers(min_value=0, max_value=199), max_size=20),  # mutated
+)
+
+
+@settings(max_examples=6, deadline=None)
+@given(div=repair_divergence)
+def test_repair_pipeline_converges_for_any_divergence(spark, div):
+    """Property: for ANY missing/mutated key sets, the Merkle-scoped
+    repair counts exactly the injected divergence and converges in one
+    pass (post counts 0)."""
+    from cassandra_data_migration_spark.plans.repair import (
+        merkle_scoped_repair,
+    )
+
+    missing, mutated = div
+    mutated = mutated - missing  # a missing key can't also mismatch
+    origin = spark.range(0, 200).select(
+        F.col("id").alias("k"), (F.col("id") * 3).alias("v")
+    )
+    target = origin.filter(~F.col("k").isin(list(missing) or [-1])).withColumn(
+        "v",
+        F.when(
+            F.col("k").isin(list(mutated) or [-1]), F.col("v") + 1
+        ).otherwise(F.col("v")),
+    )
+    got = {
+        r["metric"]: r["value"]
+        for r in merkle_scoped_repair(origin, target, "k", ["k", "v"]).collect()
+    }
+    assert got["missing_repaired"] == len(missing), (got, missing)
+    assert got["mismatched_repaired"] == len(mutated), (got, mutated)
+    assert got["post_missing"] == 0 and got["post_mismatched"] == 0
+    if not missing and not mutated:
+        assert got["divergent_leaves"] == 0
+        assert got["scoped_origin_rows"] == 0

@@ -295,3 +295,55 @@ def test_state_partitions_survive_resume_with_different_session_conf(
         .collect()
     }
     assert final == {1: 15, 2: 20, 3: 7}, final
+
+
+def test_dual_write_streams_into_connector_seam(spark, tmp_path):
+    """Z1's real target sink is the Cassandra connector; wire the dual
+    writer's target leg through CassandraTableSource.write (served by
+    the fake under the real format name) so the STREAMING write path
+    of the seam executes end-to-end, not just batch writes."""
+    from cassandra_data_migration_spark.sources.connector import (
+        CassandraTableSource,
+    )
+    from cassandra_data_migration_spark.sources.fake_cassandra import (
+        register_fake_cassandra,
+    )
+    from cassandra_data_migration_spark.streaming import await_or_raise
+    from cassandra_data_migration_spark.streaming.dual_write import (
+        make_dual_writer,
+        parquet_appender,
+        read_sink,
+    )
+
+    register_fake_cassandra(spark)
+    ks = str(tmp_path / "ks")
+    os.makedirs(ks)
+    src_table = CassandraTableSource(keyspace=ks)
+
+    feed = str(tmp_path / "feed")
+    spark.createDataFrame(
+        [(i, i * 10) for i in range(50)], "k long, v long"
+    ).repartition(2).write.parquet(feed)
+    stream = spark.readStream.schema("k long, v long").parquet(feed)
+
+    origin = str(tmp_path / "origin")
+    writer = make_dual_writer(
+        parquet_appender(origin),
+        lambda batch, bid: src_table.write(batch, "mutations"),
+    )
+    q = (
+        stream.writeStream.foreachBatch(writer)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    await_or_raise(q, 120)
+
+    through_connector = {
+        r["k"]: r["v"]
+        for r in src_table.read(spark, "mutations").collect()
+    }
+    origin_rows = {
+        r["k"]: r["v"] for r in read_sink(spark, origin).collect()
+    }
+    assert through_connector == origin_rows == {i: i * 10 for i in range(50)}
