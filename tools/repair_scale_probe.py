@@ -1,0 +1,131 @@
+"""Scale probe for the Merkle-scoped repair pipeline.
+
+Claim being probed: repair cost is dominated by the leaf-digest scan
+(one pass, map-combined) plus row work proportional to the CORRUPTED
+slice, not the table.  Tiers: 600K and 6M rows, each with 50 corrupt
+keys (sparse — the healthy-cluster operating point).  For contrast,
+the naive alternative (row-compare the full table, no Merkle scoping)
+is timed on the same tiers.
+
+Usage: python tools/repair_scale_probe.py
+Prints one JSON object on stdout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from cassandra_data_migration_spark.plans.repair import (  # noqa: E402
+    merkle_scoped_repair,
+)
+from cassandra_data_migration_spark.session import get_spark  # noqa: E402
+
+WORK = "/tmp/repair_scale_probe"
+
+
+def build(spark, n: int, path: str) -> None:
+    (
+        spark.range(0, n)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") * 7 % 1000).alias("a"),
+            F.concat(F.lit("row-"), F.col("id").cast("string")).alias("b"),
+        )
+        .repartition(32)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def main() -> None:
+    spark = get_spark(app_name="cdm-repair-probe")
+    spark.sparkContext.setLogLevel("ERROR")
+    out = {}
+    for tier, n in (("600k", 600_000), ("6m", 6_000_000)):
+        path = f"{WORK}/{tier}"
+        build(spark, n, path)
+        origin = spark.read.parquet(path)
+        # 50 sparse corrupt keys: 25 dropped, 25 mutated
+        step = n // 50
+        bad = [i * step + 17 for i in range(50)]
+        dropped, mutated = bad[:25], bad[25:]
+        target = origin.filter(~F.col("k").isin(dropped)).withColumn(
+            "a",
+            F.when(F.col("k").isin(mutated), F.col("a") + 1).otherwise(
+                F.col("a")
+            ),
+        )
+        by_depth = {}
+        report = {}
+        for depth in (3, 6):  # 64 vs 4096 leaves — leaf sizing IS the knob
+            t0 = time.time()
+            report = {
+                r["metric"]: r["value"]
+                for r in merkle_scoped_repair(
+                    origin, target, "k", ["k", "a", "b"], depth=depth
+                ).collect()
+            }
+            by_depth[4**depth] = {
+                "wall_s": round(time.time() - t0, 2),
+                "divergent_leaves": report["divergent_leaves"],
+                "scoped_origin_rows": report["scoped_origin_rows"],
+                "scoped_fraction": round(
+                    report["scoped_origin_rows"] / n, 4
+                ),
+            }
+            assert report["post_missing"] == 0
+            assert report["post_mismatched"] == 0
+        scoped_wall = by_depth[4096]["wall_s"]
+        # naive contrast: full-table row compare (anti-join + hash join)
+        t0 = time.time()
+        canon_o = origin.select(
+            "k", F.concat_ws("|", "k", "a", "b").alias("c")
+        )
+        canon_t = target.select(
+            "k", F.concat_ws("|", "k", "a", "b").alias("c")
+        )
+        n_missing = canon_o.join(canon_t.select("k"), "k", "left_anti").count()
+        n_mm = (
+            canon_o.alias("o")
+            .join(canon_t.alias("t"), "k")
+            .filter(F.col("o.c") != F.col("t.c"))
+            .count()
+        )
+        naive_wall = round(time.time() - t0, 2)
+        assert report["missing_repaired"] == n_missing == 25
+        assert report["mismatched_repaired"] == n_mm == 25
+        assert report["post_missing"] == 0 and report["post_mismatched"] == 0
+        # the quantity that actually matters cross-cluster: bytes that
+        # must MOVE between origin and target to find the divergence.
+        # Merkle ships the leaf digest table (leaves x ~24 B) + the
+        # scoped rows; the naive compare must ship one ENTIRE side to
+        # the other before any join can run.
+        table_bytes = sum(
+            os.path.getsize(os.path.join(path, f))
+            for f in os.listdir(path)
+            if f.endswith(".parquet")
+        )
+        scoped_row_bytes = int(
+            table_bytes * by_depth[4096]["scoped_fraction"]
+        )
+        out[tier] = {
+            "rows": n,
+            "scoped_repair_wall_s": scoped_wall,
+            "naive_fullscan_compare_wall_s": naive_wall,
+            "by_leaves": by_depth,
+            "cross_cluster_bytes_merkle": 4096 * 24 + scoped_row_bytes,
+            "cross_cluster_bytes_naive": table_bytes,
+        }
+        print(f"{tier}: {out[tier]}", file=sys.stderr)
+    print(json.dumps({"repair_probe": out}, indent=1))
+
+
+if __name__ == "__main__":
+    main()
