@@ -9197,14 +9197,37 @@ _STREAM_STATE_QUERIES = [
 ]
 
 
+def _sf_input_bytes(sf_dir: str) -> int:
+    """Total fixture bytes under sf_dir — the sizing signal for state
+    partitions.  Summing ALL tables (not just events) over-estimates,
+    which only rounds the partition count UP toward the session
+    default; a missing/odd path degrades to 0 (-> the floor), never an
+    exception before the stream starts."""
+    total = 0
+    try:
+        for f in os.listdir(sf_dir):
+            p = os.path.join(sf_dir, f)
+            if f.endswith(".parquet"):
+                if os.path.isdir(p):
+                    total += sum(
+                        os.path.getsize(os.path.join(p, g))
+                        for g in os.listdir(p)
+                        if g.endswith(".parquet")
+                    )
+                else:
+                    total += os.path.getsize(p)
+    except OSError:
+        return 0
+    return total
+
+
 def _with_state_scaled(fn: Callable) -> Callable:
     from cassandra_data_migration_spark.streaming import (
         state_scaled_shuffle,
     )
 
     def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        size = os.path.getsize(os.path.join(sf_dir, "events.parquet"))
-        with state_scaled_shuffle(spark, size):
+        with state_scaled_shuffle(spark, _sf_input_bytes(sf_dir)):
             return fn(spark, sf_dir)
 
     wrapped.__name__ = getattr(fn, "__name__", "wrapped")
@@ -9428,39 +9451,50 @@ def _repair_oracle_sql() -> str:
     ),
     os AS (SELECT * FROM ob WHERE b IN (SELECT bucket FROM flagged)),
     ts AS (SELECT * FROM tb WHERE b IN (SELECT bucket FROM flagged)),
-    missing AS (
-        SELECT os.k FROM os LEFT JOIN ts ON os.k = ts.k WHERE ts.k IS NULL
+    j AS (
+        SELECT COALESCE(os.k, ts.k) AS k, os.canon AS oc, ts.canon AS tc
+        FROM os FULL OUTER JOIN ts ON os.k = ts.k
     ),
-    mismatched AS (
-        SELECT os.k FROM os JOIN ts ON os.k = ts.k
-        WHERE os.canon <> ts.canon
+    bad AS (
+        SELECT k FROM j
+        WHERE oc IS NULL OR tc IS NULL OR oc <> tc
     ),
-    repair AS (SELECT k FROM missing UNION SELECT k FROM mismatched),
+    copyk AS (
+        SELECT k FROM j WHERE oc IS NOT NULL AND (tc IS NULL OR oc <> tc)
+    ),
     repaired AS (
-        SELECT k, canon FROM tb WHERE k NOT IN (SELECT k FROM repair)
+        SELECT k, canon FROM tb WHERE k NOT IN (SELECT k FROM bad)
         UNION ALL
-        SELECT k, canon FROM ob WHERE k IN (SELECT k FROM repair)
+        SELECT k, canon FROM ob WHERE k IN (SELECT k FROM copyk)
     ),
-    post_missing AS (
-        SELECT ob.k FROM ob LEFT JOIN repaired r ON ob.k = r.k
-        WHERE r.k IS NULL
-    ),
-    post_mismatched AS (
-        SELECT ob.k FROM ob JOIN repaired r ON ob.k = r.k
-        WHERE ob.canon <> r.canon
+    pj AS (
+        SELECT COALESCE(ob.k, r.k) AS k, ob.canon AS oc, r.canon AS tc
+        FROM ob FULL OUTER JOIN repaired r ON ob.k = r.k
     )
     SELECT 'divergent_leaves' AS metric,
            CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS value
     UNION ALL SELECT 'scoped_origin_rows',
-           CAST((SELECT COUNT(*) FROM os) AS BIGINT)
+           CAST((SELECT COUNT(oc) FROM j) AS BIGINT)
     UNION ALL SELECT 'missing_repaired',
-           CAST((SELECT COUNT(*) FROM missing) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM j
+                 WHERE tc IS NULL AND oc IS NOT NULL) AS BIGINT)
     UNION ALL SELECT 'mismatched_repaired',
-           CAST((SELECT COUNT(*) FROM mismatched) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM j
+                 WHERE oc IS NOT NULL AND tc IS NOT NULL AND oc <> tc)
+                AS BIGINT)
+    UNION ALL SELECT 'extra_removed',
+           CAST((SELECT COUNT(*) FROM j
+                 WHERE oc IS NULL AND tc IS NOT NULL) AS BIGINT)
     UNION ALL SELECT 'post_missing',
-           CAST((SELECT COUNT(*) FROM post_missing) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM pj
+                 WHERE tc IS NULL AND oc IS NOT NULL) AS BIGINT)
     UNION ALL SELECT 'post_mismatched',
-           CAST((SELECT COUNT(*) FROM post_mismatched) AS BIGINT)
+           CAST((SELECT COUNT(*) FROM pj
+                 WHERE oc IS NOT NULL AND tc IS NOT NULL AND oc <> tc)
+                AS BIGINT)
+    UNION ALL SELECT 'post_extra',
+           CAST((SELECT COUNT(*) FROM pj
+                 WHERE oc IS NULL AND tc IS NOT NULL) AS BIGINT)
     """
 
 

@@ -116,6 +116,8 @@ def quorum_read_repair(
     are dropped (the overwhelmingly common case at 100 TB, so the
     result is small even when the scan is not).
     """
+    if not replicas:
+        raise ValueError("quorum_read_repair needs at least one replica")
     n = len(replicas)
     k, v, w = key_col, value_col, writetime_col
     tagged = None
@@ -277,7 +279,10 @@ def tombstone_gc_report(
         & F.col("_row_tomb_wt").isNotNull()
         & (F.col("_win.wt") <= F.col("_row_tomb_wt"))
     )
-    classified = per_cell.join(F.broadcast(row_tombs), k, "left").select(
+    # NO broadcast hint: row-tombstone count is data-dependent (bulk
+    # deletes can tombstone a large key fraction) — let AQE pick
+    # broadcast when the side is actually small
+    classified = per_cell.join(row_tombs, k, "left").select(
         F.col(c),
         F.col("_n_versions"),
         (F.col("_n_versions") - 1).alias("_superseded"),

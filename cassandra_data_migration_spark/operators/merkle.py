@@ -86,6 +86,16 @@ def portable_digest_sql(df: DataFrame, cols: list[str]) -> list[str]:
     return out
 
 
+def token_bucket(key_col: str, leaves: int, seed: str = "merkle"):
+    """Token → leaf-bucket mapping shared by the digest table and every
+    consumer that scopes ROW work to flagged leaves (plans/repair.py):
+    one definition, so the scoping semi-join can never desynchronize
+    from the digest buckets."""
+    width = -(-TOKEN_SPACE // leaves)  # ceil: last leaf slightly short
+    tok = md5_draw(seed + ":tok", key_col)
+    return F.floor(tok / F.lit(width)).cast("long")
+
+
 def range_digests(
     df: DataFrame,
     key_col: str,
@@ -98,13 +108,10 @@ def range_digests(
     ``fanout**depth`` equal token ranges.  Internal tree levels are a
     trivial re-aggregation of this frame (bucket div fanout) and are
     cheap enough to derive on demand; the leaf table IS the tree."""
-    leaves = fanout**depth
-    width = -(-TOKEN_SPACE // leaves)  # ceil: last leaf slightly short
-    tok = md5_draw(seed + ":tok", key_col)
     dig = _row_digest(portable_digest_cols(df, digest_cols))
     return (
         df.select(
-            F.floor(tok / F.lit(width)).cast("long").alias("bucket"),
+            token_bucket(key_col, fanout**depth, seed).alias("bucket"),
             dig.alias("_dig"),
         )
         .groupBy("bucket")

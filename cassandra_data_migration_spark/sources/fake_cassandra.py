@@ -106,11 +106,20 @@ class _FakeCassandraReader(DataSourceReader):
 class _FakeCassandraWriter(DataSourceWriter):
     """Appends each task's rows as one parquet part under the table
     directory — the fake analogue of the connector's batched
-    INSERTs."""
+    INSERTs.  Under overwrite, ``old_parts`` (snapshotted at planning
+    time) are deleted in ``commit()``, after every task has written."""
 
-    def __init__(self, schema, options):
+    def __init__(self, schema, options, old_parts=None):
         self.schema = schema
         self.options = dict(options)
+        self.old_parts = list(old_parts or [])
+
+    def commit(self, messages):
+        for f in self.old_parts:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
 
     def write(self, iterator):
         import uuid
@@ -168,18 +177,20 @@ class FakeCassandraDataSource(DataSource):
         return _FakeCassandraReader(self.options)
 
     def writer(self, schema, overwrite):
-        if overwrite:
-            # honor mode("overwrite"): clear the table's existing parts
-            # up front (this runs once, driver-side, before any task
-            # writes) — silently appending under overwrite would
-            # duplicate every pre-existing row
-            import glob
+        # honor mode("overwrite") by truncating in commit(), AFTER all
+        # tasks succeed: the pre-existing parts are snapshotted here
+        # (planning time) and deleted only once the new parts are all
+        # on disk — a failed job leaves the old table intact, and an
+        # overwrite whose input reads this same table still sees the
+        # old files during the write
+        import glob
 
+        old_parts: list[str] = []
+        if overwrite:
             p = _table_path(self.options)
             if os.path.isdir(p):
-                for f in glob.glob(os.path.join(p, "*.parquet")):
-                    os.remove(f)
-        return _FakeCassandraWriter(schema, self.options)
+                old_parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
+        return _FakeCassandraWriter(schema, self.options, old_parts)
 
 
 def register_fake_cassandra(spark):

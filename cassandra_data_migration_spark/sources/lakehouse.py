@@ -509,15 +509,18 @@ def read_snapshot(
         if "schema" in manifest:
             schema = StructType.fromJson(json.loads(manifest["schema"]))
         else:
+            # donor must be an OLDER-or-equal version: typing a
+            # time-travel read with a later version's evolved schema
+            # would misrepresent what was current at v
             donors = [
                 u
                 for u in versions
-                if _manifest_files(target_path, u)
+                if u <= v and _manifest_files(target_path, u)
             ]
             if not donors:
                 raise ValueError(
-                    f"version {v} is empty and no version carries a "
-                    f"schema to type it"
+                    f"version {v} is empty and no version at or before "
+                    f"it carries a schema to type it"
                 )
             schema = read_snapshot(spark, target_path, donors[-1]).schema
         return spark.createDataFrame([], schema)

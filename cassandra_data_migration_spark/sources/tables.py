@@ -192,6 +192,9 @@ def register_views(spark: SparkSession, sf_dir: str) -> None:
         df.createOrReplaceTempView(name)
 
 
+_HEARTBEAT_DAEMONS: dict = {}
+
+
 def ensure_bucketed_table(
     spark: SparkSession,
     df: DataFrame,
@@ -251,6 +254,33 @@ def ensure_bucketed_table(
         except OSError:
             pass
 
+    def _start_heartbeat_daemon() -> None:
+        # a session can hold the RETURNED DataFrame and query it for
+        # days without re-calling ensure_bucketed_table, so the
+        # heartbeat is also re-touched by a daemon thread — liveness
+        # tracks the SESSION, not the call pattern.  Dies with the
+        # process; one thread per (session, table).
+        import threading
+
+        key = (id(spark), session_table)
+        if key in _HEARTBEAT_DAEMONS:
+            return
+
+        def beat() -> None:
+            while True:
+                time.sleep(600)
+                if not os.path.isdir(
+                    os.path.join(warehouse, session_table)
+                ):
+                    return
+                _touch_heartbeat()
+
+        t = threading.Thread(
+            target=beat, daemon=True, name=f"graft-hb-{session_table}"
+        )
+        t.start()
+        _HEARTBEAT_DAEMONS[key] = t
+
     if not spark.catalog.tableExists(session_table):
         # sweep leftovers of DEAD sessions (same base table, different
         # appId, heartbeat older than any plausible live run) — a live
@@ -271,9 +301,15 @@ def ensure_bucketed_table(
                 ):
                     continue
                 hb = os.path.join(p, hb_name)
-                age_src = hb if os.path.exists(hb) else p
-                if os.path.getmtime(age_src) < stale_cutoff:
-                    shutil.rmtree(p, ignore_errors=True)
+                # best-effort: another session sweeping concurrently
+                # can remove the dir between listdir and stat — skip,
+                # never crash the caller's query
+                try:
+                    age_src = hb if os.path.exists(hb) else p
+                    if os.path.getmtime(age_src) < stale_cutoff:
+                        shutil.rmtree(p, ignore_errors=True)
+                except OSError:
+                    continue
         # our own name is unique to this appId: any on-disk residue is
         # ours (re-created session id collision is impossible across
         # processes) — clear it before creating
@@ -286,6 +322,7 @@ def ensure_bucketed_table(
             .saveAsTable(session_table)
         )
     _touch_heartbeat()
+    _start_heartbeat_daemon()
     return spark.table(session_table)
 
 

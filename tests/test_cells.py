@@ -401,13 +401,16 @@ def test_repair_pipeline_scopes_and_converges(spark, duck):
     assert 0 < got["divergent_leaves"] < 64  # scoping is real
     assert got["scoped_origin_rows"] < 15000  # healthy ranges skipped
     assert got["missing_repaired"] > 0 and got["mismatched_repaired"] > 0
+    assert got["extra_removed"] == 0  # this fixture only drops/mutates
     assert got["post_missing"] == 0 and got["post_mismatched"] == 0
-    assert _oracle_match(spark, duck, "repair_pipeline") == 6
+    assert got["post_extra"] == 0
+    assert _oracle_match(spark, duck, "repair_pipeline") == 8
 
 
 repair_divergence = st.tuples(
     st.sets(st.integers(min_value=0, max_value=199), max_size=20),  # missing
     st.sets(st.integers(min_value=0, max_value=199), max_size=20),  # mutated
+    st.sets(st.integers(min_value=500, max_value=599), max_size=10),  # extras
 )
 
 
@@ -421,16 +424,26 @@ def test_repair_pipeline_converges_for_any_divergence(spark, div):
         merkle_scoped_repair,
     )
 
-    missing, mutated = div
+    missing, mutated, extras = div
     mutated = mutated - missing  # a missing key can't also mismatch
     origin = spark.range(0, 200).select(
         F.col("id").alias("k"), (F.col("id") * 3).alias("v")
     )
-    target = origin.filter(~F.col("k").isin(list(missing) or [-1])).withColumn(
-        "v",
-        F.when(
-            F.col("k").isin(list(mutated) or [-1]), F.col("v") + 1
-        ).otherwise(F.col("v")),
+    target = (
+        origin.filter(~F.col("k").isin(list(missing) or [-1]))
+        .withColumn(
+            "v",
+            F.when(
+                F.col("k").isin(list(mutated) or [-1]), F.col("v") + 1
+            ).otherwise(F.col("v")),
+        )
+        .unionByName(
+            # target-only rows: keys origin never had, must be DELETED
+            spark.createDataFrame(
+                [(k, -k) for k in extras] or [(None, None)],
+                "k long, v long",
+            ).filter(F.col("k").isNotNull())
+        )
     )
     got = {
         r["metric"]: r["value"]
@@ -438,7 +451,9 @@ def test_repair_pipeline_converges_for_any_divergence(spark, div):
     }
     assert got["missing_repaired"] == len(missing), (got, missing)
     assert got["mismatched_repaired"] == len(mutated), (got, mutated)
+    assert got["extra_removed"] == len(extras), (got, extras)
     assert got["post_missing"] == 0 and got["post_mismatched"] == 0
-    if not missing and not mutated:
+    assert got["post_extra"] == 0, got
+    if not missing and not mutated and not extras:
         assert got["divergent_leaves"] == 0
         assert got["scoped_origin_rows"] == 0

@@ -108,6 +108,14 @@ def test_bucketed_sweep_gated_on_heartbeat(spark, monkeypatch, tmp_path):
         assert os.path.exists(
             os.path.join(warehouse, f"{base}__{app_tag}", "_graft_heartbeat")
         )
+        # and a daemon thread keeps touching it for sessions that hold
+        # the returned DataFrame without re-calling ensure_...
+        from cassandra_data_migration_spark.sources import tables as tbl_mod
+
+        key = (id(spark), f"{base}__{app_tag}")
+        assert key in tbl_mod._HEARTBEAT_DAEMONS
+        assert tbl_mod._HEARTBEAT_DAEMONS[key].daemon
+        assert tbl_mod._HEARTBEAT_DAEMONS[key].is_alive()
     finally:
         import shutil
 
