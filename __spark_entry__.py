@@ -9500,3 +9500,44 @@ def _repair_oracle_sql() -> str:
 
 QUERIES["repair_pipeline"] = q_repair_pipeline
 ORACLES["repair_pipeline"] = _repair_oracle_sql()
+
+
+def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # DoReMi-style mixture reweighting (public paper, Xie et al. 2023):
+    # one linearized multiplicative-weights round over the documents
+    # table's source domains, with the corpus unigram LM as the weak
+    # proxy and the bigram LM as the reference — exact integer
+    # arithmetic end-to-end so the DuckDB twin matches bit-for-bit
+    from cassandra_data_migration_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    return doremi_domain_weights(load_table(spark, sf_dir, "documents"))
+
+
+ORACLES["doremi_weights"] = f"""
+    WITH uni AS ({ORACLES["unigram_logprob"]}),
+    big AS ({ORACLES["bigram_logprob"]}),
+    per_doc AS (
+        SELECT d.source,
+               CAST(FLOOR(GREATEST(0.0,
+                   (-b.logprob_e6) * 1.0 / b.n_bigrams
+                   - (-u.logprob_e6) * 1.0 / u.n_tokens) + 0.5) AS BIGINT)
+                   AS excess_e6
+        FROM documents d
+        JOIN uni u USING (doc_id)
+        JOIN big b USING (doc_id)
+    ),
+    dom AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(FLOOR(AVG(excess_e6) + 0.5) AS BIGINT) AS excess_e6
+        FROM per_doc GROUP BY source
+    ),
+    tot AS (SELECT SUM(1000000 + excess_e6) AS s FROM dom)
+    SELECT source, n_docs, excess_e6,
+           CAST(FLOOR((1000000 + excess_e6) * 1000000.0 / t.s) AS BIGINT)
+               AS weight_ppm
+    FROM dom, tot t
+"""
+
+QUERIES["doremi_weights"] = q_doremi_weights

@@ -618,3 +618,90 @@ def preference_pairs(
             ).alias("margin"),
         )
     )
+
+
+def doremi_domain_weights(
+    docs,
+    group_col: str = "source",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """One DoReMi-style multiplicative-weights round over domains
+    (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
+    Language Model Pretraining" — public paper): domains where the
+    weak PROXY model underperforms the stronger REFERENCE model get
+    upweighted, concentrating the training mixture on hard-but-
+    learnable data.
+
+    Stand-ins at engine level: proxy = the corpus BIGRAM LM (the
+    higher-capacity model still far from fitting its domain), reference
+    = the unigram LM (the same two quality scorers the CCNet ladder
+    uses, operators/text.py) — per-token negative log-prob gaps play
+    the excess-loss role, and domains whose token ORDER the bigram
+    model explains worst carry the largest positive excess.  The update is the LINEARIZED step
+    ``w_d ∝ 1 + excess_d`` (exact integer arithmetic end-to-end, so
+    the DuckDB twin matches bit-for-bit; the exp() form differs only
+    at O(excess²) for the small per-token gaps seen here and would
+    hinge on cross-engine libm parity).
+
+    Output per domain: (group, n_docs, excess_e6, weight_ppm) with
+    weight_ppm summing to ~1e6.  Plan shape: the two LM scorers are
+    scan-side folds over broadcast tables (see their docstrings); the
+    composition adds one doc_id join and an O(domains) aggregate —
+    nothing new shuffles at scale.
+    """
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.operators.text import (
+        bigram_logprob,
+        unigram_logprob,
+    )
+
+    uni = unigram_logprob(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.col("logprob_e6").alias("_ulp"), F.col("n_tokens").alias("_un")
+    )
+    big = bigram_logprob(docs, id_col=id_col, text_col=text_col).select(
+        id_col, F.col("logprob_e6").alias("_blp"), F.col("n_bigrams").alias("_bn")
+    )
+    per_doc = (
+        docs.select(id_col, group_col)
+        .join(uni, id_col)
+        .join(big, id_col)
+        .select(
+            group_col,
+            F.floor(
+                F.greatest(
+                    F.lit(0.0),
+                    (-F.col("_blp")) * 1.0 / F.col("_bn")
+                    - (-F.col("_ulp")) * 1.0 / F.col("_un"),
+                )
+                + F.lit(0.5)
+            )
+            .cast("long")
+            .alias("_excess_e6"),
+        )
+    )
+    dom = per_doc.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.floor(F.avg("_excess_e6") + F.lit(0.5))
+        .cast("long")
+        .alias("excess_e6"),
+    )
+    tot = dom.agg(
+        F.sum(F.lit(1_000_000) + F.col("excess_e6")).alias("_s")
+    )
+    return (
+        dom.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_docs",
+            "excess_e6",
+            F.floor(
+                (F.lit(1_000_000) + F.col("excess_e6"))
+                * F.lit(1_000_000.0)
+                / F.col("_s")
+            )
+            .cast("long")
+            .alias("weight_ppm"),
+        )
+    )

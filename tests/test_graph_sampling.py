@@ -218,3 +218,56 @@ def test_negative_samples_never_self_and_deterministic(spark):
 
     c = Counter(r.neg_id for r in out)
     assert max(c.values()) <= 12  # 1500 draws over 500 ids, mean 3
+
+
+def test_doremi_weights_upweight_hard_domains(spark):
+    """A domain of SHUFFLED text (same unigram stats, destroyed token
+    order) must carry higher excess loss — the bigram proxy explains
+    it worst — and therefore a larger mixture weight than the natural
+    domains."""
+    from cassandra_data_migration_spark.operators.sampling import (
+        doremi_domain_weights,
+    )
+
+    words = "the quick brown fox jumps over a lazy dog again and anon".split()
+    base = " ".join(words)
+    natural = [(i, base, "nat") for i in range(30)]
+    # same unigram stats, but a DIFFERENT word order per doc (stride
+    # permutations), so the top-K bigram table cannot memorize the
+    # domain the way it memorizes the repeated natural sentence
+    strides = [s for s in range(1, 40) if s % 2 and s % 3]  # coprime to 12
+    shuffled = [
+        (
+            100 + i,
+            " ".join(words[(j * strides[i % len(strides)]) % 12] for j in range(12)),
+            "shuf",
+        )
+        for i in range(30)
+    ]
+    docs = spark.createDataFrame(
+        natural + shuffled, "doc_id long, text string, source string"
+    )
+    got = {
+        r["source"]: (r["excess_e6"], r["weight_ppm"], r["n_docs"])
+        for r in doremi_domain_weights(docs).collect()
+    }
+    assert got["nat"][2] == got["shuf"][2] == 30
+    assert got["shuf"][0] > got["nat"][0], got
+    assert got["shuf"][1] > got["nat"][1], got
+    # ppm weights form a distribution
+    assert abs(sum(v[1] for v in got.values()) - 1_000_000) <= len(got)
+
+
+def test_doremi_weights_oracle(spark, duck):
+    import pandas as pd
+
+    import __spark_entry__ as m
+    from tests.conftest import SF_CORRECT
+
+    sdf = m.queries()["doremi_weights"](spark, SF_CORRECT).toPandas()
+    odf = duck.execute(m.oracle_sql()["doremi_weights"]).fetchdf()
+    cols = sorted(sdf.columns)
+    a = sdf[cols].sort_values(cols).reset_index(drop=True)
+    b = odf[cols].sort_values(cols).reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    assert len(a) == 20 and a["weight_ppm"].nunique() > 1  # non-degenerate
