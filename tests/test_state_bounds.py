@@ -209,3 +209,72 @@ def test_state_rows_scale_with_window_not_stream_length(spark, tmp_path):
     peak_long = run(12, "long")
     # 2x the stream, ~same state: allow slack for batch alignment
     assert peak_long <= peak_short * 1.5
+
+
+@pytest.mark.parametrize("provider", ["hdfs", "rocksdb"])
+def test_cell_lww_view_state_bounded_by_cells(spark, tmp_path, provider):
+    """The streaming cell-LWW view's state is one row per live
+    (key, column) pair — NOT per cell version: replaying 3 slices of
+    many versions of the same few cells must plateau state at the
+    distinct-cell count, on both providers."""
+    from cassandra_data_migration_spark.streaming import await_or_raise
+    from cassandra_data_migration_spark.streaming.cells import (
+        cell_lww_view_stream,
+    )
+
+    src = str(tmp_path / "src")
+    schema = (
+        "pk long, column_name string, value_cents long, "
+        "writetime_us long, is_tombstone boolean"
+    )
+    # 3 slices x 400 versions over only 8 keys x 2 columns = 16 cells
+    for s in range(3):
+        rows = [
+            (i % 8, "ab"[(i // 8) % 2], i, s * 1000 + i, False)
+            for i in range(400)
+        ]
+        spark.createDataFrame(rows, schema).repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    conf_key = "spark.sql.streaming.stateStore.providerClass"
+    if provider == "rocksdb":
+        spark.conf.set(conf_key, ROCKSDB_PROVIDER)
+    try:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+        )
+        q = (
+            cell_lww_view_stream(stream, value_col="value_cents")
+            .writeStream.format("noop")
+            .outputMode("update")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        await_or_raise(q, 300)
+    finally:
+        if provider == "rocksdb":
+            spark.conf.unset(conf_key)
+
+    import json as _json
+
+    progresses = [_json.loads(j.json) for j in q.recentProgress]
+    state_rows = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"])
+        for p in progresses
+        if p.get("stateOperators")
+    ]
+    assert state_rows, "no state telemetry captured"
+    # state = live cells (16), never version count (1200)
+    assert max(state_rows) == 16, state_rows
+    if provider == "rocksdb":
+        metrics = [
+            m
+            for p in progresses
+            for op in p.get("stateOperators", [])
+            for m in op.get("customMetrics", {})
+        ]
+        assert any(m.startswith("rocksdb") for m in metrics)
