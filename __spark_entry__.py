@@ -4514,12 +4514,8 @@ assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 
 # rotate: head first (this round's driver window), everything else in
 # its existing order behind it
-QUERIES = {
-    **{k: QUERIES[k] for k in _ROUND_HEAD if k in QUERIES},
-    **{k: v for k, v in QUERIES.items() if k not in set(_ROUND_HEAD)},
-}
-# (queries registered after this point are re-rotated at the end of
-# the module — see the final rotation block)
+# (rotation happens ONCE, at the end of the module, after every
+# registration — see the final rotation block)
 
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
@@ -9531,10 +9527,16 @@ ORACLES["doremi_weights"] = f"""
         JOIN uni u USING (doc_id)
         JOIN big b USING (doc_id)
     ),
-    dom AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+    scored AS (
+        SELECT source,
                CAST(FLOOR(AVG(excess_e6) + 0.5) AS BIGINT) AS excess_e6
         FROM per_doc GROUP BY source
+    ),
+    dom AS (
+        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               COALESCE(ANY_VALUE(s.excess_e6), 0) AS excess_e6
+        FROM documents d LEFT JOIN scored s ON d.source = s.source
+        GROUP BY d.source
     ),
     tot AS (SELECT SUM(1000000 + excess_e6) AS s FROM dom)
     SELECT source, n_docs, excess_e6,
@@ -9547,8 +9549,12 @@ QUERIES["doremi_weights"] = q_doremi_weights
 
 
 # final rotation: later-registered queries (the round's new family)
-# join the head so the driver's 50-query window samples them
+# join the head so the driver's 50-query window samples them.  Every
+# head name must resolve — a typo would otherwise silently swap the
+# intended query out of the driver's hard gate.
+_missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
+assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {
-    **{k: QUERIES[k] for k in _ROUND_HEAD if k in QUERIES},
+    **{k: QUERIES[k] for k in _ROUND_HEAD},
     **{k: v for k, v in QUERIES.items() if k not in set(_ROUND_HEAD)},
 }

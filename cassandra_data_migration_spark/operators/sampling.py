@@ -625,6 +625,9 @@ def doremi_domain_weights(
     group_col: str = "source",
     id_col: str = "doc_id",
     text_col: str = "text",
+    unigram_vocab: int = 50,
+    bigram_vocab: int = 200,
+    bigram_context: int = 200,
 ):
     """One DoReMi-style multiplicative-weights round over domains
     (Xie et al. 2023, "DoReMi: Optimizing Data Mixtures Speeds Up
@@ -645,7 +648,11 @@ def doremi_domain_weights(
     hinge on cross-engine libm parity).
 
     Output per domain: (group, n_docs, excess_e6, weight_ppm) with
-    weight_ppm summing to ~1e6.  Plan shape: the two LM scorers are
+    weight_ppm summing to ~1e6.  EVERY input domain appears exactly
+    once: n_docs counts ALL its documents, while excess averages over
+    its scoreable ones (>=2 tokens — the bigram model needs a bigram);
+    a domain with no scoreable documents carries excess 0 and the
+    baseline weight rather than silently vanishing from the mixture.  Plan shape: the two LM scorers are
     scan-side folds over broadcast tables (see their docstrings); the
     composition adds one doc_id join and an O(domains) aggregate —
     nothing new shuffles at scale.
@@ -657,10 +664,18 @@ def doremi_domain_weights(
         unigram_logprob,
     )
 
-    uni = unigram_logprob(docs, id_col=id_col, text_col=text_col).select(
+    uni = unigram_logprob(
+        docs, vocab_size=unigram_vocab, id_col=id_col, text_col=text_col
+    ).select(
         id_col, F.col("logprob_e6").alias("_ulp"), F.col("n_tokens").alias("_un")
     )
-    big = bigram_logprob(docs, id_col=id_col, text_col=text_col).select(
+    big = bigram_logprob(
+        docs,
+        vocab_size=bigram_vocab,
+        context_size=bigram_context,
+        id_col=id_col,
+        text_col=text_col,
+    ).select(
         id_col, F.col("logprob_e6").alias("_blp"), F.col("n_bigrams").alias("_bn")
     )
     per_doc = (
@@ -681,11 +696,22 @@ def doremi_domain_weights(
             .alias("_excess_e6"),
         )
     )
-    dom = per_doc.groupBy(group_col).agg(
-        F.count(F.lit(1)).cast("long").alias("n_docs"),
+    scored = per_doc.groupBy(group_col).agg(
         F.floor(F.avg("_excess_e6") + F.lit(0.5))
         .cast("long")
         .alias("excess_e6"),
+    )
+    dom = (
+        docs.groupBy(group_col)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .join(scored, group_col, "left")
+        .select(
+            group_col,
+            "n_docs",
+            F.coalesce(F.col("excess_e6"), F.lit(0).cast("long")).alias(
+                "excess_e6"
+            ),
+        )
     )
     tot = dom.agg(
         F.sum(F.lit(1_000_000) + F.col("excess_e6")).alias("_s")

@@ -229,17 +229,23 @@ def test_doremi_weights_upweight_hard_domains(spark):
         doremi_domain_weights,
     )
 
-    words = "the quick brown fox jumps over a lazy dog again and anon".split()
+    words = [f"w{i}" for i in range(30)]
     base = " ".join(words)
     natural = [(i, base, "nat") for i in range(30)]
     # same unigram stats, but a DIFFERENT word order per doc (stride
-    # permutations), so the top-K bigram table cannot memorize the
-    # domain the way it memorizes the repeated natural sentence
-    strides = [s for s in range(1, 40) if s % 2 and s % 3]  # coprime to 12
+    # permutations over a 30-word sentence; strides coprime to 30 and
+    # not 1, so every doc is genuinely reordered) — with the bigram
+    # table capped below the shuffled domain's bigram diversity, its
+    # token order stays unexplained while the natural sentence's 29
+    # bigrams are fully memorized
+    strides = [7, 11, 13, 17, 19, 23, 29]
     shuffled = [
         (
             100 + i,
-            " ".join(words[(j * strides[i % len(strides)]) % 12] for j in range(12)),
+            " ".join(
+                words[(j * strides[i % len(strides)]) % 30]
+                for j in range(30)
+            ),
             "shuf",
         )
         for i in range(30)
@@ -249,7 +255,9 @@ def test_doremi_weights_upweight_hard_domains(spark):
     )
     got = {
         r["source"]: (r["excess_e6"], r["weight_ppm"], r["n_docs"])
-        for r in doremi_domain_weights(docs).collect()
+        for r in doremi_domain_weights(
+            docs, bigram_vocab=40, bigram_context=40
+        ).collect()
     }
     assert got["nat"][2] == got["shuf"][2] == 30
     assert got["shuf"][0] > got["nat"][0], got
