@@ -95,6 +95,8 @@ BNLJ_ALLOWED = {
     "tfidf_keywords",  # scalar doc-count N row
     "top_value_parts",  # scalar global-total row
     "unigram_logprob",  # scalar corpus token total
+    "doremi_weights",  # the two LM scalar totals + 1-row weight denom
+    "repair_pipeline",  # pre x post report: two 1-row aggregate frames
 }
 
 
