@@ -94,7 +94,7 @@ def main() -> None:
     out: dict = {"cells_probe": {}, "stream_state_ab": {}}
     for tier, d in (("1x", SF_DIR), ("x10", f"{WORK}/x10")):
         tier_out = {}
-        for name in ("cell_compaction", "quorum_read_repair", "cas_replay"):
+        for name in ("cell_compaction", "quorum_read_repair", "cas_replay", "tombstone_gc"):
             tier_out[name] = timed(
                 spark, lambda n=name, dd=d: m.queries()[n](spark, dd)
             )
