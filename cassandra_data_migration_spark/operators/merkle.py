@@ -42,11 +42,14 @@ TOKEN_SPACE = 1 << TOKEN_BITS
 
 
 def _row_digest(cols: list[Column]) -> Column:
-    """60-bit content digest of the canonical '|'-joined row form.
-    Caller passes engine-portable columns (ints/strings; scale
-    doubles to ints first — see ``portable_digest_cols``)."""
+    """60-bit content digest of the canonical row form (NULL-sentinel
+    encoding + unit-separator join — ``null_safe_canon``; raw
+    concat_ws skips NULLs, so two rows differing only in WHICH column
+    is NULL would digest equal and the leaf would never flag).  Caller
+    passes engine-portable columns (ints/strings; scale doubles to
+    ints first — see ``portable_digest_cols``)."""
     return F.conv(
-        F.substring(F.md5(F.concat_ws("|", *cols)), 1, 15), 16, 10
+        F.substring(null_safe_canon(cols), 1, 15), 16, 10
     ).cast("long")
 
 
@@ -86,6 +89,32 @@ def portable_digest_sql(df: DataFrame, cols: list[str]) -> list[str]:
     return out
 
 
+# canonical row-equality encoding: unit-separator join (never appears
+# in fixture/typical data, unlike '|') of NULL-sentineled columns, then
+# md5 — two rows differing only in WHICH nullable column is NULL, or
+# containing the old '|' separator in a value, can no longer collide
+CANON_SEP = "\x1f"
+CANON_NULL = "␀"  # ␀ SYMBOL FOR NULL
+
+
+def null_safe_canon(cols: list[Column]) -> Column:
+    """md5 of the NULL-sentinel-encoded row form — the row-equality
+    canon for reconcile/repair.  Caller passes engine-portable string
+    columns (``portable_digest_cols``)."""
+    return F.md5(
+        F.concat_ws(
+            CANON_SEP, *[F.coalesce(c, F.lit(CANON_NULL)) for c in cols]
+        )
+    )
+
+
+def null_safe_canon_sql(exprs: list[str]) -> str:
+    """DuckDB twin of :func:`null_safe_canon` (same sentinel, same
+    separator, same md5 hex form)."""
+    inner = ", ".join(f"COALESCE({e}, '{CANON_NULL}')" for e in exprs)
+    return f"md5(concat_ws('{CANON_SEP}', {inner}))"
+
+
 def token_bucket(key_col: str, leaves: int, seed: str = "merkle"):
     """Token → leaf-bucket mapping shared by the digest table and every
     consumer that scopes ROW work to flagged leaves (plans/repair.py):
@@ -103,15 +132,27 @@ def range_digests(
     depth: int = 3,
     fanout: int = 4,
     seed: str = "merkle",
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """(bucket, n_rows, digest) — the Merkle LEAF level over
     ``fanout**depth`` equal token ranges.  Internal tree levels are a
     trivial re-aggregation of this frame (bucket div fanout) and are
-    cheap enough to derive on demand; the leaf table IS the tree."""
+    cheap enough to derive on demand; the leaf table IS the tree.
+
+    ``bucket_expr`` overrides the md5 token bucketing with the
+    caller's own token→leaf mapping — pass the SERVER's token
+    convention (e.g. the connector's ``token(pk)`` buckets) when
+    flagged leaves must later translate into token-range pushdown the
+    cluster can evaluate (plans/repair.py scoped readers)."""
     dig = _row_digest(portable_digest_cols(df, digest_cols))
+    bucket = (
+        bucket_expr
+        if bucket_expr is not None
+        else token_bucket(key_col, fanout**depth, seed)
+    )
     return (
         df.select(
-            token_bucket(key_col, fanout**depth, seed).alias("bucket"),
+            bucket.alias("bucket"),
             dig.alias("_dig"),
         )
         .groupBy("bucket")
@@ -135,6 +176,7 @@ def merkle_diff(
     depth: int = 3,
     fanout: int = 4,
     seed: str = "merkle",
+    bucket_expr: Column | None = None,
 ) -> DataFrame:
     """Differing token ranges between two tables: full-outer join of
     the two leaf-digest frames, keeping only ranges whose (count,
@@ -145,8 +187,12 @@ def merkle_diff(
     The result names the token ranges a reconcile pass must re-read —
     feed ``bucket * width .. (bucket+1) * width`` into the P4
     token-range filter to scope J1/J2 to just those rows."""
-    o = range_digests(origin, key_col, digest_cols, depth, fanout, seed)
-    t = range_digests(target, key_col, digest_cols, depth, fanout, seed)
+    o = range_digests(
+        origin, key_col, digest_cols, depth, fanout, seed, bucket_expr
+    )
+    t = range_digests(
+        target, key_col, digest_cols, depth, fanout, seed, bucket_expr
+    )
     j = o.alias("o").join(t.alias("t"), "bucket", "full_outer")
     status = (
         F.when(F.col("t.n_rows").isNull(), F.lit("missing_range"))
@@ -188,10 +234,8 @@ def merkle_digest_sql(
     leaves = fanout**depth
     width = -(-TOKEN_SPACE // leaves)
     tok = md5_draw_sql(seed + ":tok", key_expr)
-    joined = ", ".join(digest_exprs)
-    dig = (
-        f"CAST('0x' || substr(md5(concat_ws('|', {joined})), 1, 15) AS BIGINT)"
-    )
+    canon = null_safe_canon_sql(digest_exprs)
+    dig = f"CAST('0x' || substr({canon}, 1, 15) AS BIGINT)"
     return f"""
         SELECT CAST(FLOOR({tok} / {width}) AS BIGINT) AS bucket,
                COUNT(*) AS n_rows,

@@ -91,6 +91,42 @@ def cassandra_reader_options(
     return opts
 
 
+def cassandra_writer_options(
+    keyspace: str,
+    table: str,
+    *,
+    batch_size_rows: int | None = None,
+    rate_limit_rows_per_sec: int | None = None,
+    consistency: str | None = None,
+) -> dict[str, str]:
+    """The reference's write-side perfops knobs translated to
+    spark-cassandra-connector output options — the write twin of
+    :func:`cassandra_reader_options` (lab/cdm-config/cdm.properties:
+    28-31: ``spark.cdm.perfops.batchSize`` /
+    ``spark.cdm.perfops.ratelimit.target``).
+
+    - ``batchSize`` (rows per unlogged CQL batch, CDM auto-rule T2)
+      maps to ``spark.cassandra.output.batch.size.rows`` — the
+      documented connector option with identical semantics.
+    - ``ratelimit.target`` (rows/s cap) travels as its own CDM
+      property name; the connector's native throttle is MB-based
+      (``output.throughputMBPerSec``), so the rows/s intent is kept
+      verbatim for the deployment layer (plans/throttle.py implements
+      the engine-side pacing).
+    - consistency maps to ``spark.cassandra.output.consistency.level``.
+    """
+    opts = {"keyspace": keyspace, "table": table}
+    if batch_size_rows is not None:
+        opts["spark.cassandra.output.batch.size.rows"] = str(batch_size_rows)
+    if rate_limit_rows_per_sec is not None:
+        opts["spark.cdm.perfops.ratelimit.target"] = str(
+            rate_limit_rows_per_sec
+        )
+    if consistency is not None:
+        opts["spark.cassandra.output.consistency.level"] = consistency
+    return opts
+
+
 def token_range_predicate(
     partition_key_cols: list[str],
     token_min: int | None,
@@ -161,6 +197,16 @@ class CassandraTableSource(TableSource):
             num_parts=self.num_parts,
             fetch_size_rows=self.fetch_size_rows,
         )
+        # token bounds ALSO travel as the reference's own partition
+        # filter properties (docs/04-cdm-approach.md:290-316,
+        # spark.cdm.filter.cassandra.partition.min/max) so the SOURCE
+        # can prune server-side — the fake evaluates them page-level,
+        # a real deployment's CDM job consumes them directly; the
+        # Spark-side token() filter below stays as the exactness guard
+        if token_min is not None:
+            opts["spark.cdm.filter.cassandra.partition.min"] = str(token_min)
+        if token_max is not None:
+            opts["spark.cdm.filter.cassandra.partition.max"] = str(token_max)
         reader = spark.read.format(self.format).options(**opts)
         try:
             df = reader.load()
@@ -187,13 +233,24 @@ class CassandraTableSource(TableSource):
             )
         return df
 
-    def write(self, df: DataFrame, table: str, mode: str = "append") -> None:
-        (
-            df.write.format(self.format)
-            .options(keyspace=self.keyspace, table=table)
-            .mode(mode)
-            .save()
+    def write(
+        self,
+        df: DataFrame,
+        table: str,
+        mode: str = "append",
+        *,
+        batch_size_rows: int | None = None,
+        rate_limit_rows_per_sec: int | None = None,
+        consistency: str | None = None,
+    ) -> None:
+        opts = cassandra_writer_options(
+            self.keyspace,
+            table,
+            batch_size_rows=batch_size_rows,
+            rate_limit_rows_per_sec=rate_limit_rows_per_sec,
+            consistency=consistency,
         )
+        df.write.format(self.format).options(**opts).mode(mode).save()
 
 
 # fixture tables' partition-key columns (the token-hashed part) —

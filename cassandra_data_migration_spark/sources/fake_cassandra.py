@@ -46,6 +46,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 FAKE_CQL_LOG_ENV = "SPARK_GRAFT_FAKE_CQL_LOG"
@@ -74,9 +75,16 @@ def _table_path(options):
 
 
 class _FilePartition(InputPartition):
-    def __init__(self, path, fetch_rows):
+    def __init__(self, path, fetch_rows, token_min=None, token_max=None):
         self.path = path
         self.fetch_rows = fetch_rows
+        self.token_min = token_min
+        self.token_max = token_max
+
+
+def _opt(options, key, default=None):
+    """Option lookup tolerant of Spark's key lower-casing."""
+    return options.get(key.lower(), options.get(key, default))
 
 
 class _FakeCassandraReader(DataSourceReader):
@@ -89,33 +97,104 @@ class _FakeCassandraReader(DataSourceReader):
         p = _table_path(self.options)
         files = sorted(glob.glob(os.path.join(p, "*.parquet"))) or [p]
         fetch = int(
-            self.options.get("spark.cassandra.input.fetch.sizeinrows")
-            or self.options.get("spark.cassandra.input.fetch.sizeInRows")
+            _opt(self.options, "spark.cassandra.input.fetch.sizeInRows")
             or 5000
         )
-        return [_FilePartition(f, fetch) for f in files]
+        tmin = _opt(self.options, "spark.cdm.filter.cassandra.partition.min")
+        tmax = _opt(self.options, "spark.cdm.filter.cassandra.partition.max")
+        return [
+            _FilePartition(
+                f,
+                fetch,
+                int(tmin) if tmin is not None else None,
+                int(tmax) if tmax is not None else None,
+            )
+            for f in files
+        ]
 
     def read(self, partition):
         import pyarrow.parquet as pq
 
         pf = pq.ParquetFile(partition.path)
         # fetchSizeInRows IS the page size: one Arrow batch per "page"
-        yield from pf.iter_batches(batch_size=partition.fetch_rows)
+        for batch in pf.iter_batches(batch_size=partition.fetch_rows):
+            if partition.token_min is None and partition.token_max is None:
+                yield batch
+                continue
+            # server-side token-range slice (the CDM partition.min/max
+            # filter, docs/04-cdm-approach.md:290-316): the fake's
+            # token convention is pmod(pk, 32) over the FIRST schema
+            # column (fixture tables lead with their partition key) —
+            # pruned here, before rows ever reach Spark, exactly where
+            # a real cluster prunes token ranges
+            import numpy as np
+
+            pk = np.asarray(batch.column(0))
+            tok = np.mod(pk.astype(np.int64), 32)
+            mask = np.ones(len(tok), dtype=bool)
+            if partition.token_min is not None:
+                mask &= tok >= partition.token_min
+            if partition.token_max is not None:
+                mask &= tok <= partition.token_max
+            if mask.any():
+                import pyarrow as pa
+
+                yield batch.filter(pa.array(mask))
+
+
+class _PartCommit(WriterCommitMessage):
+    """WriterCommitMessage carrying the task's written part path (None
+    when the task had no rows) — what commit()/abort() reconcile
+    against the job's on-disk parts."""
+
+    def __init__(self, path=None):
+        self.path = path
 
 
 class _FakeCassandraWriter(DataSourceWriter):
     """Appends each task's rows as one parquet part under the table
-    directory — the fake analogue of the connector's batched
-    INSERTs.  Under overwrite, ``old_parts`` (snapshotted at planning
-    time) are deleted in ``commit()``, after every task has written."""
+    directory — the fake analogue of the connector's batched INSERTs.
 
-    def __init__(self, schema, options, old_parts=None):
+    Job atomicity mirrors the DSv2 commit protocol: every part this
+    job writes is named ``part-<job_id>-<task_uuid>.parquet`` and its
+    path travels back in the task's :class:`_PartCommit`.  ``commit``
+    keeps only committed paths (parts from retried/zombie attempts of
+    this job are deleted) and, under overwrite, removes ``old_parts``
+    (snapshotted at planning time) only after every task succeeded.
+    ``abort`` deletes everything the failed job wrote, leaving the old
+    table intact."""
+
+    def __init__(self, schema, options, job_id, old_parts=None):
         self.schema = schema
         self.options = dict(options)
+        self.job_id = job_id
         self.old_parts = list(old_parts or [])
 
+    def _job_parts(self):
+        import glob
+
+        return glob.glob(
+            os.path.join(
+                _table_path(self.options), f"part-{self.job_id}-*.parquet"
+            )
+        )
+
     def commit(self, messages):
+        committed = {m.path for m in messages if getattr(m, "path", None)}
+        for f in self._job_parts():
+            if f not in committed:
+                try:
+                    os.remove(f)
+                except OSError:
+                    pass
         for f in self.old_parts:
+            try:
+                os.remove(f)
+            except OSError:
+                pass
+
+    def abort(self, messages):
+        for f in self._job_parts():
             try:
                 os.remove(f)
             except OSError:
@@ -126,13 +205,13 @@ class _FakeCassandraWriter(DataSourceWriter):
 
         import pyarrow as pa
         import pyarrow.parquet as pq
-        from pyspark.sql.datasource import WriterCommitMessage
         from pyspark.sql.pandas.types import to_arrow_schema
 
         arrow_schema = to_arrow_schema(self.schema)
         rows = [tuple(r) for r in iterator]
         path = _table_path(self.options)
         os.makedirs(path, exist_ok=True)
+        part = None
         if rows:
             cols = list(zip(*rows))
             table = pa.table(
@@ -141,10 +220,11 @@ class _FakeCassandraWriter(DataSourceWriter):
                     for i, f in enumerate(arrow_schema)
                 }
             )
-            pq.write_table(
-                table, os.path.join(path, f"part-{uuid.uuid4().hex}.parquet")
+            part = os.path.join(
+                path, f"part-{self.job_id}-{uuid.uuid4().hex}.parquet"
             )
-        return WriterCommitMessage()
+            pq.write_table(table, part)
+        return _PartCommit(part)
 
 
 class FakeCassandraDataSource(DataSource):
@@ -184,13 +264,21 @@ class FakeCassandraDataSource(DataSource):
         # overwrite whose input reads this same table still sees the
         # old files during the write
         import glob
+        import uuid
 
+        # the write twin of the read recording: the full option map
+        # (batch size, rate limit, consistency — connector.py
+        # cassandra_writer_options) plus the op marker, so tests and
+        # the write audit can assert what a live cluster would receive
+        _record_read({**dict(self.options), "_op": "write"})
         old_parts: list[str] = []
         if overwrite:
             p = _table_path(self.options)
             if os.path.isdir(p):
                 old_parts = sorted(glob.glob(os.path.join(p, "*.parquet")))
-        return _FakeCassandraWriter(schema, self.options, old_parts)
+        return _FakeCassandraWriter(
+            schema, self.options, uuid.uuid4().hex, old_parts
+        )
 
 
 def register_fake_cassandra(spark):

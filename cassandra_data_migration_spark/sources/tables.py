@@ -262,8 +262,13 @@ def ensure_bucketed_table(
         # process; one thread per (session, table).
         import threading
 
-        key = (id(spark), session_table)
-        if key in _HEARTBEAT_DAEMONS:
+        # keyed by applicationId (stable, never recycled the way id()
+        # is after GC) and re-checked for liveness: a dead daemon —
+        # e.g. after an interpreter fork — is replaced, so liveness
+        # never silently degrades to per-call touches only
+        key = (spark.sparkContext.applicationId, session_table)
+        existing = _HEARTBEAT_DAEMONS.get(key)
+        if existing is not None and existing.is_alive():
             return
 
         def beat() -> None:

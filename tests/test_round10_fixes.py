@@ -112,7 +112,10 @@ def test_bucketed_sweep_gated_on_heartbeat(spark, monkeypatch, tmp_path):
         # the returned DataFrame without re-calling ensure_...
         from cassandra_data_migration_spark.sources import tables as tbl_mod
 
-        key = (id(spark), f"{base}__{app_tag}")
+        # keyed by applicationId (id(spark) can be recycled after GC,
+        # letting a new session silently skip daemon start) and the
+        # registration is liveness-checked on re-entry
+        key = (spark.sparkContext.applicationId, f"{base}__{app_tag}")
         assert key in tbl_mod._HEARTBEAT_DAEMONS
         assert tbl_mod._HEARTBEAT_DAEMONS[key].daemon
         assert tbl_mod._HEARTBEAT_DAEMONS[key].is_alive()
