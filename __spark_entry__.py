@@ -8967,6 +8967,31 @@ _CELLS_SQL = """
     FROM events
 """
 
+_CELL_TTL_S = 7 * 86400  # every 5th cell carries a 7-day TTL
+
+
+def _event_cells_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cells fixture with per-cell TTL: every 5th event's cell
+    expires 7 days after its writetime (events span 30 days, so the
+    TTL'd population splits into expired-and-past-grace /
+    expired-in-grace / still-live)."""
+    return _event_cells(spark, sf_dir).withColumn(
+        "ttl_s",
+        F.when(
+            F.pmod(F.col("writetime_us"), F.lit(5)) == 0,
+            F.lit(_CELL_TTL_S),
+        ).cast("long"),
+    )
+
+
+# keyed on writetime so the SQL twin needs no second event_id pass
+_CELLS_TTL_SQL = f"""
+    SELECT *,
+           CASE WHEN writetime_us % 5 = 0
+                THEN CAST({_CELL_TTL_S} AS BIGINT) END AS ttl_s
+    FROM ({_CELLS_SQL})
+"""
+
 
 def q_cell_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sstable-merge semantics at CELL granularity: per (key, column)
@@ -9313,34 +9338,58 @@ ORACLES["stream_cell_lww"] = ORACLES_STREAM_CELL_LWW
 
 
 def q_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # compaction-savings estimate under gc_grace: per column, versions
-    # a major compaction drops now (superseded / shadowed / purgeable
-    # tombstones) vs must retain (live cells, in-grace tombstones).
-    # "now" is pinned to the table's max writetime so the report is
+    # compaction-savings estimate under gc_grace over the TTL'd cells
+    # fixture: per column, versions a major compaction drops now
+    # (superseded live versions / shadowed / past-grace tombstones) vs
+    # must retain (live cells, in-grace tombstones INCLUDING superseded
+    # ones — conservative nodetool-garbagecollect accounting).  TTL
+    # expiry converts cells to tombstones whose gc_grace clock starts
+    # at the EXPIRY instant (apply_cell_ttl's _gc_ref_us).  "now" is
+    # pinned to the table's max writetime so the report is
     # deterministic; grace = 10 days in µs.
     from cassandra_data_migration_spark.operators.cells import (
+        apply_cell_ttl,
         tombstone_gc_report,
     )
 
-    cells = _event_cells(spark, sf_dir)
+    cells = _event_cells_ttl(spark, sf_dir)
     now_us = cells.agg(F.max("writetime_us")).collect()[0][0]
+    effective = apply_cell_ttl(cells, F.lit(now_us))
     return tombstone_gc_report(
-        cells,
+        effective,
         F.lit(now_us),
         gc_grace_us=10 * 86400 * 1_000_000,
         value_col="value_cents",
+        gc_ref_col="_gc_ref_us",
     )
 
 
 ORACLES_TOMBSTONE_GC = f"""
-    WITH cells AS ({_CELLS_SQL}),
-    now_t AS (SELECT MAX(writetime_us) AS now_us FROM cells),
+    WITH raw_cells AS ({_CELLS_TTL_SQL}),
+    now_t AS (SELECT MAX(writetime_us) AS now_us FROM raw_cells),
+    cells AS (
+        SELECT pk, column_name, value_cents, writetime_us,
+               (is_tombstone OR (ttl_s IS NOT NULL AND
+                    writetime_us + ttl_s * 1000000 <=
+                        (SELECT now_us FROM now_t))) AS is_tombstone,
+               CASE WHEN is_tombstone THEN writetime_us
+                    WHEN ttl_s IS NOT NULL AND
+                         writetime_us + ttl_s * 1000000 <=
+                             (SELECT now_us FROM now_t)
+                    THEN writetime_us + ttl_s * 1000000
+                    ELSE writetime_us END AS gc_ref_us
+        FROM raw_cells
+    ),
     per_cell AS (
         SELECT pk, column_name,
                MAX(struct_pack(wt := writetime_us,
                                tomb := CAST(is_tombstone AS INT),
-                               val := value_cents)) AS win,
-               COUNT(*) AS n_versions
+                               val := value_cents,
+                               gc_ref := gc_ref_us)) AS win,
+               COUNT(*) AS n_versions,
+               SUM(CASE WHEN is_tombstone AND gc_ref_us >=
+                        (SELECT now_us FROM now_t) - 864000000000
+                        THEN 1 ELSE 0 END) AS n_tomb_in_grace
         FROM cells GROUP BY pk, column_name
     ),
     row_tombs AS (
@@ -9349,7 +9398,10 @@ ORACLES_TOMBSTONE_GC = f"""
     ),
     classified AS (
         SELECT p.column_name, p.n_versions,
-               p.n_versions - 1 AS superseded,
+               p.n_tomb_in_grace -
+                   CASE WHEN p.win.tomb = 1 AND p.win.gc_ref >=
+                            (SELECT now_us FROM now_t) - 864000000000
+                        THEN 1 ELSE 0 END AS sup_in_grace,
                CASE WHEN p.win.tomb = 0 AND NOT (
                         p.column_name <> '__row__'
                         AND r.row_tomb_wt IS NOT NULL
@@ -9359,17 +9411,19 @@ ORACLES_TOMBSTONE_GC = f"""
                         AND r.row_tomb_wt IS NOT NULL
                         AND p.win.wt <= r.row_tomb_wt
                     THEN 1 ELSE 0 END AS shadowed,
-               CASE WHEN p.win.tomb = 1 AND p.win.wt >=
+               CASE WHEN p.win.tomb = 1 AND p.win.gc_ref >=
                         (SELECT now_us FROM now_t) - 864000000000
                     THEN 1 ELSE 0 END AS retained,
-               CASE WHEN p.win.tomb = 1 AND p.win.wt <
+               CASE WHEN p.win.tomb = 1 AND p.win.gc_ref <
                         (SELECT now_us FROM now_t) - 864000000000
                     THEN 1 ELSE 0 END AS purgeable
         FROM per_cell p LEFT JOIN row_tombs r USING (pk)
     )
     SELECT column_name,
            CAST(SUM(n_versions) AS BIGINT) AS n_versions,
-           CAST(SUM(superseded) AS BIGINT) AS n_superseded,
+           CAST(SUM(n_versions - 1 - sup_in_grace) AS BIGINT)
+               AS n_superseded,
+           CAST(SUM(sup_in_grace) AS BIGINT) AS n_superseded_in_grace,
            CAST(SUM(live) AS BIGINT) AS n_live,
            CAST(SUM(shadowed) AS BIGINT) AS n_shadowed,
            CAST(SUM(retained) AS BIGINT) AS n_tomb_retained,
@@ -9379,6 +9433,55 @@ ORACLES_TOMBSTONE_GC = f"""
 
 QUERIES["tombstone_gc"] = q_tombstone_gc
 ORACLES["tombstone_gc"] = ORACLES_TOMBSTONE_GC
+
+
+def q_cell_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the live view AFTER per-cell TTL expiry: expired cells become
+    # tombstones at their original writetime (so they beat late writes
+    # and timestamp ties but never shadow newer data) and drop out of
+    # the compacted view — the cell-granular twin of the row-level
+    # ttl_expiry query (functions/metadata.expire_ttl)
+    from cassandra_data_migration_spark.operators.cells import (
+        apply_cell_ttl,
+        cell_lww_compact,
+    )
+
+    cells = _event_cells_ttl(spark, sf_dir)
+    now_us = cells.agg(F.max("writetime_us")).collect()[0][0]
+    return cell_lww_compact(
+        apply_cell_ttl(cells, F.lit(now_us)), value_col="value_cents"
+    )
+
+
+ORACLES["cell_ttl_expiry"] = f"""
+    WITH raw_cells AS ({_CELLS_TTL_SQL}),
+    now_t AS (SELECT MAX(writetime_us) AS now_us FROM raw_cells),
+    cells AS (
+        SELECT pk, column_name, value_cents, writetime_us,
+               (is_tombstone OR (ttl_s IS NOT NULL AND
+                    writetime_us + ttl_s * 1000000 <=
+                        (SELECT now_us FROM now_t))) AS is_tombstone
+        FROM raw_cells
+    ),
+    winners AS (
+        SELECT pk, column_name, value_cents, writetime_us, is_tombstone,
+               ROW_NUMBER() OVER (
+                   PARTITION BY pk, column_name
+                   ORDER BY writetime_us DESC, is_tombstone DESC,
+                            value_cents DESC) AS rn
+        FROM cells WHERE column_name <> '__row__'
+    ),
+    row_tombs AS (
+        SELECT pk, MAX(writetime_us) AS row_tomb_wt
+        FROM cells WHERE column_name = '__row__' GROUP BY pk
+    )
+    SELECT w.pk, w.column_name, w.value_cents, w.writetime_us
+    FROM winners w LEFT JOIN row_tombs r USING (pk)
+    WHERE w.rn = 1 AND NOT w.is_tombstone
+      AND (r.row_tomb_wt IS NULL OR w.writetime_us > r.row_tomb_wt)
+"""
+
+QUERIES["cell_ttl_expiry"] = q_cell_ttl_expiry
 
 
 def q_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -224,6 +224,47 @@ def cas_replay(
     )
 
 
+def apply_cell_ttl(
+    cells: DataFrame,
+    now_us: Column,
+    ttl_col: str = "ttl_s",
+    writetime_col: str = "writetime_us",
+    tombstone_col: str = "is_tombstone",
+) -> DataFrame:
+    """Per-cell TTL expiry — Cassandra's expiring-cell rule made a
+    first-class transform (lab/cdm-config/cdm.properties:33-35 and
+    docs/04-cdm-approach.md:389-399 migrate TTLs as cell metadata).
+
+    A cell with ``ttl_col`` seconds expires at ``writetime +
+    ttl·1e6`` µs: at/after that instant it IS a tombstone.  Two
+    clocks, per the public semantics:
+
+    - **reconciliation** keeps the ORIGINAL writetime — a newer live
+      write (``wt' > wt``) supersedes the expiring cell exactly as it
+      would a live one; expiry never shadows later data.  The expired
+      cell (a tombstone at ``wt``) still beats any LATE write with
+      ``wt' < wt`` and, by the tombstone-beats-live tie rule, a live
+      write at the same ``wt`` — the expiry-beats-late-write property.
+    - **gc_grace** counts from the EXPIRY instant (``_gc_ref_us =
+      wt + ttl·1e6`` — Cassandra's localDeletionTime), not from the
+      original write: the delete only became visible at expiry, so
+      the grace window for replica propagation starts there.  Plain
+      tombstones keep ``_gc_ref_us = wt``.
+
+    Returns the frame with ``tombstone_col`` updated and a
+    ``_gc_ref_us`` column for :func:`tombstone_gc_report`'s
+    ``gc_ref_col``.  NULL TTL = never expires.  Pure projection —
+    composes with :func:`cell_lww_compact` / the GC report with no
+    extra shuffle."""
+    w, t = writetime_col, tombstone_col
+    expiry = F.col(w) + F.col(ttl_col).cast("long") * F.lit(1_000_000)
+    expired = F.col(ttl_col).isNotNull() & (expiry <= now_us)
+    return cells.withColumn(
+        "_gc_ref_us",
+        F.when(F.col(t), F.col(w)).when(expired, expiry).otherwise(F.col(w)),
+    ).withColumn(t, F.col(t) | expired)
+
+
 def tombstone_gc_report(
     cells: DataFrame,
     now_us: Column,
@@ -233,67 +274,86 @@ def tombstone_gc_report(
     value_col: str = "value",
     writetime_col: str = "writetime_us",
     tombstone_col: str = "is_tombstone",
+    gc_ref_col: str | None = None,
 ) -> DataFrame:
     """Compaction-savings estimate per column: what a major compaction
     with ``gc_grace`` could drop vs must retain.
 
-    Versions per (key, column) beyond the winner are SUPERSEDED
-    (droppable immediately — cell reconciliation keeps one).  A
-    tombstone winner is PURGEABLE once older than ``now - gc_grace``
-    (its deletion has had the grace window to reach every replica —
-    the public gc_grace_seconds rule; dropping it earlier risks
-    resurrecting the cell from a replica that missed the delete) and
-    RETAINED otherwise.  A live winner at or below its key's row
-    tombstone is SHADOWED (dropped with the row delete).  Output one
-    row per column: n_versions, n_superseded, n_live, n_shadowed,
-    n_tomb_retained, n_tomb_purgeable — the row-tombstone marker
-    column reports its own retention like any other.
+    Versions per (key, column) beyond the winner are SUPERSEDED.  A
+    superseded LIVE cell is droppable immediately (reconciliation
+    keeps the winner), but a superseded TOMBSTONE still inside its
+    grace window is counted RETAINED, not droppable — the
+    conservative accounting ``nodetool garbagecollect`` applies:
+    purging any tombstone before gc_grace risks resurrection from a
+    replica that missed the delete, so the savings estimate must not
+    claim those bytes.  A tombstone winner is PURGEABLE once its GC
+    reference time (``gc_ref_col`` — the expiry instant for TTL'd
+    cells via :func:`apply_cell_ttl`, the writetime otherwise) is
+    older than ``now - gc_grace`` and RETAINED otherwise.  A live
+    winner at or below its key's row tombstone is SHADOWED (dropped
+    with the row delete).  Output one row per column: n_versions,
+    n_superseded (droppable), n_superseded_in_grace (retained
+    superseded tombstones), n_live, n_shadowed, n_tomb_retained,
+    n_tomb_purgeable — the row-tombstone marker column reports its
+    own retention like any other.
 
     Plan: the same single (key, column) shuffle as
-    :func:`cell_lww_compact` with a count riding the argmax, a
-    broadcast row-tombstone join, then an O(columns) rollup.
-    ``now_us`` is a Column so callers pin it deterministically (e.g.
-    the table's max writetime) rather than wall-clock.
+    :func:`cell_lww_compact` with counts riding the argmax, a
+    row-tombstone join, then an O(columns) rollup.  ``now_us`` is a
+    Column so callers pin it deterministically (e.g. the table's max
+    writetime) rather than wall-clock.
     """
     k, c, v, w, t = key_col, column_col, value_col, writetime_col, tombstone_col
+    g = gc_ref_col if gc_ref_col is not None else w
+    cutoff = now_us - F.lit(gc_grace_us)
+    in_grace_tomb = (F.col(t).cast("int") == 1) & (F.col(g) >= cutoff)
     per_cell = cells.groupBy(k, c).agg(
         F.max(
             F.struct(
                 F.col(w).alias("wt"),
                 F.col(t).cast("int").alias("tomb"),
                 F.col(v).alias("val"),
+                F.col(g).alias("gc_ref"),
             )
         ).alias("_win"),
         F.count(F.lit(1)).alias("_n_versions"),
+        F.sum(in_grace_tomb.cast("int")).alias("_n_tomb_in_grace"),
     )
     row_tombs = (
         cells.filter(F.col(c) == F.lit(ROW_TOMBSTONE))
         .groupBy(k)
         .agg(F.max(w).alias("_row_tomb_wt"))
     )
-    cutoff = now_us - F.lit(gc_grace_us)
     is_tomb = F.col("_win.tomb") == 1
+    win_in_grace = is_tomb & (F.col("_win.gc_ref") >= cutoff)
     shadowed = (
         (F.col(c) != F.lit(ROW_TOMBSTONE))
         & ~is_tomb
         & F.col("_row_tomb_wt").isNotNull()
         & (F.col("_win.wt") <= F.col("_row_tomb_wt"))
     )
+    # superseded tombstones still in grace are retained; the winner's
+    # own in-grace flag is excluded from the superseded bucket
+    sup_retained = F.col("_n_tomb_in_grace") - win_in_grace.cast("int")
     # NO broadcast hint: row-tombstone count is data-dependent (bulk
     # deletes can tombstone a large key fraction) — let AQE pick
     # broadcast when the side is actually small
     classified = per_cell.join(row_tombs, k, "left").select(
         F.col(c),
         F.col("_n_versions"),
-        (F.col("_n_versions") - 1).alias("_superseded"),
+        (F.col("_n_versions") - 1 - sup_retained).alias("_superseded"),
+        sup_retained.alias("_sup_in_grace"),
         (~is_tomb & ~shadowed).cast("int").alias("_live"),
         shadowed.cast("int").alias("_shadowed"),
-        (is_tomb & (F.col("_win.wt") >= cutoff)).cast("int").alias("_retained"),
-        (is_tomb & (F.col("_win.wt") < cutoff)).cast("int").alias("_purgeable"),
+        win_in_grace.cast("int").alias("_retained"),
+        (is_tomb & (F.col("_win.gc_ref") < cutoff))
+        .cast("int")
+        .alias("_purgeable"),
     )
     return classified.groupBy(c).agg(
         F.sum("_n_versions").alias("n_versions"),
         F.sum("_superseded").alias("n_superseded"),
+        F.sum("_sup_in_grace").cast("long").alias("n_superseded_in_grace"),
         F.sum("_live").cast("long").alias("n_live"),
         F.sum("_shadowed").cast("long").alias("n_shadowed"),
         F.sum("_retained").cast("long").alias("n_tomb_retained"),

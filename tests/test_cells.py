@@ -457,3 +457,124 @@ def test_repair_pipeline_converges_for_any_divergence(spark, div):
     if not missing and not mutated and not extras:
         assert got["divergent_leaves"] == 0
         assert got["scoped_origin_rows"] == 0
+
+
+# --- per-cell TTL (apply_cell_ttl) ------------------------------------------
+
+
+def _ttl_cells(spark, rows):
+    """(pk, col, value, wt, tomb, ttl_s) rows."""
+    return spark.createDataFrame(
+        rows,
+        "pk long, column_name string, value_cents long, "
+        "writetime_us long, is_tombstone boolean, ttl_s long",
+    )
+
+
+def test_cell_ttl_expiry_beats_late_write(spark):
+    """An expired cell is a tombstone at its ORIGINAL writetime: it
+    beats a late-arriving write with an older timestamp (and a live
+    cell on a timestamp tie), but a NEWER write supersedes it —
+    expiry never shadows later data."""
+    from cassandra_data_migration_spark.operators.cells import (
+        apply_cell_ttl,
+        cell_lww_compact,
+    )
+
+    now = 10_000_000_000  # 10^10 µs
+    rows = [
+        # key 1: write at t=1s with 2s TTL (expired), late write at
+        # t=0.5s — tombstone wins, cell gone from live view
+        (1, "a", 5, 1_000_000, False, 2),
+        (1, "a", 9, 500_000, False, None),
+        # key 2: write at t=1s with 2s TTL (expired), NEWER write at
+        # t=5s — newer write survives
+        (2, "a", 5, 1_000_000, False, 2),
+        (2, "a", 7, 5_000_000, False, None),
+        # key 3: timestamp TIE between expiring cell and live cell —
+        # tombstone-beats-live on the tie, cell gone
+        (3, "a", 5, 1_000_000, False, 2),
+        (3, "a", 9, 1_000_000, False, None),
+        # key 4: TTL not yet expired (now < wt + ttl) — still live
+        (4, "a", 5, now - 1_000_000, False, 100),
+    ]
+    live = {
+        (r["pk"], r["column_name"]): r["value_cents"]
+        for r in cell_lww_compact(
+            apply_cell_ttl(_ttl_cells(spark, rows), F.lit(now)),
+            value_col="value_cents",
+        ).collect()
+    }
+    assert (1, "a") not in live
+    assert live[(2, "a")] == 7
+    assert (3, "a") not in live
+    assert live[(4, "a")] == 5
+
+
+def test_cell_ttl_gc_clock_starts_at_expiry(spark):
+    """gc_grace counts from the EXPIRY instant, not the write: a cell
+    whose write is old but whose expiry is recent must be RETAINED."""
+    from cassandra_data_migration_spark.operators.cells import (
+        apply_cell_ttl,
+        tombstone_gc_report,
+    )
+
+    now = 1_000_000_000_000  # 10^12 µs
+    grace = 100_000_000  # 100 s
+    rows = [
+        # expiry = wt + 200s; wt chosen so expiry is 50s before now:
+        # INSIDE grace -> retained even though wt is ancient
+        (1, "a", 5, now - 250_000_000, False, 200),
+        # expiry 500s before now: OUTSIDE grace -> purgeable
+        (2, "a", 5, now - 700_000_000, False, 200),
+    ]
+    got = {
+        r["column_name"]: (r["n_tomb_retained"], r["n_tomb_purgeable"])
+        for r in tombstone_gc_report(
+            apply_cell_ttl(_ttl_cells(spark, rows), F.lit(now)),
+            F.lit(now),
+            gc_grace_us=grace,
+            value_col="value_cents",
+            gc_ref_col="_gc_ref_us",
+        ).collect()
+    }
+    assert got["a"] == (1, 1), got
+
+
+def test_superseded_tombstone_in_grace_retained(spark):
+    """A superseded tombstone still inside gc_grace is counted
+    RETAINED (n_superseded_in_grace), not droppable — the
+    conservative garbagecollect accounting; a superseded LIVE version
+    stays immediately droppable."""
+    from cassandra_data_migration_spark.operators.cells import (
+        tombstone_gc_report,
+    )
+
+    cells = _cells(
+        spark,
+        [
+            # key 1: in-grace tombstone superseded by a newer live
+            # write -> 1 superseded_in_grace, 0 superseded
+            (1, "a", 0, 900, True),
+            (1, "a", 7, 950, False),
+            # key 2: superseded LIVE version -> 1 superseded
+            (2, "a", 1, 100, False),
+            (2, "a", 2, 200, False),
+            # key 3: OUT-of-grace tombstone superseded by newer live
+            # write -> plain superseded (droppable)
+            (3, "a", 0, 100, True),
+            (3, "a", 4, 950, False),
+        ],
+    )
+    out = {
+        r["column_name"]: (
+            r["n_versions"],
+            r["n_superseded"],
+            r["n_superseded_in_grace"],
+            r["n_live"],
+        )
+        for r in tombstone_gc_report(
+            cells, F.lit(1000), gc_grace_us=500, value_col="value_cents"
+        ).collect()
+    }
+    assert out["a"] == (6, 2, 1, 3), out
