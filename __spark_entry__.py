@@ -9701,6 +9701,122 @@ QUERIES["doremi_weights"] = q_doremi_weights
 # join the head so the driver's 50-query window samples them.  Every
 # head name must resolve — a typo would otherwise silently swap the
 # intended query out of the driver's hard gate.
+# --- round 7: multi-DC placement + per-DC quorum ---------------------------
+
+_NTS_DCS = {"dc1": 4, "dc2": 3}
+_NTS_RF = {"dc1": 3, "dc2": 2}
+
+
+def q_replica_ownership_nts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # NetworkTopologyStrategy placement (the reference keyspace's own
+    # strategy, lab/init-scripts/01-create-schema.cql:4-8): per-DC
+    # replica counts with rack-diverse ring walk — dc1 holds RF=3
+    # across 4 nodes/2 racks, dc2 RF=2 across 3 nodes/2 racks.  Same
+    # broadcast-range-join plan as SimpleStrategy; only the literal
+    # placement table changes.
+    from cassandra_data_migration_spark.operators.ring import (
+        replica_ownership_nts,
+    )
+
+    return replica_ownership_nts(
+        load_table(spark, sf_dir, "orders"),
+        key_col="o_orderkey",
+        dcs=_NTS_DCS,
+        rf_per_dc=_NTS_RF,
+    )
+
+
+def _replica_nts_oracle() -> str:
+    from cassandra_data_migration_spark.operators.ring import replica_nts_sql
+
+    return replica_nts_sql(
+        "orders", "o_orderkey", dcs=_NTS_DCS, rf_per_dc=_NTS_RF
+    )
+
+
+QUERIES["replica_ownership_nts"] = q_replica_ownership_nts
+ORACLES["replica_ownership_nts"] = _replica_nts_oracle()
+
+
+def _event_replicas_by_dc(spark: SparkSession, sf_dir: str) -> dict:
+    """Two DCs sharing the round-6 replica fixtures: dc1 = pristine +
+    the stale/missing replica, dc2 = pristine + the tie-corrupted
+    replica — so some keys repair locally in exactly one DC and the
+    stale keys make dc1's local winner RACE AHEAD of dc2's (the
+    dc_divergent set)."""
+    r0, r1, r2 = _event_replicas(spark, sf_dir)
+    return {"dc1": [r0, r1], "dc2": [r0, r2]}
+
+
+def q_local_quorum_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # LOCAL_QUORUM read repair per DC + the cross-DC divergence the
+    # local mode cannot see (local winner != EACH_QUORUM winner) —
+    # multi-DC NetworkTopologyStrategy repair math
+    from cassandra_data_migration_spark.operators.cells import (
+        local_quorum_read_repair,
+    )
+
+    return local_quorum_read_repair(
+        _event_replicas_by_dc(spark, sf_dir),
+        "event_id",
+        "value_cents",
+        "wt_us",
+    )
+
+
+ORACLES["local_quorum_repair"] = f"""
+    WITH {_REPLICAS_SQL},
+    by_dc AS (
+        SELECT 'dc1' AS dc, event_id, wt_us, value_cents FROM base
+        UNION ALL
+        SELECT 'dc1',
+               event_id,
+               CASE WHEN event_id % 7 = 0 THEN wt_us + 1000000
+                    ELSE wt_us END,
+               CASE WHEN event_id % 7 = 0 THEN value_cents + 1
+                    ELSE value_cents END
+        FROM base WHERE event_id % 10 <> 0
+        UNION ALL
+        SELECT 'dc2', event_id, wt_us, value_cents FROM base
+        UNION ALL
+        SELECT 'dc2', event_id, wt_us,
+               CASE WHEN event_id % 13 = 0 THEN value_cents + 5
+                    ELSE value_cents END
+        FROM base
+    ),
+    per_dc AS (
+        SELECT dc, event_id,
+               MAX(struct_pack(wt := wt_us, val := value_cents)) AS win,
+               COUNT(*) AS n_replicas_present
+        FROM by_dc GROUP BY dc, event_id
+    ),
+    cur AS (
+        SELECT t.dc, t.event_id, COUNT(*) AS n_current
+        FROM by_dc t JOIN per_dc p ON t.dc = p.dc AND t.event_id = p.event_id
+        WHERE t.wt_us = p.win.wt AND t.value_cents = p.win.val
+        GROUP BY t.dc, t.event_id
+    ),
+    gwin AS (
+        SELECT event_id,
+               MAX(struct_pack(wt := wt_us, val := value_cents)) AS gw
+        FROM by_dc GROUP BY event_id
+    )
+    SELECT p.dc, p.event_id,
+           p.win.val AS winner_value_cents,
+           p.win.wt AS winner_wt_us,
+           p.n_replicas_present,
+           CAST(2 - COALESCE(c.n_current, 0) AS BIGINT) AS n_stale,
+           (p.win.wt <> g.gw.wt OR p.win.val <> g.gw.val) AS dc_divergent
+    FROM per_dc p
+    LEFT JOIN cur c ON p.dc = c.dc AND p.event_id = c.event_id
+    JOIN gwin g ON p.event_id = g.event_id
+    WHERE 2 - COALESCE(c.n_current, 0) > 0
+       OR p.win.wt <> g.gw.wt OR p.win.val <> g.gw.val
+"""
+
+QUERIES["local_quorum_repair"] = q_local_quorum_repair
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {

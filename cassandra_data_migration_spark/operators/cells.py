@@ -152,6 +152,89 @@ def quorum_read_repair(
     )
 
 
+def local_quorum_read_repair(
+    replicas_by_dc: dict[str, list[DataFrame]],
+    key_col: str,
+    value_col: str,
+    writetime_col: str,
+) -> DataFrame:
+    """Per-DC read-repair report under LOCAL_QUORUM — the multi-DC
+    twin of :func:`quorum_read_repair`.  A LOCAL_QUORUM coordinator
+    reconciles only ITS datacenter's replicas
+    (NetworkTopologyStrategy keyspaces, the reference's own layout:
+    lab/init-scripts/01-create-schema.cql:4-8; per-DC consistency
+    reasoning in docs/05-zdm-approach.md localDC guidance), so the
+    winner and the write-back set are computed within each DC.
+
+    Output one row per (dc, key) where the DC needs ANY local repair
+    OR disagrees with the global (EACH_QUORUM) winner:
+    (dc, key, winner value/writetime — the LOCAL winner,
+    n_replicas_present, n_stale, dc_divergent).  ``dc_divergent``
+    marks keys whose local winner differs from the cross-DC LWW
+    winner — internally consistent DCs that still need a full
+    (cross-DC) repair pass, the blind spot LOCAL_QUORUM alone cannot
+    see.  Keys consistent locally AND globally are dropped.
+
+    Plan: one union of all replica scans, one groupBy (dc, key)
+    argmax, one groupBy (key) argmax for the global winner, joined
+    back on key — every shuffle is key-partitioned, state per key is
+    one struct per DC plus one global struct.
+    """
+    if not replicas_by_dc or not any(replicas_by_dc.values()):
+        raise ValueError("local_quorum_read_repair needs replicas")
+    k, v, w = key_col, value_col, writetime_col
+    n_by_dc = {dc: len(reps) for dc, reps in replicas_by_dc.items()}
+    tagged = None
+    for dc, reps in sorted(replicas_by_dc.items()):
+        for r in reps:
+            t = r.select(
+                F.col(k), F.col(v).alias("_v"), F.col(w).alias("_w")
+            ).withColumn("_dc", F.lit(dc))
+            tagged = t if tagged is None else tagged.unionByName(t)
+    per_dc = tagged.groupBy("_dc", k).agg(
+        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
+            "_win"
+        ),
+        F.count(F.lit(1)).alias("n_replicas_present"),
+    )
+    current = (
+        tagged.join(per_dc.select("_dc", k, "_win"), ["_dc", k])
+        .filter(
+            (F.col("_w") == F.col("_win.wt"))
+            & (F.col("_v") == F.col("_win.val"))
+        )
+        .groupBy("_dc", k)
+        .agg(F.count(F.lit(1)).alias("_n_current"))
+    )
+    global_win = tagged.groupBy(k).agg(
+        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
+            "_gwin"
+        )
+    )
+    n_expr = F.create_map(
+        *[x for dc, n in sorted(n_by_dc.items()) for x in (F.lit(dc), F.lit(n))]
+    )
+    return (
+        per_dc.join(current, ["_dc", k], "left")
+        .join(global_win, k)
+        .select(
+            F.col("_dc").alias("dc"),
+            F.col(k),
+            F.col("_win.val").alias("winner_" + v),
+            F.col("_win.wt").alias("winner_" + w),
+            "n_replicas_present",
+            (n_expr[F.col("_dc")] - F.coalesce(F.col("_n_current"), F.lit(0)))
+            .cast("long")
+            .alias("n_stale"),
+            (
+                (F.col("_win.wt") != F.col("_gwin.wt"))
+                | (F.col("_win.val") != F.col("_gwin.val"))
+            ).alias("dc_divergent"),
+        )
+        .filter((F.col("n_stale") > 0) | F.col("dc_divergent"))
+    )
+
+
 def cas_replay(
     ops: DataFrame,
     key_col: str,

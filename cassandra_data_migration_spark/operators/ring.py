@@ -222,6 +222,175 @@ def replica_ownership(
     )
 
 
+def topology_nodes(
+    dcs: dict[str, int], racks_per_dc: int = 2
+) -> list[tuple[int, str, int]]:
+    """[(node_id, dc, rack)] — global node ids assigned contiguously
+    per DC (node_id // 1000 is NOT meaningful; use the returned dc),
+    racks round-robined inside each DC.  The reference keyspace is
+    NetworkTopologyStrategy over named DCs
+    (lab/init-scripts/01-create-schema.cql:4-8: dc1/datacenter1),
+    and the ZDM runbook reasons about per-DC placement
+    (docs/05-zdm-approach.md localDC settings)."""
+    out: list[tuple[int, str, int]] = []
+    nid = 0
+    for dc in sorted(dcs):
+        for i in range(dcs[dc]):
+            out.append((nid, dc, i % racks_per_dc))
+            nid += 1
+    return out
+
+
+def nts_ring(
+    nodes: list[tuple[int, str, int]],
+    vnodes_per_node: int = 16,
+    seed: str = "ring",
+) -> list[tuple[int, int]]:
+    """[(token, node_id)] sorted — same deterministic vnode draw as
+    :func:`vnode_ring`, over explicitly-described nodes."""
+    entries = [
+        (_py_token(seed, n, v), n)
+        for n, _, _ in nodes
+        for v in range(vnodes_per_node)
+    ]
+    entries.sort()
+    return entries
+
+
+def nts_replica_sets(
+    ring: list[tuple[int, int]],
+    nodes: list[tuple[int, str, int]],
+    rf_per_dc: dict[str, int],
+) -> list[tuple[int, list[int]]]:
+    """[(token, [owners])] per vnode slot under
+    NetworkTopologyStrategy: for each DC independently, walk the ring
+    clockwise from the slot collecting ``rf_dc`` DISTINCT nodes,
+    preferring one per RACK first (a node whose rack is already
+    represented is deferred and only seated once every rack in the DC
+    has a replica) — the public NTS placement rule
+    (NetworkTopologyStrategy.calculateNaturalEndpoints).  Driver-side
+    over the tiny ring; results ship as broadcast literals."""
+    dc_of = {n: dc for n, dc, _ in nodes}
+    rack_of = {n: r for n, _, r in nodes}
+    n_slots = len(ring)
+    out: list[tuple[int, list[int]]] = []
+    for i, (tok, _) in enumerate(ring):
+        owners: list[int] = []
+        for dc in sorted(rf_per_dc):
+            rf = rf_per_dc[dc]
+            taken: list[int] = []
+            seen_racks: set[int] = set()
+            skipped: list[int] = []
+            j = i
+            while len(taken) < rf and j < i + n_slots:
+                node = ring[j % n_slots][1]
+                j += 1
+                if dc_of[node] != dc or node in taken:
+                    continue
+                if rack_of[node] in seen_racks:
+                    if node not in skipped:
+                        skipped.append(node)
+                    continue
+                taken.append(node)
+                seen_racks.add(rack_of[node])
+            for node in skipped:  # racks exhausted: seat deferred nodes
+                if len(taken) >= rf:
+                    break
+                taken.append(node)
+            owners.extend(taken)
+        out.append((tok, owners))
+    return out
+
+
+def replica_ownership_nts(
+    df: DataFrame,
+    key_col: str,
+    dcs: dict[str, int] | None = None,
+    rf_per_dc: dict[str, int] | None = None,
+    racks_per_dc: int = 2,
+    vnodes_per_node: int = 16,
+    seed: str = "ring",
+) -> DataFrame:
+    """(dc, node, n_replica_rows, pct_of_rows) under
+    NetworkTopologyStrategy — the per-DC capacity sheet a multi-DC
+    migration provisions from (each DC holds rf_dc full copies, rack-
+    spread).  Plan shape: identical to :func:`replica_ownership` —
+    the NTS walk only changes WHICH literals the broadcast ranges
+    table holds, never the data-side plan (one token projection, one
+    broadcast range join, O(nodes) aggregate)."""
+    dcs = dcs or {"dc1": 3, "dc2": 3}
+    rf_per_dc = rf_per_dc or {dc: min(3, n) for dc, n in dcs.items()}
+    nodes = topology_nodes(dcs, racks_per_dc)
+    ring = nts_ring(nodes, vnodes_per_node, seed)
+    sets = nts_replica_sets(ring, nodes, rf_per_dc)
+    ranges: list[tuple[int | None, int, int]] = []
+    prev: int | None = None
+    for tok, owners in sets:
+        ranges.extend((prev, tok, n) for n in owners)
+        prev = tok
+    total = df.count()
+    dc_expr = F.create_map(
+        *[x for n, dc, _ in nodes for x in (F.lit(n), F.lit(dc))]
+    )
+    return (
+        _assign_nodes(df, key_col, ranges, seed)
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("n_replica_rows"))
+        .select(
+            dc_expr[F.col("node")].alias("dc"),
+            "node",
+            "n_replica_rows",
+            F.round(F.col("n_replica_rows") / F.lit(total), 4).alias(
+                "pct_of_rows"
+            ),
+        )
+    )
+
+
+def replica_nts_sql(
+    table: str,
+    key_expr: str,
+    dcs: dict[str, int] | None = None,
+    rf_per_dc: dict[str, int] | None = None,
+    racks_per_dc: int = 2,
+    vnodes_per_node: int = 16,
+    seed: str = "ring",
+) -> str:
+    """DuckDB twin of :func:`replica_ownership_nts` (same ring and
+    placement literals, derived by the same driver-side walk)."""
+    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
+
+    dcs = dcs or {"dc1": 3, "dc2": 3}
+    rf_per_dc = rf_per_dc or {dc: min(3, n) for dc, n in dcs.items()}
+    nodes = topology_nodes(dcs, racks_per_dc)
+    ring = nts_ring(nodes, vnodes_per_node, seed)
+    sets = nts_replica_sets(ring, nodes, rf_per_dc)
+    tokens = "[" + ", ".join(str(t) for t, _ in sets) + "]"
+    owners = (
+        "["
+        + ", ".join("[" + ", ".join(str(n) for n in ns) + "]" for _, ns in sets)
+        + "]"
+    )
+    dc_case = " ".join(
+        f"WHEN {n} THEN '{dc}'" for n, dc, _ in nodes
+    )
+    tok = md5_draw_sql(seed + ":key", key_expr)
+    return f"""
+        WITH assigned AS (
+            SELECT unnest(({owners})[list_position({tokens},
+                       COALESCE(list_min(list_filter({tokens},
+                                t -> t >= {tok})), {sets[0][0]}))]) AS node
+            FROM {table}
+        ),
+        tot AS (SELECT COUNT(*) AS n FROM {table})
+        SELECT CASE node {dc_case} END AS dc,
+               node, COUNT(*) AS n_replica_rows,
+               ROUND(COUNT(*) * 1.0 / tot.n, 4) AS pct_of_rows
+        FROM assigned, tot
+        GROUP BY node, tot.n
+    """
+
+
 def replica_sql(
     table: str,
     key_expr: str,

@@ -183,3 +183,94 @@ def test_fake_writer_overwrite_abort_preserves_old_table(spark, tmp_path):
         src.write(bad, "t", mode="overwrite")
     got = {(r["k"], r["v"]) for r in src.read(spark, "t").collect()}
     assert got == {(1, "a"), (2, "b")}
+
+
+# --- NetworkTopologyStrategy placement (ring.py) ----------------------------
+
+
+def test_nts_replica_sets_rf_and_rack_invariants():
+    """Every vnode slot must seat exactly rf_dc DISTINCT nodes per DC,
+    spread across racks whenever the DC has that many racks."""
+    from cassandra_data_migration_spark.operators.ring import (
+        nts_replica_sets,
+        nts_ring,
+        topology_nodes,
+    )
+
+    dcs = {"dc1": 4, "dc2": 3}
+    rf = {"dc1": 3, "dc2": 2}
+    nodes = topology_nodes(dcs, racks_per_dc=2)
+    dc_of = {n: dc for n, dc, _ in nodes}
+    rack_of = {n: r for n, _, r in nodes}
+    ring = nts_ring(nodes, vnodes_per_node=8)
+    sets = nts_replica_sets(ring, nodes, rf)
+    assert len(sets) == 8 * 7
+    for _, owners in sets:
+        assert len(owners) == len(set(owners)) == 5
+        for dc, want in rf.items():
+            mine = [n for n in owners if dc_of[n] == dc]
+            assert len(mine) == want, (dc, owners)
+            racks = {rack_of[n] for n in mine}
+            # 2 racks per DC: any placement of >=2 replicas must span
+            # both racks (the rack-diversity rule)
+            if want >= 2:
+                assert len(racks) == 2, (dc, owners)
+
+
+def test_nts_single_rack_dc_falls_back():
+    """A one-rack DC cannot spread racks; the walk must still seat
+    rf distinct nodes instead of starving."""
+    from cassandra_data_migration_spark.operators.ring import (
+        nts_replica_sets,
+        nts_ring,
+        topology_nodes,
+    )
+
+    nodes = topology_nodes({"dc1": 3}, racks_per_dc=1)
+    ring = nts_ring(nodes, vnodes_per_node=4)
+    sets = nts_replica_sets(ring, nodes, {"dc1": 3})
+    for _, owners in sets:
+        assert sorted(owners) == [0, 1, 2]
+
+
+def test_nts_ownership_totals(spark):
+    """Per-DC replica rows must sum to rf_dc full copies of the table."""
+    from cassandra_data_migration_spark.operators.ring import (
+        replica_ownership_nts,
+    )
+
+    df = spark.range(0, 2000).select(F.col("id").alias("k"))
+    out = replica_ownership_nts(
+        df, "k", dcs={"dc1": 4, "dc2": 3}, rf_per_dc={"dc1": 3, "dc2": 2}
+    ).collect()
+    per_dc = {}
+    for r in out:
+        per_dc[r["dc"]] = per_dc.get(r["dc"], 0) + r["n_replica_rows"]
+    assert per_dc == {"dc1": 3 * 2000, "dc2": 2 * 2000}
+
+
+def test_local_quorum_repair_divergence_classes(spark):
+    """dc-local staleness and cross-DC divergence must classify
+    independently: a key stale in one DC only, and a key whose DCs
+    are each internally consistent yet disagree."""
+    from cassandra_data_migration_spark.operators.cells import (
+        local_quorum_read_repair,
+    )
+
+    def df(rows):
+        return spark.createDataFrame(rows, "k long, v long, wt long")
+
+    # dc1: replicas agree on (k=1, v=10, wt=100); dc2 replicas agree
+    # on a NEWER (v=20, wt=200) -> dc1 divergent but locally clean.
+    # k=2: dc1 internally stale (one replica behind), dc2 clean+same.
+    reps = {
+        "dc1": [df([(1, 10, 100), (2, 5, 50)]), df([(1, 10, 100), (2, 7, 70)])],
+        "dc2": [df([(1, 20, 200), (2, 7, 70)]), df([(1, 20, 200), (2, 7, 70)])],
+    }
+    out = {
+        (r["dc"], r["k"]): (r["n_stale"], r["dc_divergent"])
+        for r in local_quorum_read_repair(reps, "k", "v", "wt").collect()
+    }
+    assert out[("dc1", 1)] == (0, True)  # locally clean, behind dc2
+    assert out[("dc1", 2)] == (1, False)  # locally stale, globally fine
+    assert ("dc2", 1) not in out and ("dc2", 2) not in out
