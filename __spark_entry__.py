@@ -9817,6 +9817,70 @@ ORACLES["local_quorum_repair"] = f"""
 QUERIES["local_quorum_repair"] = q_local_quorum_repair
 
 
+# --- round 7: Prometheus histogram buckets + quantile reconstruction -------
+
+# latency (cents of the events value, standing in for ms) bucket
+# bounds; the last finite le covers the fixture max so +Inf is empty
+_LATENCY_LES = [500, 1000, 2500, 5000, 10000, 25000, 50000]
+_LATENCY_SQL = (
+    "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat FROM events"
+)
+
+
+def _latency_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events").select(
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("lat")
+    )
+
+
+def q_latency_histogram_buckets(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the _bucket{le=} series a scrape target exports: cumulative
+    # counts per configured bound incl. the mandatory +Inf row (=
+    # _count) — exercise 6's dashboards consume exactly this shape
+    from cassandra_data_migration_spark.streaming.histograms import (
+        cumulative_histogram,
+    )
+
+    return cumulative_histogram(
+        _latency_cents(spark, sf_dir), "lat", _LATENCY_LES
+    )
+
+
+def q_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL histogram_quantile reconstruction (p50/p95/p99) from the
+    # cumulative buckets — deliberately the BOARD's number (with its
+    # bucketing error), not a raw-data percentile; exact integer
+    # interpolation so the DuckDB twin matches bit-for-bit
+    from cassandra_data_migration_spark.streaming.histograms import (
+        histogram_quantiles,
+    )
+
+    return histogram_quantiles(
+        _latency_cents(spark, sf_dir), "lat", _LATENCY_LES
+    )
+
+
+def _histogram_oracles() -> tuple[str, str]:
+    from cassandra_data_migration_spark.streaming.histograms import (
+        cumulative_histogram_sql,
+        histogram_quantiles_sql,
+    )
+
+    return (
+        cumulative_histogram_sql(_LATENCY_SQL, "lat", _LATENCY_LES),
+        histogram_quantiles_sql(_LATENCY_SQL, "lat", _LATENCY_LES),
+    )
+
+
+_HIST_BUCKETS_SQL, _HIST_QUANTILES_SQL = _histogram_oracles()
+QUERIES["latency_histogram_buckets"] = q_latency_histogram_buckets
+ORACLES["latency_histogram_buckets"] = _HIST_BUCKETS_SQL
+QUERIES["histogram_percentiles"] = q_histogram_percentiles
+ORACLES["histogram_percentiles"] = _HIST_QUANTILES_SQL
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {

@@ -180,6 +180,41 @@ def render_query_progress(progress: dict, prefix: str = "cdm_spark") -> str:
     return "\n".join(out)
 
 
+def render_histogram(
+    name: str,
+    buckets: list[tuple[str, int]],
+    sum_value: float,
+    labels: dict[str, str] | None = None,
+    help_text: str | None = None,
+) -> str:
+    """A full histogram family in exposition format:
+    ``<name>_bucket{le=...}`` per CUMULATIVE bucket (the '+Inf'
+    bucket is mandatory and equals ``_count``), then ``_sum`` and
+    ``_count`` — the exact series the reference's Grafana boards feed
+    into ``histogram_quantile``
+    (lab/exercises/06-validation-monitoring.md:455-497).
+
+    ``buckets`` is [(le_string, cumulative_count)] in ascending le
+    order ending with '+Inf' (the shape
+    ``streaming.histograms.cumulative_histogram`` emits)."""
+    if not buckets or buckets[-1][0] != "+Inf":
+        raise ValueError("histogram buckets must end with '+Inf'")
+    lines = []
+    if help_text:
+        lines.append(f"# HELP {name} {help_text}")
+    lines.append(f"# TYPE {name} histogram")
+    base = dict(labels or {})
+    for le, cum in buckets:
+        lines.append(
+            f"{name}_bucket{_fmt_labels({**base, 'le': le})} {cum}"
+        )
+    count = buckets[-1][1]
+    s = int(sum_value) if float(sum_value).is_integer() else sum_value
+    lines.append(f"{name}_sum{_fmt_labels(base)} {s}")
+    lines.append(f"{name}_count{_fmt_labels(base)} {count}")
+    return "\n".join(lines)
+
+
 class MetricsEndpoint:
     """A /metrics scrape target over registered render callables.
 

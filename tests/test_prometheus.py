@@ -89,3 +89,103 @@ def test_endpoint_scrape_roundtrip():
             assert 'cluster="origin"} 25' in r.read().decode()
     finally:
         ep.close()
+
+
+def test_render_histogram_exposition_format():
+    from cassandra_data_migration_spark.streaming.prometheus import (
+        render_histogram,
+    )
+
+    text = render_histogram(
+        "cdm_spark_request_duration_ms",
+        [("500", 971), ("1000", 1816), ("+Inf", 10000)],
+        sum_value=123456,
+        labels={"cluster": "origin"},
+        help_text="request latency",
+    )
+    lines = text.split("\n")
+    assert lines[0] == "# HELP cdm_spark_request_duration_ms request latency"
+    assert lines[1] == "# TYPE cdm_spark_request_duration_ms histogram"
+    assert (
+        'cdm_spark_request_duration_ms_bucket{cluster="origin",le="500"} 971'
+        in lines
+    )
+    assert (
+        'cdm_spark_request_duration_ms_bucket{cluster="origin",le="+Inf"} 10000'
+        in lines
+    )
+    # _count equals the +Inf cumulative bucket — the scrape invariant
+    assert 'cdm_spark_request_duration_ms_count{cluster="origin"} 10000' in lines
+    assert 'cdm_spark_request_duration_ms_sum{cluster="origin"} 123456' in lines
+
+
+def test_render_histogram_requires_inf():
+    import pytest
+
+    from cassandra_data_migration_spark.streaming.prometheus import (
+        render_histogram,
+    )
+
+    with pytest.raises(ValueError, match="\\+Inf"):
+        render_histogram("m", [("500", 1)], 1.0)
+
+
+def test_histogram_quantile_known_values(spark):
+    """Hand-checkable reconstruction: 100 values uniform over one
+    bucket — the PromQL linear interpolation lands exactly q of the
+    way through the bucket."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.streaming.histograms import (
+        histogram_quantiles,
+    )
+
+    # 100 rows all inside (0, 1000]: p50 = 0 + 1000 * (50/100) = 500
+    df = spark.range(0, 100).select((F.col("id") * 10 + 1).alias("lat"))
+    got = {
+        r["q_ppm"]: r["value_fp"]
+        for r in histogram_quantiles(
+            df, "lat", [1000, 2000], q_ppm=[500_000, 990_000]
+        ).collect()
+    }
+    assert got[500_000] == 500 * 10_000
+    assert got[990_000] == 990 * 10_000
+
+
+def test_histogram_quantile_inf_clamps(spark):
+    """Rank landing in +Inf clamps to the last finite le — the
+    documented PromQL contract."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.streaming.histograms import (
+        histogram_quantiles,
+    )
+
+    df = spark.range(0, 10).select((F.lit(5000)).alias("lat"))
+    got = {
+        r["q_ppm"]: r["value_fp"]
+        for r in histogram_quantiles(
+            df, "lat", [10, 20], q_ppm=[500_000]
+        ).collect()
+    }
+    assert got[500_000] == 20 * 10_000
+
+
+def test_cumulative_histogram_exports_empty_buckets(spark):
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.streaming.histograms import (
+        cumulative_histogram,
+    )
+
+    df = spark.range(0, 5).select(F.lit(7).alias("lat"))
+    rows = {
+        r["le"]: (r["bucket_count"], r["cumulative_count"])
+        for r in cumulative_histogram(df, "lat", [5, 10, 20]).collect()
+    }
+    assert rows == {
+        "5": (0, 0),
+        "10": (5, 5),
+        "20": (0, 5),
+        "+Inf": (0, 5),
+    }
