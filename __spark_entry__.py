@@ -9881,6 +9881,194 @@ QUERIES["histogram_percentiles"] = q_histogram_percentiles
 ORACLES["histogram_percentiles"] = _HIST_QUANTILES_SQL
 
 
+# --- round 7: ZDM 5-phase walkthrough ---------------------------------------
+
+
+def q_zdm_phase_walkthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the whole ZDM lifecycle (docs/05-zdm-approach.md:323-539;
+    # lab/exercises/05-zdm-migration.md:26-33) driven end-to-end
+    # through PhaseMachine + ReadRouter over one mutation log: events
+    # split into 5 chronological segments (one per phase), reads
+    # routed per the phase's proxy config (one route() per user
+    # bucket, shadow compares sampled 1-in-4 in phase 3), writes
+    # dual-written while the phase requires it and direct-to-target
+    # after cutover.  Every count is an exact function of the log, so
+    # the oracle replays the same bookkeeping in SQL.
+    from cassandra_data_migration_spark.streaming.routing import (
+        PHASE_ORDER,
+        PhaseMachine,
+        RouterMetrics,
+    )
+
+    ev = load_table(spark, sf_dir, "events")
+    # post-backfill: clusters hold identical data — but the router
+    # distinguishes clusters by OBJECT identity, so target gets its
+    # own DataFrame handle
+    origin, target = ev, ev.alias("zdm_target")
+    stats = (
+        ev.select(
+            F.pmod("event_id", F.lit(5)).alias("ph"),
+            (F.pmod("event_id", F.lit(3)) == 0).alias("is_read"),
+            F.pmod("user_id", F.lit(8)).alias("bucket"),
+        )
+        .groupBy("ph")
+        .agg(
+            F.sum((~F.col("is_read")).cast("long")).alias("n_writes"),
+            F.sort_array(
+                F.collect_set(
+                    F.when(F.col("is_read"), F.col("bucket"))
+                )
+            ).alias("read_buckets"),
+        )
+        .collect()
+    )
+    by_ph = {r["ph"]: r for r in stats}
+    machine = PhaseMachine()
+    out = []
+    for i, phase in enumerate(PHASE_ORDER):
+        m = RouterMetrics()
+        router = machine.router(m)
+        router.shadow_compare_every = 4
+        r = by_ph[i]
+        for b in [x for x in r["read_buckets"] if x is not None]:
+            router.route(
+                origin,
+                target,
+                lambda df, b=b: df.filter(F.pmod("user_id", F.lit(8)) == b),
+            )
+        n_writes = int(r["n_writes"])
+        out.append(
+            (
+                phase.value,
+                m.reads_origin,
+                m.reads_target,
+                m.shadow_reads,
+                m.shadow_compared,
+                m.shadow_mismatches,
+                n_writes if machine.dual_write_enabled else 0,
+                n_writes,
+            )
+        )
+        if i + 1 < len(PHASE_ORDER):
+            machine.advance()
+    return spark.createDataFrame(
+        out,
+        "phase string, reads_origin long, reads_target long, "
+        "shadow_reads long, shadow_compared long, shadow_mismatches long, "
+        "rows_written_origin long, rows_written_target long",
+    )
+
+
+ORACLES["zdm_phase_walkthrough"] = """
+    WITH ops AS (
+        SELECT event_id % 5 AS ph,
+               (event_id % 3 = 0) AS is_read,
+               user_id % 8 AS bucket
+        FROM events
+    ),
+    agg AS (
+        SELECT ph,
+               COUNT(CASE WHEN NOT is_read THEN 1 END) AS nw,
+               COUNT(DISTINCT CASE WHEN is_read THEN bucket END) AS nb
+        FROM ops GROUP BY ph
+    ),
+    named AS (
+        SELECT ph, nw, nb,
+               CASE ph WHEN 0 THEN '1_dual_write_on'
+                       WHEN 1 THEN '2_backfill'
+                       WHEN 2 THEN '3_shadow_reads'
+                       WHEN 3 THEN '4_reads_to_target'
+                       WHEN 4 THEN '5_direct_to_target' END AS phase
+        FROM agg
+    )
+    SELECT phase,
+           CAST(CASE WHEN ph <= 2 THEN nb ELSE 0 END AS BIGINT)
+               AS reads_origin,
+           CAST(CASE WHEN ph >= 3 THEN nb ELSE 0 END AS BIGINT)
+               AS reads_target,
+           CAST(CASE WHEN ph = 2 THEN nb ELSE 0 END AS BIGINT)
+               AS shadow_reads,
+           CAST(CASE WHEN ph = 2 THEN (nb + 3) // 4 ELSE 0 END AS BIGINT)
+               AS shadow_compared,
+           CAST(0 AS BIGINT) AS shadow_mismatches,
+           CAST(CASE WHEN ph <= 3 THEN nw ELSE 0 END AS BIGINT)
+               AS rows_written_origin,
+           CAST(nw AS BIGINT) AS rows_written_target
+    FROM named
+"""
+
+QUERIES["zdm_phase_walkthrough"] = q_zdm_phase_walkthrough
+
+
+# --- round 7: connector write-path options audit ----------------------------
+
+
+def q_connector_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the write twin of connector_scan: region is batch-written
+    # THROUGH the live connector code path with the reference's write
+    # knobs (cdm.properties:28-31 batchSize / ratelimit.target →
+    # output.batch.size.rows / the CDM property verbatim), the fake
+    # records the option map it received, and the audit report proves
+    # (a) every row arrived (read back through the same seam) and
+    # (b) each knob reached the source as the documented option
+    import json as _json
+    import tempfile
+
+    from cassandra_data_migration_spark.sources.connector import (
+        CassandraTableSource,
+    )
+    from cassandra_data_migration_spark.sources.fake_cassandra import (
+        fake_cql_log_path,
+        register_fake_cassandra,
+    )
+
+    register_fake_cassandra(spark)
+    ks = tempfile.mkdtemp(prefix="write_audit_ks_")
+    src = CassandraTableSource(keyspace=ks)
+    src.write(
+        load_table(spark, sf_dir, "region"),
+        "region_copy",
+        batch_size_rows=500,
+        rate_limit_rows_per_sec=5000,
+        consistency="LOCAL_QUORUM",
+    )
+    rows_written = src.read(spark, "region_copy").count()
+    rec = None
+    with open(fake_cql_log_path()) as fh:
+        for line in fh:
+            if ks in line and '"_op": "write"' in line:
+                rec = _json.loads(line)
+    if rec is None:
+        raise RuntimeError("fake connector recorded no write for the audit")
+    audit = [
+        ("rows_written", str(rows_written)),
+        (
+            "batch_size_rows",
+            rec.get("spark.cassandra.output.batch.size.rows", "MISSING"),
+        ),
+        (
+            "ratelimit_rows_per_sec",
+            rec.get("spark.cdm.perfops.ratelimit.target", "MISSING"),
+        ),
+        (
+            "consistency",
+            rec.get("spark.cassandra.output.consistency.level", "MISSING"),
+        ),
+    ]
+    return spark.createDataFrame(audit, "audit_key string, value string")
+
+
+ORACLES["connector_write_audit"] = """
+    SELECT 'rows_written' AS audit_key,
+           CAST(COUNT(*) AS VARCHAR) AS value FROM region
+    UNION ALL SELECT 'batch_size_rows', '500'
+    UNION ALL SELECT 'ratelimit_rows_per_sec', '5000'
+    UNION ALL SELECT 'consistency', 'LOCAL_QUORUM'
+"""
+
+QUERIES["connector_write_audit"] = q_connector_write_audit
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {
