@@ -4490,25 +4490,32 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 # r1-r4 driver verdicts after this rotation: 188 distinct; the ~38
 # still-unchecked entries (media_decode .. audio_tone_detect block)
 # rotate in next round.
-# round-6 rotation: the seven new cell/repair/mixture queries lead so the
-# driver's 50-query hard gate (its canonicalizer is stricter than ours)
-# exercises them this round, followed by the core migrate/validate/ZDM
-# operators last driver-sampled in rounds 2-3
+# round-7 rotation: the eight new queries lead (scoped repair, cell
+# TTL, NTS placement, per-DC quorum, histograms, ZDM walkthrough,
+# write audit) so the driver's 50-query hard gate exercises them,
+# followed by the five queries whose semantics changed this round
+# (null-safe digests, TTL'd tombstone GC, the kmeans update rewrite,
+# the connector option plumbing), then 37 entries the driver has
+# never sampled (dedup/ANN, multimodal, lakehouse DML, streaming
+# sketches — its canonicalizer is stricter than ours on arrays and
+# doubles, so these blocks need a driver pass)
 _ROUND_HEAD: list[str] = [
-    "cell_compaction", "quorum_read_repair", "cas_replay", "stream_cell_lww",
-    "tombstone_gc", "repair_pipeline", "doremi_weights", "pricing_summary",
-    "traffic_summary", "migrate_pipeline", "migrate_bulk", "migrate_dry_run",
-    "csv_roundtrip", "csv_gzip_roundtrip", "json_roundtrip",
-    "csv_import_quarantine", "orc_roundtrip", "partitioned_events",
-    "table_stats", "run_tracker_resume", "lab_migration_report",
-    "paged_fetch_audit", "throttle_schedule", "missing_rows",
-    "mismatch_detect", "reconcile_rows", "bucket_count_compare",
-    "sample_validate", "validation_summary", "schema_diff", "autocorrect_lww",
-    "lww_merge", "stream_dual_write", "stream_windowed_rate", "read_routing",
-    "traffic_ops_mix", "continuous_validation_ticks", "alert_error_windows",
-    "observe_progress", "latency_harness", "writetime_shift", "ttl_expiry",
-    "counter_merge", "null_unset_mask", "custom_transform", "uuid_derivation",
-    "synthetic_users", "order_items_list", "map_explode", "fk_join_enrich",
+    "cell_ttl_expiry", "repair_pipeline_pruned", "replica_ownership_nts",
+    "local_quorum_repair", "latency_histogram_buckets",
+    "histogram_percentiles", "zdm_phase_walkthrough", "connector_write_audit",
+    "kmeans_clusters", "connector_scan", "tombstone_gc", "repair_pipeline",
+    "merkle_range_diff",
+    "media_decode", "multimodal_features", "video_frame_stats",
+    "audio_tone_detect", "minhash_lsh_dedup", "dup_clusters", "dedup_exact",
+    "dedup_ngram_jaccard", "minhash_signatures", "lsh_candidates", "simhash",
+    "cosine_topk", "embedding_near_dup", "ivf_topk", "ivf_pq_topk",
+    "quantized_topk", "ann_lsh_pairs", "semantic_dedup", "decontaminate",
+    "incremental_dedup", "lsh_index_incremental", "chunk_dedup",
+    "line_dedup_docs", "substring_dup_spans", "stream_cow_upsert",
+    "cow_merge_upsert", "cow_time_travel", "cow_delete_purge",
+    "snapshot_changes_feed", "cow_merge_lww", "stream_cdc_state",
+    "stream_quantiles", "stream_sessions", "stream_trending", "stream_cms",
+    "stream_hll", "stream_kmv",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 
