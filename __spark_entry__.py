@@ -10076,6 +10076,182 @@ ORACLES["connector_write_audit"] = """
 QUERIES["connector_write_audit"] = q_connector_write_audit
 
 
+# --- round 7: PromQL evaluation (irate / rate / deriv) ----------------------
+# The reference's dashboards COMPUTE with PromQL functions over the
+# scraped series (lab/monitoring/grafana-dashboards/
+# zdm-proxy-dashboard.json: irate(..._count[range]) throughput panels;
+# zdm-go-runtime-metrics.json: deriv(go_memstats_*) trends).  The
+# histogram work (latency_histogram_buckets / histogram_percentiles)
+# covered the export + histogram_quantile sides; these cover the
+# counter/gauge function family, evaluated exactly.
+
+# scrape every 6h; the counter RESETS at 2024-01-15T00:00Z (process
+# restart) so reset compensation is exercised on real fixture data
+_PROM_STEP_MS = 21_600_000
+_PROM_RESET_BUCKET = 1_705_276_800_000 // _PROM_STEP_MS
+_PROM_RANGE = (1_704_844_800_000, 1_705_708_800_000)  # Jan 10 → Jan 20
+_PROM_SCALE = 1_000_000_000
+
+_PROM_COUNTER_SQL = f"""
+    SELECT event_type,
+           (b + 1) * {_PROM_STEP_MS} AS ts_ms,
+           CAST(cum - CASE WHEN b >= {_PROM_RESET_BUCKET} THEN pre
+                           ELSE 0 END AS BIGINT) AS value
+    FROM (
+        SELECT event_type, b, c,
+               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
+               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN c ELSE 0 END)
+                   OVER (PARTITION BY event_type) AS pre
+        FROM (
+            SELECT event_type,
+                   epoch_ms(ts) // {_PROM_STEP_MS} AS b,
+                   COUNT(*) AS c
+            FROM events GROUP BY 1, 2
+        )
+    )
+"""
+
+_PROM_GAUGE_SQL = f"""
+    SELECT event_type,
+           (b + 1) * {_PROM_STEP_MS} AS ts_ms,
+           CAST(c AS BIGINT) AS value
+    FROM (
+        SELECT event_type,
+               epoch_ms(ts) // {_PROM_STEP_MS} AS b,
+               COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    )
+"""
+
+
+def _prom_counter_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative request-counter scrapes per event_type with one
+    mid-month reset — the ``zdm_*_request_duration_seconds_count``
+    shape the proxy dashboard rates over."""
+    from pyspark.sql import Window
+
+    counts = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("event_type")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("event_type")
+    return counts.select(
+        "event_type",
+        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
+        (
+            F.sum("c").over(w_cum)
+            - F.when(
+                F.col("b") >= _PROM_RESET_BUCKET,
+                F.sum(
+                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("c"))
+                    .otherwise(F.lit(0))
+                ).over(w_all),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("value"),
+    )
+
+
+def _prom_gauge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scrape event counts as a gauge series (the go-runtime
+    dashboard's deriv() input shape)."""
+    return (
+        load_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
+        )
+        .groupBy("event_type", "b")
+        .agg(F.count(F.lit(1)).cast("long").alias("value"))
+        .select(
+            "event_type",
+            ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
+            "value",
+        )
+    )
+
+
+def q_prom_counter_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the dashboard's throughput panels: irate = reset-adjusted delta
+    # of the LAST TWO scrapes over their gap (per-second fixed point)
+    from cassandra_data_migration_spark.streaming.promql import irate
+
+    return irate(
+        _prom_counter_samples(spark, sf_dir),
+        ["event_type"],
+        out_scale=_PROM_SCALE,
+    )
+
+
+def q_prom_rate_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL rate() over a 10-day range spanning the counter reset:
+    # reset-compensated increase × the documented boundary
+    # extrapolation factor (incl. the counter zero-crossing cap),
+    # all in exact rational arithmetic
+    from cassandra_data_migration_spark.streaming.promql import (
+        extrapolated_rate,
+    )
+
+    return extrapolated_rate(
+        _prom_counter_samples(spark, sf_dir),
+        ["event_type"],
+        range_start_ms=_PROM_RANGE[0],
+        range_end_ms=_PROM_RANGE[1],
+        out_scale=_PROM_SCALE,
+    )
+
+
+def q_prom_gauge_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # PromQL deriv(): per-series least-squares slope of a gauge,
+    # timestamps re-based per series, sign factored out of the one
+    # half-up division
+    from cassandra_data_migration_spark.streaming.promql import deriv
+
+    return deriv(
+        _prom_gauge_samples(spark, sf_dir),
+        ["event_type"],
+        out_scale=_PROM_SCALE,
+    )
+
+
+def _prom_oracles() -> tuple[str, str, str]:
+    from cassandra_data_migration_spark.streaming.promql import (
+        deriv_sql,
+        extrapolated_rate_sql,
+        irate_sql,
+    )
+
+    return (
+        irate_sql(_PROM_COUNTER_SQL, ["event_type"], out_scale=_PROM_SCALE),
+        extrapolated_rate_sql(
+            _PROM_COUNTER_SQL,
+            ["event_type"],
+            range_start_ms=_PROM_RANGE[0],
+            range_end_ms=_PROM_RANGE[1],
+            out_scale=_PROM_SCALE,
+        ),
+        deriv_sql(_PROM_GAUGE_SQL, ["event_type"], out_scale=_PROM_SCALE),
+    )
+
+
+_PROM_IRATE_SQL, _PROM_RATE_SQL, _PROM_DERIV_SQL = _prom_oracles()
+QUERIES["prom_counter_irate"] = q_prom_counter_irate
+ORACLES["prom_counter_irate"] = _PROM_IRATE_SQL
+QUERIES["prom_rate_reconstruct"] = q_prom_rate_reconstruct
+ORACLES["prom_rate_reconstruct"] = _PROM_RATE_SQL
+QUERIES["prom_gauge_deriv"] = q_prom_gauge_deriv
+ORACLES["prom_gauge_deriv"] = _PROM_DERIV_SQL
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {
