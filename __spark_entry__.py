@@ -10252,6 +10252,46 @@ QUERIES["prom_gauge_deriv"] = q_prom_gauge_deriv
 ORACLES["prom_gauge_deriv"] = _PROM_DERIV_SQL
 
 
+# --- round 7: training-shard export manifest ---------------------------------
+
+
+def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the pipeline end-cap: seeded global shuffle (md5 order, two-phase
+    # bucketed rank — no global sort) -> round-robin shard assignment
+    # (sizes differ by <= 1 at any corpus size) -> per-shard manifest
+    # (rows, token sum, order-independent content digest)
+    from cassandra_data_migration_spark.operators.shards import (
+        training_shard_manifest,
+    )
+    from cassandra_data_migration_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return training_shard_manifest(
+        docs, "doc_id", "n_tok", n_shards=8, seed="r7"
+    )
+
+
+def _training_shards_oracle() -> str:
+    from cassandra_data_migration_spark.operators.shards import (
+        training_shard_manifest_sql,
+    )
+
+    return training_shard_manifest_sql(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tok"
+        " FROM documents",
+        "doc_id",
+        "n_tok",
+        n_shards=8,
+        seed="r7",
+    )
+
+
+QUERIES["training_shards"] = q_training_shards
+ORACLES["training_shards"] = _training_shards_oracle()
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {

@@ -1,0 +1,178 @@
+"""Training-shard export: deterministic global shuffle → round-robin
+shard assignment → one-file-per-shard layout + a verifiable manifest.
+
+The end-cap of the training-data pipeline: after curation, dedup and
+mixture sampling, the corpus must leave the engine as N equal shards
+a data loader can stream — globally shuffled (so each shard is an
+unbiased sample and sources interleave), reproducibly (same seed ⇒
+byte-identical shard membership), with a manifest the consumer can
+verify against (rows, token counts, an order-independent content
+digest per shard).
+
+Design for 100 TB:
+
+- The shuffle order is a seeded md5 draw per row
+  (functions/hashing.md5_draw) — a pure scan-side expression, no RNG
+  state, identical in the DuckDB oracle.
+- The global rank over that order uses the two-phase bucketed rank
+  (operators/ids.stable_dense_ids): percentile bounds → per-bucket
+  window + broadcast offsets.  No single-task global sort anywhere.
+- Shard id is round-robin over the rank (``(rank-1) % n_shards``), so
+  shard sizes differ by at most one row at ANY corpus size — range
+  slicing (``rank DIV shard_size``) would need the exact total first
+  and skews the last shard.
+- The manifest digest is the SUM of per-row 60-bit md5 draws mod
+  2**60 (the merkle leaf-digest construction) — order-independent, so
+  it verifies shard CONTENT without caring how the writer ordered
+  rows within the file.
+- ``write_training_shards`` clusters by shard before ``partitionBy``
+  (one file per shard, not tasks×shards small files — the same fix as
+  plans/repair.bucket_partitioned_write).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.functions.hashing import (
+    md5_draw,
+    md5_draw_sql,
+)
+from cassandra_data_migration_spark.operators.ids import stable_dense_ids
+
+TOKEN_SPACE = 1 << 60
+
+
+def assign_training_shards(
+    df: DataFrame,
+    id_col: str,
+    n_shards: int,
+    seed: str = "shards",
+) -> DataFrame:
+    """``df`` plus ``shard`` (0-based) and ``shuffle_rank`` (1-based
+    global position in the seeded shuffle order).  ``id_col`` must be
+    unique — it tiebreaks the order and keys the content digest."""
+    if n_shards < 1:
+        raise ValueError("n_shards must be >= 1")
+    ordered = df.withColumn("_ord", md5_draw(seed, id_col))
+    ranked = stable_dense_ids(
+        ordered, ["_ord", id_col], out="shuffle_rank"
+    )
+    return ranked.withColumn(
+        "shard", F.pmod(F.col("shuffle_rank") - 1, F.lit(n_shards)).cast("int")
+    ).drop("_ord")
+
+
+def _content_digest(id_col: str, seed: str) -> Column:
+    # order-independent: Σ per-row draws mod 2^60, folded in DECIMAL
+    # so partial aggregation never overflows (merkle.py construction)
+    return F.pmod(
+        F.sum(md5_draw(f"{seed}:content", id_col).cast("decimal(38,0)")),
+        F.lit(TOKEN_SPACE).cast("decimal(38,0)"),
+    ).cast("long")
+
+
+def training_shard_manifest(
+    df: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    n_shards: int,
+    seed: str = "shards",
+) -> DataFrame:
+    """(shard, n_docs, n_tokens, content_digest) — what a consumer
+    checks a delivered shard against.  One map-combined groupBy over
+    the shard assignment; O(n_shards) output rows."""
+    assigned = assign_training_shards(df, id_col, n_shards, seed)
+    return (
+        assigned.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col).cast("long").alias("n_tokens"),
+            _content_digest(id_col, seed).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    id_col: str,
+    token_count_col: str,
+    n_shards: int,
+    seed: str = "shards",
+) -> DataFrame:
+    """Materialize the shards under ``path`` (``shard=K`` directories,
+    one file each, rows ordered by shuffle_rank within the shard) and
+    return the manifest of what was written.  Readers stream shard
+    directories independently; the manifest digest verifies each."""
+    assigned = assign_training_shards(df, id_col, n_shards, seed)
+    (
+        assigned.repartition(n_shards, "shard")
+        .sortWithinPartitions("shuffle_rank")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    # manifest recomputed FROM THE WRITTEN FILES — it describes what a
+    # reader will actually get, not what the writer intended
+    return training_shard_manifest(
+        spark.read.parquet(path).drop("shard", "shuffle_rank"),
+        id_col,
+        token_count_col,
+        n_shards,
+        seed,
+    )
+
+
+def shard_content_report(
+    delivered: DataFrame,
+    id_col: str,
+    token_count_col: str,
+    seed: str = "shards",
+) -> DataFrame:
+    """The consumer-side half of the manifest contract: digest the
+    data AS DELIVERED, grouped by its ``shard`` column — no
+    reassignment, so a tampered/truncated shard file changes exactly
+    that shard's row.  Compare against :func:`training_shard_manifest`
+    (same seed) to accept or reject a delivery."""
+    return (
+        delivered.groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(token_count_col).cast("long").alias("n_tokens"),
+            _content_digest(id_col, seed).alias("content_digest"),
+        )
+        .orderBy("shard")
+    )
+
+
+def training_shard_manifest_sql(
+    table_sql: str,
+    id_col: str,
+    token_count_expr: str,
+    n_shards: int,
+    seed: str = "shards",
+) -> str:
+    """DuckDB twin of :func:`training_shard_manifest`.  The oracle may
+    use a plain global ROW_NUMBER — it runs at fixture scale; the
+    engine side is the one that must avoid the global sort."""
+    ord_expr = md5_draw_sql(seed, id_col)
+    digest_expr = md5_draw_sql(f"{seed}:content", id_col)
+    return f"""
+        WITH ranked AS (
+            SELECT {id_col},
+                   {token_count_expr} AS n_tok,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {ord_expr}, {id_col}) AS rnk
+            FROM ({table_sql})
+        )
+        SELECT CAST((rnk - 1) % {n_shards} AS INT) AS shard,
+               COUNT(*) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+               CAST(SUM({digest_expr}::HUGEINT)
+                    % {TOKEN_SPACE} AS BIGINT) AS content_digest
+        FROM ranked GROUP BY 1 ORDER BY 1
+    """

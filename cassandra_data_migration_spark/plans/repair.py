@@ -93,10 +93,20 @@ def bucket_partitioned_write(
     directory, so a flagged-bucket filter is PartitionFilters, not a
     post-scan predicate.  One-off layout cost, amortized across every
     subsequent repair/validation pass (the same trade as bucketed
-    join tables, sources/tables.ensure_bucketed_table)."""
-    df.withColumn(
-        "_merkle_bucket", token_bucket(key_col, leaves, seed)
-    ).write.mode("overwrite").partitionBy("_merkle_bucket").parquet(path)
+    join tables, sources/tables.ensure_bucketed_table).
+
+    Rows are clustered on the bucket before the write: without it
+    every upstream task fans out into up to ``leaves`` directories
+    (tasks x leaves small files — the classic partitionBy mistake);
+    with it each leaf directory holds O(1) files, so the flagged-leaf
+    read opens proportionally few files at any scale."""
+    (
+        df.withColumn("_merkle_bucket", token_bucket(key_col, leaves, seed))
+        .repartition(leaves, "_merkle_bucket")
+        .write.mode("overwrite")
+        .partitionBy("_merkle_bucket")
+        .parquet(path)
+    )
 
 
 def bucket_pruned_reader(spark, path: str) -> ScopedReader:

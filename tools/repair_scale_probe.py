@@ -22,7 +22,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F  # noqa: E402
 
+from cassandra_data_migration_spark.operators.merkle import (  # noqa: E402
+    merkle_diff,
+)
 from cassandra_data_migration_spark.plans.repair import (  # noqa: E402
+    bucket_partitioned_write,
+    bucket_pruned_reader,
     merkle_scoped_repair,
 )
 from cassandra_data_migration_spark.session import get_spark  # noqa: E402
@@ -42,6 +47,26 @@ def build(spark, n: int, path: str) -> None:
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def _scan_num_files(df) -> int:
+    """numFiles from the executed FileSourceScan (inputFiles() reflects
+    the UNPRUNED relation, so read the scan node's own metric)."""
+    plan = df._jdf.queryExecution().executedPlan()
+
+    def walk(node):
+        yield node
+        for i in range(node.children().size()):
+            yield from walk(node.children().apply(i))
+
+    for n in walk(plan):
+        if "Scan" in n.nodeName():
+            it = n.metrics().iterator()
+            while it.hasNext():
+                kv = it.next()
+                if kv._1() == "numFiles":
+                    return kv._2().value()
+    raise AssertionError("no file scan node found")
 
 
 def main() -> None:
@@ -115,6 +140,44 @@ def main() -> None:
         scoped_row_bytes = int(
             table_bytes * by_depth[4096]["scoped_fraction"]
         )
+        # round 7: the I/O-PRUNED path (VERDICT r6 "What's wrong" #1).
+        # Same repair over a 64-leaf bucket-partitioned lake layout with
+        # scoped readers: flagged leaves become PartitionFilters, so the
+        # row legs READ only the divergent directories — measure the
+        # executed scan's own numFiles against the layout's total.
+        o_lake, t_lake = f"{path}_lake_o", f"{path}_lake_t"
+        lake_leaves = 1024  # 4**5; sized >> the 50 corrupt keys
+        t0 = time.time()
+        bucket_partitioned_write(origin, o_lake, "k", leaves=lake_leaves)
+        bucket_partitioned_write(target, t_lake, "k", leaves=lake_leaves)
+        layout_wall = round(time.time() - t0, 2)
+        o_reader = bucket_pruned_reader(spark, o_lake)
+        t_reader = bucket_pruned_reader(spark, t_lake)
+        t0 = time.time()
+        pruned = {
+            r["metric"]: r["value"]
+            for r in merkle_scoped_repair(
+                spark.read.parquet(o_lake).drop("_merkle_bucket"),
+                spark.read.parquet(t_lake).drop("_merkle_bucket"),
+                "k",
+                ["k", "a", "b"],
+                depth=5,
+                scoped_origin=o_reader,
+                scoped_target=t_reader,
+            ).collect()
+        }
+        pruned_wall = round(time.time() - t0, 2)
+        assert pruned["post_missing"] == 0 and pruned["post_extra"] == 0
+        flagged = [
+            r["bucket"]
+            for r in merkle_diff(origin, target, "k", ["k", "a", "b"], depth=5)
+            .filter(F.col("status") != "match")
+            .collect()
+        ]
+        scoped = o_reader(flagged)
+        scoped.collect()
+        files_read = _scan_num_files(scoped)
+        files_total = len(spark.read.parquet(o_lake).inputFiles())
         out[tier] = {
             "rows": n,
             "scoped_repair_wall_s": scoped_wall,
@@ -122,6 +185,19 @@ def main() -> None:
             "by_leaves": by_depth,
             "cross_cluster_bytes_merkle": 4096 * 24 + scoped_row_bytes,
             "cross_cluster_bytes_naive": table_bytes,
+            "pruned_lake_path": {
+                "leaves": lake_leaves,
+                "layout_write_wall_s": layout_wall,
+                "repair_wall_s": pruned_wall,
+                "divergent_leaves": pruned["divergent_leaves"],
+                "row_leg_files_read": files_read,
+                "layout_files_total": files_total,
+                "files_read_fraction": round(files_read / files_total, 4),
+                "scoped_origin_rows": pruned["scoped_origin_rows"],
+                "row_leg_rows_fraction": round(
+                    pruned["scoped_origin_rows"] / n, 4
+                ),
+            },
         }
         print(f"{tier}: {out[tier]}", file=sys.stderr)
     print(json.dumps({"repair_probe": out}, indent=1))
