@@ -10252,6 +10252,52 @@ QUERIES["prom_gauge_deriv"] = q_prom_gauge_deriv
 ORACLES["prom_gauge_deriv"] = _PROM_DERIV_SQL
 
 
+# --- round 7: CDM perfops sizing plan ----------------------------------------
+
+# the lab's migration set with the CDM batching flag: lineitem is the
+# one table with a clustering key (orderkey, linenumber), so batching
+# buys something there; single-column-PK tables force batchSize 1
+_SIZING_TABLES = ["customer", "orders", "lineitem", "events"]
+_SIZING_PK_IS_PK = {
+    "customer": True,
+    "orders": True,
+    "lineitem": False,
+    "events": True,
+}
+
+
+def q_migration_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # docs/04-cdm-approach.md:459-463 sizing rules as a report: rows /
+    # compressed bytes from distributed footer reads, then numParts =
+    # ceil(bytes/10MB), the batchSize auto rule, the fetchSize
+    # large-row rule, and the ETA at the default 20K rows/s ratelimit
+    from cassandra_data_migration_spark.plans.sizing import (
+        migration_sizing_plan,
+    )
+
+    return migration_sizing_plan(
+        spark,
+        {t: f"{sf_dir}/{t}.parquet" for t in _SIZING_TABLES},
+        pk_is_partition_key=_SIZING_PK_IS_PK,
+    )
+
+
+def _sizing_oracle() -> str:
+    from cassandra_data_migration_spark.plans.sizing import (
+        migration_sizing_plan_sql,
+    )
+
+    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return migration_sizing_plan_sql(
+        {t: f"{sf_dir}/{t}.parquet" for t in _SIZING_TABLES},
+        pk_is_partition_key=_SIZING_PK_IS_PK,
+    )
+
+
+QUERIES["migration_sizing_plan"] = q_migration_sizing_plan
+ORACLES["migration_sizing_plan"] = _sizing_oracle()
+
+
 # --- round 7: training-shard export manifest ---------------------------------
 
 
