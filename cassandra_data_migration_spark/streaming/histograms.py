@@ -147,7 +147,10 @@ def histogram_quantiles(
     # R = q·count in micro-counts; the winning bucket is the first
     # whose cumulative count (scaled to micro-counts) reaches R
     hit = (
-        qs.crossJoin(base)
+        # broadcast the O(quantiles) side explicitly: a plain crossJoin
+        # plans as CartesianProduct (both sides shuffled); broadcasting
+        # 3 rows against the O(buckets) frame is the right shape
+        base.crossJoin(F.broadcast(qs))
         .withColumn("_r", F.col("q_ppm") * F.lit(total))
         .filter(F.col("cumulative_count") * F.lit(PPM) >= F.col("_r"))
         .withColumn(

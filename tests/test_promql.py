@@ -228,6 +228,72 @@ def test_deriv_matches_numpy_lstsq(spark):
     assert got == pytest.approx(slope_per_ms * 1000 * SCALE, abs=2, rel=1e-9)
 
 
+def prom_rate_ref_exact(samples, start, end, scale=SCALE):
+    """EXACT-rational reference of the same algorithm (fractions.Fraction
+    end to end, half-up fixed-point at the edge) — the property test
+    compares bit-for-bit, no float tolerance."""
+    from fractions import Fraction as Fr
+
+    ss = [(t, v) for t, v in samples if start < t <= end]
+    if len(ss) < 2:
+        return None
+    d = 0
+    prev = ss[0][1]
+    for _, v in ss[1:]:
+        d += (v - prev) if v >= prev else v
+        prev = v
+    t1, tn, v1 = ss[0][0], ss[-1][0], ss[0][1]
+    sampled = Fr(tn - t1)
+    dur_start, dur_end = Fr(t1 - start), Fr(end - tn)
+    avg = sampled / (len(ss) - 1)
+    if d > 0 and v1 >= 0:
+        dur_zero = sampled * Fr(v1, d)
+        if dur_zero < dur_start:
+            dur_start = dur_zero
+    threshold = avg * Fr(11, 10)
+    if dur_start >= threshold:
+        dur_start = avg / 2
+    if dur_end >= threshold:
+        dur_end = avg / 2
+    out = Fr(d) * (sampled + dur_start + dur_end) / sampled
+    out = out / Fr(end - start, 1000)
+    num, den = (out * scale).numerator, (out * scale).denominator
+    return (2 * num + den) // (2 * den)  # half-up (num >= 0 always)
+
+
+def test_rate_property_exact_vs_fraction_reference(spark):
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    sample_sets = st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=500_000),  # ts_ms
+            st.integers(min_value=0, max_value=10_000),  # counter value
+        ),
+        min_size=2,
+        max_size=12,
+        unique_by=lambda tv: tv[0],
+    )
+
+    @settings(max_examples=40, deadline=None)
+    @given(sample_sets)
+    def run(samples):
+        samples = sorted(samples)
+        start, end = 0, 600_000
+        expect = prom_rate_ref_exact(samples, start, end)
+        df = _df(spark, samples)
+        rows = extrapolated_rate(
+            df, ["series"], range_start_ms=start, range_end_ms=end,
+            out_scale=SCALE,
+        ).collect()
+        if expect is None:
+            assert rows == []
+        else:
+            assert len(rows) == 1 and rows[0]["rate_fp"] == expect
+
+    run()
+
+
 def test_multi_series_independent(spark):
     rows = [("a", 0, 0), ("a", 1000, 10), ("b", 0, 0), ("b", 1000, 50)]
     df = spark.createDataFrame(

@@ -97,6 +97,9 @@ BNLJ_ALLOWED = {
     "unigram_logprob",  # scalar corpus token total
     "doremi_weights",  # the two LM scalar totals + 1-row weight denom
     "repair_pipeline",  # pre x post report: two 1-row aggregate frames
+    "repair_pipeline_pruned",  # same report shape over the pruned legs
+    "replica_ownership_nts",  # per-DC ring bounds rows (O(nodes*rf))
+    "histogram_percentiles",  # 3 quantile rows x O(buckets) frame
 }
 
 
