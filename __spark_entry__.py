@@ -10298,6 +10298,47 @@ QUERIES["migration_sizing_plan"] = q_migration_sizing_plan
 ORACLES["migration_sizing_plan"] = _sizing_oracle()
 
 
+def q_stream_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # continuous irate: scrape slices fold into a <=2-rows-per-series
+    # state (top-2 by ts is a max-like semilattice fold -> idempotent,
+    # no batch gate); the live rate is the BATCH irate operator over
+    # that state, so streamed == batch by construction and the batch
+    # oracle checks it value for value
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.promql_stream import (
+        irate_from_state,
+        irate_state_stream,
+    )
+
+    # slice by scrape index (ts_ms is a multiple of the step, so mod
+    # the BUCKET, not the raw ms) — adjacent scrapes land in different
+    # micro-batches, exercising the cross-batch top-2 merge
+    samples = _prom_counter_samples(spark, sf_dir).withColumn(
+        "_s", F.pmod(F.expr(f"ts_ms DIV {_PROM_STEP_MS}"), F.lit(3))
+    )
+    d = tempfile.mkdtemp(prefix="irate_stream_")
+    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    for s in range(3):
+        samples.filter(F.col("_s") == s).drop("_s").repartition(
+            1
+        ).write.mode("append").parquet(src)
+    stream = (
+        spark.readStream.schema("event_type string, ts_ms long, value long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = irate_state_stream(stream, st, ["event_type"], checkpoint=ckpt)
+    await_or_raise(q, 300)
+    return irate_from_state(
+        spark, st, ["event_type"], out_scale=_PROM_SCALE
+    )
+
+
+QUERIES["stream_irate"] = q_stream_irate
+ORACLES["stream_irate"] = _PROM_IRATE_SQL
+
+
 # --- round 7: training-shard export manifest ---------------------------------
 
 

@@ -294,6 +294,74 @@ def test_rate_property_exact_vs_fraction_reference(spark):
     run()
 
 
+def test_stream_irate_state_bound_and_replay(spark, tmp_path):
+    """Streamed irate state holds <= 2 rows per series under any
+    slicing, equals the batch irate, survives out-of-order arrival
+    (a late sample between the state pair updates it), and a full
+    fresh-checkpoint redelivery leaves the state bit-identical
+    (top-2-by-ts is a max-like semilattice fold)."""
+    from cassandra_data_migration_spark.streaming.promql_stream import (
+        irate_from_state,
+        irate_state_stream,
+    )
+
+    rows = [
+        ("a", t * 1000, 5 * t) for t in range(1, 13)
+    ] + [("b", t * 1000, 100 * t) for t in (1, 3, 9, 11)]
+    # out-of-order: series b's ts=10000 sample arrives in the LAST
+    # slice, after 11000 — it must displace 9000 in the state pair
+    slices = [rows[0:6], rows[6:12] + rows[12:15], [rows[15], ("b", 10_000, 1000)]]
+    d = str(tmp_path)
+    src, st = f"{d}/src", f"{d}/state"
+    for s in slices:
+        spark.createDataFrame(
+            s, "series string, ts_ms long, value long"
+        ).repartition(1).write.mode("append").parquet(src)
+
+    def start(ckpt):
+        return irate_state_stream(
+            spark.readStream.schema("series string, ts_ms long, value long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src),
+            st,
+            ["series"],
+            checkpoint=ckpt,
+        )
+
+    start(f"{d}/ckpt").awaitTermination(120)
+    state = spark.read.parquet(st)
+    per = {
+        r["series"]: r["n"]
+        for r in state.groupBy("series").agg(F.count("*").alias("n")).collect()
+    }
+    assert per == {"a": 2, "b": 2}
+    got = {
+        r["series"]: r["irate_fp"]
+        for r in irate_from_state(
+            spark, st, ["series"], out_scale=SCALE
+        ).collect()
+    }
+    all_rows = [r for s in slices for r in s]
+    expect = {
+        r["series"]: r["irate_fp"]
+        for r in irate(
+            spark.createDataFrame(
+                all_rows, "series string, ts_ms long, value long"
+            ),
+            ["series"],
+            out_scale=SCALE,
+        ).collect()
+    }
+    assert got == expect
+    # b's pair must be (10000, 11000): irate = |1100-1000|/1s = 100/s
+    assert got["b"] == 100 * SCALE
+    before = sorted(map(tuple, state.collect()))
+    start(f"{d}/ckpt2").awaitTermination(120)  # full redelivery
+    spark.catalog.refreshByPath(st)
+    after = sorted(map(tuple, spark.read.parquet(st).collect()))
+    assert after == before
+
+
 def test_multi_series_independent(spark):
     rows = [("a", 0, 0), ("a", 1000, 10), ("b", 0, 0), ("b", 1000, 50)]
     df = spark.createDataFrame(
