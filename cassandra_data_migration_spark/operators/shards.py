@@ -64,11 +64,15 @@ def assign_training_shards(
     ).drop("_ord")
 
 
-def _content_digest(id_col: str, seed: str) -> Column:
+def _content_digest(digest_cols: list[str], seed: str) -> Column:
     # order-independent: Σ per-row draws mod 2^60, folded in DECIMAL
-    # so partial aggregation never overflows (merkle.py construction)
+    # so partial aggregation never overflows (merkle.py construction).
+    # The draw hashes EVERY digest column, so the digest detects any
+    # change to those columns — not just membership churn.
     return F.pmod(
-        F.sum(md5_draw(f"{seed}:content", id_col).cast("decimal(38,0)")),
+        F.sum(
+            md5_draw(f"{seed}:content", *digest_cols).cast("decimal(38,0)")
+        ),
         F.lit(TOKEN_SPACE).cast("decimal(38,0)"),
     ).cast("long")
 
@@ -79,17 +83,25 @@ def training_shard_manifest(
     token_count_col: str,
     n_shards: int,
     seed: str = "shards",
+    digest_cols: list[str] | None = None,
 ) -> DataFrame:
     """(shard, n_docs, n_tokens, content_digest) — what a consumer
     checks a delivered shard against.  One map-combined groupBy over
-    the shard assignment; O(n_shards) output rows."""
+    the shard assignment; O(n_shards) output rows.
+
+    ``digest_cols`` (default ``[id_col, token_count_col]``) are the
+    columns the content digest covers — tampering with any of them in
+    a delivered shard changes that shard's digest.  Include the
+    payload column (e.g. the text) to certify payload bytes too; the
+    digest hashes every listed column per row."""
+    cols = digest_cols or [id_col, token_count_col]
     assigned = assign_training_shards(df, id_col, n_shards, seed)
     return (
         assigned.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count_col).cast("long").alias("n_tokens"),
-            _content_digest(id_col, seed).alias("content_digest"),
+            _content_digest(cols, seed).alias("content_digest"),
         )
         .orderBy("shard")
     )
@@ -102,6 +114,7 @@ def write_training_shards(
     token_count_col: str,
     n_shards: int,
     seed: str = "shards",
+    digest_cols: list[str] | None = None,
 ) -> DataFrame:
     """Materialize the shards under ``path`` (``shard=K`` directories,
     one file each, rows ordered by shuffle_rank within the shard) and
@@ -116,14 +129,17 @@ def write_training_shards(
         .parquet(path)
     )
     spark = df.sparkSession
-    # manifest recomputed FROM THE WRITTEN FILES — it describes what a
-    # reader will actually get, not what the writer intended
-    return training_shard_manifest(
-        spark.read.parquet(path).drop("shard", "shuffle_rank"),
+    # manifest digested FROM THE WRITTEN FILES, grouped by the on-disk
+    # shard directory (no reassignment): a row materialized under the
+    # wrong shard=K directory — writer bug, leftover part from a
+    # partial overwrite — shows up here, and the read-back skips a
+    # second global re-rank
+    return shard_content_report(
+        spark.read.parquet(path),
         id_col,
         token_count_col,
-        n_shards,
         seed,
+        digest_cols=digest_cols,
     )
 
 
@@ -132,18 +148,20 @@ def shard_content_report(
     id_col: str,
     token_count_col: str,
     seed: str = "shards",
+    digest_cols: list[str] | None = None,
 ) -> DataFrame:
     """The consumer-side half of the manifest contract: digest the
     data AS DELIVERED, grouped by its ``shard`` column — no
     reassignment, so a tampered/truncated shard file changes exactly
     that shard's row.  Compare against :func:`training_shard_manifest`
-    (same seed) to accept or reject a delivery."""
+    (same seed and digest_cols) to accept or reject a delivery."""
+    cols = digest_cols or [id_col, token_count_col]
     return (
         delivered.groupBy("shard")
         .agg(
             F.count(F.lit(1)).alias("n_docs"),
             F.sum(token_count_col).cast("long").alias("n_tokens"),
-            _content_digest(id_col, seed).alias("content_digest"),
+            _content_digest(cols, seed).alias("content_digest"),
         )
         .orderBy("shard")
     )
@@ -156,11 +174,12 @@ def training_shard_manifest_sql(
     n_shards: int,
     seed: str = "shards",
 ) -> str:
-    """DuckDB twin of :func:`training_shard_manifest`.  The oracle may
-    use a plain global ROW_NUMBER — it runs at fixture scale; the
-    engine side is the one that must avoid the global sort."""
+    """DuckDB twin of :func:`training_shard_manifest` with the default
+    ``digest_cols = [id_col, token_count_col]``.  The oracle may use a
+    plain global ROW_NUMBER — it runs at fixture scale; the engine
+    side is the one that must avoid the global sort."""
     ord_expr = md5_draw_sql(seed, id_col)
-    digest_expr = md5_draw_sql(f"{seed}:content", id_col)
+    digest_expr = md5_draw_sql(f"{seed}:content", id_col, "n_tok")
     return f"""
         WITH ranked AS (
             SELECT {id_col},

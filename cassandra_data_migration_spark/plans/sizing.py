@@ -92,6 +92,8 @@ def migration_sizing_plan(
     divisions are integral: avg_row_bytes floors, numParts and the ETA
     take ceilings (a part/second you partially need is one you need).
     """
+    if not tables:
+        raise ValueError("tables must name at least one table -> path")
     flags = pk_is_partition_key or {}
     per_file = None
     for t, p in sorted(tables.items()):
@@ -105,7 +107,10 @@ def migration_sizing_plan(
     fdf = spark.createDataFrame(
         flag_rows, "table_name string, pk_is_pk boolean"
     )
-    avg = F.expr("data_bytes DIV n_rows")
+    # an EMPTY table is a normal sight in a real keyspace: report it
+    # (0 rows, 0 avg) instead of aborting every other table's sizing
+    # with an ANSI divide-by-zero
+    avg = F.expr("CASE WHEN n_rows = 0 THEN 0 ELSE data_bytes DIV n_rows END")
     num_parts = F.expr(f"(data_bytes + {MB10 - 1}) DIV {MB10}")
     eta = F.expr(
         f"(n_rows + {ratelimit_rows_per_sec - 1})"
@@ -163,18 +168,22 @@ def migration_sizing_plan_sql(
         """)
     base = " UNION ALL ".join(selects)
     return f"""
+        WITH sized AS (
+            SELECT *, CASE WHEN n_rows = 0 THEN 0
+                           ELSE data_bytes // n_rows END AS avg_rb
+            FROM ({base})
+        )
         SELECT table_name, n_rows, data_bytes,
-               CAST(data_bytes // n_rows AS BIGINT) AS avg_row_bytes,
+               CAST(avg_rb AS BIGINT) AS avg_row_bytes,
                CAST(GREATEST((data_bytes + {MB10 - 1}) // {MB10}, 1)
                    AS BIGINT) AS num_parts,
-               CAST(CASE WHEN pk_is_pk
-                         OR data_bytes // n_rows > {LARGE_ROW_BYTES}
+               CAST(CASE WHEN pk_is_pk OR avg_rb > {LARGE_ROW_BYTES}
                     THEN 1 ELSE {DEFAULT_BATCH} END AS INT) AS batch_size,
-               CAST(CASE WHEN data_bytes // n_rows > {HUGE_ROW_BYTES}
+               CAST(CASE WHEN avg_rb > {HUGE_ROW_BYTES}
                     THEN {REDUCED_FETCH} ELSE {DEFAULT_FETCH} END
                    AS INT) AS fetch_size_rows,
                CAST(GREATEST((n_rows + {ratelimit_rows_per_sec - 1})
                     // {ratelimit_rows_per_sec}, 1) AS BIGINT)
                    AS eta_seconds
-        FROM ({base})
+        FROM sized
     """

@@ -23,7 +23,6 @@ the right continuous aggregate when the vocabulary is unbounded.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -32,7 +31,7 @@ from cassandra_data_migration_spark.operators.aggregates import cms_sketch
 from cassandra_data_migration_spark.streaming.mv import (
     _recover,
     _replay_gate,
-    _write_marker,
+    publish_state,
 )
 
 
@@ -69,16 +68,7 @@ def cms_maintain_stream(
             )
         else:
             merged = delta
-        tmp = sketch_path.rstrip("/") + "_updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        _write_marker(tmp, batch_id, lineage)
-        if os.path.exists(sketch_path):
-            prev = sketch_path.rstrip("/") + "_prev"
-            os.rename(sketch_path, prev)
-            os.rename(tmp, sketch_path)
-            shutil.rmtree(prev)
-        else:
-            os.rename(tmp, sketch_path)
+        publish_state(merged, sketch_path, batch_id, lineage)
 
     return (
         items.writeStream.foreachBatch(apply_batch)

@@ -24,13 +24,15 @@ when the key space is unbounded.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.aggregates import hll_registers
-from cassandra_data_migration_spark.streaming.mv import MARKER, _recover
+from cassandra_data_migration_spark.streaming.mv import (
+    _recover,
+    publish_state,
+)
 
 
 def hll_maintain_stream(
@@ -60,17 +62,7 @@ def hll_maintain_stream(
             )
         else:
             merged = delta
-        tmp = sketch_path.rstrip("/") + "_updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, MARKER), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(sketch_path):
-            prev = sketch_path.rstrip("/") + "_prev"
-            os.rename(sketch_path, prev)
-            os.rename(tmp, sketch_path)
-            shutil.rmtree(prev)
-        else:
-            os.rename(tmp, sketch_path)
+        publish_state(merged, sketch_path, batch_id)
 
     return (
         items.writeStream.foreachBatch(apply_batch)

@@ -132,6 +132,27 @@ def _recover(view_path: str) -> None:
             os.rename(prev, view_path)
 
 
+def publish_state(merged, state_path: str, batch_id: int, lineage=None):
+    """The ONE crash-safe state publish every foreachBatch twin uses:
+    write ``merged`` to ``<path>_updating`` with the batch marker
+    INSIDE it, then the two-rename swap (old -> _prev, new -> live,
+    rm _prev).  :func:`_recover` (called at the top of every
+    apply_batch) closes each crash window: _prev+live = cleanup died
+    (drop _prev); _prev only = died between renames (roll back).
+    ``lineage=None`` writes the plain batch-id marker the idempotent
+    twins use; the gated twins pass their checkpoint lineage."""
+    tmp = state_path.rstrip("/") + "_updating"
+    merged.write.mode("overwrite").parquet(tmp)
+    _write_marker(tmp, batch_id, lineage)
+    if os.path.exists(state_path):
+        prev = state_path.rstrip("/") + "_prev"
+        os.rename(state_path, prev)
+        os.rename(tmp, state_path)
+        shutil.rmtree(prev)
+    else:
+        os.rename(tmp, state_path)
+
+
 def mv_maintain_stream(
     changelog: DataFrame,
     view_path: str,
@@ -150,14 +171,7 @@ def mv_maintain_stream(
             return  # at-least-once redelivery of an applied batch
         mv = spark.read.parquet(view_path)
         merged = mv_apply_delta(mv, batch_df, key_col)
-        tmp = view_path.rstrip("/") + "_updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        # marker rides inside the same directory the rename publishes
-        _write_marker(tmp, batch_id, lineage)
-        prev = view_path.rstrip("/") + "_prev"
-        os.rename(view_path, prev)
-        os.rename(tmp, view_path)
-        shutil.rmtree(prev)
+        publish_state(merged, view_path, batch_id, lineage)
 
     return (
         changelog.writeStream.foreachBatch(apply_batch)

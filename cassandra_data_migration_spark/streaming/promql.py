@@ -68,6 +68,19 @@ def _adj_delta(value: Column, prev: Column) -> Column:
     )
 
 
+def _dedup_ts(
+    df: DataFrame, series_cols: list[str], ts_col: str, value_col: str
+) -> DataFrame:
+    """Collapse same-timestamp duplicates to MAX(value) per series —
+    two scraper replicas reporting the same instant must not abort the
+    query with a zero-width interval (ANSI divide-by-zero), and MAX
+    makes the collapse deterministic.  Also guarantees every adjacent
+    pair downstream has a strictly positive time gap."""
+    return df.groupBy(*series_cols, ts_col).agg(
+        F.max(value_col).alias(value_col)
+    )
+
+
 def irate(
     df: DataFrame,
     series_cols: list[str],
@@ -77,11 +90,15 @@ def irate(
 ) -> DataFrame:
     """Per-series instant rate: reset-adjusted delta of the last two
     samples over their gap, in ``out_scale`` fixed-point per-second
-    units.  Series with fewer than two samples produce no row (the
-    PromQL behavior).  Output: (series_cols..., irate_fp)."""
+    units.  Same-timestamp duplicates collapse to MAX(value) first
+    (zero-width intervals would divide by zero); series with fewer
+    than two DISTINCT timestamps produce no row (the PromQL behavior).
+    Output: (series_cols..., irate_fp)."""
     w = Window.partitionBy(*series_cols).orderBy(F.desc(ts_col))
-    last2 = df.withColumn("_rn", F.row_number().over(w)).filter(
-        F.col("_rn") <= 2
+    last2 = (
+        _dedup_ts(df, series_cols, ts_col, value_col)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= 2)
     )
     g = last2.groupBy(*series_cols).agg(
         F.count(F.lit(1)).alias("_n"),
@@ -120,9 +137,14 @@ def _range_stats(
     (start, end] with reset-adjusted increase D.  The lag window runs
     over the RANGE-FILTERED samples — Prometheus only sees what the
     selector returns."""
-    in_range = df.filter(
-        (F.col(ts_col) > F.lit(range_start_ms))
-        & (F.col(ts_col) <= F.lit(range_end_ms))
+    in_range = _dedup_ts(
+        df.filter(
+            (F.col(ts_col) > F.lit(range_start_ms))
+            & (F.col(ts_col) <= F.lit(range_end_ms))
+        ),
+        series_cols,
+        ts_col,
+        value_col,
     )
     w = Window.partitionBy(*series_cols).orderBy(ts_col)
     with_prev = in_range.withColumn("_prev", F.lag(value_col).over(w))
@@ -284,11 +306,15 @@ def irate_sql(
     """DuckDB twin of :func:`irate`."""
     s = _series_csv(series_cols)
     return f"""
-        WITH ranked AS (
-            SELECT {s}, {ts_col} AS t, {value_col} AS v,
+        WITH dedup AS (
+            SELECT {s}, {ts_col} AS t, MAX({value_col}) AS v
+            FROM ({table_sql}) GROUP BY {s}, {ts_col}
+        ),
+        ranked AS (
+            SELECT {s}, t, v,
                    ROW_NUMBER() OVER (
-                       PARTITION BY {s} ORDER BY {ts_col} DESC) AS rn
-            FROM ({table_sql})
+                       PARTITION BY {s} ORDER BY t DESC) AS rn
+            FROM dedup
         ),
         last2 AS (
             SELECT {s},
@@ -317,9 +343,10 @@ def _range_stats_sql(
     s = _series_csv(series_cols)
     return f"""
         WITH in_range AS (
-            SELECT {s}, {ts_col} AS t, {value_col} AS v
+            SELECT {s}, {ts_col} AS t, MAX({value_col}) AS v
             FROM ({table_sql})
             WHERE {ts_col} > {range_start_ms} AND {ts_col} <= {range_end_ms}
+            GROUP BY {s}, {ts_col}
         ),
         with_prev AS (
             SELECT {s}, t, v,

@@ -18,23 +18,25 @@ construction, not by parallel implementation.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from cassandra_data_migration_spark.streaming.mv import MARKER, _recover
+from cassandra_data_migration_spark.streaming.mv import (
+    _recover,
+    publish_state,
+)
 
 
 def _top2(
     df: DataFrame, series_cols: list[str], ts_col: str, value_col: str
 ) -> DataFrame:
     """Two most-recent samples per series.  Same-timestamp duplicates
-    collapse to MAX(value) first so replayed deliveries are no-ops and
-    the fold stays deterministic."""
-    dedup = df.groupBy(*series_cols, ts_col).agg(
-        F.max(value_col).alias(value_col)
-    )
+    collapse first (promql._dedup_ts) so replayed deliveries are
+    no-ops and the fold stays deterministic."""
+    from cassandra_data_migration_spark.streaming.promql import _dedup_ts
+
+    dedup = _dedup_ts(df, series_cols, ts_col, value_col)
     w = Window.partitionBy(*series_cols).orderBy(F.desc(ts_col))
     return (
         dedup.withColumn("_rn", F.row_number().over(w))
@@ -66,17 +68,7 @@ def irate_state_stream(
             )
         else:
             merged = delta
-        tmp = state_path.rstrip("/") + "_updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, MARKER), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(state_path):
-            prev = state_path.rstrip("/") + "_prev"
-            os.rename(state_path, prev)
-            os.rename(tmp, state_path)
-            shutil.rmtree(prev)
-        else:
-            os.rename(tmp, state_path)
+        publish_state(merged, state_path, batch_id)
 
     return (
         samples.writeStream.foreachBatch(apply_batch)

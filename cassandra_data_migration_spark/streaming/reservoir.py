@@ -21,13 +21,15 @@ sample of an unbounded document stream in bounded space.
 from __future__ import annotations
 
 import os
-import shutil
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.sampling import aes_key
-from cassandra_data_migration_spark.streaming.mv import MARKER, _recover
+from cassandra_data_migration_spark.streaming.mv import (
+    _recover,
+    publish_state,
+)
 
 
 def weighted_reservoir_stream(
@@ -75,17 +77,7 @@ def weighted_reservoir_stream(
             )
         else:
             merged = cand
-        tmp = state_path.rstrip("/") + "_updating"
-        merged.write.mode("overwrite").parquet(tmp)
-        with open(os.path.join(tmp, MARKER), "w") as fh:
-            fh.write(str(batch_id))
-        if os.path.exists(state_path):
-            prev = state_path.rstrip("/") + "_prev"
-            os.rename(state_path, prev)
-            os.rename(tmp, state_path)
-            shutil.rmtree(prev)
-        else:
-            os.rename(tmp, state_path)
+        publish_state(merged, state_path, batch_id)
 
     return (
         items.writeStream.foreachBatch(apply_batch)

@@ -86,6 +86,34 @@ def test_irate_single_sample_series_dropped(spark):
     assert irate(df, ["series"]).count() == 0
 
 
+def test_duplicate_timestamps_collapse_instead_of_crashing(spark):
+    # two scraper replicas reporting the same instant: same-ts rows
+    # collapse to MAX(value); a zero-width interval must never reach
+    # the division (ANSI divide-by-zero aborted the whole query)
+    df = _df(spark, [(1000, 5), (1000, 7), (3000, 17)])
+    assert _one(irate(df, ["series"], out_scale=SCALE), "irate_fp") == (
+        10 * 1000 * SCALE // 2000
+    )
+    got = _one(
+        extrapolated_rate(
+            df, ["series"], range_start_ms=0, range_end_ms=4000,
+            out_scale=SCALE,
+        ),
+        "rate_fp",
+    )
+    ref = prom_rate_ref([(1000, 7), (3000, 17)], 0, 4000)
+    _assert_matches_ref(got, ref)
+    # ALL samples sharing one ts -> no result row, not a crash
+    only = _df(spark, [(1000, 5), (1000, 9)])
+    assert irate(only, ["series"]).count() == 0
+    assert (
+        extrapolated_rate(
+            only, ["series"], range_start_ms=0, range_end_ms=4000
+        ).count()
+        == 0
+    )
+
+
 def test_rate_matches_prometheus_reference_dense(spark):
     # dense regular scrapes, gaps under the 1.1x threshold -> the
     # REAL boundary gaps extend the interval

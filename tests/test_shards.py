@@ -172,6 +172,66 @@ def test_corrupted_shard_fails_digest(spark, tmp_path):
     assert man_actual[2] == man_expected[2]
 
 
+def test_payload_tamper_changes_digest(spark):
+    # the digest covers digest_cols (default id + token count), not
+    # just membership: swapping two rows' token counts inside one
+    # shard keeps n_docs/n_tokens identical but MUST flip the digest
+    docs = _docs(spark, 40)
+    base = {
+        r["shard"]: r
+        for r in training_shard_manifest(
+            docs, "doc_id", "n_tok", 2, seed="t"
+        ).collect()
+    }
+    assigned = assign_training_shards(docs, "doc_id", 2, seed="t")
+    rows0 = assigned.filter(F.col("shard") == 0).orderBy("doc_id").collect()
+    # pick any two same-shard rows with DIFFERENT token counts
+    two = next(
+        (r0, r1)
+        for i, r0 in enumerate(rows0)
+        for r1 in rows0[i + 1:]
+        if r0["n_tok"] != r1["n_tok"]
+    )
+    a, b = two[0]["doc_id"], two[1]["doc_id"]
+    swapped = docs.withColumn(
+        "n_tok",
+        F.when(F.col("doc_id") == a, F.lit(two[1]["n_tok"]))
+        .when(F.col("doc_id") == b, F.lit(two[0]["n_tok"]))
+        .otherwise(F.col("n_tok")),
+    )
+    after = {
+        r["shard"]: r
+        for r in training_shard_manifest(
+            swapped, "doc_id", "n_tok", 2, seed="t"
+        ).collect()
+    }
+    assert after[0]["n_docs"] == base[0]["n_docs"]
+    assert after[0]["n_tokens"] == base[0]["n_tokens"]
+    assert after[0]["content_digest"] != base[0]["content_digest"]
+    assert after[1]["content_digest"] == base[1]["content_digest"]
+
+
+def test_digest_cols_can_cover_payload_text(spark):
+    docs = _docs(spark, 30).withColumn(
+        "text", F.concat(F.lit("body-"), F.col("doc_id").cast("string"))
+    )
+    man = training_shard_manifest(
+        docs, "doc_id", "n_tok", 2, seed="t",
+        digest_cols=["doc_id", "n_tok", "text"],
+    ).collect()
+    flipped = docs.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("EVIL")).otherwise(F.col("text")),
+    )
+    man2 = training_shard_manifest(
+        flipped, "doc_id", "n_tok", 2, seed="t",
+        digest_cols=["doc_id", "n_tok", "text"],
+    ).collect()
+    assert {r["content_digest"] for r in man} != {
+        r["content_digest"] for r in man2
+    }
+
+
 def test_invalid_n_shards_raises(spark):
     with pytest.raises(ValueError):
         assign_training_shards(_docs(spark), "doc_id", 0)

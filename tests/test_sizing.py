@@ -80,6 +80,25 @@ def test_num_parts_ceiling(spark, tmp_path):
     assert m["num_parts"] == max(expected, 1) > 1
 
 
+def test_empty_table_reported_not_fatal(spark, tmp_path):
+    import pytest
+    from pyspark.sql import types as T
+
+    empty = str(tmp_path / "empty")
+    spark.createDataFrame(
+        [], T.StructType([T.StructField("k", T.LongType())])
+    ).write.parquet(empty)
+    small = str(tmp_path / "small")
+    spark.range(0, 10).select(F.col("id").alias("k")).write.parquet(small)
+    plan = _plan(spark, {"empty": empty, "small": small})
+    e = plan["empty"]
+    assert e["n_rows"] == 0 and e["avg_row_bytes"] == 0
+    assert e["num_parts"] == 1 and e["eta_seconds"] == 1
+    assert plan["small"]["n_rows"] == 10  # the empty table hurt nobody
+    with pytest.raises(ValueError):
+        migration_sizing_plan(spark, {})
+
+
 def test_eta_uses_ratelimit(spark, tmp_path):
     path = str(tmp_path / "t")
     spark.range(0, 12_345).select(F.col("id").alias("k")).write.parquet(path)
