@@ -10298,6 +10298,120 @@ QUERIES["migration_sizing_plan"] = q_migration_sizing_plan
 ORACLES["migration_sizing_plan"] = _sizing_oracle()
 
 
+def _bucket_scrape_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-scrape cumulative ``_bucket{le=}`` counters from the events
+    latencies — what a real scrape target exports every interval —
+    with the same mid-month process restart as the request counters
+    (the bucket counters reset together)."""
+    from pyspark.sql import Window
+
+    les = _LATENCY_LES
+    ev = load_table(spark, sf_dir, "events").select(
+        F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("lat"),
+    )
+    aggs = [
+        F.sum(F.when(F.col("lat") <= le, 1).otherwise(0))
+        .cast("long")
+        .alias(f"c{i}")
+        for i, le in enumerate(les)
+    ] + [F.count(F.lit(1)).cast("long").alias(f"c{len(les)}")]
+    per_b = ev.groupBy("b").agg(*aggs)
+    stack_args = ", ".join(
+        [f"'{le}', c{i}" for i, le in enumerate(les)]
+        + [f"'+Inf', c{len(les)}"]
+    )
+    long_form = per_b.select(
+        "b",
+        F.expr(f"stack({len(les) + 1}, {stack_args}) AS (le, dc)"),
+    )
+    w_cum = (
+        Window.partitionBy("le")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("le")
+    return long_form.select(
+        "le",
+        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
+        (
+            F.sum("dc").over(w_cum)
+            - F.when(
+                F.col("b") >= _PROM_RESET_BUCKET,
+                F.sum(
+                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("dc"))
+                    .otherwise(F.lit(0))
+                ).over(w_all),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("value"),
+    )
+
+
+def q_histogram_quantile_rated(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # exercise 6's ACTUAL panel formula: histogram_quantile(q,
+    # increase(..._bucket[range])) — windowed reset-aware bucket
+    # increases (integer-exact; rate's constant range division cancels
+    # in the quantile ratio) through the same interpolation as
+    # histogram_percentiles, over a range spanning the counter reset
+    from cassandra_data_migration_spark.streaming.histograms import (
+        windowed_histogram_quantiles,
+    )
+
+    return windowed_histogram_quantiles(
+        _bucket_scrape_samples(spark, sf_dir),
+        _LATENCY_LES,
+        range_start_ms=_PROM_RANGE[0],
+        range_end_ms=_PROM_RANGE[1],
+    )
+
+
+_BUCKET_SCRAPES_SQL_PARTS = [
+    f"""SELECT '{le}' AS le, b,
+          SUM(CASE WHEN lat <= {le} THEN 1 ELSE 0 END) AS dc
+        FROM ev GROUP BY b"""
+    for le in _LATENCY_LES
+] + ["SELECT '+Inf' AS le, b, COUNT(*) AS dc FROM ev GROUP BY b"]
+
+_BUCKET_SCRAPES_SQL = f"""
+    WITH ev AS (
+        SELECT epoch_ms(ts) // {_PROM_STEP_MS} AS b,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat
+        FROM events
+    ),
+    per AS ({" UNION ALL ".join(_BUCKET_SCRAPES_SQL_PARTS)}),
+    cum AS (
+        SELECT le, b, dc,
+               SUM(dc) OVER (PARTITION BY le ORDER BY b) AS cum,
+               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN dc ELSE 0 END)
+                   OVER (PARTITION BY le) AS pre
+        FROM per
+    )
+    SELECT le, (b + 1) * {_PROM_STEP_MS} AS ts_ms,
+           CAST(cum - CASE WHEN b >= {_PROM_RESET_BUCKET} THEN pre
+                           ELSE 0 END AS BIGINT) AS value
+    FROM cum
+"""
+
+
+def _rated_quantiles_oracle() -> str:
+    from cassandra_data_migration_spark.streaming.histograms import (
+        windowed_histogram_quantiles_sql,
+    )
+
+    return windowed_histogram_quantiles_sql(
+        _BUCKET_SCRAPES_SQL,
+        _LATENCY_LES,
+        range_start_ms=_PROM_RANGE[0],
+        range_end_ms=_PROM_RANGE[1],
+    )
+
+
+QUERIES["histogram_quantile_rated"] = q_histogram_quantile_rated
+ORACLES["histogram_quantile_rated"] = _rated_quantiles_oracle()
+
+
 def q_stream_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous irate: scrape slices fold into a <=2-rows-per-series
     # state (top-2 by ts is a max-like semilattice fold -> idempotent,

@@ -123,7 +123,23 @@ def histogram_quantiles(
     bucketing error — reconstructing the board's number is the point.
     """
     hist = cumulative_histogram(df, value_col, les)
-    spark = df.sparkSession
+    return quantiles_from_bucket_counts(
+        df.sparkSession, hist, les, q_ppm, out_scale
+    )
+
+
+def quantiles_from_bucket_counts(
+    spark,
+    hist: DataFrame,
+    les: list[int],
+    q_ppm: list[int] = (500_000, 950_000, 990_000),
+    out_scale: int = 10_000,
+) -> DataFrame:
+    """The interpolation half of ``histogram_quantile``, over an
+    already-counted cumulative frame ``hist`` with columns
+    (le string incl. '+Inf', cumulative_count long) — the shape a
+    scrape target exports and the shape a windowed bucket-increase
+    produces (``windowed_histogram_quantiles``)."""
     # join positions back on the le string (le strings sort wrong
     # lexically, so ordering rides the explicit position table)
     le_pos = spark.createDataFrame(
@@ -184,6 +200,71 @@ def histogram_quantiles(
     )
 
 
+def windowed_bucket_increase(
+    samples: DataFrame,
+    les: list[int],
+    range_start_ms: int,
+    range_end_ms: int,
+    le_col: str = "le",
+    ts_col: str = "ts_ms",
+    cum_col: str = "value",
+) -> DataFrame:
+    """Per-``le`` EXACT increase of cumulative ``_bucket{le=}``
+    counters over the left-open range ``(start, end]`` — the
+    ``increase(..._bucket[5m])`` a dashboard feeds into
+    ``histogram_quantile``.  Reset compensation is the counter rule
+    (streaming/promql): a dropped value means the scrape target
+    restarted and contributes its post-reset count.  Buckets with no
+    in-range samples (or one) report 0 — a board cannot rate a series
+    it cannot see twice.  Output: (le, cumulative_count), one row per
+    CONFIGURED bucket incl. '+Inf', integer-exact."""
+    from cassandra_data_migration_spark.streaming.promql import (
+        _range_stats,
+    )
+
+    spark = samples.sparkSession
+    stats = _range_stats(
+        samples, [le_col], ts_col, cum_col, range_start_ms, range_end_ms
+    ).filter(F.col("_n") >= 2)
+    shell = spark.createDataFrame(
+        [(str(le),) for le in les] + [("+Inf",)], f"{le_col} string"
+    )
+    return shell.join(
+        stats.select(le_col, F.col("_d").alias("cumulative_count")),
+        le_col,
+        "left",
+    ).withColumn(
+        "cumulative_count",
+        F.coalesce(F.col("cumulative_count"), F.lit(0)).cast("long"),
+    )
+
+
+def windowed_histogram_quantiles(
+    samples: DataFrame,
+    les: list[int],
+    range_start_ms: int,
+    range_end_ms: int,
+    q_ppm: list[int] = (500_000, 950_000, 990_000),
+    out_scale: int = 10_000,
+    le_col: str = "le",
+    ts_col: str = "ts_ms",
+    cum_col: str = "value",
+) -> DataFrame:
+    """``histogram_quantile(q, increase(..._bucket[range]))`` — the
+    exact formula exercise 6's latency panels run
+    (lab/exercises/06-validation-monitoring.md:455-497; PromQL rate vs
+    increase differ only by the constant range division, which the
+    quantile ratio cancels).  Windowed reset-aware bucket increases
+    (integer-exact) feed the same interpolation as
+    :func:`histogram_quantiles`."""
+    inc = windowed_bucket_increase(
+        samples, les, range_start_ms, range_end_ms, le_col, ts_col, cum_col
+    )
+    return quantiles_from_bucket_counts(
+        samples.sparkSession, inc, les, q_ppm, out_scale
+    )
+
+
 def histogram_quantiles_sql(
     table_sql: str,
     value_expr: str,
@@ -194,6 +275,47 @@ def histogram_quantiles_sql(
     """DuckDB twin of :func:`histogram_quantiles` — same buckets, same
     exact rational interpolation."""
     hist = cumulative_histogram_sql(table_sql, value_expr, les)
+    return _quantiles_sql_over_hist(hist, les, q_ppm, out_scale)
+
+
+def windowed_histogram_quantiles_sql(
+    samples_sql: str,
+    les: list[int],
+    range_start_ms: int,
+    range_end_ms: int,
+    q_ppm: list[int] = (500_000, 950_000, 990_000),
+    out_scale: int = 10_000,
+    le_col: str = "le",
+    ts_col: str = "ts_ms",
+    cum_col: str = "value",
+) -> str:
+    """DuckDB twin of :func:`windowed_histogram_quantiles`."""
+    from cassandra_data_migration_spark.streaming.promql import (
+        _range_stats_sql,
+    )
+
+    stats = _range_stats_sql(
+        samples_sql, [le_col], ts_col, cum_col, range_start_ms, range_end_ms
+    )
+    shell_rows = ", ".join(f"('{le}')" for le in les) + ", ('+Inf')"
+    hist = f"""
+        {stats}
+        SELECT s.{le_col} AS le,
+               CAST(COALESCE(t.d, 0) AS BIGINT) AS cumulative_count
+        FROM (VALUES {shell_rows}) AS s({le_col})
+        LEFT JOIN (SELECT {le_col}, d FROM stats WHERE n >= 2) t
+        ON s.{le_col} = t.{le_col}
+    """
+    return _quantiles_sql_over_hist(hist, les, q_ppm, out_scale)
+
+
+def _quantiles_sql_over_hist(
+    hist: str,
+    les: list[int],
+    q_ppm: list[int] = (500_000, 950_000, 990_000),
+    out_scale: int = 10_000,
+) -> str:
+    """Shared interpolation SQL over a (le, cumulative_count) frame."""
     le_rows = ", ".join(
         f"('{les[i]}', {i})" for i in range(len(les))
     ) + f", ('+Inf', {len(les)})"

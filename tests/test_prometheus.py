@@ -189,3 +189,74 @@ def test_cumulative_histogram_exports_empty_buckets(spark):
         "20": (0, 5),
         "+Inf": (0, 5),
     }
+
+
+def test_windowed_histogram_quantiles_known_values(spark):
+    """histogram_quantile over windowed bucket increases: crafted
+    scrapes where the in-range increase per bucket is known, including
+    a counter reset inside the window."""
+    from cassandra_data_migration_spark.streaming.histograms import (
+        windowed_bucket_increase,
+        windowed_histogram_quantiles,
+    )
+
+    les = [10, 20]
+    # scrapes at t=1000..4000; cumulative counters; the le=10 series
+    # RESETS at t=3000 (process restart: 8 -> 2)
+    rows = [
+        ("10", 1000, 5), ("10", 2000, 8), ("10", 3000, 2), ("10", 4000, 4),
+        ("20", 1000, 9), ("20", 2000, 14), ("20", 3000, 16), ("20", 4000, 20),
+        ("+Inf", 1000, 10), ("+Inf", 2000, 16), ("+Inf", 3000, 18),
+        ("+Inf", 4000, 24),
+    ]
+    df = spark.createDataFrame(rows, "le string, ts_ms long, value long")
+    inc = {
+        r["le"]: r["cumulative_count"]
+        for r in windowed_bucket_increase(df, les, 0, 4000).collect()
+    }
+    # le=10: (8-5) + reset-> 2 + (4-2) = 7; le=20: 20-9 = 11; inf: 14
+    assert inc == {"10": 7, "20": 11, "+Inf": 14}
+    got = {
+        r["q_ppm"]: r["value_fp"]
+        for r in windowed_histogram_quantiles(
+            df, les, 0, 4000, q_ppm=[500_000], out_scale=1
+        ).collect()
+    }
+    # p50 rank = 7 -> first bucket (cum 7 >= 7): interp within (0,10]
+    # at exactly the bucket's full span -> 10
+    assert got == {500_000: 10}
+
+
+def test_windowed_equals_total_when_range_covers_all(spark):
+    """With no reset and a window covering every scrape, the windowed
+    quantile equals histogram_quantiles over the raw values EXCEPT for
+    the first scrape's count (increase needs a predecessor) — so feed
+    a zero first scrape and they must agree exactly."""
+    from pyspark.sql import functions as F
+
+    from cassandra_data_migration_spark.streaming.histograms import (
+        histogram_quantiles,
+        windowed_histogram_quantiles,
+    )
+
+    les = [5, 10, 25]
+    vals = [1, 3, 6, 7, 9, 11, 24, 25, 30, 2, 8, 26]
+    raw = spark.createDataFrame([(v,) for v in vals], "lat long")
+    expect = {
+        r["q_ppm"]: r["value_fp"]
+        for r in histogram_quantiles(raw, "lat", les).collect()
+    }
+    # two scrapes: t=1000 all-zero, t=2000 the full cumulative counts
+    def cum(le):
+        return sum(1 for v in vals if v <= le)
+
+    rows = [(str(le), 1000, 0) for le in les] + [("+Inf", 1000, 0)]
+    rows += [(str(le), 2000, cum(le)) for le in les] + [
+        ("+Inf", 2000, len(vals))
+    ]
+    scr = spark.createDataFrame(rows, "le string, ts_ms long, value long")
+    got = {
+        r["q_ppm"]: r["value_fp"]
+        for r in windowed_histogram_quantiles(scr, les, 0, 2000).collect()
+    }
+    assert got == expect
