@@ -10493,6 +10493,45 @@ QUERIES["training_shards"] = q_training_shards
 ORACLES["training_shards"] = _training_shards_oracle()
 
 
+def q_training_shards_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # token-BALANCED variant: heavy-tailed doc lengths dealt snake
+    # over the token-descending rank (LPT-flavored), so per-shard
+    # token sums stay within one block's spread while doc counts
+    # still differ by <= 1
+    from cassandra_data_migration_spark.operators.shards import (
+        training_shard_manifest,
+    )
+    from cassandra_data_migration_spark.operators.text import token_count
+
+    docs = load_table(spark, sf_dir, "documents").withColumn(
+        "n_tok", token_count("text").cast("long")
+    )
+    return training_shard_manifest(
+        docs, "doc_id", "n_tok", n_shards=8, seed="r7",
+        balance="tokens",
+    )
+
+
+def _training_shards_balanced_oracle() -> str:
+    from cassandra_data_migration_spark.operators.shards import (
+        training_shard_manifest_sql,
+    )
+
+    return training_shard_manifest_sql(
+        "SELECT doc_id, len(string_split(text, ' ')) AS n_tok"
+        " FROM documents",
+        "doc_id",
+        "n_tok",
+        n_shards=8,
+        seed="r7",
+        balance="tokens",
+    )
+
+
+QUERIES["training_shards_balanced"] = q_training_shards_balanced
+ORACLES["training_shards_balanced"] = _training_shards_balanced_oracle()
+
+
 _missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
 assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
 QUERIES = {

@@ -6,6 +6,8 @@
         --origin <parquet> --target <parquet> --pk col[,col...]
     python -m cassandra_data_migration_spark guardrail \
         --origin <parquet> --col-caps text=64 --row-cap-kb 256
+    python -m cassandra_data_migration_spark sizing \
+        --tables users=<parquet>,orders=<parquet> --pk-is-partition-key users
 
 ``migrate`` is the spark-submit + cdm.properties flow
 (lab/exercises/04-cdm-migration.md:116-124); ``validate`` is
@@ -54,6 +56,24 @@ def main(argv: list[str] | None = None) -> int:
         help="spark.cdm.guardrail.rowSizeInKB",
     )
 
+    s = sub.add_parser(
+        "sizing",
+        help="perfops sizing plan from parquet footers "
+        "(docs/04-cdm-approach.md:459-463)",
+    )
+    s.add_argument(
+        "--tables",
+        required=True,
+        help="comma-separated name=path pairs",
+    )
+    s.add_argument(
+        "--pk-is-partition-key",
+        default="",
+        help="comma-separated table names whose full PK is the "
+        "partition key (forces batchSize 1)",
+    )
+    s.add_argument("--ratelimit", type=int, default=20_000)
+
     args = ap.parse_args(argv)
 
     from pyspark.sql import SparkSession
@@ -99,6 +119,26 @@ def main(argv: list[str] | None = None) -> int:
                     }
                 )
             )
+            return 0
+        if args.cmd == "sizing":
+            from cassandra_data_migration_spark.plans.sizing import (
+                migration_sizing_plan,
+            )
+
+            tables = {}
+            for pair in args.tables.split(","):
+                if pair.strip():
+                    name, _, path = pair.partition("=")
+                    tables[name.strip()] = path.strip()
+            flags = {
+                t.strip(): True
+                for t in args.pk_is_partition_key.split(",")
+                if t.strip()
+            }
+            plan = migration_sizing_plan(
+                spark, tables, flags, ratelimit_rows_per_sec=args.ratelimit
+            )
+            print(json.dumps({"plan": [r.asDict() for r in plan.collect()]}))
             return 0
         if args.cmd == "guardrail":
             from cassandra_data_migration_spark.operators.filters import (

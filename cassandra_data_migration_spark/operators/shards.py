@@ -49,19 +49,52 @@ def assign_training_shards(
     id_col: str,
     n_shards: int,
     seed: str = "shards",
+    balance: str = "docs",
+    token_count_col: str | None = None,
 ) -> DataFrame:
     """``df`` plus ``shard`` (0-based) and ``shuffle_rank`` (1-based
-    global position in the seeded shuffle order).  ``id_col`` must be
-    unique — it tiebreaks the order and keys the content digest."""
+    global position in the assignment order).  ``id_col`` must be
+    unique — it tiebreaks the order and keys the content digest.
+
+    ``balance="docs"`` (default): seeded md5 shuffle order,
+    round-robin shard — doc counts differ by ≤ 1 at any corpus size.
+    ``balance="tokens"``: rank by ``token_count_col`` DESCENDING and
+    deal shards boustrophedon (snake: 0..n-1 then n-1..0 per block of
+    n) — the classic LPT-flavored layout that bounds per-shard TOKEN
+    sums within one block's spread, for corpora where document length
+    is heavy-tailed and equal doc counts would skew loader work.  Doc
+    counts still differ by ≤ 1, and every shard samples every length
+    stratum (one doc per block)."""
     if n_shards < 1:
         raise ValueError("n_shards must be >= 1")
-    ordered = df.withColumn("_ord", md5_draw(seed, id_col))
+    if balance == "docs":
+        ordered = df.withColumn("_ord", md5_draw(seed, id_col))
+        ranked = stable_dense_ids(
+            ordered, ["_ord", id_col], out="shuffle_rank"
+        ).drop("_ord")
+        return ranked.withColumn(
+            "shard",
+            F.pmod(F.col("shuffle_rank") - 1, F.lit(n_shards)).cast("int"),
+        )
+    if balance != "tokens":
+        raise ValueError("balance must be 'docs' or 'tokens'")
+    if not token_count_col:
+        raise ValueError("balance='tokens' requires token_count_col")
     ranked = stable_dense_ids(
-        ordered, ["_ord", id_col], out="shuffle_rank"
+        df,
+        [token_count_col, id_col],
+        descending=[True, False],
+        out="shuffle_rank",
     )
+    r0 = F.col("shuffle_rank") - 1
+    idx = F.pmod(r0, F.lit(n_shards))
+    block = F.expr(f"(shuffle_rank - 1) DIV {int(n_shards)}")
     return ranked.withColumn(
-        "shard", F.pmod(F.col("shuffle_rank") - 1, F.lit(n_shards)).cast("int")
-    ).drop("_ord")
+        "shard",
+        F.when(F.pmod(block, F.lit(2)) == 0, idx)
+        .otherwise(F.lit(n_shards - 1) - idx)
+        .cast("int"),
+    )
 
 
 def _content_digest(digest_cols: list[str], seed: str) -> Column:
@@ -84,10 +117,12 @@ def training_shard_manifest(
     n_shards: int,
     seed: str = "shards",
     digest_cols: list[str] | None = None,
+    balance: str = "docs",
 ) -> DataFrame:
     """(shard, n_docs, n_tokens, content_digest) — what a consumer
     checks a delivered shard against.  One map-combined groupBy over
-    the shard assignment; O(n_shards) output rows.
+    the shard assignment (``balance`` as in
+    :func:`assign_training_shards`); O(n_shards) output rows.
 
     ``digest_cols`` (default ``[id_col, token_count_col]``) are the
     columns the content digest covers — tampering with any of them in
@@ -95,7 +130,10 @@ def training_shard_manifest(
     payload column (e.g. the text) to certify payload bytes too; the
     digest hashes every listed column per row."""
     cols = digest_cols or [id_col, token_count_col]
-    assigned = assign_training_shards(df, id_col, n_shards, seed)
+    assigned = assign_training_shards(
+        df, id_col, n_shards, seed, balance,
+        token_count_col if balance == "tokens" else None,
+    )
     return (
         assigned.groupBy("shard")
         .agg(
@@ -173,6 +211,7 @@ def training_shard_manifest_sql(
     token_count_expr: str,
     n_shards: int,
     seed: str = "shards",
+    balance: str = "docs",
 ) -> str:
     """DuckDB twin of :func:`training_shard_manifest` with the default
     ``digest_cols = [id_col, token_count_col]``.  The oracle may use a
@@ -180,15 +219,24 @@ def training_shard_manifest_sql(
     side is the one that must avoid the global sort."""
     ord_expr = md5_draw_sql(seed, id_col)
     digest_expr = md5_draw_sql(f"{seed}:content", id_col, "n_tok")
+    if balance == "docs":
+        order_by = f"{ord_expr}, {id_col}"
+        shard_expr = f"(rnk - 1) % {n_shards}"
+    else:
+        order_by = f"n_tok DESC, {id_col}"
+        shard_expr = (
+            f"CASE WHEN ((rnk - 1) // {n_shards}) % 2 = 0"
+            f" THEN (rnk - 1) % {n_shards}"
+            f" ELSE {n_shards - 1} - (rnk - 1) % {n_shards} END"
+        )
     return f"""
         WITH ranked AS (
             SELECT {id_col},
                    {token_count_expr} AS n_tok,
-                   ROW_NUMBER() OVER (
-                       ORDER BY {ord_expr}, {id_col}) AS rnk
+                   ROW_NUMBER() OVER (ORDER BY {order_by}) AS rnk
             FROM ({table_sql})
         )
-        SELECT CAST((rnk - 1) % {n_shards} AS INT) AS shard,
+        SELECT CAST({shard_expr} AS INT) AS shard,
                COUNT(*) AS n_docs,
                CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
                CAST(SUM({digest_expr}::HUGEINT)

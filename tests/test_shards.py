@@ -232,6 +232,44 @@ def test_digest_cols_can_cover_payload_text(spark):
     }
 
 
+def test_token_balance_beats_round_robin_on_skew(spark):
+    # heavy-tailed lengths: doc i has ~i^2 tokens, so random round-
+    # robin leaves shards whose token sums differ wildly; the snake
+    # deal bounds the spread by one block's worth
+    docs = spark.range(0, 160).select(
+        F.col("id").alias("doc_id"),
+        (F.col("id") * F.col("id") + 1).cast("long").alias("n_tok"),
+    )
+
+    def spread(balance):
+        kw = {"token_count_col": "n_tok"} if balance == "tokens" else {}
+        out = (
+            assign_training_shards(docs, "doc_id", 8, "t", balance, **kw)
+            .groupBy("shard")
+            .agg(F.sum("n_tok").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        sums = [r["s"] for r in out]
+        counts = [r["n"] for r in out]
+        assert max(counts) - min(counts) <= 1  # both keep doc balance
+        return max(sums) - min(sums), sum(sums)
+
+    sp_tok, total = spread("tokens")
+    sp_rr, total2 = spread("docs")
+    assert total == total2
+    # snake spread is a small fraction of the round-robin one here
+    assert sp_tok * 4 < sp_rr
+    # and bounded by one block's spread: the largest 8 docs' range
+    assert sp_tok <= (159 * 159 + 1) - (152 * 152 + 1)
+
+
+def test_balance_tokens_requires_token_col(spark):
+    with pytest.raises(ValueError):
+        assign_training_shards(_docs(spark), "doc_id", 4, balance="tokens")
+    with pytest.raises(ValueError):
+        assign_training_shards(_docs(spark), "doc_id", 4, balance="bogus")
+
+
 def test_invalid_n_shards_raises(spark):
     with pytest.raises(ValueError):
         assign_training_shards(_docs(spark), "doc_id", 0)
