@@ -101,3 +101,27 @@ def test_cli_migrate_and_validate_roundtrip(spark, tmp_path, capsys):
     assert rc == 0
     assert verdict["status"] == "PASS"
     assert verdict["missing"] == verdict["mismatched"] == 0
+
+
+def test_cli_sizing_subcommand(spark, capsys):
+    from cassandra_data_migration_spark.__main__ import main
+
+    rc = main(
+        [
+            "sizing",
+            "--tables",
+            f"region={SF_SMOKE}/region.parquet,"
+            f"orders={SF_SMOKE}/orders.parquet",
+            "--pk-is-partition-key",
+            "orders",
+            "--ratelimit",
+            "1000",
+        ]
+    )
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rc == 0
+    plan = {p["table_name"]: p for p in out["plan"]}
+    assert plan["orders"]["batch_size"] == 1  # PK=partition-key rule
+    assert plan["region"]["batch_size"] == 5
+    n = spark.read.parquet(f"{SF_SMOKE}/orders.parquet").count()
+    assert plan["orders"]["eta_seconds"] == -(-n // 1000)
