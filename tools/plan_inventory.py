@@ -100,6 +100,7 @@ BNLJ_ALLOWED = {
     "repair_pipeline_pruned",  # same report shape over the pruned legs
     "replica_ownership_nts",  # per-DC ring bounds rows (O(nodes*rf))
     "histogram_percentiles",  # 3 quantile rows x O(buckets) frame
+    "histogram_quantile_rated",  # same interpolation, same 3-row side
 }
 
 
