@@ -10092,24 +10092,31 @@ _PROM_RESET_BUCKET = 1_705_276_800_000 // _PROM_STEP_MS
 _PROM_RANGE = (1_704_844_800_000, 1_705_708_800_000)  # Jan 10 → Jan 20
 _PROM_SCALE = 1_000_000_000
 
-_PROM_COUNTER_SQL = f"""
-    SELECT event_type,
+def _cum_counter_with_reset_sql(per_sql: str, series_col: str) -> str:
+    """DuckDB twin of ``_cum_counter_with_reset`` over a (series, b,
+    dc) per-scrape subquery — one definition for both fixtures."""
+    return f"""
+    SELECT {series_col},
            (b + 1) * {_PROM_STEP_MS} AS ts_ms,
            CAST(cum - CASE WHEN b >= {_PROM_RESET_BUCKET} THEN pre
                            ELSE 0 END AS BIGINT) AS value
     FROM (
-        SELECT event_type, b, c,
-               SUM(c) OVER (PARTITION BY event_type ORDER BY b) AS cum,
-               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN c ELSE 0 END)
-                   OVER (PARTITION BY event_type) AS pre
-        FROM (
-            SELECT event_type,
-                   epoch_ms(ts) // {_PROM_STEP_MS} AS b,
-                   COUNT(*) AS c
-            FROM events GROUP BY 1, 2
-        )
+        SELECT {series_col}, b, dc,
+               SUM(dc) OVER (PARTITION BY {series_col} ORDER BY b) AS cum,
+               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN dc ELSE 0 END)
+                   OVER (PARTITION BY {series_col}) AS pre
+        FROM ({per_sql})
     )
-"""
+    """
+
+
+_PROM_COUNTER_SQL = _cum_counter_with_reset_sql(
+    f"""SELECT event_type,
+              epoch_ms(ts) // {_PROM_STEP_MS} AS b,
+              COUNT(*) AS dc
+        FROM events GROUP BY 1, 2""",
+    "event_type",
+)
 
 _PROM_GAUGE_SQL = f"""
     SELECT event_type,
@@ -10124,12 +10131,40 @@ _PROM_GAUGE_SQL = f"""
 """
 
 
+def _cum_counter_with_reset(per_scrape: DataFrame, series_col: str) -> DataFrame:
+    """Shared scrape-counter scaffolding: (series, b, dc) per-scrape
+    deltas -> (series, ts_ms, value) CUMULATIVE counter samples with
+    the mid-month process restart (counter re-zeroes at
+    ``_PROM_RESET_BUCKET``).  One definition so the request-counter
+    and bucket-counter fixtures (and their oracles) cannot drift."""
+    from pyspark.sql import Window
+
+    w_cum = (
+        Window.partitionBy(series_col)
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy(series_col)
+    return per_scrape.select(
+        series_col,
+        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
+        (
+            F.sum("dc").over(w_cum)
+            - F.when(
+                F.col("b") >= _PROM_RESET_BUCKET,
+                F.sum(
+                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("dc"))
+                    .otherwise(F.lit(0))
+                ).over(w_all),
+            ).otherwise(F.lit(0))
+        ).cast("long").alias("value"),
+    )
+
+
 def _prom_counter_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative request-counter scrapes per event_type with one
     mid-month reset — the ``zdm_*_request_duration_seconds_count``
     shape the proxy dashboard rates over."""
-    from pyspark.sql import Window
-
     counts = (
         load_table(spark, sf_dir, "events")
         .select(
@@ -10137,28 +10172,9 @@ def _prom_counter_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
         )
         .groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.count(F.lit(1)).alias("dc"))
     )
-    w_cum = (
-        Window.partitionBy("event_type")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("event_type")
-    return counts.select(
-        "event_type",
-        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
-        (
-            F.sum("c").over(w_cum)
-            - F.when(
-                F.col("b") >= _PROM_RESET_BUCKET,
-                F.sum(
-                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("c"))
-                    .otherwise(F.lit(0))
-                ).over(w_all),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("value"),
-    )
+    return _cum_counter_with_reset(counts, "event_type")
 
 
 def _prom_gauge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -10303,8 +10319,6 @@ def _bucket_scrape_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     latencies — what a real scrape target exports every interval —
     with the same mid-month process restart as the request counters
     (the bucket counters reset together)."""
-    from pyspark.sql import Window
-
     les = _LATENCY_LES
     ev = load_table(spark, sf_dir, "events").select(
         F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
@@ -10325,26 +10339,7 @@ def _bucket_scrape_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "b",
         F.expr(f"stack({len(les) + 1}, {stack_args}) AS (le, dc)"),
     )
-    w_cum = (
-        Window.partitionBy("le")
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy("le")
-    return long_form.select(
-        "le",
-        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
-        (
-            F.sum("dc").over(w_cum)
-            - F.when(
-                F.col("b") >= _PROM_RESET_BUCKET,
-                F.sum(
-                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("dc"))
-                    .otherwise(F.lit(0))
-                ).over(w_all),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("value"),
-    )
+    return _cum_counter_with_reset(long_form, "le")
 
 
 def q_histogram_quantile_rated(
@@ -10374,25 +10369,15 @@ _BUCKET_SCRAPES_SQL_PARTS = [
     for le in _LATENCY_LES
 ] + ["SELECT '+Inf' AS le, b, COUNT(*) AS dc FROM ev GROUP BY b"]
 
-_BUCKET_SCRAPES_SQL = f"""
-    WITH ev AS (
-        SELECT epoch_ms(ts) // {_PROM_STEP_MS} AS b,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat
-        FROM events
-    ),
-    per AS ({" UNION ALL ".join(_BUCKET_SCRAPES_SQL_PARTS)}),
-    cum AS (
-        SELECT le, b, dc,
-               SUM(dc) OVER (PARTITION BY le ORDER BY b) AS cum,
-               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN dc ELSE 0 END)
-                   OVER (PARTITION BY le) AS pre
-        FROM per
-    )
-    SELECT le, (b + 1) * {_PROM_STEP_MS} AS ts_ms,
-           CAST(cum - CASE WHEN b >= {_PROM_RESET_BUCKET} THEN pre
-                           ELSE 0 END AS BIGINT) AS value
-    FROM cum
-"""
+_BUCKET_SCRAPES_SQL = _cum_counter_with_reset_sql(
+    f"""WITH ev AS (
+            SELECT epoch_ms(ts) // {_PROM_STEP_MS} AS b,
+                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat
+            FROM events
+        )
+        {" UNION ALL ".join(_BUCKET_SCRAPES_SQL_PARTS)}""",
+    "le",
+)
 
 
 def _rated_quantiles_oracle() -> str:

@@ -128,13 +128,23 @@ def main(argv: list[str] | None = None) -> int:
             tables = {}
             for pair in args.tables.split(","):
                 if pair.strip():
-                    name, _, path = pair.partition("=")
+                    name, eq, path = pair.partition("=")
+                    if not eq or not name.strip() or not path.strip():
+                        ap.error(f"--tables entry {pair!r} is not name=path")
                     tables[name.strip()] = path.strip()
             flags = {
                 t.strip(): True
                 for t in args.pk_is_partition_key.split(",")
                 if t.strip()
             }
+            unknown = sorted(set(flags) - set(tables))
+            if unknown:
+                # a typo here silently flips CDM's batchSize rule —
+                # refuse instead of emitting a wrong plan
+                ap.error(
+                    "--pk-is-partition-key names not in --tables: "
+                    + ", ".join(unknown)
+                )
             plan = migration_sizing_plan(
                 spark, tables, flags, ratelimit_rows_per_sec=args.ratelimit
             )

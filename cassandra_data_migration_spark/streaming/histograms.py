@@ -158,6 +158,11 @@ def quantiles_from_bucket_counts(
         )
     )
     total = base.agg(F.max("cumulative_count")).collect()[0][0] or 0
+    if total == 0:
+        # nothing observed (empty input, or a window with no rateable
+        # scrape pair): PromQL yields NaN here — the relational
+        # analogue is NO row, never a divide-by-zero crash
+        return spark.createDataFrame([], "q_ppm long, value_fp long")
     last_finite = les[-1]
     qs = spark.createDataFrame([(q,) for q in q_ppm], "q_ppm long")
     # R = q·count in micro-counts; the winning bucket is the first
@@ -257,12 +262,17 @@ def windowed_histogram_quantiles(
     quantile ratio cancels).  Windowed reset-aware bucket increases
     (integer-exact) feed the same interpolation as
     :func:`histogram_quantiles`."""
+    spark = samples.sparkSession
     inc = windowed_bucket_increase(
         samples, les, range_start_ms, range_end_ms, le_col, ts_col, cum_col
     )
-    return quantiles_from_bucket_counts(
-        samples.sparkSession, inc, les, q_ppm, out_scale
+    # the increase frame is O(buckets): materialize it once so the
+    # interpolation's total-collect and the returned plan don't each
+    # re-run the window pass over the (potentially huge) samples
+    inc = spark.createDataFrame(
+        inc.collect(), "le string, cumulative_count long"
     )
+    return quantiles_from_bucket_counts(spark, inc, les, q_ppm, out_scale)
 
 
 def histogram_quantiles_sql(
@@ -339,7 +349,9 @@ def _quantiles_sql_over_hist(
                    ROW_NUMBER() OVER (PARTITION BY q.q_ppm ORDER BY b.b)
                        AS rk
             FROM qs q, base b, tot t
-            WHERE b.cumulative_count * {PPM} >= q.q_ppm * t.n
+            -- t.n > 0 mirrors the engine's empty-result contract for
+            -- an unobserved histogram (PromQL NaN => no row)
+            WHERE t.n > 0 AND b.cumulative_count * {PPM} >= q.q_ppm * t.n
         )
         SELECT q_ppm,
                CASE WHEN le = '+Inf'

@@ -232,7 +232,6 @@ def test_windowed_equals_total_when_range_covers_all(spark):
     quantile equals histogram_quantiles over the raw values EXCEPT for
     the first scrape's count (increase needs a predecessor) — so feed
     a zero first scrape and they must agree exactly."""
-    from pyspark.sql import functions as F
 
     from cassandra_data_migration_spark.streaming.histograms import (
         histogram_quantiles,
@@ -260,3 +259,17 @@ def test_windowed_equals_total_when_range_covers_all(spark):
         for r in windowed_histogram_quantiles(scr, les, 0, 2000).collect()
     }
     assert got == expect
+
+
+def test_windowed_quantiles_empty_window_yields_no_rows(spark):
+    """A panel range with no rateable scrape pair (fresh target
+    scraped once) must yield NO rows — PromQL's NaN — never a
+    divide-by-zero crash."""
+    from cassandra_data_migration_spark.streaming.histograms import (
+        windowed_histogram_quantiles,
+    )
+
+    rows = [("10", 1000, 5), ("20", 1000, 9), ("+Inf", 1000, 10)]
+    df = spark.createDataFrame(rows, "le string, ts_ms long, value long")
+    out = windowed_histogram_quantiles(df, [10, 20], 0, 1000)
+    assert out.collect() == []

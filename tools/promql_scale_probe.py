@@ -100,10 +100,17 @@ def main() -> None:
                 s0 = _shuffle_mb(spark)
                 t0 = time.time()
                 cnt = fn(df).count()
+                s1 = _shuffle_mb(spark)
                 res[name] = {
                     "wall_s": round(time.time() - t0, 2),
                     "out_rows": cnt,
-                    "shuffle_mb": round(max(_shuffle_mb(spark) - s0, 0), 1),
+                    # a failed UI read must read as UNKNOWN, never as
+                    # a measured 0 (SCALING.md cites these numbers)
+                    "shuffle_mb": (
+                        round(max(s1 - s0, 0), 1)
+                        if s0 >= 0 and s1 >= 0
+                        else None
+                    ),
                 }
                 assert cnt == n_series
             out[tier][f"series_{n_series}"] = res
