@@ -10438,6 +10438,93 @@ QUERIES["stream_irate"] = q_stream_irate
 ORACLES["stream_irate"] = _PROM_IRATE_SQL
 
 
+# --- round 7: classifier evaluation (AUC / PR / calibration) ----------------
+
+# score = the integer-exact quality score (the same expression the
+# preference_pairs oracle proved engine-identical); weak label = the
+# doc is English — the classifier-eval loop a quality-filter pipeline
+# runs before trusting its filter
+_EVAL_SCORED_SQL = """
+    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+           7 * least(CAST(len(string_split(text, ' ')) AS BIGINT)
+                     * 15625, 1000000)
+           + 3 * least(CAST(floor(5000000 *
+                 CAST(len(list_filter(string_split(text, ' '),
+                     t -> list_contains(
+                         ['the','a','of','to','and','in','is'], t)))
+                     AS BIGINT) * 1.0 /
+                 CAST(len(string_split(text, ' ')) AS BIGINT))
+                 AS BIGINT), 1000000) AS q
+    FROM documents
+"""
+_EVAL_THRESHOLDS = [2_000_000, 4_000_000, 6_000_000, 8_000_000, 9_000_000]
+
+
+def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cassandra_data_migration_spark.operators.text import quality_score_e6
+
+    return quality_score_e6(load_table(spark, sf_dir, "documents")).select(
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
+        F.col("quality_e6x10").alias("q"),
+    )
+
+
+def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # exact Mann-Whitney AUC, average-rank ties, two-phase bucketed
+    # global rank (no single-task sort)
+    from cassandra_data_migration_spark.operators.evaluation import roc_auc
+
+    return roc_auc(_eval_scored(spark, sf_dir), "q", "y")
+
+
+def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # precision/recall/F1 at operating thresholds: one scan, broadcast
+    # threshold list, exact integer counts + half-up ppm ratios
+    from cassandra_data_migration_spark.operators.evaluation import (
+        pr_at_thresholds,
+    )
+
+    return pr_at_thresholds(
+        _eval_scored(spark, sf_dir), "q", "y", _EVAL_THRESHOLDS
+    )
+
+
+def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # reliability table over confidence bins (score e6x10 -> ppm);
+    # ECE derives from Σ n_b·gap_b / N, every cell engine-exact
+    from cassandra_data_migration_spark.operators.evaluation import (
+        calibration_bins,
+    )
+
+    scored = _eval_scored(spark, sf_dir).withColumn(
+        "conf_ppm", F.expr("q DIV 10")
+    )
+    return calibration_bins(scored, "conf_ppm", "y", n_bins=10)
+
+
+def _eval_oracles() -> tuple[str, str, str]:
+    from cassandra_data_migration_spark.operators.evaluation import (
+        calibration_bins_sql,
+        pr_at_thresholds_sql,
+        roc_auc_sql,
+    )
+
+    return (
+        roc_auc_sql(_EVAL_SCORED_SQL, "q", "y"),
+        pr_at_thresholds_sql(_EVAL_SCORED_SQL, "q", "y", _EVAL_THRESHOLDS),
+        calibration_bins_sql(_EVAL_SCORED_SQL, "q // 10", "y", n_bins=10),
+    )
+
+
+_EVAL_AUC_SQL, _EVAL_PR_SQL, _EVAL_CAL_SQL = _eval_oracles()
+QUERIES["classifier_auc"] = q_classifier_auc
+ORACLES["classifier_auc"] = _EVAL_AUC_SQL
+QUERIES["classifier_pr_curve"] = q_classifier_pr_curve
+ORACLES["classifier_pr_curve"] = _EVAL_PR_SQL
+QUERIES["classifier_calibration"] = q_classifier_calibration
+ORACLES["classifier_calibration"] = _EVAL_CAL_SQL
+
+
 # --- round 7: training-shard export manifest ---------------------------------
 
 

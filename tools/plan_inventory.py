@@ -101,6 +101,7 @@ BNLJ_ALLOWED = {
     "replica_ownership_nts",  # per-DC ring bounds rows (O(nodes*rf))
     "histogram_percentiles",  # 3 quantile rows x O(buckets) frame
     "histogram_quantile_rated",  # same interpolation, same 3-row side
+    "classifier_pr_curve",  # O(thresholds) literal row set broadcast
 }
 
 
