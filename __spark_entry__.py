@@ -10525,6 +10525,49 @@ QUERIES["classifier_calibration"] = q_classifier_calibration
 ORACLES["classifier_calibration"] = _EVAL_CAL_SQL
 
 
+def q_classifier_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # classifier DRIFT view: is the quality filter as discriminative
+    # on zh as on en?  Per-group AUC shuffles once on the group key —
+    # label here = long document (>= 1000 chars), score = quality e6
+    from cassandra_data_migration_spark.operators.evaluation import (
+        grouped_roc_auc,
+    )
+    from cassandra_data_migration_spark.operators.text import quality_score_e6
+
+    scored = quality_score_e6(load_table(spark, sf_dir, "documents")).select(
+        "lang",
+        F.col("quality_e6x10").alias("q"),
+        F.when(F.col("n_chars") >= 1000, 1).otherwise(0).alias("y"),
+    )
+    return grouped_roc_auc(scored, "lang", "q", "y")
+
+
+def _grouped_auc_oracle() -> str:
+    from cassandra_data_migration_spark.operators.evaluation import (
+        grouped_roc_auc_sql,
+    )
+
+    scored = """
+        SELECT lang,
+               CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS y,
+               7 * least(CAST(len(string_split(text, ' ')) AS BIGINT)
+                         * 15625, 1000000)
+               + 3 * least(CAST(floor(5000000 *
+                     CAST(len(list_filter(string_split(text, ' '),
+                         t -> list_contains(
+                             ['the','a','of','to','and','in','is'], t)))
+                         AS BIGINT) * 1.0 /
+                     CAST(len(string_split(text, ' ')) AS BIGINT))
+                     AS BIGINT), 1000000) AS q
+        FROM documents
+    """
+    return grouped_roc_auc_sql(scored, "lang", "q", "y")
+
+
+QUERIES["classifier_auc_by_lang"] = q_classifier_auc_by_lang
+ORACLES["classifier_auc_by_lang"] = _grouped_auc_oracle()
+
+
 # --- round 7: training-shard export manifest ---------------------------------
 
 

@@ -204,6 +204,81 @@ def calibration_bins(
     )
 
 
+def grouped_roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    label_col: str,
+) -> DataFrame:
+    """Per-group exact AUC: (group, n_pos, n_neg, auc_ppm) — the
+    classifier-drift view (is the quality filter as discriminative on
+    zh as on en?).  Groups missing a class produce no row.
+
+    Scale shape is SIMPLER than the global AUC: the rank window is
+    partitioned by the group, so it shuffles once on the group key and
+    never needs the two-phase trick; the window runs over O(distinct
+    scores) pre-aggregated rows per group."""
+    from pyspark.sql import Window
+
+    per_score = (
+        df.select(
+            F.col(group_col).alias("_g"),
+            F.col(score_col).alias("_s"),
+            F.col(label_col).cast("long").alias("_y"),
+        )
+        .groupBy("_g", "_s")
+        .agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.sum("_y").alias("_pos_c"),
+        )
+    )
+    w = (
+        Window.partitionBy("_g")
+        .orderBy("_s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = per_score.withColumn(
+        "_below", F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+    )
+    # min_rank within the group = rows below + 1
+    tot = ranked.groupBy("_g").agg(
+        F.sum("_pos_c").cast("long").alias("n_pos"),
+        F.sum(F.col("_cnt") - F.col("_pos_c")).cast("long").alias("n_neg"),
+        F.sum(
+            _dec(F.col("_pos_c"))
+            * (
+                F.lit(2).cast("decimal(38,0)")
+                * (_dec(F.col("_below")) + F.lit(1).cast("decimal(38,0)"))
+                + _dec(F.col("_cnt"))
+                - F.lit(1).cast("decimal(38,0)")
+            )
+        ).alias("_s2"),
+    )
+    num = (
+        F.col("_s2")
+        - _dec(F.col("n_pos")) * (_dec(F.col("n_pos")) + F.lit(1))
+    )
+    den = F.lit(2).cast("decimal(38,0)") * _dec(F.col("n_pos")) * _dec(
+        F.col("n_neg")
+    )
+    return (
+        tot.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .withColumn("_num", num)
+        .withColumn("_den", den)
+        .withColumn(
+            "auc_ppm",
+            F.expr(
+                f"CAST((CAST(2 AS DECIMAL(38,0)) * _num * {PPM} + _den)"
+                " div (CAST(2 AS DECIMAL(38,0)) * _den) AS BIGINT)"
+            ),
+        )
+        .select(
+            F.col("_g").alias(group_col), "n_pos", "n_neg", "auc_ppm"
+        )
+        .orderBy(group_col)
+    )
+
+
 # --- DuckDB oracle twins ----------------------------------------------------
 
 
@@ -236,6 +311,54 @@ def roc_auc_sql(table_sql: str, score_expr: str, label_expr: str) -> str:
                      + 2 * n_pos * n_neg)
                     // (2 * 2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
         FROM tot WHERE n_pos > 0 AND n_neg > 0
+    """
+
+
+def grouped_roc_auc_sql(
+    table_sql: str,
+    group_expr: str,
+    score_expr: str,
+    label_expr: str,
+    group_alias: str | None = None,
+) -> str:
+    """DuckDB twin of :func:`grouped_roc_auc`.  ``group_alias``
+    defaults to ``group_expr`` — it must equal the Spark side's
+    ``group_col`` (column names are part of the contract)."""
+    group_alias = group_alias or group_expr
+    return f"""
+        WITH base AS (
+            SELECT {group_expr} AS g, {score_expr} AS s,
+                   CAST({label_expr} AS BIGINT) AS y
+            FROM ({table_sql})
+        ),
+        per_score AS (
+            SELECT g, s, COUNT(*) AS cnt, SUM(y) AS pos_c
+            FROM base GROUP BY g, s
+        ),
+        ranked AS (
+            SELECT g, s, cnt, pos_c,
+                   COALESCE(SUM(cnt) OVER (
+                       PARTITION BY g ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING
+                            AND 1 PRECEDING), 0) AS below
+            FROM per_score
+        ),
+        tot AS (
+            SELECT g,
+                   CAST(SUM(pos_c) AS HUGEINT) AS n_pos,
+                   CAST(SUM(cnt - pos_c) AS HUGEINT) AS n_neg,
+                   CAST(SUM(pos_c * (2 * (below + 1) + cnt - 1))
+                       AS HUGEINT) AS s2
+            FROM ranked GROUP BY g
+        )
+        SELECT g AS {group_alias},
+               CAST(n_pos AS BIGINT) AS n_pos,
+               CAST(n_neg AS BIGINT) AS n_neg,
+               CAST((2 * (s2 - n_pos * (n_pos + 1)) * {PPM}
+                     + 2 * n_pos * n_neg)
+                    // (2 * 2 * n_pos * n_neg) AS BIGINT) AS auc_ppm
+        FROM tot WHERE n_pos > 0 AND n_neg > 0
+        ORDER BY 1
     """
 
 

@@ -133,3 +133,26 @@ def test_calibration_top_edge_folds_into_last_bin(spark):
     assert len(out) == 1 and out[0]["bin"] == 9
     with pytest.raises(ValueError):
         calibration_bins(df, "conf_ppm", "y", 0)
+
+
+def test_grouped_auc_matches_global_per_group(spark):
+    from cassandra_data_migration_spark.operators.evaluation import (
+        grouped_roc_auc,
+    )
+
+    rows_a = [(3, 1), (5, 1), (5, 1), (1, 0), (5, 0), (7, 0)]  # AUC 4/9
+    rows_b = [(10 + i, 1) for i in range(3)] + [(i, 0) for i in range(3)]
+    df = spark.createDataFrame(
+        [("a",) + r for r in rows_a] + [("b",) + r for r in rows_b]
+        + [("c", 5, 1), ("c", 6, 1)],  # single-class group -> no row
+        "g string, q long, y int",
+    )
+    out = {r["g"]: r for r in grouped_roc_auc(df, "g", "q", "y").collect()}
+    assert set(out) == {"a", "b"}
+    assert out["a"]["auc_ppm"] == round(4 / 9 * PPM)
+    assert out["b"]["auc_ppm"] == PPM
+    # each group's grouped result equals the global operator run on it
+    solo = roc_auc(_scored(spark, rows_a), "q", "y").collect()[0]
+    assert (solo["n_pos"], solo["n_neg"], solo["auc_ppm"]) == (
+        out["a"]["n_pos"], out["a"]["n_neg"], out["a"]["auc_ppm"],
+    )
