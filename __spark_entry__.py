@@ -10470,11 +10470,18 @@ def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact Mann-Whitney AUC, average-rank ties, two-phase bucketed
-    # global rank (no single-task sort)
+    # exact Mann-Whitney AUC, average-rank ties; the folded bucketed
+    # rank (no single-task sort, no per-row window), with the score
+    # domain [0, 1e7] known so explicit bucket bounds make the whole
+    # metric ONE scan of the scored frame
     from cassandra_data_migration_spark.operators.evaluation import roc_auc
 
-    return roc_auc(_eval_scored(spark, sf_dir), "q", "y")
+    return roc_auc(
+        _eval_scored(spark, sf_dir),
+        "q",
+        "y",
+        score_bounds=[i * 10_000_000 // 64 for i in range(1, 64)],
+    )
 
 
 def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:

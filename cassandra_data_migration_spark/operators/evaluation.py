@@ -13,10 +13,11 @@ disagree in the last float digit.
 Scale shapes:
 
 - ``roc_auc`` uses the rank-sum (Mann-Whitney) identity with
-  average-rank tie handling.  The global rank comes from the
-  two-phase bucketed rank (operators/ids.stable_dense_ids — no
-  single-task sort); ties are then corrected per distinct score
-  group: positives in a tie group contribute their AVERAGE rank
+  average-rank tie handling.  Group min-ranks come from the FOLDED
+  two-phase bucketed rank (operators/ids.grouped_min_ranks — no
+  single-task sort, no per-row window: rows pre-aggregate to tie
+  groups in one shuffle and the prefix window runs over group rows);
+  positives in a tie group contribute their AVERAGE rank
   ``min_rank + (cnt-1)/2`` whatever the tie-break order, so
   2·Σranks = Σ_groups pos_c·(2·min_rank + cnt − 1) stays integral.
 - ``pr_at_thresholds`` is ONE scan with a broadcast threshold list —
@@ -31,7 +32,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from cassandra_data_migration_spark.operators.ids import stable_dense_ids
+from cassandra_data_migration_spark.operators.ids import grouped_min_ranks
 
 PPM = 1_000_000
 
@@ -48,24 +49,32 @@ def _half_up_ppm(num_col, den_col):
 
 
 def roc_auc(
-    df: DataFrame, score_col: str, label_col: str
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    buckets: int = 64,
+    score_bounds: list | None = None,
 ) -> DataFrame:
     """One row: (n_pos, n_neg, auc_ppm) — the exact Mann-Whitney AUC
     of ``score_col`` against binary ``label_col`` (1 = positive),
     average-rank ties.  No row when either class is empty (the metric
-    is undefined, not zero)."""
-    ranked = stable_dense_ids(
+    is undefined, not zero).
+
+    The global rank chain is FOLDED (operators/ids.grouped_min_ranks):
+    rows pre-aggregate to their tie groups in one shuffle and the
+    prefix window runs over group rows per bucket — never a per-row
+    rank, tiebreaker, or full-width window sort.  ``score_bounds``
+    (ordered bucket boundaries) skips the percentile pass when the
+    score domain is known, making the whole metric ONE scan."""
+    groups = grouped_min_ranks(
         df.select(
             F.col(score_col).alias("_s"),
             F.col(label_col).cast("long").alias("_y"),
-        ).withColumn("_tb", F.monotonically_increasing_id()),
-        ["_s", "_tb"],
-        out="_rank",
-    )
-    groups = ranked.groupBy("_s").agg(
-        F.min("_rank").alias("_min_rank"),
-        F.count(F.lit(1)).alias("_cnt"),
-        F.sum("_y").alias("_pos_c"),
+        ),
+        "_s",
+        [F.sum("_y").alias("_pos_c")],
+        buckets=buckets,
+        bounds=score_bounds,
     )
     tot = groups.agg(
         F.sum("_pos_c").cast("long").alias("n_pos"),

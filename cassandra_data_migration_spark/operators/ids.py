@@ -85,3 +85,77 @@ def stable_dense_ids(
         )
         .drop("_bkt", "_off")
     )
+
+
+def grouped_min_ranks(
+    df: DataFrame,
+    order_col: str,
+    extra_aggs: list[Column],
+    buckets: int = 64,
+    bounds: list | None = None,
+) -> DataFrame:
+    """``groupBy(order_col)`` stats plus each group's 1-based global
+    MIN rank in ``order_col`` order — the folded form of
+    ``stable_dense_ids(...).groupBy(order_col).agg(min(rank), ...)``
+    for consumers (rank-sum AUC, tie-group statistics) that never need
+    per-row ranks.  Output: (order_col, _cnt, extra_aggs..., _min_rank).
+
+    Folding the chain drops the per-row bucket window entirely: rows
+    are pre-aggregated to their tie groups in ONE shuffle
+    (``groupBy(_bkt, order_col)``; ``_bkt`` is a function of the key,
+    so this IS the tie-group frame), the prefix window then runs over
+    O(distinct keys) group rows per bucket instead of every row, and
+    no per-row tiebreaker (monotonically_increasing_id) is needed —
+    the tie group's min rank is the bucket offset plus the exclusive
+    running count of earlier groups' rows, +1.
+
+    Bucket offsets come from the tie-group frame ITSELF, inside the
+    same plan: re-aggregate it to O(buckets) per-bucket totals, prefix
+    those with a window (trivially single-partition over <= ``buckets``
+    rows) and broadcast-join the offsets back — the tie-group exchange
+    is reused for both branches, so the whole operator is one scan of
+    ``df`` plus one shuffle, zero driver-side jobs.
+
+    ``bounds``: explicit ordered bucket boundaries over the (double)
+    key — pass them when the score domain is known (e.g. a fixed-point
+    score in [0, 1e7]) to skip the percentile_approx pass; like the
+    approximate quantiles they only affect balance, never values."""
+    lead_key = F.col(order_col).cast("double")
+    if bounds is None:
+        qs = [i / buckets for i in range(1, buckets)]
+        bounds = df.select(
+            F.percentile_approx(lead_key, qs).alias("b")
+        ).first()["b"] or []
+    bounds = sorted(set(bounds))
+    d = df.withColumn("_bkt", _bucket_of(lead_key, bounds))
+    groups = d.groupBy("_bkt", order_col).agg(
+        F.count(F.lit(1)).alias("_cnt"), *extra_aggs
+    )
+    w_off = Window.orderBy("_bkt").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        groups.groupBy("_bkt")
+        .agg(F.sum("_cnt").alias("_bc"))
+        .withColumn(
+            "_off", F.coalesce(F.sum("_bc").over(w_off), F.lit(0))
+        )
+        .drop("_bc")
+    )
+    w = (
+        Window.partitionBy("_bkt")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        groups.join(F.broadcast(offsets), "_bkt")
+        .withColumn(
+            "_min_rank",
+            (
+                F.col("_off")
+                + F.coalesce(F.sum("_cnt").over(w), F.lit(0))
+                + F.lit(1)
+            ).cast("bigint"),
+        )
+        .drop("_bkt", "_off")
+    )

@@ -153,12 +153,19 @@ def write_training_shards(
     n_shards: int,
     seed: str = "shards",
     digest_cols: list[str] | None = None,
+    balance: str = "docs",
 ) -> DataFrame:
     """Materialize the shards under ``path`` (``shard=K`` directories,
     one file each, rows ordered by shuffle_rank within the shard) and
     return the manifest of what was written.  Readers stream shard
-    directories independently; the manifest digest verifies each."""
-    assigned = assign_training_shards(df, id_col, n_shards, seed)
+    directories independently; the manifest digest verifies each.
+    ``balance`` as in :func:`assign_training_shards`, so a manifest
+    generated with ``balance='tokens'`` matches shards written with
+    the same setting."""
+    assigned = assign_training_shards(
+        df, id_col, n_shards, seed, balance,
+        token_count_col if balance == "tokens" else None,
+    )
     (
         assigned.repartition(n_shards, "shard")
         .sortWithinPartitions("shuffle_rank")

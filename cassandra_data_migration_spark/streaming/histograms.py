@@ -146,8 +146,15 @@ def quantiles_from_bucket_counts(
         [(str(les[i]), i) for i in range(len(les))] + [("+Inf", len(les))],
         "le string, _b int",
     )
+    run = Window.orderBy("_b").rowsBetween(Window.unboundedPreceding, 0)
     base = (
         hist.join(le_pos, "le")
+        # Prometheus ensureMonotonic: windowed per-le increases can be
+        # non-monotone (per-le counter resets land at different scrape
+        # boundaries), so clamp each cumulative count to the running
+        # max before bucket selection — promql/quantile.go does the
+        # same repair before interpolating
+        .withColumn("cumulative_count", F.max("cumulative_count").over(run))
         .withColumn("_lo_le", F.lag("le", 1).over(Window.orderBy("_b")))
         .withColumn(
             "_cum_lo",
@@ -157,7 +164,15 @@ def quantiles_from_bucket_counts(
             ),
         )
     )
-    total = base.agg(F.max("cumulative_count")).collect()[0][0] or 0
+    # total is the +Inf bucket's (repaired) count — the Prometheus
+    # contract (histogramQuantile uses buckets[len-1].count, never the
+    # max over finite buckets)
+    total = (
+        base.filter(F.col("le") == "+Inf")
+        .agg(F.max("cumulative_count"))
+        .collect()[0][0]
+        or 0
+    )
     if total == 0:
         # nothing observed (empty input, or a window with no rateable
         # scrape pair): PromQL yields NaN here — the relational
@@ -192,16 +207,24 @@ def quantiles_from_bucket_counts(
         * (F.col("_r").cast("decimal(38,0)") - F.col("_cum_lo").cast("decimal(38,0)") * F.lit(PPM))
     )
     den = in_b * F.lit(PPM).cast("decimal(38,0)")
-    interp = lo * d + F.floor(
-        (F.lit(2).cast("decimal(38,0)") * num + den)
-        / (F.lit(2).cast("decimal(38,0)") * den)
-    ).cast("decimal(38,0)")
-    return hit.select(
-        "q_ppm",
-        F.when(F.col("le") == "+Inf", F.lit(last_finite * out_scale))
-        .otherwise(interp.cast("long"))
-        .cast("long")
-        .alias("value_fp"),
+    # half-up via integral DIV of DECIMAL(38) operands (promql.py /
+    # evaluation.py pattern) — DECIMAL `/` rounds HALF_UP to scale 6
+    # BEFORE a floor(), which is off-by-one vs the oracle's exact `//`
+    # when the true quotient sits within 5e-7 below an integer
+    interp = lo * d + F.expr(
+        "CAST((CAST(2 AS DECIMAL(38,0)) * _num + _den) div "
+        "(CAST(2 AS DECIMAL(38,0)) * _den) AS DECIMAL(38,0))"
+    )
+    return (
+        hit.withColumn("_num", num)
+        .withColumn("_den", den)
+        .select(
+            "q_ppm",
+            F.when(F.col("le") == "+Inf", F.lit(last_finite * out_scale))
+            .otherwise(interp.cast("long"))
+            .cast("long")
+            .alias("value_fp"),
+        )
     )
 
 
@@ -333,14 +356,24 @@ def _quantiles_sql_over_hist(
     return f"""
         WITH hist AS ({hist}),
         le_pos(le, b) AS (VALUES {le_rows}),
-        base AS (
-            SELECT h.le, h.cumulative_count, p.b,
-                   LAG(h.le) OVER (ORDER BY p.b) AS lo_le,
-                   COALESCE(LAG(h.cumulative_count) OVER (ORDER BY p.b), 0)
-                       AS cum_lo
+        mono AS (
+            -- Prometheus ensureMonotonic: clamp each cumulative count
+            -- to the running max (mirrors the Spark side exactly)
+            SELECT h.le, p.b,
+                   MAX(h.cumulative_count)
+                       OVER (ORDER BY p.b ROWS UNBOUNDED PRECEDING)
+                       AS cumulative_count
             FROM hist h JOIN le_pos p ON h.le = p.le
         ),
-        tot AS (SELECT MAX(cumulative_count) AS n FROM base),
+        base AS (
+            SELECT le, cumulative_count, b,
+                   LAG(le) OVER (ORDER BY b) AS lo_le,
+                   COALESCE(LAG(cumulative_count) OVER (ORDER BY b), 0)
+                       AS cum_lo
+            FROM mono
+        ),
+        -- total is the +Inf bucket's (repaired) count
+        tot AS (SELECT cumulative_count AS n FROM base WHERE le = '+Inf'),
         qs(q_ppm) AS (VALUES {q_rows}),
         hit AS (
             SELECT q.q_ppm, b.le, b.b, b.lo_le, b.cum_lo,

@@ -24,10 +24,12 @@ promql/functions.go):
   ``(start, end]``, multiplied by the documented boundary
   extrapolation factor: extend the sampled interval toward each
   boundary by the actual gap when the gap is under 1.1× the average
-  sample spacing, else by half the average spacing; a counter
-  additionally never extrapolates below its zero crossing
-  (``durationToZero = S·v1/D``).  ``rate`` divides by the range in
-  seconds.
+  sample spacing, else by half the average spacing; a counter's
+  start extension is additionally capped at its zero crossing
+  (``durationToZero = S·v1/D``), applied AFTER the threshold clamp —
+  the promql/functions.go (>= 2.50) evaluation order, where the
+  clamped durationToStart takes the min with durationToZero.
+  ``rate`` divides by the range in seconds.
 
 Everything is exact integer/rational arithmetic: durations stay in
 integer milliseconds, the extrapolation rationals are carried as
@@ -194,15 +196,9 @@ def extrapolated_rate(
     big = g.withColumn("_l", _dec(F.lit(2)) * _dec(n1) * _dec(dmax))
     ds_num = _dec(ds) * F.col("_l")
     de_num = _dec(de) * F.col("_l")
-    # counter zero-cap FIRST (the promql evaluation order):
-    # durationToZero = S·v1/D -> numerator S·v1·2(n-1) over L (valid
-    # only when D > 0, i.e. dmax == D; v1 >= 0 holds for counters)
-    dz_num = _dec(s) * _dec(F.col("_v1")) * _dec(F.lit(2)) * _dec(n1)
-    ds_num = F.when(
-        (d > 0) & (F.col("_v1") >= 0) & (dz_num < ds_num), dz_num
-    ).otherwise(ds_num)
-    # threshold: ext >= 11S/(10(n-1)) <=> 5·ext_num >= 11·S·dmax;
-    # beyond it extend by HALF the average spacing: num = S·dmax
+    # threshold FIRST (promql/functions.go >= 2.50 order):
+    # ext >= 11S/(10(n-1)) <=> 5·ext_num >= 11·S·dmax; beyond it
+    # extend by HALF the average spacing: num = S·dmax
     half_avg_num = _dec(s) * _dec(dmax)
     thresh = _dec(F.lit(11)) * half_avg_num
     ds_num = F.when(
@@ -211,6 +207,14 @@ def extrapolated_rate(
     de_num = F.when(
         _dec(F.lit(5)) * de_num >= thresh, half_avg_num
     ).otherwise(de_num)
+    # THEN the counter zero-cap takes the min with the (possibly
+    # threshold-clamped) start extension: durationToZero = S·v1/D ->
+    # numerator S·v1·2(n-1) over L (valid only when D > 0, i.e.
+    # dmax == D; v1 >= 0 holds for counters)
+    dz_num = _dec(s) * _dec(F.col("_v1")) * _dec(F.lit(2)) * _dec(n1)
+    ds_num = F.when(
+        (d > 0) & (F.col("_v1") >= 0) & (dz_num < ds_num), dz_num
+    ).otherwise(ds_num)
 
     factor_num = _dec(s) * F.col("_l") + ds_num + de_num
     out_num = _dec(d) * factor_num * _dec(F.lit(out_scale))
@@ -408,19 +412,19 @@ def extrapolated_rate_sql(
                    sp * dmax AS half_avg_num
             FROM prep
         ),
-        capped AS (
+        clamped AS (
             SELECT *,
-                   CASE WHEN d > 0 AND v1 >= 0 AND dz_num < ds_num0
-                        THEN dz_num ELSE ds_num0 END AS ds_num1
+                   CASE WHEN 5 * ds_num0 >= 11 * half_avg_num
+                        THEN half_avg_num ELSE ds_num0 END AS ds_num1,
+                   CASE WHEN 5 * de_num0 >= 11 * half_avg_num
+                        THEN half_avg_num ELSE de_num0 END AS de_num
             FROM nums
         ),
         ext AS (
             SELECT *,
-                   CASE WHEN 5 * ds_num1 >= 11 * half_avg_num
-                        THEN half_avg_num ELSE ds_num1 END AS ds_num,
-                   CASE WHEN 5 * de_num0 >= 11 * half_avg_num
-                        THEN half_avg_num ELSE de_num0 END AS de_num
-            FROM capped
+                   CASE WHEN d > 0 AND v1 >= 0 AND dz_num < ds_num1
+                        THEN dz_num ELSE ds_num1 END AS ds_num
+            FROM clamped
         )
         SELECT {s},
                CAST((2 * (d * (sp * l + ds_num + de_num)

@@ -46,13 +46,15 @@ def prom_rate_ref(samples, start, end, per_second=True):
     dur_start, dur_end = float(t1 - start), float(end - tn)
     sampled = float(tn - t1)
     avg = sampled / (len(ss) - 1)
+    # promql/functions.go (>= 2.50) order: threshold clamp FIRST,
+    # then the zero-cap takes the min with the clamped start extension
+    threshold = avg * 1.1
+    if dur_start >= threshold:
+        dur_start = avg / 2
     if result > 0 and ss[0][1] >= 0:
         dur_zero = sampled * (ss[0][1] / result)
         if dur_zero < dur_start:
             dur_start = dur_zero
-    threshold = avg * 1.1
-    if dur_start >= threshold:
-        dur_start = avg / 2
     if dur_end >= threshold:
         dur_end = avg / 2
     result *= (sampled + dur_start + dur_end) / sampled
@@ -130,9 +132,10 @@ def test_rate_matches_prometheus_reference_dense(spark):
 
 
 def test_rate_sparse_extension_branches(spark):
-    # samples cover only the middle third: the end side exceeds the
-    # 1.1x-avg threshold (-> avg/2), the start side gets zero-capped
-    # below it (-> the zero crossing stands)
+    # samples cover only the middle third: BOTH sides exceed the
+    # 1.1x-avg threshold (-> avg/2 each); the zero crossing (10 s)
+    # is then NOT below the clamped 5 s start extension, so it does
+    # not fire — the >= 2.50 order (old order would have kept 10 s)
     samples = [(40_000, 100), (50_000, 200), (60_000, 300)]
     df = _df(spark, samples)
     got = _one(
@@ -144,12 +147,12 @@ def test_rate_sparse_extension_branches(spark):
     )
     ref = prom_rate_ref(samples, 0, 100_000)
     _assert_matches_ref(got, ref)
-    # start side: zero-cap fires first (durationToZero = 20s*100/200 =
-    # 10s < 40s gap) and 10s is UNDER the 11s threshold, so it stands;
-    # end side: 40s gap >= threshold -> avg/2 = 5s.  factor =
-    # (20000 + 10000 + 5000)/20000 = 1.75: increase 200 extrapolates
-    # to 350 over a 100 s range -> 3.5/s
-    assert got == 35 * SCALE // 10
+    # start side: 40s gap >= 11s threshold -> avg/2 = 5s, and the
+    # zero crossing (20s*100/200 = 10s) is not below 5s so the clamp
+    # stands; end side: same -> 5s.  factor =
+    # (20000 + 5000 + 5000)/20000 = 1.5: increase 200 extrapolates
+    # to 300 over a 100 s range -> 3.0/s
+    assert got == 3 * SCALE
 
 
 def test_rate_counter_zero_cap(spark):
@@ -274,13 +277,13 @@ def prom_rate_ref_exact(samples, start, end, scale=SCALE):
     sampled = Fr(tn - t1)
     dur_start, dur_end = Fr(t1 - start), Fr(end - tn)
     avg = sampled / (len(ss) - 1)
+    threshold = avg * Fr(11, 10)
+    if dur_start >= threshold:
+        dur_start = avg / 2
     if d > 0 and v1 >= 0:
         dur_zero = sampled * Fr(v1, d)
         if dur_zero < dur_start:
             dur_start = dur_zero
-    threshold = avg * Fr(11, 10)
-    if dur_start >= threshold:
-        dur_start = avg / 2
     if dur_end >= threshold:
         dur_end = avg / 2
     out = Fr(d) * (sampled + dur_start + dur_end) / sampled
