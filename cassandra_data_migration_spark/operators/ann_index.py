@@ -1,0 +1,244 @@
+"""Persisted index artifacts: train once, probe many.
+
+A production retrieval/tokenization pipeline does not retrain its
+coarse quantizer or its merge table per query — it trains once,
+publishes the artifact, and every probe reads the published version.
+This module stores trained artifacts as VERSIONED lake tables
+(sources/lakehouse snapshot manifests — atomic publish, time travel)
+and gives each a probe path whose physical plan carries ZERO training
+stages:
+
+- **IVF index** (:func:`persist_ivf_index` / :func:`ivf_probe_persisted`):
+  the centroid table is a tiny versioned lake table; the corpus is
+  written ONCE partitioned by ``list_id`` (one file per inverted
+  list), so a probe collects O(n_centroids) centroid rows, picks the
+  ``n_probe`` nearest lists driver-side, and reads ONLY those
+  partitions — ``PartitionFilters`` in the scan, no assignment
+  ``mapInPandas``, no centroid-selection sort.  Assignment uses the
+  e4 fixed-point squared-L2 argmin (similarity._assign machinery,
+  first-min ties), so the whole persisted layout — and any probe over
+  it — is engine-exact and oracle-checkable.
+
+- **BPE merge table** (:func:`persist_bpe_merges` /
+  :func:`bpe_apply_persisted`): the ordered merge list is a versioned
+  lake table; applying it is a pure fold over the corpus (one
+  ``_merge_pair`` expression per merge), with none of ``bpe_train``'s
+  per-round best-pair jobs.
+
+Scale: training cost amortizes across probes exactly as a 100 TB
+deployment needs — the probe's I/O is n_probe/n_centroids of the
+corpus (partition pruning, not a filter after a full scan), and the
+artifact reads are O(centroids) / O(merges) driver collects.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.similarity import (
+    _argmin_e4_keys,
+    _seq_cc,
+    cosine_topk,
+)
+from cassandra_data_migration_spark.sources.lakehouse import (
+    read_snapshot,
+    snapshot_commit,
+)
+
+
+def seeded_centroids(
+    df: DataFrame,
+    n_centroids: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list[list[float]]:
+    """The kmeans-init centroid rule (md5-seeded, id tiebreak): the
+    ``n_centroids`` corpus vectors with the smallest
+    (md5(id), id) — deterministic across runs and partitionings, and
+    reproducible in SQL (ORDER BY md5(CAST(id AS VARCHAR)), id)."""
+    rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>"))
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_centroids)
+        .collect()
+    )
+    return [[float(x) for x in r[1]] for r in rows]
+
+
+def _assign_lists(
+    df: DataFrame,
+    cents: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """(id, vec, list_id): e4 fixed-point squared-L2 nearest-centroid
+    assignment carrying the vector through — the Arrow tier of
+    similarity._nearest_centroid (bit-identical by the
+    ``_argmin_e4_keys`` construction)."""
+    import numpy as np
+    import pandas as pd
+
+    cb = np.asarray(cents, dtype=np.float64)
+    ccs = np.asarray([_seq_cc(list(c)) for c in cents], dtype=np.float64)
+
+    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
+            keys = _argmin_e4_keys(m, cb, ccs)
+            out = pdf.copy()
+            out["list_id"] = np.argmin(keys, axis=1).astype("int32")
+            yield out
+
+    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
+    src = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    return src.mapInPandas(
+        assign, f"_id {id_type}, _v array<double>, list_id int"
+    ).select(
+        F.col("_id").alias(id_col), F.col("_v").alias(vec_col), "list_id"
+    )
+
+
+def persist_ivf_index(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    n_centroids: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Train the IVF coarse quantizer and publish the index under
+    ``path``: ``{path}/centroids`` as a versioned lake table (snapshot
+    manifest, atomic publish) and ``{path}/lists`` as the corpus
+    partitioned by ``list_id`` — ONE file per inverted list
+    (repartition on list_id before partitionBy, the
+    plans/repair.bucket_partitioned_write discipline), so probes prune
+    whole files.  Returns the published centroid-table version."""
+    import os
+
+    cents = seeded_centroids(df, n_centroids, id_col, vec_col)
+    cdf = spark.createDataFrame(
+        [(i, cents[i]) for i in range(len(cents))],
+        "list_id int, centroid array<double>",
+    )
+    cdir = os.path.join(path, "centroids")
+    cdf.coalesce(1).write.mode("overwrite").parquet(cdir)
+    files = sorted(
+        f
+        for f in os.listdir(cdir)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    version = snapshot_commit(cdir, files=files)
+    assigned = _assign_lists(df, cents, id_col, vec_col)
+    (
+        assigned.repartition(n_centroids, "list_id")
+        .write.mode("overwrite")
+        .partitionBy("list_id")
+        .parquet(os.path.join(path, "lists"))
+    )
+    return version
+
+
+def ivf_probe_persisted(
+    spark: SparkSession,
+    path: str,
+    query_vec: list[float],
+    k: int = 10,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    version: int | None = None,
+) -> DataFrame:
+    """Top-k over a PERSISTED IVF index: read the centroid table (as
+    of ``version``; O(n_centroids) rows), rank lists by the same e4
+    squared-L2 key the assignment used (ties to the smaller list_id),
+    and scan ONLY the ``n_probe`` nearest ``list_id=`` partitions —
+    the plan shows ``PartitionFilters`` and contains no training or
+    assignment stage.  Exact brute-force cosine within the probed
+    lists (first-k by (cos_sim desc, id))."""
+    cent_rows = sorted(
+        (r["list_id"], [float(x) for x in r["centroid"]])
+        for r in read_snapshot(
+            spark, f"{path}/centroids", version=version
+        ).collect()
+    )
+    keys = []
+    for lid, c in cent_rows:
+        cc = _seq_cc(c)
+        dot = 0.0
+        for x, qx in zip(c, query_vec):
+            # sequential accumulate — the SQL fold's op sequence
+            dot = dot + qx * x
+        keys.append((int(math.floor((cc - 2.0 * dot) * 10000.0 + 0.5)), lid))
+    probe = [lid for _, lid in sorted(keys)[:n_probe]]
+    lists = spark.read.parquet(f"{path}/lists").filter(
+        F.col("list_id").isin(probe)
+    )
+    return cosine_topk(lists, query_vec, k, id_col, vec_col)
+
+
+def persist_bpe_merges(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    num_merges: int = 8,
+    text_col: str = "text",
+) -> int:
+    """Train the BPE merge table once (operators/bpe.bpe_train) and
+    publish it as a versioned lake table (merge_idx, a, b) — order IS
+    the tokenizer, so the index column rides along.  Returns the
+    published version."""
+    import os
+
+    from cassandra_data_migration_spark.operators.bpe import bpe_train
+
+    merges, _ = bpe_train(df, num_merges=num_merges, text_col=text_col)
+    mdf = spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)],
+        "merge_idx int, a string, b string",
+    )
+    mdf.coalesce(1).write.mode("overwrite").parquet(path)
+    files = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet") and not f.startswith(("_", "."))
+    )
+    return snapshot_commit(path, files=files)
+
+
+def read_bpe_merges(
+    spark: SparkSession, path: str, version: int | None = None
+) -> list[tuple[str, str]]:
+    """The ordered merge list as of ``version`` — an O(merges) read of
+    the published artifact, no training jobs."""
+    rows = read_snapshot(spark, path, version=version).collect()
+    return [
+        (r["a"], r["b"])
+        for r in sorted(rows, key=lambda r: r["merge_idx"])
+    ]
+
+
+def bpe_apply_persisted(
+    spark: SparkSession,
+    df: DataFrame,
+    path: str,
+    text_col: str = "text",
+    version: int | None = None,
+) -> DataFrame:
+    """Vocabulary report over ``df`` using the PERSISTED merge table:
+    a pure fold of ``_merge_pair`` expressions over the corpus — none
+    of training's per-round best-pair jobs or checkpoints."""
+    from cassandra_data_migration_spark.operators.bpe import (
+        bpe_segment_counts,
+    )
+
+    merges = read_bpe_merges(spark, path, version=version)
+    return bpe_segment_counts(df, merges, text_col=text_col)

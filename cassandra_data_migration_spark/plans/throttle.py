@@ -166,6 +166,23 @@ def effective_batch_size(
     return batch_size
 
 
+def effective_fetch_size(
+    avg_row_kb: float,
+    fetch_size: int = 1000,
+    huge_row_kb: float = 100.0,
+    reduced_fetch: int = 100,
+) -> int:
+    """CDM's fetchSizeInRows rule, the read-side mirror of
+    :func:`effective_batch_size` (docs/04-cdm-approach.md:461-462):
+    default 1,000 rows per page, reduced for tables with very large
+    rows (>100 KB) so a single page can't blow the fetcher's memory.
+    The same constants drive plans/sizing.migration_sizing_plan's
+    ``fetch_size_rows`` column."""
+    if avg_row_kb > huge_row_kb:
+        return reduced_fetch
+    return fetch_size
+
+
 def assign_write_batches(
     df: DataFrame,
     partition_cols: list[str],

@@ -128,12 +128,22 @@ def fast_table_stats(
             spark.conf.unset("spark.sql.sources.useV1SourceList")
 
 
-def paged_fetch(df: DataFrame, page_size: int = 1000, max_rows: int | None = None):
+def paged_fetch(
+    df: DataFrame,
+    page_size: int | None = 1000,
+    max_rows: int | None = None,
+):
     """S3: paged result fetch (the driver-side analogue of CQL paging /
     ``fetchSizeInRows``, docs/04-cdm-approach.md:461).  Yields lists of
     at most ``page_size`` Rows via ``toLocalIterator``, which streams
     one partition at a time to the driver — bounded memory regardless
     of table size, unlike ``collect()``.
+
+    ``page_size=None`` applies CDM's auto rule: probe the average row
+    size from a bounded sample and reduce the page below the default
+    1,000 rows for very large rows (>100 KB) —
+    plans/throttle.effective_fetch_size, the read-side mirror of the
+    batchSize auto-reduction.
 
     DRIVER-PACED BY DESIGN: this is the single-threaded COPY analogue
     for the extraction edge (row-oriented sinks).  It must never sit
@@ -142,6 +152,13 @@ def paged_fetch(df: DataFrame, page_size: int = 1000, max_rows: int | None = Non
     through here.  ``max_rows`` is the tripwire for accidental misuse:
     crossing it raises instead of silently serializing a 100 TB table
     through one driver thread."""
+    if page_size is None:
+        from cassandra_data_migration_spark.plans.throttle import (
+            effective_fetch_size,
+            estimate_avg_row_kb,
+        )
+
+        page_size = effective_fetch_size(estimate_avg_row_kb(df))
     page: list = []
     seen = 0
     for row in df.toLocalIterator(prefetchPartitions=True):
