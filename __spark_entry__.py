@@ -6,10910 +6,21 @@ package; ``oracle_sql()`` holds the DuckDB-equivalent ANSI SQL.
 Column names are aliased identically on both sides (the driver's
 compare sorts columns by name before hashing).
 
-Validation-operator queries (J1/J2/J3/J5…) need an origin/target
-pair; the reference's lab builds one by actually migrating a cluster.
-Here both engines derive the same deterministic pair from ``orders``:
-  origin = orders
-  target = orders minus every 10th key (missing rows),
-           with o_totalprice corrupted on every 7th key (mismatches).
+The registrations themselves live in the per-family ``cdm_entry``
+package (split in round 8 — the monolith had crossed 10k lines); this
+module is a thin re-export so the driver's ``import __spark_entry__``
+contract, and every test that reaches into the entry namespace for a
+helper, keep working unchanged.
 """
 
 from __future__ import annotations
 
-import os
-from collections.abc import Callable
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from cassandra_data_migration_spark.operators import aggregates as agg
-from cassandra_data_migration_spark.operators import filters as flt
-from cassandra_data_migration_spark.operators import joins as jn
-from cassandra_data_migration_spark.operators.sampling import bucket_sql
-from cassandra_data_migration_spark.sources.tables import load_table
-from cassandra_data_migration_spark.streaming import await_or_raise
-
-# ---------------------------------------------------------------------------
-# deterministic origin/target pair for validation operators
-# ---------------------------------------------------------------------------
-
-ORDERS_PK = ["o_orderkey"]
-
-
-def _origin(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "orders")
-
-
-def _target(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = _origin(spark, sf_dir)
-    return o.filter(F.pmod("o_orderkey", F.lit(10)) != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.pmod("o_orderkey", F.lit(7)) == 0, F.col("o_totalprice") + 1
-        ).otherwise(F.col("o_totalprice")),
-    )
-
-_TARGET_SQL = """
-    SELECT o_orderkey, o_custkey, o_orderstatus,
-           CASE WHEN o_orderkey % 7 = 0 THEN o_totalprice + 1
-                ELSE o_totalprice END AS o_totalprice,
-           o_orderdate, o_orderpriority
-    FROM orders WHERE o_orderkey % 10 <> 0
-"""
-
-
-# ---------------------------------------------------------------------------
-# queries
-# ---------------------------------------------------------------------------
-
-def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return agg.pricing_summary(load_table(spark, sf_dir, "lineitem"))
-
-
-def q_full_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S1: full-table scan
-    return load_table(spark, sf_dir, "nation")
-
-
-def q_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P1
-    return flt.project(
-        load_table(spark, sf_dir, "customer"), ["c_custkey", "c_name", "c_mktsegment"]
-    )
-
-
-def q_column_exclude(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P2
-    return flt.exclude(load_table(spark, sf_dir, "customer"), ["c_acctbal", "c_name"])
-
-
-def q_filter_eq(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P3
-    return flt.filter_eq(
-        load_table(spark, sf_dir, "customer"), "c_mktsegment", "BUILDING"
-    )
-
-
-def q_token_range_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P4
-    return flt.token_range_filter(
-        load_table(spark, sf_dir, "orders"), "o_orderkey", 3, 7, num_buckets=32
-    )
-
-
-def q_connector_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S10/P4 through the LIVE connector code path: the fake Cassandra
-    # DataSource (sources/fake_cassandra.py) registers under the real
-    # org.apache.spark.sql.cassandra format name, so
-    # CassandraTableSource.read() — option translation, token() CQL
-    # pushdown string, paged Arrow batches sized by fetchSizeInRows —
-    # executes end-to-end instead of being declared-only.
-    from cassandra_data_migration_spark.sources.connector import (
-        CassandraTableSource,
-    )
-    from cassandra_data_migration_spark.sources.fake_cassandra import (
-        register_fake_cassandra,
-    )
-
-    register_fake_cassandra(spark)
-    src = CassandraTableSource(
-        keyspace=sf_dir,
-        partition_keys={"orders": ["o_orderkey"]},
-        fetch_size_rows=1000,
-    )
-    orders = src.read(spark, "orders", token_min=3, token_max=7)
-    return (
-        orders.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).alias("n_orders"),
-            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-            .cast("double")
-            .alias("sum_price"),
-        )
-    )
-
-
-def q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P6
-    # key chosen to exist at every fixture scale factor (sf0.001-sf0.1)
-    # so the oracle compares real row values, not just an empty plan
-    return flt.point_lookup(
-        load_table(spark, sf_dir, "lineitem"), {"l_orderkey": 0, "l_linenumber": 4}
-    )
-
-
-def q_grouped_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A1/A3
-    return agg.grouped_count(load_table(spark, sf_dir, "orders"), "o_orderstatus")
-
-
-def q_writetime_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P5: incremental migration — rows written after T µs.  Writetime is
-    # derived from the event-time column (functions.metadata).
-    from cassandra_data_migration_spark.functions.metadata import (
-        attach_derived_writetime,
-    )
-    from cassandra_data_migration_spark.operators.filters import writetime_filter
-
-    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
-    return writetime_filter(ev, 1705276800000000)  # 2024-01-15T00:00:00Z
-
-
-def q_guardrail_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # P7: guardrail size predicate — documents whose text exceeds the cap
-    docs = load_table(spark, sf_dir, "documents")
-    _, violations = flt.guardrail_split(docs, {"text": 0.35})
-    return violations
-
-
-def q_traffic_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A4
-    return agg.traffic_summary(load_table(spark, sf_dir, "events"))
-
-
-def q_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A6 — exact percentiles per event type
-    return agg.latency_percentiles(
-        load_table(spark, sf_dir, "events"), "value", by=["event_type"]
-    )
-
-
-def q_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A7 — 5-minute tumbling window counts
-    return agg.rate_over_window(load_table(spark, sf_dir, "events"), "ts", 5)
-
-
-def q_sliding_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A7 sliding form: 10-min windows every 5 min — each event lands in
-    # exactly two overlapping windows
-    from cassandra_data_migration_spark.operators.aggregates import sliding_rate
-
-    return sliding_rate(load_table(spark, sf_dir, "events"))
-
-
-def q_rowwise_greatest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A8 — row-level max (CDM's writetime/TTL collapse shape)
-    return agg.rowwise_max(
-        flt.project(
-            load_table(spark, sf_dir, "lineitem"),
-            ["l_orderkey", "l_linenumber", "l_quantity", "l_discount", "l_tax"],
-        ),
-        ["l_quantity", "l_discount", "l_tax"],
-        "row_max",
-    )
-
-
-def q_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §2.5 — clustering-order top-1 per partition key
-    from cassandra_data_migration_spark.operators.windows import latest_per_key
-
-    return latest_per_key(
-        load_table(spark, sf_dir, "events"), ["user_id"], "ts", tiebreak=["event_id"]
-    )
-
-
-def q_limit_n(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # L1 — deterministic LIMIT via clustering order
-    return (
-        load_table(spark, sf_dir, "orders").orderBy("o_orderkey").limit(10)
-    )
-
-
-def q_union_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # U1 — per-table counts rolled into one report
-    from cassandra_data_migration_spark.operators.setops import per_table_summary
-
-    return per_table_summary(
-        {t: load_table(spark, sf_dir, t) for t in ("customer", "orders", "lineitem")}
-    )
-
-
-def q_value_set_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # U2 — EXCEPT ALL over projected sides (the schema-diff primitive)
-    from cassandra_data_migration_spark.operators.setops import value_set_diff
-
-    # nations with customers but no high-balance supplier (threshold
-    # chosen so the diff is non-empty at every test scale factor)
-    c = load_table(spark, sf_dir, "customer").select("c_nationkey").distinct()
-    s = (
-        load_table(spark, sf_dir, "supplier")
-        .filter(F.col("s_acctbal") > 9500)
-        .select(F.col("s_nationkey").alias("c_nationkey"))
-        .distinct()
-    )
-    return value_set_diff(c, s)
-
-
-def q_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F4/F5 — concat/lower/prefix-match
-    from cassandra_data_migration_spark.functions.scalars import like_prefix
-
-    return (
-        load_table(spark, sf_dir, "customer")
-        .filter(like_prefix("c_name", "Customer#0000001"))
-        .select(
-            "c_custkey",
-            F.lower("c_name").alias("name_lower"),
-            F.concat(F.lower("c_mktsegment"), F.lit("@example.com")).alias("segment_email"),
-        )
-    )
-
-
-def q_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F3 — date derivation & arithmetic
-    # date outputs rendered as ISO strings: engine-portable (a raw DATE
-    # column round-trips as datetime64 vs date object across engines)
-    return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.date_format(F.to_date("o_orderdate"), "yyyy-MM-dd").alias("order_date"),
-        F.year("o_orderdate").alias("order_year"),
-        F.month("o_orderdate").alias("order_month"),
-        F.date_format(F.date_add(F.to_date("o_orderdate"), 30), "yyyy-MM-dd").alias(
-            "due_date"
-        ),
-    )
-
-
-def q_round_cast(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F7 — round + Decimal(18,2) cast
-    from cassandra_data_migration_spark.functions.scalars import money_round
-
-    # decimal math happens at DECIMAL(18,2); final cast to double is for
-    # engine-portable comparison only
-    return load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", money_round("o_totalprice").cast("double").alias("total_decimal")
-    )
-
-
-def q_row_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F8 — canonical md5 row hash (int/string columns: engine-portable)
-    n = load_table(spark, sf_dir, "nation")
-    return n.select(
-        "n_nationkey",
-        F.md5(
-            F.concat_ws(
-                "|", F.col("n_nationkey").cast("string"), "n_name",
-                F.col("n_regionkey").cast("string"),
-            )
-        ).alias("row_hash"),
-    )
-
-
-def q_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F11 — extractJson
-    from cassandra_data_migration_spark.functions.scalars import json_get
-
-    return load_table(spark, sf_dir, "events").select(
-        "event_id", json_get("props", "k").alias("k_value")
-    )
-
-
-def q_word_explode_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F11 explode (UDTF shape) + grouped count over documents tokens
-    from cassandra_data_migration_spark.functions.scalars import explode_tokens
-
-    return (
-        explode_tokens(
-            load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
-        )
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).alias("occurrences"))
-    )
-
-
-def q_missing_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J1
-    return jn.missing_rows(_origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK)
-
-
-def q_mismatch_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J2 — PKs of rows whose non-key values differ (hash-compare inside)
-    return jn.mismatched_rows(
-        _origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK
-    ).select("o_orderkey")
-
-
-def q_reconcile_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J3 — repair set: missing ∪ mismatched (origin wins; no writetime col here)
-    return jn.reconcile(_origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK)
-
-
-def q_bucket_count_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J5
-    return jn.per_bucket_count_compare(
-        _origin(spark, sf_dir), _target(spark, sf_dir), "o_orderkey", 32
-    )
-
-
-# ---------------------------------------------------------------------------
-# training-data pipeline operators: text analysis, dedup, similarity,
-# multimodal plumbing
-# ---------------------------------------------------------------------------
-
-
-def q_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.text import token_count
-
-    return load_table(spark, sf_dir, "documents").select(
-        "doc_id", token_count("text").alias("n_tokens")
-    )
-
-
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.text import quality_features
-
-    return quality_features(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
-    ).drop("text")
-
-
-def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.text import lang_id
-
-    return lang_id(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
-    ).select("doc_id", "predicted_lang")
-
-
-def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.text import fingerprint
-
-    return fingerprint(
-        load_table(spark, sf_dir, "documents").select("doc_id", "text"), "text"
-    ).select("doc_id", "fingerprint")
-
-
-def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.dedup import dedup_exact
-
-    return dedup_exact(load_table(spark, sf_dir, "documents"))
-
-
-def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.dedup import ngram_jaccard_pairs
-
-    return ngram_jaccard_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
-
-
-def q_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.dedup import minhash_signatures
-
-    return minhash_signatures(
-        load_table(spark, sf_dir, "documents"), n=3, num_hashes=4
-    )
-
-
-def q_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.dedup import (
-        lsh_candidate_pairs,
-        minhash_signatures,
-    )
-
-    sigs = minhash_signatures(load_table(spark, sf_dir, "documents"), n=3, num_hashes=4)
-    return lsh_candidate_pairs(sigs, num_hashes=4, band_size=2)
-
-
-def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.dedup import simhash
-
-    return simhash(load_table(spark, sf_dir, "documents"))
-
-
-def q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.similarity import cosine_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return cosine_topk(emb, qv, k=10, exclude_ids=[0])
-
-
-def q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.similarity import all_pairs_cosine
-
-    return all_pairs_cosine(load_table(spark, sf_dir, "embeddings"), threshold=0.45)
-
-
-def q_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # α-sampling domain mixture (n_i^α weighting): events by type —
-    # a skewed natural distribution — at α=0.5, target 30% of the
-    # corpus; admission is an integer-e6 rate compare on md5 draws so
-    # the SELECTED SET is engine-exact
-    from cassandra_data_migration_spark.operators.sampling import (
-        temperature_mixture,
-    )
-
-    return temperature_mixture(
-        load_table(spark, sf_dir, "events"),
-        group_col="event_type",
-        id_col="event_id",
-        alpha=0.5,
-        target_fraction=0.3,
-    )
-
-
-def q_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # embedding-level benchmark decontamination: every 20th vector is
-    # the held-out eval set (broadcast matrix), the rest is the corpus
-    # streaming through one BLAS block-matmul per Arrow batch
-    from cassandra_data_migration_spark.operators.similarity import (
-        semantic_decontaminate,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    bench = emb.filter(F.pmod("vec_id", F.lit(20)) == 0)
-    corpus = emb.filter(F.pmod("vec_id", F.lit(20)) != 0)
-    return semantic_decontaminate(corpus, bench, threshold=0.4)
-
-
-def q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # skew-salted big-big equi-join: result identical to the plain
-    # join (the oracle), physically spread over (key, salt) partitions
-    from cassandra_data_migration_spark.operators.joins import salted_equi_join
-
-    li = load_table(spark, sf_dir, "lineitem").select(
-        F.col("l_orderkey").alias("o_orderkey"), "l_extendedprice"
-    )
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey", "o_orderstatus"
-    )
-    return (
-        salted_equi_join(li, orders, "o_orderkey", num_salts=8)
-        .groupBy("o_orderstatus")
-        .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_price"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-def q_minhash_lsh_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the full near-dup pipeline: MinHash sigs → LSH banding → exact
-    # Jaccard verify on candidates only (sub-quadratic end to end)
-    from cassandra_data_migration_spark.operators.dedup import minhash_lsh_dedup
-
-    return minhash_lsh_dedup(
-        load_table(spark, sf_dir, "documents"),
-        n=3,
-        num_hashes=4,
-        band_size=2,
-        jaccard_threshold=0.5,
-    )
-
-
-def q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # IVF ANN, full-probe mode: probing all 16 inverted lists is exactly
-    # brute force, so the whole assign→probe→score path oracle-checks
-    # against the exact top-k SQL.  The approximate path (n_probe < 16)
-    # is covered by the recall-floor test in
-    # tests/test_training_data_ops.py — approximate-by-design results
-    # don't belong in the exact-oracle gate.
-    from cassandra_data_migration_spark.operators.similarity import ivf_topk
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_topk(emb, qv, k=10, n_centroids=16, n_probe=16)
-
-
-def q_ann_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # random-hyperplane LSH buckets → same-bucket exact-cosine verify;
-    # hyperplanes are hash-derived so the oracle regenerates them in SQL
-    from cassandra_data_migration_spark.operators.similarity import lsh_bucketed_pairs
-
-    return lsh_bucketed_pairs(
-        load_table(spark, sf_dir, "embeddings"),
-        dim=64,
-        threshold=0.3,
-        num_planes=4,
-        seed=42,
-    )
-
-
-def q_rp_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Johnson-Lindenstrauss random projection 64→8 dims: the cheap ANN
-    # front-tier; hash-derived projection matrix so the oracle
-    # regenerates it, e4-rounded components for cross-engine parity
-    from cassandra_data_migration_spark.operators.similarity import rp_project
-
-    return rp_project(
-        load_table(spark, sf_dir, "embeddings"), in_dim=64, out_dim=8, seed=7
-    )
-
-
-def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.multimodal import (
-        attach_binary_payload,
-        extract_features,
-    )
-
-    docs = attach_binary_payload(load_table(spark, sf_dir, "documents"))
-    return extract_features(docs).select("doc_id", "n_bytes", "content_md5")
-
-
-def q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # near-dup pairs → transitive closure: min-label propagation as a
-    # driver-side loop over distributed joins (operators/graph.py);
-    # the DuckDB oracle is the same fixpoint via a recursive CTE
-    from cassandra_data_migration_spark.operators.graph import dup_clusters
-
-    return dup_clusters(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
-
-
-def q_hash_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stable train/val/test assignment: membership is a pure function
-    # of the row id (survives repartitioning and corpus growth)
-    from cassandra_data_migration_spark.operators.sampling import hash_split
-
-    docs = load_table(spark, sf_dir, "documents")
-    return (
-        hash_split(docs, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-        .groupBy("split")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-    )
-
-
-def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.sampling import hash_sample
-
-    return hash_sample(
-        load_table(spark, sf_dir, "documents"), "doc_id", 0.25, salt="sample"
-    ).select("doc_id")
-
-
-def q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dataset-mixture assembly: per-source rates, independent draws
-    from cassandra_data_migration_spark.operators.sampling import (
-        weighted_mixture,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    short = docs.filter(F.length("text") < 330)
-    long_ = docs.filter(F.length("text") >= 330)
-    return weighted_mixture(
-        [("short", short, 0.9), ("long", long_, 0.3)], "doc_id"
-    ).select("doc_id", "source")
-
-
-def q_group_split_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # leakage-safe split: keyed on the GROUP (source), so every doc of
-    # a provenance lands on one side — near-dups within a source can
-    # never straddle train/eval
-    from cassandra_data_migration_spark.operators.sampling import hash_split
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = hash_split(
-        docs, "source", {"train": 0.8, "val": 0.1, "test": 0.1}, salt="grp"
-    )
-    return out.groupBy("split").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.countDistinct("source").alias("n_sources"),
-    )
-
-
-def q_negative_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # contrastive negative sampling: 3 deterministic never-self
-    # partners per anchor, drawn row-locally (dense-id arithmetic);
-    # the only shuffle is the join attaching partner payload
-    from cassandra_data_migration_spark.operators.sampling import negative_samples
-
-    docs = load_table(spark, sf_dir, "documents")
-    n = docs.count()
-    pairs = negative_samples(docs, "doc_id", corpus_size=n, k=3)
-    partner = docs.select(
-        F.col("doc_id").alias("neg_id"), F.col("source").alias("neg_source")
-    )
-    return pairs.join(partner, "neg_id").select(
-        "doc_id", "neg_ix", "neg_id", "neg_source"
-    )
-
-
-def q_dup_ngram_fraction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gopher duplicate-ngram-fraction filter: share of 3-gram
-    # occurrences that repeat an earlier one — catches docs cycling
-    # through many repeated phrases, scan-side and shuffle-free
-    from cassandra_data_migration_spark.operators.text import dup_ngram_fraction
-
-    return dup_ngram_fraction(load_table(spark, sf_dir, "documents"))
-
-
-def q_zipf_head_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # corpus QC one-liner: what fraction of all token occurrences the
-    # top-100 terms cover — natural text ~0.4-0.6, template spam → 1.0
-    from cassandra_data_migration_spark.operators.text import zipf_head_coverage
-
-    return zipf_head_coverage(load_table(spark, sf_dir, "documents"))
-
-
-def q_winnow_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # winnowing (MOSS) local fingerprints: any shared substring of
-    # length >= k+window-1 across docs yields a shared fingerprint —
-    # substring-level dedup keys, one scan-stage expression chain
-    from cassandra_data_migration_spark.operators.text import winnow_fingerprints
-
-    fps = winnow_fingerprints(load_table(spark, sf_dir, "documents"))
-    return fps.select("doc_id", F.explode("fingerprints").alias("fp"))
-
-
-def q_substring_dup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # suffix-array-style EXACT substring dedup (Lee et al. 2022):
-    # per-doc coverage of word sequences >= 5 tokens that occur twice
-    # anywhere in the corpus — k-gram postings + interval union, the
-    # distributed equivalent of the SA adjacent-LCP test
-    from cassandra_data_migration_spark.operators.dedup import substring_dup_spans
-
-    return substring_dup_spans(load_table(spark, sf_dir, "documents"), k=5)
-
-
-def q_span_corrupt(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T5 denoising data prep: seeded 15% token mask, runs collapsed to
-    # numbered sentinels, masked runs emitted as the target sequence —
-    # deterministic (md5 coin), so re-runs are byte-identical
-    from cassandra_data_migration_spark.operators.text import span_corrupt
-
-    return span_corrupt(load_table(spark, sf_dir, "documents"), density=0.15)
-
-
-def q_preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DPO/RLHF data prep: per source, pair i-th best with i-th worst
-    # by the scalar quality score, strict-positive margin only — two
-    # row_number windows share one exchange, join input is 2k rows/group
-    from cassandra_data_migration_spark.operators.sampling import preference_pairs
-    from cassandra_data_migration_spark.operators.text import quality_score_e6
-
-    docs = load_table(spark, sf_dir, "documents")
-    scored = quality_score_e6(docs).select("doc_id", "source", "quality_e6x10")
-    return preference_pairs(
-        scored, "quality_e6x10", group_col="source", id_col="doc_id", k=5
-    )
-
-
-def q_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bigram LM scoring: conditional p(w2|w1) punishes improbable token
-    # ORDER (shuffled/boilerplate text), one rung up from the unigram
-    # perplexity proxy; integer e6 sums keep it engine-exact
-    from cassandra_data_migration_spark.operators.text import bigram_logprob
-
-    return bigram_logprob(load_table(spark, sf_dir, "documents"))
-
-
-def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # end-to-end curation pipeline: quality gate → exact-dedup keep
-    # canonical → stable split → per-split stats, one composed plan
-    from cassandra_data_migration_spark.operators.dedup import dedup_exact
-    from cassandra_data_migration_spark.operators.sampling import hash_split
-    from cassandra_data_migration_spark.operators.text import quality_features
-
-    docs = load_table(spark, sf_dir, "documents")
-    qf = quality_features(docs).filter(
-        (F.col("n_tokens") >= 20) & (F.col("stopword_ratio") >= 0.02)
-    )
-    canon = (
-        dedup_exact(docs)
-        .filter(F.col("doc_id") == F.col("canonical_id"))
-        .select("doc_id")
-    )
-    kept = qf.join(canon, "doc_id")
-    return (
-        hash_split(kept, "doc_id", {"train": 0.8, "val": 0.1, "test": 0.1})
-        .groupBy("split")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-        )
-    )
-
-
-def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # context-length chunking: corpus → fixed-token-budget sequences
-    from cassandra_data_migration_spark.operators.text import chunk_documents
-
-    return chunk_documents(
-        load_table(spark, sf_dir, "documents"), chunk_tokens=32
-    )
-
-
-def q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # pattern redaction (PII-scrub shape) + per-doc audit count
-    from cassandra_data_migration_spark.operators.text import redact
-
-    return redact(
-        load_table(spark, sf_dir, "documents"),
-        pattern=r"\bcustomer\b",
-        replacement="<ENTITY>",
-    )
-
-
-def q_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # top-k per group: the per-partition LIMIT k read as a window rank
-    from cassandra_data_migration_spark.operators.windows import top_k_per_key
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", "n_chars"
-    )
-    return top_k_per_key(
-        docs, ["lang"], "n_chars", k=3, descending=True, tiebreak=["doc_id"]
-    )
-
-
-def q_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-label embedding centroids via exact decimal sums (order-
-    # independent, so bit-identical across engines and partitionings)
-    from cassandra_data_migration_spark.operators.similarity import (
-        label_centroids,
-    )
-
-    return label_centroids(load_table(spark, sf_dir, "embeddings"))
-
-
-# ---------------------------------------------------------------------------
-# file staging (S4-S8), Migrate pipeline (S10/T4/T5), reconciliation
-# extras (J3+LWW, U2, Z3, Z8), scalar/metadata extras (F9, F13, counters)
-# ---------------------------------------------------------------------------
-
-
-def q_partitioned_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hive-partitioned layout + partition pruning: events land in
-    # event_type=... directories; the filter prunes 4/5 of the data at
-    # planning time (PartitionFilters — zero I/O for other types), then
-    # a decimal-exact per-user aggregate runs over the survivors
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.tables import (
-        load_partitioned,
-        write_partitioned,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    d = tempfile.mkdtemp(prefix="part_ev_")
-    write_partitioned(ev, f"{d}/events_part", ["event_type"])
-    clicks = load_partitioned(spark, f"{d}/events_part").filter(
-        F.col("event_type") == "click"
-    )
-    return clicks.groupBy("user_id").agg(
-        F.count(F.lit(1)).alias("n_clicks"),
-        F.round(F.sum(F.col("value").cast("decimal(20,6)")), 4)
-        .cast("double")
-        .alias("click_value"),
-    )
-
-
-def q_table_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # metadata-only COUNT/MIN/MAX from parquet footers (DSv2 aggregate
-    # pushdown) — the table-size probe CDM runs before sizing numParts
-    from cassandra_data_migration_spark.sources.tables import fast_table_stats
-
-    # numeric/date columns only: parquet footer min/max stats don't
-    # cover timestamps or strings, so those would force a data read
-    return fast_table_stats(
-        spark, sf_dir, "lineitem", ["l_orderkey", "l_extendedprice"]
-    )
-
-
-def q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S4+S5: COPY TO / COPY FROM — export then re-import must be lossless
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
-
-    n = load_table(spark, sf_dir, "nation")
-    d = tempfile.mkdtemp(prefix="csv_rt_")
-    csv_export(n, f"{d}/nation_csv")
-    return csv_import(spark, f"{d}/nation_csv", schema=n.schema)
-
-
-def q_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S6-adjacent: columnar ORC staging (Hive/Trino interchange) —
-    # export then re-import must be lossless; aggregate proves values,
-    # not just row counts, survived
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import orc_export, orc_import
-
-    s = load_table(spark, sf_dir, "supplier")
-    d = tempfile.mkdtemp(prefix="orc_rt_")
-    orc_export(s, f"{d}/supplier_orc")
-    back = orc_import(spark, f"{d}/supplier_orc", schema=s.schema)
-    return back.groupBy("s_nationkey").agg(
-        F.count(F.lit(1)).alias("n_suppliers"),
-        F.round(F.sum("s_acctbal"), 2).alias("sum_acctbal"),
-    )
-
-
-def q_csv_gzip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S8: compressed staging (dsbulk --connector.csv.compression gzip)
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
-
-    r = load_table(spark, sf_dir, "region")
-    d = tempfile.mkdtemp(prefix="csv_gz_")
-    csv_export(r, f"{d}/region_csv", delimiter="|", compression="gzip")
-    return csv_import(spark, f"{d}/region_csv", schema=r.schema, delimiter="|")
-
-
-def q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S6: dsbulk unload/load --connector.name json
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import json_export, json_import
-
-    s = load_table(spark, sf_dir, "supplier")
-    d = tempfile.mkdtemp(prefix="json_rt_")
-    json_export(s, f"{d}/supplier_json")
-    return json_import(spark, f"{d}/supplier_json", schema=s.schema).select(*s.columns)
-
-
-def q_csv_import_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S5+T3: maxErrors semantics — malformed rows are dropped, the load
-    # survives (docs/03-dse-tooling.md:217-228).  Every 7th key's
-    # c_acctbal is corrupted before staging; import drops exactly those.
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import csv_export, csv_import
-
-    c = load_table(spark, sf_dir, "customer")
-    staged = c.withColumn(
-        "c_acctbal",
-        F.when(F.pmod("c_custkey", F.lit(7)) == 0, F.lit("NOT_A_NUMBER")).otherwise(
-            F.col("c_acctbal").cast("string")
-        ),
-    )
-    d = tempfile.mkdtemp(prefix="csv_bad_")
-    csv_export(staged, f"{d}/customer_csv")
-    return csv_import(spark, f"{d}/customer_csv", schema=c.schema, max_errors=10**9)
-
-
-def q_migrate_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S10: the flagship Migrate job — read origin, feature pipeline
-    # (projection + predicate + constant column), write target, read it
-    # back (lab/exercises/04-cdm-migration.md:116-124)
-    import tempfile
-
-    from cassandra_data_migration_spark.plans.migrate import (
-        MigrationConfig,
-        migrate,
-    )
-
-    d = tempfile.mkdtemp(prefix="migrate_")
-    cfg = MigrationConfig(
-        origin_path=f"{sf_dir}/customer.parquet",
-        target_path=f"{d}/customer_target",
-        include_columns=["c_custkey", "c_name", "c_acctbal"],
-        where_condition="c_acctbal > 5000",
-        constant_columns={"source_cluster": "origin"},
-        batch_partition_cols=["c_custkey"],
-    )
-    migrate(spark, cfg)
-    return spark.read.parquet(cfg.target_path)
-
-
-def q_migrate_bulk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S10 at bulk scale: migrate the LARGEST fixture table (lineitem —
-    # 600K rows at sf0.1) with projection + constant column; this is
-    # the query whose rows/sec lands in BENCH as migrate_rows_per_sec,
-    # the direct comparable to BASELINE.md's DSBulk/CDM tiers
-    import tempfile
-
-    from cassandra_data_migration_spark.plans.migrate import (
-        MigrationConfig,
-        migrate,
-    )
-
-    d = tempfile.mkdtemp(prefix="migrate_bulk_")
-    cfg = MigrationConfig(
-        origin_path=f"{sf_dir}/lineitem.parquet",
-        target_path=f"{d}/lineitem_target",
-        include_columns=[
-            "l_orderkey",
-            "l_linenumber",
-            "l_quantity",
-            "l_extendedprice",
-        ],
-        constant_columns={"source_cluster": "origin"},
-        batch_size=5,
-    )
-    migrate(spark, cfg)
-    return spark.read.parquet(cfg.target_path)
-
-
-def q_migrate_dry_run(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T4: --dryRun — plan + count, no write
-    import tempfile
-
-    from cassandra_data_migration_spark.plans.migrate import (
-        MigrationConfig,
-        migrate,
-    )
-
-    cfg = MigrationConfig(
-        origin_path=f"{sf_dir}/orders.parquet",
-        target_path=tempfile.mkdtemp(prefix="dryrun_") + "/never_written",
-        where_condition="o_orderstatus = 'O'",
-        dry_run=True,
-    )
-    res = migrate(spark, cfg)
-    return spark.createDataFrame(
-        [(res.rows_read, res.rows_written)],
-        "rows_read long, rows_written long",
-    )
-
-
-def q_run_tracker_resume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T5: trackRun/autoRerun — buckets 0-3 already PASSED (3 after a
-    # FAILED attempt), so the resumed scan covers only buckets 4-7
-    import tempfile
-
-    from cassandra_data_migration_spark.plans.tracker import RunTracker
-
-    tracker = RunTracker(spark, tempfile.mkdtemp(prefix="track_"), num_buckets=8)
-    run_id = tracker.new_run()
-    for b in (0, 1, 2):
-        tracker.record_bucket(run_id, b, "PASSED", rows=100)
-    tracker.record_bucket(run_id, 3, "FAILED")
-    tracker.record_bucket(run_id, 3, "PASSED", rows=100)
-    return tracker.filter_pending(
-        load_table(spark, sf_dir, "orders"), "o_orderkey", run_id
-    )
-
-
-def q_lab_migration_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §3.2 end-to-end lab parity: migrate all four training-table
-    # analogues (user_activity carries a derived row writetime through
-    # the pipeline), then per-table count check + deterministic 100-row
-    # sample probe — one PASS/FAIL row per table, the exact report
-    # shape of validate_migration.py:69-81
-    from cassandra_data_migration_spark.plans.lab import lab_migration_report
-
-    return lab_migration_report(spark, sf_dir)
-
-
-def q_paged_fetch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S3 paged fetch (fetchSizeInRows analogue): stream the customer
-    # table through the bounded-memory page iterator and re-aggregate —
-    # every page but the last is exactly full, page count = ceil(n/p),
-    # and the key checksum proves no row was dropped or duplicated
-    from cassandra_data_migration_spark.sources.tables import paged_fetch
-
-    df = load_table(spark, sf_dir, "customer").select("c_custkey")
-    sizes: list[int] = []
-    key_sum = 0
-    for page in paged_fetch(df, page_size=100):
-        sizes.append(len(page))
-        key_sum += sum(r.c_custkey for r in page)
-    out = spark.createDataFrame(
-        list(enumerate(sizes)), "page_id long, page_rows long"
-    )
-    return out.select(
-        "page_id",
-        "page_rows",
-        F.lit(sum(sizes)).cast("long").alias("total_rows"),
-        F.lit(key_sum).cast("long").alias("total_key_sum"),
-    )
-
-
-def q_lww_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z3: last-write-wins upsert — incoming rows (every 3rd key) carry a
-    # newer writetime and overwrite; everything else keeps current
-    from cassandra_data_migration_spark.streaming.lww import lww_merge
-
-    o = load_table(spark, sf_dir, "orders")
-    current = o.select(
-        "o_orderkey",
-        "o_totalprice",
-        (F.col("o_orderkey") * 2).cast("long").alias("_writetime"),
-    )
-    incoming = (
-        o.filter(F.pmod("o_orderkey", F.lit(3)) == 0)
-        .select(
-            "o_orderkey",
-            (F.col("o_totalprice") + 10).alias("o_totalprice"),
-            (F.col("o_orderkey") * 2 + 1).cast("long").alias("_writetime"),
-        )
-    )
-    return lww_merge(current, incoming, ["o_orderkey"])
-
-
-def q_autocorrect_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J3 full form: AutoCorrect repaired target — insert missing,
-    # overwrite mismatches where origin wins on writetime, never delete
-    from cassandra_data_migration_spark.plans.validate import autocorrect
-
-    origin = _origin(spark, sf_dir).withColumn(
-        "_writetime", F.lit(1000).cast("long")
-    )
-    target = _target(spark, sf_dir).withColumn(
-        "_writetime",
-        F.when(F.pmod("o_orderkey", F.lit(14)) == 0, F.lit(2000))
-        .otherwise(F.lit(500))
-        .cast("long"),
-    )
-    return autocorrect(origin, target, ORDERS_PK, writetime_col="_writetime")
-
-
-def q_writetime_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F13: transform.custom.writetime.incrementBy
-    from cassandra_data_migration_spark.functions.metadata import (
-        attach_derived_writetime,
-        shift_writetime,
-    )
-
-    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
-    return shift_writetime(ev, 1_000_000).select("event_id", "_writetime")
-
-
-def q_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §1.2 counters: counter-table migration = sum() merge of increments
-    # per key (docs/04-cdm-approach.md:401-411)
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(F.round(F.sum("l_quantity"), 0).cast("long").alias("counter_value"))
-    )
-
-
-def q_order_items_list(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F9: collection construction — per-order sorted item list (the
-    # orders.items list<text> shape, generate_data.py:116)
-    return (
-        load_table(spark, sf_dir, "lineitem")
-        .groupBy("l_orderkey")
-        .agg(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list("l_partkey")),
-                    lambda x: x.cast("string"),
-                ),
-                ",",
-            ).alias("items")
-        )
-    )
-
-
-def q_map_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F11: CDM explodeMap — map column → one row per entry
-    from cassandra_data_migration_spark.functions.scalars import (
-        explode_map,
-        json_get,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.create_map(
-            F.lit("event_type"),
-            F.col("event_type"),
-            F.lit("k"),
-            json_get("props", "k"),
-        ).alias("props_map"),
-    )
-    return explode_map(ev, "props_map")
-
-
-def q_alert_error_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z8: threshold alerting — 1-hour windows whose error count breaches
-    # the limit become alert rows (exercise 6:455-497)
-    from cassandra_data_migration_spark.streaming.metrics import (
-        alert_filter,
-        windowed_error_rate,
-    )
-
-    windowed = windowed_error_rate(
-        load_table(spark, sf_dir, "events"), window="1 hour", watermark="2 hours"
-    )
-    return alert_filter(windowed, "errors", 5.0, "error_count_breach").select(
-        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("window_start"),
-        "errors",
-        "alert",
-    )
-
-
-def q_fk_join_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J4: FK enrichment with an explicitly broadcast dimension
-    from cassandra_data_migration_spark.operators.joins import fk_generate_join
-
-    orders = load_table(spark, sf_dir, "orders").withColumnRenamed(
-        "o_custkey", "c_custkey"
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        "c_custkey", "c_name", "c_mktsegment"
-    )
-    return fk_generate_join(orders, dim, "c_custkey").select(
-        "o_orderkey", "c_custkey", "c_name", "c_mktsegment"
-    )
-
-
-def q_write_batches(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T2: CDM batchSize as a declarative assignment — rows grouped into
-    # UNLOGGED-BATCH-sized chunks within their partition-key group
-    # (cdm.properties:28); md5-ranked so the oracle reproduces it
-    from cassandra_data_migration_spark.plans.throttle import assign_write_batches
-
-    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
-    return assign_write_batches(
-        orders, ["o_custkey"], ["o_orderkey"], batch_size=5
-    )
-
-
-def q_writetime_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §1.1/F10: ttlwritetime.calc.useCollections
-    # (docs/04-cdm-approach.md:830) — per-cell writetimes collapse to
-    # the row max, excluding collection cells by default and including
-    # them when the flag is set; both variants in one result row
-    from cassandra_data_migration_spark.functions.metadata import collapse_writetime
-
-    base = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.array(F.col("o_orderpriority")).alias("tags"),
-        (F.col("o_orderkey") * 1_000_000 + 1)
-        .cast("long")
-        .alias("o_totalprice_writetime"),
-        (F.col("o_orderkey") * 1_000_000 + 2).cast("long").alias("tags_writetime"),
-    )
-    no_coll = collapse_writetime(base, use_collections=False).withColumnRenamed(
-        "_writetime", "wt_no_collections"
-    )
-    both = collapse_writetime(no_coll, use_collections=True).withColumnRenamed(
-        "_writetime", "wt_with_collections"
-    )
-    return both.select("o_orderkey", "wt_no_collections", "wt_with_collections")
-
-
-def q_schema_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # U2: normalized schema diff between origin and a target missing a
-    # column (exercise 6:187-233)
-    from cassandra_data_migration_spark.plans.validate import schema_diff
-
-    c = load_table(spark, sf_dir, "customer")
-    return schema_diff(c, c.drop("c_acctbal"))
-
-
-def q_sample_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §3.2 layer 2: the reference's 100-row sampled spot-check
-    # (validate_migration.py:42-66) as a deterministic md5-ranked
-    # sample broadcast-probed into the target in one pass
-    from cassandra_data_migration_spark.plans.validate import sample_validate
-
-    return sample_validate(
-        _origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK, n=100
-    )
-
-
-def q_validation_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §3.2 layers 1-3 in one verdict row (validate_migration.py:69-81)
-    from cassandra_data_migration_spark.plans.validate import validate_table
-
-    res = validate_table(
-        _origin(spark, sf_dir), _target(spark, sf_dir), ORDERS_PK, "orders"
-    )
-    return spark.createDataFrame(
-        [
-            (
-                res.table,
-                res.origin_count,
-                res.target_count,
-                res.missing,
-                res.mismatched,
-                res.extra_in_target,
-                res.status,
-            )
-        ],
-        "table_name string, origin_count long, target_count long, "
-        "missing long, mismatched long, extra_in_target long, status string",
-    )
-
-
-def q_latency_harness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A5: test_read_performance.sh:14-47 — total ms, avg ms/req, req/s
-    # per endpoint (event_type stands in for the endpoint label)
-    ev = load_table(spark, sf_dir, "events")
-    span = F.col("max_us") - F.col("min_us")
-    return (
-        ev.groupBy("event_type")
-        .agg(
-            F.round(F.sum("value"), 4).alias("total_ms"),
-            F.round(F.avg("value"), 4).alias("avg_ms"),
-            F.count(F.lit(1)).alias("n_requests"),
-            F.unix_micros(F.min("ts")).alias("min_us"),
-            F.unix_micros(F.max("ts")).alias("max_us"),
-        )
-        .select(
-            "event_type",
-            "total_ms",
-            "avg_ms",
-            "n_requests",
-            F.round(F.col("n_requests") / (span / 1e6), 6).alias("req_per_sec"),
-        )
-    )
-
-
-def q_continuous_validation_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z7: the 60s re-validation loop (exercise 6:410-449), two ticks
-    # against a materialized target; each tick re-runs the J1/J2 plan
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.continuous_validate import (
-        continuous_validation,
-    )
-
-    d = tempfile.mkdtemp(prefix="contval_")
-    _target(spark, sf_dir).write.mode("overwrite").parquet(f"{d}/target")
-    results = continuous_validation(
-        spark,
-        f"{sf_dir}/orders.parquet",
-        f"{d}/target",
-        ORDERS_PK,
-        interval_secs=0.0,
-        max_ticks=2,
-    )
-    return spark.createDataFrame(
-        [
-            (r.table, r.origin_count, r.target_count, r.missing, r.mismatched, r.status)
-            for r in results
-        ],
-        "tick string, origin_count long, target_count long, "
-        "missing long, mismatched long, status string",
-    )
-
-
-def q_observe_progress(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # A9: migration progress counters via observe() — rows processed and
-    # error rows metered as the job runs (docs/04-cdm-approach.md:536-544)
-    from pyspark.sql import Observation
-
-    obs = Observation("progress")
-    ev = load_table(spark, sf_dir, "events").observe(
-        obs,
-        F.count(F.lit(1)).alias("rows_processed"),
-        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias(
-            "error_rows"
-        ),
-    )
-    ev.write.format("noop").mode("overwrite").save()
-    got = obs.get
-    return spark.createDataFrame(
-        [(got["rows_processed"], got["error_rows"])],
-        "rows_processed long, error_rows long",
-    )
-
-
-def q_traffic_ops_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z6: deterministic op-mix assignment + end-of-run report — draws
-    # are md5-derived, so the oracle regenerates the whole mix in SQL
-    from cassandra_data_migration_spark.streaming.traffic import (
-        assign_ops,
-        traffic_report,
-    )
-
-    ops = assign_ops(load_table(spark, sf_dir, "events"), id_col="event_id")
-    return traffic_report(ops)
-
-
-def q_part_type_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # J4+A-family over the part dimension: revenue per part type via a
-    # broadcast dimension join (TPC-H Q14 shape) — exercises every
-    # remaining fixture table and the fact-side shuffle-free join
-    from cassandra_data_migration_spark.operators.joins import fk_generate_join
-
-    li = load_table(spark, sf_dir, "lineitem").withColumnRenamed(
-        "l_partkey", "p_partkey"
-    )
-    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
-    return (
-        fk_generate_join(li, part, "p_partkey")
-        .groupBy("p_type")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue"),
-            F.count(F.lit(1)).alias("n_items"),
-        )
-    )
-
-
-def q_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F10/§1.1: TTL semantics — rows whose writetime+TTL elapsed are
-    # dropped; NULL TTL never expires.  TTLs derived deterministically.
-    from cassandra_data_migration_spark.functions.metadata import (
-        attach_derived_writetime,
-        expire_ttl,
-    )
-
-    ev = attach_derived_writetime(load_table(spark, sf_dir, "events"), "ts")
-    ev = ev.withColumn(
-        "_ttl",
-        F.when(F.pmod("event_id", F.lit(10)) == 0, F.lit(None))
-        .otherwise(F.pmod("event_id", F.lit(100)) * 3600)
-        .cast("int"),
-    )
-    return expire_ttl(ev, now_us=1706000000000000).select(
-        "event_id", "_writetime", "_ttl"
-    )
-
-
-def q_null_unset_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # §1.1 null→UNSET (docs/04-cdm-approach.md:833): mark which cells
-    # are set so the sink skips unset cells instead of writing
-    # tombstones.  Nulls injected deterministically.
-    from cassandra_data_migration_spark.functions.metadata import unset_nulls_mask
-
-    o = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        F.when(F.pmod("o_orderkey", F.lit(5)) == 0, F.lit(None))
-        .otherwise(F.col("o_orderstatus"))
-        .alias("o_orderstatus"),
-        F.when(F.pmod("o_orderkey", F.lit(3)) == 0, F.lit(None))
-        .otherwise(F.col("o_orderpriority"))
-        .alias("o_orderpriority"),
-    )
-    return unset_nulls_mask(o, ["o_orderstatus", "o_orderpriority"]).select(
-        "o_orderkey", "_set_mask"
-    )
-
-
-def q_custom_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F12: spark.cdm.transform.custom.class — an arbitrary DataFrame →
-    # DataFrame stage in the feature pipeline (here: PII anonymization)
-    from cassandra_data_migration_spark.plans.migrate import (
-        MigrationConfig,
-        build_feature_pipeline,
-    )
-
-    def anonymize(df: DataFrame) -> DataFrame:
-        return df.withColumn("c_name", F.md5("c_name"))
-
-    cfg = MigrationConfig(
-        origin_path="",
-        target_path="",
-        include_columns=["c_custkey", "c_name", "c_mktsegment"],
-        custom_transforms=[anonymize],
-    )
-    out, _ = build_feature_pipeline(load_table(spark, sf_dir, "customer"), cfg)
-    return out
-
-
-def q_read_routing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z2/Z4: phase-driven read routing — SHADOW_READS phase answers from
-    # the primary (origin) and meters an async comparison against the
-    # secondary; the caller only ever sees primary rows
-    from cassandra_data_migration_spark.streaming.routing import (
-        PhaseMachine,
-        RouterMetrics,
-    )
-
-    machine = PhaseMachine()
-    machine.advance()  # backfill
-    machine.advance()  # shadow reads
-    metrics = RouterMetrics()
-    router = machine.router(metrics)
-    result = router.route(
-        _origin(spark, sf_dir),
-        _target(spark, sf_dir),
-        lambda df: df.filter(F.col("o_totalprice") > 450000),
-    )
-    assert metrics.shadow_reads == 1  # the secondary WAS consulted
-    return result
-
-
-def q_uuid_derivation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # F1: uuid() — the deterministic md5-derived canonical-36-char form
-    # used by the seeded generator (generate_data.py:41 analogue)
-    from cassandra_data_migration_spark.generate import _uuid_from
-
-    return load_table(spark, sf_dir, "customer").select(
-        "c_custkey", _uuid_from(42, "c_custkey").alias("user_uuid")
-    )
-
-
-def q_synthetic_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S11: seeded synthetic generation (generate_data.py:29-66) — every
-    # draw is md5-derived, so the oracle regenerates the TABLE in SQL
-    # (value-checked generation, not just row counts)
-    from cassandra_data_migration_spark.generate import generate_users
-
-    return (
-        generate_users(spark, count=200, seed=42)
-        .withColumn("prefs_json", F.to_json("preferences"))
-        .drop("preferences")
-    )
-
-
-# ---------------------------------------------------------------------------
-# streaming operators (Z1-Z8), driven bounded via availableNow triggers
-# ---------------------------------------------------------------------------
-
-
-def _events_stream(spark: SparkSession, sf_dir: str):
-    """events as a file-backed mutation stream, normalizing ``ts`` to a
-    µs timestamp exactly like the batch loader (older fixture drops
-    store ns-longs, newer ones TIMESTAMP_NTZ)."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
-    # glob, not a bare file path: the file stream source requires its
-    # basePath to be a directory
-    stream = spark.readStream.schema(schema).parquet(f"{sf_dir}/events*.parquet")
-    dtype = dict(stream.dtypes)["ts"]
-    if dtype == "bigint":
-        return stream.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    if dtype.startswith("timestamp_ntz"):
-        return stream.withColumn("ts", F.col("ts").cast("timestamp"))
-    return stream
-
-
-def q_stream_dual_write(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z1: mutation stream → foreachBatch dual sink; returns the origin
-    # sink contents (must equal the full mutation set)
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.dual_write import (
-        dual_write_stream,
-        read_sink,
-    )
-
-    d = tempfile.mkdtemp(prefix="dualwrite_")
-    stream = _events_stream(spark, sf_dir).select(
-        "event_id", "user_id", "event_type", "value"
-    )
-    q = dual_write_stream(stream, f"{d}/origin", f"{d}/target", f"{d}/ckpt")
-    await_or_raise(q, 300)
-    origin = read_sink(spark, f"{d}/origin")
-    target = read_sink(spark, f"{d}/target")
-    # both sinks must agree before we hand the result back
-    assert origin.count() == target.count()
-    return origin
-
-
-def q_stream_windowed_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z5/A7 streaming form: watermarked tumbling-window counts per type,
-    # complete-mode memory sink; bounded via availableNow
-    import uuid as _uuid
-
-    from cassandra_data_migration_spark.streaming.metrics import windowed_ops
-
-    name = f"winops_{_uuid.uuid4().hex[:8]}"
-    windowed = windowed_ops(_events_stream(spark, sf_dir), window="5 minutes")
-    q = (
-        windowed.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.sql(f"SELECT * FROM {name}")
-
-
-def q_event_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gap-based sessionization of the events stream (8h idle gap —
-    # median inter-event gap in the synthetic table is ~7.3h, so
-    # sessions are non-trivial in both directions)
-    from cassandra_data_migration_spark.operators.windows import sessionize
-
-    return sessionize(
-        load_table(spark, sf_dir, "events"), gap_seconds=28800
-    )
-
-
-def q_repetition_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Gopher-style repetition quality signals over documents
-    from cassandra_data_migration_spark.operators.text import repetition_signals
-
-    return repetition_signals(load_table(spark, sf_dir, "documents"))
-
-
-def q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # train-test overlap scrub: benchmark = the md5-bucket<1000 (10%)
-    # slice of documents, corpus = the rest; flag corpus docs sharing
-    # any 3-gram with the benchmark
-    from cassandra_data_migration_spark.operators.sampling import hash_bucket
-    from cassandra_data_migration_spark.operators.text import decontaminate
-
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = hash_bucket("doc_id", "bench")
-    return decontaminate(
-        docs.filter(bucket >= 1000), docs.filter(bucket < 1000), n=3
-    )
-
-
-def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SemDeDup: coarse clusters (8 md5-seeded centroids), drop
-    # within-cluster cosine>=0.45 near-dups, keep min-id reps
-    from cassandra_data_migration_spark.operators.similarity import semantic_dedup
-
-    return semantic_dedup(
-        load_table(spark, sf_dir, "embeddings"), n_clusters=8, threshold=0.45
-    )
-
-
-def q_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous-ingestion dedup: the md5-bucket<5000 half is the
-    # already-ingested corpus, the rest is the new batch — survivors
-    # are batch docs whose fingerprint is unseen, min-id per fp
-    from cassandra_data_migration_spark.operators.dedup import incremental_dedup
-    from cassandra_data_migration_spark.operators.sampling import hash_bucket
-
-    docs = load_table(spark, sf_dir, "documents")
-    bucket = hash_bucket("doc_id", "seen")
-    return incremental_dedup(
-        docs.filter(bucket >= 5000), docs.filter(bucket < 5000)
-    )
-
-
-def q_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # int8 scalar-quantized ANN: rank by integer cosine over
-    # symmetric SQ8 vectors (4x less scan bandwidth than float32)
-    from cassandra_data_migration_spark.operators.similarity import quantized_topk
-
-    return quantized_topk(
-        load_table(spark, sf_dir, "embeddings"), query_id=0, k=10
-    )
-
-
-def q_sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sketch-tier corpus profiling, contract-shaped as its ERROR-BOUND
-    # AUDIT: the HLL++/percentile_approx estimates are engine-specific,
-    # but their accuracy guarantees are not — the query verifies
-    # |approx−exact| ≤ 3·rsd·exact and the approx-median's rank bound
-    # engine-side and emits per-group booleans, which the SQL oracle
-    # asserts exactly (all bounds hold ⇒ all TRUE).
-    from cassandra_data_migration_spark.operators.aggregates import (
-        sketch_profile_audit,
-    )
-
-    return sketch_profile_audit(load_table(spark, sf_dir, "documents"))
-
-
-def q_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # top-3 TF-IDF keywords per document (smoothed sklearn idf);
-    # per-doc term histograms are folded scan-side, df + corpus size
-    # re-enter via broadcast, one doc-keyed top-k window
-    from cassandra_data_migration_spark.operators.text import tfidf_topk
-
-    return tfidf_topk(load_table(spark, sf_dir, "documents"), k=3)
-
-
-def q_vocab_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tokenizer-coverage signal: top-20 corpus vocabulary by frequency,
-    # then each document's out-of-vocabulary token fraction
-    from cassandra_data_migration_spark.operators.text import vocab_oov
-
-    return vocab_oov(load_table(spark, sf_dir, "documents"), vocab_size=20)
-
-
-def q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # context-window packing: per-source token-budget bins from an
-    # exclusive running sum (integer DIV — engine-exact)
-    from cassandra_data_migration_spark.operators.text import pack_sequences
-
-    return pack_sequences(load_table(spark, sf_dir, "documents"), budget=512)
-
-
-def q_bpe_pack_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tokenize→pack END TO END: learn 8 BPE merges on-cluster, price
-    # every document in LEARNED-tokenizer tokens (per-word symbol
-    # counts broadcast back over the corpus — the word table is the
-    # Heaps'-law working set, never the corpus), then pack documents
-    # into per-source 256-token context bins via the same exclusive
-    # running sum as pack_sequences.  The oracle replays the identical
-    # merges (pure-Python learner + sentinel-replace CTEs) and packs
-    # with the same window arithmetic.
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.operators.bpe import bpe_train
-    from cassandra_data_migration_spark.operators.text import normalize_text
-
-    docs = load_table(spark, sf_dir, "documents")
-    _merges, segmented = bpe_train(docs, num_merges=8)
-    wlen = segmented.select(
-        "word", F.size("symbols").cast("bigint").alias("_w_tokens")
-    )
-    doc_words = docs.select(
-        "doc_id",
-        "source",
-        F.explode(F.split(normalize_text("text"), " ")).alias("word"),
-    ).filter(F.col("word") != "")
-    per_doc = (
-        doc_words.join(F.broadcast(wlen), "word")
-        .groupBy("doc_id")
-        .agg(
-            F.any_value("source").alias("source"),
-            F.sum("_w_tokens").alias("bpe_tokens"),
-        )
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    return (
-        per_doc.withColumn(
-            "_prev", F.coalesce(F.sum("bpe_tokens").over(w), F.lit(0))
-        )
-        .withColumn("bin_id", F.expr("_prev DIV 256"))
-        .select("doc_id", "source", "bpe_tokens", "bin_id")
-    )
-
-
-def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # engine-exact Lloyd k-means (k=8, 2 rounds + final assign):
-    # e4 fixed-point assignment, DECIMAL-sum centroid updates — the
-    # refinement behind the IVF/PQ/SemDeDup coarse quantizers; the
-    # oracle replays the identical iterations as unrolled CTEs
-    from cassandra_data_migration_spark.operators.similarity import kmeans_fit
-
-    assigned, _ = kmeans_fit(
-        load_table(spark, sf_dir, "embeddings"), k=8, iters=2, tier="arrow"
-    )
-    return assigned
-
-
-def q_interval_session_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # point-in-interval join: each error event looks up the activity
-    # session (built from non-error events) whose window contains it,
-    # NULL when it falls in an idle gap — SCD-2-style validity lookup
-    # in the linear union-window shape, not a quadratic range join
-    from cassandra_data_migration_spark.operators.joins import interval_join
-    from cassandra_data_migration_spark.operators.windows import sessionize
-
-    ev = load_table(spark, sf_dir, "events")
-    sessions = sessionize(
-        ev.filter(F.col("event_type") != "error"), gap_seconds=28800
-    )
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    out = interval_join(
-        errors,
-        sessions,
-        on=["user_id"],
-        ts_col="ts",
-        start_col="session_start",
-        end_col="session_end",
-        payload_cols=["session_id", "n_events"],
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("session_id_iv").alias("session_id"),
-        F.col("n_events_iv").alias("session_n_events"),
-    )
-
-
-def q_pivot_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cross-tab: docs per (source row, lang column) with an explicit
-    # category list — same single map-combined aggregate as a grouped
-    # count, schema independent of the data
-    from cassandra_data_migration_spark.operators.aggregates import pivot_counts
-
-    return pivot_counts(
-        load_table(spark, sf_dir, "documents"),
-        "source",
-        "lang",
-        ["en", "zh", "es", "de", "fr"],
-    )
-
-
-def q_length_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # equal-frequency length bucketing (NTILE) with a pinned total
-    # order — the length-balancing signal for batch packing; per-tile
-    # summary keeps the result small
-    from cassandra_data_migration_spark.operators.windows import ntile_buckets
-
-    docs = load_table(spark, sf_dir, "documents")
-    tiled = ntile_buckets(docs, "n_chars", n=4, tiebreak_col="doc_id")
-    return tiled.groupBy("tile").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.min("n_chars").alias("min_chars"),
-        F.max("n_chars").alias("max_chars"),
-    )
-
-
-def q_rollup_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hierarchical corpus profile: per-(lang, source) cells + lang
-    # subtotals + grand total in ONE pass (Expand → single map-side
-    # combined aggregate); grouping_id labels the level
-    from cassandra_data_migration_spark.operators.aggregates import rollup_profile
-
-    return rollup_profile(
-        load_table(spark, sf_dir, "documents"), ["lang", "source"]
-    )
-
-
-def q_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-customer cumulative revenue in (date, key) order; decimal
-    # accumulation keeps the cumulative sum engine-exact
-    from cassandra_data_migration_spark.operators.windows import running_total
-
-    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 100)
-    return running_total(
-        o.select("o_custkey", "o_orderkey", "o_orderdate", "o_totalprice"),
-        "o_custkey",
-        ["o_orderdate", "o_orderkey"],
-        "o_totalprice",
-    ).select("o_custkey", "o_orderkey", "running_total")
-
-
-def q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sub-document exact dedup (Lee et al. ExactSubstr shape): share of
-    # each doc's 32-token chunks that appear verbatim in other docs —
-    # catches boilerplate document-level dedup misses; shuffles carry
-    # md5 chunk keys, never chunk text
-    from cassandra_data_migration_spark.operators.text import chunk_dedup_signals
-
-    return chunk_dedup_signals(load_table(spark, sf_dir, "documents"))
-
-
-def q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # language-rebalancing sample: per-stratum deterministic rates
-    # (down-sample high-resource langs, keep low-resource) — one
-    # scan-side predicate, membership a pure function of (lang, id)
-    from cassandra_data_migration_spark.operators.sampling import stratified_sample
-
-    docs = load_table(spark, sf_dir, "documents")
-    out = stratified_sample(
-        docs,
-        "lang",
-        {"en": 0.3, "es": 0.6, "de": 0.6},
-        "doc_id",
-        default_fraction=1.0,
-    )
-    return out.select("doc_id", "lang")
-
-
-def q_asof_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # backward as-of join: each error event picks up the user's most
-    # recent click at-or-before it — union-window shape (one shuffle
-    # per input on user_id), not a quadratic range join; oracle uses
-    # DuckDB's native ASOF JOIN as an independent implementation
-    from cassandra_data_migration_spark.operators.joins import asof_join
-
-    ev = load_table(spark, sf_dir, "events")
-    errors = ev.filter(F.col("event_type") == "error").select(
-        "event_id", "user_id", "ts"
-    )
-    clicks = ev.filter(F.col("event_type") == "click").select(
-        "user_id", "ts", "event_id", "value"
-    )
-    out = asof_join(
-        errors,
-        clicks,
-        on=["user_id"],
-        ts_col="ts",
-        payload_cols=["event_id", "value", "ts"],
-        tiebreak_col="event_id",
-    )
-    return out.select(
-        "event_id",
-        "user_id",
-        F.col("event_id_matched").alias("click_event_id"),
-        F.col("value_matched").alias("click_value"),
-        (F.unix_micros("ts") - F.unix_micros("ts_matched")).alias("gap_us"),
-    )
-
-
-_PQ_CB_CACHE: dict[str, list] = {}
-
-
-def _pq_inputs(spark: SparkSession, sf_dir: str):
-    from cassandra_data_migration_spark.operators.similarity import pq_codebook
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    # the codebook is a deterministic pure function of the fixture
-    # table — memoize the collect so encode and ADC search don't each
-    # pay the TakeOrdered job
-    cb = _PQ_CB_CACHE.get(sf_dir)
-    if cb is None:
-        cb = _PQ_CB_CACHE[sf_dir] = pq_codebook(emb, n_centroids=32)
-    return emb, cb
-
-
-def q_pq_codes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # product-quantization encode: 64-dim float32 → 8 subspace codes
-    # (8 bytes/vector, 32x compression); nearest-centroid per subspace
-    # compared as e4 fixed-point integers, ties to the smallest id —
-    # engine-exact, scan-side, no UDF
-    from cassandra_data_migration_spark.operators.similarity import pq_encode
-
-    emb, cb = _pq_inputs(spark, sf_dir)
-    # arrow tier: bit-identical to the SQL fold (tests/test_fast_tiers)
-    # at vectorized-numpy speed; the oracle still mirrors the SQL form
-    return pq_encode(emb, cb, tier="arrow").select(
-        "vec_id", F.posexplode("codes").alias("j", "code")
-    )
-
-
-def q_pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PQ asymmetric-distance top-k: full-precision query scored
-    # against 8-byte codes via a driver-built integer LUT — 8 lookups
-    # per vector, shuffle-free TakeOrdered
-    from cassandra_data_migration_spark.operators.similarity import pq_adc_topk
-
-    emb, cb = _pq_inputs(spark, sf_dir)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    # arrow encode tier: bit-identical to the SQL fold
-    # (tests/test_fast_tiers) at vectorized-numpy speed
-    return pq_adc_topk(emb, qv, cb, k=10, exclude_ids=[0], tier="arrow")
-
-
-def q_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # FAISS-style IVF-PQ: integer-exact coarse routing (4 of 16 lists
-    # probed) + oracle-exact PQ-ADC ranking of the probed lists only.
-    # The full search — routing, assignment, shortlist, ADC order —
-    # is deterministic, so the oracle replays it EXACTLY (approximate
-    # vs brute force, but never approximate vs its own spec).
-    from cassandra_data_migration_spark.operators.similarity import (
-        ivf_pq_topk,
-    )
-
-    emb, cb = _pq_inputs(spark, sf_dir)
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    return ivf_pq_topk(
-        emb, qv, cb, k=10, n_coarse=16, n_probe=4,
-        exclude_ids=[0], tier="arrow",
-    )
-
-
-def q_throttle_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T1 rate limiting, declarative form: the per-worker admission
-    # schedule (worker = PK hash, send_second = rank DIV per-worker
-    # budget) aggregated to rows-per-second — pure row functions, so
-    # the wall-clock limiter's plan is oracle-checkable
-    from cassandra_data_migration_spark.plans.throttle import throttle_schedule
-
-    sched = throttle_schedule(
-        load_table(spark, sf_dir, "orders"),
-        ["o_orderkey"],
-        rows_per_sec_global=2000,
-        num_workers=4,
-    )
-    return sched.groupBy("send_second").agg(
-        F.count(F.lit(1)).alias("rows_sent"),
-        F.countDistinct("worker").alias("n_workers"),
-    )
-
-
-def q_bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Bloom-filter membership (the J1-at-scale pre-pass): fingerprint
-    # the ordering-customer key set, probe every customer scan-side
-    # via a 1-row broadcast bit array — no join shuffle; md5-derived
-    # bits so the oracle rebuilds the identical filter
-    from cassandra_data_migration_spark.operators.bloom import (
-        bloom_build,
-        bloom_might_contain,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    cust = load_table(spark, sf_dir, "customer")
-    bloom = bloom_build(orders, "o_custkey")
-    return bloom_might_contain(cust, bloom, "c_custkey").select(
-        "c_custkey", "might_contain"
-    )
-
-
-def _docs_with_urls(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.web import (
-        parse_url_parts,
-        synthesize_url,
-    )
-
-    return parse_url_parts(synthesize_url(load_table(spark, sf_dir, "documents")))
-
-
-def q_url_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # web-corpus keying: deterministic URL synthesis + built-in
-    # parse_url split into protocol/host/domain/path/query — narrow
-    # scan-side projection, no UDF
-    return _docs_with_urls(spark, sf_dir).select(
-        "doc_id", "protocol", "host", "domain", "path", "query_string"
-    )
-
-
-_HTML_WRAP_PARTS = (
-    '<html><head><title>Page</title><style>body{font-size:10px}</style>'
-    '</head><body><script type="text/javascript">var x = 1;</script><h1>',
-    '</h1><br/><p>',
-    '</p><!-- crawl footer --></body></html>',
+from cdm_entry.part12_round8 import *  # noqa: F401,F403 — full namespace
+from cdm_entry import (  # noqa: F401
+    ORACLES,
+    QUERIES,
+    _ROUND_HEAD,
+    entry,
+    oracle_sql,
+    queries,
 )
-
-
-def q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # WARC-pipeline extraction stage: wrap each document in a full
-    # HTML page (head/style/script/comment boilerplate), then strip it
-    # back to visible text with the codegen'd regex chain — the oracle
-    # runs the LITERALLY identical chain (generated from the same step
-    # tables, html_strip_sql)
-    from cassandra_data_migration_spark.operators.text import html_to_text
-
-    a, b, c = _HTML_WRAP_PARTS
-    docs = load_table(spark, sf_dir, "documents")
-    html = F.concat(
-        F.lit(a), F.col("source"), F.lit(b), F.col("text"), F.lit(c)
-    )
-    return docs.select("doc_id", html_to_text(html).alias("extracted"))
-
-
-def q_warc_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the web-scale front door end to end: synthesize 4 deterministic
-    # .warc.gz files (each record its own gzip member, per spec) from
-    # the documents fixture, read them back DISTRIBUTED (binaryFile →
-    # one file per task → streaming parse), split HTTP headers off
-    # response payloads, and extract page text — oracle recomputes
-    # every column from the documents table
-    import os as _os
-    import tempfile
-
-    from cassandra_data_migration_spark.operators.text import html_to_text
-    from cassandra_data_migration_spark.sources.warc import (
-        build_warc,
-        read_warc,
-    )
-
-    rows = sorted(
-        load_table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") < 64)
-        .select("doc_id", "source", "text")
-        .collect(),
-        key=lambda r: r["doc_id"],
-    )
-    recs = [
-        {
-            "record_id": f"<urn:doc:{r['doc_id']}>",
-            "warc_type": "response",
-            "target_uri": f"http://example.org/{r['source']}/{r['doc_id']}",
-            "warc_date": "2024-01-01T00:00:00Z",
-            "http_status": 200,
-            "http_content_type": "text/html; charset=utf-8",
-            "payload": (
-                f"<html><body><h1>{r['source']}</h1><p>{r['text']}</p>"
-                "</body></html>"
-            ).encode(),
-        }
-        for r in rows
-    ]
-    tmpd = tempfile.mkdtemp(prefix="warc_")
-    per_file = (len(recs) + 3) // 4
-    for i in range(4):
-        chunk = recs[i * per_file : (i + 1) * per_file]
-        if chunk:
-            with open(_os.path.join(tmpd, f"part-{i}.warc.gz"), "wb") as f:
-                f.write(build_warc(chunk))
-    w = read_warc(spark, tmpd + "/*.warc.gz")
-    return w.select(
-        "target_uri",
-        "warc_type",
-        "http_status",
-        "http_content_type",
-        html_to_text(F.decode(F.col("payload"), "UTF-8")).alias("text"),
-    )
-
-
-def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # UT1-style safety gate: suffix-blocklisted domains (one exact
-    # site, one whole TLD) + a URL pattern rule; survivors only.
-    # Corpus text shuffles zero times — suffix explode → broadcast
-    # semi join → id-keyed anti join
-    from cassandra_data_migration_spark.operators.web import blocklist_filter
-
-    docs = _docs_with_urls(spark, sf_dir).select("doc_id", "url")
-    return blocklist_filter(
-        docs,
-        blocked_domains=["src3-site.com", "src7-site.org", "net"],
-        blocked_patterns=[r"ref=r4$"],
-    )
-
-
-def q_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # snapshot-drift monitor: PSI between the full events value
-    # distribution and a skewed subsample (every 3rd user), fixed
-    # 10-bin grid, Laplace-smoothed shares — the between-crawl
-    # distribution check a corpus refresh signs off with
-    from cassandra_data_migration_spark.operators.quality import psi_drift
-
-    ev = load_table(spark, sf_dir, "events")
-    return psi_drift(
-        ev.select("value"),
-        ev.filter(F.pmod("user_id", F.lit(3)) == 0).select("value"),
-        "value",
-        bins=10,
-        lo=0.0,
-        hi=500.0,
-    )
-
-
-def q_domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-domain corpus profile: one map-combined aggregation,
-    # shuffle O(domains)
-    from cassandra_data_migration_spark.operators.web import domain_stats
-
-    return domain_stats(_docs_with_urls(spark, sf_dir))
-
-
-def q_domain_quota(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Common-Crawl-style per-domain cap: keep ≤5 docs per domain by a
-    # deterministic md5 draw (stable across re-crawls and engines)
-    from cassandra_data_migration_spark.operators.web import domain_quota_sample
-
-    return domain_quota_sample(_docs_with_urls(spark, sf_dir), cap=5)
-
-
-def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # BM25 retrieval: top-10 documents for a 4-term query; per-term
-    # scores are e6 fixed-point so the doc score is an exact integer
-    # sum — scan-side scoring, broadcast stats, TakeOrdered top-k
-    from cassandra_data_migration_spark.operators.text import bm25_topk
-
-    return bm25_topk(
-        load_table(spark, sf_dir, "documents"),
-        query_terms=["spark", "join", "window", "vector"],
-        k=10,
-    )
-
-
-def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CCNet-style perplexity-proxy quality filter: top-50 unigram LM
-    # with add-one smoothing, per-doc total/avg log-prob as exact e6
-    # integer sums; LM re-enters as a 1-row broadcast map
-    from cassandra_data_migration_spark.operators.text import unigram_logprob
-
-    return unigram_logprob(load_table(spark, sf_dir, "documents"), vocab_size=50)
-
-
-def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DSIR (Xie et al. 2023): top-100 raw docs by hashed-unigram
-    # importance weight toward the English-document target
-    # distribution; 64-bucket add-one models, exact e6 integer sums,
-    # broadcast log-ratio map, TakeOrdered top-k
-    from cassandra_data_migration_spark.operators.sampling import dsir_importance
-
-    return dsir_importance(
-        load_table(spark, sf_dir, "documents"),
-        target_filter=F.col("lang") == "en",
-        k=100,
-        n_buckets=64,
-    )
-
-
-def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CCNet head/middle/tail tiering: per-language equal-frequency
-    # thirds by unigram-LM per-token log-prob (deterministic NTILE
-    # with doc_id tiebreak)
-    from cassandra_data_migration_spark.operators.text import perplexity_buckets
-
-    return perplexity_buckets(load_table(spark, sf_dir, "documents"), vocab_size=50)
-
-
-def q_strip_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CCNet/RefinedWeb boilerplate scrub: 8-token chunks recurring in
-    # >1 distinct doc are dropped corpus-wide, docs reassembled from
-    # surviving chunks; frequency pass shuffles chunk hashes only
-    from cassandra_data_migration_spark.operators.text import (
-        strip_repeated_chunks,
-    )
-
-    return strip_repeated_chunks(
-        load_table(spark, sf_dir, "documents"), chunk_tokens=8, max_docs=1
-    )
-
-
-_LINE_BOILER = "subscribe to our newsletter | terms of service | all rights reserved"
-
-
-def q_cow_merge_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # AutoCorrect onto the lake: LWW merge where the newer writetime
-    # wins per key (ties favor the update).  Base writetime =
-    # o_orderkey % 1000; updates carry writetime 500 over the
-    # low-eighth keys, so roughly half win (+100 price, wt 500) and
-    # half are STALE and must leave the base row untouched.
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
-
-    orders = load_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.pmod("o_orderkey", F.lit(1000)).alias("wt"),
-    )
-    d = tempfile.mkdtemp(prefix="cow_lww_") + "/orders"
-    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
-    ).write.parquet(d)
-    b = orders.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
-    upd = orders.filter(F.col("o_orderkey") <= threshold).select(
-        "o_orderkey",
-        (F.col("o_totalprice") + F.lit(100.0)).alias("o_totalprice"),
-        F.lit(500).cast("long").alias("wt"),
-    )
-    cow_merge(spark, d, upd, "o_orderkey", writetime_col="wt")
-    return spark.read.parquet(d).select("o_orderkey", "o_totalprice", "wt")
-
-
-def q_snapshot_changes_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # change data feed between table versions: commit v0, merge the
-    # usual low-eighth price bump + 20 inserts (v1), then diff v0→v1
-    # — one full-outer join of the two snapshots, struct-packed rows
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.sources.lakehouse import (
-        cow_merge,
-        snapshot_changes,
-        snapshot_commit,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="cow_cdf_") + "/orders"
-    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
-    ).write.parquet(d)
-    snapshot_commit(d)
-    b = orders.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    lo, hi = int(b["lo"]), int(b["hi"])
-    threshold = lo + (hi - lo) // 8
-    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
-    )
-    rn = F.row_number().over(Window.orderBy("o_orderkey"))
-    ins = (
-        orders.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi + 1))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
-    )
-    cow_merge(spark, d, upd.unionByName(ins), "o_orderkey")  # commits v1
-    return snapshot_changes(spark, d, 0, 1, "o_orderkey").select(
-        "o_orderkey",
-        "change_type",
-        F.col("_old.o_totalprice").alias("old_price"),
-        F.col("_new.o_totalprice").alias("new_price"),
-    )
-
-
-def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Delta-style streaming MERGE: the events changelog, sliced in
-    # (ts, event_id) order into micro-batches, is folded into the
-    # versioned COW table by per-batch collapse + cow_merge.  MERGE
-    # is idempotent per batch, so no replay gate is needed (contrast
-    # the signed-delta MV).  Final table == one-shot cdc_apply.
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.operators.windows import cdc_apply
-    from cassandra_data_migration_spark.sources.lakehouse import (
-        read_snapshot,
-        snapshot_commit,
-    )
-    from cassandra_data_migration_spark.streaming.cow_stream import (
-        cow_apply_changes_stream,
-    )
-
-    log = (
-        load_table(spark, sf_dir, "events")
-        .filter(F.pmod("user_id", F.lit(3)) == 0)  # 1/3 of the log:
-        # the stream machinery, not data volume, is what this query
-        # exercises; the oracle applies the identical filter
-        .select(
-            "user_id", "ts", "event_id", "value",
-            F.when(F.col("event_type") == "error", "D")
-            .when(F.col("event_type") == "signup", "I")
-            .otherwise("U")
-            .alias("op"),
-        )
-    )
-    ranked = log.withColumn(
-        "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
-    )
-    n = ranked.count()
-    d = tempfile.mkdtemp(prefix="cow_stream_")
-    target, src, ckpt = f"{d}/table", f"{d}/log", f"{d}/ckpt"
-    # batch 0 seeds the table (the initial-snapshot fold)
-    s0 = ranked.filter(F.col("_rk") <= n // 3).drop("_rk")
-    cdc_apply(s0, ["user_id"], ts_col="ts", tiebreak_col="event_id").drop(
-        "op"
-    ).write.parquet(target)
-    snapshot_commit(target)
-    # the tail arrives as two ordered micro-batches
-    for lo, hi in ((n // 3, 2 * n // 3), (2 * n // 3, n)):
-        ranked.filter(
-            (F.col("_rk") > lo) & (F.col("_rk") <= hi)
-        ).drop("_rk").repartition(1).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema(
-            "user_id long, ts timestamp, event_id long, value double, "
-            "op string"
-        )
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = cow_apply_changes_stream(
-        stream, target, "user_id", ckpt, ts_col="ts", seq_col="event_id"
-    )
-    await_or_raise(q, 300)
-    return read_snapshot(spark, target).select(
-        "user_id", "ts", "event_id", "value"
-    )
-
-
-def q_cow_delete_purge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # MERGE WHEN MATCHED DELETE: purge the lowest-eighth key range
-    # from the staged COW table; only the touched files are rewritten
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.lakehouse import cow_delete
-
-    orders = load_table(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="cow_del_") + "/orders"
-    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
-    ).write.parquet(d)
-    b = orders.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
-    keys = orders.filter(F.col("o_orderkey") <= threshold).select(
-        "o_orderkey"
-    )
-    cow_delete(spark, d, keys, "o_orderkey")
-    return spark.read.parquet(d).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-
-
-def q_cow_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # versioned COW table: commit v0, merge a price bump (v1 committed
-    # by the merge, nothing deleted), then read AS OF v0 — time travel
-    # must return the pre-merge table bit for bit
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.lakehouse import (
-        cow_merge,
-        read_snapshot,
-        snapshot_commit,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="cow_tt_") + "/orders"
-    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
-    ).write.parquet(d)
-    snapshot_commit(d)
-    b = orders.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    threshold = int(b["lo"]) + (int(b["hi"]) - int(b["lo"])) // 8
-    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
-    )
-    cow_merge(spark, d, upd, "o_orderkey")
-    return read_snapshot(spark, d, 0).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-
-
-def q_secondary_index_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Cassandra 2i/SAI analogue: narrow (value, pk) index partitioned
-    # by value-hash bucket; the probe prunes to ONE index directory,
-    # then broadcast-semi-joins the matching PKs into the base scan —
-    # no full scan of the wide table for a non-key predicate
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.secondary_index import (
-        build_secondary_index,
-        index_lookup,
-    )
-
-    orders = load_table(spark, sf_dir, "orders")
-    # probe: the customer of the lowest-keyed order (exists by
-    # construction; lineitem's fixture keys are not unique, orders'
-    # o_orderkey is — semi-join keys must identify rows)
-    probe = int(
-        orders.orderBy("o_orderkey")
-        .select("o_custkey")
-        .limit(1)
-        .collect()[0]["o_custkey"]
-    )
-    idx = tempfile.mkdtemp(prefix="sidx_") + "/o_custkey_idx"
-    build_secondary_index(orders, idx, "o_custkey", ["o_orderkey"])
-    return index_lookup(
-        spark, orders, idx, "o_custkey", ["o_orderkey"], probe
-    ).select("o_orderkey", "o_custkey", "o_totalprice", "o_orderstatus")
-
-
-def q_cow_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lakehouse MERGE INTO on plain parquet: orders staged range-
-    # partitioned on the key (8 files), updates confined to the lowest
-    # eighth of the key range (+100 price) plus 20 inserted rows above
-    # the max key; copy-on-write rewrites only the touched files,
-    # stats-pruned via footers.  Returns the merged table projection.
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.sources.lakehouse import cow_merge
-
-    orders = load_table(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="cow_") + "/orders"
-    orders.repartitionByRange(8, "o_orderkey").sortWithinPartitions(
-        "o_orderkey"
-    ).write.parquet(d)
-    b = orders.agg(
-        F.min("o_orderkey").alias("lo"), F.max("o_orderkey").alias("hi")
-    ).collect()[0]
-    lo, hi = int(b["lo"]), int(b["hi"])
-    threshold = lo + (hi - lo) // 8
-    upd = orders.filter(F.col("o_orderkey") <= threshold).withColumn(
-        "o_totalprice", F.col("o_totalprice") + F.lit(100.0)
-    )
-    rn = F.row_number().over(Window.orderBy("o_orderkey"))
-    ins = (
-        orders.withColumn("_rn", rn)
-        .filter(F.col("_rn") <= 20)
-        .drop("_rn")
-        .withColumn("o_orderkey", F.col("o_orderkey") + F.lit(hi + 1))
-        .withColumn("o_totalprice", F.col("o_totalprice") + F.lit(5.0))
-    )
-    cow_merge(spark, d, upd.unionByName(ins), "o_orderkey")
-    return spark.read.parquet(d).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    )
-
-
-def q_lsh_index_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous-crawl near-dup: first half of the corpus is the
-    # ingested "seen" side, persisted as an LSH band index; the second
-    # half probes it — band collisions nominate, exact Jaccard on the
-    # TOUCHED seen docs only verifies, each new doc reports its best
-    # match or is_novel
-    from cassandra_data_migration_spark.operators.dedup import (
-        lsh_index_build,
-        lsh_index_probe,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    half = docs.count() // 2
-    seen = docs.filter(F.col("doc_id") < half)
-    new = docs.filter(F.col("doc_id") >= half)
-    index = lsh_index_build(seen)
-    return lsh_index_probe(new, index, seen)
-
-
-def q_line_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CCNet/RefinedWeb LINE-wise dedup (natural-line granularity; the
-    # token-chunk twin is strip_boilerplate): synthesize multi-line
-    # pages from the fixture — own text + a cyclically-donated line
-    # for doc_id%5==0 + a shared boilerplate line for doc_id%3==0 —
-    # then drop lines whose md5 recurs in >=2 distinct docs and
-    # reassemble survivors in order
-    from cassandra_data_migration_spark.operators.text import line_dedup_docs
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    n = docs.count()
-    donor = docs.select(F.col("doc_id").alias("_j"), F.col("text").alias("_t2"))
-    pages = (
-        docs.withColumn("_j", F.pmod(F.col("doc_id") + 17, F.lit(n)))
-        .join(donor, "_j")
-        .select(
-            "doc_id",
-            F.concat_ws(
-                "\n",
-                F.col("text"),
-                F.when(F.col("doc_id") % 5 == 0, F.col("_t2")),
-                F.when(F.col("doc_id") % 3 == 0, F.lit(_LINE_BOILER)),
-            ).alias("text"),
-        )
-    )
-    return line_dedup_docs(pages, min_docs=2, min_chars=10)
-
-
-def q_fuzzy_part_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # entity resolution over the distinct-name dictionary: part-name
-    # variants within 2 edits, blocked on the noun token, length-bound
-    # pre-pruned; the quadratic kernel never touches full rows
-    from cassandra_data_migration_spark.operators.joins import fuzzy_name_match
-
-    return fuzzy_name_match(
-        load_table(spark, sf_dir, "part"), name_col="p_name", max_dist=2
-    )
-
-
-def q_resample_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hypertable rollup: per-user hourly purchase series over each
-    # user's own span, gaps filled with 0-counts and forward-filled
-    # last value — one key shuffle, narrow grid explode
-    from cassandra_data_migration_spark.operators.windows import resample_ffill
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.col("event_type") == "purchase"
-    )
-    return resample_ffill(ev, key_col="user_id", ts_col="ts", value_col="value")
-
-
-def q_event_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sequenced-mins funnel view→click→purchase: one map-combined
-    # groupBy(user) computing all stage mins in a single pass
-    from cassandra_data_migration_spark.operators.aggregates import event_funnel
-
-    return event_funnel(load_table(spark, sf_dir, "events"))
-
-
-def q_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # hybrid retrieval: BM25 lexical candidates + dense cosine
-    # candidates fused with Reciprocal Rank Fusion (e9 integer
-    # contributions).  Corpus-side work stays in the rankers
-    # (scan-side scoring, TakeOrdered); fusion touches only the two
-    # bounded top-50 lists.
-    from cassandra_data_migration_spark.operators.retrieval import (
-        ranked_list,
-        rrf_fuse,
-    )
-    from cassandra_data_migration_spark.operators.similarity import cosine_topk
-    from cassandra_data_migration_spark.operators.text import bm25_topk
-
-    docs = load_table(spark, sf_dir, "documents")
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = [float(x) for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]]
-    lex = bm25_topk(docs, ["spark", "join", "window", "vector"], k=50)
-    dense = cosine_topk(emb, qv, k=50, exclude_ids=[0])
-    return rrf_fuse(
-        [
-            ranked_list(
-                lex, [F.desc("score_e6"), F.asc("doc_id")], "doc_id", "bm25"
-            ),
-            ranked_list(
-                dense, [F.desc("cos_sim"), F.asc("vec_id")], "vec_id", "dense"
-            ),
-        ],
-        k=15,
-        c=60,
-    )
-
-
-def q_url_canonical_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # URL-level dedup: canonicalize (strip query/fragment/www/default
-    # port, reduce to directory) then one grouped agg on the canonical
-    # key — O(groups) shuffle, text never moves
-    from cassandra_data_migration_spark.operators.web import (
-        synthesize_url,
-        url_canonical_groups,
-    )
-
-    docs = synthesize_url(load_table(spark, sf_dir, "documents"))
-    return url_canonical_groups(docs)
-
-
-def q_hashed_quality_clf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fastText-style hashed-token linear classifier: md5-derived
-    # weights folded scan-side (aggregate over transform — zero
-    # explode, zero shuffle); exact BIGINT weight sums
-    from cassandra_data_migration_spark.operators.text import hashed_linear_score
-
-    return hashed_linear_score(load_table(spark, sf_dir, "documents"))
-
-
-def q_token_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fill-to-N-tokens selection without a global sort: driver-side
-    # cumsum over per-priority totals picks the cutoff stratum; only
-    # that stratum runs a windowed cumsum
-    from cassandra_data_migration_spark.operators.sampling import (
-        token_budget_select,
-    )
-    from cassandra_data_migration_spark.operators.text import token_count
-
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tok", token_count("text")
-    )
-    return token_budget_select(
-        docs, budget=10_000, priority_col="n_chars", token_col="n_tok"
-    )
-
-
-def q_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # two-pass bucket-sketch heavy hitters: bucket counts bound token
-    # counts from above (no false negatives), so the exact pass only
-    # shuffles tokens sharing a bucket with a genuinely frequent one
-    from cassandra_data_migration_spark.operators.text import heavy_hitters
-
-    return heavy_hitters(
-        load_table(spark, sf_dir, "documents"), min_count=300
-    )
-
-
-def q_stable_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dense ids in (n_chars DESC, doc_id) order WITHOUT the
-    # single-partition row_number: quantile-bucketed numbering with
-    # driver-cumsum'd offsets; equals the global window exactly
-    from cassandra_data_migration_spark.operators.ids import stable_dense_ids
-
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
-    return stable_dense_ids(
-        docs, ["n_chars", "doc_id"], descending=[True, False], buckets=16
-    )
-
-
-def q_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # SCD type-2 history build from the event log: change-point filter
-    # + validity intervals, all per-key partitioned windows
-    from cassandra_data_migration_spark.operators.windows import scd2_history
-
-    return scd2_history(
-        load_table(spark, sf_dir, "events"),
-        key_col="user_id",
-        ts_col="ts",
-        attr_col="event_type",
-    )
-
-
-def q_percentile_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-language percent-rank calibration of a quality proxy
-    from cassandra_data_migration_spark.operators.windows import (
-        percentile_normalize,
-    )
-
-    return percentile_normalize(
-        load_table(spark, sf_dir, "documents"),
-        group_col="lang",
-        value_col="n_chars",
-        id_col="doc_id",
-    )
-
-
-def q_robust_scale(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-language median/MAD robust z-score: exact grouped medians,
-    # broadcast re-join, scan-side scaling
-    from cassandra_data_migration_spark.operators.aggregates import robust_scale
-
-    return robust_scale(
-        load_table(spark, sf_dir, "documents"),
-        group_col="lang",
-        value_col="n_chars",
-        id_col="doc_id",
-    )
-
-
-def q_domain_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PageRank domain authority in e12 fixed-point integers: the
-    # iterative message-passing rounds are driver-side control flow
-    # over joins; all arithmetic is integer `div`, so the result is
-    # bit-identical to the oracle's unrolled-CTE fixpoint
-    from cassandra_data_migration_spark.operators.graph import domain_pagerank
-
-    return domain_pagerank(load_table(spark, sf_dir, "documents"), iterations=5)
-
-
-def q_mv_incremental_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # incremental materialized-view maintenance: a Debezium-shaped
-    # changelog (I/U/D with before-images) merged into the per-customer
-    # aggregate view by signed deltas — O(|delta|) work, never a base
-    # rescan; must equal the full recompute (the oracle)
-    from cassandra_data_migration_spark.operators.mv import (
-        mv_apply_delta,
-        mv_build,
-    )
-
-    o = load_table(spark, sf_dir, "orders")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    base = o.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
-    inserts = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
-        "o_custkey",
-        F.lit("I").alias("op"),
-        F.lit(None).cast("decimal(18,2)").alias("before_v"),
-        price.alias("after_v"),
-    )
-    deletes = base.filter(F.pmod("o_orderkey", F.lit(5)) == 0).select(
-        "o_custkey",
-        F.lit("D").alias("op"),
-        price.alias("before_v"),
-        F.lit(None).cast("decimal(18,2)").alias("after_v"),
-    )
-    updates = base.filter(
-        (F.pmod("o_orderkey", F.lit(5)) != 0)
-        & (F.pmod("o_orderkey", F.lit(7)) == 0)
-    ).select(
-        "o_custkey",
-        F.lit("U").alias("op"),
-        price.alias("before_v"),
-        (price + F.lit(10)).cast("decimal(18,2)").alias("after_v"),
-    )
-    changelog = inserts.unionByName(deletes).unionByName(updates)
-    mv = mv_build(base, "o_custkey", "o_totalprice")
-    out = mv_apply_delta(mv, changelog, "o_custkey")
-    return out.select(
-        "o_custkey",
-        "n_rows",
-        F.col("sum_val").cast("double").alias("sum_val"),
-    )
-
-
-def q_join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CBO stats health check: textbook estimate |A||B|/max(ndv) vs the
-    # actual orders x lineitem join cardinality, integer-exact NDVs
-    from cassandra_data_migration_spark.operators.quality import (
-        join_cardinality_audit,
-    )
-
-    return join_cardinality_audit(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-        "o_orderkey",
-        "l_orderkey",
-    )
-
-
-def q_stream_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # streaming gap sessionization (F.session_window): finite replay in
-    # complete mode must equal the batch lag->flag->sum sessionizer —
-    # the oracle recomputes sessions with window SQL
-    import uuid as _uuid
-
-    from cassandra_data_migration_spark.streaming.sessions import (
-        sessionize_stream,
-    )
-
-    name = f"sess_{_uuid.uuid4().hex[:8]}"
-    q = (
-        sessionize_stream(
-            _events_stream(spark, sf_dir), gap_seconds=28800, watermark=None
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.sql(f"SELECT * FROM {name}").select(
-        "user_id",
-        F.col("n_events").cast("long").alias("n_events"),
-        "session_start",
-        "session_end",
-        F.col("duration_s").cast("long").alias("duration_s"),
-    )
-
-
-def q_stream_trending(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # streaming windowed top-k: live per-hour event-type counts with
-    # the rank cut applied sink-side (rank-over-window is not a
-    # streaming operator); finite replay equals the batch computation
-    import uuid as _uuid
-
-    from cassandra_data_migration_spark.streaming.trending import (
-        rank_topk,
-        trending_counts_stream,
-    )
-
-    name = f"trend_{_uuid.uuid4().hex[:8]}"
-    q = (
-        trending_counts_stream(
-            _events_stream(spark, sf_dir), window="1 hour", watermark="2 hours"
-        )
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    counts = spark.sql(f"SELECT * FROM {name}")
-    return rank_topk(counts, k=3).select(
-        "win_start",
-        "event_type",
-        F.col("n_events").cast("long").alias("n_events"),
-        F.col("rnk").cast("long").alias("rnk"),
-    )
-
-
-def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous MV maintenance: the SAME deterministic changelog as
-    # mv_incremental_refresh replayed in 3 micro-batch slices through
-    # foreachBatch signed-delta merges — commutative deltas converge
-    # to the batch answer under any slicing (same oracle)
-    import tempfile
-
-    from cassandra_data_migration_spark.operators.mv import mv_build
-    from cassandra_data_migration_spark.streaming.mv import mv_maintain_stream
-
-    o = load_table(spark, sf_dir, "orders")
-    price = F.col("o_totalprice").cast("decimal(18,2)")
-    base = o.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
-    inserts = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
-        "o_custkey",
-        F.lit("I").alias("op"),
-        F.lit(None).cast("decimal(18,2)").alias("before_v"),
-        price.alias("after_v"),
-    )
-    deletes = base.filter(F.pmod("o_orderkey", F.lit(5)) == 0).select(
-        "o_custkey",
-        F.lit("D").alias("op"),
-        price.alias("before_v"),
-        F.lit(None).cast("decimal(18,2)").alias("after_v"),
-    )
-    updates = base.filter(
-        (F.pmod("o_orderkey", F.lit(5)) != 0)
-        & (F.pmod("o_orderkey", F.lit(7)) == 0)
-    ).select(
-        "o_custkey",
-        F.lit("U").alias("op"),
-        price.alias("before_v"),
-        (price + F.lit(10)).cast("decimal(18,2)").alias("after_v"),
-    )
-    d = tempfile.mkdtemp(prefix="mv_stream_")
-    view, src, ckpt = f"{d}/view", f"{d}/log", f"{d}/ckpt"
-    mv_build(base, "o_custkey", "o_totalprice").write.parquet(view)
-    inserts.repartition(1).write.parquet(src)
-    deletes.repartition(1).write.mode("append").parquet(src)
-    updates.repartition(1).write.mode("append").parquet(src)
-    schema = spark.read.parquet(src).schema
-    stream = (
-        spark.readStream.schema(schema)
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = mv_maintain_stream(stream, view, "o_custkey", ckpt)
-    await_or_raise(q, 300)
-    return spark.read.parquet(view).select(
-        "o_custkey",
-        "n_rows",
-        F.col("sum_val").cast("double").alias("sum_val"),
-    )
-
-
-def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # dataset-release versioning: added/removed/changed/unchanged
-    # between two corpus snapshots by fingerprint full-outer join —
-    # ids + 16-byte hashes shuffle, text never does
-    from cassandra_data_migration_spark.operators.setops import snapshot_diff
-
-    docs = load_table(spark, sf_dir, "documents")
-    old = docs.filter(F.pmod("doc_id", F.lit(10)) != 0)
-    new = docs.filter(F.pmod("doc_id", F.lit(13)) != 0).withColumn(
-        "text",
-        F.when(
-            F.pmod("doc_id", F.lit(7)) == 0,
-            F.concat(F.col("text"), F.lit(" v2")),
-        ).otherwise(F.col("text")),
-    )
-    return snapshot_diff(old, new)
-
-
-def q_domain_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # degree-oriented triangle counting (Suri-Vassilvitskii): wedges
-    # generated only at each triangle's min-(degree,id) vertex, closed
-    # by one semi-join — O(m^1.5) wedges, hub-safe; local clustering
-    # coefficient in integer micro-units
-    from cassandra_data_migration_spark.operators.graph import domain_triangles
-
-    return domain_triangles(load_table(spark, sf_dir, "documents"))
-
-
-def q_bucketed_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # co-located bucketed join: both fact tables hash-bucketed on the
-    # order key, so the join runs with zero Exchange (pinned by
-    # tests/test_physical_plans.py); result equals the plain join
-    from cassandra_data_migration_spark.sources.tables import (
-        bucketed_join_revenue,
-    )
-
-    return bucketed_join_revenue(spark, sf_dir)
-
-
-def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # near-dup clusters → keep the highest-quality copy per cluster
-    # (tie-break min id): the curation policy that preserves the best
-    # duplicate instead of the arbitrary min-id one
-    from cassandra_data_migration_spark.operators.graph import dedup_survivors
-
-    return dedup_survivors(load_table(spark, sf_dir, "documents"))
-
-
-def q_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # fraction of each doc's distinct 3-grams unseen anywhere else in
-    # the corpus — boilerplate shows up as low novelty even below
-    # pairwise dedup thresholds
-    from cassandra_data_migration_spark.operators.dedup import ngram_novelty
-
-    return ngram_novelty(load_table(spark, sf_dir, "documents"))
-
-
-def q_stream_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stream-static broadcast enrichment: events stream left-joined to
-    # the customer dimension inside each micro-batch scan — no
-    # stream-side shuffle, no state store; unmatched users keep NULLs
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.enrich import enrich_stream
-
-    d = tempfile.mkdtemp(prefix="enrich_")
-    stream = _events_stream(spark, sf_dir).select(
-        "event_id", "user_id", "event_type"
-    )
-    dim = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("user_id"), "c_mktsegment"
-    )
-    q = (
-        enrich_stream(stream, dim, "user_id")
-        .writeStream.format("parquet")
-        .option("path", f"{d}/out")
-        .option("checkpointLocation", f"{d}/ckpt")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.read.parquet(f"{d}/out")
-
-
-def q_zorder_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Morton (Z-order) clustering key over two quantized dimensions:
-    # the multi-dim sort key that makes parquet min/max stats prune
-    # range boxes on EITHER dimension (Delta/Iceberg's ZORDER BY)
-    from cassandra_data_migration_spark.operators.layout import zorder_key
-
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        "event_id",
-        (F.abs(F.col("user_id")) % 256).alias("x"),
-        (F.abs(F.floor(F.col("value"))).cast("long") % 256).alias("y"),
-    ).withColumn("zkey", zorder_key(["x", "y"], bits=8))
-
-
-def q_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact integer Gram matrix of the e6-quantized embedding matrix:
-    # Arrow-batched int64 GEMM partials per partition, one tiny
-    # map-combined sum — the mapInPandas kernel is still bit-exact
-    # against the SQL oracle because everything is integer
-    from cassandra_data_migration_spark.operators.linalg import gram_matrix
-
-    return gram_matrix(load_table(spark, sf_dir, "embeddings"), dim=64)
-
-
-def q_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # cross-dataset contamination audit: distinct shared exact-dup
-    # fingerprints per source pair
-    from cassandra_data_migration_spark.operators.dedup import source_overlap
-
-    return source_overlap(load_table(spark, sf_dir, "documents"))
-
-
-def q_dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # declarative data-quality sign-off: row-local checks fold into
-    # ONE scan aggregation, uniqueness adds one distinct, FK is a
-    # broadcast anti-join — O(checks) report rows at any table size
-    from cassandra_data_migration_spark.operators import quality as dq
-
-    orders = load_table(spark, sf_dir, "orders")
-    customer = load_table(spark, sf_dir, "customer")
-    return dq.dq_report(
-        orders,
-        [
-            dq.not_null("o_custkey"),
-            dq.in_range("o_totalprice", 0.0, 1000000.0),
-            dq.in_set("o_orderstatus", ["O", "F", "P"]),
-            dq.matches("o_orderpriority", "^[0-9]-"),
-            dq.expect(
-                "finished_have_price",
-                "o_orderstatus != 'F' OR o_totalprice > 0",
-            ),
-            dq.unique("o_orderkey"),
-            dq.foreign_key("o_custkey", customer, "c_custkey"),
-        ],
-    )
-
-
-def q_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q3 shape: one fact-fact shuffle, broadcast customer dim,
-    # TakeOrdered top-k — the join workout CQL cannot express
-    from cassandra_data_migration_spark.operators.olap import shipping_priority
-
-    return shipping_priority(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-    )
-
-
-def q_region_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q5 shape: whole dimension chain broadcasts; exchanges are
-    # the fact-fact join and one tiny final aggregation
-    from cassandra_data_migration_spark.operators.olap import (
-        region_supplier_volume,
-    )
-
-    return region_supplier_volume(
-        load_table(spark, sf_dir, "lineitem"),
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "supplier"),
-        load_table(spark, sf_dir, "nation"),
-        load_table(spark, sf_dir, "region"),
-    )
-
-
-def q_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # per-type z-score outliers: DECIMAL-exact moment sums, broadcast
-    # stats re-join, scan-side flagging
-    from cassandra_data_migration_spark.operators.aggregates import (
-        grouped_zscore_outliers,
-    )
-
-    return grouped_zscore_outliers(load_table(spark, sf_dir, "events"))
-
-
-def q_trending_types(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # top-3 event types per hourly window (batch twin of the
-    # streaming trending aggregation)
-    from cassandra_data_migration_spark.operators.aggregates import (
-        trending_per_window,
-    )
-
-    return trending_per_window(load_table(spark, sf_dir, "events"))
-
-
-def q_inverted_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # capped inverted index: per-term doc freq + deterministic top-5
-    # postings (array_sort'ed structs, never raw collect_list order)
-    from cassandra_data_migration_spark.operators.text import inverted_postings
-
-    return inverted_postings(load_table(spark, sf_dir, "documents"), k=5)
-
-
-def q_retry_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # at-least-once cleanup: drop events within 60s of the previous
-    # survivor per (user, type) — chained retries collapse to one
-    from cassandra_data_migration_spark.operators.windows import retry_collapse
-
-    return retry_collapse(
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "ts"
-        ),
-        tolerance_sec=60,
-    )
-
-
-def q_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact equi-width histogram in one map-combined aggregation
-    from cassandra_data_migration_spark.operators.aggregates import (
-        value_histogram,
-    )
-
-    return value_histogram(load_table(spark, sf_dir, "events"))
-
-
-def q_replica_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # RF=3 SimpleStrategy placement: replica fan-out happens AFTER
-    # projection to the node id, so only 4-byte ids multiply
-    from cassandra_data_migration_spark.operators.ring import replica_ownership
-
-    return replica_ownership(
-        load_table(spark, sf_dir, "orders"), key_col="o_orderkey", rf=3
-    )
-
-
-def q_ring_ownership(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Cassandra vnode-ring placement as an analytics report: portable
-    # md5 tokens, ring as aligned array literals, successor lookup
-    # scan-side — per-node ownership balance before cutover
-    from cassandra_data_migration_spark.operators.ring import ring_ownership
-
-    return ring_ownership(
-        load_table(spark, sf_dir, "orders"), key_col="o_orderkey"
-    )
-
-
-EVENTS_DIGEST_COLS = [
-    "event_id", "ts", "user_id", "event_type", "value", "props",
-]
-
-
-def q_stream_merkle_digests(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous validation, Merkle form: leaf digests incrementally
-    # maintained by a stateful streaming aggregation (O(leaves) state),
-    # final table identical to the batch range_digests / DuckDB oracle
-    import uuid as _uuid
-
-    from cassandra_data_migration_spark.streaming.merkle import (
-        incremental_range_digests,
-    )
-
-    name = f"mdig_{_uuid.uuid4().hex[:8]}"
-    dig = incremental_range_digests(
-        _events_stream(spark, sf_dir), "event_id", EVENTS_DIGEST_COLS
-    )
-    q = (
-        dig.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("complete")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.sql(f"SELECT * FROM {name}")
-
-
-def _synth_rgb(doc_id: int, w: int = 4, h: int = 4) -> bytes:
-    """Deterministic pseudo-image pixels from md5 — both the query's
-    payloads and the oracle's expected sums derive from this."""
-    import hashlib as _hashlib
-
-    raw = b""
-    i = 0
-    while len(raw) < w * h * 3:
-        raw += _hashlib.md5(f"bmp:{doc_id}:{i}".encode()).digest()
-        i += 1
-    return raw[: w * h * 3]
-
-
-def q_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # gaps-and-islands completeness check over a sequenced feed; gaps
-    # injected by dropping every 97th id
-    from cassandra_data_migration_spark.operators.windows import (
-        id_gap_islands,
-    )
-
-    ev = load_table(spark, sf_dir, "events").filter(
-        F.pmod("event_id", F.lit(97)) != 0
-    )
-    return id_gap_islands(ev)
-
-
-def q_winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # outlier-robust per-group means: exact-percentile clamp then
-    # DECIMAL mean
-    from cassandra_data_migration_spark.operators.aggregates import (
-        winsorized_stats,
-    )
-
-    return winsorized_stats(load_table(spark, sf_dir, "events"))
-
-
-def q_code_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # code-vs-prose routing signals (regexp_count, scan-side)
-    from cassandra_data_migration_spark.operators.text import (
-        code_prose_signals,
-    )
-
-    return code_prose_signals(load_table(spark, sf_dir, "documents"))
-
-
-def q_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Benford first-digit forensic audit over order totals
-    from cassandra_data_migration_spark.operators.quality import (
-        benford_profile,
-    )
-
-    return benford_profile(load_table(spark, sf_dir, "orders"), "o_totalprice")
-
-
-def q_readability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Flesch-style readability from integer regex counts (scan-side)
-    from cassandra_data_migration_spark.operators.text import (
-        readability_scores,
-    )
-
-    return readability_scores(load_table(spark, sf_dir, "documents"))
-
-
-def q_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # interval coalescing: events become [ts, ts+30min] validity
-    # spans; overlapping spans per user merge into one
-    from cassandra_data_migration_spark.operators.windows import (
-        merge_intervals,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.col("ts").alias("start_ts"),
-        (F.col("ts") + F.expr("INTERVAL 30 MINUTES")).alias("end_ts"),
-    )
-    return merge_intervals(ev, "user_id", "start_ts", "end_ts")
-
-
-def q_ab_test_readout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # experiment readout: deterministic hash assignment, DECIMAL-exact
-    # moments, Welch z on the 2-row result
-    from cassandra_data_migration_spark.operators.sampling import (
-        ab_test_readout,
-    )
-
-    return ab_test_readout(load_table(spark, sf_dir, "events"))
-
-
-def q_multi_touch_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # linear multi-touch attribution in integer cents (floor split -
-    # order-independent, engine-exact)
-    from cassandra_data_migration_spark.streaming.attribution import (
-        multi_touch_credit,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    return multi_touch_credit(ev)
-
-
-def q_cumulative_users(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # registered-users growth curve: first-seen period per user, then
-    # an O(periods) running total
-    from cassandra_data_migration_spark.operators.aggregates import (
-        cumulative_users,
-    )
-
-    return cumulative_users(load_table(spark, sf_dir, "events"))
-
-
-def q_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # weekly new/retained/resurrected/churned decomposition via one
-    # distinct + per-user lag/lead flags
-    from cassandra_data_migration_spark.operators.aggregates import (
-        growth_accounting,
-    )
-
-    return growth_accounting(load_table(spark, sf_dir, "events"))
-
-
-def q_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NULL-safe equality join: rows with a legitimately-absent key
-    # match the dimension's NULL bucket instead of dropping
-    from cassandra_data_migration_spark.operators.joins import (
-        null_safe_enrich,
-    )
-
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.when(F.col("value") < 5, None)
-        .otherwise(F.col("event_type"))
-        .alias("etype"),
-    )
-    dim = (
-        ev.select(F.col("etype").alias("dim_key")).distinct()
-        .withColumn(
-            "label",
-            F.coalesce(F.concat(F.lit("type:"), "dim_key"), F.lit("unattributed")),
-        )
-    )
-    return null_safe_enrich(ev, dim, "etype", "dim_key").groupBy(
-        "label"
-    ).agg(F.count(F.lit(1)).alias("n_events"))
-
-
-def q_rowgroup_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # distributed parquet-footer inventory: one row per row group,
-    # metadata only (the data-skipping layout review input)
-    from cassandra_data_migration_spark.sources.files import (
-        parquet_rowgroup_stats,
-    )
-
-    return parquet_rowgroup_stats(
-        spark, f"{sf_dir}/lineitem.parquet"
-    ).select("file", "row_group", "num_rows", "n_columns")
-
-
-def q_stream_cdc_state(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # custom stateful streaming operator (applyInPandasWithState):
-    # continuously materialized CDC current-state with DELETE
-    # tombstones; final reconstruction equals the batch cdc_apply fold
-    import uuid as _uuid
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.streaming.cdc import (
-        stateful_cdc_stream,
-    )
-
-    log = _events_stream(spark, sf_dir).select(
-        "user_id",
-        F.unix_micros(F.col("ts")).alias("ts_us"),
-        F.col("event_id").alias("seq"),
-        F.when(F.col("event_type") == "error", "D")
-        .when(F.col("event_type") == "signup", "I")
-        .otherwise("U")
-        .alias("op"),
-        "value",
-    )
-    name = f"cdcs_{_uuid.uuid4().hex[:8]}"
-    q = (
-        stateful_cdc_stream(log, ["user_id"], ts_col="ts_us", seq_col="seq")
-        .writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    emitted = spark.sql(f"SELECT * FROM {name}")
-    w = Window.partitionBy("user_id").orderBy(F.desc("ts_us"), F.desc("seq"))
-    return (
-        emitted.withColumn("_rn", F.row_number().over(w))
-        .filter((F.col("_rn") == 1) & (F.col("_emit") != "D"))
-        .select("user_id", "ts_us", "seq", "op", "value")
-    )
-
-
-def q_stream_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # custom stateful streaming operator: exact per-window quantiles
-    # (unsupported by streaming aggs) via applyInPandasWithState;
-    # update-mode emissions reduced to the final row per window
-    import uuid as _uuid
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.streaming.quantiles import (
-        windowed_quantiles_stream,
-    )
-
-    qdf = windowed_quantiles_stream(_events_stream(spark, sf_dir))
-    name = f"strq_{_uuid.uuid4().hex[:8]}"
-    q = (
-        qdf.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("update")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    emitted = spark.sql(f"SELECT * FROM {name}")
-    w = Window.partitionBy("window_h").orderBy(F.desc("n_events"))
-    return (
-        emitted.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .drop("_rn")
-    )
-
-
-def q_column_encryption(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # column-level AES (PII-at-rest story beside redaction + DP):
-    # encrypt -> decrypt roundtrip over the sensitive column; output
-    # is deterministic (the ciphertext itself carries a random IV and
-    # never leaves the plan)
-    ev = load_table(spark, sf_dir, "events")
-    key = F.lit("0123456789abcdef")
-    enc = F.aes_encrypt(F.col("props").cast("binary"), key)
-    return ev.select(
-        "event_id",
-        F.aes_decrypt(enc, key).cast("string").alias("props_roundtrip"),
-    )
-
-
-def q_dp_group_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Laplace-mechanism release of grouped counts, seeded-noise mode
-    # (reproducible draw per group via md5 inverse-CDF)
-    from cassandra_data_migration_spark.operators.privacy import (
-        dp_group_counts,
-    )
-
-    return dp_group_counts(
-        load_table(spark, sf_dir, "events"), ["event_type"], epsilon=0.5
-    )
-
-
-def q_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # quasi-identifier audit: cells smaller than k are re-id risks
-    from cassandra_data_migration_spark.operators.privacy import (
-        k_anonymity_violations,
-    )
-
-    # the balance bucket keeps cells fine-grained enough that
-    # violations exist (and the audit discriminates) at every sf
-    cust = load_table(spark, sf_dir, "customer").withColumn(
-        "bal_kb", F.floor(F.col("c_acctbal") / 1000).cast("long")
-    )
-    return k_anonymity_violations(
-        cust,
-        ["c_nationkey", "c_mktsegment", "bal_kb"],
-        k=10,
-    )
-
-
-def q_sql_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the SQL interface end to end: fixture tables registered as temp
-    # views, the report written as SQL text - same Catalyst plan as
-    # the DataFrame form (spark.sql is a first-class entry point)
-    for t in ("orders", "customer", "nation"):
-        load_table(spark, sf_dir, t).createOrReplaceTempView(f"v_{t}")
-    return spark.sql("""
-        SELECT n.n_name AS nation,
-               COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2)))
-                    AS DOUBLE) AS total_price
-        FROM v_orders o
-        JOIN v_customer c ON o.o_custkey = c.c_custkey
-        JOIN v_nation n ON c.c_nationkey = n.n_nationkey
-        GROUP BY n.n_name
-    """)
-
-
-def q_props_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # semi-structured JSON via Spark 4 VariantType: parse once,
-    # typed extraction without a user-declared schema - the columnar
-    # path for ragged props at scale (vs per-access string re-parse
-    # with get_json_object)
-    ev = load_table(spark, sf_dir, "events")
-    v = F.parse_json("props")
-    return (
-        ev.select(
-            "event_id",
-            F.try_variant_get(v, "$.k", "int").alias("k_value"),
-        )
-        .filter(F.col("k_value").isNotNull() & (F.col("k_value") % 7 == 0))
-    )
-
-
-def q_multiset_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # bag-semantics diff: EXCEPT ALL / INTERSECT ALL with
-    # multiplicity - catches duplicated-row drift that set diffs miss
-    from cassandra_data_migration_spark.operators.setops import (
-        multiset_compare,
-    )
-
-    # duplicate some target rows to make multiplicity matter
-    t = _target(spark, sf_dir)
-    dup = t.filter(F.pmod("o_orderkey", F.lit(13)) == 0)
-    return multiset_compare(_origin(spark, sf_dir), t.unionByName(dup))
-
-
-def q_media_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL codec path end to end: deterministic images encoded driver-
-    # side — half as 24-bit BMP, half as zlib-compressed baseline PNG —
-    # decoded by the in-repo codecs inside an Arrow mapInPandas,
-    # integer channel sums out (container-invariant, engine-comparable)
-    from cassandra_data_migration_spark.operators.multimodal import (
-        encode_bmp,
-        encode_png,
-        media_pixel_stats,
-    )
-
-    rows = [
-        (
-            i,
-            bytearray(
-                (encode_bmp if i % 2 == 0 else encode_png)(
-                    4, 4, _synth_rgb(i)
-                )
-            ),
-        )
-        for i in range(32)
-    ]
-    df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    return media_pixel_stats(df)
-
-
-def q_video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL video container path: deterministic C444 .y4m videos built
-    # driver-side, parsed by the in-repo YUV4MPEG2 codec inside Arrow
-    # mapInPandas, every-2nd-frame luma sums out (integer-exact)
-    from cassandra_data_migration_spark.operators.multimodal import (
-        encode_y4m,
-        video_frame_stats,
-    )
-
-    rows = []
-    for i in range(32):
-        frames = [
-            bytes(
-                [(i * 31 + f * 7 + p) % 256 for p in range(16)]
-                + [(i * 13 + f * 5 + p) % 256 for p in range(16)]
-                + [(i * 17 + f * 3 + p) % 256 for p in range(16)]
-            )
-            for f in range(3 + i % 3)
-        ]
-        rows.append((i, bytearray(encode_y4m(4, 4, frames))))
-    df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    return video_frame_stats(df, every_n=2)
-
-
-def q_audio_tone_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # REAL audio DSP path: stdlib-WAV-encoded pure tones at exact bin
-    # centers, decoded + rFFT'd engine-side; the dominant bin must hit
-    # the synthesized frequency (theorem for integer-cycle tones), so
-    # the oracle pins match=TRUE — no float spectra cross engines
-    import math
-
-    from cassandra_data_migration_spark.operators.multimodal import (
-        audio_tone_stats,
-        encode_wav,
-    )
-
-    n = 64
-    rows = []
-    for i in range(32):
-        cyc = 1 + i % 8
-        pcm = b"".join(
-            int(round(10000 * math.sin(2 * math.pi * cyc * t / n))).to_bytes(
-                2, "little", signed=True
-            )
-            for t in range(n)
-        )
-        rows.append((i, bytearray(encode_wav(pcm))))
-    df = spark.createDataFrame(rows, "doc_id long, payload binary")
-    out = audio_tone_stats(df, n_fft=n)
-    expected = (F.lit(1) + F.pmod(F.col("doc_id"), F.lit(8))).cast("int")
-    return out.select(
-        "doc_id",
-        "n_samples",
-        "dominant_bin",
-        expected.alias("expected_bin"),
-        (F.col("dominant_bin") == expected).alias("match"),
-    )
-
-
-def q_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CDC changelog fold: latest op per key wins, deletes vanish -
-    # the full I/U/D semantics CDM's never-delete AutoCorrect omits;
-    # ops derived deterministically from the events fixture
-    from cassandra_data_migration_spark.operators.windows import cdc_apply
-
-    log = load_table(spark, sf_dir, "events").select(
-        "user_id", "ts", "event_id", "value",
-        F.when(F.col("event_type") == "error", "D")
-        .when(F.col("event_type") == "signup", "I")
-        .otherwise("U")
-        .alias("op"),
-    )
-    return cdc_apply(
-        log, ["user_id"], ts_col="ts", tiebreak_col="event_id"
-    )
-
-
-def q_priority_line_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q12 shape: CASE-inside-SUM conditional aggregation
-    from cassandra_data_migration_spark.operators.olap import (
-        priority_line_counts,
-    )
-
-    return priority_line_counts(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "orders")
-    )
-
-
-def q_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q14 shape: conditional numerator over common denominator
-    from cassandra_data_migration_spark.operators.olap import (
-        promo_revenue_share,
-    )
-
-    return promo_revenue_share(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def q_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q19 shape: OR-of-ANDs cross-table predicate with
-    # single-side parts pre-filtered into both scans
-    from cassandra_data_migration_spark.operators.olap import (
-        disjunctive_predicate_revenue,
-    )
-
-    return disjunctive_predicate_revenue(
-        load_table(spark, sf_dir, "lineitem"), load_table(spark, sf_dir, "part")
-    )
-
-
-def q_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PMI collocation mining over adjacent token pairs
-    from cassandra_data_migration_spark.operators.text import pmi_collocations
-
-    return pmi_collocations(load_table(spark, sf_dir, "documents"))
-
-
-def q_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # tick->bar compaction: one map-combined agg, open/close via
-    # min_by/max_by over a deterministic (ts, value) tiebreak
-    from cassandra_data_migration_spark.operators.windows import ohlc_bars
-
-    return ohlc_bars(load_table(spark, sf_dir, "events"))
-
-
-def q_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # product-analytics retention matrix: first-seen cohort x offset
-    from cassandra_data_migration_spark.operators.windows import (
-        retention_cohorts,
-    )
-
-    return retention_cohorts(load_table(spark, sf_dir, "events"))
-
-
-def q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact kNN JOIN: every query vector gets its top-k corpus
-    # neighbors; query side broadcast, corpus scanned once, one
-    # (query_id) shuffle of score triples for the per-query rank
-    from cassandra_data_migration_spark.operators.similarity import knn_join
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return knn_join(emb, emb.filter(F.col("vec_id") < 20), k=5)
-
-
-def q_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # contrastive hard-negative mining: per query vector the top-3
-    # nearest OTHER-label vectors — knn_join's broadcast shape with
-    # the label-mismatch predicate fused into the join
-    from cassandra_data_migration_spark.operators.similarity import hard_negatives
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    return hard_negatives(emb, emb.filter(F.col("vec_id") < 20), k=3)
-
-
-def q_conform_schema(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # schema drift remediation: reorder + cast + NULL-fill a drifted
-    # source back to the target schema (pure projection, zero shuffle)
-    from cassandra_data_migration_spark.operators.setops import conform_schema
-
-    orders = load_table(spark, sf_dir, "orders")
-    drifted = orders.select(
-        F.col("o_orderkey").cast("int"),          # narrowed type
-        F.col("o_totalprice").cast("string"),     # stringly typed
-        "o_custkey",
-        F.lit("x").alias("o_extra"),              # extra column
-        "o_orderstatus", "o_orderdate",           # o_orderpriority missing
-    )
-    return conform_schema(drifted, orders)
-
-
-def q_bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # BPE tokenizer training (8 merges) + vocabulary report: the
-    # corpus collapses to (word, count) once, merge rounds iterate on
-    # distinct words (Heaps-law working set), argmax pair per round is
-    # TakeOrdered over map-combined pair counts
-    from cassandra_data_migration_spark.operators.bpe import (
-        bpe_segment_counts,
-        bpe_train,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    merges, segmented = bpe_train(docs, num_merges=8)
-    return bpe_segment_counts(docs, merges, segmented=segmented)
-
-
-def q_cube_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # CUBE lattice completion of the rollup profile: all dim subsets
-    # in one Expand -> single map-combined aggregate pass
-    from cassandra_data_migration_spark.operators.aggregates import cube_profile
-
-    return cube_profile(
-        load_table(spark, sf_dir, "documents"), ["lang", "source"]
-    )
-
-
-def q_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # join-key pre-flight: per-key counts reduced to a fixed-size
-    # skew report (the decide-between-plain/salted/AQE-join check)
-    from cassandra_data_migration_spark.operators.aggregates import (
-        key_skew_report,
-    )
-
-    return key_skew_report(
-        load_table(spark, sf_dir, "events"), "user_id", top_n=5
-    )
-
-
-def q_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Efraimidis-Spirakis A-ES: exact weighted sampling without
-    # replacement, k per group, md5-derived draws (engine-portable)
-    from cassandra_data_migration_spark.operators.sampling import (
-        weighted_sample_per_group,
-    )
-
-    return weighted_sample_per_group(
-        load_table(spark, sf_dir, "documents"),
-        "lang", "doc_id", "n_chars", k=5,
-    )
-
-
-def q_stream_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # stream-stream interval join: two watermarked unbounded sides,
-    # two-sided time bound -> bounded state; availableNow drains the
-    # file stream and the result equals the batch interval join
-    import uuid as _uuid
-
-    from cassandra_data_migration_spark.streaming.attribution import (
-        attribution_join_stream,
-    )
-
-    name = f"attr_{_uuid.uuid4().hex[:8]}"
-    joined = attribution_join_stream(_events_stream(spark, sf_dir))
-    q = (
-        joined.writeStream.format("memory")
-        .queryName(name)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.sql(f"SELECT * FROM {name}")
-
-
-def q_merkle_range_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Anti-entropy repair primitive: per-token-range md5 digests on
-    # each side (map-combined, O(leaves) keys), full-outer join of the
-    # two leaf tables — finds every divergent range without shipping a
-    # single row (nodetool-repair semantics for J1/J2 drill-down)
-    from cassandra_data_migration_spark.operators.merkle import merkle_diff
-
-    cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority",
-    ]
-    return merkle_diff(
-        _origin(spark, sf_dir), _target(spark, sf_dir), "o_orderkey", cols
-    )
-
-
-def q_prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PPJoin-style prefix filtering: lossless sub-quadratic Jaccard
-    # pairs — the oracle recomputes the full quadratic join, proving
-    # the rare-token prefix pruning drops nothing
-    from cassandra_data_migration_spark.operators.dedup import (
-        prefix_filter_pairs,
-    )
-
-    return prefix_filter_pairs(
-        load_table(spark, sf_dir, "documents"), n=3, threshold=0.5
-    )
-
-
-def q_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q4 shape: EXISTS semi-join with equi + theta condition
-    from cassandra_data_migration_spark.operators.olap import (
-        order_priority_check,
-    )
-
-    return order_priority_check(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "lineitem"),
-    )
-
-
-def q_top_value_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q11 shape: grouped agg filtered vs a global scalar, the
-    # total re-aggregated from the per-part partials (one fact scan).
-    # Average-relative threshold (1.5x mean part revenue) is non-empty
-    # at every sf; integer-exact e4 revenue avoids decimal divergence.
-    from cassandra_data_migration_spark.operators.olap import above_average_parts
-
-    return above_average_parts(load_table(spark, sf_dir, "lineitem"), num=3, den=2)
-
-
-def q_compaction_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # lake maintenance (OPTIMIZE/rewrite): a 40-file small-file dir
-    # compacts to ceil(bytes/target)=1 file with every row preserved —
-    # the per-file open/footer tax is THE operational cost at 100 TB
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import compact_parquet
-
-    c = load_table(spark, sf_dir, "customer")
-    d = tempfile.mkdtemp(prefix="compact_") + "/customer"
-    c.repartition(40).write.mode("overwrite").parquet(d)
-    import os
-
-    before = sum(
-        1 for f in os.listdir(d) if f.endswith(".parquet")
-    )
-    rows_before = spark.read.parquet(d).count()
-    after = compact_parquet(spark, d, target_mb=128)
-    compacted = spark.read.parquet(d)
-    rows_after = compacted.count()
-    key_sum = compacted.agg(F.sum("c_custkey")).collect()[0][0]
-    return spark.createDataFrame(
-        [(before, after, rows_after, rows_before == rows_after, int(key_sum))],
-        "files_before long, files_after long, rows long, "
-        "rows_match boolean, key_sum long",
-    )
-
-
-def q_schema_evolution_read(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # schema-on-read evolution: two snapshots written under drifted
-    # schemas (o_orderstatus added later) read back as one union-schema
-    # table; old files surface NULL for the late column
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import parquet_evolved_read
-
-    o = load_table(spark, sf_dir, "orders")
-    d = tempfile.mkdtemp(prefix="evolve_") + "/orders"
-    o.filter(F.pmod("o_orderkey", F.lit(2)) == 0).select(
-        "o_orderkey", "o_totalprice"
-    ).write.mode("overwrite").parquet(d)
-    o.filter(F.pmod("o_orderkey", F.lit(2)) == 1).select(
-        "o_orderkey", "o_totalprice", "o_orderstatus"
-    ).write.mode("append").parquet(d)
-    merged = parquet_evolved_read(spark, d)
-    return merged.groupBy("o_orderstatus").agg(
-        F.count(F.lit(1)).cast("long").alias("n_orders"),
-        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
-        .cast("double")
-        .alias("total_price"),
-    )
-
-
-def q_mg_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mergeable Misra-Gries sketch audit: every true heavy hitter
-    # (count > N div (m+1)) must be covered by the <= m-row-per-task
-    # summary within the N/(m+1) bound — theorems, so the oracle
-    # asserts all-TRUE; a sketch bug flips a boolean
-    from cassandra_data_migration_spark.operators.aggregates import (
-        mg_heavy_hitters_audit,
-    )
-
-    return mg_heavy_hitters_audit(
-        load_table(spark, sf_dir, "documents"), m=256
-    )
-
-
-def q_customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q13 shape: left outer join keeping zero-order customers,
-    # orders pre-aggregated BEFORE the join, histogram of counts after
-    from cassandra_data_migration_spark.operators.olap import (
-        customer_order_distribution,
-    )
-
-    return customer_order_distribution(
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "orders"),
-    )
-
-
-def q_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # TPC-H Q18 shape: grouped HAVING first, then broadcast the tiny
-    # qualifying-key set through the joins
-    from cassandra_data_migration_spark.operators.olap import (
-        large_volume_orders,
-    )
-
-    return large_volume_orders(
-        load_table(spark, sf_dir, "orders"),
-        load_table(spark, sf_dir, "customer"),
-        load_table(spark, sf_dir, "lineitem"),
-        min_quantity=250.0,
-    )
-
-
-def q_in_transit_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Overlapping-interval range join via bin bucketing: for each
-    # March-1995 order date, count the transit windows [l_shipdate,
-    # l_shipdate + (qty % 14 + 2) days] covering it across ALL
-    # lineitem rows — a pure range predicate with no equi key, which
-    # Catalyst alone can only plan as a nested-loop join.  The binned
-    # operator restores a shuffled hash join; the oracle is the plain
-    # quadratic BETWEEN join, proving the binning is lossless.
-    from cassandra_data_migration_spark.operators.joins import (
-        binned_range_join,
-    )
-
-    epoch = F.lit("1970-01-01")
-    pts = (
-        load_table(spark, sf_dir, "orders")
-        .filter(
-            (F.col("o_orderdate") >= "1995-03-01")
-            & (F.col("o_orderdate") < "1995-04-01")
-        )
-        .select(
-            "o_orderkey",
-            F.datediff("o_orderdate", epoch).alias("p_day"),
-        )
-    )
-    lo = F.datediff("l_shipdate", epoch)
-    iv = load_table(spark, sf_dir, "lineitem").select(
-        lo.alias("lo_day"),
-        (lo + (F.col("l_quantity").cast("int") % 14 + 2)).alias("hi_day"),
-    )
-    return (
-        binned_range_join(pts, iv, "p_day", "lo_day", "hi_day", bin_width=16)
-        .groupBy("o_orderkey")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_in_transit"))
-    )
-
-
-def q_cms_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Count-min sketch with FULL oracle parity: md5-seeded buckets are
-    # bit-reproducible in SQL, so the oracle rebuilds the identical
-    # sketch and matches est_cnt exactly; over_ok (est >= true) is the
-    # CMS never-undercount theorem and must be all-TRUE on top.
-    from cassandra_data_migration_spark.operators.aggregates import (
-        cms_token_estimates,
-    )
-
-    return cms_token_estimates(load_table(spark, sf_dir, "documents"))
-
-
-def q_mmr_diverse_select(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Greedy MMR coreset selection in integer-exact arithmetic; the
-    # oracle replays the greedy loop as unrolled CTE stages over the
-    # full integer similarity matrix, so the SELECTION ORDER itself
-    # is hash-checked, not just the member set.
-    from cassandra_data_migration_spark.operators.similarity import (
-        mmr_select,
-    )
-
-    return mmr_select(load_table(spark, sf_dir, "embeddings"), k=8)
-
-
-def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous count-min maintenance: the documents token stream
-    # replayed in micro-batch slices through foreachBatch cell-sum
-    # merges — mergeable-summary algebra converges to the one-shot
-    # batch sketch under any slicing, so the BATCH oracle checks the
-    # STREAMED state exactly
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.cms import (
-        cms_maintain_stream,
-    )
-
-    docs = load_table(spark, sf_dir, "documents")
-    terms = docs.select(
-        F.explode(F.split(F.col("text"), " ")).alias("term"),
-        F.pmod("doc_id", F.lit(3)).alias("_slice"),
-    )
-    d = tempfile.mkdtemp(prefix="cms_stream_")
-    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
-    for s in range(3):
-        terms.filter(F.col("_slice") == s).select("term").repartition(
-            1
-        ).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema("term string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = cms_maintain_stream(stream, sk, checkpoint=ckpt)
-    await_or_raise(q, 300)
-    return spark.read.parquet(sk)
-
-
-def q_throttled_stream_pacing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # T6 throttled streams, oracle-checked: maxFilesPerTrigger=1 over
-    # a 6-file source MUST pace into exactly 6 micro-batches (the
-    # deterministic pacing contract), every batch must respect the cap,
-    # and no rows may be lost or duplicated by the slicing
-    import tempfile
-
-    events = load_table(spark, sf_dir, "events").select("event_id")
-    d = tempfile.mkdtemp(prefix="throttle_stream_")
-    src, ckpt = f"{d}/src", f"{d}/ckpt"
-    events.repartition(6).write.parquet(src)
-    seen: dict[str, int] = {"batches": 0, "rows": 0}
-    n_files = len(
-        [
-            f
-            for f in os.listdir(src)
-            if f.endswith(".parquet") and not f.startswith("_")
-        ]
-    )
-
-    def count_batch(batch_df: DataFrame, batch_id: int) -> None:
-        seen["batches"] += 1
-        seen["rows"] += batch_df.count()
-
-    q = (
-        spark.readStream.schema("event_id long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-        .writeStream.foreachBatch(count_batch)
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    return spark.createDataFrame(
-        [(n_files, seen["batches"], seen["rows"])],
-        "n_files long, n_batches long, n_rows long",
-    )
-
-
-def q_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # S4/S6-adjacent: XML staging (Spark 4's native xml source — the
-    # legacy-enterprise interchange format next to CSV/JSON/ORC).
-    # Export then re-import with the origin schema pinned must be
-    # lossless, XML entity escaping and all.
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import (
-        xml_export,
-        xml_import,
-    )
-
-    s = load_table(spark, sf_dir, "supplier")
-    d = tempfile.mkdtemp(prefix="xml_rt_")
-    xml_export(s, f"{d}/supplier_xml", row_tag="supplier")
-    return xml_import(
-        spark, f"{d}/supplier_xml", schema=s.schema, row_tag="supplier"
-    )
-
-
-def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous distinct-counting: the orders custkey stream replayed
-    # in micro-batch slices through foreachBatch register max-merges.
-    # Max is idempotent AND commutative, so the streamed registers
-    # equal the one-shot batch registers under any slicing AND any
-    # redelivery — the batch oracle checks the streamed state exactly,
-    # with no batch-id dedup needed (contrast stream_cms).
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.hll import (
-        hll_maintain_stream,
-    )
-
-    vals = load_table(spark, sf_dir, "orders").select(
-        F.col("o_orderpriority").alias("grp"),
-        F.col("o_custkey").cast("string").alias("v"),
-        F.pmod("o_orderkey", F.lit(3)).alias("_slice"),
-    )
-    d = tempfile.mkdtemp(prefix="hll_stream_")
-    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
-    for s in range(3):
-        vals.filter(F.col("_slice") == s).select("grp", "v").repartition(
-            1
-        ).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema("grp string, v string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = hll_maintain_stream(stream, sk, "v", ["grp"], checkpoint=ckpt)
-    await_or_raise(q, 300)
-    return spark.read.parquet(sk).select("grp", "j", "m_rank")
-
-
-def q_domain_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # single-source BFS over the synthesized domain graph: driver-
-    # looped min-propagation to the fixed point (stamp-detected), the
-    # oracle unrolls 8 MATERIALIZED relax rounds — past the measured
-    # eccentricity, and converged rounds are no-ops.
-    from cassandra_data_migration_spark.operators.graph import (
-        domain_bfs_hops,
-    )
-
-    return domain_bfs_hops(load_table(spark, sf_dir, "documents"), seed=0)
-
-
-def q_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # first-order Markov matrix of user behavior: one lead window on
-    # the (ts, event_id)-totally-ordered per-user stream, then
-    # state-pair counts + row-normalized ppm probabilities
-    from cassandra_data_migration_spark.operators.windows import (
-        transition_matrix,
-    )
-
-    return transition_matrix(
-        load_table(spark, sf_dir, "events"),
-        "user_id",
-        ["ts", "event_id"],
-        "event_type",
-    )
-
-
-def q_domain_k_core(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # k-core peeling over the synthesized domain graph: iterative
-    # delete-below-degree-k until fixpoint (driver loop, data stays
-    # on executors).  The oracle unrolls 6 MATERIALIZED peel rounds —
-    # more than the measured depth, and converged rounds are no-ops,
-    # so the unroll is exact, the same trick as the MMR oracle.
-    from cassandra_data_migration_spark.operators.graph import domain_k_core
-
-    return domain_k_core(load_table(spark, sf_dir, "documents"), k=5)
-
-
-def q_pit_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # point-in-time SCD2 enrichment: every order joins the customer
-    # dimension VERSION valid at its order date (key equal + validity
-    # range).  The 3-version dimension is synthesized with md5 draws,
-    # so the oracle rebuilds it bit-identically; version boundaries
-    # are strictly increasing by construction (v*800 + draw%400), so
-    # intervals partition time with an exclusive upper bound.
-    from cassandra_data_migration_spark.functions.hashing import md5_draw
-    from cassandra_data_migration_spark.operators.joins import (
-        pit_dimension_join,
-    )
-
-    versions = load_table(spark, sf_dir, "customer").select(
-        F.col("c_custkey").alias("o_custkey"),
-        F.explode(F.array(F.lit(0), F.lit(1), F.lit(2))).alias("v"),
-    )
-    vf = F.col("v") * 800 + md5_draw("scdv", F.col("o_custkey"), F.col("v")) % 400
-    vt = F.when(
-        F.col("v") < 2,
-        (F.col("v") + 1) * 800
-        + md5_draw("scdv", F.col("o_custkey"), F.col("v") + 1) % 400,
-    ).otherwise(F.lit(9_999_999))
-    dim = versions.select(
-        "o_custkey",
-        F.col("v").alias("ver"),
-        (md5_draw("seg", F.col("o_custkey"), F.col("v")) % 5).alias("segment"),
-        vf.alias("vf_day"),
-        vt.alias("vt_day"),
-    )
-    fact = load_table(spark, sf_dir, "orders").select(
-        "o_custkey",
-        F.datediff("o_orderdate", F.lit("1992-01-01")).alias("day"),
-        "o_totalprice",
-    )
-    return (
-        pit_dimension_join(
-            fact, dim, ["o_custkey"], "day", "vf_day", "vt_day"
-        )
-        .groupBy("segment", "ver")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_orders"),
-            F.round(
-                F.sum(F.col("o_totalprice").cast("decimal(18,2)")), 2
-            )
-            .cast("double")
-            .alias("sum_price"),
-        )
-    )
-
-
-def q_stream_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous weighted sampling: the documents stream replayed in
-    # micro-batch slices through foreachBatch min-k merges of A-ES
-    # keys.  Content-hash keys make the reservoir a mergeable summary:
-    # the streamed state must equal the one-shot batch sample exactly,
-    # so the BATCH A-ES oracle checks the STREAMED winners.
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.reservoir import (
-        weighted_reservoir_stream,
-    )
-
-    docs = load_table(spark, sf_dir, "documents").select(
-        "lang", "doc_id", "n_chars", F.pmod("doc_id", F.lit(3)).alias("_s")
-    )
-    d = tempfile.mkdtemp(prefix="reservoir_stream_")
-    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
-    for s in range(3):
-        docs.filter(F.col("_s") == s).drop("_s").repartition(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema("lang string, doc_id long, n_chars long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = weighted_reservoir_stream(
-        stream, st, "lang", "doc_id", "n_chars", k=5, checkpoint=ckpt
-    )
-    await_or_raise(q, 300)
-    return spark.read.parquet(st).select("lang", "doc_id", "n_chars")
-
-
-def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous KMV maintenance: the orders custkey stream in
-    # micro-batch slices through foreachBatch min-union merges — like
-    # HLL's max-merge (and unlike CMS's sum), min-union is idempotent,
-    # so the streamed ≤k-row state equals the one-shot batch sketch
-    # under any slicing AND any redelivery; the batch oracle checks it
-    # hash for hash.
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.kmv import (
-        kmv_maintain_stream,
-    )
-
-    vals = load_table(spark, sf_dir, "orders").select(
-        F.col("o_custkey").cast("string").alias("v"),
-        F.pmod("o_orderkey", F.lit(3)).alias("_s"),
-    )
-    d = tempfile.mkdtemp(prefix="kmv_stream_")
-    src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
-    for s in range(3):
-        vals.filter(F.col("_s") == s).select("v").repartition(1).write.mode(
-            "append"
-        ).parquet(src)
-    stream = (
-        spark.readStream.schema("v string")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = kmv_maintain_stream(stream, sk, "v", k=256, checkpoint=ckpt)
-    await_or_raise(q, 300)
-    return spark.read.parquet(sk).select("h")
-
-
-def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # KMV sketch set algebra with FULL oracle parity: char-10-gram
-    # shingle overlap between the two halves of the corpus (sources
-    # src0-9 vs src10-19) — distinct, union AND intersection/Jaccard
-    # estimates from O(k) state.  Char shingles (not words — the
-    # synthetic vocabulary is ~31 words) push distinct counts far past
-    # k, so the k-th-minimum path is genuinely exercised at every sf.
-    # The estimator is a pure function of the value sets, so the
-    # oracle matches every estimate exactly; within_3sigma audits the
-    # ~1/sqrt(k-2) bound on top.
-    from cassandra_data_migration_spark.operators.aggregates import (
-        kmv_set_ops_audit,
-    )
-
-    t = F.col("text")
-    n = F.length(t) - 9
-    grams = load_table(spark, sf_dir, "documents").select(
-        F.substring("source", 4, 10).cast("int").alias("sid"),
-        F.explode(
-            F.when(
-                n >= 1,
-                F.transform(
-                    F.sequence(F.lit(1), n),
-                    lambda i: F.substring(t, i, 10),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("v"),
-    )
-    return kmv_set_ops_audit(
-        grams.filter(F.col("sid") < 10).select("v"),
-        grams.filter(F.col("sid") >= 10).select("v"),
-        "v",
-    )
-
-
-def q_fixed_width_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # mainframe/copybook staging: export supplier as fixed-width text
-    # (printf layout, no delimiter) and parse it back by byte range —
-    # substring+trim+cast, fully codegen'd.  Roundtrip must be
-    # lossless including the %.2f money column.
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.files import (
-        fixed_width_export,
-        fixed_width_import,
-    )
-
-    s = load_table(spark, sf_dir, "supplier")
-    d = tempfile.mkdtemp(prefix="fw_rt_")
-    fixed_width_export(
-        s,
-        f"{d}/supplier_fw",
-        "%10d%-25s%5d%14.2f",
-        ["s_suppkey", "s_name", "s_nationkey", "s_acctbal"],
-        line_width=54,
-    )
-    return fixed_width_import(
-        spark,
-        f"{d}/supplier_fw",
-        [
-            ("s_suppkey", 1, 10, "bigint"),
-            ("s_name", 11, 25, "string"),
-            ("s_nationkey", 36, 5, "bigint"),
-            ("s_acctbal", 41, 14, "double"),
-        ],
-    )
-
-
-def q_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # HyperLogLog with FULL oracle parity: md5-derived registers are
-    # bit-reproducible in SQL (leading-zero ranks via string ops, the
-    # register sum kept integer-exact), so the oracle rebuilds the
-    # identical sketch and matches est_distinct exactly; within_3sigma
-    # audits the 1.04/sqrt(m) accuracy bound on top.  Completes the
-    # mergeable-sketch family: CMS (sum-merge), Misra-Gries
-    # (trim-merge), Bloom (or-merge), HLL (max-merge — idempotent, so
-    # replay-safe without batch-id dedup).
-    from cassandra_data_migration_spark.operators.aggregates import (
-        hll_distinct_audit,
-    )
-
-    return hll_distinct_audit(
-        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
-    )
-
-
-# Ordered so a budget-capped driver run still yields verdicts for the
-# highest-value entries first: (A) the flagship + every SURVEY §2
-# migrate/validate/streaming/throttle operator that round 1's driver
-# window missed, plus the round-1 regressions; (B) the §2 scan/filter/
-# agg block; (C) / (D) the training-data extension blocks.
-QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
-    # --- A: flagship + §2 operators + round-1 red rows ---
-    "pricing_summary": q_pricing_summary,
-    "traffic_summary": q_traffic_summary,
-    "migrate_pipeline": q_migrate_pipeline,
-    "migrate_bulk": q_migrate_bulk,
-    "migrate_dry_run": q_migrate_dry_run,
-    "csv_roundtrip": q_csv_roundtrip,
-    "csv_gzip_roundtrip": q_csv_gzip_roundtrip,
-    "json_roundtrip": q_json_roundtrip,
-    "csv_import_quarantine": q_csv_import_quarantine,
-    "orc_roundtrip": q_orc_roundtrip,
-    "partitioned_events": q_partitioned_events,
-    "table_stats": q_table_stats,
-    "run_tracker_resume": q_run_tracker_resume,
-    "lab_migration_report": q_lab_migration_report,
-    "paged_fetch_audit": q_paged_fetch_audit,
-    "throttle_schedule": q_throttle_schedule,
-    "missing_rows": q_missing_rows,
-    "mismatch_detect": q_mismatch_detect,
-    "reconcile_rows": q_reconcile_rows,
-    "bucket_count_compare": q_bucket_count_compare,
-    "sample_validate": q_sample_validate,
-    "validation_summary": q_validation_summary,
-    "schema_diff": q_schema_diff,
-    "autocorrect_lww": q_autocorrect_lww,
-    "lww_merge": q_lww_merge,
-    "stream_dual_write": q_stream_dual_write,
-    "stream_windowed_rate": q_stream_windowed_rate,
-    "read_routing": q_read_routing,
-    "traffic_ops_mix": q_traffic_ops_mix,
-    "continuous_validation_ticks": q_continuous_validation_ticks,
-    "alert_error_windows": q_alert_error_windows,
-    "observe_progress": q_observe_progress,
-    "latency_harness": q_latency_harness,
-    "writetime_shift": q_writetime_shift,
-    "ttl_expiry": q_ttl_expiry,
-    "counter_merge": q_counter_merge,
-    "null_unset_mask": q_null_unset_mask,
-    "custom_transform": q_custom_transform,
-    "uuid_derivation": q_uuid_derivation,
-    "synthetic_users": q_synthetic_users,
-    "order_items_list": q_order_items_list,
-    "map_explode": q_map_explode,
-    "fk_join_enrich": q_fk_join_enrich,
-    "write_batches": q_write_batches,
-    "writetime_collapse": q_writetime_collapse,
-    "kmeans_clusters": q_kmeans_clusters,
-    "pq_codes": q_pq_codes,
-    "pq_adc_topk": q_pq_adc_topk,
-    # --- B: §2 scan / filter / aggregate / window / function block ---
-    "full_scan": q_full_scan,
-    "projection": q_projection,
-    "column_exclude": q_column_exclude,
-    "filter_eq": q_filter_eq,
-    "token_range_filter": q_token_range_filter,
-    "connector_scan": q_connector_scan,
-    "point_lookup": q_point_lookup,
-    "grouped_count": q_grouped_count,
-    "writetime_filter": q_writetime_filter,
-    "guardrail_violations": q_guardrail_violations,
-    "latency_percentiles": q_latency_percentiles,
-    "windowed_rate": q_windowed_rate,
-    "sliding_rate": q_sliding_rate,
-    "rowwise_greatest": q_rowwise_greatest,
-    "latest_event_per_user": q_latest_event_per_user,
-    "limit_n": q_limit_n,
-    "union_summary": q_union_summary,
-    "value_set_diff": q_value_set_diff,
-    "string_funcs": q_string_funcs,
-    "date_funcs": q_date_funcs,
-    "round_cast": q_round_cast,
-    "row_hash": q_row_hash,
-    "json_extract": q_json_extract,
-    "word_explode_count": q_word_explode_count,
-    # --- C: text / dedup / similarity extensions ---
-    "token_count": q_token_count,
-    "text_quality": q_text_quality,
-    "lang_id": q_lang_id,
-    "doc_fingerprint": q_doc_fingerprint,
-    "dedup_exact": q_dedup_exact,
-    "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
-    "minhash_signatures": q_minhash_signatures,
-    "lsh_candidates": q_lsh_candidates,
-    "simhash": q_simhash,
-    "cosine_topk": q_cosine_topk,
-    "embedding_near_dup": q_embedding_near_dup,
-    "semantic_decontaminate": q_semantic_decontaminate,
-    "temperature_mixture": q_temperature_mixture,
-    "salted_join": q_salted_join,
-    "minhash_lsh_dedup": q_minhash_lsh_dedup,
-    "ivf_topk": q_ivf_topk,
-    "ann_lsh_pairs": q_ann_lsh_pairs,
-    "rp_projection": q_rp_projection,
-    "multimodal_features": q_multimodal_features,
-    "dup_clusters": q_dup_clusters,
-    "hash_split_counts": q_hash_split_counts,
-    "corpus_sample": q_corpus_sample,
-    "mixture_sample": q_mixture_sample,
-    "group_split_counts": q_group_split_counts,
-    "negative_pairs": q_negative_pairs,
-    "corpus_curation": q_corpus_curation,
-    "doc_chunks": q_doc_chunks,
-    "pii_redact": q_pii_redact,
-    "topk_per_group": q_topk_per_group,
-    "label_centroids": q_label_centroids,
-    # --- D: remaining extensions ---
-    "part_type_revenue": q_part_type_revenue,
-    "event_sessions": q_event_sessions,
-    "repetition_signals": q_repetition_signals,
-    "decontaminate": q_decontaminate,
-    "semantic_dedup": q_semantic_dedup,
-    "tfidf_keywords": q_tfidf_keywords,
-    "vocab_oov": q_vocab_oov,
-    "pack_sequences": q_pack_sequences,
-    "bpe_pack_pipeline": q_bpe_pack_pipeline,
-    "html_extract": q_html_extract,
-    "warc_ingest": q_warc_ingest,
-    "incremental_dedup": q_incremental_dedup,
-    "quantized_topk": q_quantized_topk,
-    "sketch_profile": q_sketch_profile,
-    "url_parse": q_url_parse,
-    "blocklist_filter": q_blocklist_filter,
-    "psi_drift": q_psi_drift,
-    "domain_stats": q_domain_stats,
-    "domain_quota": q_domain_quota,
-    "bloom_membership": q_bloom_membership,
-    "asof_last_click": q_asof_last_click,
-    "stratified_sample": q_stratified_sample,
-    "chunk_dedup": q_chunk_dedup,
-    "rollup_profile": q_rollup_profile,
-    "running_total": q_running_total,
-    "pivot_lang_source": q_pivot_lang_source,
-    "length_quartiles": q_length_quartiles,
-    "interval_session_lookup": q_interval_session_lookup,
-    "bm25_topk": q_bm25_topk,
-    "unigram_logprob": q_unigram_logprob,
-    "bigram_logprob": q_bigram_logprob,
-    "dsir_select": q_dsir_select,
-    "perplexity_buckets": q_perplexity_buckets,
-    "strip_boilerplate": q_strip_boilerplate,
-    "line_dedup_docs": q_line_dedup_docs,
-    "lsh_index_incremental": q_lsh_index_incremental,
-    "cow_merge_upsert": q_cow_merge_upsert,
-    "secondary_index_lookup": q_secondary_index_lookup,
-    "cow_time_travel": q_cow_time_travel,
-    "cow_delete_purge": q_cow_delete_purge,
-    "stream_cow_upsert": q_stream_cow_upsert,
-    "snapshot_changes_feed": q_snapshot_changes_feed,
-    "cow_merge_lww": q_cow_merge_lww,
-    "winnow_fingerprints": q_winnow_fingerprints,
-    "zipf_head_coverage": q_zipf_head_coverage,
-    "dup_ngram_fraction": q_dup_ngram_fraction,
-    "fuzzy_part_match": q_fuzzy_part_match,
-    "resample_ffill": q_resample_ffill,
-    "event_funnel": q_event_funnel,
-    "hybrid_rrf": q_hybrid_rrf,
-    "url_canonical_groups": q_url_canonical_groups,
-    "hashed_quality_clf": q_hashed_quality_clf,
-    "token_budget_select": q_token_budget_select,
-    "heavy_hitters": q_heavy_hitters,
-    "stable_dense_ids": q_stable_dense_ids,
-    "scd2_history": q_scd2_history,
-    "percentile_normalize": q_percentile_normalize,
-    "robust_scale": q_robust_scale,
-    "domain_pagerank": q_domain_pagerank,
-    "bucketed_join": q_bucketed_join,
-    "dedup_survivors": q_dedup_survivors,
-    "ngram_novelty": q_ngram_novelty,
-    "zorder_keys": q_zorder_keys,
-    "stream_enrich": q_stream_enrich,
-    "gram_matrix": q_gram_matrix,
-    "source_overlap": q_source_overlap,
-    "dq_report": q_dq_report,
-    "shipping_priority": q_shipping_priority,
-    "region_volume": q_region_volume,
-    "event_anomalies": q_event_anomalies,
-    "trending_types": q_trending_types,
-    "inverted_postings": q_inverted_postings,
-    "retry_collapse": q_retry_collapse,
-    "value_histogram": q_value_histogram,
-    "ring_ownership": q_ring_ownership,
-    "replica_ownership": q_replica_ownership,
-    "merkle_range_diff": q_merkle_range_diff,
-    "stream_merkle_digests": q_stream_merkle_digests,
-    "stream_attribution": q_stream_attribution,
-    "cube_profile": q_cube_profile,
-    "bpe_vocab": q_bpe_vocab,
-    "knn_join": q_knn_join,
-    "ohlc_bars": q_ohlc_bars,
-    "priority_line_counts": q_priority_line_counts,
-    "cdc_apply": q_cdc_apply,
-    "media_decode": q_media_decode,
-    "multiset_compare": q_multiset_compare,
-    "sql_passthrough": q_sql_passthrough,
-    "dp_group_counts": q_dp_group_counts,
-    "column_encryption": q_column_encryption,
-    "stream_cdc_state": q_stream_cdc_state,
-    "rowgroup_stats": q_rowgroup_stats,
-    "null_safe_join": q_null_safe_join,
-    "cumulative_users": q_cumulative_users,
-    "multi_touch_credit": q_multi_touch_credit,
-    "ab_test_readout": q_ab_test_readout,
-    "merge_intervals": q_merge_intervals,
-    "readability": q_readability,
-    "code_signals": q_code_signals,
-    "benford_profile": q_benford_profile,
-    "growth_accounting": q_growth_accounting,
-    "id_gap_islands": q_id_gap_islands,
-    "winsorized_stats": q_winsorized_stats,
-    "k_anonymity": q_k_anonymity,
-    "props_variant": q_props_variant,
-    "promo_revenue": q_promo_revenue,
-    "disjunctive_revenue": q_disjunctive_revenue,
-    "pmi_collocations": q_pmi_collocations,
-    "retention_cohorts": q_retention_cohorts,
-    "conform_schema": q_conform_schema,
-    "key_skew_report": q_key_skew_report,
-    "weighted_sample": q_weighted_sample,
-    "prefix_filter_pairs": q_prefix_filter_pairs,
-    "order_priority_check": q_order_priority_check,
-    "top_value_parts": q_top_value_parts,
-    "large_volume_orders": q_large_volume_orders,
-    "substring_dup_spans": q_substring_dup_spans,
-    "span_corrupt": q_span_corrupt,
-    "preference_pairs": q_preference_pairs,
-    "hard_negatives": q_hard_negatives,
-    "stream_quantiles": q_stream_quantiles,
-    "customer_order_distribution": q_customer_order_distribution,
-    "mg_heavy_hitters": q_mg_heavy_hitters,
-    "compaction_audit": q_compaction_audit,
-    "schema_evolution_read": q_schema_evolution_read,
-    "domain_triangles": q_domain_triangles,
-    "corpus_snapshot_diff": q_corpus_snapshot_diff,
-    "mv_incremental_refresh": q_mv_incremental_refresh,
-    "stream_mv_refresh": q_stream_mv_refresh,
-    "stream_sessions": q_stream_sessions,
-    "stream_trending": q_stream_trending,
-    "join_cardinality_audit": q_join_cardinality_audit,
-    "video_frame_stats": q_video_frame_stats,
-    "audio_tone_detect": q_audio_tone_detect,
-    "in_transit_orders": q_in_transit_orders,
-    "cms_token_counts": q_cms_token_counts,
-    "mmr_diverse_select": q_mmr_diverse_select,
-    "stream_cms": q_stream_cms,
-    "throttled_stream_pacing": q_throttled_stream_pacing,
-    "xml_roundtrip": q_xml_roundtrip,
-    "hll_distinct": q_hll_distinct,
-    "stream_hll": q_stream_hll,
-    "kmv_set_ops": q_kmv_set_ops,
-    "stream_reservoir": q_stream_reservoir,
-    "pit_enrich": q_pit_enrich,
-    "domain_k_core": q_domain_k_core,
-    "event_transitions": q_event_transitions,
-    "ivf_pq_topk": q_ivf_pq_topk,
-    "stream_kmv": q_stream_kmv,
-    "domain_bfs_hops": q_domain_bfs_hops,
-    "fixed_width_roundtrip": q_fixed_width_roundtrip,
-}
-
-# Driver-window rotation (round 4): the driver hash-checks the FIRST
-# 50 queries() entries each round.  Head = the three re-fixtured
-# queries (point_lookup / top_value_parts / k_anonymity now return
-# non-empty results at every sf), then 47 never-driver-checked entries
-# in dict order; previously-green queries move to the tail.  Union of
-# r1-r4 driver verdicts after this rotation: 188 distinct; the ~38
-# still-unchecked entries (media_decode .. audio_tone_detect block)
-# rotate in next round.
-# round-7 rotation: the eight new queries lead (scoped repair, cell
-# TTL, NTS placement, per-DC quorum, histograms, ZDM walkthrough,
-# write audit) so the driver's 50-query hard gate exercises them,
-# followed by the five queries whose semantics changed this round
-# (null-safe digests, TTL'd tombstone GC, the kmeans update rewrite,
-# the connector option plumbing), then 37 entries the driver has
-# never sampled (dedup/ANN, multimodal, lakehouse DML, streaming
-# sketches — its canonicalizer is stricter than ours on arrays and
-# doubles, so these blocks need a driver pass)
-_ROUND_HEAD: list[str] = [
-    "cell_ttl_expiry", "repair_pipeline_pruned", "replica_ownership_nts",
-    "local_quorum_repair", "latency_histogram_buckets",
-    "histogram_percentiles", "zdm_phase_walkthrough", "connector_write_audit",
-    "kmeans_clusters", "connector_scan", "tombstone_gc", "repair_pipeline",
-    "merkle_range_diff",
-    "media_decode", "multimodal_features", "video_frame_stats",
-    "audio_tone_detect", "minhash_lsh_dedup", "dup_clusters", "dedup_exact",
-    "dedup_ngram_jaccard", "minhash_signatures", "lsh_candidates", "simhash",
-    "cosine_topk", "embedding_near_dup", "ivf_topk", "ivf_pq_topk",
-    "quantized_topk", "ann_lsh_pairs", "semantic_dedup", "decontaminate",
-    "incremental_dedup", "lsh_index_incremental", "chunk_dedup",
-    "line_dedup_docs", "substring_dup_spans", "stream_cow_upsert",
-    "cow_merge_upsert", "cow_time_travel", "cow_delete_purge",
-    "snapshot_changes_feed", "cow_merge_lww", "stream_cdc_state",
-    "stream_quantiles", "stream_sessions", "stream_trending", "stream_cms",
-    "stream_hll", "stream_kmv",
-]
-assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
-
-# rotate: head first (this round's driver window), everything else in
-# its existing order behind it
-# (rotation happens ONCE, at the end of the module, after every
-# registration — see the final rotation block)
-
-
-# --- shared oracle SQL fragments (DuckDB dialect) ---
-
-from cassandra_data_migration_spark.functions.hashing import (  # noqa: E402
-    md5_draw_sql as _md5_draw_sql,
-)
-
-# deterministic URL synthesis twin of operators/web.synthesize_url:
-# sitedom = registered domain "{source}-site.{tld}", tld by doc_id % 3
-_URL_CTE = """
-    SELECT doc_id, lang, source, n_chars,
-           source || '-site.' ||
-               (['com','org','net'])[CAST(doc_id % 3 AS INT) + 1] AS sitedom
-    FROM documents
-"""
-
-# product-quantization twins of operators/similarity.pq_encode: 32
-# codebook rows by (md5(id), id), 8 subspaces of 8 dims, argmin key
-# c·c − 2·x·c (squared-L2 minus the constant x·x), e4 fixed-point
-# compare, ties to smallest cid
-_PQ_CTES = """
-    cb AS (
-        SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-               embedding::DOUBLE[] AS cv
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 32)
-    ),
-    subs AS (SELECT unnest(range(8)) AS j),
-    csl AS (SELECT cid, j, list_slice(cv, j*8+1, j*8+8) AS c FROM cb, subs),
-    vsl AS (
-        SELECT vec_id, j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS x
-        FROM embeddings, subs
-    ),
-    dist AS (
-        SELECT vec_id, j, cid,
-               CAST(floor((list_dot_product(c, c) - 2.0 * list_dot_product(x, c))
-                          * 10000.0 + 0.5) AS BIGINT) AS d2
-        FROM vsl JOIN csl USING (j)
-    ),
-    codes AS (
-        SELECT vec_id, j, list_position(arr, list_min(arr)) - 1 AS code
-        FROM (SELECT vec_id, j, list(d2 ORDER BY cid) AS arr
-              FROM dist GROUP BY vec_id, j)
-    )
-"""
-
-
-def _pagerank_oracle(iterations: int = 5) -> str:
-    """Unrolled-CTE twin of operators/graph.pagerank over the
-    synthesized domain link graph: one CTE per iteration, every
-    division integer (`//`), so the fixpoint matches Spark's loop
-    bit-for-bit."""
-    it = ""
-    prev = "r0"
-    for k in range(1, iterations + 1):
-        it += f""",
-    r{k} AS (
-        SELECT v.i AS id,
-               (15000000000000 // (100 * v.n))
-               + (85 * COALESCE(inc.s, 0)) // 100 AS r
-        FROM idx v LEFT JOIN (
-            SELECT e.dst AS id, SUM({prev}.r // d.outdeg) AS s
-            FROM edges e
-            JOIN {prev} ON {prev}.id = e.src
-            JOIN deg d ON d.src = e.src
-            GROUP BY e.dst
-        ) inc ON inc.id = v.i
-    )"""
-        prev = f"r{k}"
-    return f"""
-        WITH u AS ({_URL_CTE}),
-        doms AS (SELECT DISTINCT sitedom AS domain FROM u),
-        idx AS (SELECT domain,
-                       ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
-                       (SELECT COUNT(*) FROM doms) AS n
-                FROM doms),
-        edges AS (
-            SELECT src, dst FROM (
-                SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
-                UNION SELECT i, (i * 5 + 2) % n FROM idx
-                UNION SELECT i, (i * 7 + 3) % n FROM idx
-            ) WHERE src <> dst
-        ),
-        deg AS (SELECT src, COUNT(*) AS outdeg FROM edges GROUP BY src),
-        r0 AS (SELECT i AS id,
-                      1000000000000 // (SELECT COUNT(*) FROM doms) AS r
-               FROM idx){it}
-        SELECT idx.domain, CAST({prev}.r AS BIGINT) AS rank_e12
-        FROM idx JOIN {prev} ON {prev}.id = idx.i
-    """
-
-
-# e4 fixed-point twin of graph.dedup_survivors' quality blend: raw
-# ratios, identical IEEE op order, floor(x·10⁴+0.5) — no decimal
-# ROUND intermediates, so both engines produce the same BIGINT
-_QUALITY_CTE = """
-    q AS (
-        SELECT doc_id,
-               CAST(floor(
-                   (0.7 * LEAST(len(string_split(text, ' ')) / 64.0, 1.0)
-                  + 0.3 * LEAST(len(list_filter(string_split(text, ' '),
-                        t -> list_contains(['the','a','of','to','and','in','is'], t)))
-                        / len(string_split(text, ' ')) * 5.0, 1.0))
-                   * 10000.0 + 0.5) AS BIGINT) AS quality_e4
-        FROM documents
-    )
-"""
-
-
-def _stratified_sample_oracle() -> str:
-    from cassandra_data_migration_spark.operators.sampling import (
-        stratified_bucket_sql,
-    )
-
-    bucket = stratified_bucket_sql("lang", "doc_id")
-    return f"""
-        SELECT doc_id, lang FROM documents
-        WHERE {bucket} < CASE lang
-            WHEN 'en' THEN 3000 WHEN 'es' THEN 6000 WHEN 'de' THEN 6000
-            ELSE 10000 END
-    """
-
-
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled-CTE replay of operators/similarity.kmeans_fit: same
-    md5-seeded init, e4 fixed-point assignment (argmin key c·c − 2·x·c,
-    ties to smallest cid), DECIMAL(20,10)-sum centroid updates emitted
-    as round(sum/count, 6), empty clusters keeping prior centroids."""
-    ctes = [
-        "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
-        f"""cb0 AS (
-            SELECT ROW_NUMBER() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-                   embedding::DOUBLE[] AS cv
-            FROM (SELECT vec_id, embedding FROM embeddings
-                  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {k})
-        )""",
-    ]
-    for it in range(iters + 1):
-        ctes.append(f"""d{it} AS (
-            SELECT vec_id, cid,
-                   CAST(floor((list_dot_product(cv, cv) - 2.0 * list_dot_product(ev, cv))
-                              * 10000.0 + 0.5) AS BIGINT) AS dk
-            FROM v, cb{it}
-        )""")
-        ctes.append(f"""a{it} AS (
-            SELECT vec_id, cid AS cluster FROM (
-                SELECT vec_id, cid,
-                       ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dk, cid) AS rn
-                FROM d{it}
-            ) WHERE rn = 1
-        )""")
-        if it < iters:
-            ctes.append(f"""s{it + 1} AS (
-                SELECT a{it}.cluster, p.pos,
-                       ROUND(CAST(SUM(CAST(v.ev[p.pos] AS DECIMAL(20,10))) AS DOUBLE)
-                             / COUNT(*), 6) AS comp
-                FROM a{it} JOIN v USING (vec_id),
-                     (SELECT unnest(range(1, {dim + 1})) AS pos) p
-                GROUP BY a{it}.cluster, p.pos
-            )""")
-            ctes.append(f"""cb{it + 1} AS (
-                SELECT cb{it}.cid, COALESCE(m.cv, cb{it}.cv) AS cv
-                FROM cb{it} LEFT JOIN (
-                    SELECT cluster AS cid, list(comp ORDER BY pos) AS cv
-                    FROM s{it + 1} GROUP BY cluster
-                ) m ON m.cid = cb{it}.cid
-            )""")
-    joined = ",\n        ".join(ctes)
-    return f"""
-        WITH {joined}
-        SELECT vec_id, cluster FROM a{iters}
-    """
-
-
-def _bloom_membership_oracle() -> str:
-    """Rebuild the identical md5-derived Bloom bit set in DuckDB and
-    probe every customer key against it."""
-    from cassandra_data_migration_spark.operators.bloom import bloom_positions_sql
-
-    build = " UNION ALL ".join(
-        f"SELECT {p} AS pos FROM orders"
-        for p in bloom_positions_sql("o_custkey")
-    )
-    probes = " AND ".join(
-        f"{p} IN (SELECT pos FROM pos)"
-        for p in bloom_positions_sql("c_custkey")
-    )
-    return f"""
-        WITH pos AS (SELECT DISTINCT pos FROM ({build}))
-        SELECT c_custkey,
-               CASE WHEN {probes} THEN 1 ELSE 0 END AS might_contain
-        FROM customer
-    """
-
-
-_SHINGLES_CTE = """
-    sh AS (
-        SELECT doc_id,
-               unnest(list_distinct(list_transform(
-                   range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-                   i -> array_to_string(list_slice(string_split(text, ' '), i, i + 2), ' ')
-               ))) AS shingle
-        FROM documents
-    )
-"""
-
-_SIGS_CTE = (
-    _SHINGLES_CTE
-    + """,
-    sigs AS (
-        SELECT doc_id,
-               MIN(md5(concat('0:', shingle))) AS sig0,
-               MIN(md5(concat('1:', shingle))) AS sig1,
-               MIN(md5(concat('2:', shingle))) AS sig2,
-               MIN(md5(concat('3:', shingle))) AS sig3
-        FROM sh GROUP BY doc_id
-    )
-"""
-)
-
-
-def _stopword_list_sql(words: list[str]) -> str:
-    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
-
-
-def _lang_id_oracle() -> str:
-    from cassandra_data_migration_spark.operators.text import LANG_STOPWORDS
-
-    langs = sorted(LANG_STOPWORDS)
-    scores = ",\n           ".join(
-        f"len(list_filter(string_split(text, ' '), "
-        f"t -> list_contains({_stopword_list_sql(LANG_STOPWORDS[lg])}, t))) AS s_{lg}"
-        for lg in langs
-    )
-    best = "GREATEST(" + ", ".join(f"s_{lg}" for lg in langs) + ")"
-    cases = "\n               ".join(
-        f"WHEN s_{lg} = {best} AND {best} > 0 THEN '{lg}'" for lg in langs
-    )
-    return f"""
-        WITH scored AS (
-            SELECT doc_id,
-           {scores}
-            FROM documents
-        )
-        SELECT doc_id,
-               CASE {cases}
-               ELSE 'unknown' END AS predicted_lang
-        FROM scored
-    """
-
-
-def _simhash_oracle(nibbles: int = 16) -> str:
-    sums = ",\n               ".join(
-        f"SUM(CASE WHEN substr(h, {i + 1}, 1) IN "
-        f"('8','9','a','b','c','d','e','f') THEN 1 ELSE 0 END) AS b{i}"
-        for i in range(nibbles)
-    )
-    bits = " + ".join(
-        f"(CASE WHEN b{i} * 2 > n THEN 1 ELSE 0 END) * {2 ** i}" for i in range(nibbles)
-    )
-    return f"""
-        WITH {_SHINGLES_CTE},
-        tok AS (
-            SELECT doc_id, md5(shingle) AS h FROM sh
-        ),
-        g AS (
-            SELECT doc_id, COUNT(*) AS n,
-               {sums}
-            FROM tok GROUP BY doc_id
-        )
-        SELECT doc_id, CAST({bits} AS BIGINT) AS simhash FROM g
-    """
-
-
-_COS_SIM = (
-    "list_dot_product(a_v, b_v) / "
-    "(sqrt(list_dot_product(a_v, a_v)) * sqrt(list_dot_product(b_v, b_v)))"
-)
-
-
-def _synthetic_users_oracle() -> str:
-    """Regenerates generate_users(count=200, seed=42) entirely in SQL:
-    every draw is functions/hashing.md5_draw, which DuckDB recomputes
-    bit-identically (seed layout mirrors generate.generate_users)."""
-    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
-
-    def d(seed: int) -> str:
-        return md5_draw_sql(seed, "id")
-
-    firsts = "['john','jane','alex','maria','wei','ana','omar','lena']"
-    lasts = "['smith','garcia','chen','mueller','silva','khan','ito','novak']"
-    statuses = "['active','inactive','suspended']"
-    return f"""
-        WITH base AS (
-            SELECT id,
-                   md5(concat_ws(':', '42', CAST(id AS VARCHAR))) AS uh,
-                   {firsts}[{d(43)} % 8 + 1] AS first,
-                   {lasts}[{d(44)} % 8 + 1] AS last
-            FROM range(200) t(id)
-        )
-        SELECT concat_ws('-', substr(uh,1,8), substr(uh,9,4), substr(uh,13,4),
-                         substr(uh,17,4), substr(uh,21,12)) AS user_id,
-               first || '.' || last || CAST(id AS VARCHAR) AS username,
-               first || '.' || last || CAST(id AS VARCHAR) || '@example.com' AS email,
-               upper(substr(first,1,1)) || substr(first,2) AS first_name,
-               upper(substr(last,1,1)) || substr(last,2) AS last_name,
-               TIMESTAMP '2024-01-01 00:00:00' + to_seconds({d(45)} % 31536000) AS created_at,
-               {statuses}[{d(46)} % 3 + 1] AS status,
-               printf('%d Main St, City %d', {d(47)} % 9999, {d(48)} % 100) AS address,
-               printf('+1-555-%07d', {d(49)} % 10000000) AS phone,
-               '{{"theme":"' || ['dark','light'][{d(50)} % 2 + 1] ||
-               '","notifications":"' || ['on','off'][{d(51)} % 2 + 1] ||
-               '","language":"' || ['en','es','fr'][{d(52)} % 3 + 1] || '"}}' AS prefs_json
-        FROM base
-    """
-
-
-def _traffic_ops_mix_oracle() -> str:
-    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
-
-    return f"""
-        WITH d AS (
-            SELECT {md5_draw_sql(42, "event_id")} AS draw FROM events
-        ),
-        f AS (SELECT (draw % 100) < 75 AS is_read FROM d)
-        SELECT COUNT(*) AS total_ops,
-               CAST(SUM(CASE WHEN is_read THEN 1 ELSE 0 END) AS BIGINT) AS reads,
-               CAST(SUM(CASE WHEN NOT is_read THEN 1 ELSE 0 END) AS BIGINT) AS writes,
-               ROUND(100.0 * SUM(CASE WHEN is_read THEN 1 ELSE 0 END)::DOUBLE
-                     / COUNT(*), 2) AS read_pct
-        FROM f
-    """
-
-
-ORACLES: dict[str, str] = {
-    "synthetic_users": _synthetic_users_oracle(),
-    "traffic_ops_mix": _traffic_ops_mix_oracle(),
-    "pricing_summary": """
-        SELECT l_returnflag, l_linestatus,
-               ROUND(SUM(l_quantity), 2) AS sum_qty,
-               ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-               ROUND(AVG(l_quantity), 4) AS avg_qty,
-               ROUND(AVG(l_extendedprice), 4) AS avg_price,
-               ROUND(AVG(l_discount), 4) AS avg_disc,
-               COUNT(*) AS count_order
-        FROM lineitem
-        WHERE l_shipdate <= TIMESTAMP '1998-09-02'
-        GROUP BY l_returnflag, l_linestatus
-        ORDER BY l_returnflag, l_linestatus
-    """,
-    "full_scan": "SELECT * FROM nation",
-    "projection": "SELECT c_custkey, c_name, c_mktsegment FROM customer",
-    "column_exclude": "SELECT c_custkey, c_nationkey, c_mktsegment FROM customer",
-    "filter_eq": "SELECT * FROM customer WHERE c_mktsegment = 'BUILDING'",
-    "token_range_filter": "SELECT * FROM orders WHERE (o_orderkey % 32) BETWEEN 3 AND 7",
-    "connector_scan": """
-        SELECT o_orderstatus, COUNT(*) AS n_orders,
-               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS sum_price
-        FROM orders WHERE (o_orderkey % 32) BETWEEN 3 AND 7
-        GROUP BY o_orderstatus
-    """,
-    "point_lookup": "SELECT * FROM lineitem WHERE l_orderkey = 0 AND l_linenumber = 4",
-    "grouped_count": (
-        "SELECT o_orderstatus, COUNT(*) AS cnt FROM orders GROUP BY o_orderstatus"
-    ),
-    "writetime_filter": """
-        SELECT *, epoch_us(ts) AS _writetime
-        FROM events WHERE epoch_us(ts) >= 1705276800000000
-    """,
-    "guardrail_violations": """
-        SELECT * FROM documents
-        WHERE octet_length(encode(text)) / 1024.0 > 0.35
-    """,
-    "traffic_summary": """
-        SELECT COUNT(*) AS total_ops,
-               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_count,
-               ROUND(100.0 * (1 - SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)::DOUBLE / COUNT(*)), 4) AS success_rate_pct,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE) AS total_value,
-               ROUND(CAST(SUM(CAST(value AS DECIMAL(20,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
-        FROM events
-    """,
-    "latency_percentiles": """
-        SELECT event_type,
-               ROUND(quantile_cont(value, 0.5), 4) AS p50,
-               ROUND(quantile_cont(value, 0.95), 4) AS p95,
-               ROUND(quantile_cont(value, 0.99), 4) AS p99,
-               ROUND(AVG(value), 4) AS avg_value,
-               COUNT(*) AS n
-        FROM events GROUP BY event_type
-    """,
-    "sliding_rate": """
-        WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS sec FROM events),
-        x AS (
-            SELECT (sec // 300) * 300 AS ws FROM e
-            UNION ALL
-            SELECT ((sec // 300) - 1) * 300 AS ws FROM e
-        )
-        SELECT ws AS window_start_sec,
-               CAST(COUNT(*) AS BIGINT) AS cnt,
-               ROUND(COUNT(*) / 600.0, 6) AS ops_per_sec
-        FROM x GROUP BY 1
-    """,
-    "windowed_rate": """
-        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-               COUNT(*) AS cnt,
-               ROUND(COUNT(*) / 300.0, 6) AS ops_per_sec
-        FROM events GROUP BY 1
-    """,
-    "rowwise_greatest": """
-        SELECT l_orderkey, l_linenumber, l_quantity, l_discount, l_tax,
-               GREATEST(l_quantity, l_discount, l_tax) AS row_max
-        FROM lineitem
-    """,
-    "latest_event_per_user": """
-        SELECT event_id, ts, user_id, event_type, value, props FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
-            FROM events
-        ) WHERE rn = 1
-    """,
-    "limit_n": "SELECT * FROM orders ORDER BY o_orderkey LIMIT 10",
-    "union_summary": """
-        SELECT 'customer' AS table_name, COUNT(*) AS row_count FROM customer
-        UNION ALL SELECT 'orders', COUNT(*) FROM orders
-        UNION ALL SELECT 'lineitem', COUNT(*) FROM lineitem
-    """,
-    "value_set_diff": """
-        SELECT DISTINCT c_nationkey FROM customer
-        EXCEPT
-        SELECT DISTINCT s_nationkey AS c_nationkey FROM supplier
-        WHERE s_acctbal > 9500
-    """,
-    "string_funcs": """
-        SELECT c_custkey,
-               LOWER(c_name) AS name_lower,
-               CONCAT(LOWER(c_mktsegment), '@example.com') AS segment_email
-        FROM customer WHERE c_name LIKE 'Customer#0000001%'
-    """,
-    "date_funcs": """
-        SELECT o_orderkey,
-               strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS order_date,
-               EXTRACT(YEAR FROM o_orderdate) AS order_year,
-               EXTRACT(MONTH FROM o_orderdate) AS order_month,
-               strftime(CAST(o_orderdate AS DATE) + INTERVAL 30 DAYS, '%Y-%m-%d') AS due_date
-        FROM orders
-    """,
-    "round_cast": """
-        SELECT o_orderkey,
-               CAST(CAST(ROUND(o_totalprice, 2) AS DECIMAL(18,2)) AS DOUBLE) AS total_decimal
-        FROM orders
-    """,
-    "row_hash": """
-        SELECT n_nationkey,
-               MD5(CONCAT_WS('|', CAST(n_nationkey AS VARCHAR), n_name,
-                             CAST(n_regionkey AS VARCHAR))) AS row_hash
-        FROM nation
-    """,
-    "json_extract": """
-        SELECT event_id, json_extract_string(props, '$.k') AS k_value FROM events
-    """,
-    "word_explode_count": """
-        SELECT token, COUNT(*) AS occurrences FROM (
-            SELECT unnest(string_split(text, ' ')) AS token FROM documents
-        ) GROUP BY token
-    """,
-    "token_count": """
-        SELECT doc_id, len(string_split(text, ' ')) AS n_tokens FROM documents
-    """,
-    "text_quality": """
-        SELECT doc_id,
-               length(text) AS n_chars_computed,
-               len(string_split(text, ' ')) AS n_tokens,
-               ROUND((length(text) - len(string_split(text, ' ')) + 1)::DOUBLE
-                     / len(string_split(text, ' ')), 4) AS avg_token_len,
-               ROUND(len(list_filter(string_split(text, ' '),
-                         t -> list_contains(['the','a','of','to','and','in','is'], t)))::DOUBLE
-                     / len(string_split(text, ' ')), 4) AS stopword_ratio
-        FROM documents
-    """,
-    "lang_id": _lang_id_oracle(),
-    "doc_fingerprint": """
-        SELECT doc_id,
-               md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint
-        FROM documents
-    """,
-    "dedup_exact": """
-        WITH keyed AS (
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-            FROM documents
-        ),
-        groups AS (
-            SELECT fp, MIN(doc_id) AS canonical_id, COUNT(*) AS group_size
-            FROM keyed GROUP BY fp
-        )
-        SELECT k.doc_id, g.canonical_id, g.group_size
-        FROM keyed k JOIN groups g USING (fp)
-    """,
-    "dedup_ngram_jaccard": f"""
-        WITH {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
-    """,
-    "dup_clusters": f"""
-        WITH RECURSIVE {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
-        ),
-        edges AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION SELECT id_b, id_a FROM pairs
-        ),
-        reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-        ),
-        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id)
-        SELECT doc_id, component,
-               COUNT(*) OVER (PARTITION BY component) AS cluster_size
-        FROM comp
-    """,
-    "hash_split_counts": f"""
-        WITH b AS (SELECT {bucket_sql('doc_id')} AS bucket FROM documents)
-        SELECT CASE WHEN bucket < 8000 THEN 'train'
-                    WHEN bucket < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
-               COUNT(*) AS n_docs
-        FROM b GROUP BY 1
-    """,
-    "corpus_sample": f"""
-        SELECT doc_id FROM documents
-        WHERE {bucket_sql('doc_id', 'sample')} < 2500
-    """,
-    "group_split_counts": f"""
-        WITH b AS (
-            SELECT source, {bucket_sql('source', 'grp')} AS bucket FROM documents
-        )
-        SELECT CASE WHEN bucket < 8000 THEN 'train'
-                    WHEN bucket < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
-               COUNT(*) AS n_docs,
-               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
-        FROM b GROUP BY 1
-    """,
-    "negative_pairs": f"""
-        WITH n AS (SELECT COUNT(*) AS N FROM documents),
-        a AS (
-            SELECT doc_id, CAST(unnest(range(0, 3)) AS INTEGER) AS neg_ix
-            FROM documents
-        ),
-        d AS (
-            SELECT doc_id, neg_ix,
-                   {_md5_draw_sql("neg", "doc_id", "neg_ix")} % (N - 1) AS dd
-            FROM a, n
-        ),
-        x AS (
-            SELECT doc_id, neg_ix,
-                   CASE WHEN dd >= doc_id THEN dd + 1 ELSE dd END AS neg_id
-            FROM d
-        )
-        SELECT x.doc_id, x.neg_ix, x.neg_id, p.source AS neg_source
-        FROM x JOIN documents p ON p.doc_id = x.neg_id
-    """,
-    "mixture_sample": f"""
-        SELECT doc_id, 'short' AS source FROM documents
-        WHERE length(text) < 330 AND {bucket_sql('doc_id', 'short')} < 9000
-        UNION ALL
-        SELECT doc_id, 'long' AS source FROM documents
-        WHERE length(text) >= 330 AND {bucket_sql('doc_id', 'long')} < 3000
-    """,
-    "doc_chunks": """
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        c AS (
-            SELECT doc_id, toks,
-                   unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS chunk_id
-            FROM t
-        )
-        SELECT doc_id, chunk_id,
-               array_to_string(list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32), ' ') AS chunk_text,
-               len(list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32)) AS n_chunk_tokens
-        FROM c
-    """,
-    "pii_redact": """
-        SELECT doc_id,
-               regexp_replace(text, '\\bcustomer\\b', '<ENTITY>', 'g') AS redacted,
-               len(regexp_extract_all(text, '\\bcustomer\\b')) AS n_redacted
-        FROM documents
-    """,
-    "topk_per_group": """
-        SELECT doc_id, lang, n_chars FROM (
-            SELECT doc_id, lang, n_chars, ROW_NUMBER() OVER (
-                PARTITION BY lang ORDER BY n_chars DESC, doc_id DESC) AS rn
-            FROM documents
-        ) WHERE rn <= 3
-    """,
-    "label_centroids": """
-        SELECT label, i AS pos,
-               ROUND(CAST(SUM(CAST(embedding[i] AS DECIMAL(20,10))) AS DOUBLE)
-                     / COUNT(*), 4) AS centroid
-        FROM embeddings, range(1, 65) t(i)
-        GROUP BY 1, 2
-    """,
-    "corpus_curation": f"""
-        WITH qf AS (
-            SELECT doc_id,
-                   len(string_split(text, ' ')) AS n_tokens,
-                   ROUND(len(list_filter(string_split(text, ' '),
-                         t -> list_contains(['the','a','of','to','and','in','is'], t)))::DOUBLE
-                         / len(string_split(text, ' ')), 4) AS stopword_ratio
-            FROM documents
-        ),
-        canon AS (
-            SELECT MIN(doc_id) AS doc_id
-            FROM (SELECT doc_id,
-                         md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
-                  FROM documents)
-            GROUP BY fp
-        ),
-        kept AS (
-            SELECT qf.doc_id, qf.n_tokens
-            FROM qf JOIN canon USING (doc_id)
-            WHERE n_tokens >= 20 AND stopword_ratio >= 0.02
-        )
-        SELECT CASE WHEN {bucket_sql('doc_id')} < 8000 THEN 'train'
-                    WHEN {bucket_sql('doc_id')} < 9000 THEN 'val'
-                    ELSE 'test' END AS split,
-               COUNT(*) AS n_docs,
-               ROUND(AVG(n_tokens), 4) AS avg_tokens
-        FROM kept GROUP BY 1
-    """,
-    "minhash_signatures": f"""
-        WITH {_SIGS_CTE}
-        SELECT * FROM sigs
-    """,
-    "lsh_candidates": f"""
-        WITH {_SIGS_CTE}
-        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        FROM sigs a JOIN sigs b
-          ON a.doc_id < b.doc_id
-         AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
-           OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
-    """,
-    "simhash": _simhash_oracle(),
-    "cosine_topk": f"""
-        WITH q AS (SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0),
-        scored AS (
-            SELECT b.vec_id,
-                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4) AS cos_sim
-            FROM embeddings b, q
-            WHERE b.vec_id <> 0
-        )
-        SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
-    "salted_join": """
-        SELECT o_orderstatus,
-               ROUND(SUM(l_extendedprice), 2) AS sum_price,
-               COUNT(*) AS n_items
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderstatus
-    """,
-    "minhash_lsh_dedup": f"""
-        WITH {_SIGS_CTE},
-        cands AS (
-            SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-            FROM sigs a JOIN sigs b
-              ON a.doc_id < b.doc_id
-             AND ((a.sig0 = b.sig0 AND a.sig1 = b.sig1)
-               OR (a.sig2 = b.sig2 AND a.sig3 = b.sig3))
-        ),
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT c.id_a, c.id_b, COUNT(*) AS i
-            FROM cands c
-            JOIN sh a ON a.doc_id = c.id_a
-            JOIN sh b ON b.doc_id = c.id_b AND b.shingle = a.shingle
-            GROUP BY 1, 2
-        )
-        SELECT id_a, id_b,
-               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS jaccard
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
-    """,
-    "ivf_topk": f"""
-        WITH q AS (SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0),
-        scored AS (
-            SELECT b.vec_id,
-                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4) AS cos_sim
-            FROM embeddings b, q
-        )
-        SELECT vec_id, cos_sim FROM scored ORDER BY cos_sim DESC, vec_id LIMIT 10
-    """,
-    "ann_lsh_pairs": f"""
-        WITH planes AS (
-            SELECT p, list((s - floor(s)) * 2 - 1 ORDER BY d) AS plane
-            FROM (
-                SELECT p, d,
-                       sin(42 * 1000003 + p * 10007 + d * 101) * 43758.5453 AS s
-                FROM range(0, 4) t1(p), range(0, 64) t2(d)
-            )
-            GROUP BY p
-        ),
-        coded AS (
-            SELECT vec_id, embedding::DOUBLE[] AS ev,
-                   SUM(CASE WHEN list_dot_product(embedding::DOUBLE[], plane) >= 0
-                            THEN (1 << p) ELSE 0 END)::INT AS bucket
-            FROM embeddings, planes
-            GROUP BY vec_id, embedding
-        )
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) AS cos_sim
-        FROM coded a JOIN coded b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        WHERE ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.3
-    """,
-    "rp_projection": (
-        """
-        WITH planes AS (
-            SELECT p, list((s - floor(s)) * 2 - 1 ORDER BY d) AS plane
-            FROM (
-                SELECT p, d,
-                       sin(7 * 1000003 + p * 10007 + d * 101) * 43758.5453 AS s
-                FROM range(0, 8) t1(p), range(0, 64) t2(d)
-            )
-            GROUP BY p
-        ),
-        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-        SELECT vec_id,
-        """
-        + ",\n               ".join(
-            f"ROUND(SUM(CASE WHEN p = {p} THEN list_dot_product(ev, plane) END), 4) AS rp{p}"
-            for p in range(8)
-        )
-        + """
-        FROM v, planes
-        GROUP BY vec_id
-        """
-    ),
-    "embedding_near_dup": f"""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) AS cos_sim
-        FROM v a, v b
-        WHERE a.vec_id < b.vec_id
-          AND ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
-    """,
-    "temperature_mixture": f"""
-        WITH c AS (
-            SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
-        ),
-        r AS (
-            SELECT event_type,
-                   CAST(LEAST(ROUND(0.3 * (SUM(n) OVER ())
-                        * pow(n, 0.5) / (SUM(pow(n, 0.5)) OVER ())
-                        / n * 1000000.0, 0), 1000000.0) AS BIGINT)
-                       AS rate_e6
-            FROM c
-        )
-        SELECT e.event_id, e.event_type, r.rate_e6
-        FROM events e JOIN r USING (event_type)
-        WHERE {_md5_draw_sql('tempmix', 'e.event_type', 'e.event_id')}
-              % 1000000 < r.rate_e6
-    """,
-    "semantic_decontaminate": f"""
-        WITH bench AS (
-            SELECT vec_id AS b_id, embedding::DOUBLE[] AS b_v
-            FROM embeddings WHERE vec_id % 20 = 0
-        ),
-        corp AS (
-            SELECT vec_id, embedding::DOUBLE[] AS a_v
-            FROM embeddings WHERE vec_id % 20 <> 0
-        ),
-        scored AS (
-            SELECT c.vec_id, b.b_id, ROUND({_COS_SIM}, 4) AS cs
-            FROM corp c, bench b
-        ),
-        agg AS (
-            SELECT vec_id, MAX(cs) AS max_benchmark_sim
-            FROM scored GROUP BY 1
-        )
-        SELECT s.vec_id,
-               MIN(s.b_id) AS nearest_benchmark_id,
-               a.max_benchmark_sim,
-               a.max_benchmark_sim >= 0.4 AS contaminated
-        FROM scored s
-        JOIN agg a ON s.vec_id = a.vec_id AND s.cs = a.max_benchmark_sim
-        GROUP BY s.vec_id, a.max_benchmark_sim
-    """,
-    "multimodal_features": """
-        SELECT doc_id,
-               octet_length(encode(text)) AS n_bytes,
-               md5(text) AS content_md5
-        FROM documents
-    """,
-    "csv_roundtrip": "SELECT * FROM nation",
-    "csv_gzip_roundtrip": "SELECT * FROM region",
-    "json_roundtrip": "SELECT * FROM supplier",
-    "csv_import_quarantine": (
-        "SELECT * FROM customer WHERE c_custkey % 7 <> 0"
-    ),
-    "migrate_pipeline": """
-        SELECT c_custkey, c_name, c_acctbal, 'origin' AS source_cluster
-        FROM customer WHERE c_acctbal > 5000
-    """,
-    "migrate_bulk": """
-        SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice,
-               'origin' AS source_cluster
-        FROM lineitem
-    """,
-    "migrate_dry_run": """
-        SELECT CAST(COUNT(*) AS BIGINT) AS rows_read,
-               CAST(0 AS BIGINT) AS rows_written
-        FROM orders WHERE o_orderstatus = 'O'
-    """,
-    "run_tracker_resume": "SELECT * FROM orders WHERE o_orderkey % 8 >= 4",
-    # invariant oracle: the migration is lossless, so every check line
-    # of the validate_migration.py:69-81 report must read PASS with
-    # equal counts and zero sample failures
-    "lab_migration_report": """
-        WITH t(table_name, tbl_rows) AS (
-            SELECT 'orders', (SELECT COUNT(*) FROM orders)
-            UNION ALL SELECT 'products', (SELECT COUNT(*) FROM part)
-            UNION ALL SELECT 'user_activity', (SELECT COUNT(*) FROM events)
-            UNION ALL SELECT 'users', (SELECT COUNT(*) FROM customer)
-        )
-        SELECT table_name,
-               CAST(tbl_rows AS BIGINT) AS origin_rows,
-               CAST(tbl_rows AS BIGINT) AS target_rows,
-               'PASS' AS count_check,
-               CAST(LEAST(tbl_rows, 100) AS BIGINT) AS sampled,
-               CAST(0 AS BIGINT) AS sample_failures,
-               'PASS' AS sample_check
-        FROM t
-    """,
-    # page sizes are deterministic even though page CONTENT follows
-    # partition iteration order: every page except the last is exactly
-    # full; the key checksum proves completeness
-    "paged_fetch_audit": """
-        WITH r AS (
-            SELECT c_custkey,
-                   (ROW_NUMBER() OVER (ORDER BY c_custkey) - 1) // 100
-                       AS pg
-            FROM customer
-        )
-        SELECT CAST(pg AS BIGINT) AS page_id,
-               CAST(COUNT(*) AS BIGINT) AS page_rows,
-               (SELECT COUNT(*) FROM customer) AS total_rows,
-               (SELECT CAST(SUM(c_custkey) AS BIGINT)
-                FROM customer) AS total_key_sum
-        FROM r GROUP BY pg
-    """,
-    # the sketch estimates are engine-specific but their error bounds
-    # are not: the Spark side VERIFIES the bounds and emits booleans,
-    # the oracle asserts they all hold
-    "sketch_profile": """
-        SELECT source, COUNT(*) AS n_docs,
-               TRUE AS distinct_ok, TRUE AS median_rank_ok
-        FROM documents GROUP BY source
-    """,
-    "lww_merge": """
-        SELECT o_orderkey,
-               CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 10
-                    ELSE o_totalprice END AS o_totalprice,
-               CAST(CASE WHEN o_orderkey % 3 = 0 THEN o_orderkey * 2 + 1
-                         ELSE o_orderkey * 2 END AS BIGINT) AS _writetime
-        FROM orders
-    """,
-    "autocorrect_lww": """
-        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
-               o_orderdate, o_orderpriority, CAST(1000 AS BIGINT) AS _writetime
-        FROM orders WHERE o_orderkey % 10 = 0 OR o_orderkey % 14 <> 0
-        UNION ALL
-        SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice + 1,
-               o_orderdate, o_orderpriority, CAST(2000 AS BIGINT) AS _writetime
-        FROM orders WHERE o_orderkey % 10 <> 0 AND o_orderkey % 14 = 0
-    """,
-    "writetime_shift": """
-        SELECT event_id, epoch_us(ts) + 1000000 AS _writetime FROM events
-    """,
-    "counter_merge": """
-        SELECT l_orderkey,
-               CAST(ROUND(SUM(l_quantity), 0) AS BIGINT) AS counter_value
-        FROM lineitem GROUP BY l_orderkey
-    """,
-    "order_items_list": """
-        SELECT l_orderkey,
-               string_agg(l_partkey::VARCHAR, ',' ORDER BY l_partkey) AS items
-        FROM lineitem GROUP BY l_orderkey
-    """,
-    "map_explode": """
-        SELECT event_id, 'event_type' AS props_map_key,
-               event_type AS props_map_value
-        FROM events
-        UNION ALL
-        SELECT event_id, 'k', json_extract_string(props, '$.k') FROM events
-    """,
-    "alert_error_windows": """
-        SELECT strftime(time_bucket(INTERVAL '1 hour', ts),
-                        '%Y-%m-%d %H:%M:%S') AS window_start,
-               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS errors,
-               'error_count_breach' AS alert
-        FROM events
-        GROUP BY time_bucket(INTERVAL '1 hour', ts)
-        HAVING SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) > 5
-    """,
-    "fk_join_enrich": """
-        SELECT o_orderkey, o_custkey AS c_custkey, c_name, c_mktsegment
-        FROM orders JOIN customer ON o_custkey = c_custkey
-    """,
-    "write_batches": f"""
-        SELECT o_orderkey, o_custkey,
-               CAST((ROW_NUMBER() OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY {_md5_draw_sql("batch:o", "o_orderkey")}, o_orderkey
-               ) - 1) // 5 AS INT) AS batch_seq
-        FROM orders
-    """,
-    "writetime_collapse": """
-        SELECT o_orderkey,
-               CAST(o_orderkey * 1000000 + 1 AS BIGINT) AS wt_no_collections,
-               CAST(greatest(o_orderkey * 1000000 + 1,
-                             o_orderkey * 1000000 + 2) AS BIGINT)
-                   AS wt_with_collections
-        FROM orders
-    """,
-    "schema_diff": """
-        SELECT 'c_acctbal' AS col_name,
-               lower(typeof(c_acctbal)) AS col_type,
-               'origin_only' AS side
-        FROM customer LIMIT 1
-    """,
-    "sample_validate": f"""
-        WITH target AS ({_TARGET_SQL}),
-        s AS (
-            SELECT * FROM orders
-            ORDER BY {_md5_draw_sql("sampleval", "o_orderkey")}, o_orderkey
-            LIMIT 100
-        ),
-        j AS (
-            SELECT s.o_orderkey,
-                   (t.o_orderkey IS NOT NULL) AS found_flag,
-                   CASE WHEN t.o_orderkey IS NOT NULL AND (
-                        s.o_custkey IS DISTINCT FROM t.o_custkey
-                     OR s.o_orderstatus IS DISTINCT FROM t.o_orderstatus
-                     OR s.o_totalprice IS DISTINCT FROM t.o_totalprice
-                     OR s.o_orderdate IS DISTINCT FROM t.o_orderdate
-                     OR s.o_orderpriority IS DISTINCT FROM t.o_orderpriority
-                   ) THEN 1 ELSE 0 END AS mism
-            FROM s LEFT JOIN target t ON s.o_orderkey = t.o_orderkey
-        )
-        SELECT CAST(COUNT(*) AS BIGINT) AS sampled,
-               CAST(SUM(CASE WHEN found_flag THEN 1 ELSE 0 END) AS BIGINT) AS found,
-               CAST(SUM(CASE WHEN found_flag THEN 0 ELSE 1 END) AS BIGINT) AS missing,
-               CAST(SUM(mism) AS BIGINT) AS mismatched
-        FROM j
-    """,
-    "validation_summary": """
-        SELECT 'orders' AS table_name,
-               CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS origin_count,
-               CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0)
-                    AS BIGINT) AS target_count,
-               CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
-                    AS BIGINT) AS missing,
-               CAST((SELECT COUNT(*) FROM orders
-                     WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
-                    AS BIGINT) AS mismatched,
-               CAST(0 AS BIGINT) AS extra_in_target,
-               'FAIL' AS status
-    """,
-    "latency_harness": """
-        SELECT event_type,
-               ROUND(SUM(value), 4) AS total_ms,
-               ROUND(AVG(value), 4) AS avg_ms,
-               COUNT(*) AS n_requests,
-               ROUND(COUNT(*) / ((epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1e6),
-                     6) AS req_per_sec
-        FROM events GROUP BY event_type
-    """,
-    "continuous_validation_ticks": """
-        WITH verdict AS (
-            SELECT CAST((SELECT COUNT(*) FROM orders) AS BIGINT) AS origin_count,
-                   CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 <> 0)
-                        AS BIGINT) AS target_count,
-                   CAST((SELECT COUNT(*) FROM orders WHERE o_orderkey % 10 = 0)
-                        AS BIGINT) AS missing,
-                   CAST((SELECT COUNT(*) FROM orders
-                         WHERE o_orderkey % 10 <> 0 AND o_orderkey % 7 = 0)
-                        AS BIGINT) AS mismatched,
-                   'FAIL' AS status
-        )
-        SELECT 'tick_0' AS tick, * FROM verdict
-        UNION ALL
-        SELECT 'tick_1', * FROM verdict
-    """,
-    "part_type_revenue": """
-        SELECT p_type,
-               ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-               COUNT(*) AS n_items
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        GROUP BY p_type
-    """,
-    "ttl_expiry": """
-        SELECT event_id, epoch_us(ts) AS _writetime,
-               CASE WHEN event_id % 10 = 0 THEN NULL
-                    ELSE (event_id % 100) * 3600 END AS _ttl
-        FROM events
-        WHERE event_id % 10 = 0
-           OR epoch_us(ts) + (event_id % 100) * 3600 * 1000000
-              >= 1706000000000000
-    """,
-    "null_unset_mask": """
-        SELECT o_orderkey,
-               (CASE WHEN o_orderkey % 5 = 0 THEN 0 ELSE 1 END
-                + CASE WHEN o_orderkey % 3 = 0 THEN 0 ELSE 2 END) AS _set_mask
-        FROM orders
-    """,
-    "custom_transform": """
-        SELECT c_custkey, md5(c_name) AS c_name, c_mktsegment FROM customer
-    """,
-    "read_routing": """
-        SELECT * FROM orders WHERE o_totalprice > 450000
-    """,
-    "uuid_derivation": """
-        SELECT c_custkey,
-               concat_ws('-', substr(h, 1, 8), substr(h, 9, 4), substr(h, 13, 4),
-                         substr(h, 17, 4), substr(h, 21, 12)) AS user_uuid
-        FROM (SELECT c_custkey,
-                     md5(concat_ws(':', '42', c_custkey::VARCHAR)) AS h
-              FROM customer)
-    """,
-    "observe_progress": """
-        SELECT COUNT(*) AS rows_processed,
-               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_rows
-        FROM events
-    """,
-    "stream_dual_write": """
-        SELECT event_id, user_id, event_type, value FROM events
-    """,
-    "stream_windowed_rate": """
-        SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
-               event_type,
-               COUNT(*) AS cnt,
-               ROUND(COUNT(*) / 300.0, 6) AS ops_per_sec
-        FROM events GROUP BY 1, 2
-    """,
-    "missing_rows": f"""
-        SELECT o.* FROM orders o
-        WHERE NOT EXISTS (
-            SELECT 1 FROM ({_TARGET_SQL}) t WHERE t.o_orderkey = o.o_orderkey
-        )
-    """,
-    "mismatch_detect": f"""
-        SELECT o.o_orderkey
-        FROM orders o JOIN ({_TARGET_SQL}) t USING (o_orderkey)
-        WHERE o.o_custkey IS DISTINCT FROM t.o_custkey
-           OR o.o_orderstatus IS DISTINCT FROM t.o_orderstatus
-           OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
-           OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
-           OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority
-    """,
-    "reconcile_rows": f"""
-        WITH target AS ({_TARGET_SQL}),
-        missing AS (
-            SELECT o.* FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM target t WHERE t.o_orderkey = o.o_orderkey)
-        ),
-        mismatched AS (
-            SELECT o.* FROM orders o JOIN target t USING (o_orderkey)
-            WHERE o.o_custkey IS DISTINCT FROM t.o_custkey
-               OR o.o_orderstatus IS DISTINCT FROM t.o_orderstatus
-               OR o.o_totalprice IS DISTINCT FROM t.o_totalprice
-               OR o.o_orderdate IS DISTINCT FROM t.o_orderdate
-               OR o.o_orderpriority IS DISTINCT FROM t.o_orderpriority
-        )
-        SELECT * FROM missing UNION ALL SELECT * FROM mismatched
-    """,
-    "bucket_count_compare": f"""
-        WITH target AS ({_TARGET_SQL}),
-        o AS (SELECT o_orderkey % 32 AS bucket, COUNT(*) AS origin_cnt
-              FROM orders GROUP BY 1),
-        t AS (SELECT o_orderkey % 32 AS bucket, COUNT(*) AS target_cnt
-              FROM target GROUP BY 1)
-        SELECT COALESCE(o.bucket, t.bucket) AS bucket,
-               COALESCE(origin_cnt, 0) AS origin_cnt,
-               COALESCE(target_cnt, 0) AS target_cnt
-        FROM o FULL OUTER JOIN t ON o.bucket = t.bucket
-        WHERE COALESCE(origin_cnt, 0) <> COALESCE(target_cnt, 0)
-    """,
-    "event_sessions": """
-        WITH e AS (
-            SELECT user_id, event_id, ts,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-            FROM events
-        ),
-        f AS (
-            SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-                             OR sec - lag(sec) OVER w > 28800
-                           THEN 1 ELSE 0 END AS is_new
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        s AS (
-            SELECT *, SUM(is_new) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_id
-            FROM f
-        )
-        SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
-               COUNT(*) AS n_events,
-               MIN(ts) AS session_start, MAX(ts) AS session_end,
-               MAX(sec) - MIN(sec) AS duration_s
-        FROM s GROUP BY user_id, session_id
-    """,
-    "repetition_signals": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        bg AS (
-            SELECT doc_id, unnest(list_transform(
-                range(1, greatest(len(toks) - 1, 1) + 1),
-                i -> array_to_string(list_slice(toks, i, i + 1), ' ')
-            )) AS bigram
-            FROM tk
-        ),
-        cnt AS (SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-        agg AS (
-            SELECT doc_id, ROUND(MAX(c) * 1.0 / SUM(c), 4) AS top_bigram_frac
-            FROM cnt GROUP BY 1
-        )
-        SELECT t.doc_id,
-               ROUND(len(list_distinct(toks))::DOUBLE / len(toks), 4)
-                   AS distinct_token_ratio,
-               a.top_bigram_frac
-        FROM tk t JOIN agg a ON t.doc_id = a.doc_id
-    """,
-    "decontaminate": f"""
-        WITH {_SHINGLES_CTE},
-        bench AS (
-            SELECT DISTINCT shingle FROM sh
-            WHERE {bucket_sql('doc_id', 'bench')} < 1000
-        )
-        SELECT s.doc_id, COUNT(*) AS n_overlap
-        FROM sh s JOIN bench b ON s.shingle = b.shingle
-        WHERE {bucket_sql('s.doc_id', 'bench')} >= 1000
-        GROUP BY s.doc_id
-    """,
-    "semantic_dedup": f"""
-        WITH cents AS (
-            SELECT vec_id AS c_id, embedding::DOUBLE[] AS c_v
-            FROM embeddings
-            ORDER BY md5(CAST(vec_id AS VARCHAR)) LIMIT 8
-        ),
-        v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-        scored AS (
-            SELECT v.vec_id, v.ev, c.c_id,
-                   ROUND({_COS_SIM.replace('a_v', 'v.ev').replace('b_v', 'c.c_v')}, 4)
-                       AS cos4
-            FROM v CROSS JOIN cents c
-        ),
-        assign AS (
-            SELECT vec_id, ev, c_id AS cluster FROM (
-                SELECT *, ROW_NUMBER() OVER (
-                    PARTITION BY vec_id ORDER BY cos4 DESC, c_id ASC) AS rn
-                FROM scored
-            ) WHERE rn = 1
-        ),
-        dropped AS (
-            SELECT DISTINCT b.vec_id
-            FROM assign a JOIN assign b
-              ON a.cluster = b.cluster AND a.vec_id < b.vec_id
-            WHERE ROUND({_COS_SIM.replace('a_v', 'a.ev').replace('b_v', 'b.ev')}, 4) >= 0.45
-        )
-        SELECT a.vec_id, a.cluster,
-               CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS kept
-        FROM assign a LEFT JOIN dropped d ON a.vec_id = d.vec_id
-    """,
-    "tfidf_keywords": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        flat AS (
-            SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens
-            FROM tk
-        ),
-        tfc AS (
-            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
-                   COUNT(*) AS tf
-            FROM flat GROUP BY 1, 2
-        ),
-        dfreq AS (SELECT term, COUNT(*) AS df FROM tfc GROUP BY 1),
-        n AS (SELECT COUNT(*) AS n_docs FROM documents),
-        scored AS (
-            SELECT t.doc_id, t.term,
-                   ROUND(t.tf * 1.0 / t.n_tokens
-                         * (ln((n.n_docs + 1.0) / (d.df + 1.0)) + 1), 4)
-                       AS tfidf
-            FROM tfc t JOIN dfreq d ON t.term = d.term CROSS JOIN n
-        )
-        SELECT doc_id, term, tfidf FROM (
-            SELECT *, ROW_NUMBER() OVER (
-                PARTITION BY doc_id ORDER BY tfidf DESC, term ASC) AS rn
-            FROM scored
-        ) WHERE rn <= 3
-    """,
-    "vocab_oov": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        flat AS (
-            SELECT doc_id, unnest(toks) AS term, len(toks) AS n_tokens
-            FROM tk
-        ),
-        cnt AS (SELECT term, COUNT(*) AS c FROM flat GROUP BY 1),
-        vocab AS (SELECT term FROM cnt ORDER BY c DESC, term ASC LIMIT 20)
-        SELECT f.doc_id, any_value(f.n_tokens) AS n_tokens,
-               CAST(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n_oov,
-               ROUND(SUM(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END)::DOUBLE
-                     / any_value(f.n_tokens), 4) AS oov_frac
-        FROM flat f LEFT JOIN vocab v ON f.term = v.term
-        GROUP BY f.doc_id
-    """,
-    "pack_sequences": """
-        WITH t AS (
-            SELECT doc_id, source,
-                   len(string_split(text, ' ')) AS n_tokens
-            FROM documents
-        )
-        SELECT doc_id, source, n_tokens,
-               CAST(COALESCE(SUM(n_tokens) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 512 AS BIGINT) AS bin_id
-        FROM t
-    """,
-    "incremental_dedup": f"""
-        WITH keyed AS (
-            SELECT doc_id,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g')))
-                       AS fp,
-                   {bucket_sql('doc_id', 'seen')} AS b
-            FROM documents
-        ),
-        seen AS (SELECT DISTINCT fp FROM keyed WHERE b < 5000),
-        fresh AS (
-            SELECT doc_id, fp FROM keyed
-            WHERE b >= 5000 AND fp NOT IN (SELECT fp FROM seen)
-        )
-        SELECT MIN(doc_id) AS doc_id, fp AS fingerprint
-        FROM fresh GROUP BY fp
-    """,
-    "quantized_topk": f"""
-        WITH v AS (
-            SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings
-        ),
-        m AS (
-            SELECT vec_id, ev,
-                   list_max(list_transform(ev, x -> abs(x))) AS mx
-            FROM v
-        ),
-        q8 AS (
-            SELECT vec_id,
-                   CASE WHEN mx = 0 THEN list_transform(ev, x -> 0.0)
-                        ELSE list_transform(ev, x -> round(x * 127.0 / mx))
-                   END AS qv
-            FROM m
-        ),
-        q AS (SELECT qv AS a_v FROM q8 WHERE vec_id = 0),
-        scored AS (
-            SELECT b.vec_id,
-                   ROUND({_COS_SIM.replace('b_v', 'b.qv')}, 4) AS cos_sim_q8
-            FROM q8 b, q WHERE b.vec_id <> 0
-        )
-        SELECT vec_id, cos_sim_q8 FROM scored
-        ORDER BY cos_sim_q8 DESC, vec_id LIMIT 10
-    """,
-    "url_parse": f"""
-        WITH u AS ({_URL_CTE})
-        SELECT doc_id, 'https' AS protocol,
-               'www.' || sitedom AS host,
-               sitedom AS domain,
-               '/' || lang || '/' || CAST(doc_id % 37 AS VARCHAR)
-                   || '/doc-' || CAST(doc_id AS VARCHAR) || '.html' AS path,
-               'ref=r' || CAST(doc_id % 5 AS VARCHAR) AS query_string
-        FROM u
-    """,
-    "blocklist_filter": f"""
-        WITH u AS ({_URL_CTE}),
-        urls AS (
-            SELECT doc_id, sitedom,
-                   'https://www.' || sitedom || '/' || lang || '/' ||
-                   CAST(doc_id % 37 AS VARCHAR) || '/doc-' ||
-                   CAST(doc_id AS VARCHAR) || '.html?ref=r' ||
-                   CAST(doc_id % 5 AS VARCHAR) AS url
-            FROM u
-        )
-        SELECT doc_id, url FROM urls
-        WHERE NOT (sitedom IN ('src3-site.com', 'src7-site.org')
-                   OR sitedom LIKE '%.net')
-          AND NOT regexp_matches(url, 'ref=r4$')
-    """,
-    "psi_drift": """
-        WITH a AS (
-            SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT),
-                                  0), 9) AS bucket
-            FROM events
-        ),
-        b AS (
-            SELECT LEAST(GREATEST(CAST(FLOOR((value - 0.0) / 50.0) AS INT),
-                                  0), 9) AS bucket
-            FROM events WHERE user_id % 3 = 0
-        ),
-        ca AS (SELECT bucket, COUNT(*) AS n_a FROM a GROUP BY 1),
-        cb AS (SELECT bucket, COUNT(*) AS n_b FROM b GROUP BY 1),
-        spine AS (SELECT CAST(g AS INT) AS bucket
-                  FROM generate_series(0, 9) t(g)),
-        j AS (
-            SELECT s.bucket, COALESCE(n_a, 0) AS n_a,
-                   COALESCE(n_b, 0) AS n_b
-            FROM spine s LEFT JOIN ca USING (bucket)
-                         LEFT JOIN cb USING (bucket)
-        ),
-        t AS (
-            SELECT *,
-                   (n_a + 1) / (SUM(n_a) OVER () + 10.0) AS p,
-                   (n_b + 1) / (SUM(n_b) OVER () + 10.0) AS q
-            FROM j
-        )
-        SELECT bucket, CAST(n_a AS BIGINT) AS n_a,
-               CAST(n_b AS BIGINT) AS n_b,
-               ROUND(p, 6) AS share_a, ROUND(q, 6) AS share_b,
-               ROUND((p - q) * ln(p / q), 6) AS psi_term
-        FROM t
-    """,
-    "domain_stats": f"""
-        WITH u AS ({_URL_CTE})
-        SELECT sitedom AS domain,
-               COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               ROUND(AVG(n_chars), 2) AS avg_chars,
-               COUNT(DISTINCT lang) AS n_langs
-        FROM u GROUP BY sitedom
-    """,
-    "domain_quota": f"""
-        WITH u AS ({_URL_CTE}),
-        ranked AS (
-            SELECT sitedom AS domain, doc_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY sitedom
-                       ORDER BY {_md5_draw_sql('quota', 'doc_id')}, doc_id
-                   ) AS quota_rank
-            FROM u
-        )
-        SELECT domain, doc_id, quota_rank FROM ranked WHERE quota_rank <= 5
-    """,
-    "bloom_membership": _bloom_membership_oracle(),
-    "throttle_schedule": f"""
-        WITH sched AS (
-            SELECT ({_md5_draw_sql('throttle:w', 'o_orderkey')} % 4) AS worker,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY ({_md5_draw_sql('throttle:w', 'o_orderkey')} % 4)
-                       ORDER BY {_md5_draw_sql('throttle:o', 'o_orderkey')}, o_orderkey
-                   ) - 1 AS rank0
-            FROM orders
-        )
-        SELECT rank0 // 500 AS send_second,
-               COUNT(*) AS rows_sent,
-               COUNT(DISTINCT worker) AS n_workers
-        FROM sched GROUP BY 1
-    """,
-    "pq_codes": f"""
-        WITH {_PQ_CTES}
-        SELECT vec_id, j, code FROM codes
-    """,
-    "pq_adc_topk": f"""
-        WITH {_PQ_CTES},
-        q AS (
-            SELECT j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS qx
-            FROM embeddings, subs WHERE vec_id = 0
-        ),
-        lut AS (
-            SELECT csl.j, csl.cid,
-                   CAST(floor(list_dot_product(q.qx, csl.c) * 10000.0 + 0.5)
-                        AS BIGINT) AS w
-            FROM csl JOIN q ON q.j = csl.j
-        ),
-        scored AS (
-            SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS adc_score_e4
-            FROM codes c JOIN lut l ON l.j = c.j AND l.cid = c.code
-            WHERE c.vec_id <> 0
-            GROUP BY c.vec_id
-        )
-        SELECT vec_id, adc_score_e4 FROM scored
-        ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
-    """,
-    "asof_last_click": """
-        SELECT e.event_id,
-               e.user_id,
-               c.event_id AS click_event_id,
-               c.value AS click_value,
-               CASE WHEN c.ts IS NULL THEN NULL
-                    ELSE epoch_us(e.ts) - epoch_us(c.ts) END AS gap_us
-        FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') e
-        ASOF LEFT JOIN
-             (SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'click') c
-        ON e.user_id = c.user_id AND e.ts >= c.ts
-    """,
-    "stratified_sample": _stratified_sample_oracle(),
-    "chunk_dedup": """
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        c AS (
-            SELECT doc_id, toks,
-                   unnest(range(0, CAST(ceil(len(toks) / 32.0) AS INT))) AS chunk_id
-            FROM t
-        ),
-        ch AS (
-            SELECT doc_id,
-                   md5(array_to_string(
-                       list_slice(toks, chunk_id*32 + 1, chunk_id*32 + 32), ' '
-                   )) AS h
-            FROM c
-        ),
-        freq AS (SELECT h, COUNT(DISTINCT doc_id) AS n_docs FROM ch GROUP BY h)
-        SELECT ch.doc_id,
-               COUNT(*) AS n_chunks,
-               CAST(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dup_chunks,
-               ROUND(SUM(CASE WHEN freq.n_docs >= 2 THEN 1 ELSE 0 END)::DOUBLE
-                     / COUNT(*), 4) AS dup_frac
-        FROM ch JOIN freq USING (h)
-        GROUP BY ch.doc_id
-    """,
-    "orc_roundtrip": """
-        SELECT s_nationkey,
-               COUNT(*) AS n_suppliers,
-               ROUND(SUM(s_acctbal), 2) AS sum_acctbal
-        FROM supplier GROUP BY s_nationkey
-    """,
-    "table_stats": """
-        SELECT COUNT(*) AS row_count,
-               MIN(l_orderkey) AS l_orderkey_min,
-               MAX(l_orderkey) AS l_orderkey_max,
-               MIN(l_extendedprice) AS l_extendedprice_min,
-               MAX(l_extendedprice) AS l_extendedprice_max
-        FROM lineitem
-    """,
-    "partitioned_events": """
-        SELECT user_id, COUNT(*) AS n_clicks,
-               CAST(ROUND(SUM(CAST(value AS DECIMAL(20,6))), 4) AS DOUBLE)
-                   AS click_value
-        FROM events WHERE event_type = 'click'
-        GROUP BY user_id
-    """,
-    "kmeans_clusters": _kmeans_oracle(),
-    "interval_session_lookup": """
-        WITH e AS (
-            SELECT user_id, event_id, ts,
-                   CAST(floor(epoch(ts)) AS BIGINT) AS sec
-            FROM events WHERE event_type <> 'error'
-        ),
-        f AS (
-            SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-                             OR sec - lag(sec) OVER w > 28800
-                           THEN 1 ELSE 0 END AS is_new
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        ),
-        s AS (
-            SELECT *, SUM(is_new) OVER (
-                PARTITION BY user_id ORDER BY ts, event_id
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-            ) AS session_id
-            FROM f
-        ),
-        sess AS (
-            SELECT user_id, session_id, COUNT(*) AS n_events,
-                   MIN(ts) AS session_start, MAX(ts) AS session_end
-            FROM s GROUP BY user_id, session_id
-        )
-        SELECT err.event_id, err.user_id,
-               sess.session_id AS session_id,
-               sess.n_events AS session_n_events
-        FROM (SELECT event_id, user_id, ts FROM events
-              WHERE event_type = 'error') err
-        LEFT JOIN sess
-          ON err.user_id = sess.user_id
-         AND err.ts >= sess.session_start AND err.ts <= sess.session_end
-    """,
-    "pivot_lang_source": """
-        SELECT source,
-               CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
-               CAST(SUM(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh,
-               CAST(SUM(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
-               CAST(SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
-               CAST(SUM(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr
-        FROM documents GROUP BY source
-    """,
-    "length_quartiles": """
-        WITH tiled AS (
-            SELECT n_chars,
-                   NTILE(4) OVER (ORDER BY n_chars, doc_id) AS tile
-            FROM documents
-        )
-        SELECT tile, COUNT(*) AS n_docs,
-               MIN(n_chars) AS min_chars, MAX(n_chars) AS max_chars
-        FROM tiled GROUP BY tile
-    """,
-    "rollup_profile": """
-        SELECT lang, source,
-               COUNT(*) AS n_docs,
-               CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-               CAST(GROUPING(lang, source) AS BIGINT) AS gid
-        FROM documents GROUP BY ROLLUP (lang, source)
-    """,
-    "running_total": """
-        SELECT o_custkey, o_orderkey,
-               ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
-                   PARTITION BY o_custkey
-                   ORDER BY o_orderdate, o_orderkey
-                   ROWS UNBOUNDED PRECEDING
-               ) AS DOUBLE), 2) AS running_total
-        FROM orders WHERE o_custkey < 100
-    """,
-    # e6 fixed-point per-term scores (exact integer doc sums); the
-    # float constants 2.2/1.2/0.25/0.75 are the exact doubles the
-    # Spark side uses (1.2 + 1.0 == 2.2 bit-exactly)
-    "bm25_topk": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(toks)) AS BIGINT) AS tot_len
-            FROM tk
-        ),
-        flat AS (
-            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                   unnest(toks) AS term
-            FROM tk
-        ),
-        tf AS (
-            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
-                   CAST(COUNT(*) AS BIGINT) AS tf
-            FROM flat
-            WHERE term IN ('spark', 'join', 'window', 'vector')
-            GROUP BY 1, 2
-        ),
-        dfreq AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        ),
-        scored AS (
-            SELECT t.doc_id,
-                   CAST(round(
-                       1000000.0
-                       * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                       * (t.tf * 2.2)
-                       / (t.tf + 1.2 * (0.25 + 0.75 * (t.n_tokens
-                            / (s.tot_len * 1.0 / s.n_docs))))
-                   ) AS BIGINT) AS term_score_e6
-            FROM tf t JOIN dfreq d USING (term), stats s
-        )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_query_terms,
-               CAST(SUM(term_score_e6) AS BIGINT) AS score_e6,
-               ROUND(SUM(term_score_e6) * 1.0 / 1000000.0, 4) AS score
-        FROM scored GROUP BY doc_id
-        ORDER BY score_e6 DESC, doc_id ASC LIMIT 10
-    """,
-    "unigram_logprob": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        flat AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-        cnt AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1
-        ),
-        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt),
-        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 50),
-        vn AS (SELECT CAST(COUNT(*) AS INT) AS v FROM vocab),
-        lp AS (
-            SELECT f.doc_id,
-                   CAST(round(1000000.0 * ln(
-                       (COALESCE(vo.c, 0) + 1.0) / (t.tot + n.v + 1.0)
-                   )) AS BIGINT) AS lp_e6
-            FROM flat f LEFT JOIN vocab vo USING (term), tot t, vn n
-        )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_tokens,
-               CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6,
-               ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
-                   AS avg_logprob
-        FROM lp GROUP BY doc_id
-    """,
-    "dsir_select": """
-        WITH tk AS (
-            SELECT doc_id, lang, string_split(text, ' ') AS toks FROM documents
-        ),
-        flat AS (SELECT doc_id, lang, unnest(toks) AS term FROM tk),
-        fb AS (
-            SELECT doc_id,
-                   CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
-                   CAST('0x' || substr(md5(term), 1, 8) AS BIGINT) % 64 AS b
-            FROM flat
-        ),
-        cnt AS (
-            SELECT b, CAST(COUNT(*) AS BIGINT) AS c_raw,
-                   CAST(SUM(is_t) AS BIGINT) AS c_tgt
-            FROM fb GROUP BY 1
-        ),
-        tot AS (
-            SELECT CAST(SUM(c_raw) AS BIGINT) AS t_raw,
-                   CAST(SUM(c_tgt) AS BIGINT) AS t_tgt
-            FROM cnt
-        ),
-        lr AS (
-            SELECT b,
-                   CAST(round(1000000.0 * (
-                       ln((c_tgt + 1.0) / (t.t_tgt + 64.0))
-                     - ln((c_raw + 1.0) / (t.t_raw + 64.0)))) AS BIGINT) AS lr_e6
-            FROM cnt, tot t
-        ),
-        sc AS (
-            SELECT fb.doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   CAST(SUM(lr.lr_e6) AS BIGINT) AS weight_e6
-            FROM fb JOIN lr USING (b) GROUP BY 1
-        )
-        SELECT doc_id, n_tokens, weight_e6,
-               ROUND(weight_e6 * 1.0 / 1000000.0, 4) AS weight
-        FROM sc ORDER BY weight_e6 DESC, doc_id ASC LIMIT 100
-    """,
-    "perplexity_buckets": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        flat AS (SELECT doc_id, unnest(toks) AS term FROM tk),
-        cnt AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1
-        ),
-        tot AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM cnt),
-        vocab AS (SELECT term, c FROM cnt ORDER BY c DESC, term ASC LIMIT 50),
-        vn AS (SELECT CAST(COUNT(*) AS INT) AS v FROM vocab),
-        lp AS (
-            SELECT f.doc_id,
-                   CAST(round(1000000.0 * ln(
-                       (COALESCE(vo.c, 0) + 1.0) / (t.tot + n.v + 1.0)
-                   )) AS BIGINT) AS lp_e6
-            FROM flat f LEFT JOIN vocab vo USING (term), tot t, vn n
-        ),
-        sc AS (
-            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-                   CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6
-            FROM lp GROUP BY doc_id
-        ),
-        tiled AS (
-            SELECT s.doc_id, d.lang,
-                   s.logprob_e6 * 1.0 / s.n_tokens AS avg_key,
-                   NTILE(3) OVER (
-                       PARTITION BY d.lang
-                       ORDER BY s.logprob_e6 * 1.0 / s.n_tokens DESC,
-                                s.doc_id ASC) AS tile
-            FROM sc s JOIN documents d USING (doc_id)
-        )
-        SELECT doc_id, lang,
-               ROUND(avg_key / 1000000.0, 4) AS avg_logprob,
-               CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                         ELSE 'tail' END AS ppl_bucket
-        FROM tiled
-    """,
-    "strip_boilerplate": """
-        WITH t AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        c AS (
-            SELECT doc_id, toks,
-                   unnest(range(0, CAST(ceil(len(toks) / 8.0) AS INT)))
-                       AS chunk_id
-            FROM t
-        ),
-        ch AS (
-            SELECT doc_id, chunk_id,
-                   array_to_string(
-                       list_slice(toks, CAST(chunk_id * 8 + 1 AS INT),
-                                  CAST(chunk_id * 8 + 8 AS INT)), ' ')
-                       AS chunk_text
-            FROM c
-        ),
-        freq AS (
-            SELECT chunk_text, COUNT(DISTINCT doc_id) AS nd
-            FROM ch GROUP BY 1
-        ),
-        marked AS (
-            SELECT ch.doc_id, ch.chunk_id, ch.chunk_text,
-                   (f.nd > 1) AS dropped
-            FROM ch JOIN freq f USING (chunk_text)
-        )
-        SELECT doc_id,
-               COALESCE(string_agg(
-                   CASE WHEN NOT dropped THEN chunk_text END,
-                   ' ' ORDER BY chunk_id), '') AS cleaned_text,
-               CAST(COUNT(*) AS BIGINT) AS n_chunks,
-               CAST(SUM(CASE WHEN dropped THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_dropped
-        FROM marked GROUP BY doc_id
-    """,
-    "dup_ngram_fraction": """
-        WITH sh AS (
-            SELECT doc_id,
-                   list_transform(
-                       range(1, greatest(len(string_split(text, ' ')) - 2, 1) + 1),
-                       i -> array_to_string(list_slice(string_split(text, ' '),
-                                                       CAST(i AS INT),
-                                                       CAST(i AS INT) + 2), ' ')
-                   ) AS g
-            FROM documents
-        )
-        SELECT doc_id,
-               CAST(len(g) AS BIGINT) AS n_ngrams,
-               ROUND((len(g) - len(list_distinct(g))) * 1.0 / len(g), 4)
-                   AS dup_ngram_frac
-        FROM sh
-    """,
-    "zipf_head_coverage": """
-        WITH flat AS (
-            SELECT unnest(string_split(text, ' ')) AS t FROM documents
-        ),
-        cnt AS (SELECT t, CAST(COUNT(*) AS BIGINT) AS c FROM flat GROUP BY 1),
-        tot AS (
-            SELECT CAST(SUM(c) AS BIGINT) AS total_tokens,
-                   CAST(COUNT(*) AS BIGINT) AS distinct_terms
-            FROM cnt
-        ),
-        head AS (
-            SELECT CAST(SUM(c) AS BIGINT) AS h
-            FROM (SELECT c FROM cnt ORDER BY c DESC, t ASC LIMIT 100)
-        )
-        SELECT tot.total_tokens, tot.distinct_terms,
-               ROUND(head.h * 1.0 / tot.total_tokens, 4) AS head_coverage
-        FROM tot, head
-    """,
-    "winnow_fingerprints": """
-        WITH g AS (
-            SELECT doc_id, text, len(text) - 4 AS ng FROM documents
-        ),
-        h AS (
-            SELECT doc_id,
-                   list_transform(range(1, ng + 1),
-                       i -> CAST('0x' || substr(md5(substr(text, CAST(i AS INT), 5)), 1, 8)
-                                AS BIGINT)) AS hs
-            FROM g WHERE ng >= 1
-        ),
-        w AS (
-            SELECT doc_id,
-                   list_distinct(list_transform(range(1, len(hs) - 2),
-                       j -> list_min(list_slice(hs, CAST(j AS INT),
-                                                CAST(j AS INT) + 3)))) AS fps
-            FROM h WHERE len(hs) >= 4
-        )
-        SELECT doc_id, unnest(fps) AS fp FROM w
-    """,
-    "bigram_logprob": """
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        tk2 AS (SELECT * FROM tk WHERE len(toks) >= 2),
-        idx AS (
-            SELECT doc_id, toks, unnest(range(1, len(toks))) AS i FROM tk2
-        ),
-        bi AS (
-            SELECT doc_id, toks[i] AS ctx, toks[i] || ' ' || toks[i + 1] AS bg
-            FROM idx
-        ),
-        bcnt AS (SELECT bg, CAST(COUNT(*) AS BIGINT) AS c FROM bi GROUP BY 1),
-        bvocab AS (SELECT bg, c FROM bcnt ORDER BY c DESC, bg ASC LIMIT 200),
-        bv AS (SELECT CAST(COUNT(*) AS INT) AS v FROM bvocab),
-        ucnt AS (
-            SELECT t, CAST(COUNT(*) AS BIGINT) AS c
-            FROM (SELECT unnest(toks) AS t FROM tk2) GROUP BY 1
-        ),
-        uvocab AS (SELECT t, c FROM ucnt ORDER BY c DESC, t ASC LIMIT 200),
-        lp AS (
-            SELECT bi.doc_id,
-                   CAST(round(1000000.0 * ln(
-                       (COALESCE(b.c, 0) + 1.0)
-                       / (COALESCE(u.c, 0) + n.v + 1.0)
-                   )) AS BIGINT) AS lp_e6
-            FROM bi
-            LEFT JOIN bvocab b USING (bg)
-            LEFT JOIN uvocab u ON u.t = bi.ctx, bv n
-        )
-        SELECT doc_id,
-               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-               CAST(SUM(lp_e6) AS BIGINT) AS logprob_e6,
-               ROUND(SUM(lp_e6) * 1.0 / COUNT(*) / 1000000.0, 4)
-                   AS avg_logprob
-        FROM lp GROUP BY doc_id
-    """,
-    "fuzzy_part_match": """
-        WITH names AS (
-            SELECT p_name AS nm, CAST(COUNT(*) AS BIGINT) AS n,
-                   string_split(p_name, ' ')[-1] AS blk
-            FROM part GROUP BY p_name
-        )
-        SELECT a.nm AS name_a, b.nm AS name_b,
-               levenshtein(a.nm, b.nm) AS dist,
-               a.n AS n_a, b.n AS n_b
-        FROM names a JOIN names b ON a.blk = b.blk AND a.nm < b.nm
-        WHERE abs(len(a.nm) - len(b.nm)) <= 2
-          AND levenshtein(a.nm, b.nm) <= 2
-    """,
-    "resample_ffill": """
-        WITH e AS (
-            SELECT user_id, date_trunc('hour', ts) AS h, value
-            FROM events WHERE event_type = 'purchase'
-        ),
-        b AS (
-            SELECT user_id, h, CAST(COUNT(*) AS BIGINT) AS c,
-                   MAX(value) AS mv
-            FROM e GROUP BY 1, 2
-        ),
-        span AS (
-            SELECT user_id, MIN(h) AS h0, MAX(h) AS h1 FROM e GROUP BY 1
-        ),
-        grid AS (
-            SELECT user_id,
-                   unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS bucket
-            FROM span
-        )
-        SELECT g.user_id, g.bucket,
-               COALESCE(b.c, 0) AS n_events,
-               last_value(b.mv IGNORE NULLS) OVER (
-                   PARTITION BY g.user_id ORDER BY g.bucket
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS value_ffill
-        FROM grid g LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.bucket
-    """,
-    "event_funnel": """
-        WITH u AS (
-            SELECT user_id,
-                   MIN(ts) FILTER (WHERE event_type = 'view') AS t0,
-                   MIN(ts) FILTER (WHERE event_type = 'click') AS t1,
-                   MIN(ts) FILTER (WHERE event_type = 'purchase') AS t2
-            FROM events GROUP BY 1
-        ),
-        c AS (
-            SELECT
-                CAST(SUM(CASE WHEN t0 IS NOT NULL THEN 1 ELSE 0 END)
-                     AS BIGINT) AS c0,
-                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
-                              AND t0 < t1 THEN 1 ELSE 0 END)
-                     AS BIGINT) AS c1,
-                CAST(SUM(CASE WHEN t0 IS NOT NULL AND t1 IS NOT NULL
-                              AND t0 < t1 AND t2 IS NOT NULL AND t1 < t2
-                              THEN 1 ELSE 0 END)
-                     AS BIGINT) AS c2
-            FROM u
-        )
-        SELECT 0 AS stage_index, 'view' AS stage, c0 AS users,
-               CAST(NULL AS DOUBLE) AS conversion FROM c
-        UNION ALL
-        SELECT 1, 'click', c1, ROUND(c1 * 1.0 / c0, 4) FROM c
-        UNION ALL
-        SELECT 2, 'purchase', c2, ROUND(c2 * 1.0 / c1, 4) FROM c
-    """,
-    "hybrid_rrf": f"""
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        stats AS (
-            SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-                   CAST(SUM(len(toks)) AS BIGINT) AS tot_len
-            FROM tk
-        ),
-        flat AS (
-            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                   unnest(toks) AS term
-            FROM tk
-        ),
-        tf AS (
-            SELECT doc_id, term, any_value(n_tokens) AS n_tokens,
-                   CAST(COUNT(*) AS BIGINT) AS tf
-            FROM flat
-            WHERE term IN ('spark', 'join', 'window', 'vector')
-            GROUP BY 1, 2
-        ),
-        dfreq AS (
-            SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
-        ),
-        bmscored AS (
-            SELECT t.doc_id,
-                   CAST(round(
-                       1000000.0
-                       * ln((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
-                       * (t.tf * 2.2)
-                       / (t.tf + 1.2 * (0.25 + 0.75 * (t.n_tokens
-                            / (s.tot_len * 1.0 / s.n_docs))))
-                   ) AS BIGINT) AS term_score_e6
-            FROM tf t JOIN dfreq d USING (term), stats s
-        ),
-        bm AS (
-            SELECT doc_id, CAST(SUM(term_score_e6) AS BIGINT) AS score_e6
-            FROM bmscored GROUP BY doc_id
-            ORDER BY score_e6 DESC, doc_id LIMIT 50
-        ),
-        bmr AS (
-            SELECT doc_id, ROW_NUMBER() OVER (
-                ORDER BY score_e6 DESC, doc_id) AS r
-            FROM bm
-        ),
-        q AS (
-            SELECT embedding::DOUBLE[] AS a_v FROM embeddings WHERE vec_id = 0
-        ),
-        cosd AS (
-            SELECT b.vec_id AS doc_id,
-                   ROUND({_COS_SIM.replace('b_v', 'b.embedding::DOUBLE[]')}, 4)
-                       AS cos_sim
-            FROM embeddings b, q WHERE b.vec_id <> 0
-        ),
-        cost AS (
-            SELECT doc_id, cos_sim FROM cosd
-            ORDER BY cos_sim DESC, doc_id LIMIT 50
-        ),
-        cosr AS (
-            SELECT doc_id, ROW_NUMBER() OVER (
-                ORDER BY cos_sim DESC, doc_id) AS r
-            FROM cost
-        ),
-        u AS (
-            SELECT doc_id, CAST(round(1000000000.0 / (60 + r)) AS BIGINT) AS c
-            FROM bmr
-            UNION ALL
-            SELECT doc_id, CAST(round(1000000000.0 / (60 + r)) AS BIGINT) AS c
-            FROM cosr
-        )
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lists,
-               CAST(SUM(c) AS BIGINT) AS rrf_e9,
-               ROUND(SUM(c) / 1000000000.0, 6) AS rrf_score
-        FROM u GROUP BY doc_id
-        ORDER BY rrf_e9 DESC, doc_id LIMIT 15
-    """,
-    "url_canonical_groups": f"""
-        WITH u AS ({_URL_CTE}),
-        c AS (
-            SELECT 'https://' || sitedom || '/' || lang || '/'
-                       || CAST(doc_id % 37 AS VARCHAR) || '/' AS canonical_url,
-                   doc_id
-            FROM u
-        )
-        SELECT canonical_url,
-               CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(COUNT(*) - 1 AS BIGINT) AS n_dropped
-        FROM c GROUP BY canonical_url
-    """,
-    "hashed_quality_clf": f"""
-        WITH tk AS (
-            SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-        ),
-        s AS (
-            SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
-                   CAST(list_sum(list_transform(toks,
-                       t -> {_md5_draw_sql('quality-clf', 't')} % 2001 - 1000
-                   )) AS BIGINT) AS w_sum_e3
-            FROM tk
-        ),
-        p AS (
-            SELECT doc_id, n_tokens, w_sum_e3,
-                   ROUND(1.0 / (1.0 + exp(-(w_sum_e3 / (1000.0 * n_tokens)))),
-                         4) AS quality_prob
-            FROM s
-        )
-        SELECT doc_id, n_tokens, w_sum_e3, quality_prob,
-               quality_prob >= 0.5 AS accept
-        FROM p
-    """,
-    "token_budget_select": """
-        WITH t AS (
-            SELECT doc_id, n_chars,
-                   CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-            FROM documents
-        ),
-        c AS (
-            SELECT doc_id, n_chars, n_tokens,
-                   SUM(n_tokens) OVER (
-                       ORDER BY n_chars DESC, doc_id ASC
-                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-                   ) AS cum
-            FROM t
-        )
-        SELECT doc_id, n_chars, n_tokens FROM c WHERE cum <= 10000
-    """,
-    "heavy_hitters": """
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split(text, ' ')) AS term FROM documents)
-        GROUP BY term HAVING COUNT(*) >= 300
-    """,
-    "stable_dense_ids": """
-        SELECT doc_id, n_chars,
-               CAST(ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id ASC)
-                    AS BIGINT) AS stable_id
-        FROM documents
-    """,
-    "scd2_history": """
-        WITH c AS (
-            SELECT user_id, ts, event_type,
-                   lag(event_type) OVER (
-                       PARTITION BY user_id ORDER BY ts, event_type
-                   ) AS prev
-            FROM events
-        ),
-        f AS (
-            SELECT user_id, ts, event_type FROM c
-            WHERE prev IS NULL OR prev <> event_type
-        )
-        SELECT user_id,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY user_id ORDER BY ts, event_type
-               ) AS BIGINT) AS version,
-               event_type,
-               ts AS valid_from,
-               lead(ts) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_type
-               ) AS valid_to
-        FROM f
-    """,
-    "percentile_normalize": """
-        SELECT doc_id, lang, n_chars,
-               ROUND(percent_rank() OVER (
-                   PARTITION BY lang ORDER BY n_chars ASC
-               ), 6) AS pct_rank
-        FROM documents
-    """,
-    "robust_scale": """
-        WITH med AS (
-            -- quantile_cont = Spark's interpolated median (DuckDB's
-            -- median() is the discrete lower-middle variant)
-            SELECT lang,
-                   CAST(quantile_cont(n_chars * 1.0, 0.5) AS DOUBLE) AS m
-            FROM documents GROUP BY lang
-        ),
-        mad AS (
-            SELECT d.lang,
-                   CAST(quantile_cont(abs(d.n_chars * 1.0 - med.m), 0.5)
-                        AS DOUBLE) AS s
-            FROM documents d JOIN med USING (lang) GROUP BY d.lang
-        )
-        SELECT d.doc_id, d.lang, d.n_chars,
-               ROUND(med.m, 4) AS group_median,
-               ROUND(mad.s, 4) AS group_mad,
-               CASE WHEN mad.s <> 0
-                    THEN ROUND((d.n_chars * 1.0 - med.m) / mad.s, 4)
-               END AS robust_z
-        FROM documents d JOIN med USING (lang) JOIN mad USING (lang)
-    """,
-    "domain_pagerank": _pagerank_oracle(5),
-    "bucketed_join": """
-        SELECT o_orderstatus,
-               CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
-                   AS sum_price,
-               CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
-                   AS sum_qty,
-               COUNT(*) AS n_items
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-        GROUP BY o_orderstatus
-    """,
-    "dedup_survivors": f"""
-        WITH RECURSIVE {_SHINGLES_CTE},
-        sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-        inter AS (
-            SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS i
-            FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-            GROUP BY 1, 2
-        ),
-        pairs AS (
-            SELECT id_a, id_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = id_a
-            JOIN sizes sb ON sb.doc_id = id_b
-            WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
-        ),
-        edges AS (
-            SELECT id_a AS src, id_b AS dst FROM pairs
-            UNION SELECT id_b, id_a FROM pairs
-        ),
-        reach(id, r) AS (
-            SELECT doc_id, doc_id FROM documents
-            UNION
-            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.id
-        ),
-        comp AS (SELECT id AS doc_id, MIN(r) AS component FROM reach GROUP BY id),
-        sized AS (
-            SELECT doc_id, component,
-                   COUNT(*) OVER (PARTITION BY component) AS cluster_size
-            FROM comp
-        ),
-        {_QUALITY_CTE},
-        ranked AS (
-            SELECT s.doc_id, s.cluster_size, q.quality_e4,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY s.component
-                       ORDER BY q.quality_e4 DESC, s.doc_id
-                   ) AS rn
-            FROM sized s JOIN q USING (doc_id)
-        )
-        SELECT doc_id, cluster_size, quality_e4 FROM ranked WHERE rn = 1
-    """,
-    "ngram_novelty": f"""
-        WITH {_SHINGLES_CTE},
-        dfq AS (SELECT shingle, COUNT(*) AS dfreq FROM sh GROUP BY shingle)
-        SELECT doc_id,
-               COUNT(*) AS n_shingles,
-               CAST(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS n_unique,
-               ROUND(SUM(CASE WHEN dfreq = 1 THEN 1 ELSE 0 END) * 1.0
-                     / COUNT(*), 4) AS novelty
-        FROM sh JOIN dfq USING (shingle)
-        GROUP BY doc_id
-    """,
-    "zorder_keys": None,  # filled below (needs the generated bit expr)
-    "stream_enrich": """
-        SELECT e.event_id, e.user_id, e.event_type, c.c_mktsegment
-        FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
-    """,
-    "source_overlap": """
-        WITH fp AS (
-            SELECT DISTINCT source AS src,
-                   md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
-            FROM documents
-        )
-        SELECT a.src AS source_a, b.src AS source_b,
-               COUNT(*) AS shared_fps
-        FROM fp a JOIN fp b ON a.f = b.f AND a.src < b.src
-        GROUP BY 1, 2
-    """,
-}
-
-from cassandra_data_migration_spark.operators.linalg import (  # noqa: E402
-    gram_matrix_sql as _gram_matrix_sql,
-)
-
-ORACLES["gram_matrix"] = _gram_matrix_sql("embeddings", "embedding", "vec_id", 64)
-
-from cassandra_data_migration_spark.operators.ring import (  # noqa: E402
-    ring_sql as _ring_sql,
-)
-
-ORACLES["ring_ownership"] = _ring_sql("orders", "o_orderkey")
-
-from cassandra_data_migration_spark.operators.ring import (  # noqa: E402
-    replica_sql as _replica_sql,
-)
-
-ORACLES["replica_ownership"] = _replica_sql("orders", "o_orderkey", rf=3)
-
-ORACLES["shipping_priority"] = """
-    SELECT o_orderkey, o_orderdate,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1997-06-01'
-      AND l_shipdate > TIMESTAMP '1997-06-01'
-    GROUP BY o_orderkey, o_orderdate
-    ORDER BY revenue DESC, o_orderkey
-    LIMIT 10
-"""
-
-ORACLES["region_volume"] = """
-    SELECT n_name,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,2)))
-                AS DOUBLE) AS revenue
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN supplier ON l_suppkey = s_suppkey
-                 AND c_nationkey = s_nationkey
-    JOIN nation ON s_nationkey = n_nationkey
-    JOIN region ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-    GROUP BY n_name
-"""
-
-ORACLES["event_anomalies"] = """
-    WITH s AS (
-        SELECT event_type, COUNT(*) AS n,
-               CAST(SUM(CAST(value AS DECIMAL(28,8))) AS DOUBLE) AS sv,
-               CAST(SUM(CAST(value * value AS DECIMAL(28,8))) AS DOUBLE) AS sq
-        FROM events GROUP BY event_type
-    )
-    SELECT e.event_id, e.event_type, e.value,
-           ROUND((e.value - sv / n)
-                 / sqrt(sq / n - (sv / n) * (sv / n)), 4) AS z
-    FROM events e JOIN s USING (event_type)
-    WHERE ABS(ROUND((e.value - sv / n)
-                    / sqrt(sq / n - (sv / n) * (sv / n)), 4)) > 2.5
-"""
-
-ORACLES["trending_types"] = """
-    WITH c AS (
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
-               COUNT(*) AS n_events
-        FROM events GROUP BY 1, 2
-    ),
-    r AS (
-        SELECT win_start, event_type, n_events,
-               CAST(ROW_NUMBER() OVER (
-                   PARTITION BY win_start
-                   ORDER BY n_events DESC, event_type
-               ) AS INT) AS rnk
-        FROM c
-    )
-    SELECT win_start, event_type, n_events, rnk FROM r WHERE rnk <= 3
-"""
-
-ORACLES["inverted_postings"] = """
-    WITH tf AS (
-        SELECT term, doc_id, COUNT(*) AS tf
-        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-              FROM documents)
-        GROUP BY term, doc_id
-    ),
-    r AS (
-        SELECT term, doc_id, tf,
-               ROW_NUMBER() OVER (
-                   PARTITION BY term ORDER BY tf DESC, doc_id
-               ) AS rnk
-        FROM tf
-    )
-    SELECT term, COUNT(*) AS doc_freq,
-           array_to_string(
-               list(CAST(doc_id AS VARCHAR) ORDER BY rnk)
-                   FILTER (WHERE rnk <= 5),
-               ' ') AS postings
-    FROM r GROUP BY term
-"""
-
-ORACLES["retry_collapse"] = """
-    WITH g AS (
-        SELECT event_id, user_id, event_type, ts,
-               epoch_us(ts) - LAG(epoch_us(ts)) OVER (
-                   PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id
-               ) AS gap
-        FROM events
-    ),
-    s AS (
-        SELECT *, SUM(CASE WHEN gap IS NULL OR gap > 60000000
-                           THEN 1 ELSE 0 END) OVER (
-                   PARTITION BY user_id, event_type
-                   ORDER BY ts, event_id
-                   ROWS UNBOUNDED PRECEDING) AS sess
-        FROM g
-    ),
-    f AS (
-        SELECT *, ROW_NUMBER() OVER (
-                   PARTITION BY user_id, event_type, sess
-                   ORDER BY ts, event_id) AS r
-        FROM s
-    )
-    SELECT event_id, user_id, event_type, ts FROM f WHERE r = 1
-"""
-
-ORACLES["value_histogram"] = """
-    WITH b AS (
-        SELECT LEAST(GREATEST(CAST(floor((value - 0.0) / 10.0) AS BIGINT),
-                              0), 19) AS bucket
-        FROM events
-    )
-    SELECT bucket, ROUND(0.0 + bucket * 10.0, 4) AS lo_edge,
-           COUNT(*) AS n
-    FROM b GROUP BY bucket
-"""
-
-ORACLES["dq_report"] = """
-    WITH raw AS (
-        SELECT 'not_null(o_custkey)' AS check_name,
-               CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS violations,
-               COUNT(*) AS n_rows
-        FROM orders
-        UNION ALL
-        SELECT 'range(o_totalprice)',
-               CAST(SUM(CASE WHEN o_totalprice IS NULL
-                              OR o_totalprice < 0.0
-                              OR o_totalprice > 1000000.0 THEN 1 ELSE 0 END) AS BIGINT),
-               COUNT(*)
-        FROM orders
-        UNION ALL
-        SELECT 'in_set(o_orderstatus)',
-               CAST(SUM(CASE WHEN o_orderstatus IS NULL
-                              OR o_orderstatus NOT IN ('O','F','P') THEN 1 ELSE 0 END) AS BIGINT),
-               COUNT(*)
-        FROM orders
-        UNION ALL
-        SELECT 'regex(o_orderpriority)',
-               CAST(SUM(CASE WHEN o_orderpriority IS NULL
-                              OR NOT regexp_matches(o_orderpriority, '^[0-9]-') THEN 1 ELSE 0 END) AS BIGINT),
-               COUNT(*)
-        FROM orders
-        UNION ALL
-        SELECT 'expect(finished_have_price)',
-               CAST(SUM(CASE WHEN NOT COALESCE(
-                        o_orderstatus != 'F' OR o_totalprice > 0,
-                        FALSE) THEN 1 ELSE 0 END) AS BIGINT),
-               COUNT(*)
-        FROM orders
-        UNION ALL
-        SELECT 'unique(o_orderkey)',
-               CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
-               COUNT(*)
-        FROM orders
-        UNION ALL
-        SELECT 'fk(o_custkey)',
-               CAST((SELECT COUNT(*) FROM orders o
-                     LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
-                       ON o.o_custkey = c.c_custkey
-                     WHERE c.c_custkey IS NULL) AS BIGINT),
-               COUNT(*)
-        FROM orders
-    )
-    SELECT check_name, violations, n_rows, violations = 0 AS passed FROM raw
-"""
-
-from cassandra_data_migration_spark.operators.layout import (  # noqa: E402
-    zorder_key_sql as _zorder_key_sql,
-)
-
-ORACLES["zorder_keys"] = f"""
-    SELECT event_id, x, y,
-           {_zorder_key_sql(['x', 'y'], bits=8)} AS zkey
-    FROM (
-        SELECT event_id,
-               abs(user_id) % 256 AS x,
-               CAST(abs(floor(value)) AS BIGINT) % 256 AS y
-        FROM events
-    )
-"""
-
-
-from cassandra_data_migration_spark.operators.merkle import (  # noqa: E402
-    merkle_digest_sql as _merkle_digest_sql,
-)
-
-# column encodings mirror merkle.portable_digest_cols for the orders
-# schema: ints/strings cast, DOUBLE via FLOOR(x*100), TIMESTAMP via
-# explicit strftime (bare casts disagree on fractional seconds)
-_ORDERS_DIGEST_EXPRS = [
-    "CAST(o_orderkey AS VARCHAR)",
-    "CAST(o_custkey AS VARCHAR)",
-    "CAST(o_orderstatus AS VARCHAR)",
-    "CAST(CAST(FLOOR(o_totalprice * 100) AS BIGINT) AS VARCHAR)",
-    "strftime(o_orderdate, '%Y-%m-%d %H:%M:%S.%f')",
-    "CAST(o_orderpriority AS VARCHAR)",
-]
-
-ORACLES["merkle_range_diff"] = f"""
-    WITH o AS ({_merkle_digest_sql("SELECT * FROM orders", "o_orderkey", _ORDERS_DIGEST_EXPRS)}),
-    t AS ({_merkle_digest_sql(_TARGET_SQL, "o_orderkey", _ORDERS_DIGEST_EXPRS)})
-    SELECT * FROM (
-        SELECT COALESCE(o.bucket, t.bucket) AS bucket,
-               o.n_rows AS origin_rows, t.n_rows AS target_rows,
-               o.digest AS origin_digest, t.digest AS target_digest,
-               CASE WHEN t.n_rows IS NULL THEN 'missing_range'
-                    WHEN o.n_rows IS NULL THEN 'extra_range'
-                    WHEN o.n_rows <> t.n_rows OR o.digest <> t.digest
-                         THEN 'mismatch'
-                    ELSE 'match' END AS status
-        FROM o FULL OUTER JOIN t ON o.bucket = t.bucket
-    ) WHERE status <> 'match'
-"""
-
-# the prefix filter is lossless, so its oracle IS the full quadratic
-# Jaccard recompute — identical output to dedup_ngram_jaccard
-ORACLES["prefix_filter_pairs"] = ORACLES["dedup_ngram_jaccard"]
-
-_EVENTS_DIGEST_EXPRS = [
-    "CAST(event_id AS VARCHAR)",
-    "strftime(ts, '%Y-%m-%d %H:%M:%S.%f')",
-    "CAST(user_id AS VARCHAR)",
-    "CAST(event_type AS VARCHAR)",
-    "CAST(CAST(FLOOR(value * 100) AS BIGINT) AS VARCHAR)",
-    "CAST(props AS VARCHAR)",
-]
-
-def _media_decode_expected() -> str:
-    # expected sums computed straight from the pixel generator —
-    # independent of the BMP encode/decode roundtrip under test
-    vals = []
-    for i in range(32):
-        rgb = _synth_rgb(i)
-        vals.append(
-            f"({i}, 4, 4, {sum(rgb[0::3])}, {sum(rgb[1::3])}, {sum(rgb[2::3])})"
-        )
-    return (
-        "SELECT * FROM (VALUES "
-        + ", ".join(vals)
-        + ") AS t(doc_id, width, height, sum_r, sum_g, sum_b)"
-    )
-
-
-ORACLES["id_gap_islands"] = """
-    WITH present AS (
-        SELECT DISTINCT event_id FROM events WHERE event_id % 97 <> 0
-    ),
-    keyed AS (
-        SELECT event_id,
-               event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS island
-        FROM present
-    )
-    SELECT MIN(event_id) AS island_start,
-           MAX(event_id) AS island_end,
-           COUNT(*) AS island_len
-    FROM keyed GROUP BY island
-"""
-
-ORACLES["winsorized_stats"] = """
-    WITH bounds AS (
-        SELECT event_type,
-               quantile_cont(value, 0.05) AS lo,
-               quantile_cont(value, 0.95) AS hi
-        FROM events GROUP BY 1
-    )
-    SELECT e.event_type,
-           ROUND(CAST(SUM(CAST(LEAST(GREATEST(e.value, b.lo), b.hi)
-                 AS DECIMAL(20,6))) / COUNT(*) AS DOUBLE), 6)
-               AS winsorized_mean,
-           ROUND(ANY_VALUE(b.lo), 6) AS lower_bound,
-           ROUND(ANY_VALUE(b.hi), 6) AS upper_bound,
-           COUNT(*) AS n
-    FROM events e JOIN bounds b ON e.event_type = b.event_type
-    GROUP BY 1
-"""
-
-ORACLES["code_signals"] = r"""
-    SELECT doc_id,
-           len(regexp_extract_all(text, '[{}\[\]();]')) AS n_braces,
-           len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
-               AS n_operators,
-           len(regexp_extract_all(text,
-               '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b'))
-               AS n_identifiers,
-           ROUND((len(regexp_extract_all(text, '[{}\[\]();]'))
-                  + len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
-                  + len(regexp_extract_all(text,
-                      '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b')))
-                 * 1.0 / GREATEST(len(regexp_extract_all(text, '\S+')), 1),
-                 6) AS code_density,
-           (len(regexp_extract_all(text, '[{}\[\]();]'))
-            + len(regexp_extract_all(text, '(==|!=|->|=>|&&|\|\||::)'))
-            + len(regexp_extract_all(text,
-                '\b([a-z]+[A-Z][A-Za-z]*|[a-z]+_[a-z_]+)\b')))
-           * 1.0 / GREATEST(len(regexp_extract_all(text, '\S+')), 1)
-           > 0.05 AS is_codelike
-    FROM documents
-"""
-
-ORACLES["benford_profile"] = f"""
-    WITH f AS (SELECT o_totalprice FROM orders WHERE ABS(o_totalprice) >= 1),
-    counts AS (
-        SELECT CAST(substr(CAST(CAST(FLOOR(ABS(o_totalprice)) AS BIGINT)
-                   AS VARCHAR), 1, 1) AS INT) AS digit,
-               COUNT(*) AS n
-        FROM f GROUP BY 1
-    ),
-    tot AS (SELECT COUNT(*) AS t FROM f),
-    benford(digit, benford_pct) AS (
-        VALUES {", ".join(f"({k}, {round(__import__('math').log10(1 + 1/k), 6)})" for k in range(1, 10))}
-    )
-    SELECT c.digit, c.n,
-           ROUND(c.n * 1.0 / tot.t, 6) AS observed_pct,
-           b.benford_pct,
-           ROUND(ABS(ROUND(c.n * 1.0 / tot.t, 6) - b.benford_pct), 6)
-               AS abs_dev
-    FROM counts c JOIN benford b ON b.digit = c.digit CROSS JOIN tot
-    WHERE c.digit BETWEEN 1 AND 9
-"""
-
-ORACLES["readability"] = """
-    WITH c AS (
-        SELECT doc_id,
-               GREATEST(len(regexp_extract_all(lower(text),
-                   '[a-z0-9'']+')), 1) AS n_words,
-               GREATEST(len(regexp_extract_all(lower(text),
-                   '[.!?]+')), 1) AS n_sentences,
-               GREATEST(len(regexp_extract_all(lower(text),
-                   '[aeiouy]+')), 1) AS n_syllables
-        FROM documents
-    )
-    SELECT doc_id, n_words, n_sentences, n_syllables,
-           ROUND(206.835 - 1.015 * (n_words * 1.0 / n_sentences)
-                 - 84.6 * (n_syllables * 1.0 / n_words), 4) AS flesch_score
-    FROM c
-"""
-
-ORACLES["merge_intervals"] = """
-    WITH iv AS (
-        SELECT user_id, ts AS start_ts, ts + INTERVAL 30 MINUTE AS end_ts
-        FROM events
-    ),
-    flagged AS (
-        SELECT *,
-               CASE WHEN start_ts > MAX(end_ts) OVER (
-                        PARTITION BY user_id ORDER BY start_ts, end_ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                    OR MAX(end_ts) OVER (
-                        PARTITION BY user_id ORDER BY start_ts, end_ts
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
-                       IS NULL
-               THEN 1 ELSE 0 END AS new_span
-        FROM iv
-    ),
-    spanned AS (
-        SELECT *, SUM(new_span) OVER (
-                   PARTITION BY user_id ORDER BY start_ts, end_ts
-                   ROWS UNBOUNDED PRECEDING) AS span
-        FROM flagged
-    )
-    SELECT user_id, MIN(start_ts) AS span_start, MAX(end_ts) AS span_end,
-           COUNT(*) AS n_merged
-    FROM spanned GROUP BY user_id, span
-"""
-
-ORACLES["ab_test_readout"] = """
-    WITH assigned AS (
-        SELECT CASE WHEN CAST(CAST('0x' || substr(md5('exp1'
-                   || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
-                   % 10000 AS INTEGER) < 5000
-               THEN 'treatment' ELSE 'control' END AS arm,
-               CAST(value AS DECIMAL(18,6)) AS x
-        FROM events
-    ),
-    stats AS (
-        SELECT arm, COUNT(*) AS n, SUM(x) AS sx,
-               SUM(CAST(x * x AS DECIMAL(38,12))) AS sxx
-        FROM assigned GROUP BY 1
-    ),
-    per AS (
-        SELECT arm, n,
-               CAST(sx AS DOUBLE) / n AS mean,
-               (CAST(sxx AS DOUBLE)
-                - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
-               / (n - 1) AS variance
-        FROM stats
-    )
-    SELECT t.n AS n_treatment, c.n AS n_control,
-           ROUND(t.mean, 6) AS mean_treatment,
-           ROUND(c.mean, 6) AS mean_control,
-           ROUND(t.mean - c.mean, 6) AS lift,
-           ROUND((t.mean - c.mean)
-                 / sqrt(t.variance / t.n + c.variance / c.n), 6) AS welch_z
-    FROM (SELECT * FROM per WHERE arm = 'treatment') t,
-         (SELECT * FROM per WHERE arm = 'control') c
-"""
-
-ORACLES["multi_touch_credit"] = """
-    WITH pairs AS (
-        SELECT p.event_id AS purchase_id, p.value, c.event_id AS click_id
-        FROM events p JOIN events c
-          ON p.user_id = c.user_id
-         AND p.event_type = 'purchase' AND c.event_type = 'click'
-         AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
-    ),
-    touches AS (
-        SELECT purchase_id, COUNT(*) AS n, ANY_VALUE(value) AS v
-        FROM pairs GROUP BY 1
-    )
-    SELECT pr.click_id, COUNT(*) AS n_purchases,
-           CAST(SUM(CAST(FLOOR(t.v * 100 / t.n) AS BIGINT))
-                AS BIGINT) AS credit_cents
-    FROM pairs pr JOIN touches t ON pr.purchase_id = t.purchase_id
-    GROUP BY 1
-"""
-
-ORACLES["cumulative_users"] = """
-    WITH first AS (
-        SELECT user_id, MIN(date_trunc('week', ts)) AS period
-        FROM events GROUP BY 1
-    ),
-    per AS (SELECT period, COUNT(*) AS new_users FROM first GROUP BY 1)
-    SELECT period, new_users,
-           CAST(SUM(new_users) OVER (ORDER BY period
-               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
-    FROM per
-"""
-
-ORACLES["growth_accounting"] = """
-    WITH active AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
-        FROM events
-    ),
-    flagged AS (
-        SELECT user_id, period,
-               LAG(period) OVER (PARTITION BY user_id ORDER BY period)
-                   AS prev,
-               LEAD(period) OVER (PARTITION BY user_id ORDER BY period)
-                   AS next
-        FROM active
-    )
-    SELECT period,
-           CAST(SUM(CASE WHEN prev IS NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS new_users,
-           CAST(SUM(CASE WHEN prev IS NOT NULL
-                AND date_diff('second', prev, period) = 604800
-                THEN 1 ELSE 0 END) AS BIGINT) AS retained,
-           CAST(SUM(CASE WHEN prev IS NOT NULL
-                AND date_diff('second', prev, period) > 604800
-                THEN 1 ELSE 0 END) AS BIGINT) AS resurrected,
-           CAST(SUM(CASE WHEN next IS NULL
-                OR date_diff('second', period, next) > 604800
-                THEN 1 ELSE 0 END) AS BIGINT) AS churned_after
-    FROM flagged GROUP BY 1
-"""
-
-ORACLES["null_safe_join"] = """
-    WITH ev AS (
-        SELECT event_id,
-               CASE WHEN value < 5 THEN NULL ELSE event_type END AS etype
-        FROM events
-    ),
-    dim AS (
-        SELECT DISTINCT etype AS dim_key,
-               COALESCE('type:' || etype, 'unattributed') AS label
-        FROM ev
-    )
-    SELECT d.label, COUNT(*) AS n_events
-    FROM ev e LEFT JOIN dim d ON e.etype IS NOT DISTINCT FROM d.dim_key
-    GROUP BY d.label
-"""
-
-# independent footer reader: DuckDB's parquet_metadata().  Computed at
-# oracle_sql() time from the contract sf dir (CDM_ORACLE_SF_DIR, driver
-# default sf0.01) so the contract holds at any scale factor; grouping
-# includes the file so multi-file datasets don't merge row groups.
-
-
-def _sql_quote(s: str) -> str:
-    return "'" + s.replace("'", "''") + "'"
-
-
-def _html_extract_oracle() -> str:
-    from cassandra_data_migration_spark.operators.text import html_strip_sql
-
-    a, b, c = _HTML_WRAP_PARTS
-    expr = (
-        f"{_sql_quote(a)} || source || {_sql_quote(b)} || text || "
-        f"{_sql_quote(c)}"
-    )
-    return (
-        f"SELECT doc_id, {html_strip_sql(expr)} AS extracted FROM documents"
-    )
-
-
-def _warc_ingest_oracle() -> str:
-    from cassandra_data_migration_spark.operators.text import html_strip_sql
-
-    expr = (
-        "'<html><body><h1>' || source || '</h1><p>' || text || "
-        "'</p></body></html>'"
-    )
-    return f"""
-        SELECT 'http://example.org/' || source || '/' || doc_id
-                   AS target_uri,
-               'response' AS warc_type,
-               200 AS http_status,
-               'text/html; charset=utf-8' AS http_content_type,
-               {html_strip_sql(expr)} AS text
-        FROM documents WHERE doc_id < 64
-    """
-
-
-def _rowgroup_stats_oracle() -> str:
-    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    return f"""
-        SELECT regexp_extract(file_name, '[^/]+$') AS file,
-               CAST(row_group_id
-                    - MIN(row_group_id) OVER (PARTITION BY file_name)
-                    AS INT) AS row_group,
-               num_rows,
-               n_columns
-        FROM (
-            SELECT file_name, row_group_id,
-                   ANY_VALUE(row_group_num_rows) AS num_rows,
-                   CAST(COUNT(*) AS INT) AS n_columns
-            FROM parquet_metadata('{sf_dir}/lineitem.parquet')
-            GROUP BY file_name, row_group_id
-        )
-    """
-
-ORACLES["stream_cdc_state"] = """
-    WITH log AS (
-        SELECT user_id, epoch_us(ts) AS ts_us, event_id AS seq,
-               CASE WHEN event_type = 'error' THEN 'D'
-                    WHEN event_type = 'signup' THEN 'I'
-                    ELSE 'U' END AS op,
-               value
-        FROM events
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                   ORDER BY ts_us DESC, seq DESC) AS rn
-        FROM log
-    )
-    SELECT user_id, ts_us, seq, op, value
-    FROM ranked WHERE rn = 1 AND op <> 'D'
-"""
-
-# decrypt(encrypt(x)) == x exactly, so the oracle is the identity
-ORACLES["column_encryption"] = """
-    SELECT event_id, props AS props_roundtrip FROM events
-"""
-
-ORACLES["dp_group_counts"] = """
-    WITH g AS (
-        SELECT event_type, COUNT(*) AS n FROM events GROUP BY 1
-    ),
-    noised AS (
-        SELECT event_type, n,
-               (CAST('0x' || substr(md5(concat_ws(':', 'dp-release',
-                    CAST(event_type AS VARCHAR))), 1, 8) AS BIGINT) + 1)
-                   / 4294967297.0 AS u
-        FROM g
-    )
-    SELECT event_type,
-           ROUND(GREATEST(n + (-2.0 * sign(u - 0.5)
-               * ln(1.0 - 2.0 * abs(u - 0.5))), 0.0), 6) AS noisy_count
-    FROM noised
-"""
-
-ORACLES["k_anonymity"] = """
-    SELECT c_nationkey, c_mktsegment,
-           CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_kb,
-           COUNT(*) AS group_size
-    FROM customer GROUP BY 1, 2, 3 HAVING COUNT(*) < 10
-"""
-
-ORACLES["sql_passthrough"] = """
-    SELECT n.n_name AS nation,
-           COUNT(*) AS n_orders,
-           CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_price
-    FROM orders o
-    JOIN customer c ON o.o_custkey = c.c_custkey
-    JOIN nation n ON c.c_nationkey = n.n_nationkey
-    GROUP BY n.n_name
-"""
-
-ORACLES["props_variant"] = """
-    SELECT event_id, CAST(json_extract(props, '$.k') AS INT) AS k_value
-    FROM events
-    WHERE CAST(json_extract(props, '$.k') AS INT) % 7 = 0
-"""
-
-ORACLES["multiset_compare"] = f"""
-    WITH t2 AS (
-        SELECT * FROM ({_TARGET_SQL})
-        UNION ALL
-        SELECT * FROM ({_TARGET_SQL}) WHERE o_orderkey % 13 = 0
-    ),
-    oa AS (SELECT COUNT(*) AS n FROM
-           (SELECT * FROM orders EXCEPT ALL SELECT * FROM t2)),
-    ib AS (SELECT COUNT(*) AS n FROM
-           (SELECT * FROM orders INTERSECT ALL SELECT * FROM t2)),
-    ob AS (SELECT COUNT(*) AS n FROM
-           (SELECT * FROM t2 EXCEPT ALL SELECT * FROM orders))
-    SELECT oa.n AS only_origin, ib.n AS in_both, ob.n AS only_target
-    FROM oa, ib, ob
-"""
-
-ORACLES["media_decode"] = _media_decode_expected()
-
-ORACLES["cdc_apply"] = """
-    WITH log AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN event_type = 'error' THEN 'D'
-                    WHEN event_type = 'signup' THEN 'I'
-                    ELSE 'U' END AS op
-        FROM events
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM log
-    )
-    SELECT user_id, ts, event_id, value, op
-    FROM ranked WHERE rn = 1 AND op <> 'D'
-"""
-
-ORACLES["priority_line_counts"] = """
-    SELECT l_returnflag,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
-    GROUP BY 1
-"""
-
-ORACLES["promo_revenue"] = """
-    WITH agg AS (
-        SELECT SUM(CASE WHEN p_type = 'PROMO'
-                   THEN CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                        * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                        AS DECIMAL(28,4))
-                   ELSE CAST(0 AS DECIMAL(28,4)) END) AS promo,
-               SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-                   * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                   AS DECIMAL(28,4))) AS total
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1996-04-01'
-    )
-    SELECT CAST(promo AS DOUBLE) AS promo_revenue,
-           CAST(total AS DOUBLE) AS total_revenue,
-           ROUND(100.0 * (CAST(promo AS DOUBLE) / CAST(total AS DOUBLE)), 4)
-               AS promo_pct
-    FROM agg
-"""
-
-ORACLES["disjunctive_revenue"] = """
-    SELECT CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
-               * (1 - CAST(l_discount AS DECIMAL(18,2)))
-               AS DECIMAL(28,4))) AS DOUBLE) AS revenue,
-           COUNT(*) AS n_lines
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand IN ('Brand#1', 'Brand#2') AND p_size <= 20
-           AND l_quantity BETWEEN 1 AND 15)
-       OR (p_brand IN ('Brand#3', 'Brand#4') AND p_size <= 30
-           AND l_quantity BETWEEN 10 AND 30)
-"""
-
-ORACLES["pmi_collocations"] = r"""
-    WITH toks AS (
-        SELECT string_split(trim(regexp_replace(lower(text), '\s+', ' ',
-            'g')), ' ') AS ts
-        FROM documents
-    ),
-    bi AS (
-        SELECT p.a, p.b, COUNT(*) AS n_ab FROM (
-            SELECT unnest(list_transform(range(1, len(ts)),
-                i -> struct_pack(a := ts[CAST(i AS INT)],
-                                 b := ts[CAST(i AS INT) + 1]))) AS p
-            FROM toks WHERE len(ts) >= 2
-        ) GROUP BY 1, 2 HAVING COUNT(*) >= 5
-    ),
-    uni AS (
-        SELECT t, COUNT(*) AS n FROM (
-            SELECT unnest(ts) AS t FROM toks
-        ) WHERE t <> '' GROUP BY 1
-    ),
-    nt AS (SELECT SUM(n) AS total FROM uni)
-    SELECT bi.a, bi.b, bi.n_ab,
-           ROUND(ln((CAST(n_ab AS DOUBLE) * CAST(nt.total AS DOUBLE))
-                 / (CAST(ua.n AS DOUBLE) * CAST(ub.n AS DOUBLE))), 6) AS pmi
-    FROM bi
-    JOIN uni ua ON ua.t = bi.a
-    JOIN uni ub ON ub.t = bi.b
-    CROSS JOIN nt
-    ORDER BY pmi DESC, bi.a ASC, bi.b ASC
-    LIMIT 50
-"""
-
-ORACLES["ohlc_bars"] = """
-    WITH t AS (
-        SELECT date_trunc('day', ts) AS bar_start, event_type, ts, value
-        FROM events
-    ),
-    r AS (
-        SELECT *,
-               ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
-                                  ORDER BY ts ASC, value ASC) AS rn_a,
-               ROW_NUMBER() OVER (PARTITION BY bar_start, event_type
-                                  ORDER BY ts DESC, value DESC) AS rn_d
-        FROM t
-    )
-    SELECT bar_start, event_type,
-           MAX(CASE WHEN rn_a = 1 THEN value END) AS open,
-           MAX(value) AS high,
-           MIN(value) AS low,
-           MAX(CASE WHEN rn_d = 1 THEN value END) AS close,
-           COUNT(*) AS n_ticks
-    FROM r GROUP BY 1, 2
-"""
-
-ORACLES["retention_cohorts"] = """
-    WITH p AS (
-        SELECT DISTINCT user_id, date_trunc('week', ts) AS period
-        FROM events
-    ),
-    f AS (SELECT user_id, MIN(period) AS cohort FROM p GROUP BY 1)
-    SELECT f.cohort,
-           CAST(FLOOR(date_diff('day', f.cohort, p.period) / 7.0) AS INT)
-               AS period_offset,
-           COUNT(*) AS n_users
-    FROM p JOIN f ON p.user_id = f.user_id
-    GROUP BY 1, 2
-"""
-
-ORACLES["knn_join"] = f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, embedding::DOUBLE[] AS a_v
-        FROM embeddings WHERE vec_id < 20
-    ),
-    scored AS (
-        SELECT q.query_id, c.vec_id AS neighbor_id,
-               ROUND({_COS_SIM.replace('b_v', 'c.embedding::DOUBLE[]')}, 4)
-                   AS cos_sim
-        FROM embeddings c, q
-        WHERE c.vec_id <> q.query_id
-    ),
-    ranked AS (
-        SELECT query_id, neighbor_id, cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cos_sim DESC, neighbor_id ASC)
-                   AS rank
-        FROM scored
-    )
-    SELECT query_id, neighbor_id, cos_sim, rank FROM ranked WHERE rank <= 5
-"""
-
-ORACLES["hard_negatives"] = f"""
-    WITH q AS (
-        SELECT vec_id AS query_id, label AS ql,
-               embedding::DOUBLE[] AS a_v
-        FROM embeddings WHERE vec_id < 20
-    ),
-    scored AS (
-        SELECT q.query_id, c.vec_id AS negative_id,
-               c.label AS negative_label,
-               ROUND({_COS_SIM.replace('b_v', 'c.embedding::DOUBLE[]')}, 4)
-                   AS cos_sim
-        FROM embeddings c, q
-        WHERE c.vec_id <> q.query_id AND c.label <> q.ql
-    ),
-    ranked AS (
-        SELECT query_id, negative_id, negative_label, cos_sim,
-               ROW_NUMBER() OVER (PARTITION BY query_id
-                                  ORDER BY cos_sim DESC, negative_id ASC)
-                   AS rank
-        FROM scored
-    )
-    SELECT query_id, negative_id, negative_label, cos_sim,
-           CAST(rank AS INT) AS rank
-    FROM ranked WHERE rank <= 3
-"""
-
-
-def _stream_quantiles_oracle(percentiles=(0.5, 0.95, 0.99)) -> str:
-    """Exact interpolated quantiles over integer cents, micro-cent
-    output — the precise floor(lo*1e6 + t*(hi-lo)*1e6 + 0.5)
-    expression streaming/quantiles.quantile_ucents computes, so both
-    engines run identical IEEE ops in identical order.  Column names
-    come from streaming/quantiles.percentile_col so the two schemas
-    cannot drift."""
-    from cassandra_data_migration_spark.streaming.quantiles import percentile_col
-
-    def pexpr(p: float) -> str:
-        pos = f"{p} * (n - 1)"
-        idx = f"CAST(floor({pos}) AS INT)"
-        t = f"({pos} - floor({pos}))"
-        lo = f"l[{idx} + 1]"
-        hi = f"l[least({idx} + 2, CAST(n AS INT))]"
-        return (
-            f"CAST(floor({lo} * 1000000 + {t} * ({hi} - {lo}) * 1000000"
-            f" + 0.5) AS BIGINT) AS {percentile_col(p)}"
-        )
-
-    cols = ",\n           ".join(pexpr(p) for p in percentiles)
-    return f"""
-    WITH e AS (
-        SELECT CAST(floor(epoch_us(ts) / 3600000000) AS BIGINT) AS window_h,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS c
-        FROM events
-    ),
-    g AS (
-        SELECT window_h, list_sort(list(c)) AS l,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM e GROUP BY 1
-    )
-    SELECT window_h, n AS n_events,
-           {cols}
-    FROM g
-"""
-
-
-ORACLES["stream_quantiles"] = _stream_quantiles_oracle()
-
-ORACLES["customer_order_distribution"] = """
-    WITH per_cust AS (
-        SELECT c.c_custkey,
-               CAST(COUNT(o.o_orderkey) AS BIGINT) AS c_count
-        FROM customer c
-        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
-        GROUP BY c.c_custkey
-    )
-    SELECT c_count, CAST(COUNT(*) AS BIGINT) AS custdist
-    FROM per_cust GROUP BY c_count
-"""
-
-# Misra-Gries audit: the truth side (exact counts over the bound) is
-# recomputed in SQL; covered/bound_ok are guarantees of the sketch,
-# so the oracle pins them to TRUE.
-ORACLES["mg_heavy_hitters"] = """
-    WITH t AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS total FROM t),
-    exact AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
-        FROM t GROUP BY 1
-    )
-    SELECT term, true_cnt, TRUE AS covered, TRUE AS bound_ok
-    FROM exact, n WHERE true_cnt > total // 257
-"""
-
-# Compaction audit: 40 non-empty round-robin partitions -> 40 files
-# before; total bytes << 128 MB -> exactly 1 after; row count and key
-# checksum prove losslessness.
-ORACLES["compaction_audit"] = """
-    SELECT CAST(40 AS BIGINT) AS files_before,
-           CAST(1 AS BIGINT) AS files_after,
-           CAST(COUNT(*) AS BIGINT) AS rows,
-           TRUE AS rows_match,
-           CAST(SUM(c_custkey) AS BIGINT) AS key_sum
-    FROM customer
-"""
-
-# Triangle counting: same synthesized domain graph as the pagerank
-# oracle; the oracle counts triangles with the plain canonical
-# a<b<c triple join (the engine's degree-oriented wedge plan must
-# produce identical counts).
-ORACLES["domain_triangles"] = f"""
-    WITH u AS ({_URL_CTE}),
-    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
-    idx AS (SELECT domain,
-                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
-                   (SELECT COUNT(*) FROM doms) AS n
-            FROM doms),
-    edges AS (
-        SELECT src, dst FROM (
-            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
-            UNION SELECT i, (i * 5 + 2) % n FROM idx
-            UNION SELECT i, (i * 7 + 3) % n FROM idx
-        ) WHERE src <> dst
-    ),
-    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM edges),
-    deg AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS d
-        FROM (SELECT a AS v FROM und UNION ALL SELECT b AS v FROM und)
-        GROUP BY 1
-    ),
-    tris AS (
-        SELECT e1.a AS x, e1.b AS y, e2.b AS z
-        FROM und e1
-        JOIN und e2 ON e2.a = e1.b
-        JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
-    ),
-    pv AS (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS t
-        FROM (SELECT x AS v FROM tris UNION ALL
-              SELECT y FROM tris UNION ALL
-              SELECT z FROM tris)
-        GROUP BY 1
-    )
-    SELECT idx.domain, deg.d AS degree,
-           CAST(COALESCE(pv.t, 0) AS BIGINT) AS n_triangles,
-           CAST(CASE WHEN deg.d >= 2
-                THEN (2 * COALESCE(pv.t, 0) * 1000000)
-                     // (deg.d * (deg.d - 1))
-                ELSE 0 END AS BIGINT) AS clustering_e6
-    FROM idx
-    JOIN deg ON deg.v = idx.i
-    LEFT JOIN pv ON pv.v = idx.i
-"""
-
-# Incremental MV refresh must equal the full recompute of the final
-# state: survived base rows (with the update applied) plus inserts.
-ORACLES["mv_incremental_refresh"] = """
-    WITH final AS (
-        SELECT o_custkey,
-               CASE WHEN o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0
-                         AND o_orderkey % 7 = 0
-                    THEN CAST(o_totalprice AS DECIMAL(18,2)) + 10
-                    ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS v
-        FROM orders
-        WHERE o_orderkey % 3 = 0
-           OR (o_orderkey % 3 <> 0 AND o_orderkey % 5 <> 0)
-    )
-    SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(v) AS DOUBLE) AS sum_val
-    FROM final GROUP BY o_custkey
-"""
-
-# The streaming twin replays the identical changelog, so it shares
-# the recompute oracle.
-ORACLES["stream_mv_refresh"] = ORACLES["mv_incremental_refresh"]
-
-# Streaming sessionization: batch lag->flag->running-sum recompute
-# over second-truncated timestamps (the streaming op's session_window
-# merges iff idle <= gap, identical to the strictly-greater new-
-# session rule here).
-ORACLES["stream_sessions"] = """
-    WITH e AS (
-        SELECT user_id, event_id, date_trunc('second', ts) AS sec_ts,
-               CAST(floor(epoch(ts)) AS BIGINT) AS sec
-        FROM events
-    ),
-    f AS (
-        SELECT *, CASE WHEN lag(sec) OVER w IS NULL
-                         OR sec - lag(sec) OVER w > 28800
-                       THEN 1 ELSE 0 END AS is_new
-        FROM e WINDOW w AS (PARTITION BY user_id ORDER BY sec, event_id)
-    ),
-    s AS (
-        SELECT *, SUM(is_new) OVER (
-            PARTITION BY user_id ORDER BY sec, event_id
-            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-        ) AS session_id
-        FROM f
-    )
-    SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
-           MIN(sec_ts) AS session_start, MAX(sec_ts) AS session_end,
-           CAST(MAX(sec) - MIN(sec) AS BIGINT) AS duration_s
-    FROM s GROUP BY user_id, session_id
-"""
-
-# Video frame stats: the .y4m payloads are generated from pure
-# integer arithmetic, so the oracle recomputes the sampled luma sums
-# directly from the same formula (the engine must produce identical
-# numbers THROUGH the real container encode/parse roundtrip).
-ORACLES["video_frame_stats"] = """
-    WITH vids AS (SELECT CAST(i AS BIGINT) AS i FROM range(32) t(i)),
-    fr AS (
-        SELECT i, unnest(range(0, 3 + CAST(i % 3 AS INT))) AS f FROM vids
-    )
-    SELECT i AS doc_id, CAST(f AS INT) AS frame_index,
-           CAST(4 AS INT) AS width, CAST(4 AS INT) AS height,
-           CAST(list_sum(list_transform(range(0, 16),
-                p -> (i * 31 + f * 7 + p) % 256)) AS BIGINT) AS y_sum
-    FROM fr WHERE f % 2 = 0
-"""
-
-# Audio tone detection: integer-cycle tones peak exactly at their
-# bin (DFT orthogonality), so the oracle is pure arithmetic + TRUE.
-ORACLES["audio_tone_detect"] = """
-    SELECT CAST(i AS BIGINT) AS doc_id,
-           CAST(64 AS BIGINT) AS n_samples,
-           CAST(1 + i % 8 AS INT) AS dominant_bin,
-           CAST(1 + i % 8 AS INT) AS expected_bin,
-           TRUE AS match
-    FROM range(32) t(i)
-"""
-
-def _cms_oracle(depth: int = 3, width: int = 4096, floor_ppm: int = 1000) -> str:
-    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
-
-    buck = "\n        UNION ALL ".join(
-        f"SELECT term, {r} AS r, "
-        f"{md5_draw_sql(f'cms{r}', 'term')} % {width} AS bucket FROM toks"
-        for r in range(depth)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ), tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM toks),
-    exact AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS true_cnt
-        FROM toks GROUP BY 1
-    ),
-    buck AS (
-        {buck}
-    ),
-    cms AS (
-        SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM buck GROUP BY 1, 2
-    ),
-    probes AS (
-        SELECT e.term, e.true_cnt FROM exact e, tot
-        WHERE e.true_cnt * 1000000 > {floor_ppm} * tot.n
-    ),
-    keyed AS (
-        SELECT DISTINCT p.term, p.true_cnt, b.r, b.bucket
-        FROM probes p JOIN buck b USING (term)
-    )
-    SELECT term, true_cnt, CAST(MIN(cnt) AS BIGINT) AS est_cnt,
-           CAST(MIN(cnt) AS BIGINT) >= true_cnt AS over_ok
-    FROM keyed JOIN cms USING (r, bucket)
-    GROUP BY term, true_cnt
-    """
-
-
-ORACLES["cms_token_counts"] = _cms_oracle()
-
-
-def _mmr_oracle() -> str:
-    from cassandra_data_migration_spark.operators.similarity import (
-        mmr_select_sql,
-    )
-
-    return mmr_select_sql(k=8)
-
-
-ORACLES["mmr_diverse_select"] = _mmr_oracle()
-
-
-def _stream_cms_oracle(depth: int = 3, width: int = 4096) -> str:
-    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
-
-    buck = "\n        UNION ALL ".join(
-        f"SELECT CAST({r} AS INTEGER) AS r, "
-        f"{md5_draw_sql(f'cms{r}', 'term')} % {width} AS bucket FROM toks"
-        for r in range(depth)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT unnest(string_split(text, ' ')) AS term FROM documents
-    ),
-    buck AS (
-        {buck}
-    )
-    SELECT r, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
-    FROM buck GROUP BY 1, 2
-    """
-
-
-# stream-equals-batch: the streamed sketch state must equal the batch
-# sketch cell for cell, so the batch SQL twin checks the stream sink
-ORACLES["stream_cms"] = _stream_cms_oracle()
-
-# T6 pacing: 6 files at maxFilesPerTrigger=1 is exactly 6 batches,
-# and the slicing must conserve the row count
-ORACLES["throttled_stream_pacing"] = """
-    SELECT CAST(6 AS BIGINT) AS n_files,
-           CAST(6 AS BIGINT) AS n_batches,
-           CAST(COUNT(*) AS BIGINT) AS n_rows
-    FROM events
-"""
-
-
-ORACLES["xml_roundtrip"] = "SELECT * FROM supplier"
-
-ORACLES["fixed_width_roundtrip"] = """
-    SELECT s_suppkey, s_name, s_nationkey,
-           CAST(s_acctbal AS DOUBLE) AS s_acctbal
-    FROM supplier
-"""
-
-
-# HLL rank of the 60-bit window (md5 hex chars 1-15): leading-zero
-# run in hex × 4, plus the first significant nibble's internal zeros
-_HLL_RANK_SQL = """
-        CASE WHEN ltrim(substr(h, 1, 15), '0') = '' THEN 61
-             ELSE (15 - length(ltrim(substr(h, 1, 15), '0'))) * 4
-                + CASE WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1) = '1'
-                       THEN 3
-                       WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1)
-                            IN ('2', '3') THEN 2
-                       WHEN substr(ltrim(substr(h, 1, 15), '0'), 1, 1)
-                            IN ('4', '5', '6', '7') THEN 1
-                       ELSE 0 END + 1
-        END"""
-
-
-def _hll_regs_sql(m: int, seed: str) -> str:
-    """Shared CTE chain vals→regs: DuckDB twin of
-    ``operators/aggregates.hll_registers`` over (grp, v) pairs."""
-    return f"""
-    WITH vals AS (
-        SELECT DISTINCT o_orderpriority AS grp,
-               CAST(o_custkey AS VARCHAR) AS v
-        FROM orders
-    ),
-    hashed AS (
-        SELECT grp, md5(concat_ws(':', '{seed}', v)) AS h FROM vals
-    ),
-    cells AS (
-        SELECT grp,
-               CAST('0x' || substr(h, 16, 8) AS BIGINT) % {m} AS j,
-               {_HLL_RANK_SQL} AS p
-        FROM hashed
-    ),
-    regs AS (SELECT grp, j, MAX(p) AS m_rank FROM cells GROUP BY 1, 2)"""
-
-
-def _hll_oracle(b: int = 8, seed: str = "hll") -> str:
-    from cassandra_data_migration_spark.operators.aggregates import (
-        hll_constants,
-    )
-
-    m, _alpha, c_num = hll_constants(b)
-    bound = round(3 * 1.04 / (m**0.5) * 1000)
-    return f"""
-    {_hll_regs_sql(m, seed)},
-    summed AS (
-        SELECT grp,
-               SUM(CAST(POWER(2, 61 - m_rank) AS HUGEINT)) AS s_present,
-               CAST(COUNT(*) AS BIGINT) AS n_present
-        FROM regs GROUP BY 1
-    ),
-    folded AS (
-        SELECT grp, n_present,
-               {c_num!r} / CAST(s_present
-                   + CAST(POWER(2, 61) AS HUGEINT) * ({m} - n_present)
-                   AS DOUBLE) AS est_raw
-        FROM summed
-    ),
-    corrected AS (
-        SELECT grp, est_raw,
-               ({m} - n_present) > 0 AND est_raw <= {2.5 * m!r}
-                   AS used_linear_counting,
-               CASE WHEN ({m} - n_present) > 0 AND est_raw <= {2.5 * m!r}
-                    THEN {float(m)!r}
-                         * ln({float(m)!r} / CAST({m} - n_present AS DOUBLE))
-                    ELSE est_raw END AS est
-        FROM folded
-    ),
-    exact AS (
-        SELECT o_orderpriority AS grp,
-               CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS true_distinct
-        FROM orders GROUP BY 1
-    )
-    SELECT e.grp AS o_orderpriority,
-           e.true_distinct,
-           CAST(FLOOR(est + 0.5) AS BIGINT) AS est_distinct,
-           c.used_linear_counting,
-           ABS(CAST(FLOOR(est + 0.5) AS BIGINT) - e.true_distinct) * 1000
-               <= {bound} * e.true_distinct AS within_3sigma
-    FROM exact e JOIN corrected c ON e.grp = c.grp
-    """
-
-
-ORACLES["hll_distinct"] = _hll_oracle()
-
-def _kmv_oracle(k: int = 256, seed: str = "kmv") -> str:
-    est_num = repr(float((k - 1) * (1 << 60)))
-    bound_ppm = round(3 * 1000000 / (k - 2) ** 0.5)
-    h = _md5_draw_sql(seed, "v")
-
-    def est(sk: str) -> str:
-        return f"""(
-        SELECT CASE WHEN COUNT(*) < {k} THEN CAST(COUNT(*) AS DOUBLE)
-                    ELSE {est_num} / CAST(MAX(h) AS DOUBLE) END
-        FROM {sk})"""
-
-    return f"""
-    WITH grams AS (
-        SELECT CAST(substr(source, 4, 10) AS INTEGER) AS sid,
-               unnest(list_transform(
-                   range(1, greatest(length(text) - 9, 0) + 1),
-                   i -> substr(text, CAST(i AS INT), 10))) AS v
-        FROM documents
-    ),
-    av AS (SELECT v FROM grams WHERE sid < 10),
-    bv AS (SELECT v FROM grams WHERE sid >= 10),
-    sa AS (SELECT DISTINCT {h} AS h FROM av ORDER BY h LIMIT {k}),
-    sb AS (SELECT DISTINCT {h} AS h FROM bv ORDER BY h LIMIT {k}),
-    su AS (
-        SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb)
-        ORDER BY h LIMIT {k}
-    ),
-    jn AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS j_num FROM su
-        WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)
-    ),
-    ests AS (
-        SELECT {est('sa')} AS est_a_raw,
-               {est('sb')} AS est_b_raw,
-               {est('su')} AS est_union_raw,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM su) AS u_sz
-    ),
-    exact AS (
-        SELECT (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM av) AS true_a,
-               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT) FROM bv) AS true_b,
-               (SELECT CAST(COUNT(DISTINCT v) AS BIGINT)
-                FROM (SELECT v FROM av UNION ALL SELECT v FROM bv)) AS true_union
-    )
-    SELECT true_a,
-           CAST(FLOOR(est_a_raw + 0.5) AS BIGINT) AS est_a,
-           true_b,
-           CAST(FLOOR(est_b_raw + 0.5) AS BIGINT) AS est_b,
-           true_union,
-           CAST(FLOOR(est_union_raw + 0.5) AS BIGINT) AS est_union,
-           CAST(FLOOR(true_a + true_b - true_union) AS BIGINT)
-               AS true_intersection,
-           CAST(FLOOR(CAST(j_num AS DOUBLE) / CAST(u_sz AS DOUBLE)
-                      * est_union_raw + 0.5) AS BIGINT) AS est_intersection,
-           CAST(FLOOR(j_num * 1000000 / u_sz) AS BIGINT) AS est_jaccard_ppm,
-           ABS(CAST(FLOOR(est_union_raw + 0.5) AS BIGINT) - true_union)
-               * 1000000 <= {bound_ppm} * true_union AS within_3sigma
-    FROM exact, ests, jn
-    """
-
-
-ORACLES["kmv_set_ops"] = _kmv_oracle()
-
-# stream-equals-batch: min-union is idempotent and commutative, so
-# the streamed KMV state must equal the one-shot batch sketch hash
-# for hash
-ORACLES["stream_kmv"] = f"""
-    WITH vals AS (
-        SELECT DISTINCT CAST(o_custkey AS VARCHAR) AS v FROM orders
-    )
-    SELECT DISTINCT {_md5_draw_sql('kmv', 'v')} AS h FROM vals
-    ORDER BY h LIMIT 256
-"""
-
-
-def _pit_oracle() -> str:
-    vf = f"v * 800 + {_md5_draw_sql('scdv', 'c_custkey', 'v')} % 400"
-    vt = (
-        f"CASE WHEN v < 2 THEN (v + 1) * 800 + "
-        f"{_md5_draw_sql('scdv', 'c_custkey', 'v + 1')} % 400 "
-        f"ELSE 9999999 END"
-    )
-    seg = f"{_md5_draw_sql('seg', 'c_custkey', 'v')} % 5"
-    return f"""
-    WITH dim AS (
-        SELECT c_custkey, v,
-               {seg} AS segment,
-               {vf} AS vf_day,
-               {vt} AS vt_day
-        FROM customer, (SELECT unnest([0, 1, 2]) AS v)
-    ),
-    fact AS (
-        SELECT o_custkey,
-               date_diff('day', DATE '1992-01-01',
-                         CAST(o_orderdate AS DATE)) AS day,
-               o_totalprice
-        FROM orders
-    )
-    SELECT segment, v AS ver,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,2))), 2)
-                AS DOUBLE) AS sum_price
-    FROM fact f
-    JOIN dim d ON f.o_custkey = d.c_custkey
-              AND f.day >= d.vf_day AND f.day < d.vt_day
-    GROUP BY 1, 2
-    """
-
-
-ORACLES["pit_enrich"] = _pit_oracle()
-
-
-def _k_core_oracle(k: int = 5, rounds: int = 6) -> str:
-    # same synthesized domain graph as the triangle/pagerank oracles;
-    # each peel round MATERIALIZED (chained CTEs that reference the
-    # previous stage twice re-evaluate exponentially otherwise)
-    stages = []
-    for r in range(rounds):
-        prev = "und" if r == 0 else f"e{r - 1}"
-        stages.append(
-            f"""d{r} AS MATERIALIZED (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
-        FROM (SELECT a AS v FROM {prev} UNION ALL SELECT b FROM {prev})
-        GROUP BY 1
-    ),
-    e{r} AS MATERIALIZED (
-        SELECT a, b FROM {prev}
-        WHERE a NOT IN (SELECT v FROM d{r} WHERE degree < {k})
-          AND b NOT IN (SELECT v FROM d{r} WHERE degree < {k})
-    )"""
-        )
-    last = f"e{rounds - 1}"
-    return f"""
-    WITH u AS ({_URL_CTE}),
-    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
-    idx AS (SELECT domain,
-                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
-                   (SELECT COUNT(*) FROM doms) AS n
-            FROM doms),
-    edges AS (
-        SELECT src, dst FROM (
-            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
-            UNION SELECT i, (i * 5 + 2) % n FROM idx
-            UNION SELECT i, (i * 7 + 3) % n FROM idx
-        ) WHERE src <> dst
-    ),
-    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM edges),
-    {','.join(stages)}
-    SELECT idx.domain, f.degree
-    FROM (
-        SELECT v, CAST(COUNT(*) AS BIGINT) AS degree
-        FROM (SELECT a AS v FROM {last} UNION ALL SELECT b FROM {last})
-        GROUP BY 1
-    ) f JOIN idx ON f.v = idx.i
-    """
-
-
-ORACLES["domain_k_core"] = _k_core_oracle()
-
-ORACLES["ivf_pq_topk"] = f"""
-    WITH {_PQ_CTES},
-    icb AS (
-        SELECT ROW_NUMBER() OVER (
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS lid,
-               embedding::DOUBLE[] AS cv
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16)
-    ),
-    asn AS (
-        SELECT vec_id, lid FROM (
-            SELECT e.vec_id, icb.lid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY CAST(floor((list_dot_product(cv, cv)
-                           - 2.0 * list_dot_product(e.embedding::DOUBLE[], cv))
-                           * 10000.0 + 0.5) AS BIGINT), icb.lid) AS rk
-            FROM embeddings e, icb
-        ) WHERE rk = 1
-    ),
-    qroute AS (
-        SELECT lid FROM (
-            SELECT icb.lid,
-                   CAST(floor((list_dot_product(cv, cv)
-                       - 2.0 * list_dot_product(qq.qv, cv))
-                       * 10000.0 + 0.5) AS BIGINT) AS d2
-            FROM icb, (SELECT embedding::DOUBLE[] AS qv
-                       FROM embeddings WHERE vec_id = 0) qq
-        ) ORDER BY d2, lid LIMIT 4
-    ),
-    short AS (
-        SELECT vec_id FROM asn WHERE lid IN (SELECT lid FROM qroute)
-    ),
-    q AS (
-        SELECT j, list_slice(embedding::DOUBLE[], j*8+1, j*8+8) AS qx
-        FROM embeddings, subs WHERE vec_id = 0
-    ),
-    lut AS (
-        SELECT csl.j, csl.cid,
-               CAST(floor(list_dot_product(q.qx, csl.c) * 10000.0 + 0.5)
-                    AS BIGINT) AS w
-        FROM csl JOIN q ON q.j = csl.j
-    ),
-    scored AS (
-        SELECT c.vec_id, CAST(SUM(l.w) AS BIGINT) AS adc_score_e4
-        FROM codes c
-        JOIN short s ON s.vec_id = c.vec_id
-        JOIN lut l ON l.j = c.j AND l.cid = c.code
-        WHERE c.vec_id <> 0
-        GROUP BY c.vec_id
-    )
-    SELECT vec_id, adc_score_e4 FROM scored
-    ORDER BY adc_score_e4 DESC, vec_id LIMIT 10
-"""
-
-def _bfs_oracle(seed: int = 0, rounds: int = 8) -> str:
-    stages = []
-    for r in range(rounds):
-        prev = "d0" if r == 0 else f"d{r}"
-        stages.append(
-            f"""d{r + 1} AS MATERIALIZED (
-        SELECT v, MIN(hops) AS hops FROM (
-            SELECT v, hops FROM {prev}
-            UNION ALL
-            SELECT e.b AS v, {prev}.hops + 1 AS hops
-            FROM {prev} JOIN bidir e ON e.a = {prev}.v
-        ) GROUP BY v
-    )"""
-        )
-    return f"""
-    WITH u AS ({_URL_CTE}),
-    doms AS (SELECT DISTINCT sitedom AS domain FROM u),
-    idx AS (SELECT domain,
-                   ROW_NUMBER() OVER (ORDER BY domain) - 1 AS i,
-                   (SELECT COUNT(*) FROM doms) AS n
-            FROM doms),
-    edges AS (
-        SELECT src, dst FROM (
-            SELECT i AS src, (i * 3 + 1) % n AS dst FROM idx
-            UNION SELECT i, (i * 5 + 2) % n FROM idx
-            UNION SELECT i, (i * 7 + 3) % n FROM idx
-        ) WHERE src <> dst
-    ),
-    und AS (SELECT DISTINCT least(src, dst) AS a, greatest(src, dst) AS b
-            FROM edges),
-    bidir AS (
-        SELECT a, b FROM und UNION ALL SELECT b AS a, a AS b FROM und
-    ),
-    d0 AS (SELECT CAST({seed} AS BIGINT) AS v, CAST(0 AS BIGINT) AS hops),
-    {','.join(stages)}
-    SELECT idx.domain, CAST(f.hops AS BIGINT) AS hops
-    FROM d{rounds} f JOIN idx ON f.v = idx.i
-    """
-
-
-ORACLES["domain_bfs_hops"] = _bfs_oracle()
-
-ORACLES["event_transitions"] = """
-    WITH seq AS (
-        SELECT event_type,
-               LEAD(event_type) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-               ) AS next_type
-        FROM events
-    ),
-    cnt AS (
-        SELECT event_type AS from_state, next_type AS to_state,
-               CAST(COUNT(*) AS BIGINT) AS n_transitions
-        FROM seq WHERE next_type IS NOT NULL
-        GROUP BY 1, 2
-    ),
-    tot AS (
-        SELECT from_state, CAST(SUM(n_transitions) AS BIGINT) AS t
-        FROM cnt GROUP BY 1
-    )
-    SELECT from_state, to_state, n_transitions,
-           CAST(FLOOR(n_transitions * 1000000 / t) AS BIGINT) AS prob_ppm
-    FROM cnt JOIN tot USING (from_state)
-"""
-
-
-# stream-equals-batch: max-merge is idempotent and commutative, so
-# the streamed register state must equal the one-shot batch registers
-# exactly, cell for cell
-ORACLES["stream_hll"] = (
-    _hll_regs_sql(256, "hll")
-    + "\n    SELECT grp, j, CAST(m_rank AS INTEGER) AS m_rank FROM regs"
-)
-
-
-# Overlapping-interval range join: the oracle recomputes the plain
-# quadratic BETWEEN join — the bin-bucketed Spark plan must match it
-# pair for pair (each qualifying pair meets in exactly one bin).
-ORACLES["in_transit_orders"] = """
-    WITH pts AS (
-        SELECT o_orderkey,
-               date_diff('day', DATE '1970-01-01',
-                         CAST(o_orderdate AS DATE)) AS p_day
-        FROM orders
-        WHERE o_orderdate >= TIMESTAMP '1995-03-01'
-          AND o_orderdate < TIMESTAMP '1995-04-01'
-    ), iv AS (
-        SELECT date_diff('day', DATE '1970-01-01',
-                         CAST(l_shipdate AS DATE)) AS lo_day,
-               date_diff('day', DATE '1970-01-01',
-                         CAST(l_shipdate AS DATE))
-                 + (CAST(l_quantity AS INTEGER) % 14 + 2) AS hi_day
-        FROM lineitem
-    )
-    SELECT o_orderkey, CAST(COUNT(*) AS BIGINT) AS n_in_transit
-    FROM pts JOIN iv ON p_day BETWEEN lo_day AND hi_day
-    GROUP BY o_orderkey
-"""
-
-ORACLES["join_cardinality_audit"] = """
-    WITH sa AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_a,
-               CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS ndv_a
-        FROM orders
-    ),
-    sb AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_b,
-               CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS ndv_b
-        FROM lineitem
-    ),
-    j AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS actual_rows
-        FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-    )
-    SELECT n_a, ndv_a, n_b, ndv_b,
-           CAST((n_a * n_b) // greatest(ndv_a, ndv_b) AS BIGINT) AS est_rows,
-           actual_rows,
-           CAST((actual_rows * 10000)
-                // ((n_a * n_b) // greatest(ndv_a, ndv_b)) AS BIGINT)
-               AS ratio_e4
-    FROM sa, sb, j
-"""
-
-# Streaming trending top-k: hourly tumbling counts + rank cut.
-ORACLES["stream_trending"] = """
-    WITH c AS (
-        SELECT date_trunc('hour', ts) AS win_start, event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1, 2
-    ),
-    r AS (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY win_start
-            ORDER BY n_events DESC, event_type ASC
-        ) AS rnk
-        FROM c
-    )
-    SELECT win_start, event_type, n_events, CAST(rnk AS BIGINT) AS rnk
-    FROM r WHERE rnk <= 3
-"""
-
-# Snapshot diff: the old/new membership and the text perturbation are
-# pure functions of doc_id, so the oracle classifies arithmetically
-# (fingerprints only differ where the text was perturbed).
-ORACLES["corpus_snapshot_diff"] = """
-    WITH s AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 10 = 0 AND doc_id % 13 <> 0
-                        THEN 'added'
-                    WHEN doc_id % 13 = 0 AND doc_id % 10 <> 0
-                        THEN 'removed'
-                    WHEN doc_id % 7 = 0 AND doc_id % 10 <> 0
-                         AND doc_id % 13 <> 0 THEN 'changed'
-                    WHEN doc_id % 10 <> 0 AND doc_id % 13 <> 0
-                        THEN 'unchanged'
-               END AS status
-        FROM documents
-    )
-    SELECT status, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM s WHERE status IS NOT NULL GROUP BY status
-"""
-
-# Schema evolution: even keys written pre-evolution surface NULL for
-# the late o_orderstatus column.
-ORACLES["schema_evolution_read"] = """
-    SELECT CASE WHEN o_orderkey % 2 = 1 THEN o_orderstatus END
-               AS o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
-               AS total_price
-    FROM orders
-    GROUP BY 1
-"""
-
-ORACLES["conform_schema"] = """
-    SELECT CAST(CAST(o_orderkey AS INT) AS BIGINT) AS o_orderkey,
-           o_custkey,
-           o_orderstatus,
-           CAST(CAST(o_totalprice AS VARCHAR) AS DOUBLE) AS o_totalprice,
-           o_orderdate,
-           CAST(NULL AS VARCHAR) AS o_orderpriority
-    FROM orders
-"""
-
-ORACLES["cube_profile"] = """
-    SELECT lang, source,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-           CAST(GROUPING(lang, source) AS BIGINT) AS gid
-    FROM documents GROUP BY CUBE (lang, source)
-"""
-
-ORACLES["key_skew_report"] = """
-    WITH counts AS (
-        SELECT user_id, COUNT(*) AS n FROM events GROUP BY 1
-    ),
-    stats AS (
-        SELECT COUNT(*) AS n_keys, CAST(SUM(n) AS BIGINT) AS n_rows,
-               MAX(n) AS max_key_rows
-        FROM counts
-    )
-    SELECT c.user_id AS key, c.n AS key_rows, s.n_keys, s.n_rows,
-           s.max_key_rows,
-           ROUND(c.n * 1.0 / s.n_rows, 6) AS share,
-           ROUND(c.n * 1.0 * s.n_keys / s.n_rows, 4) AS skew_factor
-    FROM counts c, stats s
-    ORDER BY c.n DESC, c.user_id ASC LIMIT 5
-"""
-
-ORACLES["weighted_sample"] = """
-    WITH draws AS (
-        SELECT lang, doc_id, n_chars,
-               -ln((CAST('0x' || substr(md5(concat_ws(':', 'wsample',
-                        CAST(lang AS VARCHAR), CAST(doc_id AS VARCHAR))),
-                    1, 8) AS BIGINT) + 1) / 4294967296.0) / n_chars AS akey
-        FROM documents
-        WHERE n_chars > 0
-    ),
-    ranked AS (
-        SELECT lang, doc_id, n_chars,
-               ROW_NUMBER() OVER (PARTITION BY lang
-                                  ORDER BY akey ASC, doc_id ASC) AS rk
-        FROM draws
-    )
-    SELECT lang, doc_id, n_chars FROM ranked WHERE rk <= 5
-"""
-
-# stream-equals-batch: min-k merge of content-hash A-ES keys is
-# idempotent and commutative, so the streamed reservoir must equal
-# the one-shot batch weighted sample row for row
-ORACLES["stream_reservoir"] = ORACLES["weighted_sample"]
-
-ORACLES["stream_attribution"] = """
-    SELECT p.user_id, p.event_id AS purchase_id, p.ts AS purchase_ts,
-           p.value, c.event_id AS click_id, c.ts AS click_ts
-    FROM events p JOIN events c
-      ON p.user_id = c.user_id
-     AND p.event_type = 'purchase' AND c.event_type = 'click'
-     AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 4 HOUR
-"""
-
-# the streaming aggregation must converge to EXACTLY the batch digest
-ORACLES["stream_merkle_digests"] = _merkle_digest_sql(
-    "SELECT * FROM events", "event_id", _EVENTS_DIGEST_EXPRS
-)
-
-ORACLES["order_priority_check"] = """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= '1995-01-01' AND o_orderdate < '1995-04-01'
-      AND EXISTS (
-          SELECT 1 FROM lineitem l
-          WHERE l.l_orderkey = o.o_orderkey
-            AND l.l_shipdate > CAST(o.o_orderdate AS DATE) + INTERVAL 30 DAY
-      )
-    GROUP BY 1
-"""
-
-ORACLES["top_value_parts"] = """
-    WITH per_part AS (
-        SELECT l_partkey,
-               CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT)
-                   * (100 - CAST(round(l_discount * 100) AS BIGINT)))
-                   AS BIGINT) AS revenue_e4
-        FROM lineitem GROUP BY 1
-    ),
-    t AS (SELECT SUM(revenue_e4) AS tot, COUNT(*) AS n FROM per_part)
-    SELECT l_partkey, revenue_e4
-    FROM per_part, t
-    WHERE revenue_e4 * n * 2 > tot * 3
-"""
-
-ORACLES["large_volume_orders"] = """
-    SELECT c.c_name, o.o_custkey, o.o_orderkey, o.o_orderdate,
-           o.o_totalprice, CAST(q.total_qty AS DOUBLE) AS total_qty
-    FROM orders o
-    JOIN (
-        SELECT l_orderkey,
-               SUM(CAST(l_quantity AS DECIMAL(18,2))) AS total_qty
-        FROM lineitem GROUP BY 1
-        HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 250
-    ) q ON o.o_orderkey = q.l_orderkey
-    JOIN customer c ON c.c_custkey = o.o_custkey
-"""
-
-# Exact substring-duplication coverage (k=5 word grams): postings of
-# md5-prefix gram hashes -> global count >= 2 -> per-doc interval
-# union (gaps-and-islands), mirroring operators/dedup.py
-# substring_dup_spans step for step.
-ORACLES["substring_dup_spans"] = """
-    WITH tk AS (
-        SELECT doc_id, string_split(text, ' ') AS toks,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents
-    ),
-    pg AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos,
-               CAST('0x' || substr(md5(array_to_string(
-                   list_slice(toks, CAST(i AS INT), CAST(i AS INT) + 4),
-                   ' ')), 1, 15) AS BIGINT) AS gh
-        FROM (SELECT doc_id, toks,
-                     unnest(range(1, CAST(n_tokens AS INT) - 3)) AS i
-              FROM tk WHERE n_tokens >= 5)
-    ),
-    dup AS (SELECT gh FROM pg GROUP BY gh HAVING COUNT(*) >= 2),
-    hits AS (SELECT doc_id, pos FROM pg JOIN dup USING (gh)),
-    isl AS (
-        SELECT doc_id, pos,
-               CASE WHEN pos > COALESCE(MAX(pos + 4) OVER (
-                        PARTITION BY doc_id ORDER BY pos
-                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    -1) + 1
-                    THEN 1 ELSE 0 END AS nw
-        FROM hits
-    ),
-    isl2 AS (
-        SELECT doc_id, pos,
-               SUM(nw) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
-        FROM isl
-    ),
-    spans AS (
-        SELECT doc_id, g, MIN(pos) AS s, MAX(pos) + 4 AS e
-        FROM isl2 GROUP BY doc_id, g
-    ),
-    pd AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_spans,
-               CAST(SUM(e - s + 1) AS BIGINT) AS dup_tokens
-        FROM spans GROUP BY doc_id
-    )
-    SELECT tk.doc_id, tk.n_tokens,
-           CAST(COALESCE(pd.n_dup_spans, 0) AS BIGINT) AS n_dup_spans,
-           CAST(COALESCE(pd.dup_tokens, 0) AS BIGINT) AS dup_tokens,
-           ROUND(COALESCE(pd.dup_tokens, 0) * 1.0 / tk.n_tokens, 4)
-               AS dup_frac
-    FROM tk LEFT JOIN pd USING (doc_id)
-"""
-
-# T5 span corruption: per-position md5 coin (< floor(0.15 * 2^32) =
-# 644245094), masked runs -> numbered sentinels, string_agg ordered by
-# pos re-assembles both sequences.  Mirrors operators/text.py
-# span_corrupt step for step.
-ORACLES["span_corrupt"] = """
-    WITH tk AS (
-        SELECT doc_id, string_split(text, ' ') AS toks FROM documents
-    ),
-    pos AS (
-        SELECT doc_id, CAST(i AS BIGINT) AS pos, toks[CAST(i AS INT)] AS tok
-        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i
-              FROM tk)
-    ),
-    m AS (
-        SELECT doc_id, pos, tok,
-               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':' ||
-                   CAST(pos AS VARCHAR)), 1, 8) AS BIGINT) < 644245094
-                   AS masked
-        FROM pos
-    ),
-    r AS (
-        SELECT doc_id, pos, tok, masked,
-               CASE WHEN masked AND NOT COALESCE(
-                        LAG(masked) OVER (PARTITION BY doc_id ORDER BY pos),
-                        FALSE)
-                    THEN 1 ELSE 0 END AS rs
-        FROM m
-    ),
-    r2 AS (
-        SELECT doc_id, pos, tok, masked, rs,
-               SUM(rs) OVER (PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rid
-        FROM r
-    ),
-    pieces AS (
-        SELECT doc_id, pos, masked, rs,
-               CASE WHEN NOT masked THEN tok
-                    WHEN rs = 1 THEN '<extra_id_' ||
-                        CAST(rid - 1 AS VARCHAR) || '>' END AS cp,
-               CASE WHEN masked AND rs = 1 THEN '<extra_id_' ||
-                        CAST(rid - 1 AS VARCHAR) || '> ' || tok
-                    WHEN masked THEN tok END AS tp
-        FROM r2
-    )
-    SELECT doc_id,
-           COALESCE(string_agg(cp, ' ' ORDER BY pos), '') AS corrupted_text,
-           COALESCE(string_agg(tp, ' ' ORDER BY pos), '') AS target_text,
-           CAST(SUM(CASE WHEN masked THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_masked,
-           CAST(SUM(rs) AS BIGINT) AS n_spans
-    FROM pieces GROUP BY doc_id
-"""
-
-# Preference pairs: integer-exact quality_e6x10 (operators/text.py
-# quality_score_e6 — micro-unit integer arithmetic, no float rounding
-# boundary), i-th best vs i-th worst per source, strict-positive
-# margin.  Crossed/self pairs (group smaller than 2k) die on the
-# margin filter in both engines.
-ORACLES["preference_pairs"] = """
-    WITH base AS (
-        SELECT doc_id, source,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
-               CAST(len(list_filter(string_split(text, ' '),
-                   t -> list_contains(
-                       ['the','a','of','to','and','in','is'], t)))
-                   AS BIGINT) AS n_stop
-        FROM documents
-    ),
-    q AS (
-        SELECT doc_id, source,
-               7 * least(n_tok * 15625, 1000000)
-               + 3 * least(CAST(floor(5000000 * n_stop * 1.0 / n_tok)
-                               AS BIGINT), 1000000) AS quality_e6x10
-        FROM base
-    ),
-    r AS (
-        SELECT source, doc_id, quality_e6x10,
-               ROW_NUMBER() OVER (PARTITION BY source
-                   ORDER BY quality_e6x10 DESC, doc_id ASC) AS rb,
-               ROW_NUMBER() OVER (PARTITION BY source
-                   ORDER BY quality_e6x10 ASC, doc_id DESC) AS rw
-        FROM q
-    )
-    SELECT c.source, CAST(c.rb AS BIGINT) AS pair_ix,
-           c.doc_id AS chosen_id, j.doc_id AS rejected_id,
-           CAST(c.quality_e6x10 AS BIGINT) AS chosen_score,
-           CAST(j.quality_e6x10 AS BIGINT) AS rejected_score,
-           CAST(c.quality_e6x10 - j.quality_e6x10 AS BIGINT) AS margin
-    FROM r c JOIN r j ON c.source = j.source AND c.rb = j.rw
-    WHERE c.rb <= 5 AND j.rw <= 5
-      AND c.quality_e6x10 > j.quality_e6x10
-"""
-
-
-# LWW merge: update wins iff its writetime (500) >= the base row's
-# (ties favor the update); stale updates leave the base row intact.
-ORACLES["cow_merge_lww"] = """
-    WITH b AS (
-        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
-    ),
-    base AS (
-        SELECT o_orderkey, o_totalprice,
-               CAST(o_orderkey % 1000 AS BIGINT) AS wt
-        FROM orders
-    )
-    SELECT o.o_orderkey,
-           CASE WHEN o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
-                     AND o.wt <= 500
-                THEN o.o_totalprice + 100.0 ELSE o.o_totalprice
-           END AS o_totalprice,
-           CASE WHEN o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
-                     AND o.wt <= 500
-                THEN CAST(500 AS BIGINT) ELSE o.wt
-           END AS wt
-    FROM base o, b
-"""
-
-
-# CDF: the diff is exactly the update batch — bumped rows as updates
-# (old/new price), shifted rows as inserts, nothing else.
-ORACLES["snapshot_changes_feed"] = """
-    WITH b AS (
-        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
-    )
-    SELECT o.o_orderkey, 'update' AS change_type,
-           o.o_totalprice AS old_price,
-           o.o_totalprice + 100.0 AS new_price
-    FROM orders o, b
-    WHERE o.o_orderkey <= b.lo + (b.hi - b.lo) // 8
-    UNION ALL
-    SELECT i.o_orderkey + b.hi + 1 AS o_orderkey, 'insert' AS change_type,
-           CAST(NULL AS DOUBLE) AS old_price,
-           i.o_totalprice + 5.0 AS new_price
-    FROM (
-        SELECT o_orderkey, o_totalprice,
-               ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
-        FROM orders
-    ) i, b
-    WHERE i.rn <= 20
-"""
-
-
-# Streaming COW upserts: the ordered-sliced streamed fold equals the
-# one-shot changelog collapse (cdc_apply semantics, D keys absent).
-ORACLES["stream_cow_upsert"] = """
-    WITH log AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN event_type = 'error' THEN 'D'
-                    WHEN event_type = 'signup' THEN 'I'
-                    ELSE 'U' END AS op
-        FROM events
-        WHERE user_id % 3 = 0
-    ),
-    ranked AS (
-        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM log
-    )
-    SELECT user_id, ts, event_id, value
-    FROM ranked WHERE rn = 1 AND op <> 'D'
-"""
-
-
-# COW delete: remaining table = orders above the purge threshold.
-ORACLES["cow_delete_purge"] = """
-    WITH b AS (
-        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
-    )
-    SELECT o_orderkey, o_totalprice, o_orderstatus
-    FROM orders, b
-    WHERE o_orderkey > b.lo + (b.hi - b.lo) // 8
-"""
-
-
-# Time travel: reading AS OF v0 after a merge equals the raw table.
-ORACLES["cow_time_travel"] = """
-    SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders
-"""
-
-
-# Secondary index: the index path must return exactly the base rows
-# a direct predicate returns.
-ORACLES["secondary_index_lookup"] = """
-    SELECT o_orderkey, o_custkey, o_totalprice, o_orderstatus
-    FROM orders
-    WHERE o_custkey = (
-        SELECT o_custkey FROM orders
-        WHERE o_orderkey = (SELECT MIN(o_orderkey) FROM orders)
-    )
-"""
-
-
-# COW merge: expected table = orders with the low-eighth price bump
-# applied, plus the 20 shifted insert rows.
-ORACLES["cow_merge_upsert"] = """
-    WITH b AS (
-        SELECT MIN(o_orderkey) AS lo, MAX(o_orderkey) AS hi FROM orders
-    ),
-    upd AS (
-        SELECT o_orderkey, o_totalprice + 100.0 AS p
-        FROM orders, b
-        WHERE o_orderkey <= b.lo + (b.hi - b.lo) // 8
-    ),
-    ins AS (
-        SELECT o_orderkey, o_totalprice, o_orderstatus
-        FROM (
-            SELECT o_orderkey, o_totalprice, o_orderstatus,
-                   ROW_NUMBER() OVER (ORDER BY o_orderkey) AS rn
-            FROM orders
-        ) WHERE rn <= 20
-    )
-    SELECT o.o_orderkey,
-           COALESCE(u.p, o.o_totalprice) AS o_totalprice,
-           o.o_orderstatus
-    FROM orders o LEFT JOIN upd u USING (o_orderkey)
-    UNION ALL
-    SELECT i.o_orderkey + b.hi + 1 AS o_orderkey,
-           i.o_totalprice + 5.0 AS o_totalprice,
-           i.o_orderstatus
-    FROM ins i, b
-"""
-
-
-# Incremental LSH probe: same 4-hash/2-band md5 MinHash as the batch
-# dedup oracle, seen = first half of the corpus by doc_id, candidates
-# from band agreement, exact-Jaccard verify, best match per new doc.
-ORACLES["lsh_index_incremental"] = f"""
-    WITH {_SIGS_CTE},
-    half AS (SELECT COUNT(*) // 2 AS h FROM documents),
-    cands AS (
-        SELECT DISTINCT nw.doc_id AS new_id, sn.doc_id AS seen_id
-        FROM sigs nw, sigs sn, half
-        WHERE nw.doc_id >= half.h AND sn.doc_id < half.h
-          AND ((nw.sig0 = sn.sig0 AND nw.sig1 = sn.sig1)
-            OR (nw.sig2 = sn.sig2 AND nw.sig3 = sn.sig3))
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM sh GROUP BY doc_id),
-    inter AS (
-        SELECT c.new_id, c.seen_id, COUNT(*) AS i
-        FROM cands c
-        JOIN sh a ON a.doc_id = c.new_id
-        JOIN sh b ON b.doc_id = c.seen_id AND b.shingle = a.shingle
-        GROUP BY 1, 2
-    ),
-    scored AS (
-        SELECT new_id, seen_id,
-               ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) AS j
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = new_id
-        JOIN sizes sb ON sb.doc_id = seen_id
-        WHERE ROUND(i * 1.0 / (sa.sz + sb.sz - i), 4) >= 0.5
-    ),
-    best AS (
-        SELECT new_id, seen_id, j,
-               ROW_NUMBER() OVER (PARTITION BY new_id
-                   ORDER BY j DESC, seen_id ASC) AS rn
-        FROM scored
-    )
-    SELECT d.doc_id,
-           CAST(b.seen_id AS BIGINT) AS match_id,
-           b.j AS jaccard,
-           CAST(CASE WHEN b.seen_id IS NULL THEN 1 ELSE 0 END
-               AS BIGINT) AS is_novel
-    FROM (SELECT doc_id FROM documents, half WHERE doc_id >= half.h) d
-    LEFT JOIN best b ON b.new_id = d.doc_id AND b.rn = 1
-"""
-
-
-# Line-wise dedup: same synthetic page construction, same md5-keyed
-# >=2-distinct-doc rule, survivors re-joined in line order.
-ORACLES["line_dedup_docs"] = f"""
-    WITH pages AS (
-        SELECT d.doc_id,
-               concat_ws(chr(10), d.text,
-                   CASE WHEN d.doc_id % 5 = 0 THEN b.text END,
-                   CASE WHEN d.doc_id % 3 = 0 THEN '{_LINE_BOILER}' END
-               ) AS text
-        FROM documents d
-        JOIN documents b
-          ON b.doc_id = (d.doc_id + 17) % (SELECT COUNT(*) FROM documents)
-    ),
-    lines AS (
-        SELECT doc_id,
-               unnest(string_split(text, chr(10))) AS line,
-               unnest(generate_series(1,
-                   len(string_split(text, chr(10))))) AS pos
-        FROM pages
-    ),
-    hashed AS (SELECT doc_id, pos, line, md5(line) AS h FROM lines),
-    common AS (
-        SELECT h FROM (
-            SELECT h, COUNT(DISTINCT doc_id) AS c FROM hashed
-            WHERE length(line) >= 10 GROUP BY h
-        ) WHERE c >= 2
-    ),
-    kept AS (SELECT * FROM hashed WHERE h NOT IN (SELECT h FROM common)),
-    tot AS (SELECT doc_id, COUNT(*) AS n_lines FROM hashed GROUP BY doc_id),
-    agg AS (
-        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS clean_text,
-               COUNT(*) AS n_kept
-        FROM kept GROUP BY doc_id
-    )
-    SELECT t.doc_id,
-           COALESCE(a.clean_text, '') AS clean_text,
-           CAST(COALESCE(a.n_kept, 0) AS BIGINT) AS n_kept,
-           CAST(t.n_lines - COALESCE(a.n_kept, 0) AS BIGINT) AS n_removed
-    FROM tot t LEFT JOIN agg a USING (doc_id)
-"""
-
-
-def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    return q_pricing_summary(spark, "/root/testdata/sf0.001")
-
-
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(QUERIES)
-
-
-_BPE_ORACLE_CACHE: dict[str, str] = {}
-
-
-_BPE_MERGE_CACHE: dict[str, list[tuple[str, str]]] = {}
-
-
-def _learned_bpe_merges(sf_dir: str) -> list[tuple[str, str]]:
-    """Learn the 8-merge sequence over the fixture corpus with the
-    pure-Python reference (identical tie-breaks to the Spark trainer,
-    pinned by tests) — shared by the bpe_vocab and bpe_pack_pipeline
-    oracles."""
-    if sf_dir not in _BPE_MERGE_CACHE:
-        import duckdb as _duckdb
-
-        wc = _duckdb.sql(
-            f"""
-            SELECT word, COUNT(*) AS n FROM (
-                SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\\s+', ' ', 'g')), ' ')) AS word
-                FROM '{sf_dir}/documents.parquet'
-            ) WHERE word <> '' GROUP BY 1
-            """
-        ).fetchall()
-        _BPE_MERGE_CACHE[sf_dir] = _py_bpe_learn(
-            [(w, n) for w, n in wc], 8
-        )
-    return _BPE_MERGE_CACHE[sf_dir]
-
-
-def _bpe_pack_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Oracle for ``bpe_pack_pipeline``: replay the learned merges with
-    word retained through the rounds, price each document in learned
-    tokens, pack into per-source 256-token bins with the identical
-    exclusive-cumsum arithmetic."""
-    merges = _learned_bpe_merges(sf_dir)
-    enc = lambda sym: f"chr(2) || '{sym}' || chr(3)"  # noqa: E731
-    rounds = ""
-    prev = "enc"
-    for i, (a, b) in enumerate(merges):
-        rounds += (
-            f", p{i} AS (SELECT word, replace(s, {enc(a)} || ' ' || {enc(b)},"
-            f" {enc(a + b)}) AS s FROM {prev})"
-        )
-        prev = f"p{i}"
-    return f"""
-        WITH words AS (
-            SELECT DISTINCT word FROM (
-                SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\\s+', ' ', 'g')), ' ')) AS word
-                FROM documents
-            ) WHERE word <> ''
-        ),
-        enc AS (
-            SELECT word,
-                   array_to_string(list_transform(range(1, length(word) + 1),
-                       i -> chr(2) || substr(word, CAST(i AS INT), 1) || chr(3)),
-                       ' ') || ' ' || chr(2) || '</w>' || chr(3) AS s
-            FROM words
-        ){rounds},
-        wlen AS (
-            SELECT word, len(string_split(s, ' ')) AS w_tokens FROM {prev}
-        ),
-        docw AS (
-            SELECT doc_id, source,
-                   unnest(string_split(trim(regexp_replace(lower(text),
-                       '\\s+', ' ', 'g')), ' ')) AS word
-            FROM documents
-        ),
-        perdoc AS (
-            SELECT d.doc_id, ANY_VALUE(d.source) AS source,
-                   CAST(SUM(w.w_tokens) AS BIGINT) AS bpe_tokens
-            FROM docw d JOIN wlen w USING (word)
-            WHERE d.word <> ''
-            GROUP BY d.doc_id
-        )
-        SELECT doc_id, source, bpe_tokens,
-               CAST(COALESCE(SUM(bpe_tokens) OVER (
-                   PARTITION BY source ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) // 256 AS BIGINT) AS bin_id
-        FROM perdoc
-    """
-
-
-def _py_bpe_learn(wc: list[tuple[str, int]], num_merges: int):
-    """Pure-Python reference BPE (the classic Sennrich formulation) —
-    learns the merge sequence the oracle SQL then applies.  Tie-break
-    (count DESC, pair ASC) matches the Spark trainer exactly."""
-    vocab: dict[tuple, int] = {}
-    for w, n in wc:
-        vocab[tuple(list(w) + ["</w>"])] = vocab.get(tuple(list(w) + ["</w>"]), 0) + n
-    merges = []
-    for _ in range(num_merges):
-        pairs: dict[tuple, int] = {}
-        for syms, n in vocab.items():
-            for i in range(len(syms) - 1):
-                p = (syms[i], syms[i + 1])
-                pairs[p] = pairs.get(p, 0) + n
-        if not pairs:
-            break
-        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))[0]
-        merges.append(best)
-        a, b = best
-        new: dict[tuple, int] = {}
-        for syms, n in vocab.items():
-            out, pend = [], None
-            for x in syms:
-                if pend == a and x == b:
-                    out.append(a + b)
-                    pend = None
-                else:
-                    if pend is not None:
-                        out.append(pend)
-                    pend = x
-            if pend is not None:
-                out.append(pend)
-            t = tuple(out)
-            new[t] = new.get(t, 0) + n
-        vocab = new
-    return merges
-
-
-def _bpe_oracle_sql(sf_dir: str = "/root/testdata/sf0.01") -> str:
-    """Oracle for ``bpe_vocab``: learn the merges with the pure-Python
-    reference over the same word counts (read via DuckDB), then emit
-    SQL that applies them as sentinel-delimited string replaces
-    (plain replace() is leftmost non-overlapping — identical
-    semantics to the Spark-side fold) and aggregates the vocabulary.
-    Built lazily because it reads the fixture at oracle time."""
-    if sf_dir in _BPE_ORACLE_CACHE:
-        return _BPE_ORACLE_CACHE[sf_dir]
-    merges = _learned_bpe_merges(sf_dir)
-    enc = lambda sym: f"chr(2) || '{sym}' || chr(3)"  # noqa: E731
-    rounds = ""
-    prev = "enc"
-    for i, (a, b) in enumerate(merges):
-        rounds += (
-            f", m{i} AS (SELECT n, replace(s, {enc(a)} || ' ' || {enc(b)},"
-            f" {enc(a + b)}) AS s FROM {prev})"
-        )
-        prev = f"m{i}"
-    sql = f"""
-        WITH words AS (
-            SELECT word, COUNT(*) AS n FROM (
-                SELECT unnest(string_split(trim(regexp_replace(lower(text),
-                    '\\s+', ' ', 'g')), ' ')) AS word
-                FROM documents
-            ) WHERE word <> '' GROUP BY 1
-        ),
-        enc AS (
-            SELECT n,
-                   array_to_string(list_transform(range(1, length(word) + 1),
-                       i -> chr(2) || substr(word, CAST(i AS INT), 1) || chr(3)),
-                       ' ') || ' ' || chr(2) || '</w>' || chr(3) AS s
-            FROM words
-        ){rounds}
-        SELECT replace(replace(symbol, chr(2), ''), chr(3), '') AS symbol,
-               COUNT(*) AS n_words, CAST(SUM(n) AS BIGINT) AS occurrences
-        FROM (
-            SELECT n, unnest(string_split(s, ' ')) AS symbol FROM {prev}
-        ) GROUP BY 1
-    """
-    _BPE_ORACLE_CACHE[sf_dir] = sql
-    return sql
-
-
-def oracle_sql() -> dict[str, str]:
-    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    out = dict(ORACLES)
-    out["bpe_vocab"] = _bpe_oracle_sql(sf_dir)
-    out["bpe_vocab_persisted"] = _bpe_oracle_sql(sf_dir)
-    out["bpe_pack_pipeline"] = _bpe_pack_oracle_sql(sf_dir)
-    out["rowgroup_stats"] = _rowgroup_stats_oracle()
-    out["html_extract"] = _html_extract_oracle()
-    out["warc_ingest"] = _warc_ingest_oracle()
-    return out
-
-
-# --- round-10 additions: cell-level Cassandra semantics -------------------
-# (sstable-merge compaction, quorum read repair, LWT/CAS replay —
-# operators/cells.py; reference parity: per-cell writetime treatment in
-# docs/04-cdm-approach.md:401-434 and the public Cassandra
-# reconciliation order)
-
-
-def _event_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events reinterpreted as a CELL-VERSION log (deterministically,
-    so the DuckDB twin rebuilds the identical input): pk=user_id,
-    column=event_type, value in integer cents, writetime=epoch µs;
-    every 17th event is a cell tombstone, every 97th a row tombstone."""
-    from cassandra_data_migration_spark.operators.cells import ROW_TOMBSTONE
-
-    ev = load_table(spark, sf_dir, "events")
-    return ev.select(
-        F.col("user_id").alias("pk"),
-        F.when(
-            F.pmod("event_id", F.lit(97)) == 0, F.lit(ROW_TOMBSTONE)
-        )
-        .otherwise(F.col("event_type"))
-        .alias("column_name"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("value_cents"),
-        F.unix_micros("ts").alias("writetime_us"),
-        (F.pmod("event_id", F.lit(17)) == 0).alias("is_tombstone"),
-    )
-
-
-_CELLS_SQL = """
-    SELECT user_id AS pk,
-           CASE WHEN event_id % 97 = 0 THEN '__row__'
-                ELSE event_type END AS column_name,
-           CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents,
-           epoch_us(ts) AS writetime_us,
-           (event_id % 17 = 0) AS is_tombstone
-    FROM events
-"""
-
-_CELL_TTL_S = 7 * 86400  # every 5th cell carries a 7-day TTL
-
-
-def _event_cells_ttl(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The cells fixture with per-cell TTL: every 5th event's cell
-    expires 7 days after its writetime (events span 30 days, so the
-    TTL'd population splits into expired-and-past-grace /
-    expired-in-grace / still-live)."""
-    return _event_cells(spark, sf_dir).withColumn(
-        "ttl_s",
-        F.when(
-            F.pmod(F.col("writetime_us"), F.lit(5)) == 0,
-            F.lit(_CELL_TTL_S),
-        ).cast("long"),
-    )
-
-
-# keyed on writetime so the SQL twin needs no second event_id pass
-_CELLS_TTL_SQL = f"""
-    SELECT *,
-           CASE WHEN writetime_us % 5 = 0
-                THEN CAST({_CELL_TTL_S} AS BIGINT) END AS ttl_s
-    FROM ({_CELLS_SQL})
-"""
-
-
-def q_cell_compaction(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # sstable-merge semantics at CELL granularity: per (key, column)
-    # LWW with tombstone-beats-live tie-break, row tombstones shadow
-    # older cells — the live view a major compaction produces
-    from cassandra_data_migration_spark.operators.cells import (
-        cell_lww_compact,
-    )
-
-    return cell_lww_compact(
-        _event_cells(spark, sf_dir), value_col="value_cents"
-    )
-
-
-ORACLES_CELL_COMPACTION = f"""
-    WITH cells AS ({_CELLS_SQL}),
-    winners AS (
-        SELECT pk, column_name, value_cents, writetime_us, is_tombstone,
-               ROW_NUMBER() OVER (
-                   PARTITION BY pk, column_name
-                   ORDER BY writetime_us DESC, is_tombstone DESC,
-                            value_cents DESC) AS rn
-        FROM cells WHERE column_name <> '__row__'
-    ),
-    row_tombs AS (
-        SELECT pk, MAX(writetime_us) AS row_tomb_wt
-        FROM cells WHERE column_name = '__row__' GROUP BY pk
-    )
-    SELECT w.pk, w.column_name, w.value_cents, w.writetime_us
-    FROM winners w LEFT JOIN row_tombs r USING (pk)
-    WHERE w.rn = 1 AND NOT w.is_tombstone
-      AND (r.row_tomb_wt IS NULL OR w.writetime_us > r.row_tomb_wt)
-"""
-
-
-def _event_replicas(
-    spark: SparkSession, sf_dir: str
-) -> list[DataFrame]:
-    """Three deterministic replica views of events keyed by event_id:
-    r0 pristine; r1 missing every 10th row and holding a NEWER write
-    (+1 s, +1 cent) for every 7th; r2 corrupted (+5 cents, same
-    writetime) on every 13th — the three divergence modes read repair
-    must detect (miss, stale, timestamp-tie corruption)."""
-    base = load_table(spark, sf_dir, "events").select(
-        "event_id",
-        F.unix_micros("ts").alias("wt_us"),
-        F.floor(F.col("value") * 100 + F.lit(0.5))
-        .cast("long")
-        .alias("value_cents"),
-    )
-    r0 = base
-    r1 = base.filter(F.pmod("event_id", F.lit(10)) != 0).select(
-        "event_id",
-        F.when(
-            F.pmod("event_id", F.lit(7)) == 0, F.col("wt_us") + 1_000_000
-        )
-        .otherwise(F.col("wt_us"))
-        .alias("wt_us"),
-        F.when(
-            F.pmod("event_id", F.lit(7)) == 0, F.col("value_cents") + 1
-        )
-        .otherwise(F.col("value_cents"))
-        .alias("value_cents"),
-    )
-    r2 = base.select(
-        "event_id",
-        "wt_us",
-        F.when(
-            F.pmod("event_id", F.lit(13)) == 0, F.col("value_cents") + 5
-        )
-        .otherwise(F.col("value_cents"))
-        .alias("value_cents"),
-    )
-    return [r0, r1, r2]
-
-
-def q_quorum_read_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # coordinator-side read repair across RF=3: per-key LWW winner
-    # (writetime, then value on ties — the public reconciliation
-    # order) and how many replicas hold something else
-    from cassandra_data_migration_spark.operators.cells import (
-        quorum_read_repair,
-    )
-
-    return quorum_read_repair(
-        _event_replicas(spark, sf_dir), "event_id", "value_cents", "wt_us"
-    )
-
-
-_REPLICAS_SQL = """
-    base AS (
-        SELECT event_id, epoch_us(ts) AS wt_us,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) AS value_cents
-        FROM events
-    ),
-    tagged AS (
-        SELECT event_id, wt_us, value_cents FROM base
-        UNION ALL
-        SELECT event_id,
-               CASE WHEN event_id % 7 = 0 THEN wt_us + 1000000
-                    ELSE wt_us END,
-               CASE WHEN event_id % 7 = 0 THEN value_cents + 1
-                    ELSE value_cents END
-        FROM base WHERE event_id % 10 <> 0
-        UNION ALL
-        SELECT event_id, wt_us,
-               CASE WHEN event_id % 13 = 0 THEN value_cents + 5
-                    ELSE value_cents END
-        FROM base
-    )
-"""
-
-ORACLES_QUORUM_READ_REPAIR = f"""
-    WITH {_REPLICAS_SQL},
-    per_key AS (
-        SELECT event_id,
-               MAX(struct_pack(wt := wt_us, val := value_cents)) AS win,
-               COUNT(*) AS n_replicas_present
-        FROM tagged GROUP BY event_id
-    ),
-    current AS (
-        SELECT t.event_id, COUNT(*) AS n_current
-        FROM tagged t JOIN per_key p USING (event_id)
-        WHERE t.wt_us = p.win.wt AND t.value_cents = p.win.val
-        GROUP BY t.event_id
-    )
-    SELECT p.event_id,
-           p.win.val AS winner_value_cents,
-           p.win.wt AS winner_wt_us,
-           p.n_replicas_present,
-           CAST(3 - COALESCE(c.n_current, 0) AS BIGINT) AS n_stale
-    FROM per_key p LEFT JOIN current c USING (event_id)
-    WHERE 3 - COALESCE(c.n_current, 0) > 0
-"""
-
-
-def q_cas_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LWT outcome fold: per-user op log replayed in (ts, event_id)
-    # order — every 3rd op unconditional, the rest IF value = expected
-    # over a small state domain so both outcomes occur
-    from cassandra_data_migration_spark.operators.cells import cas_replay
-
-    ops = load_table(spark, sf_dir, "events").select(
-        "user_id",
-        F.unix_micros("ts").alias("ts_us"),
-        F.col("event_id").alias("seq"),
-        F.when(
-            F.pmod("event_id", F.lit(3)) == 0, F.lit(None).cast("long")
-        )
-        .otherwise(F.pmod(F.col("event_id") * 7, F.lit(8)))
-        .alias("expected"),
-        F.pmod(
-            F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long"),
-            F.lit(8),
-        ).alias("new_value"),
-    )
-    return cas_replay(
-        ops, "user_id", "ts_us", "seq", "expected", "new_value"
-    )
-
-
-# NOTE: deliberately a RECURSIVE CTE, not DuckDB's list_reduce —
-# list_reduce in DuckDB 1.0 returns wrong folds when evaluated over
-# many grouped rows at once (verified: correct for a single user,
-# corrupt in the full-table query), so the oracle steps the CAS state
-# machine one op-index per recursion level instead.
-ORACLES_CAS_REPLAY = """
-    WITH RECURSIVE ops AS (
-        SELECT user_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY user_id
-                   ORDER BY epoch_us(ts), event_id) AS rn,
-               CASE WHEN event_id % 3 = 0 THEN NULL
-                    ELSE CAST((event_id * 7) % 8 AS BIGINT) END AS exp,
-               CAST(floor(value * 100 + 0.5) AS BIGINT) % 8 AS nv
-        FROM events
-    ),
-    sim AS (
-        SELECT user_id, CAST(0 AS BIGINT) AS rn,
-               CAST(NULL AS BIGINT) AS cur,
-               CAST(0 AS BIGINT) AS applied,
-               CAST(0 AS BIGINT) AS rejected
-        FROM (SELECT DISTINCT user_id FROM ops)
-        UNION ALL
-        SELECT s.user_id, s.rn + 1,
-               CASE WHEN o.exp IS NULL OR o.exp = s.cur
-                    THEN o.nv ELSE s.cur END,
-               s.applied + CASE WHEN o.exp IS NULL OR o.exp = s.cur
-                                THEN 1 ELSE 0 END,
-               s.rejected + CASE WHEN o.exp IS NULL OR o.exp = s.cur
-                                 THEN 0 ELSE 1 END
-        FROM sim s JOIN ops o
-          ON o.user_id = s.user_id AND o.rn = s.rn + 1
-    )
-    SELECT s.user_id, s.cur AS final_value,
-           s.applied AS n_applied, s.rejected AS n_rejected
-    FROM sim s
-    JOIN (SELECT user_id, MAX(rn) AS last_rn FROM ops GROUP BY user_id) z
-      ON z.user_id = s.user_id AND z.last_rn = s.rn
-"""
-
-QUERIES["cell_compaction"] = q_cell_compaction
-QUERIES["quorum_read_repair"] = q_quorum_read_repair
-QUERIES["cas_replay"] = q_cas_replay
-ORACLES["cell_compaction"] = ORACLES_CELL_COMPACTION
-ORACLES["quorum_read_repair"] = ORACLES_QUORUM_READ_REPAIR
-ORACLES["cas_replay"] = ORACLES_CAS_REPLAY
-
-
-# --- state-sized shuffle for every stateful streaming query ---------------
-# A streaming query's state-store partition count freezes at first
-# checkpoint and AQE can never coalesce it; per-microbatch cost is
-# O(state partitions) forever after.  Wrap each streaming contract
-# query so the STREAM binds a partition count sized to its input
-# (~32 MB/partition, floor 8, cap 2x cores — streaming.__init__.
-# state_scaled_shuffle), while lazily-returned batch results still
-# plan under the session's setting.  Measured at sf0.1/local[32]:
-# stream_attribution 6.2s -> 2.7s with identical results.
-
-_STREAM_STATE_QUERIES = [
-    "stream_dual_write", "stream_windowed_rate", "stream_cow_upsert",
-    "stream_sessions", "stream_trending", "stream_mv_refresh",
-    "stream_enrich", "stream_merkle_digests", "stream_cdc_state",
-    "stream_quantiles", "stream_attribution", "stream_cms",
-    "throttled_stream_pacing", "stream_hll", "stream_reservoir",
-    "stream_kmv",
-]
-
-
-def _sf_input_bytes(sf_dir: str) -> int:
-    """Total fixture bytes under sf_dir — the sizing signal for state
-    partitions.  Summing ALL tables (not just events) over-estimates,
-    which only rounds the partition count UP toward the session
-    default; a missing/odd path degrades to 0 (-> the floor), never an
-    exception before the stream starts."""
-    total = 0
-    try:
-        for f in os.listdir(sf_dir):
-            p = os.path.join(sf_dir, f)
-            if f.endswith(".parquet"):
-                if os.path.isdir(p):
-                    total += sum(
-                        os.path.getsize(os.path.join(p, g))
-                        for g in os.listdir(p)
-                        if g.endswith(".parquet")
-                    )
-                else:
-                    total += os.path.getsize(p)
-    except OSError:
-        return 0
-    return total
-
-
-def _with_state_scaled(fn: Callable) -> Callable:
-    from cassandra_data_migration_spark.streaming import (
-        state_scaled_shuffle,
-    )
-
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        with state_scaled_shuffle(spark, _sf_input_bytes(sf_dir)):
-            return fn(spark, sf_dir)
-
-    wrapped.__name__ = getattr(fn, "__name__", "wrapped")
-    wrapped.__doc__ = fn.__doc__
-    return wrapped
-
-
-for _sq in _STREAM_STATE_QUERIES:
-    QUERIES[_sq] = _with_state_scaled(QUERIES[_sq])
-
-
-def q_stream_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # streaming twin of cell_compaction's merge rule: the cell-version
-    # log replayed in 3 micro-batch slices through ONE stateful
-    # max(struct) aggregation; the maintained view equals the batch
-    # argmax over the full log (max is idempotent + commutative, so
-    # slicing and redelivery cannot change it). Row tombstones surface
-    # as their own column rows with is_deleted, read-path shadowing
-    # being a stateless filter on top (exactly like the batch op).
-    import tempfile
-
-    from pyspark.sql import Window
-
-    from cassandra_data_migration_spark.streaming.cells import (
-        cell_lww_view_stream,
-    )
-
-    cells = _event_cells(spark, sf_dir).withColumn(
-        "_slice", F.pmod("pk", F.lit(3))
-    )
-    d = tempfile.mkdtemp(prefix="cell_lww_")
-    src, sink_dir, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
-    for s in range(3):
-        cells.filter(F.col("_slice") == s).drop("_slice").repartition(
-            1
-        ).write.mode("append").parquet(src)
-    stream = spark.readStream.schema(
-        "pk bigint, column_name string, value_cents bigint, "
-        "writetime_us bigint, is_tombstone boolean"
-    ).option("maxFilesPerTrigger", "1").parquet(src)
-    view = cell_lww_view_stream(stream, value_col="value_cents")
-
-    def sink(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.withColumn("_bid", F.lit(batch_id)).write.mode(
-            "append"
-        ).parquet(sink_dir)
-
-    q = (
-        view.writeStream.foreachBatch(sink)
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    await_or_raise(q, 300)
-    w = Window.partitionBy("pk", "column_name").orderBy(F.desc("_bid"))
-    return (
-        spark.read.parquet(sink_dir)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "pk", "column_name", "value_cents", "writetime_us", "is_deleted"
-        )
-    )
-
-
-ORACLES_STREAM_CELL_LWW = f"""
-    WITH cells AS ({_CELLS_SQL}),
-    win AS (
-        SELECT pk, column_name, value_cents, writetime_us, is_tombstone,
-               ROW_NUMBER() OVER (
-                   PARTITION BY pk, column_name
-                   ORDER BY writetime_us DESC, is_tombstone DESC,
-                            value_cents DESC) AS rn
-        FROM cells
-    )
-    SELECT pk, column_name, value_cents, writetime_us,
-           is_tombstone AS is_deleted
-    FROM win WHERE rn = 1
-"""
-
-QUERIES["stream_cell_lww"] = _with_state_scaled(q_stream_cell_lww)
-ORACLES["stream_cell_lww"] = ORACLES_STREAM_CELL_LWW
-
-
-def q_tombstone_gc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # compaction-savings estimate under gc_grace over the TTL'd cells
-    # fixture: per column, versions a major compaction drops now
-    # (superseded live versions / shadowed / past-grace tombstones) vs
-    # must retain (live cells, in-grace tombstones INCLUDING superseded
-    # ones — conservative nodetool-garbagecollect accounting).  TTL
-    # expiry converts cells to tombstones whose gc_grace clock starts
-    # at the EXPIRY instant (apply_cell_ttl's _gc_ref_us).  "now" is
-    # pinned to the table's max writetime so the report is
-    # deterministic; grace = 10 days in µs.
-    from cassandra_data_migration_spark.operators.cells import (
-        apply_cell_ttl,
-        tombstone_gc_report,
-    )
-
-    cells = _event_cells_ttl(spark, sf_dir)
-    now_us = cells.agg(F.max("writetime_us")).collect()[0][0]
-    effective = apply_cell_ttl(cells, F.lit(now_us))
-    return tombstone_gc_report(
-        effective,
-        F.lit(now_us),
-        gc_grace_us=10 * 86400 * 1_000_000,
-        value_col="value_cents",
-        gc_ref_col="_gc_ref_us",
-    )
-
-
-ORACLES_TOMBSTONE_GC = f"""
-    WITH raw_cells AS ({_CELLS_TTL_SQL}),
-    now_t AS (SELECT MAX(writetime_us) AS now_us FROM raw_cells),
-    cells AS (
-        SELECT pk, column_name, value_cents, writetime_us,
-               (is_tombstone OR (ttl_s IS NOT NULL AND
-                    writetime_us + ttl_s * 1000000 <=
-                        (SELECT now_us FROM now_t))) AS is_tombstone,
-               CASE WHEN is_tombstone THEN writetime_us
-                    WHEN ttl_s IS NOT NULL AND
-                         writetime_us + ttl_s * 1000000 <=
-                             (SELECT now_us FROM now_t)
-                    THEN writetime_us + ttl_s * 1000000
-                    ELSE writetime_us END AS gc_ref_us
-        FROM raw_cells
-    ),
-    per_cell AS (
-        SELECT pk, column_name,
-               MAX(struct_pack(wt := writetime_us,
-                               tomb := CAST(is_tombstone AS INT),
-                               val := value_cents,
-                               gc_ref := gc_ref_us)) AS win,
-               COUNT(*) AS n_versions,
-               SUM(CASE WHEN is_tombstone AND gc_ref_us >=
-                        (SELECT now_us FROM now_t) - 864000000000
-                        THEN 1 ELSE 0 END) AS n_tomb_in_grace
-        FROM cells GROUP BY pk, column_name
-    ),
-    row_tombs AS (
-        SELECT pk, MAX(writetime_us) AS row_tomb_wt
-        FROM cells WHERE column_name = '__row__' GROUP BY pk
-    ),
-    classified AS (
-        SELECT p.column_name, p.n_versions,
-               p.n_tomb_in_grace -
-                   CASE WHEN p.win.tomb = 1 AND p.win.gc_ref >=
-                            (SELECT now_us FROM now_t) - 864000000000
-                        THEN 1 ELSE 0 END AS sup_in_grace,
-               CASE WHEN p.win.tomb = 0 AND NOT (
-                        p.column_name <> '__row__'
-                        AND r.row_tomb_wt IS NOT NULL
-                        AND p.win.wt <= r.row_tomb_wt)
-                    THEN 1 ELSE 0 END AS live,
-               CASE WHEN p.column_name <> '__row__' AND p.win.tomb = 0
-                        AND r.row_tomb_wt IS NOT NULL
-                        AND p.win.wt <= r.row_tomb_wt
-                    THEN 1 ELSE 0 END AS shadowed,
-               CASE WHEN p.win.tomb = 1 AND p.win.gc_ref >=
-                        (SELECT now_us FROM now_t) - 864000000000
-                    THEN 1 ELSE 0 END AS retained,
-               CASE WHEN p.win.tomb = 1 AND p.win.gc_ref <
-                        (SELECT now_us FROM now_t) - 864000000000
-                    THEN 1 ELSE 0 END AS purgeable
-        FROM per_cell p LEFT JOIN row_tombs r USING (pk)
-    )
-    SELECT column_name,
-           CAST(SUM(n_versions) AS BIGINT) AS n_versions,
-           CAST(SUM(n_versions - 1 - sup_in_grace) AS BIGINT)
-               AS n_superseded,
-           CAST(SUM(sup_in_grace) AS BIGINT) AS n_superseded_in_grace,
-           CAST(SUM(live) AS BIGINT) AS n_live,
-           CAST(SUM(shadowed) AS BIGINT) AS n_shadowed,
-           CAST(SUM(retained) AS BIGINT) AS n_tomb_retained,
-           CAST(SUM(purgeable) AS BIGINT) AS n_tomb_purgeable
-    FROM classified GROUP BY column_name
-"""
-
-QUERIES["tombstone_gc"] = q_tombstone_gc
-ORACLES["tombstone_gc"] = ORACLES_TOMBSTONE_GC
-
-
-def q_cell_ttl_expiry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the live view AFTER per-cell TTL expiry: expired cells become
-    # tombstones at their original writetime (so they beat late writes
-    # and timestamp ties but never shadow newer data) and drop out of
-    # the compacted view — the cell-granular twin of the row-level
-    # ttl_expiry query (functions/metadata.expire_ttl)
-    from cassandra_data_migration_spark.operators.cells import (
-        apply_cell_ttl,
-        cell_lww_compact,
-    )
-
-    cells = _event_cells_ttl(spark, sf_dir)
-    now_us = cells.agg(F.max("writetime_us")).collect()[0][0]
-    return cell_lww_compact(
-        apply_cell_ttl(cells, F.lit(now_us)), value_col="value_cents"
-    )
-
-
-ORACLES["cell_ttl_expiry"] = f"""
-    WITH raw_cells AS ({_CELLS_TTL_SQL}),
-    now_t AS (SELECT MAX(writetime_us) AS now_us FROM raw_cells),
-    cells AS (
-        SELECT pk, column_name, value_cents, writetime_us,
-               (is_tombstone OR (ttl_s IS NOT NULL AND
-                    writetime_us + ttl_s * 1000000 <=
-                        (SELECT now_us FROM now_t))) AS is_tombstone
-        FROM raw_cells
-    ),
-    winners AS (
-        SELECT pk, column_name, value_cents, writetime_us, is_tombstone,
-               ROW_NUMBER() OVER (
-                   PARTITION BY pk, column_name
-                   ORDER BY writetime_us DESC, is_tombstone DESC,
-                            value_cents DESC) AS rn
-        FROM cells WHERE column_name <> '__row__'
-    ),
-    row_tombs AS (
-        SELECT pk, MAX(writetime_us) AS row_tomb_wt
-        FROM cells WHERE column_name = '__row__' GROUP BY pk
-    )
-    SELECT w.pk, w.column_name, w.value_cents, w.writetime_us
-    FROM winners w LEFT JOIN row_tombs r USING (pk)
-    WHERE w.rn = 1 AND NOT w.is_tombstone
-      AND (r.row_tomb_wt IS NULL OR w.writetime_us > r.row_tomb_wt)
-"""
-
-QUERIES["cell_ttl_expiry"] = q_cell_ttl_expiry
-
-
-def q_repair_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the full anti-entropy scenario as ONE lazy plan: Merkle leaf diff
-    # names the divergent token ranges, row-level missing/mismatch work
-    # is scoped to those ranges (broadcast semi-join on <=64 buckets),
-    # origin-wins AutoCorrect repairs, and revalidation proves
-    # convergence (post_missing = post_mismatched = 0).  Divergence is
-    # deliberately SPARSE (~45 of 15K keys) so the scoping is visible:
-    # only the leaves those keys hash into get row-level work, the
-    # healthy remainder of the table is never row-compared — the
-    # at-scale operating point of repair.
-    from cassandra_data_migration_spark.plans.repair import (
-        merkle_scoped_repair,
-    )
-
-    cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority",
-    ]
-    origin, target = _repair_origin_target(spark, sf_dir)
-    return merkle_scoped_repair(origin, target, "o_orderkey", cols)
-
-
-def _repair_oracle_sql() -> str:
-    from cassandra_data_migration_spark.functions.hashing import md5_draw_sql
-    from cassandra_data_migration_spark.operators.merkle import (
-        TOKEN_SPACE,
-        merkle_digest_sql,
-        null_safe_canon_sql,
-    )
-
-    leaves = 64
-    width = -(-TOKEN_SPACE // leaves)
-    tok = md5_draw_sql("merkle:tok", "o_orderkey")
-    canon = null_safe_canon_sql(_ORDERS_DIGEST_EXPRS)
-    target_sql = """
-        SELECT o_orderkey, o_custkey, o_orderstatus,
-               CASE WHEN o_orderkey % 997 = 0 THEN o_totalprice + 1
-                    ELSE o_totalprice END AS o_totalprice,
-               o_orderdate, o_orderpriority
-        FROM orders WHERE o_orderkey % 499 <> 0
-    """
-    return f"""
-    WITH od AS ({merkle_digest_sql("SELECT * FROM orders", "o_orderkey", _ORDERS_DIGEST_EXPRS)}),
-    td AS ({merkle_digest_sql(target_sql, "o_orderkey", _ORDERS_DIGEST_EXPRS)}),
-    flagged AS (
-        SELECT COALESCE(od.bucket, td.bucket) AS bucket
-        FROM od FULL OUTER JOIN td ON od.bucket = td.bucket
-        WHERE od.n_rows IS NULL OR td.n_rows IS NULL
-           OR od.n_rows <> td.n_rows OR od.digest <> td.digest
-    ),
-    ob AS (
-        SELECT o_orderkey AS k,
-               CAST(FLOOR({tok} / {width}) AS BIGINT) AS b,
-               {canon} AS canon
-        FROM orders
-    ),
-    tb AS (
-        SELECT o_orderkey AS k,
-               CAST(FLOOR({tok} / {width}) AS BIGINT) AS b,
-               {canon} AS canon
-        FROM ({target_sql})
-    ),
-    os AS (SELECT * FROM ob WHERE b IN (SELECT bucket FROM flagged)),
-    ts AS (SELECT * FROM tb WHERE b IN (SELECT bucket FROM flagged)),
-    j AS (
-        SELECT COALESCE(os.k, ts.k) AS k, os.canon AS oc, ts.canon AS tc
-        FROM os FULL OUTER JOIN ts ON os.k = ts.k
-    ),
-    bad AS (
-        SELECT k FROM j
-        WHERE oc IS NULL OR tc IS NULL OR oc <> tc
-    ),
-    copyk AS (
-        SELECT k FROM j WHERE oc IS NOT NULL AND (tc IS NULL OR oc <> tc)
-    ),
-    repaired AS (
-        SELECT k, canon FROM tb WHERE k NOT IN (SELECT k FROM bad)
-        UNION ALL
-        SELECT k, canon FROM ob WHERE k IN (SELECT k FROM copyk)
-    ),
-    pj AS (
-        SELECT COALESCE(ob.k, r.k) AS k, ob.canon AS oc, r.canon AS tc
-        FROM ob FULL OUTER JOIN repaired r ON ob.k = r.k
-    )
-    SELECT 'divergent_leaves' AS metric,
-           CAST((SELECT COUNT(*) FROM flagged) AS BIGINT) AS value
-    UNION ALL SELECT 'scoped_origin_rows',
-           CAST((SELECT COUNT(oc) FROM j) AS BIGINT)
-    UNION ALL SELECT 'missing_repaired',
-           CAST((SELECT COUNT(*) FROM j
-                 WHERE tc IS NULL AND oc IS NOT NULL) AS BIGINT)
-    UNION ALL SELECT 'mismatched_repaired',
-           CAST((SELECT COUNT(*) FROM j
-                 WHERE oc IS NOT NULL AND tc IS NOT NULL AND oc <> tc)
-                AS BIGINT)
-    UNION ALL SELECT 'extra_removed',
-           CAST((SELECT COUNT(*) FROM j
-                 WHERE oc IS NULL AND tc IS NOT NULL) AS BIGINT)
-    UNION ALL SELECT 'post_missing',
-           CAST((SELECT COUNT(*) FROM pj
-                 WHERE tc IS NULL AND oc IS NOT NULL) AS BIGINT)
-    UNION ALL SELECT 'post_mismatched',
-           CAST((SELECT COUNT(*) FROM pj
-                 WHERE oc IS NOT NULL AND tc IS NOT NULL AND oc <> tc)
-                AS BIGINT)
-    UNION ALL SELECT 'post_extra',
-           CAST((SELECT COUNT(*) FROM pj
-                 WHERE oc IS NULL AND tc IS NOT NULL) AS BIGINT)
-    """
-
-
-QUERIES["repair_pipeline"] = q_repair_pipeline
-ORACLES["repair_pipeline"] = _repair_oracle_sql()
-
-
-# repair lake layouts already materialized by THIS process, keyed by
-# (applicationId, sf_dir): at steady state a lake table's bucketed
-# layout is written once and amortized across every repair run against
-# it, so repeated invocations (bench warm-up + timed run, a second
-# repair pass) must pay only the repair, not the layout write.  Same
-# concurrency reasoning as sources/tables.ensure_bucketed_table: the
-# appId key keeps two driver processes out of each other's dirs.
-_REPAIR_LAKE_LAYOUTS: dict = {}
-
-
-def _repair_origin_target(spark, sf_dir):
-    origin = _origin(spark, sf_dir)
-    target = origin.filter(F.pmod("o_orderkey", F.lit(499)) != 0).withColumn(
-        "o_totalprice",
-        F.when(
-            F.pmod("o_orderkey", F.lit(997)) == 0, F.col("o_totalprice") + 1
-        ).otherwise(F.col("o_totalprice")),
-    )
-    return origin, target
-
-
-def _repair_lake_layout(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    from cassandra_data_migration_spark.plans.repair import (
-        bucket_partitioned_write,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    d = _REPAIR_LAKE_LAYOUTS.get(key)
-    if d is None:
-        origin, target = _repair_origin_target(spark, sf_dir)
-        d = tempfile.mkdtemp(prefix="repair_lake_")
-        bucket_partitioned_write(
-            origin, f"{d}/origin", "o_orderkey", leaves=64
-        )
-        bucket_partitioned_write(
-            target, f"{d}/target", "o_orderkey", leaves=64
-        )
-        _REPAIR_LAKE_LAYOUTS[key] = d
-    return d
-
-
-def q_repair_pipeline_pruned(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the same anti-entropy scenario with the row legs reading a
-    # bucket-partitioned lake layout through scoped readers
-    # (plans/repair.bucket_pruned_reader): flagged leaves become
-    # PartitionFilters, so the repair's row work PRUNES I/O instead of
-    # re-scanning the table scan-side (VERDICT r6 "What's wrong" #1).
-    # Metrics are identical to repair_pipeline by construction — the
-    # scoping changes which bytes are read, never the answer.  The
-    # layout write is cached per process (_repair_lake_layout), so the
-    # steady-state cost here is repair only.
-    from cassandra_data_migration_spark.plans.repair import (
-        bucket_pruned_reader,
-        merkle_scoped_repair,
-    )
-
-    cols = [
-        "o_orderkey", "o_custkey", "o_orderstatus",
-        "o_totalprice", "o_orderdate", "o_orderpriority",
-    ]
-    origin, target = _repair_origin_target(spark, sf_dir)
-    d = _repair_lake_layout(spark, sf_dir)
-    return merkle_scoped_repair(
-        origin,
-        target,
-        "o_orderkey",
-        cols,
-        scoped_origin=bucket_pruned_reader(spark, f"{d}/origin"),
-        scoped_target=bucket_pruned_reader(spark, f"{d}/target"),
-    )
-
-
-QUERIES["repair_pipeline_pruned"] = q_repair_pipeline_pruned
-ORACLES["repair_pipeline_pruned"] = _repair_oracle_sql()
-
-
-def q_doremi_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # DoReMi-style mixture reweighting (public paper, Xie et al. 2023):
-    # one linearized multiplicative-weights round over the documents
-    # table's source domains, with the corpus bigram LM as the weak
-    # proxy and the unigram LM as the reference (excess = bigram NLL
-    # − unigram NLL, per doremi_domain_weights) — exact integer
-    # arithmetic end-to-end so the DuckDB twin matches bit-for-bit
-    from cassandra_data_migration_spark.operators.sampling import (
-        doremi_domain_weights,
-    )
-
-    return doremi_domain_weights(load_table(spark, sf_dir, "documents"))
-
-
-ORACLES["doremi_weights"] = f"""
-    WITH uni AS ({ORACLES["unigram_logprob"]}),
-    big AS ({ORACLES["bigram_logprob"]}),
-    per_doc AS (
-        SELECT d.source,
-               CAST(FLOOR(GREATEST(0.0,
-                   (-b.logprob_e6) * 1.0 / b.n_bigrams
-                   - (-u.logprob_e6) * 1.0 / u.n_tokens) + 0.5) AS BIGINT)
-                   AS excess_e6
-        FROM documents d
-        JOIN uni u USING (doc_id)
-        JOIN big b USING (doc_id)
-    ),
-    scored AS (
-        SELECT source,
-               CAST(FLOOR(AVG(excess_e6) + 0.5) AS BIGINT) AS excess_e6
-        FROM per_doc GROUP BY source
-    ),
-    dom AS (
-        SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
-               COALESCE(ANY_VALUE(s.excess_e6), 0) AS excess_e6
-        FROM documents d LEFT JOIN scored s ON d.source = s.source
-        GROUP BY d.source
-    ),
-    tot AS (SELECT SUM(1000000 + excess_e6) AS s FROM dom)
-    SELECT source, n_docs, excess_e6,
-           CAST(FLOOR((1000000 + excess_e6) * 1000000.0 / t.s) AS BIGINT)
-               AS weight_ppm
-    FROM dom, tot t
-"""
-
-QUERIES["doremi_weights"] = q_doremi_weights
-
-
-# final rotation: later-registered queries (the round's new family)
-# join the head so the driver's 50-query window samples them.  Every
-# head name must resolve — a typo would otherwise silently swap the
-# intended query out of the driver's hard gate.
-# --- round 7: multi-DC placement + per-DC quorum ---------------------------
-
-_NTS_DCS = {"dc1": 4, "dc2": 3}
-_NTS_RF = {"dc1": 3, "dc2": 2}
-
-
-def q_replica_ownership_nts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # NetworkTopologyStrategy placement (the reference keyspace's own
-    # strategy, lab/init-scripts/01-create-schema.cql:4-8): per-DC
-    # replica counts with rack-diverse ring walk — dc1 holds RF=3
-    # across 4 nodes/2 racks, dc2 RF=2 across 3 nodes/2 racks.  Same
-    # broadcast-range-join plan as SimpleStrategy; only the literal
-    # placement table changes.
-    from cassandra_data_migration_spark.operators.ring import (
-        replica_ownership_nts,
-    )
-
-    return replica_ownership_nts(
-        load_table(spark, sf_dir, "orders"),
-        key_col="o_orderkey",
-        dcs=_NTS_DCS,
-        rf_per_dc=_NTS_RF,
-    )
-
-
-def _replica_nts_oracle() -> str:
-    from cassandra_data_migration_spark.operators.ring import replica_nts_sql
-
-    return replica_nts_sql(
-        "orders", "o_orderkey", dcs=_NTS_DCS, rf_per_dc=_NTS_RF
-    )
-
-
-QUERIES["replica_ownership_nts"] = q_replica_ownership_nts
-ORACLES["replica_ownership_nts"] = _replica_nts_oracle()
-
-
-def _event_replicas_by_dc(spark: SparkSession, sf_dir: str) -> dict:
-    """Two DCs sharing the round-6 replica fixtures: dc1 = pristine +
-    the stale/missing replica, dc2 = pristine + the tie-corrupted
-    replica — so some keys repair locally in exactly one DC and the
-    stale keys make dc1's local winner RACE AHEAD of dc2's (the
-    dc_divergent set)."""
-    r0, r1, r2 = _event_replicas(spark, sf_dir)
-    return {"dc1": [r0, r1], "dc2": [r0, r2]}
-
-
-def q_local_quorum_repair(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # LOCAL_QUORUM read repair per DC + the cross-DC divergence the
-    # local mode cannot see (local winner != EACH_QUORUM winner) —
-    # multi-DC NetworkTopologyStrategy repair math
-    from cassandra_data_migration_spark.operators.cells import (
-        local_quorum_read_repair,
-    )
-
-    return local_quorum_read_repair(
-        _event_replicas_by_dc(spark, sf_dir),
-        "event_id",
-        "value_cents",
-        "wt_us",
-    )
-
-
-ORACLES["local_quorum_repair"] = f"""
-    WITH {_REPLICAS_SQL},
-    by_dc AS (
-        SELECT 'dc1' AS dc, event_id, wt_us, value_cents FROM base
-        UNION ALL
-        SELECT 'dc1',
-               event_id,
-               CASE WHEN event_id % 7 = 0 THEN wt_us + 1000000
-                    ELSE wt_us END,
-               CASE WHEN event_id % 7 = 0 THEN value_cents + 1
-                    ELSE value_cents END
-        FROM base WHERE event_id % 10 <> 0
-        UNION ALL
-        SELECT 'dc2', event_id, wt_us, value_cents FROM base
-        UNION ALL
-        SELECT 'dc2', event_id, wt_us,
-               CASE WHEN event_id % 13 = 0 THEN value_cents + 5
-                    ELSE value_cents END
-        FROM base
-    ),
-    per_dc AS (
-        SELECT dc, event_id,
-               MAX(struct_pack(wt := wt_us, val := value_cents)) AS win,
-               COUNT(*) AS n_replicas_present
-        FROM by_dc GROUP BY dc, event_id
-    ),
-    cur AS (
-        SELECT t.dc, t.event_id, COUNT(*) AS n_current
-        FROM by_dc t JOIN per_dc p ON t.dc = p.dc AND t.event_id = p.event_id
-        WHERE t.wt_us = p.win.wt AND t.value_cents = p.win.val
-        GROUP BY t.dc, t.event_id
-    ),
-    gwin AS (
-        SELECT event_id,
-               MAX(struct_pack(wt := wt_us, val := value_cents)) AS gw
-        FROM by_dc GROUP BY event_id
-    )
-    SELECT p.dc, p.event_id,
-           p.win.val AS winner_value_cents,
-           p.win.wt AS winner_wt_us,
-           p.n_replicas_present,
-           CAST(2 - COALESCE(c.n_current, 0) AS BIGINT) AS n_stale,
-           (p.win.wt <> g.gw.wt OR p.win.val <> g.gw.val) AS dc_divergent
-    FROM per_dc p
-    LEFT JOIN cur c ON p.dc = c.dc AND p.event_id = c.event_id
-    JOIN gwin g ON p.event_id = g.event_id
-    WHERE 2 - COALESCE(c.n_current, 0) > 0
-       OR p.win.wt <> g.gw.wt OR p.win.val <> g.gw.val
-"""
-
-QUERIES["local_quorum_repair"] = q_local_quorum_repair
-
-
-# --- round 7: Prometheus histogram buckets + quantile reconstruction -------
-
-# latency (cents of the events value, standing in for ms) bucket
-# bounds; the last finite le covers the fixture max so +Inf is empty
-_LATENCY_LES = [500, 1000, 2500, 5000, 10000, 25000, 50000]
-_LATENCY_SQL = (
-    "SELECT CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat FROM events"
-)
-
-
-def _latency_cents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return load_table(spark, sf_dir, "events").select(
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("lat")
-    )
-
-
-def q_latency_histogram_buckets(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    # the _bucket{le=} series a scrape target exports: cumulative
-    # counts per configured bound incl. the mandatory +Inf row (=
-    # _count) — exercise 6's dashboards consume exactly this shape
-    from cassandra_data_migration_spark.streaming.histograms import (
-        cumulative_histogram,
-    )
-
-    return cumulative_histogram(
-        _latency_cents(spark, sf_dir), "lat", _LATENCY_LES
-    )
-
-
-def q_histogram_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PromQL histogram_quantile reconstruction (p50/p95/p99) from the
-    # cumulative buckets — deliberately the BOARD's number (with its
-    # bucketing error), not a raw-data percentile; exact integer
-    # interpolation so the DuckDB twin matches bit-for-bit
-    from cassandra_data_migration_spark.streaming.histograms import (
-        histogram_quantiles,
-    )
-
-    return histogram_quantiles(
-        _latency_cents(spark, sf_dir), "lat", _LATENCY_LES
-    )
-
-
-def _histogram_oracles() -> tuple[str, str]:
-    from cassandra_data_migration_spark.streaming.histograms import (
-        cumulative_histogram_sql,
-        histogram_quantiles_sql,
-    )
-
-    return (
-        cumulative_histogram_sql(_LATENCY_SQL, "lat", _LATENCY_LES),
-        histogram_quantiles_sql(_LATENCY_SQL, "lat", _LATENCY_LES),
-    )
-
-
-_HIST_BUCKETS_SQL, _HIST_QUANTILES_SQL = _histogram_oracles()
-QUERIES["latency_histogram_buckets"] = q_latency_histogram_buckets
-ORACLES["latency_histogram_buckets"] = _HIST_BUCKETS_SQL
-QUERIES["histogram_percentiles"] = q_histogram_percentiles
-ORACLES["histogram_percentiles"] = _HIST_QUANTILES_SQL
-
-
-# --- round 7: ZDM 5-phase walkthrough ---------------------------------------
-
-
-def q_zdm_phase_walkthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the whole ZDM lifecycle (docs/05-zdm-approach.md:323-539;
-    # lab/exercises/05-zdm-migration.md:26-33) driven end-to-end
-    # through PhaseMachine + ReadRouter over one mutation log: events
-    # split into 5 chronological segments (one per phase), reads
-    # routed per the phase's proxy config (one route() per user
-    # bucket, shadow compares sampled 1-in-4 in phase 3), writes
-    # dual-written while the phase requires it and direct-to-target
-    # after cutover.  Every count is an exact function of the log, so
-    # the oracle replays the same bookkeeping in SQL.
-    from cassandra_data_migration_spark.streaming.routing import (
-        PHASE_ORDER,
-        PhaseMachine,
-        RouterMetrics,
-    )
-
-    ev = load_table(spark, sf_dir, "events")
-    # post-backfill: clusters hold identical data — but the router
-    # distinguishes clusters by OBJECT identity, so target gets its
-    # own DataFrame handle
-    origin, target = ev, ev.alias("zdm_target")
-    stats = (
-        ev.select(
-            F.pmod("event_id", F.lit(5)).alias("ph"),
-            (F.pmod("event_id", F.lit(3)) == 0).alias("is_read"),
-            F.pmod("user_id", F.lit(8)).alias("bucket"),
-        )
-        .groupBy("ph")
-        .agg(
-            F.sum((~F.col("is_read")).cast("long")).alias("n_writes"),
-            F.sort_array(
-                F.collect_set(
-                    F.when(F.col("is_read"), F.col("bucket"))
-                )
-            ).alias("read_buckets"),
-        )
-        .collect()
-    )
-    by_ph = {r["ph"]: r for r in stats}
-    machine = PhaseMachine()
-    out = []
-    for i, phase in enumerate(PHASE_ORDER):
-        m = RouterMetrics()
-        router = machine.router(m)
-        router.shadow_compare_every = 4
-        r = by_ph[i]
-        for b in [x for x in r["read_buckets"] if x is not None]:
-            router.route(
-                origin,
-                target,
-                lambda df, b=b: df.filter(F.pmod("user_id", F.lit(8)) == b),
-            )
-        n_writes = int(r["n_writes"])
-        out.append(
-            (
-                phase.value,
-                m.reads_origin,
-                m.reads_target,
-                m.shadow_reads,
-                m.shadow_compared,
-                m.shadow_mismatches,
-                n_writes if machine.dual_write_enabled else 0,
-                n_writes,
-            )
-        )
-        if i + 1 < len(PHASE_ORDER):
-            machine.advance()
-    return spark.createDataFrame(
-        out,
-        "phase string, reads_origin long, reads_target long, "
-        "shadow_reads long, shadow_compared long, shadow_mismatches long, "
-        "rows_written_origin long, rows_written_target long",
-    )
-
-
-ORACLES["zdm_phase_walkthrough"] = """
-    WITH ops AS (
-        SELECT event_id % 5 AS ph,
-               (event_id % 3 = 0) AS is_read,
-               user_id % 8 AS bucket
-        FROM events
-    ),
-    agg AS (
-        SELECT ph,
-               COUNT(CASE WHEN NOT is_read THEN 1 END) AS nw,
-               COUNT(DISTINCT CASE WHEN is_read THEN bucket END) AS nb
-        FROM ops GROUP BY ph
-    ),
-    named AS (
-        SELECT ph, nw, nb,
-               CASE ph WHEN 0 THEN '1_dual_write_on'
-                       WHEN 1 THEN '2_backfill'
-                       WHEN 2 THEN '3_shadow_reads'
-                       WHEN 3 THEN '4_reads_to_target'
-                       WHEN 4 THEN '5_direct_to_target' END AS phase
-        FROM agg
-    )
-    SELECT phase,
-           CAST(CASE WHEN ph <= 2 THEN nb ELSE 0 END AS BIGINT)
-               AS reads_origin,
-           CAST(CASE WHEN ph >= 3 THEN nb ELSE 0 END AS BIGINT)
-               AS reads_target,
-           CAST(CASE WHEN ph = 2 THEN nb ELSE 0 END AS BIGINT)
-               AS shadow_reads,
-           CAST(CASE WHEN ph = 2 THEN (nb + 3) // 4 ELSE 0 END AS BIGINT)
-               AS shadow_compared,
-           CAST(0 AS BIGINT) AS shadow_mismatches,
-           CAST(CASE WHEN ph <= 3 THEN nw ELSE 0 END AS BIGINT)
-               AS rows_written_origin,
-           CAST(nw AS BIGINT) AS rows_written_target
-    FROM named
-"""
-
-QUERIES["zdm_phase_walkthrough"] = q_zdm_phase_walkthrough
-
-
-# --- round 7: connector write-path options audit ----------------------------
-
-
-def q_connector_write_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the write twin of connector_scan: region is batch-written
-    # THROUGH the live connector code path with the reference's write
-    # knobs (cdm.properties:28-31 batchSize / ratelimit.target →
-    # output.batch.size.rows / the CDM property verbatim), the fake
-    # records the option map it received, and the audit report proves
-    # (a) every row arrived (read back through the same seam) and
-    # (b) each knob reached the source as the documented option
-    import json as _json
-    import tempfile
-
-    from cassandra_data_migration_spark.sources.connector import (
-        CassandraTableSource,
-    )
-    from cassandra_data_migration_spark.sources.fake_cassandra import (
-        fake_cql_log_path,
-        register_fake_cassandra,
-    )
-
-    register_fake_cassandra(spark)
-    ks = tempfile.mkdtemp(prefix="write_audit_ks_")
-    src = CassandraTableSource(keyspace=ks)
-    src.write(
-        load_table(spark, sf_dir, "region"),
-        "region_copy",
-        batch_size_rows=500,
-        rate_limit_rows_per_sec=5000,
-        consistency="LOCAL_QUORUM",
-    )
-    rows_written = src.read(spark, "region_copy").count()
-    rec = None
-    with open(fake_cql_log_path()) as fh:
-        for line in fh:
-            if ks in line and '"_op": "write"' in line:
-                rec = _json.loads(line)
-    if rec is None:
-        raise RuntimeError("fake connector recorded no write for the audit")
-    audit = [
-        ("rows_written", str(rows_written)),
-        (
-            "batch_size_rows",
-            rec.get("spark.cassandra.output.batch.size.rows", "MISSING"),
-        ),
-        (
-            "ratelimit_rows_per_sec",
-            rec.get("spark.cdm.perfops.ratelimit.target", "MISSING"),
-        ),
-        (
-            "consistency",
-            rec.get("spark.cassandra.output.consistency.level", "MISSING"),
-        ),
-    ]
-    return spark.createDataFrame(audit, "audit_key string, value string")
-
-
-ORACLES["connector_write_audit"] = """
-    SELECT 'rows_written' AS audit_key,
-           CAST(COUNT(*) AS VARCHAR) AS value FROM region
-    UNION ALL SELECT 'batch_size_rows', '500'
-    UNION ALL SELECT 'ratelimit_rows_per_sec', '5000'
-    UNION ALL SELECT 'consistency', 'LOCAL_QUORUM'
-"""
-
-QUERIES["connector_write_audit"] = q_connector_write_audit
-
-
-# --- round 7: PromQL evaluation (irate / rate / deriv) ----------------------
-# The reference's dashboards COMPUTE with PromQL functions over the
-# scraped series (lab/monitoring/grafana-dashboards/
-# zdm-proxy-dashboard.json: irate(..._count[range]) throughput panels;
-# zdm-go-runtime-metrics.json: deriv(go_memstats_*) trends).  The
-# histogram work (latency_histogram_buckets / histogram_percentiles)
-# covered the export + histogram_quantile sides; these cover the
-# counter/gauge function family, evaluated exactly.
-
-# scrape every 6h; the counter RESETS at 2024-01-15T00:00Z (process
-# restart) so reset compensation is exercised on real fixture data
-_PROM_STEP_MS = 21_600_000
-_PROM_RESET_BUCKET = 1_705_276_800_000 // _PROM_STEP_MS
-_PROM_RANGE = (1_704_844_800_000, 1_705_708_800_000)  # Jan 10 → Jan 20
-_PROM_SCALE = 1_000_000_000
-
-def _cum_counter_with_reset_sql(per_sql: str, series_col: str) -> str:
-    """DuckDB twin of ``_cum_counter_with_reset`` over a (series, b,
-    dc) per-scrape subquery — one definition for both fixtures."""
-    return f"""
-    SELECT {series_col},
-           (b + 1) * {_PROM_STEP_MS} AS ts_ms,
-           CAST(cum - CASE WHEN b >= {_PROM_RESET_BUCKET} THEN pre
-                           ELSE 0 END AS BIGINT) AS value
-    FROM (
-        SELECT {series_col}, b, dc,
-               SUM(dc) OVER (PARTITION BY {series_col} ORDER BY b) AS cum,
-               SUM(CASE WHEN b < {_PROM_RESET_BUCKET} THEN dc ELSE 0 END)
-                   OVER (PARTITION BY {series_col}) AS pre
-        FROM ({per_sql})
-    )
-    """
-
-
-_PROM_COUNTER_SQL = _cum_counter_with_reset_sql(
-    f"""SELECT event_type,
-              epoch_ms(ts) // {_PROM_STEP_MS} AS b,
-              COUNT(*) AS dc
-        FROM events GROUP BY 1, 2""",
-    "event_type",
-)
-
-_PROM_GAUGE_SQL = f"""
-    SELECT event_type,
-           (b + 1) * {_PROM_STEP_MS} AS ts_ms,
-           CAST(c AS BIGINT) AS value
-    FROM (
-        SELECT event_type,
-               epoch_ms(ts) // {_PROM_STEP_MS} AS b,
-               COUNT(*) AS c
-        FROM events GROUP BY 1, 2
-    )
-"""
-
-
-def _cum_counter_with_reset(per_scrape: DataFrame, series_col: str) -> DataFrame:
-    """Shared scrape-counter scaffolding: (series, b, dc) per-scrape
-    deltas -> (series, ts_ms, value) CUMULATIVE counter samples with
-    the mid-month process restart (counter re-zeroes at
-    ``_PROM_RESET_BUCKET``).  One definition so the request-counter
-    and bucket-counter fixtures (and their oracles) cannot drift."""
-    from pyspark.sql import Window
-
-    w_cum = (
-        Window.partitionBy(series_col)
-        .orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    w_all = Window.partitionBy(series_col)
-    return per_scrape.select(
-        series_col,
-        ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
-        (
-            F.sum("dc").over(w_cum)
-            - F.when(
-                F.col("b") >= _PROM_RESET_BUCKET,
-                F.sum(
-                    F.when(F.col("b") < _PROM_RESET_BUCKET, F.col("dc"))
-                    .otherwise(F.lit(0))
-                ).over(w_all),
-            ).otherwise(F.lit(0))
-        ).cast("long").alias("value"),
-    )
-
-
-def _prom_counter_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cumulative request-counter scrapes per event_type with one
-    mid-month reset — the ``zdm_*_request_duration_seconds_count``
-    shape the proxy dashboard rates over."""
-    counts = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
-        )
-        .groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).alias("dc"))
-    )
-    return _cum_counter_with_reset(counts, "event_type")
-
-
-def _prom_gauge_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-scrape event counts as a gauge series (the go-runtime
-    dashboard's deriv() input shape)."""
-    return (
-        load_table(spark, sf_dir, "events")
-        .select(
-            "event_type",
-            F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
-        )
-        .groupBy("event_type", "b")
-        .agg(F.count(F.lit(1)).cast("long").alias("value"))
-        .select(
-            "event_type",
-            ((F.col("b") + 1) * _PROM_STEP_MS).alias("ts_ms"),
-            "value",
-        )
-    )
-
-
-def q_prom_counter_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the dashboard's throughput panels: irate = reset-adjusted delta
-    # of the LAST TWO scrapes over their gap (per-second fixed point)
-    from cassandra_data_migration_spark.streaming.promql import irate
-
-    return irate(
-        _prom_counter_samples(spark, sf_dir),
-        ["event_type"],
-        out_scale=_PROM_SCALE,
-    )
-
-
-def q_prom_rate_reconstruct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PromQL rate() over a 10-day range spanning the counter reset:
-    # reset-compensated increase × the documented boundary
-    # extrapolation factor (incl. the counter zero-crossing cap),
-    # all in exact rational arithmetic
-    from cassandra_data_migration_spark.streaming.promql import (
-        extrapolated_rate,
-    )
-
-    return extrapolated_rate(
-        _prom_counter_samples(spark, sf_dir),
-        ["event_type"],
-        range_start_ms=_PROM_RANGE[0],
-        range_end_ms=_PROM_RANGE[1],
-        out_scale=_PROM_SCALE,
-    )
-
-
-def q_prom_gauge_deriv(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # PromQL deriv(): per-series least-squares slope of a gauge,
-    # timestamps re-based per series, sign factored out of the one
-    # half-up division
-    from cassandra_data_migration_spark.streaming.promql import deriv
-
-    return deriv(
-        _prom_gauge_samples(spark, sf_dir),
-        ["event_type"],
-        out_scale=_PROM_SCALE,
-    )
-
-
-def _prom_oracles() -> tuple[str, str, str]:
-    from cassandra_data_migration_spark.streaming.promql import (
-        deriv_sql,
-        extrapolated_rate_sql,
-        irate_sql,
-    )
-
-    return (
-        irate_sql(_PROM_COUNTER_SQL, ["event_type"], out_scale=_PROM_SCALE),
-        extrapolated_rate_sql(
-            _PROM_COUNTER_SQL,
-            ["event_type"],
-            range_start_ms=_PROM_RANGE[0],
-            range_end_ms=_PROM_RANGE[1],
-            out_scale=_PROM_SCALE,
-        ),
-        deriv_sql(_PROM_GAUGE_SQL, ["event_type"], out_scale=_PROM_SCALE),
-    )
-
-
-_PROM_IRATE_SQL, _PROM_RATE_SQL, _PROM_DERIV_SQL = _prom_oracles()
-QUERIES["prom_counter_irate"] = q_prom_counter_irate
-ORACLES["prom_counter_irate"] = _PROM_IRATE_SQL
-QUERIES["prom_rate_reconstruct"] = q_prom_rate_reconstruct
-ORACLES["prom_rate_reconstruct"] = _PROM_RATE_SQL
-QUERIES["prom_gauge_deriv"] = q_prom_gauge_deriv
-ORACLES["prom_gauge_deriv"] = _PROM_DERIV_SQL
-
-
-# --- round 7: CDM perfops sizing plan ----------------------------------------
-
-# the lab's migration set with the CDM batching flag: lineitem is the
-# one table with a clustering key (orderkey, linenumber), so batching
-# buys something there; single-column-PK tables force batchSize 1
-_SIZING_TABLES = ["customer", "orders", "lineitem", "events"]
-_SIZING_PK_IS_PK = {
-    "customer": True,
-    "orders": True,
-    "lineitem": False,
-    "events": True,
-}
-
-
-def q_migration_sizing_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # docs/04-cdm-approach.md:459-463 sizing rules as a report: rows /
-    # compressed bytes from distributed footer reads, then numParts =
-    # ceil(bytes/10MB), the batchSize auto rule, the fetchSize
-    # large-row rule, and the ETA at the default 20K rows/s ratelimit
-    from cassandra_data_migration_spark.plans.sizing import (
-        migration_sizing_plan,
-    )
-
-    return migration_sizing_plan(
-        spark,
-        {t: f"{sf_dir}/{t}.parquet" for t in _SIZING_TABLES},
-        pk_is_partition_key=_SIZING_PK_IS_PK,
-    )
-
-
-def _sizing_oracle() -> str:
-    from cassandra_data_migration_spark.plans.sizing import (
-        migration_sizing_plan_sql,
-    )
-
-    sf_dir = os.environ.get("CDM_ORACLE_SF_DIR", "/root/testdata/sf0.01")
-    return migration_sizing_plan_sql(
-        {t: f"{sf_dir}/{t}.parquet" for t in _SIZING_TABLES},
-        pk_is_partition_key=_SIZING_PK_IS_PK,
-    )
-
-
-QUERIES["migration_sizing_plan"] = q_migration_sizing_plan
-ORACLES["migration_sizing_plan"] = _sizing_oracle()
-
-
-def _bucket_scrape_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-scrape cumulative ``_bucket{le=}`` counters from the events
-    latencies — what a real scrape target exports every interval —
-    with the same mid-month process restart as the request counters
-    (the bucket counters reset together)."""
-    les = _LATENCY_LES
-    ev = load_table(spark, sf_dir, "events").select(
-        F.expr(f"unix_millis(ts) div {_PROM_STEP_MS}").alias("b"),
-        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("long").alias("lat"),
-    )
-    aggs = [
-        F.sum(F.when(F.col("lat") <= le, 1).otherwise(0))
-        .cast("long")
-        .alias(f"c{i}")
-        for i, le in enumerate(les)
-    ] + [F.count(F.lit(1)).cast("long").alias(f"c{len(les)}")]
-    per_b = ev.groupBy("b").agg(*aggs)
-    stack_args = ", ".join(
-        [f"'{le}', c{i}" for i, le in enumerate(les)]
-        + [f"'+Inf', c{len(les)}"]
-    )
-    long_form = per_b.select(
-        "b",
-        F.expr(f"stack({len(les) + 1}, {stack_args}) AS (le, dc)"),
-    )
-    return _cum_counter_with_reset(long_form, "le")
-
-
-def q_histogram_quantile_rated(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    # exercise 6's ACTUAL panel formula: histogram_quantile(q,
-    # increase(..._bucket[range])) — windowed reset-aware bucket
-    # increases (integer-exact; rate's constant range division cancels
-    # in the quantile ratio) through the same interpolation as
-    # histogram_percentiles, over a range spanning the counter reset
-    from cassandra_data_migration_spark.streaming.histograms import (
-        windowed_histogram_quantiles,
-    )
-
-    return windowed_histogram_quantiles(
-        _bucket_scrape_samples(spark, sf_dir),
-        _LATENCY_LES,
-        range_start_ms=_PROM_RANGE[0],
-        range_end_ms=_PROM_RANGE[1],
-    )
-
-
-_BUCKET_SCRAPES_SQL_PARTS = [
-    f"""SELECT '{le}' AS le, b,
-          SUM(CASE WHEN lat <= {le} THEN 1 ELSE 0 END) AS dc
-        FROM ev GROUP BY b"""
-    for le in _LATENCY_LES
-] + ["SELECT '+Inf' AS le, b, COUNT(*) AS dc FROM ev GROUP BY b"]
-
-_BUCKET_SCRAPES_SQL = _cum_counter_with_reset_sql(
-    f"""WITH ev AS (
-            SELECT epoch_ms(ts) // {_PROM_STEP_MS} AS b,
-                   CAST(floor(value * 100 + 0.5) AS BIGINT) AS lat
-            FROM events
-        )
-        {" UNION ALL ".join(_BUCKET_SCRAPES_SQL_PARTS)}""",
-    "le",
-)
-
-
-def _rated_quantiles_oracle() -> str:
-    from cassandra_data_migration_spark.streaming.histograms import (
-        windowed_histogram_quantiles_sql,
-    )
-
-    return windowed_histogram_quantiles_sql(
-        _BUCKET_SCRAPES_SQL,
-        _LATENCY_LES,
-        range_start_ms=_PROM_RANGE[0],
-        range_end_ms=_PROM_RANGE[1],
-    )
-
-
-QUERIES["histogram_quantile_rated"] = q_histogram_quantile_rated
-ORACLES["histogram_quantile_rated"] = _rated_quantiles_oracle()
-
-
-def q_stream_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # continuous irate: scrape slices fold into a <=2-rows-per-series
-    # state (top-2 by ts is a max-like semilattice fold -> idempotent,
-    # no batch gate); the live rate is the BATCH irate operator over
-    # that state, so streamed == batch by construction and the batch
-    # oracle checks it value for value
-    import tempfile
-
-    from cassandra_data_migration_spark.streaming.promql_stream import (
-        irate_from_state,
-        irate_state_stream,
-    )
-
-    # slice by scrape index (ts_ms is a multiple of the step, so mod
-    # the BUCKET, not the raw ms) — adjacent scrapes land in different
-    # micro-batches, exercising the cross-batch top-2 merge
-    samples = _prom_counter_samples(spark, sf_dir).withColumn(
-        "_s", F.pmod(F.expr(f"ts_ms DIV {_PROM_STEP_MS}"), F.lit(3))
-    )
-    d = tempfile.mkdtemp(prefix="irate_stream_")
-    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
-    for s in range(3):
-        samples.filter(F.col("_s") == s).drop("_s").repartition(
-            1
-        ).write.mode("append").parquet(src)
-    stream = (
-        spark.readStream.schema("event_type string, ts_ms long, value long")
-        .option("maxFilesPerTrigger", "1")
-        .parquet(src)
-    )
-    q = irate_state_stream(stream, st, ["event_type"], checkpoint=ckpt)
-    await_or_raise(q, 300)
-    return irate_from_state(
-        spark, st, ["event_type"], out_scale=_PROM_SCALE
-    )
-
-
-QUERIES["stream_irate"] = q_stream_irate
-ORACLES["stream_irate"] = _PROM_IRATE_SQL
-
-
-# --- round 7: classifier evaluation (AUC / PR / calibration) ----------------
-
-# score = the integer-exact quality score (the same expression the
-# preference_pairs oracle proved engine-identical); weak label = the
-# doc is English — the classifier-eval loop a quality-filter pipeline
-# runs before trusting its filter
-_EVAL_SCORED_SQL = """
-    SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
-           7 * least(CAST(len(string_split(text, ' ')) AS BIGINT)
-                     * 15625, 1000000)
-           + 3 * least(CAST(floor(5000000 *
-                 CAST(len(list_filter(string_split(text, ' '),
-                     t -> list_contains(
-                         ['the','a','of','to','and','in','is'], t)))
-                     AS BIGINT) * 1.0 /
-                 CAST(len(string_split(text, ' ')) AS BIGINT))
-                 AS BIGINT), 1000000) AS q
-    FROM documents
-"""
-_EVAL_THRESHOLDS = [2_000_000, 4_000_000, 6_000_000, 8_000_000, 9_000_000]
-
-
-def _eval_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from cassandra_data_migration_spark.operators.text import quality_score_e6
-
-    return quality_score_e6(load_table(spark, sf_dir, "documents")).select(
-        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
-        F.col("quality_e6x10").alias("q"),
-    )
-
-
-def q_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # exact Mann-Whitney AUC, average-rank ties; the folded bucketed
-    # rank (no single-task sort, no per-row window), with the score
-    # domain [0, 1e7] known so explicit bucket bounds make the whole
-    # metric ONE scan of the scored frame
-    from cassandra_data_migration_spark.operators.evaluation import roc_auc
-
-    return roc_auc(
-        _eval_scored(spark, sf_dir),
-        "q",
-        "y",
-        score_bounds=[i * 10_000_000 // 64 for i in range(1, 64)],
-    )
-
-
-def q_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # precision/recall/F1 at operating thresholds: one scan, broadcast
-    # threshold list, exact integer counts + half-up ppm ratios
-    from cassandra_data_migration_spark.operators.evaluation import (
-        pr_at_thresholds,
-    )
-
-    return pr_at_thresholds(
-        _eval_scored(spark, sf_dir), "q", "y", _EVAL_THRESHOLDS
-    )
-
-
-def q_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # reliability table over confidence bins (score e6x10 -> ppm);
-    # ECE derives from Σ n_b·gap_b / N, every cell engine-exact
-    from cassandra_data_migration_spark.operators.evaluation import (
-        calibration_bins,
-    )
-
-    scored = _eval_scored(spark, sf_dir).withColumn(
-        "conf_ppm", F.expr("q DIV 10")
-    )
-    return calibration_bins(scored, "conf_ppm", "y", n_bins=10)
-
-
-def _eval_oracles() -> tuple[str, str, str]:
-    from cassandra_data_migration_spark.operators.evaluation import (
-        calibration_bins_sql,
-        pr_at_thresholds_sql,
-        roc_auc_sql,
-    )
-
-    return (
-        roc_auc_sql(_EVAL_SCORED_SQL, "q", "y"),
-        pr_at_thresholds_sql(_EVAL_SCORED_SQL, "q", "y", _EVAL_THRESHOLDS),
-        calibration_bins_sql(_EVAL_SCORED_SQL, "q // 10", "y", n_bins=10),
-    )
-
-
-_EVAL_AUC_SQL, _EVAL_PR_SQL, _EVAL_CAL_SQL = _eval_oracles()
-QUERIES["classifier_auc"] = q_classifier_auc
-ORACLES["classifier_auc"] = _EVAL_AUC_SQL
-QUERIES["classifier_pr_curve"] = q_classifier_pr_curve
-ORACLES["classifier_pr_curve"] = _EVAL_PR_SQL
-QUERIES["classifier_calibration"] = q_classifier_calibration
-ORACLES["classifier_calibration"] = _EVAL_CAL_SQL
-
-
-def q_classifier_auc_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # classifier DRIFT view: is the quality filter as discriminative
-    # on zh as on en?  Per-group AUC shuffles once on the group key —
-    # label here = long document (>= 1000 chars), score = quality e6
-    from cassandra_data_migration_spark.operators.evaluation import (
-        grouped_roc_auc,
-    )
-    from cassandra_data_migration_spark.operators.text import quality_score_e6
-
-    scored = quality_score_e6(load_table(spark, sf_dir, "documents")).select(
-        "lang",
-        F.col("quality_e6x10").alias("q"),
-        F.when(F.col("n_chars") >= 1000, 1).otherwise(0).alias("y"),
-    )
-    return grouped_roc_auc(scored, "lang", "q", "y")
-
-
-def _grouped_auc_oracle() -> str:
-    from cassandra_data_migration_spark.operators.evaluation import (
-        grouped_roc_auc_sql,
-    )
-
-    scored = """
-        SELECT lang,
-               CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END AS y,
-               7 * least(CAST(len(string_split(text, ' ')) AS BIGINT)
-                         * 15625, 1000000)
-               + 3 * least(CAST(floor(5000000 *
-                     CAST(len(list_filter(string_split(text, ' '),
-                         t -> list_contains(
-                             ['the','a','of','to','and','in','is'], t)))
-                         AS BIGINT) * 1.0 /
-                     CAST(len(string_split(text, ' ')) AS BIGINT))
-                     AS BIGINT), 1000000) AS q
-        FROM documents
-    """
-    return grouped_roc_auc_sql(scored, "lang", "q", "y")
-
-
-QUERIES["classifier_auc_by_lang"] = q_classifier_auc_by_lang
-ORACLES["classifier_auc_by_lang"] = _grouped_auc_oracle()
-
-
-# --- round 7: training-shard export manifest ---------------------------------
-
-
-def q_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the pipeline end-cap: seeded global shuffle (md5 order, two-phase
-    # bucketed rank — no global sort) -> round-robin shard assignment
-    # (sizes differ by <= 1 at any corpus size) -> per-shard manifest
-    # (rows, token sum, order-independent content digest)
-    from cassandra_data_migration_spark.operators.shards import (
-        training_shard_manifest,
-    )
-    from cassandra_data_migration_spark.operators.text import token_count
-
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tok", token_count("text").cast("long")
-    )
-    return training_shard_manifest(
-        docs, "doc_id", "n_tok", n_shards=8, seed="r7"
-    )
-
-
-def _training_shards_oracle() -> str:
-    from cassandra_data_migration_spark.operators.shards import (
-        training_shard_manifest_sql,
-    )
-
-    return training_shard_manifest_sql(
-        "SELECT doc_id, len(string_split(text, ' ')) AS n_tok"
-        " FROM documents",
-        "doc_id",
-        "n_tok",
-        n_shards=8,
-        seed="r7",
-    )
-
-
-QUERIES["training_shards"] = q_training_shards
-ORACLES["training_shards"] = _training_shards_oracle()
-
-
-def q_training_shards_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # token-BALANCED variant: heavy-tailed doc lengths dealt snake
-    # over the token-descending rank (LPT-flavored), so per-shard
-    # token sums stay within one block's spread while doc counts
-    # still differ by <= 1
-    from cassandra_data_migration_spark.operators.shards import (
-        training_shard_manifest,
-    )
-    from cassandra_data_migration_spark.operators.text import token_count
-
-    docs = load_table(spark, sf_dir, "documents").withColumn(
-        "n_tok", token_count("text").cast("long")
-    )
-    return training_shard_manifest(
-        docs, "doc_id", "n_tok", n_shards=8, seed="r7",
-        balance="tokens",
-    )
-
-
-def _training_shards_balanced_oracle() -> str:
-    from cassandra_data_migration_spark.operators.shards import (
-        training_shard_manifest_sql,
-    )
-
-    return training_shard_manifest_sql(
-        "SELECT doc_id, len(string_split(text, ' ')) AS n_tok"
-        " FROM documents",
-        "doc_id",
-        "n_tok",
-        n_shards=8,
-        seed="r7",
-        balance="tokens",
-    )
-
-
-QUERIES["training_shards_balanced"] = q_training_shards_balanced
-ORACLES["training_shards_balanced"] = _training_shards_balanced_oracle()
-
-
-# --- round 8: node-down liveness alert ---------------------------------------
-
-# synthetic per-node heartbeat gauge from the events table: node =
-# event_id % 4, one successful scrape per (node, hour) that saw any
-# event, with an INJECTED full-day outage for node 2 on 2024-01-15
-# (epoch day 19737) — deterministic in both engines.  Hourly scrape
-# grid, down threshold 3 h (the "up == 0 for 1m" rule at the fixture's
-# time scale), evaluation instant 2024-01-31T00:00Z.
-_HB_SCRAPE_MS = 3_600_000
-_HB_DOWN_MS = 3 * 3_600_000
-_HB_END_MS = 1_706_659_200_000  # 2024-01-31T00:00:00Z
-_HB_OUTAGE_DAY = 19_737  # 2024-01-15
-
-
-def q_alert_node_down(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # Z8 completion: exercise 6's fourth Prometheus alert (up == 0
-    # for 1 min, lab/exercises/06-validation-monitoring.md:489-496) —
-    # per-node liveness from heartbeat gaps INCLUDING the trailing
-    # silent-stop edge, one alert row per outage
-    from cassandra_data_migration_spark.streaming.metrics import (
-        node_down_alerts,
-    )
-
-    hb = (
-        load_table(spark, sf_dir, "events")
-        .select(
-            F.expr("event_id % 4").alias("node"),
-            F.expr("unix_millis(ts)").alias("ts_ms"),
-        )
-        .filter(
-            ~(
-                (F.col("node") == 2)
-                & (F.expr(f"ts_ms DIV 86400000 = {_HB_OUTAGE_DAY}"))
-            )
-        )
-    )
-    return node_down_alerts(
-        hb,
-        scrape_ms=_HB_SCRAPE_MS,
-        down_ms=_HB_DOWN_MS,
-        range_end_ms=_HB_END_MS,
-    )
-
-
-def _alert_node_down_oracle() -> str:
-    from cassandra_data_migration_spark.streaming.metrics import (
-        node_down_alerts_sql,
-    )
-
-    return node_down_alerts_sql(
-        f"""SELECT event_id % 4 AS node, epoch_ms(ts) AS ts_ms
-            FROM events
-            WHERE NOT (event_id % 4 = 2
-                       AND epoch_ms(ts) // 86400000 = {_HB_OUTAGE_DAY})""",
-        scrape_ms=_HB_SCRAPE_MS,
-        down_ms=_HB_DOWN_MS,
-        range_end_ms=_HB_END_MS,
-    )
-
-
-QUERIES["alert_node_down"] = q_alert_node_down
-ORACLES["alert_node_down"] = _alert_node_down_oracle()
-
-
-# --- round 8: persisted index artifacts (train once, probe many) -------------
-
-# per-process artifact stores, keyed (applicationId, sf_dir) like the
-# repair lake layout: a real pipeline trains its quantizer/tokenizer
-# once and publishes a version; probes must pay probe cost only
-_IVF_INDEXES: dict = {}
-_BPE_MERGE_TABLES: dict = {}
-_IVF_N_CENTROIDS = 16
-_IVF_N_PROBE = 4
-
-
-def _ensure_ivf_index(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    from cassandra_data_migration_spark.operators.ann_index import (
-        persist_ivf_index,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    p = _IVF_INDEXES.get(key)
-    if p is None:
-        p = tempfile.mkdtemp(prefix="ivf_index_")
-        persist_ivf_index(
-            spark,
-            load_table(spark, sf_dir, "embeddings"),
-            p,
-            n_centroids=_IVF_N_CENTROIDS,
-        )
-        _IVF_INDEXES[key] = p
-    return p
-
-
-def q_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # train + publish the IVF index as a versioned lake artifact
-    # (operators/ann_index): centroid table under a snapshot manifest,
-    # corpus written once partitioned by list_id.  The gate-checked
-    # surface is the inverted-list MANIFEST read back from the
-    # published layout — per-list vector counts, which only match the
-    # oracle if the e4 assignment in the layout is engine-exact
-    p = _ensure_ivf_index(spark, sf_dir)
-    return (
-        spark.read.parquet(f"{p}/lists")
-        .groupBy("list_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
-        .orderBy("list_id")
-    )
-
-
-def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # probe the PERSISTED index: centroid read (O(16) rows) -> driver
-    # picks the 4 nearest lists by the same e4 key assignment used ->
-    # scan ONLY those list_id= partitions (PartitionFilters; plan has
-    # no training/assignment stage, pinned in tests) -> exact cosine
-    # top-k within.  Approximate BY CONSTRUCTION yet exactly
-    # oracle-checkable, because the assignment is engine-exact
-    from cassandra_data_migration_spark.operators.ann_index import (
-        ivf_probe_persisted,
-    )
-
-    p = _ensure_ivf_index(spark, sf_dir)
-    emb = load_table(spark, sf_dir, "embeddings")
-    qv = [
-        float(x)
-        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
-    ]
-    return ivf_probe_persisted(spark, p, qv, k=10, n_probe=_IVF_N_PROBE)
-
-
-_IVF_ASSIGN_CTES = f"""
-    v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
-    cb AS (
-        SELECT ROW_NUMBER() OVER (
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
-               embedding::DOUBLE[] AS cv
-        FROM (SELECT vec_id, embedding FROM embeddings
-              ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
-              LIMIT {_IVF_N_CENTROIDS})
-    ),
-    asg AS (
-        SELECT vec_id, cid FROM (
-            SELECT v.vec_id, cb.cid,
-                   ROW_NUMBER() OVER (PARTITION BY v.vec_id ORDER BY
-                       CAST(floor((list_dot_product(cv, cv)
-                                   - 2.0 * list_dot_product(ev, cv))
-                                  * 10000.0 + 0.5) AS BIGINT), cid) AS rn
-            FROM v, cb
-        ) WHERE rn = 1
-    )
-"""
-
-QUERIES["ivf_index_persist"] = q_ivf_index_persist
-ORACLES["ivf_index_persist"] = f"""
-    WITH {_IVF_ASSIGN_CTES}
-    SELECT CAST(cid AS INT) AS list_id,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors
-    FROM asg GROUP BY 1 ORDER BY 1
-"""
-
-QUERIES["ivf_index_probe"] = q_ivf_index_probe
-ORACLES["ivf_index_probe"] = f"""
-    WITH {_IVF_ASSIGN_CTES},
-    q AS (SELECT embedding::DOUBLE[] AS a_v FROM embeddings
-          WHERE vec_id = 0),
-    probe AS (
-        SELECT cid FROM (
-            SELECT cb.cid,
-                   ROW_NUMBER() OVER (ORDER BY
-                       CAST(floor((list_dot_product(cv, cv)
-                                   - 2.0 * list_dot_product(a_v, cv))
-                                  * 10000.0 + 0.5) AS BIGINT), cid) AS rn
-            FROM cb, q
-        ) WHERE rn <= {_IVF_N_PROBE}
-    ),
-    short AS (
-        SELECT v.vec_id, v.ev AS b_v FROM v JOIN asg USING (vec_id)
-        WHERE asg.cid IN (SELECT cid FROM probe)
-    )
-    SELECT vec_id, ROUND({_COS_SIM}, 4) AS cos_sim
-    FROM short, q ORDER BY cos_sim DESC, vec_id LIMIT 10
-"""
-
-
-def _ensure_bpe_merges(spark: SparkSession, sf_dir: str) -> str:
-    import tempfile
-
-    from cassandra_data_migration_spark.operators.ann_index import (
-        persist_bpe_merges,
-    )
-
-    key = (spark.sparkContext.applicationId, sf_dir)
-    p = _BPE_MERGE_TABLES.get(key)
-    if p is None:
-        p = tempfile.mkdtemp(prefix="bpe_merges_")
-        persist_bpe_merges(
-            spark, load_table(spark, sf_dir, "documents"), p, num_merges=8
-        )
-        _BPE_MERGE_TABLES[key] = p
-    return p
-
-
-def q_bpe_vocab_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # the tokenizer-artifact analogue: read the PUBLISHED merge table
-    # (O(merges) rows, versioned) and apply it as a pure fold — no
-    # per-round best-pair training jobs in this query's lineage after
-    # the first build; same vocabulary oracle as bpe_vocab
-    from cassandra_data_migration_spark.operators.ann_index import (
-        bpe_apply_persisted,
-    )
-
-    p = _ensure_bpe_merges(spark, sf_dir)
-    return bpe_apply_persisted(
-        spark, load_table(spark, sf_dir, "documents"), p
-    )
-
-
-QUERIES["bpe_vocab_persisted"] = q_bpe_vocab_persisted
-# oracle registered in oracle_sql() (fixture-dependent, same as
-# bpe_vocab)
-
-
-_missing_head = [k for k in _ROUND_HEAD if k not in QUERIES]
-assert not _missing_head, f"unregistered _ROUND_HEAD names: {_missing_head}"
-QUERIES = {
-    **{k: QUERIES[k] for k in _ROUND_HEAD},
-    **{k: v for k, v in QUERIES.items() if k not in set(_ROUND_HEAD)},
-}
