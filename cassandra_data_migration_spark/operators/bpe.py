@@ -187,9 +187,15 @@ def bpe_segment_counts(
             "n", _initial_symbols(F.col("word")).alias("symbols")
         )
         for a, b in merges:
+            # one fold per round, materialized + lineage-cut exactly
+            # like the trainer: a merges-deep NESTED aggregate-lambda
+            # chain is interpreter-bound (HOFs are codegen-ineligible
+            # — measured ~12 s vs ~2 s at sf0.1 for 8 merges), and the
+            # working set is the Heaps-law word table, so per-round
+            # materialization is cheap at any corpus size
             sym = sym.select(
                 "n", _merge_pair(F.col("symbols"), a, b).alias("symbols")
-            )
+            ).localCheckpoint(eager=True)
     return (
         sym.select(F.col("n"), F.explode("symbols").alias("symbol"))
         .groupBy("symbol")

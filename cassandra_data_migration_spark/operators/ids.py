@@ -93,6 +93,7 @@ def grouped_min_ranks(
     extra_aggs: list[Column],
     buckets: int = 64,
     bounds: list | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """``groupBy(order_col)`` stats plus each group's 1-based global
     MIN rank in ``order_col`` order — the folded form of
@@ -119,7 +120,16 @@ def grouped_min_ranks(
     ``bounds``: explicit ordered bucket boundaries over the (double)
     key — pass them when the score domain is known (e.g. a fixed-point
     score in [0, 1e7]) to skip the percentile_approx pass; like the
-    approximate quantiles they only affect balance, never values."""
+    approximate quantiles they only affect balance, never values.
+
+    ``materialize`` (default True): localCheckpoint the tie-group
+    frame so the offsets branch and the consumer both read the
+    materialized O(distinct keys) frame instead of re-running the
+    input scan (AQE exchange reuse is not guaranteed across the two
+    aggregation branches — measured a full second scan without it).
+    The frame is distributed executor storage, O(distinct keys) rows;
+    pass False only when the key is near-unique (the frame would be
+    corpus-sized) AND the input scan is cheap."""
     lead_key = F.col(order_col).cast("double")
     if bounds is None:
         qs = [i / buckets for i in range(1, buckets)]
@@ -131,6 +141,8 @@ def grouped_min_ranks(
     groups = d.groupBy("_bkt", order_col).agg(
         F.count(F.lit(1)).alias("_cnt"), *extra_aggs
     )
+    if materialize:
+        groups = groups.localCheckpoint(eager=True)
     w_off = Window.orderBy("_bkt").rowsBetween(
         Window.unboundedPreceding, -1
     )
