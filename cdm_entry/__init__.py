@@ -30,8 +30,8 @@ from cdm_entry.part12_round8 import *  # noqa: F401,F403 — chain end
 # outside every prior head (cells, attribution, privacy, retrieval,
 # text, sampling) so the driver's union keeps growing.
 _ROUND_HEAD: list[str] = [
-    "alert_node_down", "ivf_index_persist", "ivf_index_probe",
-    "bpe_vocab_persisted",
+    "alert_node_down", "stream_node_down", "ivf_index_persist",
+    "ivf_index_probe", "bpe_vocab_persisted",
     "classifier_auc", "prom_rate_reconstruct", "histogram_percentiles",
     "histogram_quantile_rated", "repair_pipeline_pruned",
     "training_shards_balanced",
@@ -48,7 +48,7 @@ _ROUND_HEAD: list[str] = [
     "temperature_mixture", "semantic_decontaminate",
     "winnow_fingerprints", "ngram_novelty", "perplexity_buckets",
     "pmi_collocations", "bm25_topk", "hybrid_rrf",
-    "url_canonical_groups", "rowgroup_stats",
+    "url_canonical_groups",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 

@@ -233,6 +233,88 @@ QUERIES["bpe_vocab_persisted"] = q_bpe_vocab_persisted
 # bpe_vocab)
 
 
+# --- round 8: streaming liveness twin ---------------------------------------
+
+# a SECOND injected failure mode for the live path: node 3 goes
+# silent from 2024-01-25 (epoch day 19747) onward — a trailing
+# silent-stop the current-instant rule must catch
+_HB_SILENT_DAY = 19_747
+
+
+def q_stream_node_down(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # streaming twin of alert_node_down's trailing-edge rule: per-node
+    # last-seen state (ONE row per node, max-fold -> idempotent,
+    # replay-safe, no batch gate) maintained across 3 micro-batch
+    # slices; the live alert evaluates the state against the same
+    # instant/grid arithmetic as the batch operator, so streamed ==
+    # batch-tail by construction and the batch SQL oracles it exactly
+    import tempfile
+
+    from cassandra_data_migration_spark.streaming.liveness import (
+        heartbeat_state_stream,
+        node_down_from_state,
+    )
+
+    hb = (
+        load_table(spark, sf_dir, "events")
+        .select(
+            F.expr("event_id % 4").alias("node"),
+            F.expr("unix_millis(ts)").alias("ts_ms"),
+        )
+        .filter(
+            ~(
+                (F.col("node") == 3)
+                & (F.expr(f"ts_ms DIV 86400000 >= {_HB_SILENT_DAY}"))
+            )
+        )
+        .withColumn(
+            "_s",
+            F.pmod(F.expr(f"ts_ms DIV {_HB_SCRAPE_MS}"), F.lit(3)),
+        )
+    )
+    d = tempfile.mkdtemp(prefix="liveness_")
+    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    for s in range(3):
+        hb.filter(F.col("_s") == s).drop("_s").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("node bigint, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = heartbeat_state_stream(stream, st, checkpoint=ckpt)
+    await_or_raise(q, 300)
+    return node_down_from_state(
+        spark,
+        st,
+        scrape_ms=_HB_SCRAPE_MS,
+        down_ms=_HB_DOWN_MS,
+        range_end_ms=_HB_END_MS,
+    )
+
+
+_HB_SLOTS = _HB_DOWN_MS // _HB_SCRAPE_MS
+QUERIES["stream_node_down"] = q_stream_node_down
+ORACLES["stream_node_down"] = f"""
+    WITH hb AS (
+        SELECT event_id % 4 AS node,
+               epoch_ms(ts) // {_HB_SCRAPE_MS} AS b
+        FROM events
+        WHERE NOT (event_id % 4 = 3
+                   AND epoch_ms(ts) // 86400000 >= {_HB_SILENT_DAY})
+        GROUP BY 1, 2
+    )
+    SELECT node,
+           CAST((MAX(b) + 1) * {_HB_SCRAPE_MS} AS BIGINT)
+               AS down_since_ms,
+           CAST(({_HB_END_MS // _HB_SCRAPE_MS} - MAX(b) - 1)
+                * {_HB_SCRAPE_MS} AS BIGINT) AS down_for_ms,
+           'node_down' AS alert
+    FROM hb GROUP BY node
+    HAVING {_HB_END_MS // _HB_SCRAPE_MS} - MAX(b) - 1 >= {_HB_SLOTS}
+    ORDER BY node
+"""
 
 
 register_queries(globals())

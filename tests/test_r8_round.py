@@ -116,6 +116,64 @@ def test_persisted_bpe_merges_roundtrip(spark, tmp_path):
     assert read_bpe_merges(spark, p) == bpe_train(docs, num_merges=4)[0]
 
 
+def test_liveness_state_bounded_and_replay_safe(spark, tmp_path):
+    from cassandra_data_migration_spark.streaming.liveness import (
+        heartbeat_state_stream,
+        node_down_from_state,
+    )
+    from cassandra_data_migration_spark.streaming import await_or_raise
+
+    import pyspark.sql.functions as F
+
+    s = 1000
+    hb = spark.createDataFrame(
+        [("a", t * s) for t in (0, 1, 2, 9)]
+        + [("b", t * s) for t in (0, 3, 5)],
+        "node string, ts_ms long",
+    ).withColumn("_s", F.pmod("ts_ms", 3000))
+    d = str(tmp_path)
+    src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
+    for sl in (0, 1000, 2000):
+        hb.filter(F.col("_s") == sl).drop("_s").repartition(1).write.mode(
+            "append"
+        ).parquet(src)
+    stream = (
+        spark.readStream.schema("node string, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    await_or_raise(heartbeat_state_stream(stream, st, checkpoint=ckpt), 300)
+    state = spark.read.parquet(st)
+    # exactly one row per node, forever
+    assert sorted(tuple(r) for r in state.collect()) == [
+        ("a", 9 * s),
+        ("b", 5 * s),
+    ]
+    got = [
+        tuple(r)
+        for r in node_down_from_state(
+            spark, st, scrape_ms=s, down_ms=3 * s, range_end_ms=12 * s
+        ).collect()
+    ]
+    # b silent since slot 5: gap = 12-5-1 = 6 slots >= 3 -> alert;
+    # a last seen slot 9: gap 2 < 3 -> healthy
+    assert got == [("b", 6 * s, 6 * s, "node_down")]
+    # fresh-checkpoint full redelivery leaves the state bit-identical
+    # (max fold is idempotent)
+    stream2 = (
+        spark.readStream.schema("node string, ts_ms long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    await_or_raise(
+        heartbeat_state_stream(stream2, st, checkpoint=f"{d}/ckpt2"), 300
+    )
+    assert sorted(tuple(r) for r in spark.read.parquet(st).collect()) == [
+        ("a", 9 * s),
+        ("b", 5 * s),
+    ]
+
+
 def test_repair_lake_layout_reused_across_invocations(spark):
     q = entry_mod.queries()["repair_pipeline_pruned"]
     first = {tuple(r) for r in q(spark, SF).collect()}
