@@ -107,6 +107,29 @@ def _assign_lists(
     )
 
 
+def _publish_version(spark: SparkSession, df: DataFrame, path: str) -> int:
+    """Publish ``df`` as the NEXT version of the artifact table at
+    ``path``: new part files land via append (never deleting earlier
+    versions' files), and the snapshot manifest lists exactly the new
+    files — so ``read_snapshot(version=k)`` keeps working for every
+    retained k (time travel over artifact versions), and
+    ``vacuum_snapshots`` reclaims what falls off the horizon."""
+    import os
+
+    before = (
+        set(os.listdir(path)) if os.path.isdir(path) else set()
+    )
+    df.coalesce(1).write.mode("append").parquet(path)
+    new = sorted(
+        f
+        for f in os.listdir(path)
+        if f.endswith(".parquet")
+        and not f.startswith(("_", "."))
+        and f not in before
+    )
+    return snapshot_commit(path, files=new)
+
+
 def persist_ivf_index(
     spark: SparkSession,
     df: DataFrame,
@@ -129,22 +152,37 @@ def persist_ivf_index(
         [(i, cents[i]) for i in range(len(cents))],
         "list_id int, centroid array<double>",
     )
-    cdir = os.path.join(path, "centroids")
-    cdf.coalesce(1).write.mode("overwrite").parquet(cdir)
-    files = sorted(
-        f
-        for f in os.listdir(cdir)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    version = snapshot_commit(cdir, files=files)
+    version = _publish_version(spark, cdf, os.path.join(path, "centroids"))
     assigned = _assign_lists(df, cents, id_col, vec_col)
     (
         assigned.repartition(n_centroids, "list_id")
         .write.mode("overwrite")
         .partitionBy("list_id")
-        .parquet(os.path.join(path, "lists"))
+        .parquet(lists_dir(path, version))
     )
     return version
+
+
+def lists_dir(path: str, version: int) -> str:
+    """The inverted-list layout belonging to centroid-table version
+    ``version`` — one layout per index version (a rebuilt quantizer
+    means a rebuilt assignment; old versions stay probe-able until
+    vacuumed, the lakehouse retention model)."""
+    import os
+
+    return os.path.join(path, f"lists_v{version}")
+
+
+def latest_version(path: str) -> int:
+    from cassandra_data_migration_spark.sources.lakehouse import (
+        snapshot_versions,
+    )
+    import os
+
+    versions = snapshot_versions(os.path.join(path, "centroids"))
+    if not versions:
+        raise ValueError(f"no IVF index published under {path}")
+    return versions[-1]
 
 
 def ivf_probe_persisted(
@@ -163,11 +201,14 @@ def ivf_probe_persisted(
     and scan ONLY the ``n_probe`` nearest ``list_id=`` partitions —
     the plan shows ``PartitionFilters`` and contains no training or
     assignment stage.  Exact brute-force cosine within the probed
-    lists (first-k by (cos_sim desc, id))."""
+    lists (first-k by (cos_sim desc, id)).  ``version`` pins an index
+    version (centroids AND their matching list layout); default
+    latest."""
+    v = latest_version(path) if version is None else version
     cent_rows = sorted(
         (r["list_id"], [float(x) for x in r["centroid"]])
         for r in read_snapshot(
-            spark, f"{path}/centroids", version=version
+            spark, f"{path}/centroids", version=v
         ).collect()
     )
     keys = []
@@ -179,7 +220,7 @@ def ivf_probe_persisted(
             dot = dot + qx * x
         keys.append((int(math.floor((cc - 2.0 * dot) * 10000.0 + 0.5)), lid))
     probe = [lid for _, lid in sorted(keys)[:n_probe]]
-    lists = spark.read.parquet(f"{path}/lists").filter(
+    lists = spark.read.parquet(lists_dir(path, v)).filter(
         F.col("list_id").isin(probe)
     )
     return cosine_topk(lists, query_vec, k, id_col, vec_col)
@@ -196,8 +237,6 @@ def persist_bpe_merges(
     publish it as a versioned lake table (merge_idx, a, b) — order IS
     the tokenizer, so the index column rides along.  Returns the
     published version."""
-    import os
-
     from cassandra_data_migration_spark.operators.bpe import bpe_train
 
     merges, _ = bpe_train(df, num_merges=num_merges, text_col=text_col)
@@ -205,13 +244,7 @@ def persist_bpe_merges(
         [(i, a, b) for i, (a, b) in enumerate(merges)],
         "merge_idx int, a string, b string",
     )
-    mdf.coalesce(1).write.mode("overwrite").parquet(path)
-    files = sorted(
-        f
-        for f in os.listdir(path)
-        if f.endswith(".parquet") and not f.startswith(("_", "."))
-    )
-    return snapshot_commit(path, files=files)
+    return _publish_version(spark, mdf, path)
 
 
 def read_bpe_merges(

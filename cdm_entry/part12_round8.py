@@ -112,9 +112,14 @@ def q_ivf_index_persist(spark: SparkSession, sf_dir: str) -> DataFrame:
     # surface is the inverted-list MANIFEST read back from the
     # published layout — per-list vector counts, which only match the
     # oracle if the e4 assignment in the layout is engine-exact
+    from cassandra_data_migration_spark.operators.ann_index import (
+        latest_version,
+        lists_dir,
+    )
+
     p = _ensure_ivf_index(spark, sf_dir)
     return (
-        spark.read.parquet(f"{p}/lists")
+        spark.read.parquet(lists_dir(p, latest_version(p)))
         .groupBy("list_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
         .orderBy("list_id")

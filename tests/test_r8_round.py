@@ -100,6 +100,18 @@ def test_ivf_probe_persisted_prunes_and_skips_training(spark, tmp_path):
     assert [tuple(r) for r in full.collect()] == [
         tuple(r) for r in brute.collect()
     ]
+    # version evolution: re-publishing with a retrained quantizer
+    # creates v1 WITHOUT invalidating v0 — both stay probe-able with
+    # their own matching list layouts (lakehouse retention model)
+    baseline = [tuple(r) for r in probe.collect()]
+    v1 = persist_ivf_index(spark, emb, p, n_centroids=4)
+    assert v1 == 1
+    again_v0 = ivf_probe_persisted(spark, p, qv, k=5, n_probe=3, version=0)
+    assert [tuple(r) for r in again_v0.collect()] == baseline
+    full_v1 = ivf_probe_persisted(spark, p, qv, k=5, n_probe=4, version=1)
+    assert [tuple(r) for r in full_v1.collect()] == [
+        tuple(r) for r in brute.collect()
+    ]
 
 
 def test_persisted_bpe_merges_roundtrip(spark, tmp_path):
