@@ -68,6 +68,7 @@ def main() -> None:
     for warm in (
         "_repair_lake_layout",
         "_ensure_ivf_index",
+        "_ensure_ivf_refined",
         "_ensure_bpe_merges",
     ):
         try:

@@ -131,11 +131,23 @@ def _stratified_sample_oracle() -> str:
     """
 
 
-def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+def _kmeans_oracle(
+    k: int = 8,
+    iters: int = 2,
+    dim: int = 64,
+    final_select: str | None = None,
+) -> str:
     """Unrolled-CTE replay of operators/similarity.kmeans_fit: same
     md5-seeded init, e4 fixed-point assignment (argmin key c·c − 2·x·c,
     ties to smallest cid), DECIMAL(20,10)-sum centroid updates emitted
-    as round(sum/count, 6), empty clusters keeping prior centroids."""
+    as round(sum/count, 6), empty clusters keeping prior centroids.
+
+    ``final_select`` replaces the default ``SELECT vec_id, cluster``
+    tail; it may reference the CTEs ``v`` (vec_id, ev), ``cb{iters}``
+    (cid, cv — the refined centroids) and ``a{iters}`` (vec_id,
+    cluster — the final assignment), letting refined-IVF oracles
+    (manifest counts, probe replays) build on the same engine-exact
+    iteration chain."""
     ctes = [
         "v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings)",
         f"""cb0 AS (
@@ -176,9 +188,10 @@ def _kmeans_oracle(k: int = 8, iters: int = 2, dim: int = 64) -> str:
                 ) m ON m.cid = cb{it}.cid
             )""")
     joined = ",\n        ".join(ctes)
+    tail = final_select or f"SELECT vec_id, cluster FROM a{iters}"
     return f"""
         WITH {joined}
-        SELECT vec_id, cluster FROM a{iters}
+        {tail}
     """
 
 

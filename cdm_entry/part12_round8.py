@@ -238,6 +238,110 @@ QUERIES["bpe_vocab_persisted"] = q_bpe_vocab_persisted
 # bpe_vocab)
 
 
+# --- round 8: k-means-refined persisted IVF index ---------------------------
+
+_IVF_REFINE_ITERS = 2
+
+
+def _ensure_ivf_refined(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    from cassandra_data_migration_spark.operators.ann_index import (
+        persist_ivf_index,
+    )
+
+    key = ("refined", spark.sparkContext.applicationId, sf_dir)
+    p = _IVF_INDEXES.get(key)
+    if p is None:
+        p = tempfile.mkdtemp(prefix="ivf_refined_")
+        persist_ivf_index(
+            spark,
+            load_table(spark, sf_dir, "embeddings"),
+            p,
+            n_centroids=_IVF_N_CENTROIDS,
+            refine_iters=_IVF_REFINE_ITERS,
+        )
+        _IVF_INDEXES[key] = p
+    return p
+
+
+def q_ivf_index_persist_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # the quantizer-refinement claim made real: the persisted index's
+    # centroids come from 2 engine-exact Lloyd rounds (kmeans_fit,
+    # arrow tier) — balanced lists raise probe recall at the same
+    # n_probe — and the published layout's inverted-list manifest
+    # still matches the oracle bit-for-bit (the kmeans contract)
+    from cassandra_data_migration_spark.operators.ann_index import (
+        latest_version,
+        lists_dir,
+    )
+
+    p = _ensure_ivf_refined(spark, sf_dir)
+    return (
+        spark.read.parquet(lists_dir(p, latest_version(p)))
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+def q_ivf_index_probe_refined(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    # probe the refined index: same persisted-probe path (centroid
+    # read -> driver e4 ranking -> PartitionFilters scan of 4 lists ->
+    # exact cosine top-k), exactly oracle-replayed through the kmeans
+    # iteration CTEs
+    from cassandra_data_migration_spark.operators.ann_index import (
+        ivf_probe_persisted,
+    )
+
+    p = _ensure_ivf_refined(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings")
+    qv = [
+        float(x)
+        for x in emb.filter(F.col("vec_id") == 0).first()["embedding"]
+    ]
+    return ivf_probe_persisted(spark, p, qv, k=10, n_probe=_IVF_N_PROBE)
+
+
+QUERIES["ivf_index_persist_refined"] = q_ivf_index_persist_refined
+ORACLES["ivf_index_persist_refined"] = _kmeans_oracle(
+    k=_IVF_N_CENTROIDS,
+    iters=_IVF_REFINE_ITERS,
+    final_select="""SELECT CAST(cluster AS INT) AS list_id,
+               CAST(COUNT(*) AS BIGINT) AS n_vectors
+        FROM a2 GROUP BY 1 ORDER BY 1""",
+)
+
+QUERIES["ivf_index_probe_refined"] = q_ivf_index_probe_refined
+ORACLES["ivf_index_probe_refined"] = _kmeans_oracle(
+    k=_IVF_N_CENTROIDS,
+    iters=_IVF_REFINE_ITERS,
+    final_select=f"""SELECT s.vec_id, ROUND({_COS_SIM.replace("a_v", "q.qv").replace("b_v", "s.ev")}, 4) AS cos_sim
+        FROM (
+            SELECT v.vec_id, v.ev
+            FROM v JOIN a2 ON v.vec_id = a2.vec_id
+            WHERE a2.cluster IN (
+                SELECT cid FROM (
+                    SELECT cb2.cid,
+                           ROW_NUMBER() OVER (ORDER BY
+                               CAST(floor((list_dot_product(cv, cv)
+                                           - 2.0 * list_dot_product(q.qv, cv))
+                                          * 10000.0 + 0.5) AS BIGINT),
+                               cid) AS rn
+                    FROM cb2, (SELECT embedding::DOUBLE[] AS qv
+                               FROM embeddings WHERE vec_id = 0) q
+                ) WHERE rn <= {_IVF_N_PROBE}
+            )
+        ) s, (SELECT embedding::DOUBLE[] AS qv
+              FROM embeddings WHERE vec_id = 0) q
+        ORDER BY cos_sim DESC, s.vec_id LIMIT 10""",
+)
+
+
 # --- round 8: streaming liveness twin ---------------------------------------
 
 # a SECOND injected failure mode for the live path: node 3 goes

@@ -114,6 +114,41 @@ def test_ivf_probe_persisted_prunes_and_skips_training(spark, tmp_path):
     ]
 
 
+def test_refined_index_and_vacuum(spark, tmp_path):
+    from cassandra_data_migration_spark.operators.ann_index import (
+        ivf_probe_persisted,
+        lists_dir,
+        persist_ivf_index,
+        vacuum_ivf_index,
+    )
+    from cassandra_data_migration_spark.operators.similarity import (
+        cosine_topk,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "ivf")
+    persist_ivf_index(spark, emb, p, n_centroids=8, refine_iters=1)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    # refined full-probe == brute force (the IVF identity holds for
+    # any quantizer)
+    full = [
+        tuple(r)
+        for r in ivf_probe_persisted(spark, p, qv, k=5, n_probe=8).collect()
+    ]
+    assert full == [tuple(r) for r in cosine_topk(emb, qv, k=5).collect()]
+    # publish v1 and v2, then vacuum to 1 kept version: v0/v1 layouts
+    # gone, latest still probe-able
+    persist_ivf_index(spark, emb, p, n_centroids=4)
+    persist_ivf_index(spark, emb, p, n_centroids=8, refine_iters=1)
+    removed = vacuum_ivf_index(p, keep_versions=1)
+    assert any("lists_v0" in r for r in removed)
+    assert not os.path.isdir(lists_dir(p, 0))
+    assert os.path.isdir(lists_dir(p, 2))
+    again = ivf_probe_persisted(spark, p, qv, k=5, n_probe=8)
+    assert [tuple(r) for r in again.collect()] == full
+
+
 def test_persisted_bpe_merges_roundtrip(spark, tmp_path):
     from cassandra_data_migration_spark.operators.ann_index import (
         persist_bpe_merges,
