@@ -69,6 +69,7 @@ def main() -> None:
         "_repair_lake_layout",
         "_ensure_ivf_index",
         "_ensure_ivf_refined",
+        "_ensure_ivf_incremental",
         "_ensure_bpe_merges",
     ):
         try:

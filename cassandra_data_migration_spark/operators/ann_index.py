@@ -197,6 +197,61 @@ def lists_dir(path: str, version: int) -> str:
     return os.path.join(path, f"lists_v{version}")
 
 
+def ivf_index_append(
+    spark: SparkSession,
+    new_df: DataFrame,
+    path: str,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> int:
+    """Incremental ingest: publish version v+1 containing the prior
+    version's corpus PLUS ``new_df``, WITHOUT reprocessing a single
+    existing vector.  New vectors are assigned against the latest
+    centroids (the quantizer is unchanged — retraining is
+    :func:`persist_ivf_index`'s job) and land as fresh part files; the
+    previous layout is cloned into the new version's directory by
+    HARDLINK (a metadata op — data files are immutable, so versions
+    share bytes; the object-store analogue is a manifest referencing
+    the prior version's files, exactly the lakehouse snapshot model).
+    Old versions stay probe-able until vacuumed; rmtree on a version
+    only drops links, the shared bytes free when the last version
+    referencing them goes."""
+    import os
+
+    v = latest_version(path)
+    cent_rows = sorted(
+        (r["list_id"], [float(x) for x in r["centroid"]])
+        for r in read_snapshot(
+            spark, os.path.join(path, "centroids"), version=v
+        ).collect()
+    )
+    cents = [c for _, c in cent_rows]
+    # identical centroid rows re-published as v+1 keeps the centroid
+    # table and the list layouts in version lockstep (O(centroids)
+    # rows — negligible)
+    cdf = spark.createDataFrame(
+        [(i, cents[i]) for i in range(len(cents))],
+        "list_id int, centroid array<double>",
+    )
+    version = _publish_version(spark, cdf, os.path.join(path, "centroids"))
+    old_dir, new_dir = lists_dir(path, v), lists_dir(path, version)
+    for dirpath, _dirs, files in os.walk(old_dir):
+        rel = os.path.relpath(dirpath, old_dir)
+        tgt = os.path.join(new_dir, rel) if rel != "." else new_dir
+        os.makedirs(tgt, exist_ok=True)
+        for f in files:
+            if f.endswith(".parquet") and not f.startswith(("_", ".")):
+                os.link(os.path.join(dirpath, f), os.path.join(tgt, f))
+    assigned = _assign_lists(new_df, cents, id_col, vec_col)
+    (
+        assigned.repartition(len(cents), "list_id")
+        .write.mode("append")
+        .partitionBy("list_id")
+        .parquet(new_dir)
+    )
+    return version
+
+
 def latest_version(path: str) -> int:
     from cassandra_data_migration_spark.sources.lakehouse import (
         snapshot_versions,

@@ -32,7 +32,7 @@ from cdm_entry.part12_round8 import *  # noqa: F401,F403 — chain end
 _ROUND_HEAD: list[str] = [
     "alert_node_down", "stream_node_down", "ivf_index_persist",
     "ivf_index_probe", "ivf_index_persist_refined",
-    "ivf_index_probe_refined", "bpe_vocab_persisted",
+    "ivf_index_probe_refined", "ivf_index_append", "bpe_vocab_persisted",
     "classifier_auc", "prom_rate_reconstruct", "histogram_percentiles",
     "histogram_quantile_rated", "repair_pipeline_pruned",
     "training_shards_balanced",
@@ -48,7 +48,7 @@ _ROUND_HEAD: list[str] = [
     "column_encryption", "doremi_weights", "dsir_select",
     "temperature_mixture", "semantic_decontaminate",
     "winnow_fingerprints", "ngram_novelty", "perplexity_buckets",
-    "pmi_collocations", "bm25_topk",
+    "pmi_collocations",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 

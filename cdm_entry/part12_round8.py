@@ -146,13 +146,18 @@ def q_ivf_index_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_probe_persisted(spark, p, qv, k=10, n_probe=_IVF_N_PROBE)
 
 
-_IVF_ASSIGN_CTES = f"""
+def _ivf_assign_ctes(centroid_src: str = "SELECT * FROM embeddings") -> str:
+    """v/cb/asg CTEs for the seeded-IVF oracles; ``centroid_src`` is
+    the relation the md5-seeded centroid candidates come from (the
+    full corpus for a one-shot build, the initially-indexed subset for
+    the incremental-append build — appends never retrain)."""
+    return f"""
     v AS (SELECT vec_id, embedding::DOUBLE[] AS ev FROM embeddings),
     cb AS (
         SELECT ROW_NUMBER() OVER (
                    ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS cid,
                embedding::DOUBLE[] AS cv
-        FROM (SELECT vec_id, embedding FROM embeddings
+        FROM (SELECT vec_id, embedding FROM ({centroid_src})
               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
               LIMIT {_IVF_N_CENTROIDS})
     ),
@@ -167,6 +172,9 @@ _IVF_ASSIGN_CTES = f"""
         ) WHERE rn = 1
     )
 """
+
+
+_IVF_ASSIGN_CTES = _ivf_assign_ctes()
 
 QUERIES["ivf_index_persist"] = q_ivf_index_persist
 ORACLES["ivf_index_persist"] = f"""
@@ -236,6 +244,65 @@ def q_bpe_vocab_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES["bpe_vocab_persisted"] = q_bpe_vocab_persisted
 # oracle registered in oracle_sql() (fixture-dependent, same as
 # bpe_vocab)
+
+
+# --- round 8: incremental IVF index append ----------------------------------
+
+
+def _ensure_ivf_incremental(spark: SparkSession, sf_dir: str) -> str:
+    """Index built on the even-vec_id half, then the odd half APPENDED
+    (assigned against the existing quantizer, prior layout hardlink-
+    cloned — zero reprocessing of indexed vectors)."""
+    import tempfile
+
+    from cassandra_data_migration_spark.operators.ann_index import (
+        ivf_index_append,
+        persist_ivf_index,
+    )
+
+    key = ("incremental", spark.sparkContext.applicationId, sf_dir)
+    p = _IVF_INDEXES.get(key)
+    if p is None:
+        p = tempfile.mkdtemp(prefix="ivf_incr_")
+        emb = load_table(spark, sf_dir, "embeddings")
+        persist_ivf_index(
+            spark,
+            emb.filter(F.expr("vec_id % 2 = 0")),
+            p,
+            n_centroids=_IVF_N_CENTROIDS,
+        )
+        ivf_index_append(spark, emb.filter(F.expr("vec_id % 2 = 1")), p)
+        _IVF_INDEXES[key] = p
+    return p
+
+
+def q_ivf_index_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # incremental ingest: manifest of version 1 (initial even-half
+    # build + appended odd half) — counts match the full-corpus
+    # assignment against the EVEN-HALF-seeded centroids, which only
+    # holds if the append assigned the new vectors with the exact
+    # persisted quantizer and lost none of the cloned layout
+    from cassandra_data_migration_spark.operators.ann_index import (
+        latest_version,
+        lists_dir,
+    )
+
+    p = _ensure_ivf_incremental(spark, sf_dir)
+    return (
+        spark.read.parquet(lists_dir(p, latest_version(p)))
+        .groupBy("list_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_vectors"))
+        .orderBy("list_id")
+    )
+
+
+QUERIES["ivf_index_append"] = q_ivf_index_append
+ORACLES["ivf_index_append"] = f"""
+    WITH {_ivf_assign_ctes("SELECT * FROM embeddings WHERE vec_id % 2 = 0")}
+    SELECT CAST(cid AS INT) AS list_id,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM asg GROUP BY 1 ORDER BY 1
+"""
 
 
 # --- round 8: k-means-refined persisted IVF index ---------------------------

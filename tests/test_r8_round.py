@@ -149,6 +149,53 @@ def test_refined_index_and_vacuum(spark, tmp_path):
     assert [tuple(r) for r in again.collect()] == full
 
 
+def test_ivf_append_shares_bytes_and_preserves_v0(spark, tmp_path):
+    from cassandra_data_migration_spark.operators.ann_index import (
+        ivf_index_append,
+        ivf_probe_persisted,
+        lists_dir,
+        persist_ivf_index,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    half_a = emb.filter("vec_id % 2 = 0")
+    half_b = emb.filter("vec_id % 2 = 1")
+    p = str(tmp_path / "ivf")
+    persist_ivf_index(spark, half_a, p, n_centroids=8)
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    v0_rows = [
+        tuple(r)
+        for r in ivf_probe_persisted(spark, p, qv, k=5, n_probe=8).collect()
+    ]
+    v1 = ivf_index_append(spark, half_b, p)
+    assert v1 == 1
+    # v1 full-probe covers the whole corpus
+    assert spark.read.parquet(lists_dir(p, 1)).count() == emb.count()
+    # cloned files SHARE bytes with v0 (hardlinks, no data copy)
+    import glob
+
+    v0_inodes = {
+        os.path.basename(f): os.stat(f).st_ino
+        for f in glob.glob(f"{lists_dir(p, 0)}/**/*.parquet", recursive=True)
+    }
+    shared = sum(
+        1
+        for f in glob.glob(
+            f"{lists_dir(p, 1)}/**/*.parquet", recursive=True
+        )
+        if v0_inodes.get(os.path.basename(f)) == os.stat(f).st_ino
+    )
+    assert shared == len(v0_inodes) > 0
+    # v0 pinned probe unchanged after the append
+    assert [
+        tuple(r)
+        for r in ivf_probe_persisted(
+            spark, p, qv, k=5, n_probe=8, version=0
+        ).collect()
+    ] == v0_rows
+
+
 def test_persisted_bpe_merges_roundtrip(spark, tmp_path):
     from cassandra_data_migration_spark.operators.ann_index import (
         persist_bpe_merges,
