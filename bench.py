@@ -70,6 +70,7 @@ def main() -> None:
         "_ensure_ivf_index",
         "_ensure_ivf_refined",
         "_ensure_ivf_incremental",
+        "_ensure_lsh_index",
         "_ensure_bpe_merges",
     ):
         try:
