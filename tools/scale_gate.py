@@ -64,6 +64,10 @@ TARGETS = [
     "replica_ownership_nts", "stream_mv_refresh", "stream_cell_lww",
     "snapshot_changes_feed", "stream_attribution", "cow_merge_upsert",
     "kmv_set_ops", "stream_irate", "histogram_quantile_rated",
+    # round-8 additions: artifact probes and the liveness family —
+    # probes should stay near-flat (pruned partitions / O(state))
+    "ivf_index_probe", "ivf_index_append", "bpe_vocab_persisted",
+    "alert_node_down", "stream_node_down",
 ]
 
 
