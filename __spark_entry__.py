@@ -15,8 +15,18 @@ helper, keep working unchanged.
 
 from __future__ import annotations
 
-from cdm_entry.part12_round8 import *  # noqa: F401,F403 — full namespace
-from cdm_entry import (  # noqa: F401
+import os as _os
+import sys as _sys
+
+# the driver may load this file by path (spec_from_file_location)
+# rather than via a sys.path import — make the sibling cdm_entry
+# package resolvable either way
+_here = _os.path.dirname(_os.path.abspath(__file__))
+if _here not in _sys.path:
+    _sys.path.insert(0, _here)
+
+from cdm_entry.part12_round8 import *  # noqa: E402,F401,F403 — full namespace
+from cdm_entry import (  # noqa: E402,F401
     ORACLES,
     QUERIES,
     _ROUND_HEAD,
