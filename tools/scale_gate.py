@@ -102,18 +102,42 @@ def build_sf1(spark) -> None:
         ).parquet(f"{WORK}/{t}.parquet")
 
 
+def _stages(spark) -> list:
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    with urllib.request.urlopen(
+        f"{base}/api/v1/applications/{app}/stages?status=complete",
+        timeout=10,
+    ) as r:
+        return json.loads(r.read())
+
+
 def total_shuffle(spark) -> int:
     try:
-        base = spark.sparkContext.uiWebUrl
-        app = spark.sparkContext.applicationId
-        with urllib.request.urlopen(
-            f"{base}/api/v1/applications/{app}/stages?status=complete",
-            timeout=10,
-        ) as r:
-            stages = json.loads(r.read())
-        return sum(s.get("shuffleReadBytes", 0) for s in stages)
+        return sum(s.get("shuffleReadBytes", 0) for s in _stages(spark))
     except Exception:
         return -1
+
+
+def peak_memory_since(spark, seen_stage_ids: set) -> tuple[int, set]:
+    """Max per-stage peakExecutionMemory over stages completed since
+    ``seen_stage_ids`` — the task-memory high-water mark a query's
+    sorts/aggregations/joins reached (spill pressure proxy), plus the
+    updated seen set."""
+    try:
+        stages = _stages(spark)
+    except Exception:
+        return -1, seen_stage_ids
+    ids = {(s["stageId"], s["attemptId"]) for s in stages}
+    peak = max(
+        (
+            s.get("peakExecutionMemory", 0)
+            for s in stages
+            if (s["stageId"], s["attemptId"]) not in seen_stage_ids
+        ),
+        default=0,
+    )
+    return peak, ids
 
 
 def main() -> None:
@@ -153,6 +177,8 @@ def main() -> None:
             entry_mod._repair_lake_layout(spark, sf_dir)
         except Exception:
             pass
+        seen: set = set()
+        _, seen = peak_memory_since(spark, seen)
         for t in targets:
             sh0 = total_shuffle(spark)
             t0 = time.perf_counter()
@@ -162,10 +188,12 @@ def main() -> None:
                 err = None
             except Exception as e:  # keep probing the rest
                 wall, n, err = round(time.perf_counter() - t0, 3), -1, repr(e)[:200]
+            peak, seen = peak_memory_since(spark, seen)
             results[t][sf_name] = {
                 "wall_s": wall,
                 "rows": n,
                 "shuffle_bytes": max(0, total_shuffle(spark) - sh0),
+                "peak_task_memory_bytes": peak,
                 **({"err": err} if err else {}),
             }
             print(f"{sf_name:5s} {t:28s} {wall:8.2f}s rows={n}")
@@ -180,6 +208,12 @@ def main() -> None:
                 results[t]["shuffle_exponent"] = round(
                     math.log10(b["shuffle_bytes"] / a["shuffle_bytes"]), 3
                 )
+            pa = a.get("peak_task_memory_bytes", 0)
+            pb = b.get("peak_task_memory_bytes", 0)
+            if pa > 0 and pb > 0:
+                results[t]["peak_memory_exponent"] = round(
+                    math.log10(pb / pa), 3
+                )
 
     out = {
         "scale_gate": {
@@ -191,8 +225,11 @@ def main() -> None:
     }
     with open("SCALE_PROBE_r08.json", "w") as fh:
         json.dump(out, fh, indent=1)
-    print("\n| query | sf0.1 s | sf1 s | wall exp | shuffle exp |")
-    print("|---|---|---|---|---|")
+    print(
+        "\n| query | sf0.1 s | sf1 s | wall exp | shuffle exp |"
+        " peak-mem exp |"
+    )
+    print("|---|---|---|---|---|---|")
     for t in targets:
         r = results[t]
         a, b = r.get("sf01", {}), r.get("sf1", {})
@@ -200,6 +237,7 @@ def main() -> None:
             f"| {t} | {a.get('wall_s', '-')} | {b.get('wall_s', '-')} |"
             f" {r.get('wall_exponent', '-')} |"
             f" {r.get('shuffle_exponent', '-')} |"
+            f" {r.get('peak_memory_exponent', '-')} |"
         )
 
 
