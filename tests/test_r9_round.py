@@ -1,0 +1,165 @@
+"""Round-9 feature tests: bounded-bucket candidate generation.
+
+VERDICT r8 ask #1: peak task memory of the dedup pair generators grew
+super-linearly (exponents up to 1.74) on the 10× replicated-density
+fixture because a hot bucket (shingle posting list / prefix token /
+LSH band) materialized O(family²) candidate pairs.  The fix —
+``bounded_bucket_pairs`` — enumerates all pairs only in buckets at or
+under the cap and falls back to deterministic bounded-degree survivor
+edges (chain + star-to-min) in hotter buckets.  These tests pin:
+
+- the small path equals naive all-pairs (losslessness below the cap);
+- the survivor path's exact edge set, count (2n−3 after distinct) and
+  connectivity;
+- determinism under repartitioning / row order;
+- that the exact-Jaccard operators are unchanged below the cap and
+  stay verified-exact (every emitted pair's Jaccard is true) above it.
+"""
+
+from __future__ import annotations
+
+import itertools
+
+from pyspark.sql import functions as F
+
+from cassandra_data_migration_spark.operators.dedup import (
+    DEFAULT_BUCKET_CAP,
+    bounded_bucket_pairs,
+    ngram_jaccard_pairs,
+    prefix_filter_pairs,
+)
+
+
+def _entries(spark, buckets: dict[int, list[int]]):
+    rows = [(k, m) for k, ms in buckets.items() for m in ms]
+    return spark.createDataFrame(rows, "k long, m long")
+
+
+def _pairs(df) -> set[tuple[int, int]]:
+    return {(r.id_a, r.id_b) for r in df.collect()}
+
+
+def test_small_buckets_are_all_pairs(spark):
+    buckets = {1: [3, 1, 2], 2: [10, 11], 3: [7]}
+    got = _pairs(bounded_bucket_pairs(_entries(spark, buckets), "k", "m", cap=8))
+    want = set()
+    for ms in buckets.values():
+        want |= {tuple(sorted(p)) for p in itertools.combinations(ms, 2)}
+    assert got == want
+
+
+def test_big_bucket_survivor_edges_shape(spark):
+    # one bucket of 10 members with cap 4 -> chain (9 edges) + star
+    # (9 edges), minus the shared (min, second) edge = 17 = 2n-3
+    members = [20, 5, 9, 13, 2, 30, 8, 40, 11, 3]
+    got = _pairs(bounded_bucket_pairs(_entries(spark, {1: members}), "k", "m", cap=4))
+    s = sorted(members)
+    chain = {(s[i], s[i + 1]) for i in range(len(s) - 1)}
+    star = {(s[0], m) for m in s[1:]}
+    assert got == chain | star
+    assert len(got) == 2 * len(members) - 3
+    # connectivity: union-find over the survivor edges joins everything
+    parent = {m: m for m in members}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in got:
+        parent[find(a)] = find(b)
+    assert len({find(m) for m in members}) == 1
+
+
+def test_mixed_buckets_and_determinism(spark):
+    buckets = {1: list(range(100, 80, -1)), 2: [1, 2, 3], 3: [50, 60]}
+    e = _entries(spark, buckets)
+    base = _pairs(bounded_bucket_pairs(e, "k", "m", cap=5))
+    # survivor selection must not depend on partitioning or row order
+    shuffled = e.orderBy(F.rand(seed=7)).repartition(13)
+    again = _pairs(bounded_bucket_pairs(shuffled, "k", "m", cap=5))
+    assert base == again
+    # small buckets exact, big bucket bounded
+    assert (1, 2) in base and (1, 3) in base and (2, 3) in base
+    assert (50, 60) in base
+    big = [p for p in base if p[0] >= 81 and p[1] <= 100]
+    assert len(big) == 2 * 20 - 3
+
+
+def test_pair_output_linear_in_hot_bucket(spark):
+    # the structural bound itself: a bucket of n >> cap members emits
+    # O(n) pairs, not O(n²)
+    n = 500
+    got = bounded_bucket_pairs(
+        _entries(spark, {1: list(range(n))}), "k", "m", cap=16
+    ).count()
+    assert got == 2 * n - 3
+
+
+def _docs(spark, texts: list[str]):
+    return spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+
+
+def test_ngram_jaccard_unchanged_below_cap(spark):
+    texts = [
+        "a b c d e f g h",
+        "a b c d e f g x",
+        "p q r s t u v w",
+        "p q r s t u v w",
+        "z z z y y y x x",
+    ]
+    docs = _docs(spark, texts)
+    capped = _pairs(ngram_jaccard_pairs(docs, threshold=0.3))
+    giant_cap = _pairs(ngram_jaccard_pairs(docs, threshold=0.3, bucket_cap=10**6))
+    assert capped == giant_cap
+    assert (2, 3) in capped  # identical docs via multiplicity collapse
+    assert (0, 1) in capped
+    # prefix-filter path agrees (both lossless below the cap)
+    pf = _pairs(prefix_filter_pairs(docs, threshold=0.3))
+    assert pf == capped
+
+
+def test_capped_pairs_stay_exact_and_connected(spark):
+    # a "boilerplate family": 12 docs sharing a long common body, each
+    # with a tiny unique suffix -> with a tiny cap the posting lists go
+    # through the survivor path; every emitted pair must still carry
+    # its TRUE Jaccard and the family must stay connected
+    body = " ".join(f"w{i}" for i in range(30))
+    texts = [f"{body} u{j}" for j in range(12)]
+    docs = _docs(spark, texts)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(
+            docs, threshold=0.5, bucket_cap=10**6
+        ).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ngram_jaccard_pairs(docs, threshold=0.5, bucket_cap=4).collect()
+    }
+    # subset with identical values: verification is exact either way
+    assert set(capped) <= set(exact)
+    for p, j in capped.items():
+        assert j == exact[p]
+    # connectivity of the family is preserved by the chain+star edges
+    parent = {i: i for i in range(12)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in capped:
+        parent[find(a)] = find(b)
+    assert len({find(i) for i in range(12)}) == 1
+
+
+def test_default_cap_above_fixture_max_df(spark):
+    # the shipped oracle fixtures must take the lossless path: the
+    # hottest distinct-set posting list at sf0.01 has df 7 and at
+    # sf0.1 df 25 (measured via DuckDB) — both far below the cap
+    assert DEFAULT_BUCKET_CAP >= 64

@@ -15,8 +15,10 @@ materially super-linear is a round fix.  Shuffle bytes get the same
 exponent so a wall regression can be attributed to data volume vs
 plan shape.
 
-Usage: python tools/scale_gate.py [--skip-build] [--only a,b]
-Writes SCALE_PROBE_r08.json and prints a markdown table.
+Usage: python tools/scale_gate.py [--skip-build] [--only a,b] [--all]
+``--all`` sweeps every contract query (VERDICT r8 ask #2) under a
+per-query watchdog wall cap; default mode runs the expensive TARGETS.
+Writes ``--out`` (default SCALE_PROBE_r09.json) and prints a table.
 """
 
 from __future__ import annotations
@@ -119,31 +121,89 @@ def total_shuffle(spark) -> int:
         return -1
 
 
-def peak_memory_since(spark, seen_stage_ids: set) -> tuple[int, set]:
-    """Max per-stage peakExecutionMemory over stages completed since
-    ``seen_stage_ids`` — the task-memory high-water mark a query's
-    sorts/aggregations/joins reached (spill pressure proxy), plus the
-    updated seen set."""
+def peak_memory_since(spark, seen_stage_ids: set) -> tuple[int, int, set]:
+    """Memory high-water marks over stages completed since
+    ``seen_stage_ids``: ``(stage_sum_peak, max_task_peak, seen)``.
+
+    - ``stage_sum_peak`` — max per-stage ``peakExecutionMemory``.  The
+      stage-level figure Spark reports is the SUM of task peaks across
+      the stage, so this metric is ~proportional to data volume (it is
+      what rounds ≤ 8 recorded as "peak task memory").
+    - ``max_task_peak`` — the true per-TASK peakExecutionMemory max
+      (taskMetricsDistributions p100 via withSummaries): the single-
+      task high-water mark that decides whether one hot bucket blows
+      an executor at scale.  This is the metric the bounded-bucket
+      candidate cap bounds BY DESIGN, and the one the gate flags on.
+    """
     try:
         stages = _stages(spark)
     except Exception:
-        return -1, seen_stage_ids
+        return -1, -1, seen_stage_ids
     ids = {(s["stageId"], s["attemptId"]) for s in stages}
-    peak = max(
-        (
-            s.get("peakExecutionMemory", 0)
-            for s in stages
-            if (s["stageId"], s["attemptId"]) not in seen_stage_ids
-        ),
-        default=0,
+    new = [
+        s
+        for s in stages
+        if (s["stageId"], s["attemptId"]) not in seen_stage_ids
+    ]
+    stage_sum = max((s.get("peakExecutionMemory", 0) for s in new), default=0)
+    base = spark.sparkContext.uiWebUrl
+    app = spark.sparkContext.applicationId
+    task_peak = 0
+    for s in new:
+        if s.get("peakExecutionMemory", 0) == 0:
+            continue
+        try:
+            with urllib.request.urlopen(
+                f"{base}/api/v1/applications/{app}/stages/"
+                f"{s['stageId']}/{s['attemptId']}?withSummaries=true",
+                timeout=10,
+            ) as r:
+                det = json.loads(r.read())
+            dist = (det.get("taskMetricsDistributions") or {}).get(
+                "peakExecutionMemory"
+            ) or []
+            if dist:
+                task_peak = max(task_peak, int(dist[-1]))
+        except Exception:
+            continue
+    return stage_sum, task_peak, ids
+
+
+def _timed_count(spark, fn, sf_dir: str, wall_cap_s: float):
+    """Run ``fn(spark, sf_dir).count()`` with a watchdog that cancels
+    the job group after ``wall_cap_s`` — the generous per-query cap
+    the full-suite sweep needs so one pathological query can't stall
+    the gate (VERDICT r8 ask #2)."""
+    import threading
+
+    group = f"scale-gate-{id(fn)}-{time.monotonic_ns()}"
+    sc = spark.sparkContext
+    sc.setJobGroup(group, "scale gate query", interruptOnCancel=True)
+    timer = threading.Timer(
+        wall_cap_s, lambda: sc.cancelJobGroup(group)
     )
-    return peak, ids
+    timer.daemon = True
+    timer.start()
+    try:
+        return fn(spark, sf_dir).count()
+    finally:
+        timer.cancel()
+        sc.setJobGroup("", "")
 
 
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--skip-build", action="store_true")
     ap.add_argument("--only", default="")
+    ap.add_argument(
+        "--all",
+        action="store_true",
+        help="sweep EVERY contract query, not just the expensive "
+        "TARGETS list — the cheap ones are where an accidental "
+        "driver-side materialization hides (it stays fast at sf0.1)",
+    )
+    ap.add_argument("--wall-cap", type=float, default=300.0)
+    ap.add_argument("--out", default="SCALE_PROBE_r09.json")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -163,7 +223,13 @@ def main() -> None:
     import __spark_entry__ as entry_mod
 
     qs = entry_mod.queries()
-    targets = [t for t in TARGETS if t in qs]
+    if args.all:
+        # TARGETS first (the expensive tail sets the wall), then the rest
+        targets = [t for t in TARGETS if t in qs] + [
+            t for t in qs if t not in TARGETS
+        ]
+    else:
+        targets = [t for t in TARGETS if t in qs]
     if args.only:
         keep = set(args.only.split(","))
         targets = [t for t in targets if t in keep]
@@ -178,22 +244,23 @@ def main() -> None:
         except Exception:
             pass
         seen: set = set()
-        _, seen = peak_memory_since(spark, seen)
+        _, _, seen = peak_memory_since(spark, seen)
         for t in targets:
             sh0 = total_shuffle(spark)
             t0 = time.perf_counter()
             try:
-                n = qs[t](spark, sf_dir).count()
+                n = _timed_count(spark, qs[t], sf_dir, args.wall_cap)
                 wall = round(time.perf_counter() - t0, 3)
                 err = None
             except Exception as e:  # keep probing the rest
                 wall, n, err = round(time.perf_counter() - t0, 3), -1, repr(e)[:200]
-            peak, seen = peak_memory_since(spark, seen)
+            peak, task_peak, seen = peak_memory_since(spark, seen)
             results[t][sf_name] = {
                 "wall_s": wall,
                 "rows": n,
                 "shuffle_bytes": max(0, total_shuffle(spark) - sh0),
                 "peak_task_memory_bytes": peak,
+                "max_task_peak_bytes": task_peak,
                 **({"err": err} if err else {}),
             }
             print(f"{sf_name:5s} {t:28s} {wall:8.2f}s rows={n}")
@@ -214,22 +281,59 @@ def main() -> None:
                 results[t]["peak_memory_exponent"] = round(
                     math.log10(pb / pa), 3
                 )
+            ta = a.get("max_task_peak_bytes", 0)
+            tb = b.get("max_task_peak_bytes", 0)
+            if ta > 0 and tb > 0:
+                results[t]["task_peak_exponent"] = round(
+                    math.log10(tb / ta), 3
+                )
 
+    # gate verdict: wall exponent > 1.2 or peak-memory exponent > 1.3
+    # is a flag (1.0 = linear in the 10× data; constant factors + AQE
+    # noise allow the slack).  Sub-second sf0.1 queries get wall slack
+    # (fixed JVM/plan overhead dominates and exaggerates the ratio) but
+    # their MEMORY exponent still gates — that's the driver-side-
+    # materialization tell the full sweep exists to catch.
+    # memory gates on the TASK-level exponent (max single-task peak —
+    # what the bounded-bucket cap bounds by design); the stage-sum
+    # metric stays recorded for r8 comparability but tracks data
+    # volume, not a per-task bound
+    flagged = []
+    for t in targets:
+        r = results[t]
+        a = r.get("sf01", {})
+        we = r.get("wall_exponent")
+        me = r.get("task_peak_exponent", r.get("peak_memory_exponent"))
+        wall_bad = (
+            we is not None and we > 1.2 and a.get("wall_s", 0) >= 1.0
+        )
+        mem_bad = (
+            me is not None
+            and me > 1.3
+            # a task peak under 64 MB at sf1 cannot threaten an
+            # executor; exponents on near-zero baselines are noise
+            and r.get("sf1", {}).get("max_task_peak_bytes", 0) > 64 << 20
+        )
+        if wall_bad or mem_bad or a.get("err") or r.get("sf1", {}).get("err"):
+            flagged.append(t)
     out = {
         "scale_gate": {
             "sf01_dir": SF01,
             "sf1_dir": WORK,
             "copies": COPIES,
+            "wall_cap_s": args.wall_cap,
+            "flagged": flagged,
             "queries": results,
         }
     }
-    with open("SCALE_PROBE_r08.json", "w") as fh:
+    with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
+    print(f"flagged ({len(flagged)}): {flagged}")
     print(
         "\n| query | sf0.1 s | sf1 s | wall exp | shuffle exp |"
-        " peak-mem exp |"
+        " stage-sum-mem exp | task-peak exp | sf1 task peak MB |"
     )
-    print("|---|---|---|---|---|---|")
+    print("|---|---|---|---|---|---|---|---|")
     for t in targets:
         r = results[t]
         a, b = r.get("sf01", {}), r.get("sf1", {})
@@ -238,6 +342,8 @@ def main() -> None:
             f" {r.get('wall_exponent', '-')} |"
             f" {r.get('shuffle_exponent', '-')} |"
             f" {r.get('peak_memory_exponent', '-')} |"
+            f" {r.get('task_peak_exponent', '-')} |"
+            f" {round(b.get('max_task_peak_bytes', 0) / 1e6, 1)} |"
         )
 
 
