@@ -25,7 +25,7 @@ _here = _os.path.dirname(_os.path.abspath(__file__))
 if _here not in _sys.path:
     _sys.path.insert(0, _here)
 
-from cdm_entry.part12_round8 import *  # noqa: E402,F401,F403 — full namespace
+from cdm_entry.part13_round9 import *  # noqa: E402,F401,F403 — full namespace
 from cdm_entry import (  # noqa: E402,F401
     ORACLES,
     QUERIES,

@@ -72,6 +72,14 @@ def main() -> None:
         "_ensure_ivf_incremental",
         "_ensure_lsh_index",
         "_ensure_bpe_merges",
+        # the fake-DSv2 connector seam's per-process first-use cost
+        # migrated between connector_scan and connector_write_audit
+        # depending on run order (r7->r8); warm it once so both report
+        # steady state
+        "_ensure_connector_seam",
+        # round 9: persisted PQ codebook / SQ8 bounds artifacts
+        "_ensure_pq_codebook",
+        "_ensure_sq8_bounds",
     ):
         try:
             getattr(entry_mod, warm)(spark, sf_dir)

@@ -525,6 +525,20 @@ def quantized_topk(
     win is bandwidth — the scan streams 1/4 the bytes.  Recall is
     near-1 for SQ8 (verified by test against the exact ranking)."""
     q8 = quantize_int8(df, vec_col, id_col)
+    return sq8_topk_over_quantized(q8, query_id, k, id_col)
+
+
+def sq8_topk_over_quantized(
+    q8: DataFrame,
+    query_id: int = 0,
+    k: int = 10,
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Integer-cosine top-k over an ALREADY-QUANTIZED table
+    (id, qvec array<int>) — the scoring half of :func:`quantized_topk`,
+    factored out so a PERSISTED SQ8 table (ann_index.
+    sq8_topk_persisted) ranks through the identical expression with no
+    quantization stage in its plan."""
     qrow = q8.filter(F.col(id_col) == query_id).first()
     qlit = F.array(*[F.lit(int(x)) for x in qrow["qvec"]])
     qd = F.col("qvec").cast("array<double>")
@@ -761,11 +775,30 @@ def pq_adc_topk(
     Plan: encode is scan-side, scoring is 8 ``element_at`` lookups,
     top-k is TakeOrdered — no shuffle, and the scan reads only the
     codes at 1/32 the bandwidth of the float tier."""
+    encoded = pq_encode(df, codebook, num_subspaces, id_col, vec_col, tier=tier)
+    return adc_topk_over_codes(
+        encoded, query_vec, codebook, k, num_subspaces, id_col, exclude_ids
+    )
+
+
+def adc_topk_over_codes(
+    encoded: DataFrame,
+    query_vec: list[float],
+    codebook: list[list[float]],
+    k: int = 10,
+    num_subspaces: int = 8,
+    id_col: str = "vec_id",
+    exclude_ids: list | None = None,
+) -> DataFrame:
+    """ADC scoring over ALREADY-ENCODED codes (id, codes array<int>):
+    the LUT build + 8-lookup scoring half of :func:`pq_adc_topk`,
+    factored out so a PERSISTED codes table (ann_index.
+    pq_probe_persisted) scores through the identical expression with
+    zero encode/training stages in its plan."""
     import math
 
     dim = len(codebook[0])
     width = dim // num_subspaces
-    encoded = pq_encode(df, codebook, num_subspaces, id_col, vec_col, tier=tier)
     score = None
     for j in range(num_subspaces):
         q_j = query_vec[j * width : (j + 1) * width]

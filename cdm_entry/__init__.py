@@ -17,38 +17,37 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cdm_entry._registry import ORACLES, QUERIES, export_all
-from cdm_entry.part12_round8 import *  # noqa: F401,F403 — chain end
+from cdm_entry.part13_round9 import *  # noqa: F401,F403 — chain end
 
 # Driver-window rotation: the driver hash-checks the FIRST 50
-# queries() entries each round.  Round-8 head = this round's new
-# queries (node-down alert, persisted IVF/BPE artifacts), then the
-# queries whose semantics or plans changed (folded-rank AUC, the
-# promql >=2.50 clamp order, ensureMonotonic histogram quantiles, the
-# amortized pruned repair, token-balanced shard writes), then the
-# round-7 families the driver window has never sampled (PromQL,
-# classifier evaluation, shards, sizing), then 32 older entries
-# outside every prior head (cells, attribution, privacy, retrieval,
-# text, sampling) so the driver's union keeps growing.
+# queries() entries each round.  Round-9 head = this round's new
+# queries (persisted PQ/SQ8 artifacts), then the queries whose plans
+# changed (the bounded-bucket dedup pair generators and everything
+# downstream of them, the folded stream_irate clamp), then the round-8
+# head families the window has sampled only once (liveness, IVF/BPE
+# artifacts, PromQL exactness), then older entries outside every prior
+# head (lakehouse, graph, sketches, OLAP, ZDM) so the driver's union
+# keeps growing.
 _ROUND_HEAD: list[str] = [
+    "pq_index_persist", "pq_probe_persisted", "sq8_bounds_persist",
+    "sq8_topk_persisted",
+    "dedup_ngram_jaccard", "prefix_filter_pairs", "dup_clusters",
+    "dedup_survivors", "minhash_lsh_dedup", "lsh_candidates",
+    "stream_irate", "connector_scan", "connector_write_audit",
     "alert_node_down", "stream_node_down", "ivf_index_persist",
-    "ivf_index_probe", "ivf_index_persist_refined",
-    "ivf_index_probe_refined", "ivf_index_append", "bpe_vocab_persisted",
+    "ivf_index_probe", "ivf_index_append", "bpe_vocab_persisted",
     "classifier_auc", "prom_rate_reconstruct", "histogram_percentiles",
     "histogram_quantile_rated", "repair_pipeline_pruned",
-    "training_shards_balanced",
-    "prom_counter_irate", "prom_gauge_deriv", "stream_irate",
-    "classifier_pr_curve", "classifier_calibration",
-    "classifier_auc_by_lang", "training_shards", "migration_sizing_plan",
-    "cell_compaction", "quorum_read_repair", "cas_replay",
-    "counter_merge", "compaction_audit", "stream_cell_lww",
-    "stream_attribution", "stream_merkle_digests", "stream_reservoir",
-    "multi_touch_credit", "asof_last_click", "pit_enrich",
-    "scd2_history", "retention_cohorts", "growth_accounting",
-    "psi_drift", "dp_group_counts", "k_anonymity", "pii_redact",
-    "column_encryption", "doremi_weights", "dsir_select",
-    "temperature_mixture", "semantic_decontaminate",
-    "winnow_fingerprints", "ngram_novelty", "perplexity_buckets",
-    "pmi_collocations",
+    "prom_counter_irate", "prom_gauge_deriv",
+    "rowgroup_stats", "semantic_decontaminate",
+    "cow_merge_upsert", "snapshot_changes_feed", "cow_time_travel",
+    "domain_pagerank", "domain_triangles",
+    "domain_k_core", "domain_bfs_hops", "hll_distinct",
+    "kmv_set_ops", "cms_token_counts", "mg_heavy_hitters",
+    "pricing_summary", "part_type_revenue", "top_value_parts",
+    "order_priority_check", "shipping_priority", "local_quorum_repair",
+    "replica_ownership_nts", "zdm_phase_walkthrough", "read_routing",
+    "lww_merge", "stream_cell_lww",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 

@@ -158,6 +158,81 @@ def test_capped_pairs_stay_exact_and_connected(spark):
     assert len({find(i) for i in range(12)}) == 1
 
 
+def _plan_text(df) -> str:
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_pq_index_persisted_lifecycle(spark, tmp_path):
+    # VERDICT r8 ask #3: PQ codebooks get the same train-once/
+    # probe-many lifecycle as the IVF index — probe plans carry zero
+    # encode/training stages and reproduce the in-query ADC path
+    from cassandra_data_migration_spark.operators.ann_index import (
+        persist_pq_index,
+        pq_probe_persisted,
+    )
+    from cassandra_data_migration_spark.operators.similarity import (
+        pq_adc_topk,
+        pq_codebook,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = str(tmp_path / "pq")
+    v0 = persist_pq_index(spark, emb, p, n_centroids=8, num_subspaces=8)
+    assert v0 == 0
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    probe = pq_probe_persisted(spark, p, qv, k=5, exclude_ids=[0])
+    plan = _plan_text(probe)
+    # scan of the persisted codes only: no encode (the argmin
+    # projection over the float vectors), no Arrow stage, no training
+    assert "MapInPandas" not in plan and "ArrowEval" not in plan
+    assert "array_min" not in plan  # pq_encode's argmin marker
+    assert "embedding" not in plan  # never touches the float tier
+    # parity: the probe equals the in-query encode+score path
+    cb = pq_codebook(emb, n_centroids=8)
+    inline = pq_adc_topk(emb, qv, cb, k=5, exclude_ids=[0])
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+    # version evolution: retraining publishes v1, v0 stays probe-able
+    baseline = [tuple(r) for r in probe.collect()]
+    v1 = persist_pq_index(spark, emb, p, n_centroids=4, num_subspaces=8)
+    assert v1 == 1
+    again_v0 = pq_probe_persisted(spark, p, qv, k=5, exclude_ids=[0], version=0)
+    assert [tuple(r) for r in again_v0.collect()] == baseline
+
+
+def test_sq8_persisted_lifecycle(spark, tmp_path):
+    from cassandra_data_migration_spark.operators.ann_index import (
+        persist_sq8_table,
+        sq8_topk_persisted,
+    )
+    from cassandra_data_migration_spark.operators.similarity import (
+        quantized_topk,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = str(tmp_path / "sq8")
+    assert persist_sq8_table(spark, emb, p) == 0
+    probe = sq8_topk_persisted(spark, p, query_id=0, k=5)
+    plan = _plan_text(probe)
+    # no per-query re-quantization: the scale derivation
+    # (array_max over |x|) and the float tier are absent
+    assert "array_max" not in plan and "embedding" not in plan
+    assert "MapInPandas" not in plan
+    inline = quantized_topk(emb, query_id=0, k=5)
+    assert [tuple(r) for r in probe.collect()] == [
+        tuple(r) for r in inline.collect()
+    ]
+
+
 def test_default_cap_above_fixture_max_df(spark):
     # the shipped oracle fixtures must take the lossless path: the
     # hottest distinct-set posting list at sf0.01 has df 7 and at
