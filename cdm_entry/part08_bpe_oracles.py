@@ -7,7 +7,7 @@ namespace evaluation order, and ``register_queries`` re-derives the
 """
 from __future__ import annotations
 
-from cdm_entry.part07_oracles_extended import *  # noqa: F401,F403
+from cdm_entry.part07b_oracles_extended2 import *  # noqa: F401,F403
 
 _BPE_ORACLE_CACHE: dict[str, str] = {}
 

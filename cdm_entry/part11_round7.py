@@ -714,8 +714,16 @@ def q_stream_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # slice by scrape index (ts_ms is a multiple of the step, so mod
     # the BUCKET, not the raw ms) — adjacent scrapes land in different
     # micro-batches, exercising the cross-batch top-2 merge
-    samples = _prom_counter_samples(spark, sf_dir).withColumn(
-        "_s", F.pmod(F.expr(f"ts_ms DIV {_PROM_STEP_MS}"), F.lit(3))
+    # persist: the slice loop below writes the SAME derived series
+    # three times (events scan + cumulative-counter window each) — at
+    # sf0.1 the triple recompute dominated the query's wall (the r8
+    # +35% regression was this, not the extrapolation clamp)
+    samples = (
+        _prom_counter_samples(spark, sf_dir)
+        .withColumn(
+            "_s", F.pmod(F.expr(f"ts_ms DIV {_PROM_STEP_MS}"), F.lit(3))
+        )
+        .persist()
     )
     d = tempfile.mkdtemp(prefix="irate_stream_")
     src, st, ckpt = f"{d}/src", f"{d}/state", f"{d}/ckpt"
@@ -723,6 +731,7 @@ def q_stream_irate(spark: SparkSession, sf_dir: str) -> DataFrame:
         samples.filter(F.col("_s") == s).drop("_s").repartition(
             1
         ).write.mode("append").parquet(src)
+    samples.unpersist()
     stream = (
         spark.readStream.schema("event_type string, ts_ms long, value long")
         .option("maxFilesPerTrigger", "1")
