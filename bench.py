@@ -86,6 +86,29 @@ def main() -> None:
         except Exception:
             pass
 
+    # warm the Structured Streaming machinery once (micro-batch
+    # planner, commit-log classes, noop sink): whichever stream query
+    # bench's rotation order happens to run first otherwise carries a
+    # multi-second one-off that moves between rounds as the window
+    # rotates (stream_cell_lww showed 9.2 s in one run, 2.8 s
+    # standalone)
+    try:
+        import tempfile
+
+        d = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        spark.range(1).write.mode("overwrite").parquet(f"{d}/src")
+        (
+            spark.readStream.schema("id long")
+            .parquet(f"{d}/src")
+            .writeStream.format("noop")
+            .option("checkpointLocation", f"{d}/ckpt")
+            .trigger(availableNow=True)
+            .start()
+            .awaitTermination(60)
+        )
+    except Exception:
+        pass
+
     # host-speed calibration: a FIXED workload (3× the warm headline
     # query + a CPU-bound spin) whose wall time tracks the host, not
     # the code under test.  Cross-round comparisons should divide

@@ -76,11 +76,11 @@ def bounded_bucket_pairs(
     1.74 on the 10× replicated-density fixture for the uncapped
     all-pairs generators; this cap is the structural fix.
 
-    ``small_cond(a, b)`` optionally adds a join predicate (by alias
-    name) on the all-pairs path — e.g. PPJoin's length filter; the
-    survivor path skips it (verification stays exact downstream).
-    ``extra_cols`` are carried into the small-path join for that
-    predicate's use.
+    ``small_cond(sa, sb)`` optionally adds a pair predicate on the
+    all-pairs path — e.g. PPJoin's length filter; it receives the two
+    member STRUCT columns (fields: ``_m`` = member, plus
+    ``extra_cols``).  The survivor path skips it (verification stays
+    exact downstream).
     """
     w = Window.partitionBy(key_col)
     wo = Window.partitionBy(key_col).orderBy(member_col)
@@ -88,27 +88,55 @@ def bounded_bucket_pairs(
         key_col, member_col, *extra_cols,
         F.count(F.lit(1)).over(w).alias("_bn"),
     )
-    small = e.filter(F.col("_bn") <= cap).drop("_bn")
-    a, b = small.alias("a"), small.alias("b")
-    cond = F.col(f"a.{member_col}") < F.col(f"b.{member_col}")
-    if small_cond is not None:
-        cond = cond & small_cond("a", "b")
-    small_pairs = (
-        a.join(b, key_col)
-        .filter(cond)
-        .select(
-            F.col(f"a.{member_col}").alias("id_a"),
-            F.col(f"b.{member_col}").alias("id_b"),
+    # small path: collect each bucket's members into ONE sorted array
+    # (bounded <= cap entries per buffer by the filter) and emit the
+    # C(n,2) pairs scan-side with a nested transform — no self-join,
+    # no second shuffle (the groupBy reuses the window's hash
+    # partitioning on key_col).  Sorting the struct array orders by
+    # member first, so pair (i < j) already satisfies id_a < id_b.
+    ms = F.col("_ms")
+    pair_structs = F.flatten(
+        F.transform(
+            ms,
+            lambda x, i: F.transform(
+                F.slice(ms, i + 2, F.size(ms)),
+                lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+            ),
         )
+    )
+    sp = (
+        e.filter(F.col("_bn") <= cap)
+        .groupBy(key_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col(member_col).alias("_m"),
+                        *[F.col(c) for c in extra_cols],
+                    )
+                )
+            ).alias("_ms")
+        )
+        .select(F.explode(pair_structs).alias("_p"))
+        .select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
+        # strict inequality drops degenerate pairs when the same
+        # member appears twice under one key (possible for banded
+        # inputs where two bands collide to one hash)
+        .filter(F.col("_a._m") < F.col("_b._m"))
+    )
+    if small_cond is not None:
+        sp = sp.filter(small_cond(F.col("_a"), F.col("_b")))
+    small_pairs = sp.select(
+        F.col("_a._m").alias("id_a"), F.col("_b._m").alias("id_b")
     )
     big = e.filter(F.col("_bn") > cap).select(
         F.col(member_col).alias("_m"),
         F.lead(member_col).over(wo).alias("_nxt"),
         F.min(member_col).over(w).alias("_min"),
     )
-    chain = big.filter(F.col("_nxt").isNotNull()).select(
-        F.col("_m").alias("id_a"), F.col("_nxt").alias("id_b")
-    )
+    chain = big.filter(
+        F.col("_nxt").isNotNull() & (F.col("_m") != F.col("_nxt"))
+    ).select(F.col("_m").alias("id_a"), F.col("_nxt").alias("id_b"))
     star = big.filter(F.col("_m") != F.col("_min")).select(
         F.col("_min").alias("id_a"), F.col("_m").alias("id_b")
     )
@@ -659,10 +687,9 @@ def prefix_filter_pairs(
         "_rid",
         cap=bucket_cap,
         extra_cols=("_sz",),
-        small_cond=lambda a, b: (
-            F.lit(threshold)
-            * F.greatest(F.col(f"{a}._sz"), F.col(f"{b}._sz"))
-            <= F.least(F.col(f"{a}._sz"), F.col(f"{b}._sz"))
+        small_cond=lambda sa, sb: (
+            F.lit(threshold) * F.greatest(sa["_sz"], sb["_sz"])
+            <= F.least(sa["_sz"], sb["_sz"])
         ),
     ).select(F.col("id_a").alias("_ra"), F.col("id_b").alias("_rb"))
     sa = hreps.select(

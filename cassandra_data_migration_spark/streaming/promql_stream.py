@@ -68,7 +68,10 @@ def irate_state_stream(
             )
         else:
             merged = delta
-        publish_state(merged, state_path, batch_id)
+        # state is <= 2 rows/series (a few MB even at millions of
+        # series): one output file per publish, not one per shuffle
+        # partition — per-trigger latency is file-count-bound here
+        publish_state(merged.coalesce(1), state_path, batch_id)
 
     return (
         samples.writeStream.foreachBatch(apply_batch)
