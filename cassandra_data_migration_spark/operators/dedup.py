@@ -211,22 +211,45 @@ def shingle_table(
     return sh
 
 
-def _set_groups(sh: DataFrame, id_col: str):
+def _set_groups(sh: DataFrame, id_col: str, cache: bool = True):
     """Multiplicity collapse shared by the exact-Jaccard operators:
     group docs whose DISTINCT shingle sets are identical by a content
-    fingerprint.  Returns (members(id, _fp), reps(_fp, _rid, _set)).
+    fingerprint.  Returns (members(id, _fp), reps(_fp, _rid, _hset)).
     Any pair-generation method then runs on DISTINCT sets only —
     candidate complexity depends on distinct content, not corpus
-    size — and intra-group pairs are J=1.0 by construction."""
+    size — and intra-group pairs are J=1.0 by construction.
+
+    ``keyed`` (one row per doc: fingerprint + HASHED shingle set) is
+    persisted: members feeds two consumers (intra pairs, rep
+    expansion) and reps three (posting lists, both verify sides), and
+    without the cache each consumer re-runs the collect_set canon
+    aggregation — measured ~40% of prefix_filter_pairs' executor time
+    at sf0.1.  The cached frame carries ``_hset`` (8-byte xxhash64
+    ids), NOT the shingle strings — ~3× slimmer, so the storage pool
+    doesn't crowd execution memory in loop consumers
+    (connected-components propagation).  At corpus scale this is the
+    standard "materialize the fingerprint table" step (a real run
+    checkpoints it to parquet)."""
     doc_sets = sh.groupBy(id_col).agg(
         F.sort_array(F.collect_set("shingle")).alias("_canon")
     )
-    keyed = doc_sets.withColumn(
-        "_fp", F.md5(F.concat_ws("\x1f", F.col("_canon")))
+    keyed = (
+        doc_sets.select(
+            F.col(id_col),
+            F.md5(F.concat_ws("\x1f", F.col("_canon"))).alias("_fp"),
+            F.array_distinct(
+                F.transform("_canon", lambda s: F.xxhash64(s))
+            ).alias("_hset"),
+        )
     )
+    if cache:
+        # skipped by loop consumers (dup_clusters): a persisted block
+        # pinned through the propagation loop costs more than the
+        # recompute it saves there (measured +2.9 s at sf0.1)
+        keyed = keyed.persist()
     members = keyed.select(F.col(id_col), "_fp")
     reps = keyed.groupBy("_fp").agg(
-        F.min(id_col).alias("_rid"), F.first("_canon").alias("_set")
+        F.min(id_col).alias("_rid"), F.first("_hset").alias("_hset")
     )
     return members, reps
 
@@ -269,6 +292,7 @@ def ngram_jaccard_pairs(
     threshold: float = 0.5,
     max_shingle_freq: int | None = None,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    cache_groups: bool = True,
 ) -> DataFrame:
     """Pairs (a, b, jaccard) with shingle-set Jaccard ≥ threshold.
     J = |A∩B| / (|A|+|B|-|A∩B|).
@@ -290,16 +314,12 @@ def ngram_jaccard_pairs(
     # DISTINCT sets only (duplicate-heavy corpora otherwise make it
     # quadratic in multiplicity — measured 150 s vs 17 s at 10×
     # duplication); intra-group pairs are J=1.0 by construction
-    members, reps = _set_groups(sh, id_col)
+    members, reps = _set_groups(sh, id_col, cache=cache_groups)
     intra = _intra_group_pairs(members, id_col)
-    # the 8-byte hash of the shingle, not the string: same equality
-    # semantics (collisions ~2^-64), a fraction of the shuffle bytes
-    hreps = reps.select(
-        "_fp",
-        F.array_distinct(
-            F.transform("_set", lambda s: F.xxhash64(s))
-        ).alias("_hset"),
-    )
+    # 8-byte shingle-hash sets (same equality semantics, collisions
+    # ~2^-64, a fraction of the shuffle bytes) come pre-computed from
+    # the cached fingerprint table
+    hreps = reps.select("_fp", "_hset")
     posting = hreps.select("_fp", F.explode("_hset").alias("_hs"))
     cands = bounded_bucket_pairs(
         posting, "_hs", "_fp", cap=bucket_cap
@@ -603,6 +623,7 @@ def prefix_filter_pairs(
     n: int = 3,
     threshold: float = 0.5,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    cache_groups: bool = True,
 ) -> DataFrame:
     """Exact Jaccard-threshold pairs via PPJoin-style prefix filtering
     (Xiao et al., WWW'08 — public algorithm): an alternative to LSH
@@ -645,14 +666,12 @@ def prefix_filter_pairs(
     sh = shingle_table(df, id_col, text_col, n)
     # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
     # by construction, no verification needed
-    members, reps = _set_groups(sh, id_col)
+    members, reps = _set_groups(sh, id_col, cache=cache_groups)
     intra = _intra_group_pairs(members, id_col)
     hreps = reps.select(
         "_rid",
         "_fp",
-        F.array_distinct(
-            F.transform("_set", lambda s: F.xxhash64(s))
-        ).alias("_hset"),
+        "_hset",
     )
     rsh = hreps.select("_rid", F.explode("_hset").alias("_h"))
     freq = rsh.groupBy("_h").agg(F.count(F.lit(1)).alias("_df"))

@@ -372,7 +372,9 @@ def dup_clusters(
         prefix_filter_pairs,
     )
 
-    pairs = prefix_filter_pairs(df, id_col, text_col, n, threshold).select(
+    pairs = prefix_filter_pairs(
+        df, id_col, text_col, n, threshold, cache_groups=False
+    ).select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     )
     cc = connected_components(pairs, df.select(id_col), id_col)
