@@ -313,6 +313,46 @@ def test_liveness_state_bounded_at_1e5_nodes(spark, tmp_path):
     assert alerts.count() == n_nodes
 
 
+def test_bounded_bucket_pairs_properties(spark):
+    """Property sweep (seeded, not hypothesis — one SparkSession per
+    module): for random bucket configurations, the helper must (1)
+    equal naive all-pairs on buckets <= cap, (2) emit exactly 2n-3
+    connected edges on buckets > cap, (3) never emit a pair that
+    shares no bucket, (4) never exceed cap*(cap-1)/2 + 2n pairs per
+    bucket — the by-design bound."""
+    import random
+
+    rng = random.Random(909)
+    for trial in range(6):
+        cap = rng.choice([2, 3, 5, 8])
+        buckets = {}
+        for k in range(rng.randint(1, 6)):
+            n = rng.randint(1, 3 * cap)
+            buckets[k] = rng.sample(range(1000), n)
+        got = _pairs(
+            bounded_bucket_pairs(_entries(spark, buckets), "k", "m", cap=cap)
+        )
+        allowed = set()
+        expected_small = set()
+        for ms in buckets.values():
+            s = sorted(ms)
+            allowed |= {tuple(sorted(p)) for p in itertools.combinations(s, 2)}
+            if len(s) <= cap:
+                expected_small |= {
+                    tuple(sorted(p)) for p in itertools.combinations(s, 2)
+                }
+            else:
+                expected_small |= {(s[i], s[i + 1]) for i in range(len(s) - 1)}
+                expected_small |= {(s[0], m) for m in s[1:]}
+        assert got == expected_small, (trial, cap, buckets)
+        assert got <= allowed
+        bound = sum(
+            len(ms) * (len(ms) - 1) // 2 if len(ms) <= cap else 2 * len(ms)
+            for ms in buckets.values()
+        )
+        assert len(got) <= bound
+
+
 def test_default_cap_above_fixture_max_df(spark):
     # the shipped oracle fixtures must take the lossless path: the
     # hottest distinct-set posting list at sf0.01 has df 7 and at
