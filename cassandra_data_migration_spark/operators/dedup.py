@@ -254,16 +254,18 @@ def _set_groups(sh: DataFrame, id_col: str, cache: bool = True):
     return members, reps
 
 
-def _intra_group_pairs(members: DataFrame, id_col: str) -> DataFrame:
-    ma, mb = members.alias("ma"), members.alias("mb")
-    return (
-        ma.join(mb, "_fp")
-        .filter(F.col(f"ma.{id_col}") < F.col(f"mb.{id_col}"))
-        .select(
-            F.col(f"ma.{id_col}").alias("id_a"),
-            F.col(f"mb.{id_col}").alias("id_b"),
-            F.lit(1.0).alias("jaccard"),
-        )
+def _intra_group_pairs(
+    members: DataFrame, id_col: str, cap: int = DEFAULT_BUCKET_CAP
+) -> DataFrame:
+    """J=1.0 pairs within identical-set groups — the last pair
+    generator to go through the bucket cap: a corpus with a
+    million-copy boilerplate document would otherwise put O(copies²)
+    pairs through one join task.  Above the cap the group emits
+    chain + star survivor edges instead (every emitted pair is still
+    EXACTLY J=1.0 — members of one group have identical sets); the
+    shipped fixtures' largest group is 2 docs, far under the cap."""
+    return bounded_bucket_pairs(members, "_fp", id_col, cap=cap).withColumn(
+        "jaccard", F.lit(1.0)
     )
 
 
