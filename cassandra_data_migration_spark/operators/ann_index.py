@@ -305,11 +305,14 @@ def ivf_probe_persisted(
     return cosine_topk(lists, query_vec, k, id_col, vec_col)
 
 
-def vacuum_ivf_index(path: str, keep_versions: int = 2) -> list[str]:
-    """Reclaim index versions that fell off the retention horizon:
-    ``vacuum_snapshots`` on the centroid table (removes centroid part
-    files no retained manifest references) plus removal of the
-    matching ``lists_v{k}`` layouts.  Returns the removed paths."""
+def _vacuum_artifact(
+    path: str, table: str, layout_prefix: str, keep_versions: int
+) -> list[str]:
+    """Shared retention sweep for every versioned index artifact: a
+    lakehouse vacuum on the small versioned table (``{path}/{table}``)
+    plus removal of the per-version data layouts
+    (``{path}/{layout_prefix}{k}``) whose version fell off the
+    horizon.  Returns the removed paths."""
     import os
     import shutil
 
@@ -318,18 +321,39 @@ def vacuum_ivf_index(path: str, keep_versions: int = 2) -> list[str]:
         vacuum_snapshots,
     )
 
-    cdir = os.path.join(path, "centroids")
-    removed = list(vacuum_snapshots(cdir, keep_versions=keep_versions))
-    kept = set(snapshot_versions(cdir)[-max(1, keep_versions):])
+    tdir = os.path.join(path, table)
+    removed = list(vacuum_snapshots(tdir, keep_versions=keep_versions))
+    kept = set(snapshot_versions(tdir)[-max(1, keep_versions):])
     for name in sorted(os.listdir(path)):
-        if not name.startswith("lists_v"):
+        if not name.startswith(layout_prefix):
             continue
-        v = int(name[len("lists_v"):])
+        v = int(name[len(layout_prefix):])
         if v not in kept:
             target = os.path.join(path, name)
             shutil.rmtree(target)
             removed.append(target)
     return removed
+
+
+def vacuum_ivf_index(path: str, keep_versions: int = 2) -> list[str]:
+    """Reclaim IVF index versions past the retention horizon:
+    centroid-table vacuum + matching ``lists_v{k}`` layout removal."""
+    return _vacuum_artifact(path, "centroids", "lists_v", keep_versions)
+
+
+def vacuum_pq_index(path: str, keep_versions: int = 2) -> list[str]:
+    """Reclaim PQ index versions past the retention horizon:
+    codebook-table vacuum + matching ``codes_v{k}`` layout removal —
+    the same lifecycle close-out the IVF index has (a rebuilt book
+    means re-encoded codes; old versions stay probe-able until
+    vacuumed)."""
+    return _vacuum_artifact(path, "codebook", "codes_v", keep_versions)
+
+
+def vacuum_sq8_table(path: str, keep_versions: int = 2) -> list[str]:
+    """Reclaim SQ8 versions past the retention horizon: bounds-table
+    vacuum + matching ``q8_v{k}`` layout removal."""
+    return _vacuum_artifact(path, "bounds", "q8_v", keep_versions)
 
 
 def codes_dir(path: str, version: int) -> str:

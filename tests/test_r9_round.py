@@ -233,6 +233,43 @@ def test_sq8_persisted_lifecycle(spark, tmp_path):
     ]
 
 
+def test_pq_sq8_vacuum_retention(spark, tmp_path):
+    # the PQ/SQ8 artifacts get the same retention close-out the IVF
+    # index has: versions past the horizon are reclaimed, the latest
+    # stays probe-able
+    import os
+
+    from cassandra_data_migration_spark.operators.ann_index import (
+        persist_pq_index,
+        persist_sq8_table,
+        pq_probe_persisted,
+        sq8_topk_persisted,
+        vacuum_pq_index,
+        vacuum_sq8_table,
+    )
+    from cassandra_data_migration_spark.sources.tables import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    p = str(tmp_path / "pq")
+    for k in (8, 4, 2):
+        persist_pq_index(spark, emb, p, n_centroids=k, num_subspaces=8)
+    removed = vacuum_pq_index(p, keep_versions=2)
+    assert any("codes_v0" in r for r in removed)
+    assert not os.path.exists(f"{p}/codes_v0")
+    qv = [float(x) for x in emb.filter("vec_id = 0").first()["embedding"]]
+    assert pq_probe_persisted(spark, p, qv, k=3).count() == 3  # latest ok
+    assert pq_probe_persisted(spark, p, qv, k=3, version=1).count() == 3
+
+    s = str(tmp_path / "sq8")
+    for _ in range(3):
+        persist_sq8_table(spark, emb, s)
+    removed = vacuum_sq8_table(s, keep_versions=1)
+    assert any("q8_v0" in r for r in removed) and any(
+        "q8_v1" in r for r in removed
+    )
+    assert sq8_topk_persisted(spark, s, query_id=0, k=3).count() == 3
+
+
 def test_liveness_state_bounded_at_1e5_nodes(spark, tmp_path):
     """VERDICT r8 ask #7: the liveness twin's state bound (one
     last-seen row per node) held only at fixture node counts.  Pin it
