@@ -114,16 +114,37 @@ def main() -> None:
     # the code under test.  Cross-round comparisons should divide
     # per-query times by this — r4's apparent "regressions" were a
     # ~25-50% host slowdown, untangled only by a worktree A/B.
-    t_cal = time.perf_counter()
+    def _calibrate() -> float:
+        t_cal = time.perf_counter()
+        try:
+            for _ in range(3):
+                queries["pricing_summary"](spark, sf_dir).count()
+        except Exception:
+            pass
+        acc = 0
+        for i in range(2_000_000):
+            acc = (acc * 1103515245 + i) & 0x7FFFFFFF
+        return round(time.perf_counter() - t_cal, 4)
+
+    # noise gate (VERDICT r9 #7): round 9's five bench attempts
+    # spanned 260-388 s on identical code because the host was
+    # externally loaded.  If calibration exceeds the gate, wait for a
+    # quieter window and retake it (bounded retries) rather than
+    # snapshotting a number that isn't comparable across rounds; the
+    # artifact records every attempt plus the load average so the
+    # verdict can see exactly how quiet the window was.
+    cal_gate = float(os.environ.get("SPARK_GRAFT_CAL_GATE", "1.15"))
+    cal_retries = int(os.environ.get("SPARK_GRAFT_CAL_RETRIES", "4"))
+    cal_attempts = [_calibrate()]
+    while cal_attempts[-1] > cal_gate and len(cal_attempts) <= cal_retries:
+        time.sleep(20)
+        cal_attempts.append(_calibrate())
+    calibration_sec = min(cal_attempts)
+    calibration_gate = "passed" if calibration_sec <= cal_gate else "forced"
     try:
-        for _ in range(3):
-            queries["pricing_summary"](spark, sf_dir).count()
-    except Exception:
-        pass
-    acc = 0
-    for i in range(2_000_000):
-        acc = (acc * 1103515245 + i) & 0x7FFFFFFF
-    calibration_sec = round(time.perf_counter() - t_cal, 4)
+        load_avg_start = list(os.getloadavg())
+    except OSError:
+        load_avg_start = None
 
     # fault-isolated: one broken query must never take down the whole
     # bench artifact — record its error and keep timing the rest
@@ -170,6 +191,10 @@ def main() -> None:
                 round(delta / 1e6, 2) if delta >= 0 else None
             )
     total = round(sum(timings.values()), 4)
+    try:
+        load_avg_end = list(os.getloadavg())
+    except OSError:
+        load_avg_end = None
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
     # The full per-query map (199 entries, ~5.4 KB as JSON) exceeds the
     # driver's 2,000-char stdout tail capture, so it goes to a sibling
@@ -179,6 +204,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "calibration_sec": calibration_sec,
+        "calibration_attempts": cal_attempts,
+        "calibration_gate": calibration_gate,
+        "load_avg_start": load_avg_start,
+        "load_avg_end": load_avg_end,
         "queries": timings,
         "rows": rows,
         "shuffle_read_mb": shuffle_mb,
@@ -201,6 +230,7 @@ def main() -> None:
         "unit": "sec",
         "sf": sf_val,
         "calibration_sec": calibration_sec,
+        "calibration_gate": calibration_gate,
         "n_queries": len(timings),
         "n_errors": len(errors),
         "queries": slowest,  # slowest 10; full map in BENCH_FULL.json

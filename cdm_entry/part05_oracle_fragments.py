@@ -7,7 +7,7 @@ namespace evaluation order, and ``register_queries`` re-derives the
 """
 from __future__ import annotations
 
-from cdm_entry.part04_pipeline_queries import *  # noqa: F401,F403
+from cdm_entry.part04b_pipeline_queries2 import *  # noqa: F401,F403
 
 # --- shared oracle SQL fragments (DuckDB dialect) ---
 

@@ -72,10 +72,31 @@ def test_lsh_bucketed_pairs_subset_of_bruteforce(spark, emb):
 
 
 def test_all_pairs_cosine_guards_oversized_corpus(spark, emb):
-    # the brute-force tier must fail fast (not OOM the driver) when the
-    # corpus exceeds the broadcast bound, and point at the scale path
+    # with routing disabled, the brute-force tier must fail fast (not
+    # OOM the driver) past the broadcast bound, pointing at the scale
+    # path
     with pytest.raises(ValueError, match="lsh_bucketed_pairs"):
-        similarity.all_pairs_cosine(emb, threshold=0.4, max_broadcast_rows=5)
+        similarity.all_pairs_cosine(
+            emb, threshold=0.4, max_broadcast_rows=5, route_above_rows=None
+        )
+
+
+def test_all_pairs_cosine_auto_routes_to_lsh_tier(spark, emb):
+    # above route_above_rows the call must come back as the LSH tier:
+    # same output contract, pairs a subset of brute force with exact
+    # cosine values (verification is exact either way)
+    brute = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.all_pairs_cosine(emb, threshold=0.4).collect()
+    }
+    routed_df = similarity.all_pairs_cosine(
+        emb, threshold=0.4, route_above_rows=5, route_planes=4
+    )
+    assert set(routed_df.columns) == {"id_a", "id_b", "cos_sim"}
+    routed = {(r.id_a, r.id_b): r.cos_sim for r in routed_df.collect()}
+    assert routed and set(routed) <= set(brute)
+    for k, v in routed.items():
+        assert abs(v - brute[k]) < 1e-9
 
 
 def test_cosine_topk_arrow_matches_sql_variant(spark, emb):
