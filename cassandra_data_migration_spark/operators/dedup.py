@@ -152,32 +152,46 @@ def bounded_bucket_pairs(
         F.slice(ms, 2, n - 1),
         lambda a, b: F.struct(a.alias("_a"), b.alias("_b")),
     )
-    star = F.transform(
-        F.slice(ms, 3, n),
-        lambda y: F.struct(F.element_at(ms, 1).alias("_a"), y.alias("_b")),
-    )
-    surv = F.concat(chain, star)
-    if reband_col is not None:
+    if reband_col is None:
+        star = F.transform(
+            F.slice(ms, 3, n),
+            lambda y: F.struct(
+                F.element_at(ms, 1).alias("_a"), y.alias("_b")
+            ),
+        )
+        surv = F.concat(chain, star)
+    else:
         # second-level LSH recovery: same-reband members sit in a
         # contiguous run of the sorted array, so each member pairs
         # with its same-reband successors among the next `cap`
         # positions — full all-pairs for sub-buckets ≤ cap, degree-
-        # capped beyond
-        surv = F.concat(
-            surv,
-            F.flatten(
-                F.transform(
-                    ms,
-                    lambda x, i: F.transform(
-                        F.filter(
-                            F.slice(ms, i + 2, cap),
-                            lambda y: y["_rb"] == x["_rb"],
-                        ),
-                        lambda y: F.struct(x.alias("_a"), y.alias("_b")),
-                    ),
-                )
+        # capped beyond.  The three survivor sets are disjoint by
+        # construction (band starts at distance 2, the chain covers
+        # distance 1; the star skips same-reband targets, which the
+        # band/chain already reach), so the dedup=False contract
+        # holds for rebanded hot buckets too.
+        star = F.transform(
+            F.filter(
+                F.slice(ms, 3, n),
+                lambda y: y["_rb"] != F.element_at(ms, 1)["_rb"],
+            ),
+            lambda y: F.struct(
+                F.element_at(ms, 1).alias("_a"), y.alias("_b")
             ),
         )
+        band = F.flatten(
+            F.transform(
+                ms,
+                lambda x, i: F.transform(
+                    F.filter(
+                        F.slice(ms, i + 3, cap - 1),
+                        lambda y: y["_rb"] == x["_rb"],
+                    ),
+                    lambda y: F.struct(x.alias("_a"), y.alias("_b")),
+                ),
+            )
+        )
+        surv = F.concat(chain, star, band)
     pairs = (
         grouped.select(
             F.explode(F.when(n <= cap, allp).otherwise(surv)).alias("_p")

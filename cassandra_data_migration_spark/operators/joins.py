@@ -418,8 +418,12 @@ def stabbing_count_join(
     lo_col: str,
     hi_col: str,
     out_col: str = "n_covering",
+    weight_col: str | None = None,
 ) -> DataFrame:
-    """Per-point COUNT of covering intervals (``lo ≤ p ≤ hi``) without
+    """Per-point COUNT of covering intervals (``lo ≤ p ≤ hi``) — or,
+    with ``weight_col``, the SUM of covering intervals' weights
+    (concurrent bandwidth, open order value, active reservations) —
+    without
     ever materializing the point×interval pairs — the interval-
     stabbing sweep (difference array + prefix sum), for the common
     case where a range join is immediately aggregated to a count.
@@ -454,15 +458,16 @@ def stabbing_count_join(
     """
     from pyspark.sql import Window
 
+    w = F.lit(1) if weight_col is None else F.col(weight_col)
     deltas = (
         intervals.select(
             F.col(lo_col).cast("long").alias("_crd"),
-            F.lit(1).alias("_d"),
+            w.alias("_d"),
         )
         .unionByName(
             intervals.select(
                 (F.col(hi_col).cast("long") + 1).alias("_crd"),
-                F.lit(-1).alias("_d"),
+                (-w).alias("_d"),
             )
         )
         .unionByName(

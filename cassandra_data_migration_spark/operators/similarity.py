@@ -270,9 +270,19 @@ def lsh_bucketed_pairs(
         bounded_bucket_pairs,
     )
 
-    bucketed = lsh_bucket(df, dim, num_planes, seed, vec_col).select(
-        F.col(id_col), "bucket"
-    )
+    # reband key for hot buckets: a FINER sign pattern (4 extra
+    # hyperplanes under an independent seed) — a dense embedding
+    # cluster that floods one coarse bucket re-separates into
+    # sub-buckets whose all-pairs survive the cap (dedup.py's
+    # second-level-LSH recovery); 4 extra dot products per row is the
+    # whole cost
+    bucketed = lsh_bucket(
+        lsh_bucket(df, dim, 4, seed + 101, vec_col, out="_rb"),
+        dim,
+        num_planes,
+        seed,
+        vec_col,
+    ).select(F.col(id_col), "bucket", "_rb")
     # dedup=False: each vector hashes to exactly ONE sign-pattern
     # bucket, so pairs are unique by construction and the output
     # distinct would be a wasted shuffle of the whole candidate set
@@ -282,6 +292,7 @@ def lsh_bucketed_pairs(
         id_col,
         cap=DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap,
         dedup=False,
+        reband_col="_rb",
     )
     # norm once per row before the verify joins — the per-pair
     # expression is then a single dot-product fold instead of three

@@ -17,37 +17,36 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from cdm_entry._registry import ORACLES, QUERIES, export_all
-from cdm_entry.part13_round9 import *  # noqa: F401,F403 — chain end
+from cdm_entry.part14_round10 import *  # noqa: F401,F403 — chain end
 
 # Driver-window rotation: the driver hash-checks the FIRST 50
-# queries() entries each round.  Round-9 head = this round's new
-# queries (persisted PQ/SQ8 artifacts), then the queries whose plans
-# changed (the bounded-bucket dedup pair generators and everything
-# downstream of them, the folded stream_irate clamp), then the round-8
-# head families the window has sampled only once (liveness, IVF/BPE
-# artifacts, PromQL exactness), then older entries outside every prior
-# head (lakehouse, graph, sketches, OLAP, ZDM) so the driver's union
-# keeps growing.
+# queries() entries each round.  Round-10 head = this round's new or
+# re-planned queries (the pair-producing range join under its own
+# oracle, the in-transit stabbing sweep, the tier-routed cosine
+# near-dup, the fused/rebanded dedup pair generators and their
+# downstream consumers), then the four sub-2s movers round 9 asked to
+# re-measure, then older families the window has not sampled since
+# their round (file roundtrips, migrate/throttle, text-quality,
+# sampling) so the driver's union keeps growing.
 _ROUND_HEAD: list[str] = [
-    "pq_index_persist", "pq_probe_persisted", "sq8_bounds_persist",
-    "sq8_topk_persisted",
-    "dedup_ngram_jaccard", "prefix_filter_pairs", "dup_clusters",
-    "dedup_survivors", "minhash_lsh_dedup", "lsh_candidates",
-    "stream_irate", "connector_scan", "connector_write_audit",
-    "alert_node_down", "stream_node_down", "ivf_index_persist",
-    "ivf_index_probe", "ivf_index_append", "bpe_vocab_persisted",
-    "classifier_auc", "prom_rate_reconstruct", "histogram_percentiles",
-    "histogram_quantile_rated", "repair_pipeline_pruned",
-    "prom_counter_irate", "prom_gauge_deriv",
-    "rowgroup_stats", "semantic_decontaminate",
-    "cow_merge_upsert", "snapshot_changes_feed", "cow_time_travel",
-    "domain_pagerank", "domain_triangles",
-    "domain_k_core", "domain_bfs_hops", "hll_distinct",
-    "kmv_set_ops", "cms_token_counts", "mg_heavy_hitters",
-    "pricing_summary", "part_type_revenue", "top_value_parts",
-    "order_priority_check", "shipping_priority", "local_quorum_repair",
-    "replica_ownership_nts", "zdm_phase_walkthrough", "read_routing",
-    "lww_merge", "stream_cell_lww",
+    "range_join_pairs", "in_transit_orders", "embedding_near_dup",
+    "ann_lsh_pairs", "dedup_ngram_jaccard", "prefix_filter_pairs",
+    "dup_clusters", "dedup_survivors", "minhash_lsh_dedup",
+    "lsh_candidates", "lsh_index_incremental", "incremental_dedup",
+    "semantic_dedup", "simhash", "dedup_exact", "minhash_signatures",
+    "stream_windowed_rate", "observe_progress", "stream_dual_write",
+    "schema_diff",
+    "csv_roundtrip", "csv_gzip_roundtrip", "json_roundtrip",
+    "xml_roundtrip", "csv_import_quarantine", "orc_roundtrip",
+    "fixed_width_roundtrip",
+    "migrate_pipeline", "migrate_bulk", "migrate_dry_run",
+    "write_batches", "run_tracker_resume", "throttle_schedule",
+    "throttled_stream_pacing",
+    "token_count", "text_quality", "lang_id", "doc_fingerprint",
+    "dup_ngram_fraction", "zipf_head_coverage", "winnow_fingerprints",
+    "substring_dup_spans", "ngram_novelty", "source_overlap",
+    "corpus_sample", "mixture_sample", "temperature_mixture",
+    "weighted_sample", "hash_split_counts", "line_dedup_docs",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 

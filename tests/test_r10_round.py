@@ -321,3 +321,22 @@ def test_vacuum_skips_non_numeric_layout_dirs(spark, tmp_path):
     removed = vacuum_sq8_table(root, keep_versions=2)
     assert removed  # old version reclaimed despite the stray sibling
     assert os.path.isdir(os.path.join(root, "q8_v2_tmp"))
+
+
+def test_stabbing_weighted_coverage(spark):
+    from cassandra_data_migration_spark.operators.joins import (
+        stabbing_count_join,
+    )
+
+    p_df = spark.createDataFrame([(1, 5), (2, 12)], ["pid", "p"])
+    i_df = spark.createDataFrame(
+        [(0, 10, 3), (4, 6, 10), (11, 20, 7)], ["lo", "hi", "w"]
+    )
+    got = {
+        r["pid"]: r["covered_weight"]
+        for r in stabbing_count_join(
+            p_df, i_df, "p", "lo", "hi",
+            out_col="covered_weight", weight_col="w",
+        ).collect()
+    }
+    assert got == {1: 13, 2: 7}

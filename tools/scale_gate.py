@@ -73,8 +73,8 @@ TARGETS = [
 ]
 
 
-def build_sf1(spark) -> None:
-    copies = spark.range(COPIES).select(F.col("id").alias("_copy"))
+def build_fixture(spark, work: str = WORK, n_copies: int = COPIES) -> None:
+    copies = spark.range(n_copies).select(F.col("id").alias("_copy"))
     for t, keys in SHIFTS.items():
         df = spark.read.parquet(f"{SF01}/{t}.parquet")
         out = df.crossJoin(F.broadcast(copies))
@@ -96,12 +96,12 @@ def build_sf1(spark) -> None:
                 ),
             )
         out.drop("_copy").write.mode("overwrite").parquet(
-            f"{WORK}/{t}.parquet"
+            f"{work}/{t}.parquet"
         )
     for t in VERBATIM:
         spark.read.parquet(f"{SF01}/{t}.parquet").write.mode(
             "overwrite"
-        ).parquet(f"{WORK}/{t}.parquet")
+        ).parquet(f"{work}/{t}.parquet")
 
 
 def _stages(spark) -> list:
@@ -203,7 +203,14 @@ def main() -> None:
         "driver-side materialization hides (it stays fast at sf0.1)",
     )
     ap.add_argument("--wall-cap", type=float, default=300.0)
-    ap.add_argument("--out", default="SCALE_PROBE_r09.json")
+    ap.add_argument(
+        "--no-plateau",
+        action="store_true",
+        help="skip the third-scale-point plateau adjudication for "
+        "memory-only flags",
+    )
+    ap.add_argument("--plateau-copies", default="20,40,80")
+    ap.add_argument("--out", default="SCALE_PROBE_r10.json")
     args = ap.parse_args()
 
     spark = get_spark(
@@ -217,7 +224,7 @@ def main() -> None:
 
     if not args.skip_build:
         t0 = time.perf_counter()
-        build_sf1(spark)
+        build_fixture(spark)
         print(f"built {WORK} in {time.perf_counter() - t0:.1f}s")
 
     import __spark_entry__ as entry_mod
@@ -299,6 +306,7 @@ def main() -> None:
     # metric stays recorded for r8 comparability but tracks data
     # volume, not a per-task bound
     flagged = []
+    mem_only = []
     for t in targets:
         r = results[t]
         a = r.get("sf01", {})
@@ -314,8 +322,83 @@ def main() -> None:
             # executor; exponents on near-zero baselines are noise
             and r.get("sf1", {}).get("max_task_peak_bytes", 0) > 64 << 20
         )
-        if wall_bad or mem_bad or a.get("err") or r.get("sf1", {}).get("err"):
+        errs = a.get("err") or r.get("sf1", {}).get("err")
+        if wall_bad or mem_bad or errs:
             flagged.append(t)
+            if mem_bad and not wall_bad and not errs:
+                mem_only.append(t)
+
+    # Plateau adjudication (VERDICT r9 #2): a memory-ONLY flag can be
+    # a per-task bound still filling toward its ceiling rather than
+    # unbounded growth — per-task hash-agg/join state tracks per-task
+    # INPUT, and per-task input stops growing once files split at
+    # spark.sql.files.maxPartitionBytes (and hash aggregation spills
+    # past its memory fraction regardless).  Measure instead of
+    # journaling: escalate through larger replication points and
+    # retire the flag at the first point whose task peak stays within
+    # 15% of the previous point — the full trajectory lands in the
+    # artifact so the verdict sees where (or whether) the growth
+    # stopped.
+    if mem_only and not args.no_plateau:
+        points = [int(c) for c in args.plateau_copies.split(",")]
+        last_peak = {
+            t: results[t].get("sf1", {}).get("max_task_peak_bytes", 0)
+            for t in mem_only
+        }
+        traj = {
+            t: [{"copies": COPIES, "max_task_peak_bytes": last_peak[t]}]
+            for t in mem_only
+        }
+        open_flags = set(mem_only)
+        for n_copies in points:
+            if not open_flags:
+                break
+            work2 = f"/tmp/sf{n_copies}x_gate"
+            if not os.path.isdir(f"{work2}/orders.parquet"):
+                t0 = time.perf_counter()
+                build_fixture(spark, work2, n_copies)
+                print(f"built {work2} in {time.perf_counter() - t0:.1f}s")
+            qs["pricing_summary"](spark, work2).count()
+            seen2: set = set()
+            _, _, seen2 = peak_memory_since(spark, seen2)
+            for t in sorted(open_flags):
+                t0 = time.perf_counter()
+                try:
+                    _timed_count(spark, qs[t], work2, args.wall_cap)
+                    err2 = None
+                except Exception as e:
+                    err2 = repr(e)[:200]
+                wall2 = round(time.perf_counter() - t0, 3)
+                _, task_peak2, seen2 = peak_memory_since(spark, seen2)
+                ratio = (
+                    task_peak2 / last_peak[t] if last_peak[t] else None
+                )
+                traj[t].append(
+                    {
+                        "copies": n_copies,
+                        "wall_s": wall2,
+                        "max_task_peak_bytes": task_peak2,
+                        "peak_ratio_vs_prev_point": (
+                            round(ratio, 3) if ratio else None
+                        ),
+                        **({"err": err2} if err2 else {}),
+                    }
+                )
+                plateau = err2 is None and ratio is not None and ratio <= 1.15
+                print(
+                    f"plateau {t}@{n_copies}x: "
+                    f"{last_peak[t] / 1e6:.1f} -> {task_peak2 / 1e6:.1f} MB "
+                    f"({'retired' if plateau else 'still growing'})"
+                )
+                last_peak[t] = max(task_peak2, 1)
+                if plateau:
+                    open_flags.discard(t)
+                    flagged.remove(t)
+        for t in mem_only:
+            results[t]["plateau"] = {
+                "trajectory": traj[t],
+                "plateaued": t not in open_flags,
+            }
     out = {
         "scale_gate": {
             "sf01_dir": SF01,
