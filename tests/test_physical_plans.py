@@ -497,12 +497,37 @@ def test_substring_dup_spans_shuffles_hashes_never_text(spark):
 def test_binned_range_join_avoids_nested_loop(spark):
     # the whole point of the bin trick: a pure-range predicate must
     # plan as an equi-join on the bin key, never a nested-loop join
-    plan = _plan(entry_mod.queries()["in_transit_orders"](spark, SF_CORRECT))
+    plan = _plan(entry_mod.queries()["range_join_pairs"](spark, SF_CORRECT))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert ("SortMergeJoin" in plan) or ("ShuffledHashJoin" in plan) or (
         "BroadcastHashJoin" in plan
     )
+
+
+def test_stabbing_sweep_plan_is_linear_shaped(spark):
+    # the COUNT form of the range join: no nested loop, no pair join —
+    # exactly the two prefix-sum windows (per-block running sum + the
+    # one-row-per-block offset cumsum) and an equi-join on the
+    # coordinate
+    import re
+
+    plan = _plan(entry_mod.queries()["in_transit_orders"](spark, SF_CORRECT))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert len(re.findall(r"\(\d+\) Window", plan)) == 2
+
+
+def test_fused_pair_generation_has_no_window_pass(spark):
+    # round 10 fused bounded_bucket_pairs into ONE groupBy aggregation:
+    # the count window + lead/min windows (two full sorts + two
+    # WindowExecs in round 9's plan) must never come back
+    import re
+
+    for q in ("dedup_ngram_jaccard", "prefix_filter_pairs"):
+        plan = _plan(entry_mod.queries()[q](spark, SF_CORRECT))
+        assert len(re.findall(r"\(\d+\) Window", plan)) == 0, q
+        assert "CartesianProduct" not in plan, q
 
 
 def test_cms_sketch_has_partial_aggregation(spark):
