@@ -4,11 +4,14 @@ Five dedup families, each with a 100 TB-shaped plan:
 
 - **exact** — hash-groupBy on a canonical fingerprint: one shuffle on
   a 16-byte key, map-side partial agg collapses dup groups early.
-- **n-gram Jaccard** — explode distinct shingles → self-join on
-  shingle → per-pair intersection counts.  Only pairs sharing ≥1
-  shingle materialize (never the n² cross product); hot shingles can
-  be frequency-capped before the join (``max_shingle_freq``), the
-  standard guard against the head-of-Zipf blowup at corpus scale.
+- **n-gram Jaccard** — multiplicity collapse to distinct shingle
+  sets, then capped posting-list candidate generation
+  (:func:`bounded_bucket_pairs`) and exact hashed-set-intersection
+  verification.  Only pairs sharing ≥1 shingle can nominate (never
+  the n² cross product), no bucket ever emits more than O(n·cap)
+  candidates, and hot shingles can additionally be frequency-capped
+  upstream (``max_shingle_freq``) — the standard guards against the
+  head-of-Zipf blowup at corpus scale.
 - **MinHash** — k independent min-hashes per doc computed in ONE
   explode+groupBy pass (k agg columns, not k passes).
 - **LSH banding** — signatures → band keys → groupBy band → pairs
@@ -18,7 +21,7 @@ Five dedup families, each with a 100 TB-shaped plan:
 
 Hash primitive for *signatures* is md5 (hex) so every engine computes
 identical values (the DuckDB oracle recomputes them).  *Internal join
-keys* — the shingle self-join and the LSH band key — use xxhash64:
+keys* — the shingle posting key and the LSH band key — use xxhash64:
 equality is what matters there, and an 8-byte long shuffles in a
 fraction of the bytes of a 32-char hex string.
 """
