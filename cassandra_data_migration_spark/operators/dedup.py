@@ -282,7 +282,14 @@ def shingle_table(
     return sh
 
 
-def _set_groups(sh: DataFrame, id_col: str, cache: bool = True):
+def _set_groups(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int,
+    cache: bool = True,
+    max_shingle_freq: int | None = None,
+):
     """Multiplicity collapse shared by the exact-Jaccard operators:
     group docs whose DISTINCT shingle sets are identical by a content
     fingerprint.  Returns (members(id, _fp), reps(_fp, _rid, _hset)).
@@ -290,28 +297,44 @@ def _set_groups(sh: DataFrame, id_col: str, cache: bool = True):
     candidate complexity depends on distinct content, not corpus
     size — and intra-group pairs are J=1.0 by construction.
 
-    ``keyed`` (one row per doc: fingerprint + HASHED shingle set) is
+    The fingerprint table is built SCAN-SIDE: each doc's sorted
+    distinct 8-byte shingle-id array comes straight out of the
+    shingling expression (no explode → shuffle → collect_set cycle —
+    round 10 removed that aggregation, which carried the raw shingle
+    STRINGS through an exchange and was the single largest cost of
+    the exact-Jaccard family at sf0.1), and the group key is
+    ``xxhash64`` over the long array — an 8-byte join/shuffle key
+    instead of a 32-char hex digest, with the same ~2⁻⁶⁴
+    collision-acceptance the hashed posting join already documents.
+    Only when ``max_shingle_freq`` is set does the corpus-level
+    document-frequency filter force one explode + join pass first.
+
+    ``keyed`` (one row per doc: fingerprint + hashed set) is
     persisted: members feeds two consumers (intra pairs, rep
-    expansion) and reps three (posting lists, both verify sides), and
-    without the cache each consumer re-runs the collect_set canon
-    aggregation — measured ~40% of prefix_filter_pairs' executor time
-    at sf0.1.  The cached frame carries ``_hset`` (8-byte xxhash64
-    ids), NOT the shingle strings — ~3× slimmer, so the storage pool
-    doesn't crowd execution memory in loop consumers
-    (connected-components propagation).  At corpus scale this is the
-    standard "materialize the fingerprint table" step (a real run
-    checkpoints it to parquet)."""
-    doc_sets = sh.groupBy(id_col).agg(
-        F.sort_array(F.collect_set("shingle")).alias("_canon")
-    )
-    keyed = (
-        doc_sets.select(
+    expansion) and reps three (posting lists, both verify sides).
+    The cached frame carries the 8-byte ids, not strings — ~3×
+    slimmer, so the storage pool doesn't crowd execution memory in
+    loop consumers.  At corpus scale this is the standard
+    "materialize the fingerprint table" step (a real run checkpoints
+    it to parquet)."""
+    if max_shingle_freq is None:
+        keyed = shingle_sets(df, id_col, text_col, n).select(
             F.col(id_col),
-            F.md5(F.concat_ws("\x1f", F.col("_canon"))).alias("_fp"),
-            F.array_distinct(
-                F.transform("_canon", lambda s: F.xxhash64(s))
+            F.sort_array(
+                F.array_distinct(
+                    F.transform("shingles", lambda s: F.xxhash64(s))
+                )
             ).alias("_hset"),
         )
+    else:
+        sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
+        keyed = sh.groupBy(id_col).agg(
+            F.sort_array(F.collect_set(F.xxhash64("shingle"))).alias(
+                "_hset"
+            )
+        )
+    keyed = keyed.select(
+        F.col(id_col), F.xxhash64("_hset").alias("_fp"), "_hset"
     )
     if cache:
         # skipped by loop consumers (dup_clusters): a persisted block
@@ -406,15 +429,14 @@ def ngram_jaccard_pairs(
     then computes the EXACT Jaccard per candidate by 8-byte-hash set
     intersection, so every emitted pair's value is exact regardless of
     which path produced the candidate."""
-    # no cache: shingle recompute is a pipelined codegen'd pass, far
-    # cheaper than materializing the exploded table (and at corpus
-    # scale the shingle table wouldn't fit cache anyway)
-    sh = shingle_table(df, id_col, text_col, n, max_shingle_freq)
     # multiplicity collapse first: candidate generation runs on
     # DISTINCT sets only (duplicate-heavy corpora otherwise make it
     # quadratic in multiplicity — measured 150 s vs 17 s at 10×
     # duplication); intra-group pairs are J=1.0 by construction
-    members, reps = _set_groups(sh, id_col, cache=cache_groups)
+    members, reps = _set_groups(
+        df, id_col, text_col, n,
+        cache=cache_groups, max_shingle_freq=max_shingle_freq,
+    )
     intra = _intra_group_pairs(members, id_col, cap=bucket_cap)
     # 8-byte shingle-hash sets (same equality semantics, collisions
     # ~2^-64, a fraction of the shuffle bytes) come pre-computed from
@@ -776,10 +798,9 @@ def prefix_filter_pairs(
     total order over tokens, so ordering by (document-frequency,
     hash) instead of (document-frequency, string) stays lossless.
     """
-    sh = shingle_table(df, id_col, text_col, n)
     # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
     # by construction, no verification needed
-    members, reps = _set_groups(sh, id_col, cache=cache_groups)
+    members, reps = _set_groups(df, id_col, text_col, n, cache=cache_groups)
     intra = _intra_group_pairs(members, id_col, cap=bucket_cap)
     hreps = reps.select(
         "_rid",

@@ -340,3 +340,31 @@ def test_stabbing_weighted_coverage(spark):
         ).collect()
     }
     assert got == {1: 13, 2: 7}
+
+
+def test_ngram_jaccard_stop_shingle_capping(spark):
+    """max_shingle_freq (the head-of-Zipf guard) takes the explode +
+    document-frequency branch of _set_groups: shingles above the df
+    cap drop out of every doc's set BEFORE grouping, and a very high
+    cap reproduces the scan-side (no-filter) output exactly."""
+    from cassandra_data_migration_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    boiler = " ".join(f"b{t}" for t in range(10))
+    docs = [(i, f"{boiler} u{i} v{i} w{i} x{i} y{i} z{i}") for i in range(6)]
+    # one true near-dup pair sharing private content too
+    docs += [(10, "p q r s t u v w x y z1"), (11, "p q r s t u v w x y z2")]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+
+    uncapped = ngram_jaccard_pairs(df, threshold=0.4)
+    # every boilerplate shingle appears in >=6 docs; capping at 4
+    # removes them, so the boilerplate-only family loses its overlap
+    # and only the true near-dup pair (private 9-shingle core) remains
+    capped = ngram_jaccard_pairs(df, threshold=0.4, max_shingle_freq=4)
+    assert {(r["id_a"], r["id_b"]) for r in capped.collect()} == {(10, 11)}
+    # a cap above every df is a no-op: identical to the scan-side path
+    loose = ngram_jaccard_pairs(df, threshold=0.4, max_shingle_freq=1000)
+    assert sorted(map(tuple, loose.collect())) == sorted(
+        map(tuple, uncapped.collect())
+    )
