@@ -12,12 +12,14 @@ Five dedup families, each with a 100 TB-shaped plan:
   candidates, and hot shingles can additionally be frequency-capped
   upstream (``max_shingle_freq``) — the standard guards against the
   head-of-Zipf blowup at corpus scale.
-- **MinHash** — k independent min-hashes per doc computed in ONE
-  explode+groupBy pass (k agg columns, not k passes).
+- **MinHash** — k independent min-hashes per doc computed SCAN-SIDE
+  over the distinct-shingle array (k array_min expressions — zero
+  shuffle; a per-row function never needs an explode+groupBy).
 - **LSH banding** — signatures → band keys → groupBy band → pairs
   within buckets only: the sub-quadratic candidate generation.
-- **SimHash** — per-nibble majority vote over token hashes in one
-  explode+groupBy pass; near-dups differ in few nibbles.
+- **SimHash** — per-nibble majority vote over shingle hashes,
+  computed scan-side over the array; near-dups differ in few
+  nibbles.
 
 Hash primitive for *signatures* is md5 (hex) so every engine computes
 identical values (the DuckDB oracle recomputes them).  *Internal join
@@ -470,6 +472,17 @@ def _minhash_col(seed: int) -> Column:
     return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))))
 
 
+def _minhash_arr(shingles, seed: int) -> Column:
+    """Scan-side twin of :func:`_minhash_col`: min over a shingle
+    ARRAY of md5(seed:shingle) — identical value (min over a set
+    ignores multiplicity), no explode, no shuffle."""
+    return F.array_min(
+        F.transform(
+            shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
+        )
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     id_col: str = "doc_id",
@@ -477,12 +490,20 @@ def minhash_signatures(
     n: int = 3,
     num_hashes: int = 4,
 ) -> DataFrame:
-    """k min-hashes per doc in one explode+groupBy pass.  Column
-    ``sig{i}`` = min over shingles of md5(i, shingle) — the classic
-    permutation-free MinHash approximation."""
-    sh = shingle_table(df, id_col, text_col, n)
-    return sh.groupBy(id_col).agg(
-        *[_minhash_col(i).alias(f"sig{i}") for i in range(num_hashes)]
+    """k min-hashes per doc, computed SCAN-SIDE over each doc's
+    distinct-shingle array (round 10 — previously one explode +
+    groupBy pass, i.e. a full shuffle of (id, shingle-string) rows
+    for what is a per-row expression).  Column ``sig{i}`` = min over
+    shingles of md5(i, shingle) — the classic permutation-free
+    MinHash approximation, values bit-identical to the exploded
+    formulation."""
+    sets = shingle_sets(df, id_col, text_col, n)
+    return sets.select(
+        F.col(id_col),
+        *[
+            _minhash_arr(F.col("shingles"), i).alias(f"sig{i}")
+            for i in range(num_hashes)
+        ],
     )
 
 
@@ -544,35 +565,40 @@ def minhash_lsh_dedup(
     Jaccard re-check on candidates only (the verify step that makes
     LSH safe).
 
-    The (id, shingle) table feeds three consumers — signatures, the
-    verify-join sides, and set sizes — so it is persisted once instead
-    of re-exploding the corpus per consumer.  At 100 TB this is the
-    standard "materialize the shingle/signature table" step (cache
-    here; a real run checkpoints it to parquet and proceeds from
-    there)."""
+    Round-10 shape: the per-doc distinct-shingle ARRAY feeds three
+    consumers — scan-side signatures, and the two verify-join sides
+    (8-byte hashed-id arrays, intersected with ``array_intersect``) —
+    so it is persisted once and NOTHING explodes: the only shuffles
+    left are the band-key bucketing and the candidate verify joins.
+    (Previously the exploded (id, shingle) table shuffled through a
+    signature groupBy AND a two-sided posting join.)  At 100 TB this
+    is the standard "materialize the shingle/signature table" step
+    (cache here; a real run checkpoints it to parquet)."""
     from cassandra_data_migration_spark.caching import pin
 
-    sh_raw = pin(shingle_table(df, id_col, text_col, n))
-    sigs = sh_raw.groupBy(id_col).agg(
-        *[_minhash_col(i).alias(f"sig{i}") for i in range(num_hashes)]
+    sets = pin(shingle_sets(df, id_col, text_col, n))
+    sigs = sets.select(
+        F.col(id_col),
+        *[
+            _minhash_arr(F.col("shingles"), i).alias(f"sig{i}")
+            for i in range(num_hashes)
+        ],
     )
     cands = lsh_candidate_pairs(sigs, id_col, num_hashes, band_size, bucket_cap)
-    sh = sh_raw.select(F.col(id_col), F.xxhash64("shingle").alias("_hs"))
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("set_size"))
-    a = sh.select(F.col(id_col).alias("id_a"), "_hs")
-    b = sh.select(F.col(id_col).alias("id_b"), "_hs")
-    inter = (
-        cands.join(a, "id_a").join(b, ["id_b", "_hs"])
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("inter"))
+    hs = sets.select(
+        F.col(id_col),
+        F.array_distinct(
+            F.transform("shingles", lambda s: F.xxhash64(s))
+        ).alias("_hs"),
     )
+    a = hs.select(F.col(id_col).alias("id_a"), F.col("_hs").alias("_sa"))
+    b = hs.select(F.col(id_col).alias("id_b"), F.col("_hs").alias("_sb"))
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    union = F.size("_sa") + F.size("_sb") - inter
     return (
-        inter.join(sizes.withColumnRenamed(id_col, "id_a").withColumnRenamed("set_size", "size_a"), "id_a")
-        .join(sizes.withColumnRenamed(id_col, "id_b").withColumnRenamed("set_size", "size_b"), "id_b")
-        .withColumn(
-            "jaccard",
-            F.round(F.col("inter") / (F.col("size_a") + F.col("size_b") - F.col("inter")), 4),
-        )
+        cands.join(a, "id_a")
+        .join(b, "id_b")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
         .select("id_a", "id_b", "jaccard")
     )
@@ -592,20 +618,28 @@ def simhash(
     small Hamming distance.  Shingles (not single tokens) are the
     features: with a small shared vocabulary token-level simhash
     cannot discriminate, n-grams can.
-    One explode + one groupBy with ``nibbles`` conditional sums."""
-    tok = shingle_table(df, id_col, text_col, shingle_n).withColumn(
-        "_h", F.md5(F.col("shingle"))
+    Computed SCAN-SIDE over each doc's distinct-shingle array (round
+    10 — previously one explode + groupBy with ``nibbles``
+    conditional sums, a full shuffle for a per-row expression):
+    md5 once per shingle, then ``nibbles`` high-digit counts over the
+    hex array.  Values bit-identical to the exploded formulation."""
+    high = ("8", "9", "a", "b", "c", "d", "e", "f")
+    hexes = F.transform("shingles", lambda s: F.md5(s))
+
+    def _high_count(pos: int) -> Column:
+        # closure, NOT a default-arg lambda: a two-parameter lambda in
+        # F.filter would be read as the (element, index) signature
+        return F.size(
+            F.filter(
+                hexes, lambda h: F.substring(h, pos + 1, 1).isin(*high)
+            )
+        )
+
+    grouped = shingle_sets(df, id_col, text_col, shingle_n).select(
+        F.col(id_col),
+        F.size("shingles").alias("_n"),
+        *[_high_count(i).alias(f"_b{i}") for i in range(nibbles)],
     )
-    aggs = [F.count(F.lit(1)).alias("_n")] + [
-        F.sum(
-            F.when(
-                F.substring("_h", i + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"),
-                1,
-            ).otherwise(0)
-        ).alias(f"_b{i}")
-        for i in range(nibbles)
-    ]
-    grouped = tok.groupBy(id_col).agg(*aggs)
     bits = [
         F.when(F.col(f"_b{i}") * 2 > F.col("_n"), F.lit(1)).otherwise(F.lit(0))
         * (2 ** i)
@@ -1032,8 +1066,9 @@ def lsh_index_probe(
     step re-shingles ONLY the candidate seen docs (a semi-join pulls
     them from the corpus), so probe cost tracks the batch's collision
     footprint, not corpus size.  Candidate verification is the same
-    intersect-count plan as :func:`minhash_lsh_dedup` — exchanges
-    carry (hash, id) longs, never text."""
+    scan-side hashed-set ``array_intersect`` plan as
+    :func:`minhash_lsh_dedup` — exchanges carry one id array per doc,
+    never per-shingle rows or text."""
     from pyspark.sql import Window
 
     from cassandra_data_migration_spark.caching import pin
@@ -1055,40 +1090,26 @@ def lsh_index_probe(
         id_col,
         "left_semi",
     )
-    # each shingle table feeds two consumers (set sizes + the
-    # intersect join) — persist so the corpus explodes once per side,
-    # the same materialize-the-shingle-table step as minhash_lsh_dedup
-    sh_new = pin(
-        shingle_table(new_df, id_col, text_col, n)
-        .select(
-            F.col(id_col).alias("_new_id"), F.xxhash64("shingle").alias("_hs")
+    # scan-side hashed-set arrays per side (round 10 — previously two
+    # PINNED exploded shingle tables + a posting join + size joins):
+    # only the candidate verify joins shuffle, and they carry one
+    # array per doc, never per-shingle rows
+    def _hset(frame, alias):
+        return shingle_sets(frame, id_col, text_col, n).select(
+            F.col(id_col).alias(alias),
+            F.array_distinct(
+                F.transform("shingles", lambda sgl: F.xxhash64(sgl))
+            ).alias(f"_hs{alias}"),
         )
-    )
-    sh_seen = pin(
-        shingle_table(touched, id_col, text_col, n)
-        .select(
-            F.col(id_col).alias("_seen_id"), F.xxhash64("shingle").alias("_hs")
-        )
-    )
-    size_new = sh_new.groupBy("_new_id").agg(F.count(F.lit(1)).alias("_sa"))
-    size_seen = sh_seen.groupBy("_seen_id").agg(
-        F.count(F.lit(1)).alias("_sb")
-    )
-    inter = (
-        cands.join(sh_new, "_new_id")
-        .join(sh_seen, ["_seen_id", "_hs"])
-        .groupBy("_new_id", "_seen_id")
-        .agg(F.count(F.lit(1)).alias("_i"))
-    )
+
+    hs_new = _hset(new_df, "_new_id")
+    hs_seen = _hset(touched, "_seen_id")
+    inter = F.size(F.array_intersect("_hs_new_id", "_hs_seen_id"))
+    union = F.size("_hs_new_id") + F.size("_hs_seen_id") - inter
     scored = (
-        inter.join(size_new, "_new_id")
-        .join(size_seen, "_seen_id")
-        .withColumn(
-            "jaccard",
-            F.round(
-                F.col("_i") / (F.col("_sa") + F.col("_sb") - F.col("_i")), 4
-            ),
-        )
+        cands.join(hs_new, "_new_id")
+        .join(hs_seen, "_seen_id")
+        .withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= jaccard_threshold)
     )
     w = Window.partitionBy("_new_id").orderBy(
