@@ -315,10 +315,14 @@ def _set_groups(
     persisted: members feeds two consumers (intra pairs, rep
     expansion) and reps three (posting lists, both verify sides).
     The cached frame carries the 8-byte ids, not strings — ~3×
-    slimmer, so the storage pool doesn't crowd execution memory in
-    loop consumers.  At corpus scale this is the standard
-    "materialize the fingerprint table" step (a real run checkpoints
-    it to parquet)."""
+    slimmer, so the storage pool doesn't crowd execution memory.
+    Honest small-scale note: with the scan-side build the recompute
+    is cheap enough that at sf0.1 the pin measures 6-13% SLOWER than
+    recomputing per consumer — the default stays True because it is
+    the corpus-scale-correct choice (five re-scans + re-shinglings of
+    a 100 TB text column dwarf one materialization; a real run
+    checkpoints this table to parquet), and loop consumers
+    (``dup_clusters``) opt out where the pin measurably loses."""
     if max_shingle_freq is None:
         keyed = shingle_sets(df, id_col, text_col, n).select(
             F.col(id_col),
