@@ -472,14 +472,11 @@ def ngram_jaccard_pairs(
     return intra.unionByName(_expand_rep_pairs(rep_pairs, members, id_col))
 
 
-def _minhash_col(seed: int) -> Column:
-    return F.min(F.md5(F.concat(F.lit(f"{seed}:"), F.col("shingle"))))
-
-
 def _minhash_arr(shingles, seed: int) -> Column:
-    """Scan-side twin of :func:`_minhash_col`: min over a shingle
-    ARRAY of md5(seed:shingle) — identical value (min over a set
-    ignores multiplicity), no explode, no shuffle."""
+    """Scan-side MinHash slot: min over a shingle ARRAY of
+    md5(seed:shingle) — min over a set ignores multiplicity, so this
+    equals the exploded ``min(md5(...))`` aggregation formulation
+    with no explode and no shuffle."""
     return F.array_min(
         F.transform(
             shingles, lambda s: F.md5(F.concat(F.lit(f"{seed}:"), s))
