@@ -215,8 +215,17 @@ def main() -> None:
     }
     if errors:
         full["errors"] = errors
+    # Output-path selection (VERDICT r10 #5): the driver re-runs bench
+    # after the builder's final commit, and writing the tracked
+    # BENCH_FULL.json unconditionally dirtied the tree and forked the
+    # committed snapshot every round.  Default is now the gitignored
+    # BENCH_LOCAL.json; the builder snapshots explicitly with
+    # `--out BENCH_FULL.json` (or SPARK_GRAFT_BENCH_OUT).
+    out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    if "--out" in sys.argv:
+        out_name = sys.argv[sys.argv.index("--out") + 1]
     full_path = os.path.join(
-        os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"
+        os.path.dirname(os.path.abspath(__file__)), out_name
     )
     with open(full_path, "w") as f:
         json.dump(full, f, indent=1)
