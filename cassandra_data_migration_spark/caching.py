@@ -23,21 +23,33 @@ queries (bench.py additionally calls ``spark.catalog.clearCache()``).
 
 from __future__ import annotations
 
+import os
+import threading
 from collections import deque
 
 from pyspark.sql import DataFrame
 
-MAX_PINNED = 8
+# Interleaving hazard (ADVICE r10): if more than MAX_PINNED pinning
+# operators are invoked before any returned plan materializes, the
+# FIFO evicts a frame a still-lazy plan references — safe (Spark
+# recomputes) but it silently re-runs the scan the pin exists to
+# avoid.  Sessions that interleave many lazy pinning operators can
+# raise the bound via SPARK_GRAFT_MAX_PINNED.
+MAX_PINNED = int(os.environ.get("SPARK_GRAFT_MAX_PINNED", "8"))
 
 _pinned: deque[DataFrame] = deque()
+_lock = threading.Lock()  # registry bookkeeping only; Spark calls stay outside
 
 
 def pin(df: DataFrame) -> DataFrame:
     """Persist ``df`` and enroll it in the bounded cache registry."""
     df.persist()
-    _pinned.append(df)
-    while len(_pinned) > MAX_PINNED:
-        old = _pinned.popleft()
+    evicted: list[DataFrame] = []
+    with _lock:
+        _pinned.append(df)
+        while len(_pinned) > MAX_PINNED:
+            evicted.append(_pinned.popleft())
+    for old in evicted:
         try:
             old.unpersist()
         except Exception:  # session already stopped — nothing to free
@@ -47,9 +59,11 @@ def pin(df: DataFrame) -> DataFrame:
 
 def release_pinned() -> int:
     """Unpersist every registered operator cache; returns the count."""
+    with _lock:
+        drained = list(_pinned)
+        _pinned.clear()
     n = 0
-    while _pinned:
-        old = _pinned.popleft()
+    for old in drained:
         try:
             old.unpersist()
             n += 1

@@ -59,6 +59,7 @@ def bounded_bucket_pairs(
     small_cond: Callable[[str, str], Column] | None = None,
     reband_col: str | None = None,
     dedup: bool = True,
+    hard_max_bucket: int = 1 << 22,
 ) -> DataFrame:
     """Candidate pairs ``(id_a, id_b)``, ``id_a < id_b``, from the
     buckets of ``entries`` (rows of (key, member)), with per-bucket
@@ -108,7 +109,13 @@ def bounded_bucket_pairs(
     10⁷-member bucket ≈ 240 MB).  Buckets beyond that are upstream
     design errors the callers cap before this operator:
     ``max_shingle_freq`` stop-shingle capping for posting lists,
-    band width for LSH keys.
+    band width for LSH keys.  ``hard_max_bucket`` (default 2²²
+    entries ≈ 100 MB buffer) is the operator's OWN backstop: a bucket
+    past it raises a named error in-plan instead of relying on every
+    caller's discipline (ADVICE r10).  Honest limit: the check runs
+    AFTER the bucket assembles, so it converts the wide
+    forgot-to-cap-upstream range into a loud diagnostic but cannot
+    stop a bucket so large it OOMs during assembly itself.
 
     Survivor selection depends only on the total order of the struct
     array (reband key first when present, then member), so it is
@@ -199,7 +206,27 @@ def bounded_bucket_pairs(
         surv = F.concat(chain, star, band)
     pairs = (
         grouped.select(
-            F.explode(F.when(n <= cap, allp).otherwise(surv)).alias("_p")
+            F.explode(
+                F.when(
+                    n > hard_max_bucket,
+                    F.raise_error(
+                        F.concat(
+                            F.lit("bounded_bucket_pairs: bucket "),
+                            F.col(key_col).cast("string"),
+                            F.lit(" holds "),
+                            n.cast("string"),
+                            F.lit(
+                                f" entries (> hard_max_bucket="
+                                f"{hard_max_bucket}); cap the bucket key"
+                                " upstream (max_shingle_freq, band"
+                                " width) or raise hard_max_bucket"
+                            ),
+                        )
+                    ),
+                )
+                .when(n <= cap, allp)
+                .otherwise(surv)
+            ).alias("_p")
         )
         .select(F.col("_p._a").alias("_a"), F.col("_p._b").alias("_b"))
         # inequality drops degenerate pairs when the same member

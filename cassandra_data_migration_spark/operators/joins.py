@@ -453,30 +453,45 @@ def stabbing_count_join(
     4. points equi-join the coverage table on their coordinate.
 
     Returns every ``points`` row plus ``out_col`` (0 when nothing
-    covers it — filter ``> 0`` for inner-join semantics).
+    covers it — including rows whose ``point_col`` is NULL, which no
+    interval can cover; filter ``> 0`` for inner-join semantics).
     ``point_col``/``lo_col``/``hi_col`` must be integer-like.
+    Intervals with a NULL endpoint cover nothing (SQL three-valued
+    ``lo ≤ p ≤ hi``) and are dropped before the sweep — a null
+    coordinate would otherwise sort into the first range block and
+    shift every downstream block offset.  ``points`` must not already
+    carry ``out_col`` (raises — the result would be ambiguous).
     """
     from pyspark.sql import Window
 
+    if out_col in points.columns:
+        raise ValueError(
+            f"stabbing_count_join: points already has a column named "
+            f"{out_col!r}; pass a different out_col"
+        )
+    crd = "_scj_crd"  # prefixed to dodge user-column collisions
+    intervals = intervals.filter(
+        F.col(lo_col).isNotNull() & F.col(hi_col).isNotNull()
+    )
     w = F.lit(1) if weight_col is None else F.col(weight_col)
     deltas = (
         intervals.select(
-            F.col(lo_col).cast("long").alias("_crd"),
+            F.col(lo_col).cast("long").alias(crd),
             w.alias("_d"),
         )
         .unionByName(
             intervals.select(
-                (F.col(hi_col).cast("long") + 1).alias("_crd"),
+                (F.col(hi_col).cast("long") + 1).alias(crd),
                 (-w).alias("_d"),
             )
         )
         .unionByName(
-            points.select(
-                F.col(point_col).cast("long").alias("_crd"),
+            points.filter(F.col(point_col).isNotNull()).select(
+                F.col(point_col).cast("long").alias(crd),
                 F.lit(0).alias("_d"),
             )
         )
-        .groupBy("_crd")
+        .groupBy(crd)
         .agg(F.sum("_d").alias("_d"))
     )
     # one scalar aggregate over the INTERVAL endpoints drives the
@@ -491,13 +506,18 @@ def stabbing_count_join(
     ).first()
     if stats["_lo"] is None:
         return points.withColumn(out_col, F.lit(0))
-    n_blocks = int(
-        points.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
-    )
+    try:
+        n_blocks = int(
+            points.sparkSession.conf.get(
+                "spark.sql.shuffle.partitions", "200"
+            )
+        )
+    except ValueError:  # e.g. "auto" under some AQE setups
+        n_blocks = points.sparkSession.sparkContext.defaultParallelism
     width = max(1, (int(stats["_hi"]) - int(stats["_lo"])) // n_blocks + 1)
     blocked = deltas.withColumn(
         "_blk",
-        F.floor((F.col("_crd") - int(stats["_lo"])) / width).cast("long"),
+        F.floor((F.col(crd) - int(stats["_lo"])) / width).cast("long"),
     )
     blk_sums = blocked.groupBy("_blk").agg(F.sum("_d").alias("_bs"))
     wb = Window.orderBy("_blk").rowsBetween(Window.unboundedPreceding, -1)
@@ -506,19 +526,28 @@ def stabbing_count_join(
     offsets = blk_sums.select(
         "_blk", F.coalesce(F.sum("_bs").over(wb), F.lit(0)).alias("_off")
     )
-    wr = Window.partitionBy("_blk").orderBy("_crd").rowsBetween(
+    wr = Window.partitionBy("_blk").orderBy(crd).rowsBetween(
         Window.unboundedPreceding, 0
     )
     coverage = (
         blocked.withColumn("_run", F.sum("_d").over(wr))
         .join(F.broadcast(offsets), "_blk")
         .select(
-            "_crd", (F.col("_run") + F.col("_off")).alias(out_col)
+            crd, (F.col("_run") + F.col("_off")).alias(out_col)
         )
     )
-    return points.join(
-        coverage, points[point_col].cast("long") == coverage["_crd"]
-    ).drop("_crd")
+    # LEFT join + coalesce keeps NULL-coordinate points rows (the
+    # docstring's "every points row" contract — an inner join would
+    # silently drop them, ADVICE r10)
+    return (
+        points.join(
+            coverage,
+            points[point_col].cast("long") == coverage[crd],
+            "left",
+        )
+        .drop(crd)
+        .withColumn(out_col, F.coalesce(F.col(out_col), F.lit(0)))
+    )
 
 
 def pit_dimension_join(

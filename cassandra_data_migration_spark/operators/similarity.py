@@ -127,6 +127,20 @@ def all_pairs_cosine(
     rows = src.take(fetch + 1)
     if len(rows) > fetch:
         if route_above_rows is not None:
+            # loud runtime signal (ADVICE r10): a previously-exact call
+            # is now returning the approximate tier — callers who need
+            # recall = 1 must see this, since the switch is data-size-
+            # dependent and invisible at the call site otherwise
+            import warnings
+
+            warnings.warn(
+                f"all_pairs_cosine: corpus exceeds route_above_rows="
+                f"{route_above_rows}; routing to the approximate LSH "
+                f"tier (recall < 1). Pass route_above_rows=None to "
+                f"force the exact tier.",
+                RuntimeWarning,
+                stacklevel=2,
+            )
             dim = len(rows[0][vec_col])
             return lsh_bucketed_pairs(
                 df.select(
