@@ -7,7 +7,7 @@ namespace evaluation order, and ``register_queries`` re-derives the
 """
 from __future__ import annotations
 
-from cdm_entry.part03_extended_queries import *  # noqa: F401,F403
+from cdm_entry.part03b_extended_queries2 import *  # noqa: F401,F403
 
 def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # continuous MV maintenance: the SAME deterministic changelog as
