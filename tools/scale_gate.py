@@ -210,6 +210,14 @@ def main() -> None:
         "memory-only flags",
     )
     ap.add_argument("--plateau-copies", default="20,40,80")
+    ap.add_argument(
+        "--plateau-for",
+        default="",
+        help="comma-separated queries to run through the plateau "
+        "escalation even when unflagged — for adjudicating large "
+        "ABSOLUTE task peaks whose exponents pass the gate "
+        "(VERDICT r10 #4: salted_join / bucketed_join)",
+    )
     ap.add_argument("--out", default="SCALE_PROBE_r10.json")
     args = ap.parse_args()
 
@@ -339,6 +347,10 @@ def main() -> None:
     # 15% of the previous point — the full trajectory lands in the
     # artifact so the verdict sees where (or whether) the growth
     # stopped.
+    forced = [
+        t for t in args.plateau_for.split(",") if t and t in targets
+    ]
+    mem_only = sorted(set(mem_only) | set(forced))
     if mem_only and not args.no_plateau:
         points = [int(c) for c in args.plateau_copies.split(",")]
         last_peak = {
@@ -393,7 +405,8 @@ def main() -> None:
                 last_peak[t] = max(task_peak2, 1)
                 if plateau:
                     open_flags.discard(t)
-                    flagged.remove(t)
+                    if t in flagged:  # forced queries were never flags
+                        flagged.remove(t)
         for t in mem_only:
             results[t]["plateau"] = {
                 "trajectory": traj[t],
