@@ -119,11 +119,39 @@ def salted_equi_join(
     only routes rows — at the cost of a ``num_salts``× dimension
     replication, so size num_salts ≈ (hot-key rows / target partition
     rows).  Reference context: the token ring spreads hot partitions
-    the same way (docs/07-challenges-risks.md:300-325)."""
+    the same way (docs/07-challenges-risks.md:300-325).
+
+    Partition-count scaling: the join's per-task state is fact-volume
+    / shuffle-partitions, so a static partition count grows per-task
+    memory linearly with the table (the suite's largest measured task
+    peak, 1.5 GB at the 10× point — VERDICT r10 #4).  Both sides are
+    explicitly repartitioned on (key, salt) into a count scaled to
+    the fact row count (~1 M rows/partition, power of two, floored at
+    the session shuffle default); the join reuses that partitioning,
+    so no extra exchange appears, and per-task input is bounded at
+    any scale.  On a static input the row count is one footer-
+    metadata job."""
+    try:
+        floor_parts = int(
+            facts.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+        )
+    except ValueError:
+        floor_parts = facts.sparkSession.sparkContext.defaultParallelism
+    n_parts = floor_parts
+    try:
+        n_rows = facts.count()
+        while n_parts * 1_000_000 < n_rows:
+            n_parts *= 2
+    except Exception:
+        pass  # uncountable source (e.g. streaming): keep the default
     salt = F.floor(F.rand(42) * num_salts).cast("int")
-    salted_facts = facts.withColumn("_salt", salt)
+    salted_facts = facts.withColumn("_salt", salt).repartition(
+        n_parts, F.col(key), F.col("_salt")
+    )
     salts = F.array(*[F.lit(i) for i in range(num_salts)])
-    salted_dim = dim.withColumn("_salt", F.explode(salts))
+    salted_dim = dim.withColumn("_salt", F.explode(salts)).repartition(
+        n_parts, F.col(key), F.col("_salt")
+    )
     return salted_facts.join(salted_dim, on=[key, "_salt"], how=how).drop("_salt")
 
 

@@ -337,7 +337,15 @@ def ensure_bucketed_table(
         # processes) — clear it before creating
         shutil.rmtree(os.path.join(warehouse, session_table), ignore_errors=True)
         (
-            df.write.mode("overwrite")
+            # repartition on the bucket key FIRST: without it each
+            # input task sorts its whole slice across all buckets (a
+            # single-split source = ONE task sorting the entire table
+            # — measured 3.1 GB task peak at the 40× fixture) and
+            # writes num_buckets files per task.  Repartitioned, each
+            # write task sorts exactly one bucket (~target rows,
+            # bounded at any scale) and emits one file per bucket.
+            df.repartition(num_buckets, F.col(bucket_col))
+            .write.mode("overwrite")
             .bucketBy(num_buckets, bucket_col)
             .sortBy(bucket_col)
             .format("parquet")
@@ -348,26 +356,57 @@ def ensure_bucketed_table(
     return spark.table(session_table)
 
 
+def scaled_bucket_count(
+    df: DataFrame,
+    target_bucket_rows: int = 100_000,
+    floor: int = 8,
+) -> int:
+    """Bucket count sized to the INPUT, not hard-coded: a co-located
+    bucketed join reads each bucket whole in one task (that is the
+    point — no shuffle), so per-task memory is data-volume / buckets.
+    A static count therefore grows per-task state linearly with the
+    table (measured: 973 MB → 1.9 GB → 3.1 GB at 10/20/40× with 8
+    buckets — VERDICT r10 #4); sizing buckets to ~``target_bucket_
+    rows`` keeps the per-task ceiling flat at any corpus size.  Rows,
+    not file bytes: duplicate-heavy corpora compress so well that
+    compressed size under-counts the in-memory join state by integer
+    factors, and a parquet ``count()`` is footer-metadata-only.
+    Power of two so different scale points nest; both join sides must
+    use the SAME count (derive from the larger side)."""
+    total = df.count()
+    nb = floor
+    while nb * target_bucket_rows < total:
+        nb *= 2
+    return nb
+
+
 def bucketed_join_revenue(
-    spark: SparkSession, sf_dir: str, num_buckets: int = 8
+    spark: SparkSession, sf_dir: str, num_buckets: int | None = None
 ) -> DataFrame:
     """Revenue by order status via a co-located bucketed join of
     lineitem ⋈ orders on the order key: both sides bucketed on the
     key, so the join stage reads bucket-aligned files with no shuffle
     (the only Exchange left in the plan is the final small
-    aggregation).  DECIMAL sums keep the result engine-exact."""
+    aggregation).  DECIMAL sums keep the result engine-exact.
+    ``num_buckets`` defaults to :func:`scaled_bucket_count` of the
+    fact side — input-sized so the per-task bucket read is bounded at
+    any scale; the count lands in the table tag so each layout gets
+    its own managed table."""
     tag = sf_dir.rstrip("/").rsplit("/", 1)[-1].replace(".", "_")
+    li_src = load_table(spark, sf_dir, "lineitem")
+    if num_buckets is None:
+        num_buckets = scaled_bucket_count(li_src)
     li = ensure_bucketed_table(
         spark,
-        load_table(spark, sf_dir, "lineitem"),
-        f"lineitem_bkt_{tag}",
+        li_src,
+        f"lineitem_bkt_{tag}_b{num_buckets}",
         "l_orderkey",
         num_buckets,
     )
     orders = ensure_bucketed_table(
         spark,
         load_table(spark, sf_dir, "orders"),
-        f"orders_bkt_{tag}",
+        f"orders_bkt_{tag}_b{num_buckets}",
         "o_orderkey",
         num_buckets,
     )
