@@ -318,6 +318,7 @@ def _set_groups(
     n: int,
     cache: bool = True,
     max_shingle_freq: int | None = None,
+    eager: bool = True,
 ):
     """Multiplicity collapse shared by the exact-Jaccard operators:
     group docs whose DISTINCT shingle sets are identical by a content
@@ -384,6 +385,27 @@ def _set_groups(
     reps = keyed.groupBy("_fp").agg(
         F.min(id_col).alias("_rid"), F.first("_hset").alias("_hset")
     )
+    if cache:
+        from cassandra_data_migration_spark.caching import pin
+
+        # reps feeds 3-4 consumers per exact-Jaccard query (posting
+        # lists, df-order build, both verify sides); unpinned, EACH
+        # consumer re-ran the wide first(_hset) sort-aggregate over
+        # keyed.  ``eager`` additionally materializes the pin before
+        # returning: AQE kicks off consumer query stages
+        # concurrently, and a merely-lazy cache is populated by
+        # whichever finishes first — the round-11 stage profile
+        # showed FIVE concurrent re-shinglings of the same cached
+        # frame racing before any could publish it.  Measured
+        # interleaved A/B at sf0.1: eager is −11% for the
+        # shallow-DAG posting consumer (ngram_jaccard_pairs) but +8%
+        # for the deep serial prefix-filter DAG, where the lost
+        # stage overlap is not repaid on 32 idle local cores —
+        # callers pick per shape.  (A real 100 TB run checkpoints
+        # this table to parquet before fanning out regardless.)
+        reps = pin(reps)
+        if eager:
+            reps.count()
     return members, reps
 
 
@@ -861,8 +883,13 @@ def prefix_filter_pairs(
     hash) instead of (document-frequency, string) stays lossless.
     """
     # layer 1: multiplicity collapse — intra-group pairs are J = 1.0
-    # by construction, no verification needed
-    members, reps = _set_groups(df, id_col, text_col, n, cache=cache_groups)
+    # by construction, no verification needed.  eager=False: this
+    # operator's DAG is deep and serial past reps (df-order → prefix
+    # postings → candidates → verify), and the measured A/B shows the
+    # lazy pin wins here by preserving AQE's stage overlap
+    members, reps = _set_groups(
+        df, id_col, text_col, n, cache=cache_groups, eager=False
+    )
     intra = _intra_group_pairs(members, id_col, cap=bucket_cap)
     hreps = reps.select(
         "_rid",
