@@ -20,33 +20,32 @@ from cdm_entry._registry import ORACLES, QUERIES, export_all
 from cdm_entry.part14_round10 import *  # noqa: F401,F403 — chain end
 
 # Driver-window rotation: the driver hash-checks the FIRST 50
-# queries() entries each round.  Round-10 head = this round's new or
-# re-planned queries (the pair-producing range join under its own
-# oracle, the in-transit stabbing sweep, the tier-routed cosine
-# near-dup, the fused/rebanded dedup pair generators and their
-# downstream consumers), then the four sub-2s movers round 9 asked to
-# re-measure, then older families the window has not sampled since
-# their round (file roundtrips, migrate/throttle, text-quality,
-# sampling) so the driver's union keeps growing.
+# queries() entries each round.  Round-11 head = this round's changed
+# or re-measured queries (the scaled-bucket/salted joins, the
+# pin-restructured exact-Jaccard family and every consumer of the
+# hard-capped bounded_bucket_pairs, the null-hardened stabbing sweep,
+# the warning-instrumented routed cosine tier, the three
+# noise-adjudicated movers), then the core reference S/P/J/A/F
+# families the window has not sampled since round 7 so the driver's
+# cumulative union keeps growing.
 _ROUND_HEAD: list[str] = [
-    "range_join_pairs", "in_transit_orders", "embedding_near_dup",
-    "ann_lsh_pairs", "dedup_ngram_jaccard", "prefix_filter_pairs",
-    "dup_clusters", "dedup_survivors", "minhash_lsh_dedup",
-    "lsh_candidates", "lsh_index_incremental", "incremental_dedup",
-    "semantic_dedup", "simhash", "dedup_exact", "minhash_signatures",
-    "stream_windowed_rate", "observe_progress", "stream_dual_write",
-    "schema_diff",
-    "csv_roundtrip", "csv_gzip_roundtrip", "json_roundtrip",
-    "xml_roundtrip", "csv_import_quarantine", "orc_roundtrip",
-    "fixed_width_roundtrip",
-    "migrate_pipeline", "migrate_bulk", "migrate_dry_run",
-    "write_batches", "run_tracker_resume", "throttle_schedule",
-    "throttled_stream_pacing",
-    "token_count", "text_quality", "lang_id", "doc_fingerprint",
-    "dup_ngram_fraction", "zipf_head_coverage", "winnow_fingerprints",
-    "substring_dup_spans", "ngram_novelty", "source_overlap",
-    "corpus_sample", "mixture_sample", "temperature_mixture",
-    "weighted_sample", "hash_split_counts", "line_dedup_docs",
+    "salted_join", "bucketed_join", "prefix_filter_pairs",
+    "dedup_ngram_jaccard", "in_transit_orders", "embedding_near_dup",
+    "mmr_diverse_select", "histogram_quantile_rated",
+    "stream_cow_upsert", "dup_clusters", "dedup_survivors",
+    "lsh_candidates", "minhash_lsh_dedup", "ann_lsh_pairs",
+    "full_scan", "projection", "filter_eq", "token_range_filter",
+    "point_lookup", "grouped_count", "writetime_filter",
+    "guardrail_violations", "paged_fetch_audit",
+    "missing_rows", "mismatch_detect", "reconcile_rows",
+    "bucket_count_compare", "fk_join_enrich", "autocorrect_lww",
+    "validation_summary", "latency_percentiles", "windowed_rate",
+    "latest_event_per_user", "union_summary", "value_set_diff",
+    "traffic_summary", "alert_error_windows",
+    "continuous_validation_ticks", "lab_migration_report",
+    "string_funcs", "date_funcs", "round_cast", "row_hash",
+    "json_extract", "map_explode", "ttl_expiry", "null_unset_mask",
+    "custom_transform", "uuid_derivation", "synthetic_users",
 ]
 assert len(_ROUND_HEAD) == len(set(_ROUND_HEAD)) == 50
 
