@@ -29,11 +29,17 @@ from cdm_entry.part14_round10 import *  # noqa: F401,F403 — chain end
 # families the window has not sampled since round 7 so the driver's
 # cumulative union keeps growing.
 _ROUND_HEAD: list[str] = [
-    "salted_join", "bucketed_join", "prefix_filter_pairs",
-    "dedup_ngram_jaccard", "in_transit_orders", "embedding_near_dup",
-    "mmr_diverse_select", "histogram_quantile_rated",
-    "stream_cow_upsert", "dup_clusters", "dedup_survivors",
-    "lsh_candidates", "minhash_lsh_dedup", "ann_lsh_pairs",
+    # dedup family ordered as in the r10 window (pair generators
+    # before prefix_filter_pairs): the FIRST dedup query in a bench
+    # run absorbs the family's cold-JIT/codegen start (measured
+    # +1.5-2.5 s on whichever runs first), so keeping the absorber
+    # constant is what makes the per-query numbers comparable
+    # round-over-round
+    "salted_join", "bucketed_join", "dup_clusters",
+    "dedup_survivors", "dedup_ngram_jaccard", "minhash_lsh_dedup",
+    "lsh_candidates", "ann_lsh_pairs", "prefix_filter_pairs",
+    "in_transit_orders", "embedding_near_dup", "mmr_diverse_select",
+    "histogram_quantile_rated", "stream_cow_upsert",
     "full_scan", "projection", "filter_eq", "token_range_filter",
     "point_lookup", "grouped_count", "writetime_filter",
     "guardrail_violations", "paged_fetch_audit",
