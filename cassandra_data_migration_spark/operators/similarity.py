@@ -82,6 +82,7 @@ def all_pairs_cosine(
     max_broadcast_rows: int = 2_000_000,
     route_above_rows: int | None = 8_192,
     route_planes: int = 6,
+    route_probes: int = 2,
 ) -> DataFrame:
     """Embedding-cosine near-dup: all pairs above threshold — exact
     brute force up to ``route_above_rows``, auto-routed to the
@@ -151,6 +152,8 @@ def all_pairs_cosine(
                 num_planes=route_planes,
                 id_col=id_col,
                 vec_col=vec_col,
+                n_probe=route_probes,  # multi-probe: measured recall
+                # 0.81 → see RECALL artifact for the probed figure
             )
         raise ValueError(
             f"all_pairs_cosine: corpus exceeds max_broadcast_rows="
@@ -266,10 +269,11 @@ def lsh_bucketed_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     bucket_cap: int | None = None,
+    n_probe: int = 0,
 ) -> DataFrame:
     """Near-dup pairs, sub-quadratic: bucket → same-bucket pairs →
     exact cosine verify.  Recall < 1 by design (tune num_planes /
-    multi-probe for the target recall).
+    ``n_probe`` for the target recall).
 
     Candidate generation goes through ``dedup.bounded_bucket_pairs``
     (all pairs in buckets ≤ ``bucket_cap``, deterministic chain +
@@ -278,7 +282,19 @@ def lsh_bucketed_pairs(
     materialize O(bucket²) candidates: the r9 full-suite scale gate
     measured wall exponent 1.71 at 10× data for the uncapped
     self-join.  Verification computes the EXACT cosine per surviving
-    candidate either way."""
+    candidate either way.
+
+    ``n_probe`` > 0 enables multi-probe (Lv et al., VLDB'07 — public
+    algorithm): each vector ADDITIONALLY probes the ``n_probe``
+    buckets reached by flipping its smallest-|margin| sign bits — the
+    planes it nearly straddles, exactly where a true neighbor most
+    likely landed on the other side.  A candidate pair needs at least
+    one member AT HOME in the shared bucket (probe∧probe pairs are
+    dropped by the pair predicate), output gains a distinct (each
+    vector now appears in 1+n_probe buckets), and the per-row cost is
+    n_probe extra bucket entries — the standard recall/cost dial that
+    avoids doubling num_planes' bucket count.  n_probe=0 is the exact
+    prior single-bucket plan (no distinct added)."""
     from cassandra_data_migration_spark.operators.dedup import (
         DEFAULT_BUCKET_CAP,
         bounded_bucket_pairs,
@@ -296,18 +312,84 @@ def lsh_bucketed_pairs(
         num_planes,
         seed,
         vec_col,
-    ).select(F.col(id_col), "bucket", "_rb")
-    # dedup=False: each vector hashes to exactly ONE sign-pattern
-    # bucket, so pairs are unique by construction and the output
-    # distinct would be a wasted shuffle of the whole candidate set
-    cands = bounded_bucket_pairs(
-        bucketed,
-        "bucket",
-        id_col,
-        cap=DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap,
-        dedup=False,
-        reband_col="_rb",
-    )
+    ).select(F.col(id_col), "bucket", "_rb", F.col(vec_col).alias("_mpv"))
+    if n_probe > 0:
+        # margins: (|dot(v, plane_i)|, i) sorted ascending — flip the
+        # n_probe nearest planes' bits.  Scan-side arithmetic only.
+        v = F.col("_mpv").cast("array<double>")
+        margins = F.array_sort(
+            F.array(
+                *[
+                    F.struct(
+                        F.abs(
+                            dot(v, _lit_double_array(list(plane)))
+                        ).alias("_m"),
+                        F.lit(1 << i).alias("_mask"),
+                    )
+                    for i, plane in enumerate(
+                        _hyperplanes(dim, num_planes, seed)
+                    )
+                ]
+            )
+        )
+        probes = F.transform(
+            F.slice(margins, 1, n_probe),
+            lambda s: F.struct(
+                F.col("bucket")
+                .bitwiseXOR(s["_mask"])
+                .cast("int")
+                .alias("bucket"),
+                F.lit(False).alias("_home"),
+            ),
+        )
+        entries = F.concat(
+            F.array(
+                F.struct(
+                    F.col("bucket").alias("bucket"),
+                    F.lit(True).alias("_home"),
+                )
+            ),
+            probes,
+        )
+        bucketed = bucketed.select(
+            F.col(id_col),
+            "_rb",
+            F.explode(entries).alias("_e"),
+        ).select(
+            F.col(id_col),
+            F.col("_e.bucket").alias("bucket"),
+            "_rb",
+            F.col("_e._home").alias("_home"),
+        )
+        # cap scales with probe multiplicity: probing multiplies each
+        # bucket's population ~(1+n_probe)x, and an UNscaled cap would
+        # push previously-lossless (sub-)buckets into degree-capped
+        # survivor mode — measured recall DROPPED 0.81 → 0.71 at the
+        # 40k-vector fixture before this scaling; pair-output degree
+        # per home member stays the same bound as the unprobed tier
+        cands = bounded_bucket_pairs(
+            bucketed,
+            "bucket",
+            id_col,
+            cap=(DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap)
+            * (1 + n_probe),
+            dedup=True,  # a vector sits in 1+n_probe buckets now
+            reband_col="_rb",
+            extra_cols=("_home",),
+            small_cond=lambda sa, sb: sa["_home"] | sb["_home"],
+        )
+    else:
+        # dedup=False: each vector hashes to exactly ONE sign-pattern
+        # bucket, so pairs are unique by construction and the output
+        # distinct would be a wasted shuffle of the whole candidate set
+        cands = bounded_bucket_pairs(
+            bucketed.drop("_mpv"),
+            "bucket",
+            id_col,
+            cap=DEFAULT_BUCKET_CAP if bucket_cap is None else bucket_cap,
+            dedup=False,
+            reband_col="_rb",
+        )
     # norm once per row before the verify joins — the per-pair
     # expression is then a single dot-product fold instead of three
     # (bit-identical doubles: sqrt(dot(v,v)) on the same input in

@@ -99,3 +99,41 @@ def test_pin_registry_threadsafe_and_bounded(spark):
     assert len(caching._pinned) <= caching.MAX_PINNED
     assert caching.release_pinned() <= caching.MAX_PINNED
     assert not caching._pinned
+
+
+def test_lsh_multiprobe_superset_and_exact_values(spark):
+    """n_probe>0 must only ADD true pairs: output is a superset of the
+    single-bucket tier, a subset of the exact brute force, and every
+    emitted cos_sim matches the exact value (verification is exact on
+    any candidate path)."""
+    from cassandra_data_migration_spark.operators import similarity
+
+    df = spark.createDataFrame(
+        [
+            (i, [float((i * 7 + j * 3) % 11 - 5) / 5.0 for j in range(8)])
+            for i in range(60)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    exact = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.all_pairs_cosine(
+            df, threshold=0.4, route_above_rows=None
+        ).collect()
+    }
+    base = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.lsh_bucketed_pairs(
+            df, dim=8, threshold=0.4, num_planes=5, n_probe=0
+        ).collect()
+    }
+    probed = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in similarity.lsh_bucketed_pairs(
+            df, dim=8, threshold=0.4, num_planes=5, n_probe=2
+        ).collect()
+    }
+    assert set(base) <= set(probed) <= set(exact)
+    assert len(probed) > len(base)  # the probes actually buy recall here
+    for k, v in probed.items():
+        assert v == exact[k]

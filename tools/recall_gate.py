@@ -76,6 +76,29 @@ def main() -> None:
     }
     routed_s = round(time.perf_counter() - t0, 2)
 
+    # single-bucket (n_probe=0) tier for comparison: what the routed
+    # tier was before multi-probe — the recall delta the probes buy
+    from cassandra_data_migration_spark.operators.similarity import (
+        lsh_bucketed_pairs,
+    )
+    import pyspark.sql.functions as F
+
+    t0 = time.perf_counter()
+    dim = len(emb.select("embedding").first()[0])
+    noprobe = {
+        (r.id_a, r.id_b): r.cos_sim
+        for r in lsh_bucketed_pairs(
+            emb.select(
+                F.col("vec_id").cast("long").alias("vec_id"), "embedding"
+            ),
+            dim=dim,
+            threshold=args.threshold,
+            num_planes=6,
+            n_probe=0,
+        ).collect()
+    }
+    noprobe_s = round(time.perf_counter() - t0, 2)
+
     hit = len(set(routed) & set(exact))
     recall = hit / len(exact) if exact else 1.0
     precision = hit / len(routed) if routed else 1.0
@@ -92,6 +115,13 @@ def main() -> None:
         "passed": recall >= args.floor and precision == 1.0,
         "exact_tier_wall_s": exact_s,
         "routed_tier_wall_s": routed_s,
+        "noprobe_pairs": len(noprobe),
+        "noprobe_recall": round(
+            len(set(noprobe) & set(exact)) / len(exact), 4
+        )
+        if exact
+        else 1.0,
+        "noprobe_wall_s": noprobe_s,
     }
     with open(args.out, "w") as fh:
         json.dump(out, fh, indent=1)
