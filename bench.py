@@ -109,6 +109,17 @@ def main() -> None:
     except Exception:
         pass
 
+    # warm the dedup-family codegen path once at tiny SF: the first
+    # dedup query in a run otherwise pays a +1.5-2.5 s one-off
+    # JIT/codegen start that lands on whichever family member the
+    # rotation puts first (measured round 11: the absorber moved with
+    # the head order and distorted that query's cross-round number).
+    # Same steady-state rationale as the artifact/streaming warms.
+    try:
+        queries["dup_clusters"](spark, "/root/testdata/sf0.001").count()
+    except Exception:
+        pass
+
     # host-speed calibration: a FIXED workload (3× the warm headline
     # query + a CPU-bound spin) whose wall time tracks the host, not
     # the code under test.  Cross-round comparisons should divide
