@@ -234,7 +234,9 @@ def main() -> None:
     # `--out BENCH_FULL.json` (or SPARK_GRAFT_BENCH_OUT).
     out_name = os.environ.get("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     if "--out" in sys.argv:
-        out_name = sys.argv[sys.argv.index("--out") + 1]
+        idx = sys.argv.index("--out")
+        if idx + 1 < len(sys.argv):  # bare trailing --out: keep default
+            out_name = sys.argv[idx + 1]
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), out_name
     )

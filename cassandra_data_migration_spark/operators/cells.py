@@ -126,27 +126,48 @@ def quorum_read_repair(
             F.col(k), F.col(v).alias("_v"), F.col(w).alias("_w")
         ).withColumn("_replica", F.lit(i))
         tagged = t if tagged is None else tagged.unionByName(t)
-    per_key = tagged.groupBy(k).agg(
-        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
-            "_win"
-        ),
-        F.count(F.lit(1)).alias("n_replicas_present"),
+    # Two-level aggregation (round 12): collapse to per-key
+    # (writetime, value) combos with multiplicities first (a pure
+    # HashAggregate over primitive columns, map-side combined), then
+    # argmax over the combos CARRYING the winning combo's count —
+    # appending the count as the struct's LAST field cannot change
+    # which (wt, val) is max because combo rows are distinct on
+    # (wt, val).  The previous shape joined the full replica union
+    # back against the winners to count current copies: two full
+    # shuffles of every replica row + a join, and the struct-max over
+    # raw rows planned as a SortAggregate (full sort of the union).
+    # Now the only full-width pass is the combo collapse; the argmax
+    # runs over ≤ replicas-per-key combo rows.  Same n_stale
+    # semantics: a replica is CURRENT iff it holds exactly the
+    # winner pair under null-UNSAFE equality, so a winner with a
+    # NULL writetime or value counts zero current copies (the
+    # join-filter dropped those rows the same way).
+    combos = tagged.groupBy(k, "_w", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    # a replica is CURRENT iff it holds exactly the winner pair; stale
-    # count = N - current copies (missing rows are stale by absence)
-    current = tagged.join(per_key.select(k, "_win"), k).filter(
-        (F.col("_w") == F.col("_win.wt")) & (F.col("_v") == F.col("_win.val"))
-    ).groupBy(k).agg(F.count(F.lit(1)).alias("_n_current"))
+    per_key = combos.groupBy(k).agg(
+        F.max(
+            F.struct(
+                F.col("_w").alias("wt"),
+                F.col("_v").alias("val"),
+                F.col("_c").alias("cur"),
+            )
+        ).alias("_win"),
+        F.sum("_c").alias("n_replicas_present"),
+    )
+    n_current = F.when(
+        F.col("_win.wt").isNotNull() & F.col("_win.val").isNotNull(),
+        F.col("_win.cur"),
+    ).otherwise(F.lit(0))
     return (
-        per_key.join(current, k, "left")
-        .select(
+        per_key.select(
             F.col(k),
             F.col("_win.val").alias("winner_" + v),
             F.col("_win.wt").alias("winner_" + w),
-            "n_replicas_present",
-            (F.lit(n) - F.coalesce(F.col("_n_current"), F.lit(0)))
-            .cast("long")
-            .alias("n_stale"),
+            F.col("n_replicas_present").cast("long").alias(
+                "n_replicas_present"
+            ),
+            (F.lit(n) - n_current).cast("long").alias("n_stale"),
         )
         .filter(F.col("n_stale") > 0)
     )
@@ -191,41 +212,49 @@ def local_quorum_read_repair(
                 F.col(k), F.col(v).alias("_v"), F.col(w).alias("_w")
             ).withColumn("_dc", F.lit(dc))
             tagged = t if tagged is None else tagged.unionByName(t)
-    per_dc = tagged.groupBy("_dc", k).agg(
-        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
-            "_win"
-        ),
-        F.count(F.lit(1)).alias("n_replicas_present"),
+    # Same two-level-aggregation restructure as quorum_read_repair
+    # (round 12): one (dc, key, wt, val) combo collapse feeds BOTH the
+    # per-DC argmax (carrying the winning combo's count — null-unsafe
+    # current semantics preserved via the isNotNull guard below) and
+    # the global argmax (multiplicity never changes a max), removing
+    # the full-width current-count join and the third full scan of the
+    # replica union.
+    combos = tagged.groupBy("_dc", k, "_w", "_v").agg(
+        F.count(F.lit(1)).alias("_c")
     )
-    current = (
-        tagged.join(per_dc.select("_dc", k, "_win"), ["_dc", k])
-        .filter(
-            (F.col("_w") == F.col("_win.wt"))
-            & (F.col("_v") == F.col("_win.val"))
-        )
-        .groupBy("_dc", k)
-        .agg(F.count(F.lit(1)).alias("_n_current"))
+    per_dc = combos.groupBy("_dc", k).agg(
+        F.max(
+            F.struct(
+                F.col("_w").alias("wt"),
+                F.col("_v").alias("val"),
+                F.col("_c").alias("cur"),
+            )
+        ).alias("_win"),
+        F.sum("_c").alias("n_replicas_present"),
     )
-    global_win = tagged.groupBy(k).agg(
-        F.max(F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))).alias(
-            "_gwin"
-        )
+    global_win = combos.groupBy(k).agg(
+        F.max(
+            F.struct(F.col("_w").alias("wt"), F.col("_v").alias("val"))
+        ).alias("_gwin")
     )
+    n_current = F.when(
+        F.col("_win.wt").isNotNull() & F.col("_win.val").isNotNull(),
+        F.col("_win.cur"),
+    ).otherwise(F.lit(0))
     n_expr = F.create_map(
         *[x for dc, n in sorted(n_by_dc.items()) for x in (F.lit(dc), F.lit(n))]
     )
     return (
-        per_dc.join(current, ["_dc", k], "left")
-        .join(global_win, k)
+        per_dc.join(global_win, k)
         .select(
             F.col("_dc").alias("dc"),
             F.col(k),
             F.col("_win.val").alias("winner_" + v),
             F.col("_win.wt").alias("winner_" + w),
-            "n_replicas_present",
-            (n_expr[F.col("_dc")] - F.coalesce(F.col("_n_current"), F.lit(0)))
-            .cast("long")
-            .alias("n_stale"),
+            F.col("n_replicas_present").cast("long").alias(
+                "n_replicas_present"
+            ),
+            (n_expr[F.col("_dc")] - n_current).cast("long").alias("n_stale"),
             (
                 (F.col("_win.wt") != F.col("_gwin.wt"))
                 | (F.col("_win.val") != F.col("_gwin.val"))

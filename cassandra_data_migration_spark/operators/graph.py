@@ -73,6 +73,21 @@ def connected_components(
         F.col(id_col).alias("a"), F.col(id_col).alias("component")
     ).localCheckpoint(eager=False)
 
+    # Convergence probe (round 12): labels are componentwise
+    # NON-INCREASING (each round takes min over self ∪ neighbors) and
+    # the key set is constant (message targets are edge endpoints ⊆
+    # nodes), so Σ component is strictly decreasing until the fixpoint
+    # and equality of consecutive sums IS convergence.  That replaces
+    # the per-round join-and-filter probe (an extra join of two label
+    # tables every round) with one aggregate scan of the just-
+    # checkpointed labels.  decimal(38,0): exact, and no int64
+    # overflow at any scale (10¹² ids × 10¹² rows ≈ 10²⁴ < 10³⁸).
+    def _label_sum(frame: DataFrame):
+        return frame.agg(
+            F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
+
+    prev_sum = None
     converged = False
     rounds = 0
     for _ in range(max_iter):
@@ -86,17 +101,14 @@ def connected_components(
             .agg(F.min("component").alias("component"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "a")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
+        if prev_sum is None:
+            prev_sum = _label_sum(labels)
+        new_sum = _label_sum(new_labels)
         labels = new_labels
-        if changed == 0:
+        if new_sum == prev_sum:
             converged = True
             break
+        prev_sum = new_sum
     und.unpersist()
     if stats is not None:
         stats["label_rounds"] = rounds
@@ -261,19 +273,26 @@ def pagerank(
     deg = edges.groupBy(F.col(src).alias("_src")).agg(
         F.count(F.lit(1)).alias("_outdeg")
     )
-    e = edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+    # out-degree is loop-invariant, so it is attached to the edge
+    # table ONCE instead of re-joined every iteration (round 12: one
+    # join per round removed; the lazy localCheckpoint materializes
+    # the (src, dst, outdeg) table on first use and rounds 2..n reuse
+    # it instead of re-running the degree aggregation + join)
+    ew = (
+        edges.select(F.col(src).alias("_src"), F.col(dst).alias("_dst"))
+        .join(deg, "_src")
+        .localCheckpoint(eager=False)
+    )
     ranks = nodes.select(
         F.col(id_col).alias("_id"), F.lit(init).cast("long").alias("rank_e12")
     )
     for _ in range(iterations):
-        contrib = ranks.join(
-            deg, ranks["_id"] == deg["_src"]
-        ).select(
-            F.col("_src"),
-            F.expr("rank_e12 div _outdeg").alias("_c"),
-        )
         incoming = (
-            e.join(contrib, "_src")
+            ew.join(ranks, ew["_src"] == ranks["_id"])
+            .select(
+                F.col("_dst"),
+                F.expr("rank_e12 div _outdeg").alias("_c"),
+            )
             .groupBy(F.col("_dst").alias("_id"))
             .agg(F.sum("_c").alias("_in"))
         )

@@ -15,6 +15,8 @@ network round-trips, and at 100 TB they stay shuffle-minimal:
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.functions import broadcast
@@ -107,6 +109,7 @@ def salted_equi_join(
     key: str,
     num_salts: int = 16,
     how: str = "inner",
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Skew-mitigated equi-join for when BOTH sides are too big to
     broadcast and the fact side has hot keys (the Zipf-head case AQE's
@@ -138,12 +141,27 @@ def salted_equi_join(
     except ValueError:
         floor_parts = facts.sparkSession.sparkContext.defaultParallelism
     n_parts = floor_parts
-    try:
-        n_rows = facts.count()
+    if n_rows is None:
+        # plan-construction-time count: footer metadata for a static
+        # scan, but a full upstream execution for a derived frame —
+        # callers with expensive upstreams pass ``n_rows`` (a known
+        # count or a sampled estimate) to skip it (ADVICE r11)
+        try:
+            n_rows = facts.count()
+        except Exception as exc:
+            # uncountable source (e.g. streaming): keep the default,
+            # but say so instead of silently swallowing real failures
+            warnings.warn(
+                "salted_equi_join: facts not countable at plan time "
+                f"({type(exc).__name__}: {exc}); keeping "
+                f"{n_parts} shuffle partitions",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            n_rows = None
+    if n_rows is not None:
         while n_parts * 1_000_000 < n_rows:
             n_parts *= 2
-    except Exception:
-        pass  # uncountable source (e.g. streaming): keep the default
     salt = F.floor(F.rand(42) * num_salts).cast("int")
     salted_facts = facts.withColumn("_salt", salt).repartition(
         n_parts, F.col(key), F.col("_salt")

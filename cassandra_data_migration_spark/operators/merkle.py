@@ -108,6 +108,22 @@ def null_safe_canon(cols: list[Column]) -> Column:
     )
 
 
+def null_safe_canon64(cols: list[Column]) -> Column:
+    """8-byte xxhash64 form of :func:`null_safe_canon` — same
+    NULL-sentinel canonical string, hashed to a long instead of a
+    32-char md5 hex digest.  For INTERNAL equality joins only (the
+    repair row legs): equal canonical strings hash equal, unequal
+    ones collide with ~2⁻⁶⁴ probability (the same collision
+    acceptance the hashed posting joins document), and the join
+    payload shrinks ~5× (8-byte long vs 32-char string).  Anything
+    an ORACLE recomputes as md5 must keep :func:`null_safe_canon`."""
+    return F.xxhash64(
+        F.concat_ws(
+            CANON_SEP, *[F.coalesce(c, F.lit(CANON_NULL)) for c in cols]
+        )
+    )
+
+
 def null_safe_canon_sql(exprs: list[str]) -> str:
     """DuckDB twin of :func:`null_safe_canon` (same sentinel, same
     separator, same md5 hex form)."""

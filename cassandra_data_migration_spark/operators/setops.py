@@ -73,16 +73,38 @@ def multiset_compare(a: DataFrame, b: DataFrame) -> DataFrame:
     of dropping them (list-append re-run duplication is a documented
     reference hazard, docs/04-cdm-approach.md:834).
 
-    Plan: each set op is one hash shuffle of the canonicalized rows;
-    the three counts reduce map-side.  At scale, project to
-    (pk, row_hash) first so the exchanges carry 16 bytes/row."""
-    only_a = a.exceptAll(b).count()
-    in_both = a.intersectAll(b).count()
-    only_b = b.exceptAll(a).count()
-    spark = a.sparkSession
-    return spark.createDataFrame(
-        [(only_a, in_both, only_b)],
-        "only_origin long, in_both long, only_target long",
+    Plan (round 12): ONE lazy pass instead of three eager set-ops —
+    tag each side, union, groupBy the full row with per-side counts
+    (map-side partial aggregation collapses duplicates before the
+    exchange), then reduce the three bag counts from the per-distinct-
+    row pair (ca, cb): ``only_a = Σ max(ca−cb, 0)``, ``in_both =
+    Σ min(ca, cb)``, ``only_b = Σ max(cb−ca, 0)``.  GROUP BY groups
+    NULLs (and NaNs) together exactly as EXCEPT ALL / INTERSECT ALL
+    row-equality does, so the counts are identical to the set-op
+    formulation while the canonicalized rows cross the network once
+    instead of six half-passes, and one action computes all three
+    (guide §2.3/§2.4).  At scale, project to (pk, row_hash) first so
+    the exchange carries 16 bytes/row."""
+    cols = a.columns
+    u = a.select(
+        *cols, F.lit(1).alias("_sa"), F.lit(0).alias("_sb")
+    ).unionByName(
+        b.select(*cols, F.lit(0).alias("_sa"), F.lit(1).alias("_sb"))
+    )
+    per_row = u.groupBy(*cols).agg(
+        F.sum("_sa").alias("_ca"), F.sum("_sb").alias("_cb")
+    )
+    zero = F.lit(0).cast("long")
+    return per_row.agg(
+        F.coalesce(
+            F.sum(F.greatest(F.col("_ca") - F.col("_cb"), zero)), zero
+        ).cast("long").alias("only_origin"),
+        F.coalesce(F.sum(F.least("_ca", "_cb")), zero)
+        .cast("long")
+        .alias("in_both"),
+        F.coalesce(
+            F.sum(F.greatest(F.col("_cb") - F.col("_ca"), zero)), zero
+        ).cast("long").alias("only_target"),
     )
 
 

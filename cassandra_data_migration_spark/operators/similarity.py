@@ -289,8 +289,13 @@ def lsh_bucketed_pairs(
     buckets reached by flipping its smallest-|margin| sign bits — the
     planes it nearly straddles, exactly where a true neighbor most
     likely landed on the other side.  A candidate pair needs at least
-    one member AT HOME in the shared bucket (probe∧probe pairs are
-    dropped by the pair predicate), output gains a distinct (each
+    one member AT HOME in the shared bucket on the ≤-cap all-pairs
+    path (the pair predicate applies only there; hot buckets take the
+    survivor path, which skips it, so survivor-path candidates may be
+    probe∧probe — harmless to output correctness because every
+    candidate is exact-verified, but the candidate bound is the
+    all-pairs path's, not a global invariant — ADVICE r11), output
+    gains a distinct (each
     vector now appears in 1+n_probe buckets), and the per-row cost is
     n_probe extra bucket entries — the standard recall/cost dial that
     avoids doubling num_planes' bucket count.  n_probe=0 is the exact
@@ -1416,8 +1421,14 @@ def mmr_select(
         ).alias("_qv"),
     )
     if query_id is None:
-        query_id = base.agg(F.min("rid")).first()[0]
-    qvec = base.filter(F.col("rid") == query_id).select("_qv").first()[0]
+        # one job, not two: min id and its vector together (min_by is
+        # deterministic here — rid is unique)
+        row = base.agg(
+            F.min("rid").alias("_r"), F.min_by("_qv", "rid").alias("_v")
+        ).first()
+        query_id, qvec = row["_r"], row["_v"]
+    else:
+        qvec = base.filter(F.col("rid") == query_id).select("_qv").first()[0]
     qlit = F.array(*[F.lit(int(v)) for v in qvec])
     scored = base.select(
         "rid",
@@ -1436,9 +1447,18 @@ def mmr_select(
         sel = df.sparkSession.createDataFrame(
             [(p[1], p[3]) for p in picked], "sid long, _sv array<long>"
         )
+        # exclusion via broadcast anti-join, NOT a literal isin list:
+        # an isin whose literal list grows each round generates new
+        # codegen source per round, so every greedy step paid a fresh
+        # whole-stage compile; the anti-join keeps the plan shape (and
+        # generated code) identical across rounds — only the broadcast
+        # DATA changes — so rounds 3..k hit the codegen cache
+        # (round 12; guide §1.2 "per-task work").
         nxt = (
-            scored.filter(
-                ~F.col("rid").isin([p[1] for p in picked])
+            scored.join(
+                F.broadcast(sel.select(F.col("sid").alias("rid"))),
+                "rid",
+                "left_anti",
             )
             .crossJoin(F.broadcast(sel))
             .withColumn(

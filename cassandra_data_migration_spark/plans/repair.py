@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 
 from cassandra_data_migration_spark.operators.merkle import (
     merkle_diff,
-    null_safe_canon,
+    null_safe_canon64,
     portable_digest_cols,
     token_bucket,
 )
@@ -207,13 +207,19 @@ def merkle_scoped_repair(
     )
 
     def canon(df: DataFrame) -> DataFrame:
-        # NULL-sentinel + md5 canon (merkle.null_safe_canon): raw
+        # NULL-sentinel canon (merkle.null_safe_canon64): raw
         # concat_ws skips NULLs, so rows differing only in which
-        # nullable column is NULL would canon equal and dodge repair
+        # nullable column is NULL would canon equal and dodge repair.
+        # xxhash64 form (round 12): the canon is ONLY ever compared
+        # for equality inside this plan (the metrics count matches /
+        # mismatches; no oracle reads the canon value), so the
+        # full-outer row-leg joins ship an 8-byte long instead of a
+        # 32-char md5 hex string — ~5× narrower join payload at
+        # identical equality semantics (guide §2.3 "narrower types").
         return df.select(
             F.col(key_col).alias("_k"),
             bucket.alias("_b"),
-            null_safe_canon(portable_digest_cols(df, digest_cols)).alias(
+            null_safe_canon64(portable_digest_cols(df, digest_cols)).alias(
                 "_canon"
             ),
         )

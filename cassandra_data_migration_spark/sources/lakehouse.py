@@ -79,51 +79,41 @@ def parquet_key_ranges(
     key.  Where pyarrow exposes exactness flags they are honored;
     inexact (or flag-less non-exact-typed) stats degrade the file to
     an unbounded range, i.e. always touched — correct, never fast at
-    the expense of right."""
+    the expense of right.
+
+    Small tables read their footers ON THE DRIVER (round 12): the
+    result is O(files) rows that every caller collects to the driver
+    anyway (cow_merge's touch test), so for file counts up to
+    ``SPARK_GRAFT_DRIVER_FOOTER_MAX`` (default 64) a Spark job + a
+    Python-worker round trip per merge buys nothing — footer reads
+    are pure driver-bounded metadata either way (guide §5: the driver
+    may do O(metadata) work, never O(data)).  Larger tables keep the
+    distributed mapInPandas scan."""
     if files is None:
         files = spark.read.parquet(path).inputFiles()
+    driver_max = int(os.environ.get("SPARK_GRAFT_DRIVER_FOOTER_MAX", "64"))
+    if len(files) <= driver_max:
+        rows = [
+            (local, *_footer_key_range(local, key_col))
+            for local in (
+                f[5:] if f.startswith("file:") else f for f in files
+            )
+        ]
+        return spark.createDataFrame(
+            rows, f"file string, key_min {key_type}, key_max {key_type}"
+        )
     fdf = spark.createDataFrame(
         [(f,) for f in files], "file string"
     ).repartition(max(1, math.ceil(len(files) / 64)))
 
     def scan(batches: Iterator) -> Iterator:
         import pandas as pd
-        import pyarrow.parquet as pq
 
         for p in batches:
             out = {"file": [], "key_min": [], "key_max": []}
             for f in p["file"]:
                 local = f[5:] if f.startswith("file:") else f
-                md = pq.ParquetFile(local).metadata
-                idx = {
-                    md.schema.column(i).name: i
-                    for i in range(md.num_columns)
-                }[key_col]
-                lo = hi = None
-                for i in range(md.num_row_groups):
-                    st = md.row_group(i).column(idx).statistics
-                    exact = st is not None and st.has_min_max and (
-                        getattr(st, "is_min_value_exact", True) is not False
-                        and getattr(st, "is_max_value_exact", True)
-                        is not False
-                    )
-                    if not exact:
-                        # stats missing/truncated -> file must be
-                        # treated as touched; surface an unbounded range
-                        lo, hi = None, None
-                        break
-                    mn = (
-                        st.min.decode()
-                        if isinstance(st.min, bytes)
-                        else st.min
-                    )
-                    mx = (
-                        st.max.decode()
-                        if isinstance(st.max, bytes)
-                        else st.max
-                    )
-                    lo = mn if lo is None else min(lo, mn)
-                    hi = mx if hi is None else max(hi, mx)
+                lo, hi = _footer_key_range(local, key_col)
                 out["file"].append(local)
                 out["key_min"].append(lo)
                 out["key_max"].append(hi)
@@ -132,6 +122,33 @@ def parquet_key_ranges(
     return fdf.mapInPandas(
         scan, f"file string, key_min {key_type}, key_max {key_type}"
     )
+
+
+def _footer_key_range(local: str, key_col: str) -> tuple:
+    """(key_min, key_max) of one parquet file from row-group footer
+    statistics; (None, None) when any row group's stats are missing or
+    inexact (truncated string bounds) — the file then reads as an
+    unbounded range, i.e. always touched."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(local).metadata
+    idx = {
+        md.schema.column(i).name: i for i in range(md.num_columns)
+    }[key_col]
+    lo = hi = None
+    for i in range(md.num_row_groups):
+        st = md.row_group(i).column(idx).statistics
+        exact = st is not None and st.has_min_max and (
+            getattr(st, "is_min_value_exact", True) is not False
+            and getattr(st, "is_max_value_exact", True) is not False
+        )
+        if not exact:
+            return None, None
+        mn = st.min.decode() if isinstance(st.min, bytes) else st.min
+        mx = st.max.decode() if isinstance(st.max, bytes) else st.max
+        lo = mn if lo is None else min(lo, mn)
+        hi = mx if hi is None else max(hi, mx)
+    return lo, hi
 
 
 def cow_merge(
