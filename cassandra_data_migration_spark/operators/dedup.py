@@ -781,21 +781,38 @@ def ngram_novelty(
     Jaccard threshold — a corpus-level quality signal that complements
     pairwise dedup.
 
-    Scale: one explode → groupBy on the 8-byte shingle hash for the
-    corpus document-frequency table, one hash-join back, one per-doc
-    aggregation.  The exchanges carry (hash, id) longs, never text;
-    df-table rows are O(distinct shingles) with map-side combine.
+    Scale (round 12): the old shape joined the full (id, hash) table
+    back against the document-frequency table — a second full-size
+    exchange plus a hash join whose output re-aggregated by doc.  But
+    a hash with df == 1 has exactly ONE owning document, so the
+    df-table aggregation can CARRY it (`min(id)` = that doc) and the
+    unique-per-doc counts fall out of the tiny df-table directly; the
+    per-doc totals come straight off the scan (map-side combine
+    collapses to one row per doc before its exchange).  One full-size
+    exchange instead of two, the big join replaced by an O(docs) ⋈
+    O(docs) join (guide §2.3).  Exchanges still carry (hash, id)
+    longs, never text.
     """
     sh = shingle_table(df, id_col, text_col, n).select(
         F.col(id_col), F.xxhash64("shingle").alias("_hs")
     )
-    docfreq = sh.groupBy("_hs").agg(F.count(F.lit(1)).alias("_df"))
+    uniq = (
+        sh.groupBy("_hs")
+        .agg(F.count(F.lit(1)).alias("_df"), F.min(id_col).alias("_doc"))
+        .filter(F.col("_df") == 1)
+        .groupBy(F.col("_doc").alias(id_col))
+        .agg(F.count(F.lit(1)).alias("n_unique"))
+    )
     return (
-        sh.join(docfreq, "_hs")
-        .groupBy(id_col)
-        .agg(
-            F.count(F.lit(1)).alias("n_shingles"),
-            F.sum(F.when(F.col("_df") == 1, 1).otherwise(0)).alias("n_unique"),
+        sh.groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_shingles"))
+        .join(uniq, id_col, "left")
+        .select(
+            F.col(id_col),
+            "n_shingles",
+            F.coalesce(F.col("n_unique"), F.lit(0)).cast("long").alias(
+                "n_unique"
+            ),
         )
         .withColumn(
             "novelty", F.round(F.col("n_unique") / F.col("n_shingles"), 4)
@@ -812,27 +829,41 @@ def source_overlap(
     the audit that catches one dataset leaking into another (mirror
     sites, common-crawl re-packs) before mixture weights are trusted.
 
-    Scale: (source, fp) distinct pass, then a fingerprint self-join —
-    only co-fingerprinted source pairs materialize, and the exchange
-    carries the 32-char fp + source key, never text.  Output is
-    O(sources²) rows.
+    Scale (round 12): ONE exchange of (fp, source) with map-side
+    partial `collect_set` — no distinct pre-pass, no self-join (the
+    old shape computed the distinct (source, fp) table twice, once per
+    self-join branch, then shuffled both).  Each fingerprint's source
+    SET (bounded by the source count, O(10s)) expands to its ordered
+    pairs scan-side; `collect_set` dedups (fp, source) exactly as the
+    old distinct did, `sort_array` + adjacent-slice pairing reproduces
+    the `a._src < b._src` binary-string ordering, and NULL-keyed
+    fingerprints are dropped to match equi-join semantics.  Output is
+    O(sources²) rows (guide §2.1, §3.4).
     """
     from cassandra_data_migration_spark.operators.text import normalize_text
 
-    fp = df.select(
-        F.col(source_col).alias("_src"),
-        F.md5(normalize_text(text_col)).alias("_fp"),
-    ).distinct()
-    a, b = fp.alias("a"), fp.alias("b")
-    return (
-        a.join(b, "_fp")
-        .filter(F.col("a._src") < F.col("b._src"))
-        .groupBy(
-            F.col("a._src").alias("source_a"),
-            F.col("b._src").alias("source_b"),
+    sets = (
+        df.select(
+            F.col(source_col).alias("_src"),
+            F.md5(normalize_text(text_col)).alias("_fp"),
         )
-        .agg(F.count(F.lit(1)).alias("shared_fps"))
+        .filter(F.col("_fp").isNotNull())
+        .groupBy("_fp")
+        .agg(F.sort_array(F.collect_set("_src")).alias("_ss"))
+        .filter(F.size("_ss") >= 2)
     )
+    pairs = sets.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(_ss, (x, i) -> "
+                "transform(slice(_ss, i + 2, size(_ss)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("_p")
+    )
+    return pairs.groupBy(
+        F.col("_p.a").alias("source_a"), F.col("_p.b").alias("source_b")
+    ).agg(F.count(F.lit(1)).alias("shared_fps"))
 
 
 def prefix_filter_pairs(

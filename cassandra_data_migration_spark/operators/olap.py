@@ -106,21 +106,35 @@ def order_priority_check(
     ``late_days`` after the order date).  Exercises the EXISTS /
     left-semi join with a mixed equi + theta condition.
 
-    Plan: the date filter pushes into the orders scan; the semi join
-    hashes on the order key and evaluates the lateness theta on
-    matches, so lineitem is never materialized wider than
-    (l_orderkey, l_shipdate) and each order emits at most once —
-    no distinct needed, no fan-out."""
+    Plan (round 12): the raw EXISTS planned as a broadcast-left-semi
+    whose BUILD side was the full (l_orderkey, l_shipdate) projection
+    — the per-task hashed relation grew linearly with lineitem volume
+    (SCALE_PROBE_r11: task-peak exponent 1.061, 403 MB at sf1 — the
+    suite's last volume-proportional profile).  But the theta is
+    monotone in l_shipdate, so EXISTS(l_shipdate > T) ⟺
+    max(l_shipdate) > T per order key: pre-aggregate lineitem to one
+    (l_orderkey, max shipdate) row — a spillable, map-side-combined
+    HashAggregate — and inner-join that O(orders)-sized table instead
+    (unique key ⇒ at most one match ⇒ still no fan-out).  AQE picks
+    the join strategy from the aggregate's ACTUAL size (broadcast at
+    bench scale, shuffle join at 100 TB) and every stage is now
+    bounded per task (guide §2.3, §3.1, §5.1).  The date filter
+    still pushes into the orders scan; lineitem is still never read
+    wider than (l_orderkey, l_shipdate).  NULL semantics: max()
+    ignores NULL shipdates and a NULL result fails the `>` predicate,
+    exactly as the semi-join theta did."""
     o = orders.filter(
         (F.col("o_orderdate") >= F.lit(date_from))
         & (F.col("o_orderdate") < F.lit(date_to))
     )
-    li = lineitem.select("l_orderkey", "l_shipdate")
-    cond = (F.col("o_orderkey") == F.col("l_orderkey")) & (
-        F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), late_days)
+    li_max = lineitem.groupBy("l_orderkey").agg(
+        F.max("l_shipdate").alias("_max_ship")
     )
     return (
-        o.join(li, cond, "left_semi")
+        o.join(li_max, F.col("o_orderkey") == F.col("l_orderkey"), "inner")
+        .filter(
+            F.col("_max_ship") > F.date_add(F.col("o_orderdate"), late_days)
+        )
         .groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
     )

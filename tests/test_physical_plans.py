@@ -437,11 +437,17 @@ def test_prefix_filter_never_builds_a_cartesian(spark):
     assert "BroadcastNestedLoopJoin" not in plan
 
 
-def test_order_priority_check_is_semi_join_with_pushed_dates(spark):
+def test_order_priority_check_bounded_exists_with_pushed_dates(spark):
+    # round 12: EXISTS(shipdate > T) is rewritten to a per-order-key
+    # max() aggregate joined back — the broadcast build side is now
+    # O(orders), never the full lineitem projection (the sf1 403 MB
+    # task-peak shape SCALE_PROBE_r11 flagged)
     plan = _plan(
         entry_mod.queries()["order_priority_check"](spark, SF_CORRECT)
     )
-    assert "LeftSemi" in plan
+    assert "max(l_shipdate" in plan  # pre-aggregated EXISTS
+    assert "partial_max(l_shipdate" in plan  # map-side combined
+    assert "LeftSemi" not in plan
     assert "GreaterThanOrEqual(o_orderdate" in plan  # window pushed to scan
     # lineitem side reads only the two needed columns
     assert "ReadSchema: struct<l_orderkey:bigint,l_shipdate:timestamp" in plan
