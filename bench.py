@@ -8,6 +8,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import threading
 import time
@@ -35,6 +36,25 @@ def _total_shuffle(spark) -> int:
         return sum(s.get("shuffleReadBytes", 0) for s in stages)
     except Exception:
         return -1
+
+
+# The 15 most expensive queries by the round-11 committed snapshot.
+# Their HEADLINE numbers are the median of SPARK_GRAFT_HEAD_REPS
+# (default 3) repetitions — the first taken in rotation position like
+# every other query, the rest interleaved round-robin at the end of
+# the run — because single-shot numbers for multi-second queries
+# carry a measured ×1.4-1.9 same-code spread (tools/rep_spread.py,
+# rounds 10-11) plus a first-position one-off that no warm fully
+# absorbs; medianizing the head is VERDICT r11 "Next round" #3.  Raw
+# samples (including the old-methodology single-shot first rep) are
+# kept in the artifact under "head_reps".  The tail stays single-shot.
+REP_HEAD = [
+    "dup_clusters", "dedup_survivors", "prefix_filter_pairs",
+    "stream_cow_upsert", "lab_migration_report", "mmr_diverse_select",
+    "dedup_ngram_jaccard", "winnow_fingerprints", "repair_pipeline",
+    "connector_write_audit", "ngram_novelty", "stream_attribution",
+    "kmv_set_ops", "stream_mv_refresh", "repair_pipeline_pruned",
+]
 
 
 def main() -> None:
@@ -165,7 +185,11 @@ def main() -> None:
     shuffle_mb: dict[str, float] = {}
     per_query_timeout = float(os.environ.get("SPARK_GRAFT_QUERY_TIMEOUT", "300"))
     sc = spark.sparkContext
-    for name, fn in queries.items():
+
+    def _timed_run(name: str, fn) -> float | None:
+        """One timed execution of a query (clearCache + job-group
+        watchdog, identical to the historical single-shot loop).
+        Returns the wall seconds, or None after recording the error."""
         # drop any frames the previous query persisted: 187 queries'
         # leftover caches otherwise accumulate in one JVM and skew the
         # tail of the run (operators re-persist internally as needed)
@@ -173,7 +197,6 @@ def main() -> None:
             spark.catalog.clearCache()
         except Exception:
             pass
-        shuf_before = _total_shuffle(spark)
         t0 = time.perf_counter()
         # watchdog: cancel this query's Spark jobs if it runs away —
         # count() then raises and we record the error instead of hanging
@@ -185,13 +208,21 @@ def main() -> None:
         watchdog.start()
         try:
             rows[name] = fn(spark, sf_dir).count()
-            timings[name] = round(time.perf_counter() - t0, 4)
+            return round(time.perf_counter() - t0, 4)
         except Exception as exc:  # noqa: BLE001
-            timings[name] = round(time.perf_counter() - t0, 4)
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            return None
         finally:
             watchdog.cancel()
             sc.setJobGroup("", "")
+
+    for name, fn in queries.items():
+        shuf_before = _total_shuffle(spark)
+        t0 = time.perf_counter()
+        t = _timed_run(name, fn)
+        timings[name] = t if t is not None else round(
+            time.perf_counter() - t0, 4
+        )
         shuf_after = _total_shuffle(spark)
         if shuf_before >= 0 and shuf_after >= 0:
             delta = shuf_after - shuf_before
@@ -201,6 +232,26 @@ def main() -> None:
             shuffle_mb[name] = (
                 round(delta / 1e6, 2) if delta >= 0 else None
             )
+
+    # median-of-N head reps (see REP_HEAD): rep 1 is the in-rotation
+    # single-shot above; the remaining reps run interleaved so host
+    # drift hits every head query equally (tools/rep_spread.py shape)
+    head_reps = max(1, int(os.environ.get("SPARK_GRAFT_HEAD_REPS", "3")))
+    head_samples: dict[str, list[float]] = {
+        n: [timings[n]]
+        for n in REP_HEAD
+        if n in timings and n not in errors
+    }
+    for _ in range(head_reps - 1):
+        for name in REP_HEAD:
+            if name not in head_samples or name in errors:
+                continue
+            t = _timed_run(name, queries[name])
+            if t is not None:
+                head_samples[name].append(t)
+    for name, xs in head_samples.items():
+        if len(xs) > 1:
+            timings[name] = round(statistics.median(xs), 4)
     total = round(sum(timings.values()), 4)
     try:
         load_avg_end = list(os.getloadavg())
@@ -222,6 +273,7 @@ def main() -> None:
         "queries": timings,
         "rows": rows,
         "shuffle_read_mb": shuffle_mb,
+        "head_reps": head_samples,  # raw samples; [0] = single-shot
         "sf": sf_val,
     }
     if errors:
