@@ -26,32 +26,29 @@ from pyspark.sql import functions as F
 from cassandra_data_migration_spark.parallel import with_min_parallelism
 
 
-def dot(a: Column, b: Column) -> Column:
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-
-
-def norm(a: Column) -> Column:
-    return F.sqrt(
-        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
-    )
-
-
-def cosine(a: Column, b: Column) -> Column:
-    return dot(a, b) / (norm(a) * norm(b))
-
-
-def with_unit_norm(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
-    """Pre-normalize once so downstream cosine = dot — the standard
-    trick to avoid recomputing norms per pair."""
-    n = norm(F.col(vec_col))
-    return df.withColumn(
-        vec_col, F.transform(F.col(vec_col), lambda x: x / n)
-    )
-
+from cassandra_data_migration_spark.operators.similarity_quant import (  # noqa: F401
+    _argmin_e4_keys,
+    _assign_arrow,
+    _assign_arrow_with_vec,
+    _e4,
+    _lit_double_array,
+    _nearest_centroid,
+    _seq_cc,
+    adc_topk_over_codes,
+    cosine,
+    dot,
+    ivf_pq_topk,
+    kmeans_fit,
+    norm,
+    pq_adc_topk,
+    pq_codebook,
+    pq_encode,
+    pq_encode_arrow,
+    quantize_int8,
+    quantized_topk,
+    sq8_topk_over_quantized,
+    with_unit_norm,
+)
 
 def cosine_topk(
     df: DataFrame,
@@ -663,535 +660,6 @@ def label_centroids(
     )
 
 
-def quantize_int8(
-    df: DataFrame, vec_col: str = "embedding", id_col: str = "vec_id"
-) -> DataFrame:
-    """Per-vector symmetric int8 scalar quantization:
-    q_i = round(x_i * 127 / max|x|), kept as array<int> (a sink would
-    pack to 1 byte/dim — 4× smaller than float32, 8× smaller than the
-    float64 compute form; at 100 TB of embeddings that is the
-    difference between an in-memory ANN tier and a disk-bound one).
-    Cosine is scale-invariant, so the per-vector scale cancels and is
-    not carried.  Integer-exact across engines: products ≤ 127², sums
-    ≤ dim·127² — far inside double's 2^53 exact range."""
-    # stage the max-|x| scale in its own projection: captured inside
-    # the transform lambda it would be re-evaluated per ELEMENT (HOF
-    # lambdas skip codegen CSE), turning the quantize into O(dim²)
-    # per row; referenced twice here, CollapseProject keeps it staged
-    v = F.col(vec_col).cast("array<double>")
-    staged = df.select(
-        F.col(id_col),
-        v.alias("_v"),
-        F.array_max(F.transform(v, lambda x: F.abs(x))).alias("_m"),
-    )
-    m = F.col("_m")
-    qv = F.when(
-        m == 0, F.transform(F.col("_v"), lambda x: F.lit(0))
-    ).otherwise(
-        F.transform(F.col("_v"), lambda x: F.round(x * 127.0 / m).cast("int"))
-    )
-    return staged.select(F.col(id_col), qv.alias("qvec"))
-
-
-def quantized_topk(
-    df: DataFrame,
-    query_id: int = 0,
-    k: int = 10,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Approximate top-k over int8-quantized vectors: quantize corpus
-    and query with their own scales, rank by integer cosine.  Same
-    shuffle-free TakeOrdered shape as the exact `cosine_topk`; the
-    win is bandwidth — the scan streams 1/4 the bytes.  Recall is
-    near-1 for SQ8 (verified by test against the exact ranking)."""
-    q8 = quantize_int8(df, vec_col, id_col)
-    return sq8_topk_over_quantized(q8, query_id, k, id_col)
-
-
-def sq8_topk_over_quantized(
-    q8: DataFrame,
-    query_id: int = 0,
-    k: int = 10,
-    id_col: str = "vec_id",
-) -> DataFrame:
-    """Integer-cosine top-k over an ALREADY-QUANTIZED table
-    (id, qvec array<int>) — the scoring half of :func:`quantized_topk`,
-    factored out so a PERSISTED SQ8 table (ann_index.
-    sq8_topk_persisted) ranks through the identical expression with no
-    quantization stage in its plan."""
-    qrow = q8.filter(F.col(id_col) == query_id).first()
-    qlit = F.array(*[F.lit(int(x)) for x in qrow["qvec"]])
-    qd = F.col("qvec").cast("array<double>")
-    scored = q8.filter(F.col(id_col) != query_id).select(
-        F.col(id_col),
-        F.round(cosine(qd, qlit.cast("array<double>")), 4).alias("cos_sim_q8"),
-    )
-    return scored.orderBy(F.desc("cos_sim_q8"), F.asc(id_col)).limit(k)
-
-
-def pq_codebook(
-    df: DataFrame,
-    n_centroids: int = 16,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> list[list[float]]:
-    """Deterministic PQ codebook: the ``n_centroids`` corpus vectors
-    with the smallest (md5(id), id) — the same seeded-sample scheme as
-    ``ivf_centroids``, so any engine regenerates the identical book.
-    Centroid id = rank in that order.  (k-means per subspace drops in
-    without changing the encode/search dataflow.)"""
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_centroids)
-        .collect()
-    )
-    return [[float(x) for x in r[vec_col]] for r in rows]
-
-
-
-def _lit_double_array(vals: list[float]) -> Column:
-    """array<double> literal via one parsed SQL string — same values
-    as nested F.lit (repr round-trips doubles exactly), a fraction of
-    the py4j plan-construction latency."""
-    return F.expr("array(" + ",".join(f"{x!r}D" for x in vals) + ")")
-
-def _e4(x: Column) -> Column:
-    """floor(x·10⁴ + 0.5) as BIGINT — fixed-point e4 rounding with an
-    explicit IEEE op sequence both engines reproduce exactly (SQL
-    ROUND half-away vs Python banker's rounding would drift)."""
-    return F.floor(x * F.lit(10000.0) + F.lit(0.5)).cast("long")
-
-
-def _argmin_e4_keys(m, cents_slice, ccs):
-    """Shared Arrow-tier kernel: per-row e4 argmin keys against one
-    subspace's centroids, with the EXACT float-op sequence of the SQL
-    fold — accumulation runs sequentially over the width axis
-    (vectorized across rows/centroids), so every intermediate double
-    equals the ``aggregate`` lambda's and the e4 floor lands on the
-    same integer.  numpy does not fuse multiply-add, which is what
-    makes the match bit-for-bit rather than merely close.
-
-    m: (n, width) float64; cents_slice: (K, width) float64;
-    ccs: (K,) float64 (sequentially-accumulated c·c, computed
-    driver-side the same way the SQL literal is).
-    Returns (n, K) int64 e4 keys."""
-    import numpy as np
-
-    n, width = m.shape
-    dots = np.zeros((n, cents_slice.shape[0]), dtype=np.float64)
-    for i in range(width):
-        # acc = acc + x_i*c_i, one width step at a time — the fold
-        dots = dots + m[:, i, None] * cents_slice[None, :, i]
-    keys = ccs[None, :] - 2.0 * dots
-    return np.floor(keys * 10000.0 + 0.5).astype(np.int64)
-
-
-def _seq_cc(vec: list[float]) -> float:
-    """Sequentially-accumulated Σx² — mirrors the SQL fold order."""
-    cc = 0.0
-    for x in vec:
-        cc = cc + x * x
-    return cc
-
-
-def pq_encode_arrow(
-    df: DataFrame,
-    codebook: list[list[float]],
-    num_subspaces: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-) -> DataFrame:
-    """Arrow/BLAS tier of :func:`pq_encode`: one ``mapInPandas`` pass,
-    vectorized numpy per batch, BIT-IDENTICAL output to the SQL-fold
-    tier (see ``_argmin_e4_keys`` for why).  This is the 100 TB hot
-    path — per-row JVM expression interpretation (HOF lambdas are
-    codegen-ineligible, SCALING.md 'Known trade-offs') is replaced by
-    ~K·width/8 SIMD ops/vector; measured ≥2x on the contract corpus
-    and the gap widens with dim·K.
-
-    No shuffle, no driver data: the codebook ships inside the closure
-    (8×64 floats), batches stream through Arrow."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    dim = len(codebook[0])
-    width = dim // num_subspaces
-    cb = np.asarray(codebook, dtype=np.float64)  # (K, dim)
-    ccs = [
-        np.asarray(
-            [_seq_cc(list(cvec[j * width : (j + 1) * width])) for cvec in cb],
-            dtype=np.float64,
-        )
-        for j in range(num_subspaces)
-    ]
-
-    def encode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            codes = np.empty((len(pdf), num_subspaces), dtype=np.int32)
-            for j in range(num_subspaces):
-                keys = _argmin_e4_keys(
-                    m[:, j * width : (j + 1) * width],
-                    cb[:, j * width : (j + 1) * width],
-                    ccs[j],
-                )
-                codes[:, j] = np.argmin(keys, axis=1)  # first-min ties
-            yield pd.DataFrame(
-                {"_id": pdf["_id"], "codes": list(codes)}
-            )
-
-    src = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
-    out = src.mapInPandas(encode, f"_id {id_type}, codes array<int>")
-    return out.select(F.col("_id").alias(id_col), "codes")
-
-
-def pq_encode(
-    df: DataFrame,
-    codebook: list[list[float]],
-    num_subspaces: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    tier: str = "sql",
-) -> DataFrame:
-    """Product-quantization encode (Jégou et al., PQ for nearest
-    neighbor search): split each vector into ``num_subspaces``
-    contiguous slices; per subspace store only the id of the nearest
-    codebook slice (squared L2, via the dot-product identity
-    |x−c|² = x·x − 2·x·c + c·c).  64-dim float32 → 8 bytes/vector:
-    a 32× compression that turns a 100 TB embedding corpus into an
-    in-memory shortlist tier.
-
-    Engine-exact: distances are compared as e4 fixed-point integers
-    and ties break to the smallest centroid id (``array_position`` of
-    the min — first occurrence).  Everything is scan-side JVM
-    expression (no UDF, no shuffle); the codebook enters as literals.
-
-    Output: (id, codes array<int>) — code j for subspace j.
-
-    ``tier="arrow"`` routes to :func:`pq_encode_arrow` — the
-    vectorized fast path with bit-identical output (parity pinned by
-    tests/test_fast_tiers.py); ``"sql"`` stays pure-JVM expression,
-    the DuckDB-twin form the oracle mirrors term by term.
-    """
-    if tier == "arrow":
-        return pq_encode_arrow(df, codebook, num_subspaces, id_col, vec_col)
-    dim = len(codebook[0])
-    width = dim // num_subspaces
-    v = F.col(vec_col).cast("array<double>")
-    dist_cols = []
-    for j in range(num_subspaces):
-        sl = F.slice(v, j * width + 1, width)
-        # one struct-array literal {c, cc} per subspace, distances via
-        # a single transform lambda — identical float op sequence to
-        # unrolling one expression per centroid, but the plan tree is
-        # O(K) literals + 1 lambda instead of K dot folds, which keeps
-        # analysis/codegen time flat as K grows
-        entries = []
-        for cvec in codebook:
-            c = cvec[j * width : (j + 1) * width]
-            cc = 0.0
-            for x in c:
-                cc = cc + x * x  # sequential, mirroring the SQL fold
-            entries.append(
-                F.struct(
-                    F.array(*[F.lit(x) for x in c]).alias("c"),
-                    F.lit(cc).alias("cc"),
-                )
-            )
-        cb_j = F.array(*entries)
-        # |x−c|² = x·x − 2·x·c + c·c and x·x is constant across
-        # centroids, so the argmin key keeps only c·c − 2·x·c
-        dist_cols.append(
-            F.transform(
-                cb_j,
-                lambda s: _e4(s["cc"] - F.lit(2.0) * dot(sl, s["c"])),
-            ).alias(f"_d{j}")
-        )
-    # stage the distance arrays in their own projection so each is
-    # materialized ONCE: referencing the transform expression directly
-    # inside array_position(arr, array_min(arr)) would inline the
-    # whole O(K·width) tree twice (round 1's janino codegen blowup);
-    # CollapseProject keeps the two selects apart because the
-    # duplicated producer is not a cheap expression
-    staged = df.select(F.col(id_col), *dist_cols)
-    codes = [
-        (
-            F.array_position(F.col(f"_d{j}"), F.array_min(F.col(f"_d{j}")))
-            - 1
-        ).cast("int")
-        for j in range(num_subspaces)
-    ]
-    return staged.select(F.col(id_col), F.array(*codes).alias("codes"))
-
-
-def pq_adc_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    codebook: list[list[float]],
-    k: int = 10,
-    num_subspaces: int = 8,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_ids: list | None = None,
-    tier: str = "sql",
-) -> DataFrame:
-    """Asymmetric-distance top-k: the query stays full-precision; each
-    corpus vector is scored from its PQ codes through a per-subspace
-    lookup table LUT[j][c] = q_j·c_jc built driver-side (8×16 ints —
-    the classic ADC trick: scoring touches 8 bytes + 8 table lookups
-    per vector, never the original floats).
-
-    LUT entries are e4 fixed-point BIGINTs, so the score sum is exact
-    integer arithmetic — order-independent and oracle-reproducible.
-    Plan: encode is scan-side, scoring is 8 ``element_at`` lookups,
-    top-k is TakeOrdered — no shuffle, and the scan reads only the
-    codes at 1/32 the bandwidth of the float tier."""
-    encoded = pq_encode(df, codebook, num_subspaces, id_col, vec_col, tier=tier)
-    return adc_topk_over_codes(
-        encoded, query_vec, codebook, k, num_subspaces, id_col, exclude_ids
-    )
-
-
-def adc_topk_over_codes(
-    encoded: DataFrame,
-    query_vec: list[float],
-    codebook: list[list[float]],
-    k: int = 10,
-    num_subspaces: int = 8,
-    id_col: str = "vec_id",
-    exclude_ids: list | None = None,
-) -> DataFrame:
-    """ADC scoring over ALREADY-ENCODED codes (id, codes array<int>):
-    the LUT build + 8-lookup scoring half of :func:`pq_adc_topk`,
-    factored out so a PERSISTED codes table (ann_index.
-    pq_probe_persisted) scores through the identical expression with
-    zero encode/training stages in its plan."""
-    import math
-
-    dim = len(codebook[0])
-    width = dim // num_subspaces
-    score = None
-    for j in range(num_subspaces):
-        q_j = query_vec[j * width : (j + 1) * width]
-        lut = []
-        for cvec in codebook:
-            c = cvec[j * width : (j + 1) * width]
-            d = 0.0
-            for a, b in zip(q_j, c):
-                d = d + a * b  # sequential, mirroring the SQL fold
-            lut.append(int(math.floor(d * 10000.0 + 0.5)))
-        term = F.element_at(
-            F.array(*[F.lit(x) for x in lut]),
-            F.element_at(F.col("codes"), j + 1) + 1,
-        )
-        score = term if score is None else score + term
-    scored = encoded.select(
-        F.col(id_col), score.cast("long").alias("adc_score_e4")
-    )
-    if exclude_ids:
-        scored = scored.filter(~F.col(id_col).isin(exclude_ids))
-    return scored.orderBy(F.desc("adc_score_e4"), F.asc(id_col)).limit(k)
-
-
-def _nearest_centroid(vcol: Column, cents: list[list[float]]) -> Column:
-    """0-based index of the squared-L2-nearest centroid, compared as
-    e4 fixed-point BIGINTs (argmin key c·c − 2·x·c; x·x is constant),
-    ties to the smallest index — the PQ encode rule applied full-dim,
-    engine-exact by the same construction.  The distance array is a
-    single transform lambda materialized once — NOT inlined flat SQL
-    duplicated inside array_position(arr, array_min(arr)), which
-    broke oracle parity and blew up codegen in round 1."""
-    entries = []
-    for c in cents:
-        cc = 0.0
-        for x in c:
-            cc = cc + x * x  # sequential, mirroring the SQL fold
-        entries.append(
-            F.struct(
-                F.array(*[F.lit(x) for x in c]).alias("c"),
-                F.lit(cc).alias("cc"),
-            )
-        )
-    arr = F.transform(
-        F.array(*entries),
-        lambda s: _e4(s["cc"] - F.lit(2.0) * dot(vcol, s["c"])),
-    )
-    return (F.array_position(arr, F.array_min(arr)) - 1).cast("int")
-
-
-def _assign_arrow(
-    df: DataFrame,
-    cents: list[list[float]],
-    id_col: str,
-    vec_col: str,
-) -> DataFrame:
-    """Arrow-tier full-dim nearest-centroid assignment — bit-identical
-    to ``_nearest_centroid`` by the ``_argmin_e4_keys`` construction
-    (sequential width accumulation, e4 floor, first-min ties)."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    cb = np.asarray(cents, dtype=np.float64)
-    ccs = np.asarray([_seq_cc(list(c)) for c in cents], dtype=np.float64)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            keys = _argmin_e4_keys(m, cb, ccs)
-            yield pd.DataFrame(
-                {
-                    "_id": pdf["_id"],
-                    "cluster": np.argmin(keys, axis=1).astype(np.int32),
-                }
-            )
-
-    id_type = dict(df.select(F.col(id_col)).dtypes)[id_col]
-    src = df.select(
-        F.col(id_col).alias("_id"),
-        F.col(vec_col).cast("array<double>").alias("_v"),
-    )
-    return src.mapInPandas(assign, f"_id {id_type}, cluster int").select(
-        F.col("_id").alias(id_col), "cluster"
-    )
-
-
-def _assign_arrow_with_vec(
-    df: DataFrame,
-    cents: list[list[float]],
-    vec_col: str,
-) -> DataFrame:
-    """Arrow-tier assignment that CARRIES THE VECTOR through —
-    (cluster, _v) for the centroid-update leg, so the update never
-    joins assignments back onto the vector table (doubles round-trip
-    Arrow bit-exactly, so the later DECIMAL(20,10) cast sees the same
-    values either way)."""
-    from collections.abc import Iterator
-
-    import numpy as np
-    import pandas as pd
-
-    cb = np.asarray(cents, dtype=np.float64)
-    ccs = np.asarray([_seq_cc(list(c)) for c in cents], dtype=np.float64)
-
-    def assign(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            m = np.stack(pdf["_v"].to_numpy()).astype(np.float64)
-            keys = _argmin_e4_keys(m, cb, ccs)
-            yield pd.DataFrame(
-                {
-                    "cluster": np.argmin(keys, axis=1).astype(np.int32),
-                    "_v": pdf["_v"],
-                }
-            )
-
-    src = df.select(F.col(vec_col).cast("array<double>").alias("_v"))
-    return src.mapInPandas(assign, "cluster int, _v array<double>")
-
-
-def kmeans_fit(
-    df: DataFrame,
-    k: int = 8,
-    iters: int = 2,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    dim: int = 64,
-    tier: str = "sql",
-):
-    """Engine-exact Lloyd k-means: ``iters`` assign/update rounds from
-    the md5-seeded init, then a final assignment against the refined
-    centroids.  Returns (assignment DataFrame (id, cluster),
-    centroids list) — the refinement step the IVF / PQ / SemDeDup
-    coarse quantizers advertise as drop-in.
-
-    Engine-exact because every step is order-independent:
-    assignments compare e4 fixed-point integers; centroid updates
-    accumulate components as DECIMAL(20,10) (exact addition — float
-    sums reorder under partitioning) and re-emit each component as
-    ``round(sum/count, 6)``; empty clusters keep their previous
-    centroid.  The DuckDB oracle replays the identical iterations as
-    unrolled CTEs and matches bit-for-bit.
-
-    Physical plan per round: assignment is computed INLINE in the same
-    scan as the update explode (arrow tier: one mapInPandas carrying
-    (cluster, vector) — BLAS argmin, no id join; sql tier: the
-    centroid-literal transform), so NO per-round join/shuffle of the
-    vector table happens — the round-6 shape paid a sort-merge join of
-    assignments back onto vectors every round, the bench regression
-    flagged in VERDICT r6.  The update is one posexplode +
-    map-combined aggregation whose shuffle carries k·dim partial sums
-    per task, independent of corpus size; only k·dim doubles ever
-    reach the driver.  Rounds are driver-orchestrated, exactly like
-    CDM's driver-held phase state (SURVEY.md §2.9 Z4)."""
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(k)
-        .collect()
-    )
-    cents = [[float(x) for x in r[vec_col]] for r in rows]
-    v = F.col(vec_col).cast("array<double>")
-
-    def _assign(centroids):
-        if tier == "arrow":
-            return _assign_arrow(df, centroids, id_col, vec_col)
-        return df.select(
-            F.col(id_col), _nearest_centroid(v, centroids).alias("cluster")
-        )
-
-    def _assigned_vectors(centroids):
-        # (cluster, _v) pairs for the centroid update: assignment and
-        # vector co-produced scan-side, nothing to join back
-        if tier == "arrow":
-            return _assign_arrow_with_vec(df, centroids, vec_col)
-        return df.select(
-            _nearest_centroid(v, centroids).alias("cluster"), v.alias("_v")
-        )
-
-    for _ in range(iters):
-        flat = _assigned_vectors(cents).select(
-            "cluster", F.posexplode("_v")
-        ).select(
-            "cluster",
-            (F.col("pos") + 1).alias("pos"),
-            F.col("col").cast("decimal(20,10)").alias("_val"),
-        )
-        stats = (
-            flat.groupBy("cluster", "pos")
-            .agg(
-                F.round(
-                    F.sum("_val").cast("double") / F.count(F.lit(1)), 6
-                ).alias("comp")
-            )
-            .collect()
-        )
-        by_cluster: dict[int, dict[int, float]] = {}
-        for r in stats:
-            by_cluster.setdefault(r["cluster"], {})[r["pos"]] = r["comp"]
-        cents = [
-            [by_cluster[i][p] for p in range(1, dim + 1)]
-            if i in by_cluster
-            else cents[i]
-            for i in range(k)
-        ]
-    final = _assign(cents)
-    return final, cents
-
 
 def knn_join(
     corpus: DataFrame,
@@ -1447,18 +915,16 @@ def mmr_select(
         sel = df.sparkSession.createDataFrame(
             [(p[1], p[3]) for p in picked], "sid long, _sv array<long>"
         )
-        # exclusion via broadcast anti-join, NOT a literal isin list:
-        # an isin whose literal list grows each round generates new
-        # codegen source per round, so every greedy step paid a fresh
-        # whole-stage compile; the anti-join keeps the plan shape (and
-        # generated code) identical across rounds — only the broadcast
-        # DATA changes — so rounds 3..k hit the codegen cache
-        # (round 12; guide §1.2 "per-task work").
+        # exclusion stays a literal isin list: a broadcast anti-join
+        # variant (plan-shape-stable across rounds, so rounds 3..k hit
+        # the codegen cache) was built and interleaved-A/B'd in round
+        # 12 — it measured ×1.43 SLOWER (med 11.3 s vs 7.9 s, 4 reps)
+        # because each greedy round then pays a broadcast build + an
+        # extra join stage, which at k≈8 dwarfs the whole-stage
+        # recompiles the isin costs.  Measured rejection, guide §1.
         nxt = (
-            scored.join(
-                F.broadcast(sel.select(F.col("sid").alias("rid"))),
-                "rid",
-                "left_anti",
+            scored.filter(
+                ~F.col("rid").isin([p[1] for p in picked])
             )
             .crossJoin(F.broadcast(sel))
             .withColumn(
@@ -1555,77 +1021,3 @@ def mmr_select_sql(
     """
 
 
-def ivf_pq_topk(
-    df: DataFrame,
-    query_vec: list[float],
-    codebook: list[list[float]],
-    k: int = 10,
-    n_coarse: int = 16,
-    n_probe: int = 4,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    exclude_ids: list | None = None,
-    tier: str = "sql",
-) -> DataFrame:
-    """FAISS-style IVF-PQ two-stage retrieval (Jégou et al., PAMI'11)
-    — the production ANN shape that combines the two tiers this module
-    already ships separately: an IVF coarse quantizer routes the query
-    to ``n_probe`` of ``n_coarse`` inverted lists, then PQ
-    asymmetric-distance scoring ranks ONLY the probed lists from their
-    8-byte codes.
-
-    Scanned fraction ≈ n_probe/n_coarse of the corpus, and the scan
-    reads codes at 1/32 the float bandwidth — at 100 TB the inverted
-    lists are written ``partitionBy(list_id)`` so routing prunes whole
-    files before any task launches.
-
-    Deterministic end to end, so the DuckDB oracle replays the EXACT
-    search: coarse centroids are the md5-smallest corpus vectors (the
-    ``kmeans_fit`` seed rule), list assignment is the e4 fixed-point
-    argmin of ``_nearest_centroid`` (ties to the smallest list), query
-    routing applies the identical integer metric driver-side, and the
-    ADC stage is the oracle-exact integer LUT of :func:`pq_adc_topk`.
-    Recall tunes with ``n_probe`` (= ``n_coarse`` is exact-ADC); the
-    recall-floor property is asserted in tests, the search itself in
-    the oracle gate.
-    """
-    import math
-
-    rows = (
-        df.select(F.col(id_col), F.col(vec_col))
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_coarse)
-        .collect()
-    )
-    coarse = [[float(x) for x in r[vec_col]] for r in rows]
-    v = F.col(vec_col).cast("array<double>")
-    assigned = df.select(
-        F.col(id_col),
-        F.col(vec_col),
-        _nearest_centroid(v, coarse).alias("list_id"),
-    )
-
-    def d2_e4(c: list[float]) -> int:
-        cc = 0.0
-        for x in c:
-            cc = cc + x * x  # sequential, mirroring the SQL fold
-        d = 0.0
-        for a, b in zip(query_vec, c):
-            d = d + a * b
-        return int(math.floor((cc - 2.0 * d) * 10000.0 + 0.5))
-
-    order = sorted(range(len(coarse)), key=lambda i: (d2_e4(coarse[i]), i))
-    probe = [int(i) for i in order[:n_probe]]
-    shortlist = assigned.filter(F.col("list_id").isin(probe)).select(
-        id_col, vec_col
-    )
-    return pq_adc_topk(
-        shortlist,
-        query_vec,
-        codebook,
-        k=k,
-        id_col=id_col,
-        vec_col=vec_col,
-        exclude_ids=exclude_ids,
-        tier=tier,
-    )

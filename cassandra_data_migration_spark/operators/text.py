@@ -166,23 +166,27 @@ def winnow_fingerprints(
     hashes = F.when(
         n_grams >= 1, F.transform(F.sequence(F.lit(1), n_grams), gram_hash)
     ).otherwise(F.array().cast("array<bigint>"))
-    # the gram count is known scan-side (length-derived), so it rides
-    # the explode as a column instead of a second max-pos window over
-    # the exploded rows — one WindowExec + one Sort fewer (round 12;
-    # posexplode yields pos ∈ [0, n_grams−1], so the last COMPLETE
-    # window starts at pos = n_grams − window)
+    # A round-12 variant rode the scan-side gram count through the
+    # explode (`_ng` column) to drop the max-pos window below — one
+    # WindowExec + one Sort fewer on paper, but interleaved A/B
+    # measured it ×1.46 SLOWER (med 6.17 s vs 4.22 s, 5 reps): the
+    # extra 8-byte column widens every exploded row through the
+    # exchange + sort, while the second window is nearly free (it
+    # shares the first window's partition sort).  Measured rejection
+    # (guide §1) — the two-window shape stays.
     flat = df.select(
-        F.col(id_col),
-        F.coalesce(n_grams.cast("long"), F.lit(0)).alias("_ng"),
-        F.posexplode(hashes).alias("pos", "h"),
+        F.col(id_col), F.posexplode(hashes).alias("pos", "h")
     )
+    doc_w = Window.partitionBy(id_col)
     win = (
         Window.partitionBy(id_col)
         .orderBy("pos")
         .rowsBetween(Window.currentRow, window - 1)
     )
-    mins = flat.withColumn("fp", F.min("h").over(win)).filter(
-        F.col("pos") <= F.col("_ng") - window
+    mins = (
+        flat.withColumn("_last", F.max("pos").over(doc_w))
+        .withColumn("fp", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("_last") - (window - 1))
     )
     return mins.groupBy(id_col).agg(
         F.array_sort(F.collect_set("fp")).alias(out)
