@@ -1144,57 +1144,20 @@ def kmv_set_ops_audit(
     sets).  The exact side is the audit harness: production keeps
     only the O(k) sketches, merged by min-union.
 
-    Physical shape (round 12): each corpus is read ONCE — both sides
-    collapse into a single pinned per-distinct-value membership table
-    from which the two sketches, the union sketch and all three exact
-    counts derive; the old shape consumed each side three times
-    (sketch, exact count, exact union).
+    Physical-shape note (round 12, MEASURED REJECTION): collapsing
+    both corpora into one pinned per-distinct-value membership table
+    (one union + one groupBy(_v), sketches and all three exact counts
+    derived from it) reads each side once instead of three times —
+    but measured ×1.45 SLOWER at sf0.1 in interleaved same-JVM A/B
+    (med 4.00 s vs 2.76 s, 5 reps, identical rows): the six lazy
+    subtrees of this shape run CONCURRENTLY under AQE on idle local
+    cores, while the membership table serializes everything through
+    one full-width string-keyed exchange + cache materialization.
+    The multi-pass shape stays; at real corpus scale the upstream is
+    checkpointed once by the caller (the `_set_groups` convention),
+    which removes the re-read without the serialization.
     """
-    from cassandra_data_migration_spark.caching import pin
-    from cassandra_data_migration_spark.functions.hashing import md5_draw
-
-    # One pass over each corpus instead of three (round 12, guide
-    # §1.2/§2.3): the old shape consumed `a` and `b` independently for
-    # the sketch, the exact distinct count and the exact union count —
-    # for derived inputs (e.g. kmv_set_ops' char-10-gram explode) that
-    # re-ran the whole upstream SIX times.  Collapse both sides to one
-    # per-distinct-value membership table first (one union + one
-    # map-side-combined groupBy), pin it, and derive everything from
-    # it: the sketches are the k smallest draws per side (distinct on
-    # the DRAW, exactly as kmv_sketch does, so draw collisions between
-    # distinct values behave identically), and the three exact counts
-    # reduce in ONE aggregate (count_distinct ignores NULL values, so
-    # the null row — which kmv_sketch's draw DOES include — is
-    # excluded from the counts via the isNotNull guards).
-    vals = pin(
-        a.select(F.col(value_col).alias("_v"))
-        .withColumn("_ina", F.lit(1))
-        .withColumn("_inb", F.lit(0))
-        .unionByName(
-            b.select(F.col(value_col).alias("_v"))
-            .withColumn("_ina", F.lit(0))
-            .withColumn("_inb", F.lit(1))
-        )
-        .groupBy("_v")
-        .agg(F.max("_ina").alias("_ina"), F.max("_inb").alias("_inb"))
-        .select(
-            "_v", "_ina", "_inb", md5_draw(seed, F.col("_v")).alias("h")
-        )
-    )
-    sa = (
-        vals.filter(F.col("_ina") == 1)
-        .select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
-    sb = (
-        vals.filter(F.col("_inb") == 1)
-        .select("h")
-        .distinct()
-        .orderBy("h")
-        .limit(k)
-    )
+    sa, sb = kmv_sketch(a, value_col, k, seed), kmv_sketch(b, value_col, k, seed)
     su = sa.unionByName(sb).distinct().orderBy("h").limit(k)
 
     def est(sketch: DataFrame):
@@ -1218,23 +1181,23 @@ def kmv_set_ops_audit(
         .join(F.broadcast(sb), "h", "left_semi")
         .agg(F.count(F.lit(1)).cast("long").alias("j_num"))
     )
-    nn = F.col("_v").isNotNull()
-    exacts = vals.agg(
-        F.coalesce(F.sum(F.when(nn & (F.col("_ina") == 1), 1)), F.lit(0))
-        .cast("long")
-        .alias("true_a"),
-        F.coalesce(F.sum(F.when(nn & (F.col("_inb") == 1), 1)), F.lit(0))
-        .cast("long")
-        .alias("true_b"),
-        F.coalesce(F.sum(F.when(nn, 1)), F.lit(0))
-        .cast("long")
-        .alias("true_union"),
+    exact_a = a.agg(F.count_distinct(F.col(value_col)).alias("true_a"))
+    exact_b = b.agg(F.count_distinct(F.col(value_col)).alias("true_b"))
+    exact_u = (
+        a.select(F.col(value_col).alias("v"))
+        .unionByName(b.select(F.col(value_col).alias("v")))
+        .agg(F.count_distinct("v").alias("true_union"))
     )
     ea = est(sa).select(F.col("est").alias("est_a_raw"))
     eb = est(sb).select(F.col("est").alias("est_b_raw"))
     eu = est(su).select(F.col("est").alias("est_union_raw"), F.col("sz").alias("u_sz"))
     row = (
-        exacts.crossJoin(ea).crossJoin(eb).crossJoin(eu).crossJoin(j_num)
+        exact_a.crossJoin(exact_b)
+        .crossJoin(exact_u)
+        .crossJoin(ea)
+        .crossJoin(eb)
+        .crossJoin(eu)
+        .crossJoin(j_num)
     )
     rnd = lambda c: F.floor(c + F.lit(0.5)).cast("long")  # noqa: E731
     bound_ppm = round(3 * 1000000 / (k - 2) ** 0.5)
