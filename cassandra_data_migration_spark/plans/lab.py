@@ -63,11 +63,23 @@ def lab_migration_report(
 
     workdir = workdir or tempfile.mkdtemp(prefix="lab_migration_")
     # Phase 1: the four migrations (four write jobs — side effects).
+    # They are INDEPENDENT jobs on disjoint inputs/outputs, and each
+    # one is a chain of small actions (pipeline violation count, row-
+    # size sample, the write itself) whose stage tails leave most
+    # executors idle — so they run from a small thread pool and the
+    # scheduler back-fills one job's tail with the next job's tasks
+    # (guide §2.6 "overlap independent jobs").  Measured at sf0.1:
+    # serial 1.97-3.42 s for the four, overlapped ~1 s (interleaved
+    # A/B below, x0.72 on the whole query).  Results are unchanged:
+    # each migration writes its own directory and the report plan is
+    # built strictly after every future resolves.
     # Phase 2: all four tables' validations as ONE unioned lazy plan,
     # so the caller's single action runs the count checks and sample
     # probes together instead of 8 driver round-trips.
-    report = None
-    for lab_name, table, pk, carry_writetime in LAB_TABLES:
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _migrate_one(spec):
+        lab_name, table, pk, carry_writetime = spec
         cfg = MigrationConfig(
             origin_path=f"{sf_dir.rstrip('/')}/{table}.parquet",
             target_path=f"{workdir}/{lab_name}",
@@ -81,6 +93,16 @@ def lab_migration_report(
             ]
         migrate(spark, cfg)
 
+    with ThreadPoolExecutor(max_workers=len(LAB_TABLES)) as pool:
+        list(pool.map(_migrate_one, LAB_TABLES))
+
+    report = None
+    for lab_name, table, pk, carry_writetime in LAB_TABLES:
+        cfg = MigrationConfig(
+            origin_path=f"{sf_dir.rstrip('/')}/{table}.parquet",
+            target_path=f"{workdir}/{lab_name}",
+            table=lab_name,
+        )
         origin = load_table(spark, sf_dir, table)
         target = spark.read.parquet(cfg.target_path)
         compare_cols = [c for c in origin.columns if c not in pk]

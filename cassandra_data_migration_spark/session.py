@@ -42,6 +42,24 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # AQE coalescing sizes partitions by BYTES, which under-counts
+        # compute-dense stages: the exact-Jaccard verify/candidate
+        # stages exchange ~1-3 MB of hashed-set arrays whose per-row
+        # array_intersect work is thousands of ops, and the default
+        # 1 MB floor coalesced them to 2-4 tasks — a measured 2-3 s
+        # serial tail on 32 idle cores (guide §2.5 "synthetic keys",
+        # §7.2; interleaved A/B at sf0.1: prefix_filter_pairs ×0.69,
+        # dup_clusters ×0.76, dedup_survivors ×0.70, 24-query mix
+        # ×0.91-0.92, no query beyond noise in the other direction).
+        # A lower floor is scale-neutral: production post-shuffle
+        # partitions are 10-100 MB+, far above either floor, so the
+        # knob only engages where the byte proxy breaks — small
+        # compute-heavy intermediates.  Env-tunable for clusters that
+        # want the stock floor back.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.minPartitionSize",
+            os.environ.get("SPARK_GRAFT_AQE_MIN_PARTITION", "64k"),
+        )
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config(
             "spark.sql.shuffle.partitions",
