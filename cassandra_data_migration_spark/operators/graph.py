@@ -79,9 +79,14 @@ def connected_components(
     # nodes), so Σ component is strictly decreasing until the fixpoint
     # and equality of consecutive sums IS convergence.  That replaces
     # the per-round join-and-filter probe (an extra join of two label
-    # tables every round) with one aggregate scan of the just-
-    # checkpointed labels.  decimal(38,0): exact, and no int64
+    # tables every round) with one aggregate scan — and the sum RIDES
+    # the eager checkpoint's own materialization job via observe()
+    # (one Spark job per round, not two; the metric is collected by
+    # the accumulator machinery during the checkpoint, so nothing
+    # re-scans the labels).  decimal(38,0): exact, and no int64
     # overflow at any scale (10¹² ids × 10¹² rows ≈ 10²⁴ < 10³⁸).
+    from pyspark.sql import Observation
+
     def _label_sum(frame: DataFrame):
         return frame.agg(
             F.sum(F.col("component").cast("decimal(38,0)")).alias("s")
@@ -95,15 +100,20 @@ def connected_components(
         msgs = und.join(labels, "a").select(
             F.col("b").alias("a"), F.col("component")
         )
+        obs = Observation()
         new_labels = (
             labels.union(msgs)
             .groupBy("a")
             .agg(F.min("component").alias("component"))
+            .observe(
+                obs,
+                F.sum(F.col("component").cast("decimal(38,0)")).alias("s"),
+            )
             .localCheckpoint(eager=True)
         )
         if prev_sum is None:
             prev_sum = _label_sum(labels)
-        new_sum = _label_sum(new_labels)
+        new_sum = obs.get["s"]
         labels = new_labels
         if new_sum == prev_sum:
             converged = True
@@ -620,10 +630,15 @@ def bfs_hops(und: DataFrame, seed: int, max_iter: int = 20) -> DataFrame:
     only shrink, so equality of both is exactly convergence.  Round
     count is the eccentricity of the seed (graph diameter at worst),
     each round one join + one min-aggregate over (v, hop) pairs;
-    ``localCheckpoint`` truncates lineage like the CC/k-core loops.
+    ``localCheckpoint`` truncates lineage like the CC/k-core loops,
+    and the (count, sum) stamp rides the checkpoint's materialization
+    job via ``observe()`` — one Spark job per round, not two (the
+    same fold as ``connected_components``' label-sum probe).
     Exhausting ``max_iter`` raises — a truncated BFS silently reports
     wrong distances (the k_core/star-CC lesson).
     """
+    from pyspark.sql import Observation
+
     spark = und.sparkSession
     edges = (
         und.select("a", "b")
@@ -637,15 +652,19 @@ def bfs_hops(und: DataFrame, seed: int, max_iter: int = 20) -> DataFrame:
             dist.join(edges, dist["v"] == edges["a"])
             .select(F.col("b").alias("v"), (F.col("hops") + 1).alias("hops"))
         )
+        obs = Observation()
         dist = (
             dist.unionByName(relaxed)
             .groupBy("v")
             .agg(F.min("hops").cast("long").alias("hops"))
+            .observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum("hops").alias("s"),
+            )
             .localCheckpoint(eager=True)
         )
-        row = dist.agg(
-            F.count(F.lit(1)).alias("n"), F.sum("hops").alias("s")
-        ).first()
+        row = obs.get
         new_stamp = (row["n"], row["s"] or 0)
         if new_stamp == stamp:
             return dist
