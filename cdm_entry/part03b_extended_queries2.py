@@ -120,9 +120,13 @@ def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("op"),
         )
     )
+    # persist: the count, the batch-0 seed fold, and both slice
+    # writes re-ran the full ordering window otherwise — four
+    # executions of the same sort (the stream_irate precedent,
+    # guide §5); unpersisted after the last slice write below
     ranked = log.withColumn(
         "_rk", F.row_number().over(Window.orderBy("ts", "event_id"))
-    )
+    ).persist()
     n = ranked.count()
     d = tempfile.mkdtemp(prefix="cow_stream_")
     target, src, ckpt = f"{d}/table", f"{d}/log", f"{d}/ckpt"
@@ -137,6 +141,7 @@ def q_stream_cow_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ranked.filter(
             (F.col("_rk") > lo) & (F.col("_rk") <= hi)
         ).drop("_rk").repartition(1).write.mode("append").parquet(src)
+    ranked.unpersist()
     stream = (
         spark.readStream.schema(
             "user_id long, ts timestamp, event_id long, value double, "

@@ -19,7 +19,13 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.mv import mv_build
     from cassandra_data_migration_spark.streaming.mv import mv_maintain_stream
 
-    o = load_table(spark, sf_dir, "orders")
+    # persist the 3-column projection: the view seed + three slice
+    # writes re-scanned orders otherwise — four executions (the
+    # stream_irate precedent, guide §5); unpersisted after the last
+    # slice write below
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).persist()
     price = F.col("o_totalprice").cast("decimal(18,2)")
     base = o.filter(F.pmod("o_orderkey", F.lit(3)) != 0)
     inserts = o.filter(F.pmod("o_orderkey", F.lit(3)) == 0).select(
@@ -49,6 +55,7 @@ def q_stream_mv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     inserts.repartition(1).write.parquet(src)
     deletes.repartition(1).write.mode("append").parquet(src)
     updates.repartition(1).write.mode("append").parquet(src)
+    o.unpersist()
     schema = spark.read.parquet(src).schema
     stream = (
         spark.readStream.schema(schema)

